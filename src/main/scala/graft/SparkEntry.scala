@@ -1,13 +1,415 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.QueryEngine
+import graft.operators.QueryEngine.{AggregateSpec, SimpleQuery}
+import graft.operators.{Dedup, Similarity}
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator/capability from SURVEY.md §2
+  * (or a judged extension); entries with a matching [[oracleSql]] are
+  * hash-checked against DuckDB on the same parquet files, so both sides
+  * alias columns identically, order rows deterministically, and round
+  * floating aggregates (fp summation order differs across engines).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's golden aggregation shape
+    * (`tests/integration/golden_query_test.go:127`) over lineitem.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_agg_golden")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.1 scans -----------------------------------------------------
+    "q_scan" -> ((s, d) =>
+      t(s, d, "lineitem").orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- §2.2 filter / projection (reference 3-token grammar) ----------
+    "q_filter" -> ((s, d) =>
+      QueryEngine.run(t(s, d, "lineitem"),
+          SimpleQuery("lineitem", filter = Some("l_quantity > 45")))
+        .orderBy("l_orderkey", "l_linenumber")),
+    "q_filter_string" -> ((s, d) =>
+      QueryEngine.run(t(s, d, "orders"),
+          SimpleQuery("orders", filter = Some("o_orderstatus = 'F'"),
+            projection = Seq("o_orderkey", "o_totalprice")))
+        .orderBy("o_orderkey")),
+    "q_project" -> ((s, d) =>
+      QueryEngine.run(t(s, d, "lineitem"),
+          SimpleQuery("lineitem",
+            projection = Seq("l_orderkey", "l_linenumber", "l_extendedprice")))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- §2.4 aggregations (count/sum/avg/min/max, COUNT(*)) -----------
+    "q_agg" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(min("l_extendedprice"), 2).as("min_price"),
+          round(max("l_extendedprice"), 2).as("max_price"))
+        .orderBy("l_returnflag")),
+    "q_agg_nogroup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(min("l_discount"), 2).as("min_disc"),
+          round(max("l_tax"), 2).as("max_tax"))),
+    "q_agg_golden" -> ((s, d) =>
+      // golden_query_test.go:127: SELECT category, COUNT(*), SUM(price*qty),
+      // AVG(price) GROUP BY category ORDER BY category — on lineitem.
+      t(s, d, "lineitem").groupBy(col("l_returnflag").as("category"))
+        .agg(count(lit(1)).as("total_orders"),
+          round(sum(col("l_extendedprice") * col("l_quantity")), 2)
+            .as("total_revenue"),
+          round(avg("l_extendedprice"), 4).as("avg_price"))
+        .orderBy("category")),
+    "q_agg_having" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_suppkey")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 100)
+        .orderBy("l_suppkey")),
+    "q_simple_api" -> ((s, d) =>
+      // Full reference structured-query path: filter grammar + agg specs +
+      // default `{fn}_{col}` output naming (task_executor.rs:650-653).
+      QueryEngine.run(t(s, d, "lineitem"),
+        SimpleQuery("lineitem",
+          filter = Some("l_quantity >= 30"),
+          groupBy = Seq("l_returnflag"),
+          aggregates = Seq(
+            AggregateSpec("count", "*"),
+            AggregateSpec("sum", "l_quantity"),
+            AggregateSpec("min", "l_extendedprice"),
+            AggregateSpec("max", "l_extendedprice"))))),
+
+    // ---- §2.6 sorts / limits / top-k ------------------------------------
+    "q_sort_limit" -> ((s, d) =>
+      t(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)),
+    "q_distinct" -> ((s, d) =>
+      t(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ---- §2.3 joins (extension beyond reference — it has none) ---------
+    "q_join_broadcast" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("c_mktsegment")),
+    "q_join_multi" -> ((s, d) => {
+      // TPC-H Q5 shape: 5-way join, small dims broadcast by AQE/stats.
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val n = t(s, d, "nation")
+      val r = t(s, d, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy("r_name", "n_name")
+    }),
+    "q_join_semi" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"),
+          "left_semi")
+        .select("c_custkey").orderBy("c_custkey")),
+    "q_join_anti" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+
+    // ---- §2.5 window functions (extension) ------------------------------
+    "q_window_rank" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+    "q_window_running" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("running_value", round(sum("value").over(w), 4))
+        .select("user_id", "event_id", "running_value")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // ---- §2.7 set operations (extension) --------------------------------
+    "q_union" -> ((s, d) =>
+      t(s, d, "region").select(col("r_name").as("name"))
+        .unionAll(t(s, d, "nation").select(col("n_name").as("name")))
+        .orderBy("name")),
+    "q_intersect" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk")),
+    "q_except" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .except(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk")),
+
+    // ---- §2.8 scalar functions (extension) -------------------------------
+    "q_scalar_funcs" -> ((s, d) =>
+      t(s, d, "orders").select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          upper(substring(col("o_orderpriority"), 1, 4)).as("prio4"),
+          length(col("o_orderstatus")).as("status_len"),
+          round(abs(col("o_totalprice") - 1000.0), 2).as("abs_diff"),
+          (col("o_orderkey") % 7).as("key_mod"),
+          when(col("o_totalprice") > 100000, "big")
+            .when(col("o_totalprice") > 10000, "mid")
+            .otherwise("small").as("bucket"))
+        .orderBy("o_orderkey")),
+
+    // ---- grouping sets / rollup (extension) ------------------------------
+    "q_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // ---- events: time-bucketed agg + regexp extraction -------------------
+    "q_events_hourly" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+        .orderBy("hour", "event_type")),
+    "q_events_regexp" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+          .cast("int"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(avg("k"), 6).as("avg_k"))
+        .orderBy("event_type")),
+
+    // ---- LLM-data-pipeline: text analysis --------------------------------
+    "q_text_stats" -> ((s, d) =>
+      t(s, d, "documents").select(
+          col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          bpeTokenCount(col("text")).as("n_bpe_tokens"),
+          length(normalizeText(col("text"))).as("n_norm_chars"),
+          fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+    "q_quality" -> ((s, d) => {
+      val f = qualityFeatures(col("text"))
+      t(s, d, "documents").select(
+          col("doc_id"),
+          f.getField("n_tokens").as("n_tokens"),
+          round(f.getField("mean_token_len"), 6).as("mean_token_len"),
+          round(f.getField("symbol_ratio"), 6).as("symbol_ratio"),
+          round(f.getField("digit_ratio"), 6).as("digit_ratio"),
+          qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+    "q_lang_id" -> ((s, d) =>
+      t(s, d, "documents").select(
+          col("doc_id"),
+          langId(col("text")).as("lang_guess"),
+          round(langScore(col("text"), "en"), 6).as("en_score"))
+        .orderBy("doc_id")),
+
+    // ---- LLM-data-pipeline: dedup ----------------------------------------
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exactDedup(t(s, d, "documents"))
+        .select("doc_id").orderBy("doc_id")),
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashLshPairs(t(s, d, "documents"), threshold = 0.5)
+        .withColumn("est_jaccard", round(col("est_jaccard"), 6))
+        .orderBy("a_id", "b_id")),
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 8)
+        .orderBy("a_id", "b_id")),
+    "q_dedup_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), threshold = 0.6, n = 3)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("a_id", "b_id")),
+
+    // ---- LLM-data-pipeline: embeddings -----------------------------------
+    "q_embed_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), threshold = 0.8,
+          exact = true)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("a_id", "b_id")),
+    "q_ann_brute" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(emb, q, k = 5)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("query_id", "rank")
+    }),
+    "q_ann_srp" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.srpTopK(emb, q, k = 5)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("query_id", "rank")
+    }),
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(emb, q, k = 5)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("query_id", "rank")
+    }),
+  )
+
+  /** DuckDB-runnable oracle for each hash-checkable query. Column aliases and
+    * ORDER BY match the Spark side exactly (driver sorts columns by name then
+    * hashes values). Queries without an entry get a rows-only check (their
+    * results depend on Spark-internal hashes like xxhash64, or on ANN
+    * approximation — those are property-tested in ScalaTest instead).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_scan" ->
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q_filter" ->
+      "SELECT * FROM lineitem WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber",
+    "q_filter_string" ->
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey",
+    "q_project" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q_agg" -> """
+      SELECT l_returnflag, count(*) AS cnt,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(avg(l_extendedprice), 4) AS avg_price,
+             round(min(l_extendedprice), 2) AS min_price,
+             round(max(l_extendedprice), 2) AS max_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_nogroup" -> """
+      SELECT count(*) AS cnt, round(sum(l_extendedprice), 2) AS sum_price,
+             round(avg(l_quantity), 6) AS avg_qty,
+             round(min(l_discount), 2) AS min_disc,
+             round(max(l_tax), 2) AS max_tax
+      FROM lineitem""",
+    "q_agg_golden" -> """
+      SELECT l_returnflag AS category, count(*) AS total_orders,
+             round(sum(l_extendedprice * l_quantity), 2) AS total_revenue,
+             round(avg(l_extendedprice), 4) AS avg_price
+      FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q_agg_having" -> """
+      SELECT l_suppkey, round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+      FROM lineitem GROUP BY l_suppkey HAVING count(*) > 100 ORDER BY l_suppkey""",
+    "q_simple_api" -> """
+      SELECT l_returnflag, count(*) AS "count_*",
+             sum(l_quantity) AS sum_l_quantity,
+             min(l_extendedprice) AS min_l_extendedprice,
+             max(l_extendedprice) AS max_l_extendedprice
+      FROM lineitem WHERE l_quantity >= 30
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_sort_limit" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2",
+    "q_join_broadcast" -> """
+      SELECT c_mktsegment, count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_join_multi" -> """
+      SELECT r_name, n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q_join_semi" -> """
+      SELECT c_custkey FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""",
+    "q_join_anti" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""",
+    "q_window_rank" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_window_running" -> """
+      SELECT user_id, event_id,
+             round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS running_value
+      FROM events ORDER BY user_id, event_id""",
+    "q_union" -> """
+      SELECT r_name AS name FROM region
+      UNION ALL SELECT n_name FROM nation ORDER BY name""",
+    "q_intersect" -> """
+      SELECT c_nationkey AS nk FROM customer
+      INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk""",
+    "q_except" -> """
+      SELECT c_nationkey AS nk FROM customer
+      EXCEPT SELECT s_nationkey FROM supplier ORDER BY nk""",
+    "q_scalar_funcs" -> """
+      SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+             upper(substring(o_orderpriority, 1, 4)) AS prio4,
+             length(o_orderstatus) AS status_len,
+             round(abs(o_totalprice - 1000.0), 2) AS abs_diff,
+             o_orderkey % 7 AS key_mod,
+             CASE WHEN o_totalprice > 100000 THEN 'big'
+                  WHEN o_totalprice > 10000 THEN 'mid'
+                  ELSE 'small' END AS bucket
+      FROM orders ORDER BY o_orderkey""",
+    "q_rollup" -> """
+      SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+             round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_events_hourly" -> """
+      SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+             round(sum(value), 4) AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_events_regexp" -> """
+      SELECT event_type, count(*) AS n,
+             round(avg(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)), 6)
+               AS avg_k
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_text_stats" -> """
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+               AS n_tokens,
+             len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]'))
+               AS n_bpe_tokens,
+             length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+               AS n_norm_chars,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents ORDER BY doc_id""",
+    "q_dedup_exact" -> """
+      SELECT min(doc_id) AS doc_id FROM documents
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      ORDER BY doc_id""",
+  )
 }

@@ -1,0 +1,169 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines.
+  *
+  * All functions are composed from `org.apache.spark.sql.functions`
+  * (codegen'd, whole-stage-compatible) — no Scala UDFs in the hot path, so a
+  * 100 TB scan of a `text` column stays inside WholeStageCodegen and the
+  * parquet reader only materializes the referenced columns.
+  */
+object TextFunctions {
+
+  /** Normalize text: lowercase, trim, collapse internal whitespace runs. */
+  def normalizeText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Non-empty whitespace tokens. */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= "")
+
+  /** Token count without materializing the token array twice. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword-token estimate: split on whitespace AND on
+    * letter/digit/punctuation boundaries — the usual cheap proxy for an LLM
+    * tokenizer's token count when the real vocab isn't available.
+    */
+  def bpeTokenCount(c: Column): Column =
+    // letter runs | digit runs | single other-symbols; RE2-compatible (no
+    // lookarounds) so the DuckDB oracle can evaluate the identical pattern.
+    size(regexp_extract_all(c,
+      lit("[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]"), lit(0)))
+
+  /** Character n-gram shingles of the normalized text (for MinHash / Jaccard).
+    * Implemented with `sequence` + `transform` (higher-order, codegen'd) —
+    * one array per row, no explode until the caller asks for it.
+    */
+  def charShingles(c: Column, n: Int): Column = {
+    val norm = normalizeText(c)
+    when(length(norm) < n, array(norm)).otherwise(
+      transform(sequence(lit(0), length(norm) - n),
+        i => substr(norm, i + 1, lit(n))))
+  }
+
+  /** Word n-gram shingles joined with a separator. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = tokens(normalizeText(c))
+    when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Deterministic 128-bit document fingerprint of the normalized text.
+    * md5 keeps it engine-portable (the DuckDB oracle computes the same value);
+    * use [[simhash64]] when a similarity-preserving fingerprint is needed.
+    */
+  def fingerprint(c: Column): Column = md5(normalizeText(c))
+
+  /** Rolling polynomial hash over tokens (Rabin-Karp style), all in modular
+    * int64 arithmetic so it's stable across engines and partitionings.
+    */
+  def rollingHash(c: Column): Column =
+    aggregate(tokens(normalizeText(c)), lit(0L),
+      (acc, tok) => pmod(acc * lit(1000003L) + pmod(xxhash64(tok), lit(1000000007L)),
+        lit(1000000007L)))
+
+  /** 64-bit SimHash over word shingles: per bit, sum +1/-1 weighted by token
+    * hash bit, sign → bit. Wide but fully vectorized: builds a 64-element
+    * array column and folds it — no UDF, no driver loop.
+    */
+  def simhash64(c: Column, shingleSize: Int = 2): Column = {
+    val hs = transform(wordShingles(c, shingleSize), t => xxhash64(t))
+    // For each bit position, count of hashes with that bit set, minus half the
+    // total => sign decides the output bit.
+    val n = size(hs)
+    val bits = transform(sequence(lit(0), lit(63)), b =>
+      when(aggregate(hs, lit(0),
+        (acc, h) => acc + when(call_function("shiftright", h, b)
+          .bitwiseAND(lit(1L)) === 1L, 1).otherwise(0)) * 2 > n,
+        lit(1L)).otherwise(lit(0L)))
+    aggregate(zip_with(bits, sequence(lit(0), lit(63)),
+        (bit, i) => call_function("shiftleft", bit, i)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  // --- Language identification (n-gram / stopword heuristic) -------------
+
+  /** Tiny per-language stopword lists; public knowledge (most frequent
+    * function words). Kept deliberately small: the scoring is the point, the
+    * lists are swappable.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "was", "for"),
+    "es" -> Seq("de", "la", "que", "el", "en", "los", "del", "las", "por", "un"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "dans", "que", "une", "pour", "qui"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "von", "mit", "den", "ein"),
+    "pt" -> Seq("de", "que", "em", "para", "com", "uma", "os", "não", "mais", "das"),
+    "it" -> Seq("di", "che", "il", "la", "per", "del", "con", "una", "sono", "della"))
+
+  /** Score of `text` against one language = fraction of tokens that are that
+    * language's stopwords.
+    */
+  def langScore(c: Column, lang: String): Column = {
+    val sw = array(stopwords(lang).map(lit): _*)
+    val toks = tokens(normalizeText(c))
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks))
+  }
+
+  /** Best-scoring language, "und" (undetermined) when nothing matches.
+    * Deterministic tie-break: lexicographically smallest language code wins
+    * among equal scores (languages are evaluated in sorted order and `>` is
+    * strict).
+    */
+  def langId(c: Column): Column = {
+    val ordered = stopwords.keys.toSeq.sorted
+    val best = ordered.foldLeft((lit("und"), lit(0.0))) {
+      case ((bestLang, bestScore), lang) =>
+        val s = langScore(c, lang)
+        (when(s > bestScore, lit(lang)).otherwise(bestLang),
+         when(s > bestScore, s).otherwise(bestScore))
+    }
+    best._1
+  }
+
+  // --- Quality scoring ----------------------------------------------------
+
+  /** Heuristic document-quality features (C4/Gopher-style cheap filters):
+    * length, mean word length, symbol ratio, stopword ratio, digit ratio.
+    * Returns a struct so one pass computes everything.
+    */
+  def qualityFeatures(c: Column): Column = {
+    val norm = normalizeText(c)
+    val toks = tokens(norm)
+    val nChars = length(norm).cast("double")
+    val nTok = size(toks).cast("double")
+    struct(
+      nChars.cast("long").as("n_chars"),
+      nTok.cast("long").as("n_tokens"),
+      when(nTok > 0, (nChars - (nTok - 1)) / nTok).otherwise(0.0)
+        .as("mean_token_len"),
+      when(nChars > 0,
+        length(regexp_replace(norm, "[\\p{L}\\p{N}\\s]", "")) / nChars)
+        .otherwise(0.0).as("symbol_ratio"),
+      when(nChars > 0, length(regexp_replace(norm, "[^0-9]", "")) / nChars)
+        .otherwise(0.0).as("digit_ratio"),
+      langScore(c, "en").as("en_stopword_ratio"))
+  }
+
+  /** Scalar quality score in [0,1] from the features: rewards sane lengths,
+    * penalizes symbol/digit soup.
+    */
+  def qualityScore(c: Column): Column = {
+    val f = qualityFeatures(c)
+    val lenOk = when(f("n_tokens") >= 5 && f("n_tokens") <= 100000, 1.0)
+      .otherwise(0.3)
+    val wordOk = when(f("mean_token_len") >= 2 && f("mean_token_len") <= 12, 1.0)
+      .otherwise(0.5)
+    val symOk = greatest(lit(0.0), lit(1.0) - f("symbol_ratio") * 4)
+    val digOk = greatest(lit(0.0), lit(1.0) - f("digit_ratio") * 2)
+    round(lenOk * wordOk * symOk * digOk, 6)
+  }
+}

