@@ -253,7 +253,9 @@ object SparkEntry {
 
     // ---- LLM-data-pipeline: embeddings -----------------------------------
     "q_embed_neardup" -> ((s, d) =>
-      Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), threshold = 0.8,
+      // threshold 0.3: the synthetic embeddings' max pairwise cosine is ~0.48,
+      // so 0.8 would select nothing — 0.3 exercises the operator for real.
+      Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), threshold = 0.3,
           exact = true)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("a_id", "b_id")),
@@ -411,5 +413,13 @@ object SparkEntry {
       SELECT min(doc_id) AS doc_id FROM documents
       GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
       ORDER BY doc_id""",
+    "q_embed_neardup" -> """
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.3
+      ORDER BY a_id, b_id""",
   )
 }

@@ -66,24 +66,11 @@ object TextFunctions {
       (acc, tok) => pmod(acc * lit(1000003L) + pmod(xxhash64(tok), lit(1000000007L)),
         lit(1000000007L)))
 
-  /** 64-bit SimHash over word shingles: per bit, sum +1/-1 weighted by token
-    * hash bit, sign → bit. Wide but fully vectorized: builds a 64-element
-    * array column and folds it — no UDF, no driver loop.
-    */
-  def simhash64(c: Column, shingleSize: Int = 2): Column = {
-    val hs = transform(wordShingles(c, shingleSize), t => xxhash64(t))
-    // For each bit position, count of hashes with that bit set, minus half the
-    // total => sign decides the output bit.
-    val n = size(hs)
-    val bits = transform(sequence(lit(0), lit(63)), b =>
-      when(aggregate(hs, lit(0),
-        (acc, h) => acc + when(call_function("shiftright", h, b)
-          .bitwiseAND(lit(1L)) === 1L, 1).otherwise(0)) * 2 > n,
-        lit(1L)).otherwise(lit(0L)))
-    aggregate(zip_with(bits, sequence(lit(0), lit(63)),
-        (bit, i) => call_function("shiftleft", bit, i)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  // SimHash lives in graft.operators.Dedup.simhashFingerprints: as a single
+  // Column expression the 64 per-bit sums would re-evaluate the shingle
+  // tokenization once per bit (higher-order lambdas are interpreted and not
+  // CSE'd) — the DataFrame-shaped explode+groupBy formulation is ~100× faster
+  // and shuffles one row per document.
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column =

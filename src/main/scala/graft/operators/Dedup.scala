@@ -30,14 +30,34 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** MinHash signatures: k independent min-hashes over word shingles.
-    * One pass, no explode: `transform` over seeds, `array_min` over
-    * per-seed shingle hashes. Seeds are mixed in via xxhash64(seed, shingle).
+  /** (id, h) rows: one xxhash64 per distinct word shingle per document.
+    * This is THE scalability pivot for both MinHash and SimHash: the regex
+    * tokenization + hashing runs exactly once per shingle, and everything
+    * downstream is a codegen'd `groupBy(id)` whose map-side partial
+    * aggregation compacts each partition to one row per document before any
+    * shuffle — shuffle volume ~ #docs × k longs, never #shingles.
+    * (Empty text still yields one shingle — the empty string — so no ids drop.)
     */
-  def minhashSignature(textCol: Column, k: Int, shingleSize: Int = 3): Column = {
-    val sh = wordShingles(textCol, shingleSize)
-    transform(sequence(lit(0), lit(k - 1)),
-      seed => array_min(transform(sh, t => xxhash64(seed, t))))
+  private def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
+                            shingleSize: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(array_distinct(wordShingles(col(textCol), shingleSize))).as("sh"))
+      .select(col("id"), xxhash64(col("sh")).as("h"))
+
+  /** MinHash signatures as (id, sig: array<long>[k]): k independent min-hash
+    * aggregates over the shingle hashes, all inside one vectorized
+    * HashAggregate. Per-seed mixing is `xxhash64(h, i)` — a real hash mix
+    * with no long-overflow (ANSI mode rejects wrap-around multiply-add).
+    */
+  def minhashSignatures(docs: DataFrame, k: Int, shingleSize: Int = 3,
+                        idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val aggs = (0 until k).map(i =>
+      min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    shingleHashes(docs, idCol, textCol, shingleSize)
+      .groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** MinHash + LSH near-duplicate candidate pairs.
@@ -55,8 +75,7 @@ object Dedup {
                       idCol: String = "doc_id", textCol: String = "text",
                       shingleSize: Int = 3): DataFrame = {
     val k = bands * rowsPerBand
-    val sigs = docs.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), k, shingleSize).as("sig"))
+    val sigs = minhashSignatures(docs, k, shingleSize, idCol, textCol)
 
     // (id, band, bucket): bucket = hash of the band's slice of the signature
     val buckets = sigs.select(col("id"), col("sig"),
@@ -82,6 +101,24 @@ object Dedup {
     pairs
   }
 
+  /** 64-bit SimHash fingerprints as (id, fp): per bit b, sum of ±1 over the
+    * shingle hashes' bit b, sign → output bit. 64 sum-aggregates in a single
+    * codegen'd HashAggregate over the exploded shingle hashes (same
+    * one-row-per-doc-per-partition shuffle shape as [[minhashSignatures]]).
+    */
+  def simhashFingerprints(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text", shingleSize: Int = 2)
+      : DataFrame = {
+    val bitAggs = (0 until 64).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$b"))
+    shingleHashes(docs, idCol, textCol, shingleSize)
+      .groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b =>
+          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("fp"))
+  }
+
   /** SimHash near-dup pairs: 64-bit similarity-preserving fingerprint,
     * candidates = pairs agreeing on at least one 16-bit block (guarantees
     * finding all pairs within Hamming distance 3), verified by exact Hamming
@@ -90,8 +127,7 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
-    val fp = docs.select(col(idCol).as("id"),
-      simhash64(col(textCol)).as("fp"))
+    val fp = simhashFingerprints(docs, idCol, textCol)
     val blocks = fp.select(col("id"), col("fp"),
       explode(transform(sequence(lit(0), lit(3)), b => struct(b.as("block"),
         call_function("shiftrightunsigned", col("fp"), b * 16)
