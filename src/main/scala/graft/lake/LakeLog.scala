@@ -1,0 +1,249 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.concurrent.ConcurrentHashMap
+import com.fasterxml.jackson.databind.json.JsonMapper
+import com.fasterxml.jackson.module.scala.{ClassTagExtensions, DefaultScalaModule}
+import com.fasterxml.jackson.annotation.JsonInclude
+import scala.jdk.CollectionConverters._
+
+/** Data model of the transaction log, mirroring the reference's JSON shapes
+  * (`pkg/storage/transaction_log.go:25-56`, `proto/metadata.proto:84-113`):
+  * a table is a set of parquet files whose visibility is controlled solely by
+  * versioned log entries — never by directory listing.
+  */
+final case class Field(name: String, `type`: String, nullable: Boolean = true)
+final case class TableSchema(fields: Seq[Field])
+/** Per-file min/max statistics (stringified values, typed at prune time via
+  * the table schema). The reference declares these (`proto/metadata.proto:
+  * 102-105`) but never populates or uses them — we do both. */
+final case class FileStats(min_values: Map[String, String] = Map.empty,
+                           max_values: Map[String, String] = Map.empty)
+final case class FileAdd(path: String, rows: Long, size: Long,
+                         partition: Map[String, String] = Map.empty,
+                         stats: Option[FileStats] = None)
+final case class LogEntry(version: Long, timestamp_ms: Long, txn_id: String,
+                          schema: Option[TableSchema] = None,
+                          adds: Seq[FileAdd] = Nil, removes: Seq[String] = Nil)
+/** Table state at a version: replay of adds/removes for versions 0..V, files
+  * sorted by path for determinism (`transaction_log.go:212-215`). */
+final case class Snapshot(table: String, version: Long,
+                          schema: Option[TableSchema], files: Seq[FileAdd])
+final case class CommitResult(version: Long, duplicate: Boolean)
+
+final class CommitConflictException(msg: String) extends RuntimeException(msg)
+final class LakeValidationException(msg: String) extends RuntimeException(msg)
+
+/** Filesystem-backed transaction log with optimistic concurrency + idempotent
+  * commits — the reference's control plane (`pkg/metadata/state.go:92-243`)
+  * re-expressed for a Spark driver.
+  *
+  * The reference runs this as a 3-node Raft FSM because its coordinator must
+  * survive node loss; Raft is an availability mechanism, not query semantics.
+  * In a Spark-native engine the driver IS the control plane, so the atomic
+  * commit point is a per-table lock + create-new log file (an object store
+  * would use a conditional put / create-if-absent, same protocol). All
+  * *semantics* — OCC base-version check, txn-id idempotency map, add/remove
+  * validation, latest-schema-wins replay — match the reference exactly.
+  *
+  * Layout (`pkg/storage/paths.go:17-41`):
+  *   <root>/tables/<name>/_log/%020d.json   one entry per version, 0 = create
+  *   <root>/tables/<name>/data/...          parquet data files
+  *   <root>/tables/<name>/_tmp/<txn>/       staging for uncommitted writes
+  */
+final class LakeLog(val root: Path) {
+
+  private val mapper = JsonMapper.builder()
+    .addModule(DefaultScalaModule)
+    .serializationInclusion(JsonInclude.Include.NON_ABSENT)
+    .build() :: ClassTagExtensions
+
+  // Log entries are immutable once committed — cache parsed entries forever.
+  private val entryCache = new ConcurrentHashMap[Path, LogEntry]()
+  // One lock object per table name = the single-process commit point.
+  private val tableLocks = new ConcurrentHashMap[String, Object]()
+  private def lockFor(table: String): Object =
+    tableLocks.computeIfAbsent(table, _ => new Object)
+
+  def tableDir(table: String): Path = root.resolve("tables").resolve(table)
+  def logDir(table: String): Path = tableDir(table).resolve("_log")
+  def dataDir(table: String): Path = tableDir(table).resolve("data")
+  def tmpDir(table: String, txnId: String): Path =
+    tableDir(table).resolve("_tmp").resolve(txnId)
+  private def entryPath(table: String, version: Long): Path =
+    logDir(table).resolve(f"$version%020d.json")
+
+  /** Table name rule from `pkg/coordinator/table_service.go:497-514`. */
+  private val NameRe = "[A-Za-z0-9_]{1,64}".r
+  /** Declared type whitelist, `table_service.go:546-558`. */
+  val AllowedTypes: Set[String] = Set("int32", "int64", "float32", "float64",
+    "string", "boolean", "date", "timestamp")
+
+  def validateSchema(schema: TableSchema): Unit = {
+    if (schema.fields.isEmpty)
+      throw new LakeValidationException("schema must have at least one field")
+    val names = schema.fields.map(_.name)
+    if (names.distinct.size != names.size)
+      throw new LakeValidationException("duplicate field names in schema")
+    schema.fields.foreach { f =>
+      if (f.name.isEmpty)
+        throw new LakeValidationException("field name cannot be empty")
+      if (!AllowedTypes.contains(f.`type`))
+        throw new LakeValidationException(
+          s"unsupported type '${f.`type`}' for field ${f.name}")
+    }
+  }
+
+  def tableExists(table: String): Boolean = Files.exists(logDir(table))
+
+  def listTables(): Seq[String] = {
+    val t = root.resolve("tables")
+    if (!Files.exists(t)) Nil
+    else Files.list(t).iterator().asScala.map(_.getFileName.toString)
+      .filter(tableExists).toSeq.sorted
+  }
+
+  /** CREATE TABLE → version-0 log entry carrying the schema
+    * (`state.go:92-121`). */
+  def createTable(table: String, schema: TableSchema): Unit = {
+    if (!NameRe.pattern.matcher(table).matches())
+      throw new LakeValidationException(s"invalid table name: $table")
+    validateSchema(schema)
+    lockFor(table).synchronized {
+      if (tableExists(table))
+        throw new LakeValidationException(s"table $table already exists")
+      Files.createDirectories(logDir(table))
+      Files.createDirectories(dataDir(table))
+      writeEntry(table, LogEntry(version = 0,
+        timestamp_ms = System.currentTimeMillis(), txn_id = s"create-$table",
+        schema = Some(schema)))
+    }
+  }
+
+  /** Committed versions in ascending order. */
+  def versions(table: String): Seq[Long] = {
+    val dir = logDir(table)
+    if (!Files.exists(dir)) Nil
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong).toSeq.sorted
+  }
+
+  def latestVersion(table: String): Long = {
+    val vs = versions(table)
+    if (vs.isEmpty)
+      throw new LakeValidationException(s"table $table does not exist")
+    vs.last
+  }
+
+  def readEntry(table: String, version: Long): LogEntry = {
+    val p = entryPath(table, version)
+    entryCache.computeIfAbsent(p,
+      path => mapper.readValue[LogEntry](Files.readString(path)))
+  }
+
+  private def writeEntry(table: String, entry: LogEntry): Unit = {
+    val target = entryPath(table, entry.version)
+    if (Files.exists(target))
+      throw new CommitConflictException(
+        s"version ${entry.version} already committed for $table")
+    val staged = Files.createTempFile(logDir(table), ".staged", ".json")
+    Files.writeString(staged, mapper.writeValueAsString(entry))
+    Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Replay the log through `version` (0 or negative = latest). Latest
+    * schema wins (`transaction_log.go:191-194`); files sorted by path. */
+  def snapshot(table: String, version: Long = 0L): Snapshot = {
+    val latest = latestVersion(table)
+    val target = if (version <= 0) latest else version
+    if (target > latest)
+      throw new LakeValidationException(
+        s"version $target does not exist for $table (latest $latest)")
+    var schema: Option[TableSchema] = None
+    val fileMap = scala.collection.mutable.LinkedHashMap[String, FileAdd]()
+    versions(table).takeWhile(_ <= target).foreach { v =>
+      val e = readEntry(table, v)
+      if (e.schema.isDefined) schema = e.schema
+      e.adds.foreach(a => fileMap(a.path) = a)
+      e.removes.foreach(fileMap.remove)
+    }
+    Snapshot(table, target, schema, fileMap.values.toSeq.sortBy(_.path))
+  }
+
+  /** The transaction-id → version idempotency map, rebuilt from the log
+    * (the reference persists it in the Raft FSM, `state.go:150-159`). */
+  private def txnVersions(table: String): Map[String, Long] =
+    versions(table).map(v => { val e = readEntry(table, v); e.txn_id -> v })
+      .toMap
+
+  /** OCC commit (`state.go:124-195`):
+    *  1. duplicate txn_id → return prior version, duplicate=true;
+    *  2. base_version must equal latest, else [[CommitConflictException]];
+    *  3. removes must exist in the current snapshot; adds must be new paths
+    *     (unless removed in the same transaction); adds validated
+    *     (non-empty path, size>0 implies rows>0);
+    *  4. new entry written create-new + atomic rename.
+    */
+  def commit(table: String, baseVersion: Long, txnId: String,
+             adds: Seq[FileAdd], removes: Seq[String] = Nil): CommitResult = {
+    if (txnId.isEmpty)
+      throw new LakeValidationException("transaction ID cannot be empty")
+    lockFor(table).synchronized {
+      val latest = latestVersion(table) // also validates existence
+      txnVersions(table).get(txnId) match {
+        case Some(v) => CommitResult(v, duplicate = true)
+        case None =>
+          if (baseVersion != latest)
+            throw new CommitConflictException(
+              s"optimistic concurrency failure: base version $baseVersion " +
+                s"does not match current version $latest")
+          val current = snapshot(table, latest).files.map(_.path).toSet
+          removes.foreach { r =>
+            if (!current.contains(r)) throw new LakeValidationException(
+              s"cannot remove file $r: file does not exist")
+          }
+          val removedNow = removes.toSet
+          adds.foreach { a =>
+            if (a.path.isEmpty)
+              throw new LakeValidationException("file path cannot be empty")
+            if (current.contains(a.path) && !removedNow.contains(a.path))
+              throw new LakeValidationException(
+                s"cannot add file ${a.path}: file already exists")
+            if (a.rows == 0 && a.size > 0) throw new LakeValidationException(
+              s"file ${a.path} has size but no rows")
+          }
+          val newVersion = latest + 1
+          writeEntry(table, LogEntry(newVersion, System.currentTimeMillis(),
+            txnId, snapshot(table, latest).schema, adds, removes))
+          CommitResult(newVersion, duplicate = false)
+      }
+    }
+  }
+
+  /** Commit with automatic OCC retry: re-resolves the base version and
+    * re-validates through `plan` on each attempt (the reference's
+    * transaction-manager retry loop, `transaction_manager.go:124-233`,
+    * max 3 attempts). `plan` maps the fresh snapshot to (adds, removes), or
+    * None to abort (e.g. a compaction input vanished).
+    */
+  def commitWithRetry(table: String, txnId: String, maxAttempts: Int = 3)(
+      plan: Snapshot => Option[(Seq[FileAdd], Seq[String])]): Option[CommitResult] = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val snap = snapshot(table)
+      plan(snap) match {
+        case None => return None
+        case Some((adds, removes)) =>
+          try return Some(commit(table, snap.version, txnId, adds, removes))
+          catch {
+            case _: CommitConflictException if attempt < maxAttempts => // retry
+          }
+      }
+    }
+    throw new CommitConflictException(
+      s"commit of $txnId to $table failed after $maxAttempts attempts")
+  }
+}

@@ -1,0 +1,244 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.QueryEngine
+
+/** Spark-side table operations over a [[LakeLog]]: schema codec, insert with
+  * real per-file statistics, snapshot/time-travel reads, stat-based file
+  * pruning, and REAL compaction (the reference simulates its rewrite —
+  * `pkg/coordinator/compaction_service.go:385-433` sleeps and fabricates
+  * metrics; ours reads and rewrites the bytes).
+  */
+object LakeTable {
+
+  /** Declared-type codec: the reference's 8 types
+    * (`table_service.go:546-558`) ↔ Spark Catalyst types. */
+  def toSparkType(t: String): DataType = t match {
+    case "int32" => IntegerType
+    case "int64" => LongType
+    case "float32" => FloatType
+    case "float64" => DoubleType
+    case "string" => StringType
+    case "boolean" => BooleanType
+    case "date" => DateType
+    case "timestamp" => TimestampType
+    case other => throw new LakeValidationException(s"unsupported type $other")
+  }
+
+  def fromSparkType(dt: DataType): String = dt match {
+    case IntegerType => "int32"
+    case LongType => "int64"
+    case FloatType => "float32"
+    case DoubleType => "float64"
+    case StringType => "string"
+    case BooleanType => "boolean"
+    case DateType => "date"
+    case TimestampType => "timestamp"
+    case other => throw new LakeValidationException(
+      s"no declared type for Spark type $other")
+  }
+
+  def toStructType(s: TableSchema): StructType =
+    StructType(s.fields.map(f => StructField(f.name, toSparkType(f.`type`),
+      f.nullable)))
+
+  def fromStructType(st: StructType): TableSchema =
+    TableSchema(st.fields.toSeq.map(f =>
+      Field(f.name, fromSparkType(f.dataType), f.nullable)))
+
+  def createTable(log: LakeLog, table: String, schema: StructType): Unit =
+    log.createTable(table, fromStructType(schema))
+
+  /** Snapshot → DataFrame. Empty tables yield an empty, correctly-typed
+    * DataFrame. Reads pass the declared schema so file-level surprises fail
+    * loudly instead of schema-merging.
+    */
+  def read(spark: SparkSession, log: LakeLog, table: String,
+           version: Long = 0L): DataFrame = {
+    val snap = log.snapshot(table, version)
+    val st = toStructType(snap.schema.getOrElse(
+      throw new LakeValidationException(s"table $table has no schema")))
+    if (snap.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
+    else spark.read.schema(st).parquet(snap.files.map(_.path): _*)
+  }
+
+  /** Stat-pruned read: drop files whose [min,max] range for the predicate
+    * column excludes the literal — the file-skipping optimization the
+    * reference scaffolds (stats in `proto/metadata.proto:102-105`) but never
+    * implements (`query_planner.go:238-256` takes the full list). Falls back
+    * to the full file list for predicates the 3-token grammar can't prove.
+    * The residual filter is always applied — pruning is an I/O optimization,
+    * never a semantics change.
+    */
+  def readFiltered(spark: SparkSession, log: LakeLog, table: String,
+                   predicate: String, version: Long = 0L): DataFrame = {
+    val snap = log.snapshot(table, version)
+    val st = toStructType(snap.schema.get)
+    val kept = FilePruning.prune(snap.files, predicate, st)
+    if (kept.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
+        .filter(QueryEngine.parsePredicate(predicate))
+    else spark.read.schema(st).parquet(kept.map(_.path): _*)
+      .filter(QueryEngine.parsePredicate(predicate))
+  }
+
+  /** Columns eligible for min/max stats (atomic comparable types). */
+  private def statCols(st: StructType): Seq[StructField] =
+    st.fields.toSeq.filter(f => f.dataType match {
+      case IntegerType | LongType | FloatType | DoubleType | StringType |
+           DateType | TimestampType | BooleanType => true
+      case _ => false
+    })
+
+  /** Write `df` into the table: stage parquet under `_tmp/<txn>/`, compute
+    * REAL per-file rows/size/min-max in one Spark pass (fixing the
+    * reference's placeholder stats, `table_service.go:416-425`), promote to
+    * `data/part-NNNNN-<uuid>.parquet`, and OCC-commit the adds with retry —
+    * the `POST /tables/{t}/data` path (`table_service.go:121-244`).
+    *
+    * `numFiles > 1` pre-partitions the write so a large insert parallelizes;
+    * promotion is rename-only (same filesystem), so the data is written once.
+    */
+  def insert(spark: SparkSession, log: LakeLog, table: String, df: DataFrame,
+             txnId: String = UUID.randomUUID().toString,
+             numFiles: Int = 1): CommitResult = {
+    val st = toStructType(log.snapshot(table).schema.get)
+    val tmp = log.tmpDir(table, txnId)
+    val shaped = df.select(st.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType)): _*)
+    (if (numFiles > 1) shaped.repartition(numFiles) else shaped.coalesce(1))
+      .write.mode("overwrite").option("compression", "snappy")
+      .parquet(tmp.toString)
+
+    try {
+      val adds = statAndPromote(spark, log, table, tmp, st)
+      log.commitWithRetry(table, txnId)(_ => Some((adds, Nil))).get
+    } finally deleteRecursively(tmp)
+  }
+
+  /** One Spark pass over the staged directory: per file, row count + min/max
+    * of every stat-eligible column; then rename each file into `data/`.
+    */
+  private def statAndPromote(spark: SparkSession, log: LakeLog, table: String,
+                             staged: Path, st: StructType): Seq[FileAdd] = {
+    val cols = statCols(st)
+    val aggs = count(lit(1)).as("__rows") +:
+      cols.flatMap(f => Seq(
+        min(col(f.name)).cast("string").as(s"__min_${f.name}"),
+        max(col(f.name)).cast("string").as(s"__max_${f.name}")))
+    val stats = spark.read.schema(st).parquet(staged.toString)
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+
+    val dataDir = log.dataDir(table)
+    Files.createDirectories(dataDir)
+    stats.toSeq.sortBy(_.getAs[String]("__file")).zipWithIndex.map {
+      case (row, i) =>
+        val src = java.nio.file.Paths.get(
+          new java.net.URI(row.getAs[String]("__file")).getPath)
+        val dest = dataDir.resolve(
+          f"part-$i%05d-${UUID.randomUUID().toString}.parquet")
+        val minVals = cols.flatMap(f =>
+          Option(row.getAs[String](s"__min_${f.name}")).map(f.name -> _)).toMap
+        val maxVals = cols.flatMap(f =>
+          Option(row.getAs[String](s"__max_${f.name}")).map(f.name -> _)).toMap
+        Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
+        FileAdd(dest.toString, rows = row.getAs[Long]("__rows"),
+          size = Files.size(dest),
+          stats = Some(FileStats(minVals, maxVals)))
+    }
+  }
+
+  /** Compaction thresholds from `pkg/coordinator/compaction_service.go:59-74`
+    * and trigger rule from `:314-332`. */
+  final case class CompactionConfig(minFileSize: Long = 10L * 1024 * 1024,
+                                    maxFileSize: Long = 128L * 1024 * 1024,
+                                    minFilesCount: Int = 3,
+                                    smallBytesTriggerRatio: Double = 0.10)
+
+  final case class CompactionReport(groupsPlanned: Int, groupsCommitted: Int,
+                                    filesRemoved: Int, filesAdded: Int,
+                                    finalVersion: Long)
+
+  /** Plan: candidates = files < minFileSize, sorted by size ascending; greedy
+    * bin-packing into groups whose total stays ≤ maxFileSize; only groups of
+    * ≥ minFilesCount files qualify (`compaction_service.go:160-200`).
+    */
+  def planCompaction(snap: Snapshot, cfg: CompactionConfig): Seq[Seq[FileAdd]] = {
+    val candidates = snap.files.filter(_.size < cfg.minFileSize)
+      .sortBy(f => (f.size, f.path))
+    val groups = scala.collection.mutable.ArrayBuffer[Seq[FileAdd]]()
+    var current = scala.collection.mutable.ArrayBuffer[FileAdd]()
+    var currentSize = 0L
+    candidates.foreach { c =>
+      if (currentSize + c.size > cfg.maxFileSize && current.nonEmpty) {
+        if (current.size >= cfg.minFilesCount) groups += current.toSeq
+        current = scala.collection.mutable.ArrayBuffer(c)
+        currentSize = c.size
+      } else { current += c; currentSize += c.size }
+    }
+    if (current.size >= cfg.minFilesCount) groups += current.toSeq
+    groups.toSeq
+  }
+
+  /** Should compaction run at all? Small-file bytes above the trigger ratio
+    * of total table bytes (`compaction_service.go:314-332`). */
+  def compactionNeeded(snap: Snapshot, cfg: CompactionConfig): Boolean = {
+    val total = snap.files.map(_.size).sum
+    val small = snap.files.filter(_.size < cfg.minFileSize).map(_.size).sum
+    total > 0 && small.toDouble / total > cfg.smallBytesTriggerRatio
+  }
+
+  /** Real compaction: per group, rewrite the parquet bytes into one file and
+    * atomically commit (removes = inputs, adds = output) with OCC retry ×3.
+    * On conflict the group is re-validated against the fresh snapshot and
+    * skipped if any input vanished (`compaction_service.go:745-820`
+    * semantics). Queries pinned to older versions keep seeing the removed
+    * files — snapshot isolation (Property 30) — because data files are never
+    * deleted here (a separate VACUUM would do that after a retention window).
+    */
+  def compact(spark: SparkSession, log: LakeLog, table: String,
+              cfg: CompactionConfig = CompactionConfig(),
+              force: Boolean = false): CompactionReport = {
+    val snap = log.snapshot(table)
+    if (!force && !compactionNeeded(snap, cfg))
+      return CompactionReport(0, 0, 0, 0, snap.version)
+    val st = toStructType(snap.schema.get)
+    val groups = planCompaction(snap, cfg)
+    var committed = 0; var removed = 0; var added = 0
+    groups.zipWithIndex.foreach { case (group, gi) =>
+      val txnId = s"compact-${UUID.randomUUID().toString}"
+      val staged = log.tmpDir(table, txnId)
+      spark.read.schema(st).parquet(group.map(_.path): _*)
+        .coalesce(1)
+        .write.mode("overwrite").option("compression", "snappy")
+        .parquet(staged.toString)
+      try {
+        val adds = statAndPromote(spark, log, table, staged, st)
+        val inputPaths = group.map(_.path)
+        val result = log.commitWithRetry(table, txnId) { fresh =>
+          val live = fresh.files.map(_.path).toSet
+          if (inputPaths.forall(live.contains)) Some((adds, inputPaths))
+          else None // inputs compacted/removed concurrently — drop this group
+        }
+        if (result.isDefined) {
+          committed += 1; removed += group.size; added += adds.size
+        } else adds.foreach(a => Files.deleteIfExists(
+          java.nio.file.Paths.get(a.path))) // orphaned rewrite, not visible
+      } finally deleteRecursively(staged)
+    }
+    CompactionReport(groups.size, committed, removed, added,
+      log.latestVersion(table))
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+}

@@ -50,7 +50,17 @@ object QueryEngine {
     */
   def parsePredicate(s: String): Column = {
     val parts = s.trim.split("\\s+", 3)
-    if (parts.length == 3 && Ops.contains(parts(1))) {
+    // the grammar is EXACTLY three tokens (task_executor.rs:478-480): a
+    // multi-token tail like "100 AND x >= 2" is not a literal — fall through
+    // to the SQL-expression extension instead of mis-parsing.
+    def literalIsOneToken = {
+      val t = parts(2).trim
+      val quoted = t.length >= 2 &&
+        ((t.head == '\'' && t.last == '\'') ||
+          (t.head == '"' && t.last == '"'))
+      quoted || !t.exists(_.isWhitespace)
+    }
+    if (parts.length == 3 && Ops.contains(parts(1)) && literalIsOneToken) {
       val c = col(parts(0))
       val v = inferLiteral(parts(2))
       parts(1) match {

@@ -1,0 +1,154 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** End-to-end lake table behavior on real Spark reads/writes: insert with
+  * real stats, snapshot-isolated reads across compaction (Property 30), and
+  * stat-based file pruning.
+  */
+class LakeTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newLog() = new LakeLog(tmpDir("laketable"))
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("category", StringType),
+    StructField("price", DoubleType)))
+
+  private def sampleDf(ids: Range, cat: String) =
+    ids.map(i => (i.toLong, cat, i * 1.5)).toDF("id", "category", "price")
+
+  test("insert computes real per-file stats and commits") {
+    val log = newLog()
+    LakeTable.createTable(log, "sales", schema)
+    val r = LakeTable.insert(spark, log, "sales", sampleDf(1 to 100, "a"))
+    assert(r == CommitResult(1, duplicate = false))
+    val snap = log.snapshot("sales")
+    assert(snap.files.size == 1)
+    val f = snap.files.head
+    assert(f.rows == 100 && f.size > 0)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(f.path)))
+    val st = f.stats.get
+    assert(st.min_values("id") == "1" && st.max_values("id") == "100")
+    assert(st.min_values("category") == "a")
+    // read back through the log
+    val back = LakeTable.read(spark, log, "sales")
+    assert(back.count() == 100)
+    assert(back.agg(sum("price")).as[Double].head() ==
+      (1 to 100).map(_ * 1.5).sum)
+  }
+
+  test("insert is idempotent under txn retry") {
+    val log = newLog()
+    LakeTable.createTable(log, "t", schema)
+    val r1 = LakeTable.insert(spark, log, "t", sampleDf(1 to 10, "a"), "txA")
+    val r2 = LakeTable.insert(spark, log, "t", sampleDf(1 to 10, "a"), "txA")
+    assert(!r1.duplicate && r2.duplicate && r2.version == r1.version)
+    assert(LakeTable.read(spark, log, "t").count() == 10)
+  }
+
+  test("multi-file insert partitions the write") {
+    val log = newLog()
+    LakeTable.createTable(log, "t", schema)
+    LakeTable.insert(spark, log, "t", sampleDf(1 to 1000, "a"), numFiles = 4)
+    val snap = log.snapshot("t")
+    assert(snap.files.size == 4)
+    assert(snap.files.map(_.rows).sum == 1000)
+    assert(LakeTable.read(spark, log, "t").count() == 1000)
+  }
+
+  test("Property 30: compaction preserves query results; old versions intact") {
+    val log = newLog()
+    LakeTable.createTable(log, "t", schema)
+    LakeTable.insert(spark, log, "t", sampleDf(1 to 100, "a"))
+    LakeTable.insert(spark, log, "t", sampleDf(101 to 200, "b"))
+    LakeTable.insert(spark, log, "t", sampleDf(201 to 300, "c"))
+    val preVersion = log.latestVersion("t")
+    val preCount = LakeTable.read(spark, log, "t").count()
+    val preSum = LakeTable.read(spark, log, "t")
+      .agg(sum("price")).as[Double].head()
+
+    val report = LakeTable.compact(spark, log, "t", force = true)
+    assert(report.groupsCommitted == 1 && report.filesRemoved == 3 &&
+      report.filesAdded == 1)
+    val post = log.snapshot("t")
+    assert(post.files.size == 1 && post.version == preVersion + 1)
+    val df = LakeTable.read(spark, log, "t")
+    assert(df.count() == preCount)
+    assert(df.agg(sum("price")).as[Double].head() == preSum)
+    // snapshot isolation: the pre-compaction version still reads the old files
+    val timeTravel = LakeTable.read(spark, log, "t", preVersion)
+    assert(timeTravel.count() == preCount)
+    assert(log.snapshot("t", preVersion).files.size == 3)
+  }
+
+  test("compaction trigger: only when small-file bytes exceed 10% of table") {
+    val log = newLog()
+    LakeTable.createTable(log, "t", schema)
+    LakeTable.insert(spark, log, "t", sampleDf(1 to 10, "a"))
+    val snap = log.snapshot("t")
+    // all files are tiny → 100% small bytes → triggered
+    assert(LakeTable.compactionNeeded(snap, LakeTable.CompactionConfig()))
+    // with a minFileSize below every file, nothing is "small" → not triggered
+    assert(!LakeTable.compactionNeeded(snap,
+      LakeTable.CompactionConfig(minFileSize = 1)))
+    // non-forced compact respects the trigger
+    val r = LakeTable.compact(spark, log, "t",
+      LakeTable.CompactionConfig(minFileSize = 1))
+    assert(r.groupsPlanned == 0 && r.finalVersion == snap.version)
+  }
+
+  test("planCompaction groups: ≤ maxFileSize per group, ≥ minFilesCount files") {
+    val files = (1 to 10).map(i => FileAdd(s"f$i", 10, 30))
+    val snap = Snapshot("t", 1, None, files)
+    val cfg = LakeTable.CompactionConfig(minFileSize = 100, maxFileSize = 100,
+      minFilesCount = 3)
+    val groups = LakeTable.planCompaction(snap, cfg)
+    assert(groups.nonEmpty)
+    assert(groups.forall(g => g.map(_.size).sum <= 100 && g.size >= 3))
+    // a group of 2 files under the min count is dropped
+    val two = Snapshot("t", 1, None, Seq(FileAdd("a", 1, 30), FileAdd("b", 1, 30)))
+    assert(LakeTable.planCompaction(two, cfg).isEmpty)
+  }
+
+  test("file pruning skips files whose stats exclude the predicate") {
+    val log = newLog()
+    LakeTable.createTable(log, "t", schema)
+    // three files with disjoint id ranges
+    LakeTable.insert(spark, log, "t", sampleDf(1 to 100, "a"))
+    LakeTable.insert(spark, log, "t", sampleDf(101 to 200, "b"))
+    LakeTable.insert(spark, log, "t", sampleDf(201 to 300, "c"))
+    val snap = log.snapshot("t")
+    val st = LakeTable.toStructType(snap.schema.get)
+    assert(FilePruning.prune(snap.files, "id > 250", st).size == 1)
+    assert(FilePruning.prune(snap.files, "id <= 100", st).size == 1)
+    assert(FilePruning.prune(snap.files, "id = 150", st).size == 1)
+    assert(FilePruning.prune(snap.files, "id > 300", st).isEmpty)
+    assert(FilePruning.prune(snap.files, "category = 'b'", st).size == 1)
+    assert(FilePruning.prune(snap.files, "id != 5", st).size == 3)
+    // unknown column / rich predicate → no pruning (conservative)
+    assert(FilePruning.prune(snap.files, "nope > 1", st).size == 3)
+    assert(FilePruning.prune(snap.files, "id > 1 AND id < 5", st).size == 3)
+    // and the pruned read returns exactly the filtered rows
+    val df = LakeTable.readFiltered(spark, log, "t", "id > 250")
+    assert(df.count() == 50)
+    assert(df.rdd.getNumPartitions <= 2) // only one file scanned
+    val empty = LakeTable.readFiltered(spark, log, "t", "id > 300")
+    assert(empty.count() == 0 && empty.schema == st)
+  }
+
+  test("schema codec round-trips all eight declared types") {
+    val st = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", LongType),
+      StructField("c", FloatType), StructField("d", DoubleType),
+      StructField("e", StringType), StructField("f", BooleanType),
+      StructField("g", DateType), StructField("h", TimestampType)))
+    assert(LakeTable.toStructType(LakeTable.fromStructType(st)) == st)
+    assertThrows[LakeValidationException](
+      LakeTable.fromStructType(StructType(Seq(
+        StructField("x", ArrayType(LongType))))))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Known-answer and invariant tests for the dedup family. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "The  Quick  Brown  Fox jumps over the lazy dog"), // ws/case dup of 1
+    (4L, "the quick brown fox jumped over the lazy dogs"), // near dup
+    (5L, "completely different content about spark engines"),
+    (6L, "")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps lowest id per normalized text") {
+    val kept = Dedup.exactDedup(docs).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L, 5L, 6L))
+  }
+
+  test("minhash signatures: identical docs identical, length k, deterministic") {
+    val sigs = Dedup.minhashSignatures(docs, k = 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs.size == 6)
+    assert(sigs.values.forall(_.size == 32))
+    assert(sigs(1L) == sigs(2L) && sigs(1L) == sigs(3L)) // normalization dups
+    assert(sigs(1L) != sigs(5L))
+    val again = Dedup.minhashSignatures(docs, k = 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(again == sigs)
+  }
+
+  test("minhashLshPairs finds dups and near-dups, est_jaccard in [0,1]") {
+    val pairs = Dedup.minhashLshPairs(docs, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)) && keys.contains((1L, 3L)) &&
+      keys.contains((2L, 3L)))
+    assert(pairs.filter(p => Set(p._1, p._2) == Set(1L, 2L))
+      .forall(_._3 == 1.0))
+    assert(pairs.forall(p => p._3 >= 0.4 && p._3 <= 1.0))
+    assert(pairs.forall(p => p._1 < p._2))
+    assert(!keys.contains((1L, 5L)))
+  }
+
+  test("simhash: identical fp for dups, close for near-dups, far for distinct") {
+    val fps = Dedup.simhashFingerprints(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(fps(1L) == fps(2L) && fps(1L) == fps(3L))
+    assert(ham(fps(1L), fps(4L)) < ham(fps(1L), fps(5L)))
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.contains((1L, 5L)))
+  }
+
+  test("ngramJaccardPairs: exact Jaccard on token sets") {
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.5, n = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs(((1L, 2L))) == 1.0)
+    assert(pairs(((1L, 3L))) == 1.0)
+    // doc4 vs doc1: tokens {the,quick,brown,fox,jumps/jumped,over,lazy,dog(s)}
+    // intersection 6 (the,quick,brown,fox,over,lazy), union 10 → 0.6
+    assert(math.abs(pairs(((1L, 4L))) - 0.6) < 1e-9)
+  }
+
+  test("dropDuplicates removes the b-side of each pair") {
+    val pairs = Dedup.minhashLshPairs(docs, threshold = 0.9)
+    val kept = Dedup.dropDuplicates(docs, pairs).select("doc_id")
+      .as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L, 5L, 6L))
+  }
+
+  test("embeddingNearDupPairs exact path: cosine over normalized vectors") {
+    val embs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(2.0f, 0.0f)), // same direction
+      (3L, Array(0.0f, 1.0f)), (4L, Array(1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(embs, threshold = 0.9, exact = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(pairs(((1L, 2L))) - 1.0) < 1e-12)
+    assert(!pairs.contains((1L, 3L)))
+    assert(!pairs.contains((1L, 4L))) // cos = 0.707 < 0.9
+  }
+}
