@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.QueryEngine
 import graft.operators.QueryEngine.{AggregateSpec, SimpleQuery}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity}
 import graft.functions.TextFunctions._
 import graft.sources.Tables
 
@@ -251,6 +251,78 @@ object SparkEntry {
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("a_id", "b_id")),
 
+    // ---- SQL surface (un-mocked /query endpoint) -------------------------
+    // The reference mocks this endpoint (rest_api.go:709-734); here the same
+    // golden-test SQL text runs for real through spark.sql AND through DuckDB
+    // as its own oracle.
+    "q_sql_golden" -> ((s, d) =>
+      graft.api.SqlApi.query(s, d, """
+        SELECT l_returnflag AS category, COUNT(*) AS total_orders,
+               round(SUM(l_extendedprice * l_quantity), 2) AS total_revenue,
+               round(AVG(l_extendedprice), 4) AS avg_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- batch sessionization (window-function shape of Streams.sessionize)
+    "q_sessions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapSec = 1800L
+      t(s, d, "events")
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec,
+            1L).otherwise(0L))
+        .withColumn("session_id", sum("new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 4).as("total_value"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // ---- multimodal: binary payloads + metadata (decode is stubbed) ------
+    "q_multimodal_meta" -> ((s, d) =>
+      Multimodal.withMeta(Multimodal.syntheticCorpus(t(s, d, "documents")))
+        .select(col("id").as("doc_id"), col("modality"),
+          col("meta.size_bytes").as("size_bytes"),
+          col("meta.content_type").as("content_type"))
+        .orderBy("doc_id")),
+    "q_multimodal_decode" -> ((s, d) => {
+      import org.apache.spark.sql.Encoders
+      val corpus = Multimodal.syntheticCorpus(t(s, d, "documents"))
+      Multimodal.decodeStub(
+          corpus.as[Multimodal.MediaRow](Encoders.product[Multimodal.MediaRow]))
+        .groupBy("modality")
+        .agg(count(lit(1)).as("n"), avg("width").as("avg_width"),
+          avg("durationMs").as("avg_duration_ms"))
+        .orderBy("modality")
+    }),
+
+    // ---- §2.12 lake: ACID commits, time travel, compaction ---------------
+    // End-to-end through the LakeLog: three OCC-committed inserts (disjoint
+    // lineitem slices), then REAL compaction. The oracle recomputes each
+    // version's visible rows from the same slices — this hash-checks
+    // log-controlled visibility (Property 4), time travel, and result
+    // preservation across compaction (Property 30) against DuckDB.
+    "q_lake_timetravel" -> ((s, d) => {
+      import graft.lake.{LakeLog, LakeTable}
+      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftlake"))
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      LakeTable.createTable(log, "li", li.schema)
+      (0 to 2).foreach(m => LakeTable.insert(s, log, "li",
+        li.filter(col("l_orderkey") % 3 === m), txnId = s"slice-$m"))
+      LakeTable.compact(s, log, "li", force = true)
+      val perVersion = (1 to 4).map { v =>
+        LakeTable.read(s, log, "li", v).agg(
+          lit(v).as("version"),
+          count(lit(1)).as("n_rows"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+      }
+      perVersion.reduce(_ unionAll _).orderBy("version")
+    }),
+
     // ---- LLM-data-pipeline: embeddings -----------------------------------
     "q_embed_neardup" -> ((s, d) =>
       // threshold 0.3: the synthetic embeddings' max pairwise cosine is ~0.48,
@@ -413,6 +485,55 @@ object SparkEntry {
       SELECT min(doc_id) AS doc_id FROM documents
       GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
       ORDER BY doc_id""",
+    "q_sql_golden" -> """
+      SELECT l_returnflag AS category, COUNT(*) AS total_orders,
+             round(SUM(l_extendedprice * l_quantity), 2) AS total_revenue,
+             round(AVG(l_extendedprice), 4) AS avg_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_sessions" -> """
+      WITH lagged AS (
+        SELECT user_id, event_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_ts
+        FROM events),
+      marked AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN prev_ts IS NULL
+                         OR epoch(ts) - epoch(prev_ts) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM lagged),
+      numbered AS (
+        SELECT user_id, value,
+               sum(new_session) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+        FROM marked)
+      SELECT user_id, session_id, count(*) AS n_events,
+             round(sum(value), 4) AS total_value
+      FROM numbered GROUP BY user_id, session_id
+      ORDER BY user_id, session_id""",
+    "q_multimodal_meta" -> """
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+             octet_length(encode(text)) +
+               CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 12 END AS size_bytes,
+             CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                  WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                  ELSE 'video/mp4' END AS content_type
+      FROM documents ORDER BY doc_id""",
+    "q_lake_timetravel" -> """
+      SELECT 1 AS version, count(*) AS n_rows,
+             round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem WHERE l_orderkey % 3 <= 0
+      UNION ALL SELECT 2, count(*), round(sum(l_extendedprice), 2)
+        FROM lineitem WHERE l_orderkey % 3 <= 1
+      UNION ALL SELECT 3, count(*), round(sum(l_extendedprice), 2)
+        FROM lineitem
+      UNION ALL SELECT 4, count(*), round(sum(l_extendedprice), 2)
+        FROM lineitem
+      ORDER BY version""",
     "q_embed_neardup" -> """
       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
              round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -1,0 +1,31 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.Tables
+
+/** Real SQL entry point — the reference's `POST /query` endpoint is a mock
+  * that pattern-matches `count(*)` and returns canned rows
+  * (`pkg/coordinator/rest_api.go:709-734`); its golden test
+  * (`tests/integration/golden_query_test.go:120-131`) documents the intended
+  * SQL surface. Here the endpoint is spark.sql over registered views: full
+  * ANSI SQL, optimized by Catalyst — the un-mocked version.
+  */
+object SqlApi {
+
+  /** Run SQL against the tables of a scale-factor directory. */
+  def query(spark: SparkSession, dir: String, sql: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(sql)
+  }
+
+  /** Run SQL against lake tables (each registered at its snapshot version —
+    * the SQL sees exactly the files the log makes visible). */
+  def queryLake(spark: SparkSession, log: graft.lake.LakeLog, sql: String,
+                versions: Map[String, Long] = Map.empty): DataFrame = {
+    log.listTables().foreach { t =>
+      graft.lake.LakeTable.read(spark, log, t, versions.getOrElse(t, 0L))
+        .createOrReplaceTempView(t)
+    }
+    spark.sql(sql)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for the dense-vector hot path.
+  *
+  * The higher-order-function formulation (`aggregate(zip_with(a, b, _*_))`)
+  * is evaluated interpreted — one closure call per element — which dominates
+  * wall time when similarity search scores millions of pairs. This is the
+  * case the builder guidance reserves custom Expressions for: a tight
+  * numeric kernel Spark's built-ins can't express efficiently. `doGenCode`
+  * emits a primitive loop over the two `ArrayData`s, so the whole scoring
+  * stage stays inside WholeStageCodegen with zero boxing.
+  *
+  * Works over `array<float>` and `array<double>` (mixed OK); nulls propagate;
+  * mismatched lengths score over the common prefix (callers validate dims).
+  */
+case class VecDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"vec_dot expects numeric arrays, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_vec_dot"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  private def getter(dt: DataType, arr: String, i: String): String = dt match {
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case DoubleType => s"$arr.getDouble($i)"
+    case IntegerType => s"(double) $arr.getInt($i)"
+    case LongType => s"(double) $arr.getLong($i)"
+    case _ => throw new IllegalStateException(s"unsupported element type $dt")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lt = elemType(left); val rt = elemType(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var sum = 0.0
+    var i = 0
+    def get(ad: ArrayData, dt: DataType, j: Int): Double = dt match {
+      case FloatType => ad.getFloat(j).toDouble
+      case DoubleType => ad.getDouble(j)
+      case IntegerType => ad.getInt(j).toDouble
+      case LongType => ad.getLong(j).toDouble
+      case _ => throw new IllegalStateException(s"unsupported element type $dt")
+    }
+    while (i < n) { sum += get(x, lt, i) * get(y, rt, i); i += 1 }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += ${getter(elemType(left), a, i)} *
+         |          ${getter(elemType(right), b, i)};
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration + Column-level access for the native vector kernels. */
+object VectorExpressions {
+  val DotName = "graft_vec_dot"
+
+  /** Idempotently register the native functions in this session's registry
+    * (also usable from SQL once registered). Operators call this with
+    * `df.sparkSession` before emitting [[dotNative]] columns.
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      DotName,
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, s"$DotName expects 2 arguments")
+        VecDotProduct(exprs.head, exprs(1))
+      },
+      "built-in")
+
+  /** Codegen'd Σ aᵢ·bᵢ (requires [[register]] on the session first). */
+  def dotNative(a: Column, b: Column): Column = call_function(DotName, a, b)
+}

@@ -51,7 +51,8 @@ object VectorFunctions {
   def srpBucket(v: Column, planes: Seq[Array[Double]]): Column = {
     val bits: Seq[Column] = planes.zipWithIndex.map { case (p, i) =>
       val planeCol = array(p.map(lit): _*)
-      when(dot(v, planeCol) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+      when(VectorExpressions.dotNative(v, planeCol) >= 0.0, lit(1L << i))
+        .otherwise(lit(0L))
     }
     bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
   }

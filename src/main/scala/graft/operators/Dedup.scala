@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
+import graft.functions.VectorExpressions
 
 /** Deduplication operators for training-data pipelines, each designed to
   * scale: work is expressed as groupBy / equi-join on a compact key so Spark
@@ -181,13 +182,14 @@ object Dedup {
   def embeddingNearDupPairs(embs: DataFrame, threshold: Double = 0.98,
                             idCol: String = "vec_id", vecCol: String = "embedding",
                             exact: Boolean = false, nBits: Int = 12): DataFrame = {
+    VectorExpressions.register(embs.sparkSession)
     val normed = embs.select(col(idCol).as("id"),
       normalize(col(vecCol)).as("v"))
     if (exact) {
       val a = normed.select(col("id").as("a_id"), col("v").as("a_v"))
       val b = normed.select(col("id").as("b_id"), col("v").as("b_v"))
       a.crossJoin(b).filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"), dot(col("a_v"), col("b_v")).as("cos"))
+        .select(col("a_id"), col("b_id"), VectorExpressions.dotNative(col("a_v"), col("b_v")).as("cos"))
         .filter(col("cos") >= threshold)
     } else {
       val dim = embs.select(size(col(vecCol))).first().getInt(0)
@@ -198,7 +200,7 @@ object Dedup {
       val b = bucketed.select(col("bucket"), col("id").as("b_id"),
         col("v").as("b_v"))
       a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"), dot(col("a_v"), col("b_v")).as("cos"))
+        .select(col("a_id"), col("b_id"), VectorExpressions.dotNative(col("a_v"), col("b_v")).as("cos"))
         .filter(col("cos") >= threshold)
         .groupBy("a_id", "b_id").agg(max("cos").as("cos"))
     }

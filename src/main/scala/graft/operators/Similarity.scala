@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions._
+import graft.functions.VectorExpressions
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -28,12 +29,13 @@ object Similarity {
                      corpusId: String = "vec_id", corpusVec: String = "embedding",
                      queryId: String = "query_id", queryVec: String = "qvec")
       : DataFrame = {
+    VectorExpressions.register(corpus.sparkSession)
     val c = corpus.select(col(corpusId).as("vec_id"),
       normalize(col(corpusVec)).as("cv"))
     val q = queries.select(col(queryId).as("query_id"),
       normalize(col(queryVec)).as("qv"))
     val scored = c.join(broadcast(q))
-      .select(col("query_id"), col("vec_id"), dot(col("cv"), col("qv")).as("cos"))
+      .select(col("query_id"), col("vec_id"), VectorExpressions.dotNative(col("cv"), col("qv")).as("cos"))
     topKPerQuery(scored, k)
   }
 
@@ -42,6 +44,7 @@ object Similarity {
               corpusId: String = "vec_id", corpusVec: String = "embedding",
               queryId: String = "query_id", queryVec: String = "qvec")
       : DataFrame = {
+    VectorExpressions.register(corpus.sparkSession)
     val dim = corpus.select(size(col(corpusVec))).first().getInt(0)
     val planes = randomPlanes(nBits, dim)
     val c = corpus.select(col(corpusId).as("vec_id"),
@@ -55,7 +58,7 @@ object Similarity {
         transform(sequence(lit(0), lit(nBits - 1)),
           b => col("qbucket").bitwiseXOR(call_function("shiftleft", lit(1L), b))))))
     val scored = c.join(broadcast(q), Seq("bucket"))
-      .select(col("query_id"), col("vec_id"), dot(col("cv"), col("qv")).as("cos"))
+      .select(col("query_id"), col("vec_id"), VectorExpressions.dotNative(col("cv"), col("qv")).as("cos"))
       .groupBy("query_id", "vec_id").agg(max("cos").as("cos"))
     topKPerQuery(scored, k)
   }
@@ -68,6 +71,7 @@ object Similarity {
               corpusId: String = "vec_id", corpusVec: String = "embedding",
               queryId: String = "query_id", queryVec: String = "qvec")
       : DataFrame = {
+    VectorExpressions.register(corpus.sparkSession)
     val spark = corpus.sparkSession
     val c = corpus.select(col(corpusId).as("vec_id"),
       normalize(col(corpusVec)).as("cv"))
@@ -84,7 +88,7 @@ object Similarity {
 
     def nearestCentroids(df: DataFrame, vcol: String, take: Int) = {
       val scored = df.join(cb)
-        .withColumn("cdist", dot(col(vcol), col("centroid")))
+        .withColumn("cdist", VectorExpressions.dotNative(col(vcol), col("centroid")))
       val w = Window.partitionBy(df.columns.head).orderBy(
         col("cdist").desc, col("centroid_id"))
       scored.withColumn("crank", row_number().over(w))
@@ -97,7 +101,7 @@ object Similarity {
       queries.select(col(queryId).as("query_id"),
         normalize(col(queryVec)).as("qv")), "qv", nProbe)
     val scored = assigned.join(broadcast(probes), Seq("centroid_id"))
-      .select(col("query_id"), col("vec_id"), dot(col("cv"), col("qv")).as("cos"))
+      .select(col("query_id"), col("vec_id"), VectorExpressions.dotNative(col("cv"), col("qv")).as("cos"))
     topKPerQuery(scored, k)
   }
 

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators over the `events` table shape
+  * (ts, event_id, user_id, event_type, value, props).
+  *
+  * The reference is batch-only (SURVEY.md §2.10) — this is the
+  * beyond-reference extension using Spark's native streaming runtime:
+  * incremental execution of the same declarative plans, watermark-bounded
+  * state, exactly-once sinks. At scale the same code runs over a Kafka/file
+  * stream with state distributed across executors by `user_id`.
+  */
+object Streams {
+
+  /** File-based stream of the events shape: each parquet file dropped into
+    * `dir` becomes a micro-batch (same schema as the batch events table).
+    */
+  def eventsFileStream(spark: SparkSession, dir: String,
+                       schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Windowed counts/sums per event type with a watermark: late events
+    * beyond `lateness` are dropped and their window state evicted — bounded
+    * state at any scale.
+    */
+  def hourlyAggregates(events: DataFrame, lateness: String = "1 hour")
+      : DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"),
+        col("total_value"))
+
+  final case class Event(ts: java.sql.Timestamp, event_id: Long, user_id: Long,
+                         event_type: String, value: Double)
+  final case class Session(user_id: Long, n_events: Long, total_value: Double,
+                           start: java.sql.Timestamp, end: java.sql.Timestamp)
+  // not `private`: the state encoder's generated code must see the class
+  final case class SessionState(n: Long, total: Double, startMs: Long,
+                                lastMs: Long)
+
+  /** Gap-based sessionization via `flatMapGroupsWithState` — the custom
+    * stateful operator pattern (KeyValueGroupedDataset + GroupState). A
+    * session closes when a later event for the key arrives more than `gapMs`
+    * after the last one; with `timeout = ProcessingTimeTimeout` idle sessions
+    * are additionally flushed by the engine's timeout mechanism (pass
+    * `NoTimeout` for fully input-driven, deterministic behavior — e.g. in
+    * tests or replay jobs).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+                 timeout: GroupStateTimeout =
+                   GroupStateTimeout.ProcessingTimeTimeout())
+      : Dataset[Session] = {
+    implicit val sessionEnc = Encoders.product[Session]
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val longEnc = Encoders.scalaLong
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), timeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, s.n, s.total,
+              new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs)))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer[Session]()
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(SessionState(s.n + 1, s.total + e.value, s.startMs, t))
+                case Some(s) =>
+                  closed += Session(userId, s.n, s.total,
+                    new java.sql.Timestamp(s.startMs),
+                    new java.sql.Timestamp(s.lastMs))
+                  cur = Some(SessionState(1, e.value, t, t))
+                case None =>
+                  cur = Some(SessionState(1, e.value, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (useTimeout) state.setTimeoutDuration(gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** Streaming exact dedup on a key column with watermark-bounded state:
+    * `dropDuplicates` keyed on the content fingerprint — the streaming twin
+    * of [[graft.operators.Dedup.exactDedup]].
+    */
+  def streamingDedup(events: DataFrame, keyCol: String,
+                     lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keyCol)
+}

@@ -1,0 +1,61 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Native VecDotProduct vs the higher-order-function reference
+  * implementation: identical results in both codegen and interpreted paths.
+  */
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dotNative matches HOF dot on float arrays, incl nulls and empties") {
+    VectorExpressions.register(spark)
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 100).map(i =>
+      (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat),
+        Array.fill(32)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("id", "a", "b")
+    val both = df.select(col("id"),
+        VectorExpressions.dotNative(col("a"), col("b")).as("native"),
+        VectorFunctions.dot(col("a"), col("b")).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-9) }
+
+    // null propagation
+    val withNull = Seq((1L, null.asInstanceOf[Array[Float]], Array(1.0f)))
+      .toDF("id", "a", "b")
+      .select(VectorExpressions.dotNative(col("a"), col("b")).as("d"))
+    assert(withNull.collect().head.isNullAt(0))
+
+    // empty arrays → 0.0
+    val empty = Seq((Array.empty[Float], Array.empty[Float])).toDF("a", "b")
+      .select(VectorExpressions.dotNative(col("a"), col("b")).as("d"))
+    assert(empty.collect().head.getDouble(0) == 0.0)
+
+    // double arrays and SQL surface
+    val dbl = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    dbl.createOrReplaceTempView("vecs")
+    assert(spark.sql("SELECT graft_vec_dot(a, b) FROM vecs")
+      .collect().head.getDouble(0) == 32.0)
+  }
+
+  test("native dot is used inside whole-stage codegen") {
+    VectorExpressions.register(spark)
+    // spark.range keeps a real physical plan (a literal Seq const-folds into
+    // a LocalRelation with no codegen stage at all)
+    val df = spark.range(3)
+      .select(col("id"),
+        transform(sequence(lit(0), lit(4)), i => (col("id") + i).cast("double"))
+          .as("a"))
+      .select(col("id"), VectorExpressions.dotNative(col("a"), col("a")).as("d"))
+    // '*(n)' prefixes mark WholeStageCodegen stages in the plan string; the
+    // node evaluating graft_vec_dot must carry one.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_vec_dot") && l.trim.startsWith("*(")), plan)
+    // id=0 → [0,1,2,3,4] → Σx² = 30
+    assert(df.orderBy("id").collect().head.getDouble(1) == 30.0)
+  }
+}

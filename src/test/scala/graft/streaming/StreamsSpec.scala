@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("hourlyAggregates: windowed counts with watermark, incremental batches") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Long, String, Double)]
+    val events = input.toDF()
+      .toDF("ts", "event_id", "user_id", "event_type", "value")
+    val query = Streams.hourlyAggregates(events, lateness = "10 minutes")
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("append").start()
+    try {
+      // first hour of events, then events two hours later → first window closes
+      input.addData((ts(0), 1L, 1L, "click", 1.0), (ts(30), 2L, 1L, "click", 2.0),
+        (ts(10), 3L, 2L, "view", 5.0))
+      query.processAllAvailable()
+      input.addData((ts(180), 9L, 1L, "click", 1.0))
+      query.processAllAvailable()
+      val out = spark.table("hourly").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+      // the first window (hour 0) is finalized: click n=2 sum=3, view n=1 sum=5
+      assert(out.contains(("click", 2L, 3.0)))
+      assert(out.contains(("view", 1L, 5.0)))
+    } finally query.stop()
+  }
+
+  test("sessionize: gap-based sessions close via flatMapGroupsWithState") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    val sessions = Streams.sessionize(input.toDS(), gapMs = 10 * 60000L,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+    val query = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session), then 30 min gap → new
+      input.addData(
+        Streams.Event(ts(0), 1L, 1L, "click", 1.0),
+        Streams.Event(ts(5), 2L, 1L, "click", 2.0))
+      query.processAllAvailable()
+      input.addData(Streams.Event(ts(35), 3L, 1L, "click", 4.0))
+      query.processAllAvailable()
+      val out = spark.table("sessions").as[Streams.Session].collect()
+      // the first session (2 events, value 3.0) must have closed
+      assert(out.exists(s => s.user_id == 1L && s.n_events == 2 &&
+        s.total_value == 3.0))
+    } finally query.stop()
+  }
+
+  test("streamingDedup drops duplicate keys within the watermark") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "event_id", "fp")
+    val query = Streams.streamingDedup(df, "fp", lateness = "1 hour")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(0), 1L, "a"), (ts(1), 2L, "a"), (ts(2), 3L, "b"))
+      query.processAllAvailable()
+      input.addData((ts(3), 4L, "a"), (ts(4), 5L, "c"))
+      query.processAllAvailable()
+      val fps = spark.table("deduped").select("fp").as[String].collect().sorted
+      assert(fps.toSeq == Seq("a", "b", "c"))
+    } finally query.stop()
+  }
+}
