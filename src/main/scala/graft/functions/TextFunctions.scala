@@ -44,13 +44,29 @@ object TextFunctions {
         i => substr(norm, i + 1, lit(n))))
   }
 
-  /** Word n-gram shingles joined with a separator. */
-  def wordShingles(c: Column, n: Int): Column = {
-    val toks = tokens(normalizeText(c))
-    when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+  /** Word n-gram shingles from a PRE-BOUND token-array column.
+    *
+    * Formulated as a zip_with fold over n shifted slices — n references to
+    * `toks` total — instead of `transform(indices, i => slice(toks, i+1, n))`
+    * whose lambda re-evaluates the `toks` subtree per element (higher-order
+    * lambdas are interpreted with no CSE, so with an inline tokenizer that
+    * means O(#tokens) regex evaluations per row). Bind the tokenizer with
+    * `.select(tokens(...).as("toks"))` first when calling in a hot path.
+    */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
+    if (n == 1) toks
+    else {
+      val m = greatest(size(toks) - (n - 1), lit(0))
+      val sh = (1 until n).foldLeft(slice(toks, lit(1), m))((acc, j) =>
+        zip_with(acc, slice(toks, lit(j + 1), m),
+          (x, y) => concat(x, lit(" "), y)))
+      when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(sh)
+    }
+
+  /** Word n-gram shingles joined with a separator (convenience form; hot
+    * paths should bind the token array and use [[shinglesFromTokens]]). */
+  def wordShingles(c: Column, n: Int): Column =
+    shinglesFromTokens(tokens(normalizeText(c)), n)
 
   /** Deterministic 128-bit document fingerprint of the normalized text.
     * md5 keeps it engine-portable (the DuckDB oracle computes the same value);

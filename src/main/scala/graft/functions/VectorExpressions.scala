@@ -89,15 +89,81 @@ case class VecDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Jaccard similarity of two bitmask-encoded sets (`array<long>` of packed
+  * bits): popcount(a ∧ b) / popcount(a ∨ b); 0.0 when both empty. Same
+  * native-kernel rationale as [[VecDotProduct]]: set-similarity verification
+  * over millions of candidate pairs is a tight popcount loop, not a place
+  * for interpreted `array_intersect`.
+  */
+case class MaskJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"mask_jaccard expects array<long>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_mask_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    val n = math.max(nx, ny)
+    var inter = 0L; var union = 0L; var i = 0
+    while (i < n) {
+      val xv = if (i < nx) x.getLong(i) else 0L
+      val yv = if (i < ny) y.getLong(i) else 0L
+      inter += java.lang.Long.bitCount(xv & yv)
+      union += java.lang.Long.bitCount(xv | yv)
+      i += 1
+    }
+    if (union == 0L) 0.0 else inter.toDouble / union
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      val inter = ctx.freshName("inter"); val union = ctx.freshName("union")
+      s"""
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |int $n = java.lang.Math.max($nx, $ny);
+         |long $inter = 0L; long $union = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $xv = $i < $nx ? $a.getLong($i) : 0L;
+         |  long $yv = $i < $ny ? $b.getLong($i) : 0L;
+         |  $inter += java.lang.Long.bitCount($xv & $yv);
+         |  $union += java.lang.Long.bitCount($xv | $yv);
+         |}
+         |${ev.value} = $union == 0L ? 0.0 : (double) $inter / (double) $union;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MaskJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration + Column-level access for the native vector kernels. */
 object VectorExpressions {
   val DotName = "graft_vec_dot"
+  val MaskJaccardName = "graft_mask_jaccard"
 
   /** Idempotently register the native functions in this session's registry
     * (also usable from SQL once registered). Operators call this with
     * `df.sparkSession` before emitting [[dotNative]] columns.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       DotName,
       { exprs: Seq[Expression] =>
@@ -105,7 +171,19 @@ object VectorExpressions {
         VecDotProduct(exprs.head, exprs(1))
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      MaskJaccardName,
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, s"$MaskJaccardName expects 2 arguments")
+        MaskJaccard(exprs.head, exprs(1))
+      },
+      "built-in")
+  }
 
   /** Codegen'd Σ aᵢ·bᵢ (requires [[register]] on the session first). */
   def dotNative(a: Column, b: Column): Column = call_function(DotName, a, b)
+
+  /** Codegen'd bitmask-set Jaccard (requires [[register]] first). */
+  def maskJaccard(a: Column, b: Column): Column =
+    call_function(MaskJaccardName, a, b)
 }

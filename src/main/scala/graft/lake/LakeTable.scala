@@ -107,12 +107,21 @@ object LakeTable {
     */
   def insert(spark: SparkSession, log: LakeLog, table: String, df: DataFrame,
              txnId: String = UUID.randomUUID().toString,
-             numFiles: Int = 1): CommitResult = {
+             numFiles: Int = 1,
+             clusterBy: Seq[String] = Nil): CommitResult = {
     val st = toStructType(log.snapshot(table).schema.get)
     val tmp = log.tmpDir(table, txnId)
     val shaped = df.select(st.fields.toSeq.map(f =>
       col(f.name).cast(f.dataType)): _*)
-    (if (numFiles > 1) shaped.repartition(numFiles) else shaped.coalesce(1))
+    // clusterBy = the reference's hash-partitioned sink
+    // (`worker/src/parquet_writer.rs:182-234`): rows hash-routed by key into
+    // numFiles files, so equal keys co-locate — narrows each file's min/max
+    // stats and makes point-predicate file pruning effective.
+    val arranged =
+      if (clusterBy.nonEmpty) shaped.repartition(numFiles, clusterBy.map(col): _*)
+      else if (numFiles > 1) shaped.repartition(numFiles)
+      else shaped.coalesce(1)
+    arranged
       .write.mode("overwrite").option("compression", "snappy")
       .parquet(tmp.toString)
 
@@ -154,6 +163,27 @@ object LakeTable {
           size = Files.size(dest),
           stats = Some(FileStats(minVals, maxVals)))
     }
+  }
+
+  /** Load an external file into the table — the reference's insert/load
+    * source (`pkg/coordinator/table_service.go:121-244`: external file →
+    * `_tmp/<txn>/` parquet → commit). Formats: parquet, csv (with header),
+    * json — each read with the table's declared schema so malformed input
+    * fails at load, not at query time.
+    */
+  def load(spark: SparkSession, log: LakeLog, table: String, path: String,
+           format: String = "parquet",
+           txnId: String = UUID.randomUUID().toString): CommitResult = {
+    val st = toStructType(log.snapshot(table).schema.get)
+    val reader = spark.read.schema(st)
+    val df = format match {
+      case "parquet" => reader.parquet(path)
+      case "csv" => reader.option("header", "true").csv(path)
+      case "json" => reader.json(path)
+      case other => throw new LakeValidationException(
+        s"unsupported load format: $other")
+    }
+    insert(spark, log, table, df, txnId)
   }
 
   /** Compaction thresholds from `pkg/coordinator/compaction_service.go:59-74`

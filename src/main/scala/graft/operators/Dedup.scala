@@ -31,6 +31,17 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Spread a small-file corpus across the cluster before expensive per-row
+    * compute: a few-MB parquet of documents arrives as ONE scan partition
+    * (single row group), serializing regex tokenization onto one core. The
+    * shuffle moves only the narrow (id, text) projection. No-op when the
+    * source is already well-partitioned (more partitions than parallelism).
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** (id, h) rows: one xxhash64 per distinct word shingle per document.
     * This is THE scalability pivot for both MinHash and SimHash: the regex
     * tokenization + hashing runs exactly once per shingle, and everything
@@ -41,8 +52,10 @@ object Dedup {
     */
   private def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
                             shingleSize: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
-        explode(array_distinct(wordShingles(col(textCol), shingleSize))).as("sh"))
+    spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), tokens(normalizeText(col("__text"))).as("__toks"))
+      .select(col("id"), explode(array_distinct(
+        shinglesFromTokens(col("__toks"), shingleSize))).as("sh"))
       .select(col("id"), xxhash64(col("sh")).as("h"))
 
   /** MinHash signatures as (id, sig: array<long>[k]): k independent min-hash
@@ -146,31 +159,116 @@ object Dedup {
       .groupBy("a_id", "b_id").agg(min("hamming").as("hamming"))
   }
 
-  /** Exact n-gram (word-token) Jaccard similarity pairs above a threshold.
+  /** Exact n-gram (word-token) Jaccard similarity pairs above a threshold,
+    * via prefix filtering (the PPJoin family of set-similarity joins).
     *
-    * Explode distinct tokens, self-join on token, count intersections, then
-    * |A∪B| = |A|+|B|−|A∩B|. This is the exact (non-approximate) baseline the
-    * MinHash path estimates; at scale you run LSH first and this only on
-    * candidates — exposed standalone for the oracle check.
+    * A naive token self-join fans out quadratically on frequent tokens — one
+    * stop-word shared by D documents alone yields D² join rows, which is what
+    * kills the formulation at scale. Prefix filter: order each document's
+    * tokens by ascending global frequency; two sets with Jaccard ≥ t MUST
+    * share a token within each one's first `|d| − ceil(t·|d|) + 1` tokens, so
+    * only those prefix tokens (the globally rarest ones) act as join keys.
+    * Candidates are then verified EXACTLY with `array_intersect` over the
+    * full sorted token sets — the result is identical to the naive join,
+    * only the candidate generation is pruned.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
                         idCol: String = "doc_id", textCol: String = "text",
-                        n: Int = 1): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-        explode(array_distinct(
-          if (n == 1) tokens(normalizeText(col(textCol)))
-          else wordShingles(col(textCol), n))).as("tok"))
-    val sizes = toks.groupBy("id").agg(count("*").as("sz"))
-    val inter = toks.select(col("id").as("a_id"), col("tok"))
-      .join(toks.select(col("id").as("b_id"), col("tok")), Seq("tok"))
+                        n: Int = 1, maxBitmaskVocab: Int = 8192): DataFrame = {
+    val toks = spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), tokens(normalizeText(col("__text"))).as("__toks"))
+      .select(col("id"), explode(array_distinct(
+        shinglesFromTokens(col("__toks"), n))).as("tok"))
+
+    // Strategy choice: prefix filtering prunes candidates only when rare
+    // tokens exist. A tiny shared vocabulary (every token a stop word) makes
+    // ~every pair a true candidate — there the right representation is a
+    // dictionary-encoded BITMASK per document and a codegen'd popcount
+    // kernel per pair, not token joins. `toks` is persisted because every
+    // strategy walks it several times (vocab probe, dict, masks/prefixes) —
+    // without it the regex tokenization re-runs per pass AND per join side.
+    val toksC = toks.persist()
+    val vocab = toksC.select("tok").distinct().count()
+    if (vocab <= maxBitmaskVocab)
+      bitmaskJaccardPairs(toksC, threshold, vocab.toInt)
+    else prefixJaccardPairs(toksC, threshold)
+  }
+
+  /** Prefix-filtered set-similarity join (PPJoin-style) for large vocabs. */
+  private def prefixJaccardPairs(toks: DataFrame, threshold: Double)
+      : DataFrame = {
+    // global token frequency → per-doc token order (rarest first); ties
+    // broken by token text so the order is deterministic cluster-wide
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ordered = toks.join(freq, Seq("tok"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("tok"))))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
+
+    // prefix length: sz - ceil(t*sz) + 1. Persisted: it feeds BOTH sides of
+    // the candidate self-join, which would otherwise re-run the freq join +
+    // windows twice. (id, tok, pos, sz) rows ≈ corpus token count — small.
+    val prefix = ordered.filter(
+      col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .persist()
+
+    val candidates = prefix.select(col("id").as("a_id"), col("tok"))
+      .join(prefix.select(col("id").as("b_id"), col("tok")), Seq("tok"))
       .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id").agg(count("*").as("c"))
-    inter
-      .join(sizes.select(col("id").as("a_id"), col("sz").as("a_sz")), Seq("a_id"))
-      .join(sizes.select(col("id").as("b_id"), col("sz").as("b_sz")), Seq("b_id"))
+      .select("a_id", "b_id").distinct()
+
+    // exact verification over full sorted token-HASH sets: array_intersect
+    // on fixed-width longs instead of strings (exact modulo 64-bit hash
+    // collisions, ~n²/2⁶⁴ — negligible). Persisted: joined once per pair
+    // side. One row per document.
+    val sets = toks.groupBy("id")
+      .agg(sort_array(collect_set(xxhash64(col("tok")))).as("set"))
+      .persist()
+    candidates
+      .join(sets.select(col("id").as("a_id"), col("set").as("a_set")), Seq("a_id"))
+      .join(sets.select(col("id").as("b_id"), col("set").as("b_set")), Seq("b_id"))
+      .withColumn("c", size(array_intersect(col("a_set"), col("b_set"))))
       .select(col("a_id"), col("b_id"),
         (col("c").cast("double") /
-          (col("a_sz") + col("b_sz") - col("c"))).as("jaccard"))
+          (size(col("a_set")) + size(col("b_set")) - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** All-pairs Jaccard over dictionary-encoded bitmasks — exact, and the
+    * per-pair cost is `vocab/64` popcounts inside whole-stage codegen
+    * ([[graft.functions.MaskJaccard]]). The block-nested-loop join never
+    * shuffles documents, only (id, mask) rows of ~vocab/8 bytes.
+    */
+  private def bitmaskJaccardPairs(toks: DataFrame, threshold: Double,
+                                  vocab: Int): DataFrame = {
+    VectorExpressions.register(toks.sparkSession)
+    val nWords = (vocab + 63) / 64
+    // deterministic dictionary: token → dense id in lexicographic order
+    val dict = toks.select("tok").distinct()
+      .withColumn("tok_id", row_number().over(Window.orderBy("tok")) - 1)
+    // masks are persisted + materialized: ~vocab/8 bytes per doc, consumed
+    // by BOTH sides of the pair join (which would otherwise recompute the
+    // whole tokenize→dict→pack pipeline twice)
+    val masks = toks.join(broadcast(dict), Seq("tok"))
+      .groupBy("id").agg(collect_list("tok_id").as("ids"))
+      .select(col("id"), transform(sequence(lit(0), lit(nWords - 1)), w =>
+        aggregate(col("ids"), lit(0L), (acc, i) =>
+          when((i / 64).cast("int") === w,
+            acc.bitwiseOR(call_function("shiftleft", lit(1L),
+              pmod(i, lit(64)).cast("int"))))
+            .otherwise(acc))).as("mask"))
+      .persist()
+    masks.count() // force materialization, then drop the token cache
+    toks.unpersist()
+    val a = masks.select(col("id").as("a_id"), col("mask").as("a_mask"))
+    val b = masks.select(col("id").as("b_id"), col("mask").as("b_mask"))
+    // broadcast + id-ordering inside the join condition → a single
+    // BroadcastNestedLoopJoin whose inner loop is the codegen'd popcount,
+    // no CartesianProduct task-pair overhead
+    a.join(broadcast(b), col("a_id") < col("b_id"), "inner")
+      .select(col("a_id"), col("b_id"),
+        VectorExpressions.maskJaccard(col("a_mask"), col("b_mask"))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -183,8 +281,8 @@ object Dedup {
                             idCol: String = "vec_id", vecCol: String = "embedding",
                             exact: Boolean = false, nBits: Int = 12): DataFrame = {
     VectorExpressions.register(embs.sparkSession)
-    val normed = embs.select(col(idCol).as("id"),
-      normalize(col(vecCol)).as("v"))
+    val normed = spread(embs.select(col(idCol).as("id"), col(vecCol).as("__v")))
+      .select(col("id"), normalize(col("__v")).as("v"))
     if (exact) {
       val a = normed.select(col("id").as("a_id"), col("v").as("a_v"))
       val b = normed.select(col("id").as("b_id"), col("v").as("b_v"))

@@ -24,14 +24,24 @@ import graft.functions.VectorExpressions
   */
 object Similarity {
 
+  /** See Dedup.spread: small-file corpora arrive as one scan partition;
+    * shuffle the narrow (id, vec) projection so normalization + scoring
+    * parallelize. No-op on well-partitioned inputs.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Exact top-k by cosine. `queries` must be small enough to broadcast. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      corpusId: String = "vec_id", corpusVec: String = "embedding",
                      queryId: String = "query_id", queryVec: String = "qvec")
       : DataFrame = {
     VectorExpressions.register(corpus.sparkSession)
-    val c = corpus.select(col(corpusId).as("vec_id"),
-      normalize(col(corpusVec)).as("cv"))
+    val c = spread(corpus.select(col(corpusId).as("vec_id"),
+        col(corpusVec).as("__v")))
+      .select(col("vec_id"), normalize(col("__v")).as("cv"))
     val q = queries.select(col(queryId).as("query_id"),
       normalize(col(queryVec)).as("qv"))
     val scored = c.join(broadcast(q))
@@ -47,8 +57,9 @@ object Similarity {
     VectorExpressions.register(corpus.sparkSession)
     val dim = corpus.select(size(col(corpusVec))).first().getInt(0)
     val planes = randomPlanes(nBits, dim)
-    val c = corpus.select(col(corpusId).as("vec_id"),
-        normalize(col(corpusVec)).as("cv"))
+    val c = spread(corpus.select(col(corpusId).as("vec_id"),
+        col(corpusVec).as("__v")))
+      .select(col("vec_id"), normalize(col("__v")).as("cv"))
       .withColumn("bucket", srpBucket(col("cv"), planes))
     // multi-probe: query probes its own bucket + all 1-bit-flip neighbors
     val q = queries.select(col(queryId).as("query_id"),
@@ -73,8 +84,9 @@ object Similarity {
       : DataFrame = {
     VectorExpressions.register(corpus.sparkSession)
     val spark = corpus.sparkSession
-    val c = corpus.select(col(corpusId).as("vec_id"),
-      normalize(col(corpusVec)).as("cv"))
+    val c = spread(corpus.select(col(corpusId).as("vec_id"),
+        col(corpusVec).as("__v")))
+      .select(col("vec_id"), normalize(col("__v")).as("cv"))
     // Deterministic "k-means--": take every (n/nCentroids)-th vector by id
     // order as a centroid. Cheap, reproducible, and good enough for routing;
     // a real build would run a few Lloyd iterations the same way.

@@ -140,6 +140,46 @@ class LakeTableSpec extends SparkSpec {
     assert(empty.count() == 0 && empty.schema == st)
   }
 
+  test("clusterBy insert co-locates keys and tightens per-file stats") {
+    val log = newLog()
+    LakeTable.createTable(log, "t", schema)
+    val df = sampleDf(1 to 1000, "x")
+      .withColumn("category", concat(lit("cat"), col("id") % 4))
+    LakeTable.insert(spark, log, "t", df, numFiles = 4,
+      clusterBy = Seq("category"))
+    val snap = log.snapshot("t")
+    assert(snap.files.map(_.rows).sum == 1000)
+    // every category lives in exactly one file (hash co-location)
+    val catFiles = LakeTable.read(spark, log, "t")
+      .select(col("category"), input_file_name().as("f")).distinct()
+      .groupBy("category").count().collect()
+    assert(catFiles.forall(_.getLong(1) == 1))
+    // shuffle row conservation (reference parquet_writer.rs partitioning test)
+    assert(LakeTable.read(spark, log, "t").count() == 1000)
+  }
+
+  test("load: csv and json external files through the declared schema") {
+    val log = newLog()
+    LakeTable.createTable(log, "t", schema)
+    val dir = tmpDir("ext")
+    val csv = dir.resolve("data.csv")
+    java.nio.file.Files.writeString(csv,
+      "id,category,price\n1,a,1.5\n2,b,2.5\n")
+    val json = dir.resolve("data.json")
+    java.nio.file.Files.writeString(json,
+      """{"id":3,"category":"c","price":3.5}""" + "\n" +
+      """{"id":4,"category":"d","price":4.5}""" + "\n")
+    LakeTable.load(spark, log, "t", csv.toString, "csv")
+    LakeTable.load(spark, log, "t", json.toString, "json")
+    val rows = LakeTable.read(spark, log, "t")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1L, "a", 1.5), (2L, "b", 2.5),
+      (3L, "c", 3.5), (4L, "d", 4.5)))
+    assertThrows[LakeValidationException](
+      LakeTable.load(spark, log, "t", csv.toString, "xml"))
+  }
+
   test("schema codec round-trips all eight declared types") {
     val st = StructType(Seq(
       StructField("a", IntegerType), StructField("b", LongType),
