@@ -186,6 +186,67 @@ object SparkEntry {
             .otherwise("small").as("bucket"))
         .orderBy("o_orderkey")),
 
+    // ---- §2.3 as-of join (training-pipeline operator; union+window) ------
+    "q_asof" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val quotes = ev.groupBy("user_id", "ts")
+        .agg(max("value").as("rv"))
+      val probes = ev.filter(col("event_id") % 10 === 0)
+        .select("event_id", "user_id", "ts")
+      graft.operators.AsOfJoin.asof(probes, quotes, Seq("user_id"), "ts", "ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("rv"), 4).as("ref_value"))
+        .orderBy("event_id")
+    }),
+
+    // ---- scalar function breadth: dates, strings, math, nulls ------------
+    "q_scalar_dates" -> ((s, d) =>
+      t(s, d, "orders").select(
+          col("o_orderkey"),
+          datediff(lit("1998-12-31").cast("date"), col("o_orderdate"))
+            .as("days_to_end"),
+          date_add(col("o_orderdate"), 30).as("due_date"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          quarter(col("o_orderdate")).as("qtr"),
+          last_day(col("o_orderdate")).as("month_end"))
+        .orderBy("o_orderkey")),
+    "q_scalar_strings" -> ((s, d) =>
+      t(s, d, "customer").select(
+          col("c_custkey"),
+          concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+          replace(col("c_name"), lit("Customer"), lit("Cust")).as("replaced"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+          reverse(col("c_mktsegment")).as("rev"),
+          locate("E", col("c_mktsegment")).as("e_pos"),
+          trim(lower(col("c_mktsegment"))).as("lower_seg"))
+        .orderBy("c_custkey")),
+    "q_scalar_math" -> ((s, d) =>
+      t(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+          round(ln(col("l_extendedprice") + 1), 6).as("ln_price"),
+          round(pow(col("l_discount"), 2), 6).as("disc_sq"),
+          ceil(col("l_quantity")).as("qty_ceil"),
+          floor(col("l_tax") * 100).as("tax_pct"),
+          sign(col("l_quantity") - 25).as("qty_sign"))
+        .orderBy("l_orderkey", "l_linenumber")),
+    "q_nulls" -> ((s, d) =>
+      // nullif manufactures nulls; coalesce/null-aware aggs recover them
+      t(s, d, "lineitem")
+        .withColumn("maybe_qty", nullif(col("l_quantity"), lit(1.0)))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("maybe_qty")).as("n_nonnull"),
+          round(sum(coalesce(col("maybe_qty"), lit(0.0))), 2).as("sum_qty0"),
+          round(avg(col("maybe_qty")), 6).as("avg_nonnull"))
+        .orderBy("l_returnflag")),
+    "q_cube" -> ((s, d) =>
+      t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("rev"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
     // ---- grouping sets / rollup (extension) ------------------------------
     "q_rollup" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -457,6 +518,52 @@ object SparkEntry {
                   WHEN o_totalprice > 10000 THEN 'mid'
                   ELSE 'small' END AS bucket
       FROM orders ORDER BY o_orderkey""",
+    "q_asof" -> """
+      WITH r AS (SELECT user_id, ts, max(value) AS rv
+                 FROM events GROUP BY 1, 2),
+           l AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_id % 10 = 0)
+      SELECT l.event_id, l.user_id, l.ts, round(r.rv, 4) AS ref_value
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+      ORDER BY l.event_id""",
+    "q_scalar_dates" -> """
+      SELECT o_orderkey,
+             datediff('day', o_orderdate, DATE '1998-12-31') AS days_to_end,
+             o_orderdate + INTERVAL 30 DAY AS due_date,
+             dayofweek(o_orderdate) + 1 AS dow,
+             quarter(o_orderdate) AS qtr,
+             last_day(o_orderdate) AS month_end
+      FROM orders ORDER BY o_orderkey""",
+    "q_scalar_strings" -> """
+      SELECT c_custkey,
+             concat_ws('|', c_mktsegment, c_name) AS joined,
+             replace(c_name, 'Customer', 'Cust') AS replaced,
+             lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+             reverse(c_mktsegment) AS rev,
+             position('E' IN c_mktsegment) AS e_pos,
+             trim(lower(c_mktsegment)) AS lower_seg
+      FROM customer ORDER BY c_custkey""",
+    "q_scalar_math" -> """
+      SELECT l_orderkey, l_linenumber,
+             round(sqrt(l_extendedprice), 6) AS sqrt_price,
+             round(ln(l_extendedprice + 1), 6) AS ln_price,
+             round(pow(l_discount, 2), 6) AS disc_sq,
+             ceil(l_quantity) AS qty_ceil,
+             floor(l_tax * 100) AS tax_pct,
+             sign(l_quantity - 25) AS qty_sign
+      FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_nulls" -> """
+      SELECT l_returnflag, count(*) AS n_rows,
+             count(nullif(l_quantity, 1.0)) AS n_nonnull,
+             round(sum(coalesce(nullif(l_quantity, 1.0), 0.0)), 2) AS sum_qty0,
+             round(avg(nullif(l_quantity, 1.0)), 6) AS avg_nonnull
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_cube" -> """
+      SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     "q_rollup" -> """
       SELECT l_returnflag, l_linestatus, count(*) AS cnt,
              round(sum(l_quantity), 2) AS sum_qty
