@@ -21,6 +21,13 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** documents arrives as ONE scan partition (single parquet row group) —
+    * fan out before per-row text analysis so the regex work parallelizes;
+    * results are order-insensitive (every query orders its output).
+    */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's golden aggregation shape
     * (`tests/integration/golden_query_test.go:127`) over lineitem.
@@ -271,7 +278,7 @@ object SparkEntry {
 
     // ---- LLM-data-pipeline: text analysis --------------------------------
     "q_text_stats" -> ((s, d) =>
-      t(s, d, "documents").select(
+      docsSpread(s, d).select(
           col("doc_id"),
           tokenCount(col("text")).as("n_tokens"),
           bpeTokenCount(col("text")).as("n_bpe_tokens"),
@@ -280,7 +287,7 @@ object SparkEntry {
         .orderBy("doc_id")),
     "q_quality" -> ((s, d) => {
       val f = qualityFeatures(col("text"))
-      t(s, d, "documents").select(
+      docsSpread(s, d).select(
           col("doc_id"),
           f.getField("n_tokens").as("n_tokens"),
           round(f.getField("mean_token_len"), 6).as("mean_token_len"),
@@ -290,7 +297,7 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q_lang_id" -> ((s, d) =>
-      t(s, d, "documents").select(
+      docsSpread(s, d).select(
           col("doc_id"),
           langId(col("text")).as("lang_guess"),
           round(langScore(col("text"), "en"), 6).as("en_score"))
