@@ -180,6 +180,54 @@ class LakeTableSpec extends SparkSpec {
       LakeTable.load(spark, log, "t", csv.toString, "xml"))
   }
 
+  test("Property 1: random-schema insert→read round-trip preserves data") {
+    // reference: worker/src/parquet_format_property_test.rs — arbitrary
+    // schemas of int64/string/float64 fields, 1-100 rows, write→read→equal
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val nFields = 1 + rnd.nextInt(5)
+      val types = Array(LongType, StringType, DoubleType)
+      val fields = StructField("pk", LongType, nullable = false) +:
+        (0 until nFields).map(i =>
+          StructField(s"c$i", types(rnd.nextInt(3)), nullable = true))
+      val st = StructType(fields)
+      val nRows = 1 + rnd.nextInt(100)
+      val rows = (0 until nRows).map { r =>
+        org.apache.spark.sql.Row.fromSeq(r.toLong +: fields.tail.map(_.dataType match {
+          case LongType => rnd.nextLong(1000000)
+          case StringType => s"s${rnd.nextInt(1000)}"
+          case DoubleType => math.round(rnd.nextDouble() * 1e6) / 1e3
+        }))
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq), st)
+      val log = newLog()
+      LakeTable.createTable(log, "rt", st)
+      LakeTable.insert(spark, log, "rt", df)
+      val back = LakeTable.read(spark, log, "rt")
+      // Spark relaxes nullability on file-source reads — compare name/type
+      assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        st.fields.map(f => (f.name, f.dataType)).toSeq)
+      assert(back.orderBy("pk").collect().toSeq ==
+        df.orderBy("pk").collect().toSeq)
+    }
+  }
+
+  test("Property 8: same snapshot version ⇒ identical file list, always") {
+    val log = newLog()
+    LakeTable.createTable(log, "t", schema)
+    LakeTable.insert(spark, log, "t", sampleDf(1 to 50, "a"))
+    val pinned = log.snapshot("t", 1).files
+    // concurrent-ish activity: more inserts + compaction
+    LakeTable.insert(spark, log, "t", sampleDf(51 to 100, "b"))
+    LakeTable.compact(spark, log, "t", force = true)
+    (1 to 3).foreach { _ =>
+      assert(log.snapshot("t", 1).files == pinned)
+    }
+    // and a fresh replayer agrees
+    assert(new LakeLog(log.root).snapshot("t", 1).files == pinned)
+  }
+
   test("schema codec round-trips all eight declared types") {
     val st = StructType(Seq(
       StructField("a", IntegerType), StructField("b", LongType),
