@@ -330,6 +330,28 @@ object SparkEntry {
                round(AVG(l_extendedprice), 4) AS avg_price
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    "q_sql_topn" -> ((s, d) =>
+      // TPC-H Q3 shape: 3-way join + agg + top-N, same text both engines
+      graft.api.SqlApi.query(s, d, """
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               o_orderdate
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey LIMIT 20""")),
+    "q_sql_subquery" -> ((s, d) =>
+      // TPC-H Q17 shape: correlated scalar subquery (decorrelated by
+      // Catalyst into a join — the reference has no subqueries at all)
+      graft.api.SqlApi.query(s, d, """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem l1
+        WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = l1.l_partkey)""")),
+
     // ---- batch sessionization (window-function shape of Streams.sessionize)
     "q_sessions" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -389,6 +411,20 @@ object SparkEntry {
           round(sum("l_extendedprice"), 2).as("sum_price"))
       }
       perVersion.reduce(_ unionAll _).orderBy("version")
+    }),
+
+    "q_dedup_cc" -> ((s, d) => {
+      // connected components over the exact-duplicate graph; dup groups are
+      // cliques, so component(min-reachable-id) == min(doc_id) per
+      // fingerprint group — giving CC a closed-form SQL oracle
+      val fp = docsSpread(s, d)
+        .select(col("doc_id"), fingerprint(col("text")).as("f"))
+      val pairs = fp.select(col("doc_id").as("a_id"), col("f"))
+        .join(fp.select(col("doc_id").as("b_id"), col("f")), Seq("f"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id")
+      Dedup.connectedComponents(pairs)
+        .orderBy("id")
     }),
 
     // ---- LLM-data-pipeline: embeddings -----------------------------------
@@ -604,6 +640,22 @@ object SparkEntry {
              round(SUM(l_extendedprice * l_quantity), 2) AS total_revenue,
              round(AVG(l_extendedprice), 4) AS avg_price
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_sql_topn" -> """
+      SELECT l_orderkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             o_orderdate
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey LIMIT 20""",
+    "q_sql_subquery" -> """
+      SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      FROM lineitem l1
+      WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l1.l_partkey)""",
     "q_sessions" -> """
       WITH lagged AS (
         SELECT user_id, event_id, ts, value,
@@ -648,6 +700,14 @@ object SparkEntry {
       UNION ALL SELECT 4, count(*), round(sum(l_extendedprice), 2)
         FROM lineitem
       ORDER BY version""",
+    "q_dedup_cc" -> """
+      WITH fp AS (SELECT doc_id,
+                    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+                  FROM documents),
+           g AS (SELECT f, min(doc_id) AS m, count(*) AS c
+                 FROM fp GROUP BY f)
+      SELECT fp.doc_id AS id, g.m AS component
+      FROM fp JOIN g USING (f) WHERE g.c > 1 ORDER BY id""",
     "q_embed_neardup" -> """
       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
              round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

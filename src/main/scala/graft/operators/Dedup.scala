@@ -307,12 +307,79 @@ object Dedup {
   /** Keep one representative per near-duplicate cluster: given candidate
     * pairs (a_id < b_id), drop every id that appears as the "b" of a pair
     * with a surviving "a" — the standard greedy union-find approximation done
-    * in one shuffle (connected components would need iteration; for dedup,
-    * dropping all non-minimal members is the accepted practice).
+    * in one shuffle (for exact clusters use [[connectedComponents]] +
+    * keep-min-per-cluster).
     */
   def dropDuplicates(docs: DataFrame, pairs: DataFrame,
                      idCol: String = "doc_id"): DataFrame = {
     val toDrop = pairs.select(col("b_id").as(idCol)).distinct()
     docs.join(toDrop, Seq(idCol), "left_anti")
+  }
+
+  /** Connected components over near-duplicate pairs — (id, component) where
+    * component = min id reachable from `id`. Large-star/small-star-style
+    * label propagation: each round every node adopts the smallest label in
+    * its neighborhood (self + neighbors), iterating to fixpoint. Rounds are
+    * O(graph diameter / log) and dedup similarity graphs are shallow
+    * (dup clusters are near-cliques), so 3-8 rounds settle; each round is
+    * ONE groupBy over the (undirected) edge list — no driver-side graph.
+    * Convergence is checked with a cheap changed-count aggregate; `maxIter`
+    * bounds the worst case.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // undirected neighbor list as (node, neighbor), plus self-loops so
+    // isolated-in-one-direction nodes keep their own label
+    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionAll(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("u").as("id"))
+      .distinct()
+      .withColumn("component", col("id"))
+      .persist()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      iter += 1
+      // neighborhood minimum: min(own label, min of neighbors' labels)
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "v"), Seq("v"))
+        .groupBy(col("u").as("id"))
+        .agg(min("component").as("nbr_min"))
+        .join(labels, Seq("id"))
+        .select(col("id"),
+          least(col("component"), col("nbr_min")).as("component"))
+      // pointer doubling: adopt the label OF the label — turns O(diameter)
+      // propagation into O(log n) rounds (labels always reference real nodes)
+      // localCheckpoint (not persist): truncates the lineage, so round N's
+      // plan doesn't re-analyze rounds 1..N-1 — without it, planning time
+      // grows superlinearly with iterations
+      val next = nbrMin.as("x")
+        .join(nbrMin.select(col("id").as("lid"),
+          col("component").as("lcomp")).as("y"),
+          col("x.component") === col("y.lid"), "left")
+        .select(col("x.id").as("id"),
+          coalesce(col("y.lcomp"), col("x.component")).as("component"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("component", "old"),
+          Seq("id"))
+        .filter(col("component") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Exact cluster dedup: keep the minimum id of every connected component
+    * (plus all never-paired docs).
+    */
+  def dropDuplicatesExact(docs: DataFrame, pairs: DataFrame,
+                          idCol: String = "doc_id"): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val losers = comps.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
   }
 }

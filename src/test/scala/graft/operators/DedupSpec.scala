@@ -75,6 +75,28 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 4L, 5L, 6L))
   }
 
+  test("connectedComponents labels chains and separates clusters") {
+    // graph: 1-2, 2-3, 3-4 (chain → all component 1); 10-11; 20 isolated pair-less
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+
+    val allDocs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
+    val kept = Dedup.dropDuplicatesExact(allDocs, pairs)
+      .as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 10L, 20L)) // one rep per cluster + isolated
+  }
+
+  test("connectedComponents handles a long chain within maxIter") {
+    // chain of 30 nodes: min-label propagation needs several rounds
+    val pairs = (1L until 30L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val comps = Dedup.connectedComponents(pairs).collect()
+    assert(comps.forall(_.getLong(1) == 1L))
+  }
+
   test("embeddingNearDupPairs exact path: cosine over normalized vectors") {
     val embs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(2.0f, 0.0f)), // same direction
