@@ -172,6 +172,11 @@ final class LakeLog(val root: Path) {
     Snapshot(table, target, schema, fileMap.values.toSeq.sortBy(_.path))
   }
 
+  /** Look up whether `txnId` already committed (its version if so) —
+    * writers use this to skip re-staging data for a redelivered batch. */
+  def committedVersion(table: String, txnId: String): Option[Long] =
+    txnVersions(table).get(txnId)
+
   /** The transaction-id → version idempotency map, rebuilt from the log
     * (the reference persists it in the Raft FSM, `state.go:150-159`). */
   private def txnVersions(table: String): Map[String, Long] =

@@ -109,6 +109,10 @@ object LakeTable {
              txnId: String = UUID.randomUUID().toString,
              numFiles: Int = 1,
              clusterBy: Seq[String] = Nil): CommitResult = {
+    // early idempotency check: a redelivered transaction (streaming batch
+    // replay, client retry) must not re-stage data files
+    log.committedVersion(table, txnId).foreach(v =>
+      return CommitResult(v, duplicate = true))
     val st = toStructType(log.snapshot(table).schema.get)
     val tmp = log.tmpDir(table, txnId)
     val shaped = df.select(st.fields.toSeq.map(f =>
@@ -266,6 +270,34 @@ object LakeTable {
     }
     CompactionReport(groups.size, committed, removed, added,
       log.latestVersion(table))
+  }
+
+  final case class VacuumReport(examined: Int, deleted: Int, keptLive: Int)
+
+  /** Garbage-collect data files no longer reachable from any RETAINED
+    * snapshot: versions > latest - retainVersions stay time-travelable;
+    * older versions' removed files are deleted from storage. The log entries
+    * themselves are kept (audit trail). Mirrors Delta-style VACUUM with a
+    * version-count (rather than wall-clock) retention window — deterministic
+    * for tests and single-writer batch pipelines.
+    */
+  def vacuum(log: LakeLog, table: String, retainVersions: Int = 1)
+      : VacuumReport = {
+    val latest = log.latestVersion(table)
+    val floor = math.max(0L, latest - math.max(0, retainVersions - 1))
+    // union of files visible in any retained snapshot
+    val live = (floor to latest)
+      .flatMap(v => log.snapshot(table, v).files.map(_.path)).toSet
+    // every file ever added
+    val all = log.versions(table)
+      .flatMap(v => log.readEntry(table, v).adds.map(_.path)).distinct
+    var deleted = 0
+    all.foreach { p =>
+      if (!live.contains(p)) {
+        if (Files.deleteIfExists(java.nio.file.Paths.get(p))) deleted += 1
+      }
+    }
+    VacuumReport(all.size, deleted, live.size)
   }
 
   private def deleteRecursively(p: Path): Unit =

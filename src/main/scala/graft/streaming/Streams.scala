@@ -103,4 +103,24 @@ object Streams {
                      lateness: String = "1 hour"): DataFrame =
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keyCol)
+
+  /** Exactly-once streaming ingestion into a lake table: `foreachBatch`
+    * commits each micro-batch through [[graft.lake.LakeTable.insert]] with
+    * `txnId = <queryId>-<batchId>`, so a batch replayed after a failure hits
+    * the transaction log's idempotency map and becomes a no-op — the
+    * engine's at-least-once batch redelivery composes with the log's
+    * dedup into exactly-once table contents (the same contract Delta's
+    * `txnAppId`/`txnVersion` gives a streaming writer).
+    */
+  def sinkToLake(stream: DataFrame, log: graft.lake.LakeLog, table: String,
+                 checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.lake.LakeTable.insert(batch.sparkSession, log, table, batch,
+          txnId = s"stream-$table-$batchId")
+        ()
+      }
+      .start()
 }

@@ -180,6 +180,31 @@ class LakeTableSpec extends SparkSpec {
       LakeTable.load(spark, log, "t", csv.toString, "xml"))
   }
 
+  test("vacuum deletes only files unreachable from retained versions") {
+    val log = newLog()
+    LakeTable.createTable(log, "t", schema)
+    LakeTable.insert(spark, log, "t", sampleDf(1 to 100, "a"))
+    LakeTable.insert(spark, log, "t", sampleDf(101 to 200, "b"))
+    LakeTable.insert(spark, log, "t", sampleDf(201 to 300, "c"))
+    val preFiles = log.snapshot("t").files.map(_.path)
+    LakeTable.compact(spark, log, "t", force = true) // v4: 3 removed, 1 added
+
+    // retaining 2 versions (v3 + v4): v3 still needs the 3 pre-compaction
+    // files — nothing deletable
+    val r2 = LakeTable.vacuum(log, "t", retainVersions = 2)
+    assert(r2.deleted == 0)
+    assert(preFiles.forall(p => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(p))))
+
+    // retaining only the latest: the 3 compacted-away inputs are garbage
+    val r1 = LakeTable.vacuum(log, "t", retainVersions = 1)
+    assert(r1.deleted == 3)
+    assert(preFiles.forall(p => !java.nio.file.Files.exists(
+      java.nio.file.Paths.get(p))))
+    // current snapshot still fully readable
+    assert(LakeTable.read(spark, log, "t").count() == 300)
+  }
+
   test("Property 1: random-schema insert→read round-trip preserves data") {
     // reference: worker/src/parquet_format_property_test.rs — arbitrary
     // schemas of int64/string/float64 fields, 1-100 rows, write→read→equal

@@ -55,6 +55,33 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sinkToLake: exactly-once micro-batch commits via txn idempotency") {
+    import graft.lake.{LakeLog, LakeTable}
+    import org.apache.spark.sql.types._
+    implicit val sq = spark.sqlContext
+    val log = new LakeLog(tmpDir("streamlake"))
+    LakeTable.createTable(log, "ev", StructType(Seq(
+      StructField("event_id", LongType), StructField("value", DoubleType))))
+    val input = MemoryStream[(Long, Double)]
+    val query = Streams.sinkToLake(
+      input.toDF().toDF("event_id", "value"), log, "ev",
+      tmpDir("ckpt").toString)
+    try {
+      input.addData((1L, 1.0), (2L, 2.0))
+      query.processAllAvailable()
+      input.addData((3L, 3.0))
+      query.processAllAvailable()
+      assert(LakeTable.read(spark, log, "ev").count() == 3)
+      assert(log.latestVersion("ev") == 2)
+      // simulate engine redelivery of batch 0: idempotent no-op
+      val replay = LakeTable.insert(spark, log, "ev",
+        Seq((1L, 1.0), (2L, 2.0)).toDF("event_id", "value"),
+        txnId = "stream-ev-0")
+      assert(replay.duplicate && replay.version == 1)
+      assert(LakeTable.read(spark, log, "ev").count() == 3)
+    } finally query.stop()
+  }
+
   test("streamingDedup drops duplicate keys within the watermark") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
