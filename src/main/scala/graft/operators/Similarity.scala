@@ -74,44 +74,71 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** IVF: deterministic sampled centroids, one refinement sweep, probe the
-    * nProbe nearest lists.
+  /** Spherical k-means over unit vectors, expressed entirely as DataFrame
+    * ops so it runs at corpus scale: init = every (n/k)-th vector in id
+    * order (deterministic); each Lloyd iteration assigns by max cosine
+    * (broadcast centroids, native dot) and recomputes centroids as the
+    * re-normalized element-wise mean (posexplode → per-dimension avg).
+    * Empty clusters drop out. Returns (centroid_id, centroid).
+    */
+  def kmeansCentroids(normed: DataFrame, k: Int, iters: Int,
+                      vecCol: String = "cv"): DataFrame = {
+    VectorExpressions.register(normed.sparkSession)
+    val n = normed.count()
+    val step = math.max(1L, n / k)
+    var cents = normed.withColumn("rn",
+        row_number().over(Window.orderBy(normed.columns.head)) - 1)
+      .filter(col("rn") % step === 0).limit(k)
+      .select(col("rn").as("centroid_id"), col(vecCol).as("centroid"))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val assigned = assignNearest(normed, cents, vecCol, 1)
+      cents = assigned
+        .select(col("centroid_id"), posexplode(col(vecCol)))
+        .groupBy("centroid_id", "pos").agg(avg("col").as("m"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("centroid_id"),
+          normalize(transform(col("pm"), s => s.getField("m"))).as("centroid"))
+        .localCheckpoint() // truncate per-iteration lineage
+    }
+    cents
+  }
+
+  /** For each row of `df`, its `take` highest-cosine centroids (appended
+    * `centroid_id` column; input columns preserved). */
+  private def assignNearest(df: DataFrame, centroids: DataFrame,
+                            vcol: String, take: Int): DataFrame = {
+    val scored = df.join(broadcast(centroids))
+      .withColumn("cdist",
+        VectorExpressions.dotNative(col(vcol), col("centroid")))
+    val w = Window.partitionBy(df.columns.head).orderBy(
+      col("cdist").desc, col("centroid_id"))
+    scored.withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= take)
+      .drop("centroid", "cdist", "crank")
+  }
+
+  /** IVF: k-means coarse quantizer (a few true Lloyd sweeps), corpus
+    * assigned to its nearest list, queries probe the nProbe nearest lists —
+    * scanned corpus fraction ≈ nProbe/nCentroids of a brute-force pass.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4,
+              nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 2,
               corpusId: String = "vec_id", corpusVec: String = "embedding",
               queryId: String = "query_id", queryVec: String = "qvec")
       : DataFrame = {
     VectorExpressions.register(corpus.sparkSession)
-    val spark = corpus.sparkSession
     val c = spread(corpus.select(col(corpusId).as("vec_id"),
         col(corpusVec).as("__v")))
       .select(col("vec_id"), normalize(col("__v")).as("cv"))
-    // Deterministic "k-means--": take every (n/nCentroids)-th vector by id
-    // order as a centroid. Cheap, reproducible, and good enough for routing;
-    // a real build would run a few Lloyd iterations the same way.
-    val n = c.count()
-    val step = math.max(1L, n / nCentroids)
-    val centroids = c.withColumn("rn",
-        row_number().over(Window.orderBy("vec_id")) - 1)
-      .filter(col("rn") % step === 0).limit(nCentroids)
-      .select(col("rn").as("centroid_id"), col("cv").as("centroid"))
-    val cb = broadcast(centroids)
+      .localCheckpoint() // consumed by k-means iters AND the final probe join
+    val centroids = kmeansCentroids(c, nCentroids, kmeansIters)
 
-    def nearestCentroids(df: DataFrame, vcol: String, take: Int) = {
-      val scored = df.join(cb)
-        .withColumn("cdist", VectorExpressions.dotNative(col(vcol), col("centroid")))
-      val w = Window.partitionBy(df.columns.head).orderBy(
-        col("cdist").desc, col("centroid_id"))
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= take)
-        .drop("centroid", "cdist", "crank")
-    }
-
-    val assigned = nearestCentroids(c, "cv", 1) // corpus → 1 list each
-    val probes = nearestCentroids(
+    val assigned = assignNearest(c, centroids, "cv", 1) // corpus → 1 list
+    val probes = assignNearest(
       queries.select(col(queryId).as("query_id"),
-        normalize(col(queryVec)).as("qv")), "qv", nProbe)
+        normalize(col(queryVec)).as("qv")), centroids, "qv", nProbe)
     val scored = assigned.join(broadcast(probes), Seq("centroid_id"))
       .select(col("query_id"), col("vec_id"), VectorExpressions.dotNative(col("cv"), col("qv")).as("cos"))
     topKPerQuery(scored, k)

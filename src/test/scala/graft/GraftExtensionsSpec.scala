@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** The extensions path needs its own SparkSession (extensions apply only at
+  * session construction), so this spec manages one in isolation instead of
+  * using the shared fixture.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("spark.sql.extensions=graft.GraftExtensions registers SQL kernels") {
+    val existing = SparkSession.getActiveSession
+    existing.foreach(_ => SparkSession.clearActiveSession())
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("ERROR")
+      val dot = spark.sql(
+        "SELECT graft_vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+        .collect().head.getDouble(0)
+      assert(dot == 11.0)
+      val jac = spark.sql(
+        "SELECT graft_mask_jaccard(array(3L), array(1L))")
+        .collect().head.getDouble(0)
+      assert(jac == 0.5) // {bits 0,1} vs {bit 0}
+    } finally {
+      existing.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
