@@ -227,6 +227,46 @@ final class LakeLog(val root: Path) {
     }
   }
 
+  /** Additive schema evolution: commit a new schema version (no file
+    * changes). The replay rule "latest schema wins"
+    * (`transaction_log.go:191-194`) — declared by the reference but never
+    * exercised there — makes it effective for every later read, while
+    * time-travel reads at earlier versions still see the schema that was
+    * current then. Only ADDING nullable fields is allowed: existing files
+    * lack the new columns (read as null), so drops/renames/type-changes
+    * would silently corrupt old data.
+    */
+  def evolveSchema(table: String, newSchema: TableSchema,
+                   txnId: String): CommitResult = {
+    validateSchema(newSchema)
+    lockFor(table).synchronized {
+      val latest = latestVersion(table)
+      txnVersions(table).get(txnId) match {
+        case Some(v) => CommitResult(v, duplicate = true)
+        case None =>
+          val current = snapshot(table, latest).schema.getOrElse(
+            throw new LakeValidationException(s"table $table has no schema"))
+          current.fields.foreach { f =>
+            val kept = newSchema.fields.find(_.name == f.name).getOrElse(
+              throw new LakeValidationException(
+                s"schema evolution cannot drop field ${f.name}"))
+            if (kept.`type` != f.`type`)
+              throw new LakeValidationException(
+                s"schema evolution cannot change type of ${f.name}")
+          }
+          newSchema.fields.filterNot(f =>
+            current.fields.exists(_.name == f.name)).foreach { added =>
+            if (!added.nullable) throw new LakeValidationException(
+              s"new field ${added.name} must be nullable (old files lack it)")
+          }
+          val newVersion = latest + 1
+          writeEntry(table, LogEntry(newVersion, System.currentTimeMillis(),
+            txnId, Some(newSchema), Nil, Nil))
+          CommitResult(newVersion, duplicate = false)
+      }
+    }
+  }
+
   /** Commit with automatic OCC retry: re-resolves the base version and
     * re-validates through `plan` on each attempt (the reference's
     * transaction-manager retry loop, `transaction_manager.go:124-233`,

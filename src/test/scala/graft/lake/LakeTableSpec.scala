@@ -180,6 +180,40 @@ class LakeTableSpec extends SparkSpec {
       LakeTable.load(spark, log, "t", csv.toString, "xml"))
   }
 
+  test("schema evolution: add nullable column; old files read as null") {
+    val log = newLog()
+    LakeTable.createTable(log, "t", schema)
+    LakeTable.insert(spark, log, "t", sampleDf(1 to 10, "a"))
+    val v1 = log.latestVersion("t")
+
+    val evolved = TableSchema(log.snapshot("t").schema.get.fields :+
+      Field("rating", "int32", nullable = true))
+    assert(!log.evolveSchema("t", evolved, "evolve-1").duplicate)
+    // idempotent under retry
+    assert(log.evolveSchema("t", evolved, "evolve-1").duplicate)
+
+    // new writes carry the new column; old files surface it as null
+    LakeTable.insert(spark, log, "t",
+      Seq((11L, "b", 1.5, 5)).toDF("id", "category", "price", "rating"))
+    val df = LakeTable.read(spark, log, "t")
+    assert(df.schema.fieldNames.contains("rating"))
+    assert(df.filter(col("rating").isNull).count() == 10)
+    assert(df.filter(col("rating") === 5).count() == 1)
+    // time travel to v1 sees the old schema
+    assert(!LakeTable.read(spark, log, "t", v1)
+      .schema.fieldNames.contains("rating"))
+
+    // invalid evolutions rejected
+    assertThrows[LakeValidationException](log.evolveSchema("t",
+      TableSchema(Seq(Field("id", "int64", nullable = false))), "evolve-2"))
+    assertThrows[LakeValidationException](log.evolveSchema("t",
+      TableSchema(evolved.fields.map(f =>
+        if (f.name == "price") f.copy(`type` = "string") else f)), "evolve-3"))
+    assertThrows[LakeValidationException](log.evolveSchema("t",
+      TableSchema(evolved.fields :+ Field("req", "int64", nullable = false)),
+      "evolve-4"))
+  }
+
   test("vacuum deletes only files unreachable from retained versions") {
     val log = newLog()
     LakeTable.createTable(log, "t", schema)
