@@ -55,6 +55,30 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("eventsFileStream: parquet files dropped into a dir become batches") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("filestream")
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    def writeFile(rows: Seq[(Timestamp, String, Double)], name: String): Unit =
+      rows.toDF("ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+    val stream = Streams.eventsFileStream(spark, dir.toString, schema)
+    assert(stream.isStreaming)
+    val query = Streams.hourlyAggregates(stream, lateness = "5 minutes")
+      .writeStream.format("memory").queryName("file_hourly")
+      .outputMode("append").start()
+    try {
+      writeFile(Seq((ts(0), "click", 1.0), (ts(10), "click", 2.0)), "f1")
+      query.processAllAvailable()
+      writeFile(Seq((ts(200), "view", 5.0)), "f2") // advances the watermark
+      query.processAllAvailable()
+      val out = spark.table("file_hourly").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(out.contains(("click", 2L, 3.0)))
+    } finally query.stop()
+  }
+
   test("sinkToLake: exactly-once micro-batch commits via txn idempotency") {
     import graft.lake.{LakeLog, LakeTable}
     import org.apache.spark.sql.types._
