@@ -12,9 +12,16 @@ import graft.sources.Tables
   */
 object SqlApi {
 
-  /** Run SQL against the tables of a scale-factor directory. */
+  /** Run SQL against the tables of a scale-factor directory. Only tables
+    * the SQL text references are loaded/registered — `spark.read.parquet`
+    * costs a file listing + footer read per table, which dominates short
+    * queries when all ten tables are registered unconditionally.
+    */
   def query(spark: SparkSession, dir: String, sql: String): DataFrame = {
-    Tables.registerAll(spark, dir)
+    val referenced = Tables.all.filter(t =>
+      s"\\b$t\\b".r.findFirstIn(sql.toLowerCase).isDefined)
+    (if (referenced.nonEmpty) referenced else Tables.all).foreach(n =>
+      Tables.load(spark, dir, n).createOrReplaceTempView(n))
     spark.sql(sql)
   }
 
