@@ -144,6 +144,53 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Materialize an IVF index: the corpus, normalized and assigned to its
+    * nearest centroid, written as parquet PARTITIONED BY centroid_id, plus
+    * the centroid table alongside. This is the 100 TB shape: a probe only
+    * opens the `nProbe` matching `centroid_id=...` directories — partition
+    * pruning keeps the other (nCentroids − nProbe)/nCentroids of the corpus
+    * bytes unread, which a transient in-memory assignment can't do.
+    */
+  def writeIvfIndex(corpus: DataFrame, path: String,
+                    nCentroids: Int = 16, kmeansIters: Int = 2,
+                    corpusId: String = "vec_id",
+                    corpusVec: String = "embedding"): Unit = {
+    VectorExpressions.register(corpus.sparkSession)
+    val c = spread(corpus.select(col(corpusId).as("vec_id"),
+        col(corpusVec).as("__v")))
+      .select(col("vec_id"), normalize(col("__v")).as("cv"))
+      .localCheckpoint()
+    val centroids = kmeansCentroids(c, nCentroids, kmeansIters)
+    assignNearest(c, centroids, "cv", 1)
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/lists")
+    centroids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/centroids")
+  }
+
+  /** Query a materialized IVF index. The `isin(probe lists)` filter on the
+    * partition column prunes at the FILE level — check
+    * `.explain`'s PartitionFilters; only probed lists are scanned.
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, k: Int, nProbe: Int = 4,
+                     queryId: String = "query_id", queryVec: String = "qvec")
+      : DataFrame = {
+    VectorExpressions.register(spark)
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val probes = assignNearest(
+      queries.select(col(queryId).as("query_id"),
+        normalize(col(queryVec)).as("qv")), centroids, "qv", nProbe)
+    val probeLists = probes.select("centroid_id").distinct()
+      .collect().map(_.get(0)) // tiny: ≤ nQueries × nProbe ids
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("centroid_id").isin(probeLists: _*))
+    val scored = lists.join(broadcast(probes), Seq("centroid_id"))
+      .select(col("query_id"), col("vec_id"),
+        VectorExpressions.dotNative(col("cv"), col("qv")).as("cos"))
+    topKPerQuery(scored, k)
+  }
+
   /** Final per-query top-k with deterministic tie-break on vec_id. */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")

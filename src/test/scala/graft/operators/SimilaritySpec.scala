@@ -44,6 +44,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.15, s"recall@10 = $recall")
   }
 
+  test("materialized IVF index: partition-pruned probes match transient IVF") {
+    val dir = tmpDir("ivfindex").toString
+    Similarity.writeIvfIndex(corpus, dir, nCentroids = 8)
+    val indexed = Similarity.ivfTopKIndexed(spark, dir, queries, k = 5,
+      nProbe = 3)
+    // pruning: the scan carries a partition filter on centroid_id and reads
+    // fewer than all 8 list directories
+    val lists = spark.read.parquet(s"$dir/lists")
+    assert(lists.select("centroid_id").distinct().count() == 8)
+    val scanned = indexed.queryExecution.executedPlan.toString
+    assert(scanned.contains("PartitionFilters"), scanned)
+    // self-hit correctness survives the index round-trip
+    val hits = indexed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 5L).forall(q => hits.contains((q, q))))
+  }
+
   test("ivfTopK finds the query itself; probing more lists improves recall") {
     val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
