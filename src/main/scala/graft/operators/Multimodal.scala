@@ -85,6 +85,29 @@ object Multimodal {
     }
   }
 
+  /** [STUB] "Resize" decoded media to a target box, preserving aspect ratio
+    * — the geometry (fit-within-box scaling, even dimensions) is real; only
+    * the pixel resampling would live in the decoder. Runs in the same typed
+    * mapPartitions shape as [[decodeStub]] so per-partition codec state
+    * could be shared.
+    */
+  def resizeStub(ds: Dataset[DecodedRow], maxW: Int, maxH: Int)
+      : Dataset[DecodedRow] = {
+    implicit val enc = Encoders.product[DecodedRow]
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.width <= 0 || r.height <= 0) r
+        else {
+          val scale = math.min(1.0,
+            math.min(maxW.toDouble / r.width, maxH.toDouble / r.height))
+          val w = math.max(2, (r.width * scale).toInt / 2 * 2)
+          val h = math.max(2, (r.height * scale).toInt / 2 * 2)
+          r.copy(width = w, height = h)
+        }
+      }
+    }
+  }
+
   /** Evenly-spaced fixed-width chunks of a binary payload ("frame sampling"
     * for video / windowing for audio) as pure expressions — the chunk
     * *selection* is real; interpreting chunk bytes is the decoder's job.

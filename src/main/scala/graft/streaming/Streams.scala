@@ -104,6 +104,22 @@ object Streams {
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Stream-stream interval join: match rows of two streams on `keyCol`
+    * where the right event lands within `[left.ts, left.ts + windowSec]` —
+    * the impression⋈click shape. Both sides carry watermarks so the join
+    * state is evicted once the interval can no longer be satisfied; without
+    * the time bound + watermarks a stream-stream join would buffer forever.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   windowSec: Long, lateness: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", lateness).as("l")
+    val r = right.withWatermark("ts", lateness).as("r")
+    l.join(r,
+      expr(s"""l.$keyCol = r.$keyCol AND
+               r.ts >= l.ts AND
+               r.ts <= l.ts + interval $windowSec seconds"""))
+  }
+
   /** Exactly-once streaming ingestion into a lake table: `foreachBatch`
     * commits each micro-batch through [[graft.lake.LakeTable.insert]] with
     * `txnId = <queryId>-<batchId>`, so a batch replayed after a failure hits

@@ -49,6 +49,18 @@ class MultimodalSpec extends SparkSpec {
     assert(again == decoded)
   }
 
+  test("resizeStub fits within the box preserving aspect ratio") {
+    import Multimodal._
+    val ds = corpus.as[MediaRow](org.apache.spark.sql.Encoders.product[MediaRow])
+    val resized = resizeStub(decodeStub(ds), maxW = 64, maxH = 64).collect()
+    resized.filter(_.modality == "image").foreach { r =>
+      assert(r.width <= 64 && r.height <= 64)
+      assert(r.width % 2 == 0 && r.height % 2 == 0)
+    }
+    // audio rows (width 0) pass through untouched
+    assert(resized.filter(_.modality == "audio").forall(_.width == 0))
+  }
+
   test("sampleFrames: n evenly spaced fixed-width chunks per payload") {
     val frames = Multimodal.sampleFrames(corpus, nFrames = 4, frameBytes = 8)
       .collect()

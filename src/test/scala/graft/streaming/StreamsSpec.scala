@@ -106,6 +106,29 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("intervalJoin matches right events inside the left-anchored window") {
+    implicit val sq = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, Long)]
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val joined = Streams.intervalJoin(
+      imps.toDF().toDF("ts", "ad_id"),
+      clicks.toDF().toDF("ts", "ad_id"),
+      "ad_id", windowSec = 600, lateness = "10 minutes")
+    val query = joined.select(col("l.ad_id").as("ad"),
+        col("l.ts").as("imp_ts"), col("r.ts").as("click_ts"))
+      .writeStream.format("memory").queryName("attributed")
+      .outputMode("append").start()
+    try {
+      imps.addData((ts(0), 1L), (ts(0), 2L))
+      clicks.addData((ts(5), 1L))   // within 10 min of imp 1 → match
+      clicks.addData((ts(20), 2L))  // 20 min after imp 2 → no match
+      query.processAllAvailable()
+      val out = spark.table("attributed").collect()
+        .map(_.getLong(0)).toSeq
+      assert(out == Seq(1L))
+    } finally query.stop()
+  }
+
   test("streamingDedup drops duplicate keys within the watermark") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
