@@ -120,14 +120,19 @@ final class LakeLog(val root: Path) {
     }
   }
 
-  /** Committed versions in ascending order. */
+  private val EntryNameRe = "([0-9]{20})\\.json".r
+
+  /** Committed versions in ascending order. Only canonical `%020d.json`
+    * names count — a concurrent writer's `.staged*` temp file must never be
+    * visible to readers (they appear atomically via rename).
+    */
   def versions(table: String): Seq[Long] = {
     val dir = logDir(table)
     if (!Files.exists(dir)) Nil
     else Files.list(dir).iterator().asScala
       .map(_.getFileName.toString)
-      .filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json").toLong).toSeq.sorted
+      .collect { case EntryNameRe(v) => v.toLong }
+      .toSeq.sorted
   }
 
   def latestVersion(table: String): Long = {

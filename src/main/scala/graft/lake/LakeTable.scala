@@ -108,7 +108,8 @@ object LakeTable {
   def insert(spark: SparkSession, log: LakeLog, table: String, df: DataFrame,
              txnId: String = UUID.randomUUID().toString,
              numFiles: Int = 1,
-             clusterBy: Seq[String] = Nil): CommitResult = {
+             clusterBy: Seq[String] = Nil,
+             maxAttempts: Int = 3): CommitResult = {
     // early idempotency check: a redelivered transaction (streaming batch
     // replay, client retry) must not re-stage data files
     log.committedVersion(table, txnId).foreach(v =>
@@ -131,7 +132,7 @@ object LakeTable {
 
     try {
       val adds = statAndPromote(spark, log, table, tmp, st)
-      log.commitWithRetry(table, txnId)(_ => Some((adds, Nil))).get
+      log.commitWithRetry(table, txnId, maxAttempts)(_ => Some((adds, Nil))).get
     } finally deleteRecursively(tmp)
   }
 

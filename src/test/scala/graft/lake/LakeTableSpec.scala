@@ -180,6 +180,30 @@ class LakeTableSpec extends SparkSpec {
       LakeTable.load(spark, log, "t", csv.toString, "xml"))
   }
 
+  test("concurrent Spark inserts all land via OCC retry, no lost updates") {
+    val log = newLog()
+    LakeTable.createTable(log, "t", schema)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val results = (0 until 4).map { i =>
+      pool.submit(new java.util.concurrent.Callable[CommitResult] {
+        def call(): CommitResult =
+          LakeTable.insert(spark, log, "t",
+            sampleDf(i * 100 + 1 to i * 100 + 100, s"w$i"),
+            txnId = s"writer-$i",
+            // retries may exceed the default 3 under 4-way contention
+            maxAttempts = 10)
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS))
+    val versions = results.map(_.get())
+    assert(versions.forall(!_.duplicate))
+    assert(versions.map(_.version).sorted == Seq(1L, 2L, 3L, 4L))
+    assert(LakeTable.read(spark, log, "t").count() == 400)
+    assert(LakeTable.read(spark, log, "t")
+      .select("category").distinct().count() == 4)
+  }
+
   test("schema evolution: add nullable column; old files read as null") {
     val log = newLog()
     LakeTable.createTable(log, "t", schema)
