@@ -50,7 +50,11 @@ object QueryApi {
     */
   def runLake(spark: SparkSession, log: LakeLog, json: String): DataFrame = {
     val req = parse(json)
-    QueryEngine.run(LakeTable.read(spark, log, req.table_name, req.version),
+    // readIndexed: the request's filter (parsed to a Catalyst predicate by
+    // QueryEngine) reaches LakeFileIndex, so stat-based file skipping
+    // happens for the structured API too
+    QueryEngine.run(
+      LakeTable.readIndexed(spark, log, req.table_name, req.version),
       toSimpleQuery(req))
   }
 }

@@ -26,11 +26,13 @@ object SqlApi {
   }
 
   /** Run SQL against lake tables (each registered at its snapshot version —
-    * the SQL sees exactly the files the log makes visible). */
+    * the SQL sees exactly the files the log makes visible). Views are backed
+    * by [[graft.lake.LakeFileIndex]], so WHERE clauses prune files by the
+    * log's min/max stats before any I/O. */
   def queryLake(spark: SparkSession, log: graft.lake.LakeLog, sql: String,
                 versions: Map[String, Long] = Map.empty): DataFrame = {
     log.listTables().foreach { t =>
-      graft.lake.LakeTable.read(spark, log, t, versions.getOrElse(t, 0L))
+      graft.lake.LakeTable.readIndexed(spark, log, t, versions.getOrElse(t, 0L))
         .createOrReplaceTempView(t)
     }
     spark.sql(sql)

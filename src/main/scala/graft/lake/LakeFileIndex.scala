@@ -1,0 +1,115 @@
+package graft.lake
+
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types._
+
+/** Catalyst-integrated stat-based file skipping — the "deluxe" version of
+  * [[FilePruning]] (SURVEY.md §4): a custom `FileIndex` whose `listFiles`
+  * receives the query's pushed `dataFilters` as resolved Catalyst
+  * expressions, so ANY Spark/SQL predicate over a lake table prunes files by
+  * the transaction log's min/max stats — not just the reference's 3-token
+  * grammar. Conjunctions prune per-conjunct; disjunctions keep a file if
+  * either arm might match; unknown expression shapes are conservatively
+  * kept. The residual filter still runs, so pruning is purely an I/O win.
+  */
+final class LakeFileIndex(spark: SparkSession, snap: Snapshot,
+                          dataSchema: StructType) extends FileIndex {
+
+  private val statuses: Seq[(FileAdd, FileStatus)] = snap.files.map { f =>
+    val p = new HPath("file://" + f.path)
+    (f, new FileStatus(f.size, false, 1, 128L * 1024 * 1024, 0L, p))
+  }
+
+  override def rootPaths: Seq[HPath] = statuses.map(_._2.getPath)
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val kept = statuses.filter { case (f, _) =>
+      dataFilters.forall(expr => mightMatch(f, expr))
+    }
+    Seq(PartitionDirectory(InternalRow.empty, kept.map(_._2).toArray))
+  }
+
+  override def inputFiles: Array[String] = snap.files.map(_.path).toArray
+  override def refresh(): Unit = ()
+  override def sizeInBytes: Long = snap.files.map(_.size).sum
+  override def partitionSchema: StructType = StructType(Nil)
+
+  /** Could any row of `f` satisfy `e`? Conservative three-valued logic. */
+  private def mightMatch(f: FileAdd, e: Expression): Boolean = e match {
+    case And(l, r) => mightMatch(f, l) && mightMatch(f, r)
+    case Or(l, r) => mightMatch(f, l) || mightMatch(f, r)
+    case Not(EqualTo(a: AttributeReference, Literal(v, _))) =>
+      range(f, a.name, a.dataType) match {
+        case Some((lo, hi)) =>
+          // prunable only when the whole file is exactly the literal
+          !(lo == hi && cmpLit(lo, v, a.dataType).contains(0))
+        case None => true
+      }
+    case EqualTo(a: AttributeReference, Literal(v, _)) => cmp(f, a, v) {
+      (cl, ch) => cl <= 0 && ch >= 0 }
+    case EqualTo(Literal(v, _), a: AttributeReference) => cmp(f, a, v) {
+      (cl, ch) => cl <= 0 && ch >= 0 }
+    case GreaterThan(a: AttributeReference, Literal(v, _)) => cmp(f, a, v) {
+      (_, ch) => ch > 0 }
+    case GreaterThan(Literal(v, _), a: AttributeReference) => cmp(f, a, v) {
+      (cl, _) => cl < 0 }
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+      cmp(f, a, v) { (_, ch) => ch >= 0 }
+    case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) =>
+      cmp(f, a, v) { (cl, _) => cl <= 0 }
+    case LessThan(a: AttributeReference, Literal(v, _)) => cmp(f, a, v) {
+      (cl, _) => cl < 0 }
+    case LessThan(Literal(v, _), a: AttributeReference) => cmp(f, a, v) {
+      (_, ch) => ch > 0 }
+    case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+      cmp(f, a, v) { (cl, _) => cl <= 0 }
+    case LessThanOrEqual(Literal(v, _), a: AttributeReference) =>
+      cmp(f, a, v) { (_, ch) => ch >= 0 }
+    case In(a: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
+      list.exists { case Literal(v, _) =>
+        cmp(f, a, v) { (cl, ch) => cl <= 0 && ch >= 0 } }
+    case _ => true // IsNotNull, functions, UDF-ish — keep
+  }
+
+  /** Apply `check(cmp(min,lit), cmp(max,lit))`; keep on missing stats. */
+  private def cmp(f: FileAdd, a: AttributeReference, v: Any)(
+      check: (Int, Int) => Boolean): Boolean =
+    range(f, a.name, a.dataType) match {
+      case Some((lo, hi)) =>
+        (cmpLit(lo, v, a.dataType), cmpLit(hi, v, a.dataType)) match {
+          case (Some(cl), Some(ch)) => check(cl, ch)
+          case _ => true
+        }
+      case None => true
+    }
+
+  private def range(f: FileAdd, name: String, dt: DataType)
+      : Option[(String, String)] =
+    for {
+      st <- f.stats
+      lo <- st.min_values.get(name)
+      hi <- st.max_values.get(name)
+    } yield (lo, hi)
+
+  /** compare(statString, catalystLiteral) in the column's domain. */
+  private def cmpLit(stat: String, v: Any, dt: DataType): Option[Int] =
+    try dt match {
+      case IntegerType | LongType | FloatType | DoubleType | ShortType |
+           ByteType =>
+        Some(java.lang.Double.compare(stat.toDouble, v.toString.toDouble))
+      case StringType =>
+        Some(stat.compareTo(v.toString)) // UTF8String.toString = the value
+      case BooleanType =>
+        Some(java.lang.Boolean.compare(stat.toBoolean, v.toString.toBoolean))
+      case DateType =>
+        // catalyst DateType literal = days since epoch
+        val statDays = java.time.LocalDate.parse(stat).toEpochDay
+        Some(java.lang.Long.compare(statDays, v.toString.toLong))
+      case _ => None // timestamps etc.: stat format vs micros — keep file
+    } catch { case _: RuntimeException => None }
+}

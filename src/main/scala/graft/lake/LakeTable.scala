@@ -68,6 +68,32 @@ object LakeTable {
     else spark.read.schema(st).parquet(snap.files.map(_.path): _*)
   }
 
+  /** Catalyst-integrated read: the returned DataFrame prunes files by log
+    * stats for WHATEVER filters later land on it — `.filter(...)`, SQL
+    * WHERE, join pushdowns — because a [[LakeFileIndex]] receives the
+    * resolved predicates at planning time. This is the read path to prefer;
+    * [[readFiltered]] remains for the reference's explicit 3-token API.
+    */
+  def readIndexed(spark: SparkSession, log: LakeLog, table: String,
+                  version: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val snap = log.snapshot(table, version)
+    val st = toStructType(snap.schema.getOrElse(
+      throw new LakeValidationException(s"table $table has no schema")))
+    if (snap.files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
+    val relation = HadoopFsRelation(
+      location = new LakeFileIndex(spark, snap, st),
+      partitionSchema = StructType(Nil),
+      dataSchema = st,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
+    org.apache.spark.sql.classic.ClassicConversions.castToImpl(spark)
+      .baseRelationToDataFrame(relation)
+  }
+
   /** Stat-pruned read: drop files whose [min,max] range for the predicate
     * column excludes the literal — the file-skipping optimization the
     * reference scaffolds (stats in `proto/metadata.proto:102-105`) but never

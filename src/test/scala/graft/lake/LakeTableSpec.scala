@@ -311,6 +311,37 @@ class LakeTableSpec extends SparkSpec {
     assert(new LakeLog(log.root).snapshot("t", 1).files == pinned)
   }
 
+  test("readIndexed: Catalyst filters prune files via LakeFileIndex stats") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val log = newLog()
+    LakeTable.createTable(log, "t", schema)
+    LakeTable.insert(spark, log, "t", sampleDf(1 to 100, "a"))
+    LakeTable.insert(spark, log, "t", sampleDf(101 to 200, "b"))
+    LakeTable.insert(spark, log, "t", sampleDf(201 to 300, "c"))
+
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect() // execute to populate metrics
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f }
+      scans.map(_.metrics("numFiles").value).sum
+    }
+
+    val base = LakeTable.readIndexed(spark, log, "t")
+    assert(base.count() == 300)
+    // arbitrary Spark predicates — not the 3-token grammar — prune files
+    assert(scannedFiles(base.filter(col("id") > 250)) == 1)
+    assert(scannedFiles(base.filter(col("id") >= 101 && col("id") < 150)) == 1)
+    assert(scannedFiles(base.filter(col("category") === "b")) == 1)
+    assert(scannedFiles(base.filter(col("id") < 50 || col("id") > 280)) == 2)
+    assert(scannedFiles(base.filter(col("id").isin(5, 150))) == 2)
+    assert(scannedFiles(base.filter(col("id") > 1000)) == 0)
+    // correctness: pruned reads return exactly the filtered rows
+    assert(base.filter(col("id") > 250).count() == 50)
+    assert(base.filter(col("id") < 50 || col("id") > 280).count() == 69)
+    // unsupported predicate shapes scan everything but stay correct
+    assert(base.filter(col("id") % 7 === 0).count() == 42)
+  }
+
   test("schema codec round-trips all eight declared types") {
     val st = StructType(Seq(
       StructField("a", IntegerType), StructField("b", LongType),
