@@ -164,6 +164,21 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    "q_window_analytics" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          round(lag("value", 1).over(w), 4).as("prev_value"),
+          round(lead("value", 1).over(w), 4).as("next_value"),
+          round(first("value").over(w.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)), 4).as("first_value"),
+          ntile(4).over(w).as("quartile"),
+          rank().over(Window.partitionBy("user_id")
+            .orderBy(col("value").desc, col("event_id"))).as("value_rank"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // ---- §2.7 set operations (extension) --------------------------------
     "q_union" -> ((s, d) =>
       t(s, d, "region").select(col("r_name").as("name"))
@@ -542,6 +557,19 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
                AS running_value
       FROM events ORDER BY user_id, event_id""",
+    "q_window_analytics" -> """
+      SELECT user_id, event_id,
+             round(lag(value, 1) OVER w, 4) AS prev_value,
+             round(lead(value, 1) OVER w, 4) AS next_value,
+             round(first_value(value) OVER (PARTITION BY user_id
+               ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+               CURRENT ROW), 4) AS first_value,
+             ntile(4) OVER w AS quartile,
+             rank() OVER (PARTITION BY user_id
+               ORDER BY value DESC, event_id) AS value_rank
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+      ORDER BY user_id, event_id""",
     "q_union" -> """
       SELECT r_name AS name FROM region
       UNION ALL SELECT n_name FROM nation ORDER BY name""",

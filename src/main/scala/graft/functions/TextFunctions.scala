@@ -33,15 +33,19 @@ object TextFunctions {
     size(regexp_extract_all(c,
       lit("[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]"), lit(0)))
 
-  /** Character n-gram shingles of the normalized text (for MinHash / Jaccard).
-    * Implemented with `sequence` + `transform` (higher-order, codegen'd) —
-    * one array per row, no explode until the caller asks for it.
+  /** Character n-gram shingles of the normalized text (for MinHash / Jaccard
+    * on languages without word boundaries). Split to single characters once,
+    * then the same zip_with fold as [[shinglesFromTokens]] — referencing the
+    * normalized string O(n) times instead of once per character position
+    * (higher-order lambdas re-evaluate referenced subtrees per element).
     */
   def charShingles(c: Column, n: Int): Column = {
     val norm = normalizeText(c)
-    when(length(norm) < n, array(norm)).otherwise(
-      transform(sequence(lit(0), length(norm) - n),
-        i => substr(norm, i + 1, lit(n))))
+    val chars = split(norm, "")
+    val m = greatest(size(chars) - (n - 1), lit(0))
+    val sh = (1 until n).foldLeft(slice(chars, lit(1), m))((acc, j) =>
+      zip_with(acc, slice(chars, lit(j + 1), m), (x, y) => concat(x, y)))
+    when(length(norm) < n, array(norm)).otherwise(sh)
   }
 
   /** Word n-gram shingles from a PRE-BOUND token-array column.
