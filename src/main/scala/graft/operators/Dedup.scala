@@ -51,12 +51,24 @@ object Dedup {
     * (Empty text still yields one shingle — the empty string — so no ids drop.)
     */
   private def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
-                            shingleSize: Int): DataFrame =
-    spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
-      .select(col("id"), tokens(normalizeText(col("__text"))).as("__toks"))
-      .select(col("id"), explode(array_distinct(
-        shinglesFromTokens(col("__toks"), shingleSize))).as("sh"))
+                            shingleSize: Int,
+                            charShingleSize: Int = 0): DataFrame = {
+    val shingled =
+      if (charShingleSize > 0)
+        // character shingles: for languages without whitespace word
+        // boundaries (CJK, Thai) where word tokens don't exist
+        spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
+          .select(col("id"),
+            charShingles(col("__text"), charShingleSize).as("__sh"))
+      else
+        spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
+          .select(col("id"), tokens(normalizeText(col("__text"))).as("__toks"))
+          .select(col("id"),
+            shinglesFromTokens(col("__toks"), shingleSize).as("__sh"))
+    shingled
+      .select(col("id"), explode(array_distinct(col("__sh"))).as("sh"))
       .select(col("id"), xxhash64(col("sh")).as("h"))
+  }
 
   /** MinHash signatures as (id, sig: array<long>[k]): k independent min-hash
     * aggregates over the shingle hashes, all inside one vectorized
@@ -64,11 +76,12 @@ object Dedup {
     * with no long-overflow (ANSI mode rejects wrap-around multiply-add).
     */
   def minhashSignatures(docs: DataFrame, k: Int, shingleSize: Int = 3,
-                        idCol: String = "doc_id", textCol: String = "text")
+                        idCol: String = "doc_id", textCol: String = "text",
+                        charShingleSize: Int = 0)
       : DataFrame = {
     val aggs = (0 until k).map(i =>
       min(xxhash64(col("h"), lit(i))).as(s"m$i"))
-    shingleHashes(docs, idCol, textCol, shingleSize)
+    shingleHashes(docs, idCol, textCol, shingleSize, charShingleSize)
       .groupBy("id").agg(aggs.head, aggs.tail: _*)
       .select(col("id"),
         array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
@@ -87,9 +100,11 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.8,
                       bands: Int = 16, rowsPerBand: Int = 4,
                       idCol: String = "doc_id", textCol: String = "text",
-                      shingleSize: Int = 3): DataFrame = {
+                      shingleSize: Int = 3,
+                      charShingleSize: Int = 0): DataFrame = {
     val k = bands * rowsPerBand
-    val sigs = minhashSignatures(docs, k, shingleSize, idCol, textCol)
+    val sigs = minhashSignatures(docs, k, shingleSize, idCol, textCol,
+      charShingleSize)
 
     // (id, band, bucket): bucket = hash of the band's slice of the signature
     val buckets = sigs.select(col("id"), col("sig"),
@@ -121,11 +136,12 @@ object Dedup {
     * one-row-per-doc-per-partition shuffle shape as [[minhashSignatures]]).
     */
   def simhashFingerprints(docs: DataFrame, idCol: String = "doc_id",
-                          textCol: String = "text", shingleSize: Int = 2)
+                          textCol: String = "text", shingleSize: Int = 2,
+                          charShingleSize: Int = 0)
       : DataFrame = {
     val bitAggs = (0 until 64).map(b =>
       sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$b"))
-    shingleHashes(docs, idCol, textCol, shingleSize)
+    shingleHashes(docs, idCol, textCol, shingleSize, charShingleSize)
       .groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
       .select(col("id"),
         (0 until 64).map(b =>

@@ -75,6 +75,26 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 4L, 5L, 6L))
   }
 
+  test("char-shingle mode: near-dups found in whitespace-free text") {
+    // CJK-style text: no word boundaries, so word shingles see one token
+    val cjk = Seq(
+      (1L, "機械学習は人工知能の一分野である"),
+      (2L, "機械学習は人工知能の一分野である"),   // exact dup
+      (3L, "機械学習は人工知能のひとつの分野である"), // near dup
+      (4L, "全然違う内容の文書です今日は晴れ")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(cjk, k = 32, charShingleSize = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    def overlap(a: Seq[Long], b: Seq[Long]) = a.zip(b).count(p => p._1 == p._2)
+    assert(overlap(sigs(1L), sigs(3L)) > overlap(sigs(1L), sigs(4L)))
+    val fps = Dedup.simhashFingerprints(cjk, charShingleSize = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(fps(1L) == fps(2L))
+    assert(ham(fps(1L), fps(3L)) < ham(fps(1L), fps(4L)))
+  }
+
   test("connectedComponents labels chains and separates clusters") {
     // graph: 1-2, 2-3, 3-4 (chain → all component 1); 10-11; 20 isolated pair-less
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
