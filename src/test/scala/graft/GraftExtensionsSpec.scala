@@ -10,8 +10,12 @@ import org.apache.spark.sql.SparkSession
 class GraftExtensionsSpec extends AnyFunSuite {
 
   test("spark.sql.extensions=graft.GraftExtensions registers SQL kernels") {
-    val existing = SparkSession.getActiveSession
-    existing.foreach(_ => SparkSession.clearActiveSession())
+    // getOrCreate returns the active OR default session if one exists (and
+    // would skip applying extensions) — clear both, restore afterwards
+    val activeBefore = SparkSession.getActiveSession
+    val defaultBefore = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-test")
@@ -29,7 +33,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .collect().head.getDouble(0)
       assert(jac == 0.5) // {bits 0,1} vs {bit 0}
     } finally {
-      existing.foreach(SparkSession.setActiveSession)
+      defaultBefore.foreach(SparkSession.setDefaultSession)
+      activeBefore.foreach(SparkSession.setActiveSession)
+      if (defaultBefore.isEmpty && activeBefore.isEmpty) {
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
     }
   }
 }
