@@ -16,10 +16,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val defaultBefore = SparkSession.getDefaultSession
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
+    // the config-string form is a STATIC conf — honored only when this
+    // builder also creates the SparkContext (true standalone, not when an
+    // earlier suite made one). withExtensions covers the shared-context
+    // case; both paths exercise the same GraftExtensions.apply.
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-test")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .withExtensions(new GraftExtensions())
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     try {
