@@ -68,6 +68,21 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(pairs(((1L, 4L))) - 0.6) < 1e-9)
   }
 
+  test("jaccard strategies agree: prefix-filter path == bitmask path") {
+    // maxBitmaskVocab=0 forces the prefix-filtered strategy; the adaptive
+    // default picks bitmask on this vocab — results must be identical
+    def run(maxVocab: Int) =
+      Dedup.ngramJaccardPairs(docs, threshold = 0.5, n = 1,
+          maxBitmaskVocab = maxVocab)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)),
+          math.round(r.getDouble(2) * 1e9))).toMap
+    val viaBitmask = run(Int.MaxValue)
+    val viaPrefix = run(0)
+    assert(viaBitmask == viaPrefix)
+    assert(viaBitmask.contains((1L, 2L)))
+  }
+
   test("dropDuplicates removes the b-side of each pair") {
     val pairs = Dedup.minhashLshPairs(docs, threshold = 0.9)
     val kept = Dedup.dropDuplicates(docs, pairs).select("doc_id")
