@@ -736,6 +736,21 @@ object SparkEntry {
                  FROM fp GROUP BY f)
       SELECT fp.doc_id AS id, g.m AS component
       FROM fp JOIN g USING (f) WHERE g.c > 1 ORDER BY id""",
+    "q_ann_brute" -> """
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                 FROM embeddings WHERE vec_id < 10),
+      scored AS (
+        SELECT q.query_id, e.vec_id,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.qvec AS DOUBLE[])) AS cos
+        FROM embeddings e CROSS JOIN q),
+      ranked AS (
+        SELECT query_id, vec_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, vec_id) AS rank
+        FROM scored)
+      SELECT query_id, vec_id, round(cos, 6) AS cos, rank
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     "q_embed_neardup" -> """
       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
              round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
