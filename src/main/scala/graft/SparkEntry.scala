@@ -269,6 +269,20 @@ object SparkEntry {
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
 
+    // ---- data profiling (one-pass column statistics) ---------------------
+    "q_profile" -> ((s, d) =>
+      graft.operators.Profile.numericProfile(
+          t(s, d, "lineitem").select("l_quantity", "l_extendedprice",
+            "l_discount", "l_tax"))
+        .select(col("column"), col("nRows").as("n_rows"),
+          col("nNulls").as("n_nulls"),
+          round(col("min"), 4).as("min_v"), round(col("max"), 4).as("max_v"),
+          round(col("mean"), 6).as("mean_v"),
+          round(col("stddev"), 6).as("stddev_v"),
+          round(col("p25"), 4).as("p25"), round(col("p50"), 4).as("p50"),
+          round(col("p75"), 4).as("p75"))
+        .orderBy("column")),
+
     // ---- grouping sets / rollup (extension) ------------------------------
     "q_rollup" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -630,6 +644,44 @@ object SparkEntry {
              round(sum(coalesce(nullif(l_quantity, 1.0), 0.0)), 2) AS sum_qty0,
              round(avg(nullif(l_quantity, 1.0)), 6) AS avg_nonnull
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_profile" -> """
+      WITH p AS (
+        SELECT 'l_quantity' AS "column", count(*) AS n_rows,
+               count(*) - count(l_quantity) AS n_nulls,
+               round(min(l_quantity), 4) AS min_v,
+               round(max(l_quantity), 4) AS max_v,
+               round(avg(l_quantity), 6) AS mean_v,
+               round(stddev_samp(l_quantity), 6) AS stddev_v,
+               round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+               round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+               round(quantile_cont(l_quantity, 0.75), 4) AS p75
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+               round(min(l_extendedprice), 4), round(max(l_extendedprice), 4),
+               round(avg(l_extendedprice), 6),
+               round(stddev_samp(l_extendedprice), 6),
+               round(quantile_cont(l_extendedprice, 0.25), 4),
+               round(quantile_cont(l_extendedprice, 0.5), 4),
+               round(quantile_cont(l_extendedprice, 0.75), 4)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', count(*), count(*) - count(l_discount),
+               round(min(l_discount), 4), round(max(l_discount), 4),
+               round(avg(l_discount), 6), round(stddev_samp(l_discount), 6),
+               round(quantile_cont(l_discount, 0.25), 4),
+               round(quantile_cont(l_discount, 0.5), 4),
+               round(quantile_cont(l_discount, 0.75), 4)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_tax', count(*), count(*) - count(l_tax),
+               round(min(l_tax), 4), round(max(l_tax), 4),
+               round(avg(l_tax), 6), round(stddev_samp(l_tax), 6),
+               round(quantile_cont(l_tax, 0.25), 4),
+               round(quantile_cont(l_tax, 0.5), 4),
+               round(quantile_cont(l_tax, 0.75), 4)
+        FROM lineitem)
+      SELECT * FROM p ORDER BY "column" """,
     "q_cube" -> """
       SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
              round(sum(o_totalprice), 2) AS rev
@@ -728,6 +780,50 @@ object SparkEntry {
       UNION ALL SELECT 4, count(*), round(sum(l_extendedprice), 2)
         FROM lineitem
       ORDER BY version""",
+    "q_lang_id" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(
+                 regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+                 x -> x <> '') AS t
+        FROM documents),
+      scores AS (
+        SELECT doc_id,
+          CASE WHEN len(t) = 0 THEN 0.0 ELSE
+            len(list_filter(t, x -> list_contains(
+              ['der','die','und','das','ist','nicht','von','mit','den','ein'], x)))
+            / CAST(len(t) AS DOUBLE) END AS s_de,
+          CASE WHEN len(t) = 0 THEN 0.0 ELSE
+            len(list_filter(t, x -> list_contains(
+              ['the','of','and','to','in','is','that','it','was','for'], x)))
+            / CAST(len(t) AS DOUBLE) END AS s_en,
+          CASE WHEN len(t) = 0 THEN 0.0 ELSE
+            len(list_filter(t, x -> list_contains(
+              ['de','la','que','el','en','los','del','las','por','un'], x)))
+            / CAST(len(t) AS DOUBLE) END AS s_es,
+          CASE WHEN len(t) = 0 THEN 0.0 ELSE
+            len(list_filter(t, x -> list_contains(
+              ['le','la','les','des','est','dans','que','une','pour','qui'], x)))
+            / CAST(len(t) AS DOUBLE) END AS s_fr,
+          CASE WHEN len(t) = 0 THEN 0.0 ELSE
+            len(list_filter(t, x -> list_contains(
+              ['di','che','il','la','per','del','con','una','sono','della'], x)))
+            / CAST(len(t) AS DOUBLE) END AS s_it,
+          CASE WHEN len(t) = 0 THEN 0.0 ELSE
+            len(list_filter(t, x -> list_contains(
+              ['de','que','em','para','com','uma','os','não','mais','das'], x)))
+            / CAST(len(t) AS DOUBLE) END AS s_pt
+        FROM toks)
+      SELECT doc_id,
+             CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_it,s_pt) <= 0.0 THEN 'und'
+                  WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_it,s_pt) THEN 'de'
+                  WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_it,s_pt) THEN 'en'
+                  WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_it,s_pt) THEN 'es'
+                  WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_it,s_pt) THEN 'fr'
+                  WHEN s_it = greatest(s_de,s_en,s_es,s_fr,s_it,s_pt) THEN 'it'
+                  ELSE 'pt' END AS lang_guess,
+             round(s_en, 6) AS en_score
+      FROM scores ORDER BY doc_id""",
     "q_dedup_cc" -> """
       WITH fp AS (SELECT doc_id,
                     md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
