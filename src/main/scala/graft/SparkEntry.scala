@@ -780,6 +780,42 @@ object SparkEntry {
       UNION ALL SELECT 4, count(*), round(sum(l_extendedprice), 2)
         FROM lineitem
       ORDER BY version""",
+    "q_quality" -> """
+      WITH norm AS (
+        SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+        FROM documents),
+      f AS (
+        SELECT doc_id,
+               CAST(length(nt) AS DOUBLE) AS n_chars,
+               CAST(len(list_filter(string_split_regex(nt, '\s+'),
+                 x -> x <> '')) AS DOUBLE) AS n_tok,
+               CAST(length(regexp_replace(nt, '[\p{L}\p{N}\s]', '', 'g'))
+                 AS DOUBLE) AS n_sym,
+               CAST(length(regexp_replace(nt, '[^0-9]', '', 'g'))
+                 AS DOUBLE) AS n_dig
+        FROM norm),
+      feats AS (
+        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+               CASE WHEN n_tok > 0 THEN (n_chars - (n_tok - 1)) / n_tok
+                    ELSE 0.0 END AS mean_token_len,
+               CASE WHEN n_chars > 0 THEN n_sym / n_chars ELSE 0.0 END
+                 AS symbol_ratio,
+               CASE WHEN n_chars > 0 THEN n_dig / n_chars ELSE 0.0 END
+                 AS digit_ratio
+        FROM f)
+      SELECT doc_id, n_tokens,
+             round(mean_token_len, 6) AS mean_token_len,
+             round(symbol_ratio, 6) AS symbol_ratio,
+             round(digit_ratio, 6) AS digit_ratio,
+             round(
+               (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 1.0
+                     ELSE 0.3 END) *
+               (CASE WHEN mean_token_len >= 2 AND mean_token_len <= 12
+                     THEN 1.0 ELSE 0.5 END) *
+               greatest(0.0, 1.0 - symbol_ratio * 4) *
+               greatest(0.0, 1.0 - digit_ratio * 2), 6) AS quality
+      FROM feats ORDER BY doc_id""",
     "q_lang_id" -> """
       WITH toks AS (
         SELECT doc_id,

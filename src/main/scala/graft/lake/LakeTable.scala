@@ -299,6 +299,32 @@ object LakeTable {
       log.latestVersion(table))
   }
 
+  /** Table history — one row per committed version (DESCRIBE HISTORY
+    * shape): version, commit time, txn id, schema-change flag, files
+    * added/removed and row/byte deltas.
+    */
+  def history(spark: SparkSession, log: LakeLog, table: String): DataFrame = {
+    import spark.implicits._
+    log.versions(table).map { v =>
+      val e = log.readEntry(table, v)
+      (e.version, new java.sql.Timestamp(e.timestamp_ms), e.txn_id,
+        e.schema.isDefined, e.adds.size.toLong, e.removes.size.toLong,
+        e.adds.map(_.rows).sum, e.adds.map(_.size).sum)
+    }.toDF("version", "committed_at", "txn_id", "schema_change",
+      "n_added", "n_removed", "rows_added", "bytes_added")
+  }
+
+  /** Current-table summary: version, file/row/byte totals, schema. */
+  final case class TableInfo(table: String, version: Long, nFiles: Int,
+                             rows: Long, bytes: Long, fields: Seq[String])
+  def describe(log: LakeLog, table: String): TableInfo = {
+    val snap = log.snapshot(table)
+    TableInfo(table, snap.version, snap.files.size,
+      snap.files.map(_.rows).sum, snap.files.map(_.size).sum,
+      snap.schema.map(_.fields.map(f => s"${f.name}:${f.`type`}"))
+        .getOrElse(Nil))
+  }
+
   final case class VacuumReport(examined: Int, deleted: Int, keptLive: Int)
 
   /** Garbage-collect data files no longer reachable from any RETAINED

@@ -238,6 +238,22 @@ class LakeTableSpec extends SparkSpec {
       "evolve-4"))
   }
 
+  test("history and describe expose the commit log") {
+    val log = newLog()
+    LakeTable.createTable(log, "t", schema)
+    LakeTable.insert(spark, log, "t", sampleDf(1 to 100, "a"), txnId = "tx-a")
+    LakeTable.insert(spark, log, "t", sampleDf(101 to 150, "b"), txnId = "tx-b")
+    val h = LakeTable.history(spark, log, "t").orderBy("version").collect()
+    assert(h.length == 3) // create + 2 inserts
+    assert(h(0).getBoolean(3)) // version 0 carries the schema
+    assert(h(1).getAs[String]("txn_id") == "tx-a" &&
+      h(1).getAs[Long]("rows_added") == 100)
+    assert(h(2).getAs[Long]("rows_added") == 50)
+    val info = LakeTable.describe(log, "t")
+    assert(info.version == 2 && info.nFiles == 2 && info.rows == 150)
+    assert(info.fields == Seq("id:int64", "category:string", "price:float64"))
+  }
+
   test("vacuum deletes only files unreachable from retained versions") {
     val log = newLog()
     LakeTable.createTable(log, "t", schema)
