@@ -299,6 +299,98 @@ object LakeTable {
       log.latestVersion(table))
   }
 
+  final case class DeleteReport(filesRewritten: Int, filesUntouched: Int,
+                                rowsDeleted: Long, version: Long)
+
+  /** DELETE WHERE — beyond the reference (which has no row deletion):
+    * copy-on-write at file granularity. Only files whose min/max stats admit
+    * matching rows are rewritten (the others are untouched log entries —
+    * zero I/O); each rewritten file is replaced by its retained rows in one
+    * OCC commit, so readers see the delete atomically and old versions time
+    * travel to the pre-delete data. Predicate is the 3-token grammar or any
+    * Spark SQL expression (unparseable → all files rewritten, still
+    * correct).
+    */
+  def deleteWhere(spark: SparkSession, log: LakeLog, table: String,
+                  predicate: String,
+                  txnId: String = UUID.randomUUID().toString): DeleteReport = {
+    log.committedVersion(table, txnId).foreach(v =>
+      return DeleteReport(0, 0, 0, v))
+    val snap = log.snapshot(table)
+    val st = toStructType(snap.schema.get)
+    val candidates = FilePruning.prune(snap.files, predicate, st)
+    if (candidates.isEmpty)
+      return DeleteReport(0, snap.files.size, 0, snap.version)
+    val pred = QueryEngine.parsePredicate(predicate)
+    val staged = log.tmpDir(table, txnId)
+    // rewrite candidates: retained rows only; a file whose rows all match
+    // is dropped entirely (no empty-file adds — parquet writes skip them)
+    val retained = spark.read.schema(st)
+      .parquet(candidates.map(_.path): _*).filter(!pred)
+    retained.coalesce(math.max(1, candidates.size))
+      .write.mode("overwrite").option("compression", "snappy")
+      .parquet(staged.toString)
+    try {
+      val adds = statAndPromote(spark, log, table, staged, st)
+        .filter(_.rows > 0)
+      val inputPaths = candidates.map(_.path)
+      val result = log.commitWithRetry(table, txnId) { fresh =>
+        val live = fresh.files.map(_.path).toSet
+        if (inputPaths.forall(live.contains)) Some((adds, inputPaths))
+        else None // concurrent rewrite of our inputs — abort
+      }.getOrElse(throw new CommitConflictException(
+        s"delete lost its input files to a concurrent commit"))
+      val deleted = candidates.map(_.rows).sum - adds.map(_.rows).sum
+      DeleteReport(candidates.size, snap.files.size - candidates.size,
+        deleted, result.version)
+    } finally deleteRecursively(staged)
+  }
+
+  /** Upsert by key — MERGE INTO semantics for the common whole-row case:
+    * delete current rows whose key appears in `updates`, then insert
+    * `updates`, both inside one commit (remove rewritten files + add
+    * rewrite and new-data files atomically).
+    */
+  def upsert(spark: SparkSession, log: LakeLog, table: String,
+             updates: DataFrame, keyCol: String,
+             txnId: String = UUID.randomUUID().toString): CommitResult = {
+    log.committedVersion(table, txnId).foreach(v =>
+      return CommitResult(v, duplicate = true))
+    val snap = log.snapshot(table)
+    val st = toStructType(snap.schema.get)
+    val shaped = updates.select(st.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType)): _*)
+    val keys = shaped.select(keyCol)
+    val staged = log.tmpDir(table, txnId)
+    // files that might contain an updated key (stats-pruned via the key
+    // range of the update set — single min/max conjunct)
+    val Seq(loK, hiK) = keys.agg(min(keyCol).cast("string"),
+      max(keyCol).cast("string")).collect().head.toSeq.map(String.valueOf)
+    val candidates = FilePruning.prune(
+      FilePruning.prune(snap.files, s"$keyCol >= $loK", st),
+      s"$keyCol <= $hiK", st)
+    val survivors =
+      if (candidates.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
+      else spark.read.schema(st).parquet(candidates.map(_.path): _*)
+        .join(keys, Seq(keyCol), "left_anti")
+    survivors.unionByName(shaped)
+      .coalesce(math.max(1, candidates.size))
+      .write.mode("overwrite").option("compression", "snappy")
+      .parquet(staged.toString)
+    try {
+      val adds = statAndPromote(spark, log, table, staged, st)
+        .filter(_.rows > 0)
+      val inputPaths = candidates.map(_.path)
+      log.commitWithRetry(table, txnId) { fresh =>
+        val live = fresh.files.map(_.path).toSet
+        if (inputPaths.forall(live.contains)) Some((adds, inputPaths))
+        else None
+      }.getOrElse(throw new CommitConflictException(
+        s"upsert lost its input files to a concurrent commit"))
+    } finally deleteRecursively(staged)
+  }
+
   /** Table history — one row per committed version (DESCRIBE HISTORY
     * shape): version, commit time, txn id, schema-change flag, files
     * added/removed and row/byte deltas.

@@ -238,6 +238,62 @@ class LakeTableSpec extends SparkSpec {
       "evolve-4"))
   }
 
+  test("deleteWhere rewrites only stat-matching files; time travel intact") {
+    val log = newLog()
+    LakeTable.createTable(log, "t", schema)
+    LakeTable.insert(spark, log, "t", sampleDf(1 to 100, "a"))
+    LakeTable.insert(spark, log, "t", sampleDf(101 to 200, "b"))
+    LakeTable.insert(spark, log, "t", sampleDf(201 to 300, "c"))
+    val preVersion = log.latestVersion("t")
+
+    val r = LakeTable.deleteWhere(spark, log, "t", "id > 250")
+    assert(r.filesRewritten == 1 && r.filesUntouched == 2 &&
+      r.rowsDeleted == 50)
+    assert(LakeTable.read(spark, log, "t").count() == 250)
+    assert(LakeTable.read(spark, log, "t")
+      .filter(col("id") > 250).count() == 0)
+    // untouched files are literally the same paths
+    val before = log.snapshot("t", preVersion).files.map(_.path).toSet
+    val after = log.snapshot("t").files.map(_.path).toSet
+    assert(after.intersect(before).size == 2)
+    // pre-delete version still reads all 300 rows
+    assert(LakeTable.read(spark, log, "t", preVersion).count() == 300)
+    // no-op delete: stats prove nothing matches, zero rewrites
+    val r2 = LakeTable.deleteWhere(spark, log, "t", "id > 9999")
+    assert(r2.filesRewritten == 0 && r2.version == log.latestVersion("t"))
+    // delete an entire file's rows: the file vanishes without replacement
+    val r3 = LakeTable.deleteWhere(spark, log, "t", "id <= 100")
+    assert(r3.rowsDeleted == 100)
+    assert(LakeTable.read(spark, log, "t").count() == 150)
+  }
+
+  test("upsert replaces matching keys and appends new ones atomically") {
+    val log = newLog()
+    LakeTable.createTable(log, "t", schema)
+    LakeTable.insert(spark, log, "t", sampleDf(1 to 100, "a"))
+    LakeTable.insert(spark, log, "t", sampleDf(101 to 200, "b"))
+    val preVersion = log.latestVersion("t")
+
+    val updates = Seq((50L, "updated", 999.0), (150L, "updated", 888.0),
+      (500L, "new", 777.0)).toDF("id", "category", "price")
+    val r = LakeTable.upsert(spark, log, "t", updates, "id")
+    assert(!r.duplicate && r.version == preVersion + 1)
+    val df = LakeTable.read(spark, log, "t")
+    assert(df.count() == 201) // 200 + 1 new key
+    assert(df.filter(col("id") === 50L).select("price")
+      .as[Double].head() == 999.0)
+    assert(df.filter(col("id") === 500L).count() == 1)
+    assert(df.filter(col("category") === "updated").count() == 2)
+    // idempotent retry
+    assert(LakeTable.upsert(spark, log, "t", updates, "id",
+      txnId = "up-1").duplicate == false)
+    assert(LakeTable.upsert(spark, log, "t", updates, "id",
+      txnId = "up-1").duplicate)
+    // time travel to pre-upsert
+    assert(LakeTable.read(spark, log, "t", preVersion)
+      .filter(col("id") === 50L).select("price").as[Double].head() == 50 * 1.5)
+  }
+
   test("history and describe expose the commit log") {
     val log = newLog()
     LakeTable.createTable(log, "t", schema)
