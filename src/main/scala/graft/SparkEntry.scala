@@ -456,6 +456,22 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q_lake_delete" -> ((s, d) => {
+      // copy-on-write DELETE, hash-checked: the post-delete table must
+      // equal the source filtered by the negated predicate
+      import graft.lake.{LakeLog, LakeTable}
+      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftdel"))
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      LakeTable.createTable(log, "li", li.schema)
+      LakeTable.insert(s, log, "li", li, numFiles = 4)
+      LakeTable.deleteWhere(s, log, "li", "l_quantity > 40")
+      LakeTable.read(s, log, "li").agg(
+        count(lit(1)).as("n_rows"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+    }),
+
     // ---- LLM-data-pipeline: embeddings -----------------------------------
     "q_embed_neardup" -> ((s, d) =>
       // threshold 0.3: the synthetic embeddings' max pairwise cosine is ~0.48,
@@ -780,6 +796,10 @@ object SparkEntry {
       UNION ALL SELECT 4, count(*), round(sum(l_extendedprice), 2)
         FROM lineitem
       ORDER BY version""",
+    "q_lake_delete" -> """
+      SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem WHERE l_quantity <= 40""",
     "q_quality" -> """
       WITH norm AS (
         SELECT doc_id,
