@@ -217,6 +217,24 @@ object LakeTable {
     insert(spark, log, table, df, txnId)
   }
 
+  /** Inline JSON-rows insert — the reference's `POST /tables/{t}/insert`
+    * accepts inline records but is a STUB that returns success WITHOUT
+    * writing anything (`rest_api.go:689-707`); the golden test inserts its 9
+    * rows through it. This is the real implementation: rows parsed with the
+    * table's declared schema (malformed JSON fails the txn, not the query),
+    * then the standard staged-commit insert path.
+    */
+  def insertJson(spark: SparkSession, log: LakeLog, table: String,
+                 jsonRows: Seq[String],
+                 txnId: String = UUID.randomUUID().toString): CommitResult = {
+    import spark.implicits._
+    val st = toStructType(log.snapshot(table).schema.get)
+    val df = spark.read.schema(st)
+      .option("mode", "FAILFAST")
+      .json(spark.createDataset(jsonRows))
+    insert(spark, log, table, df, txnId)
+  }
+
   /** Compaction thresholds from `pkg/coordinator/compaction_service.go:59-74`
     * and trigger rule from `:314-332`. */
   final case class CompactionConfig(minFileSize: Long = 10L * 1024 * 1024,

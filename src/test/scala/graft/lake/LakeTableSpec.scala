@@ -158,6 +158,22 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.read(spark, log, "t").count() == 1000)
   }
 
+  test("insertJson: inline rows committed for real (reference stubs this)") {
+    val log = newLog()
+    LakeTable.createTable(log, "t", schema)
+    val r = LakeTable.insertJson(spark, log, "t", Seq(
+      """{"id": 1, "category": "a", "price": 1.5}""",
+      """{"id": 2, "category": "b", "price": 2.5}"""))
+    assert(r.version == 1)
+    val rows = LakeTable.read(spark, log, "t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1L, "a", 1.5), (2L, "b", 2.5)))
+    // malformed rows fail the transaction instead of silently succeeding
+    assertThrows[Exception](LakeTable.insertJson(spark, log, "t",
+      Seq("""{"id": "not-a-number"!!!""")))
+    assert(log.latestVersion("t") == 1)
+  }
+
   test("load: csv and json external files through the declared schema") {
     val log = newLog()
     LakeTable.createTable(log, "t", schema)
