@@ -269,6 +269,21 @@ object SparkEntry {
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
 
+    // ---- pivot (wide aggregation) ----------------------------------------
+    "q_pivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(sum("l_quantity"), 2))
+        .orderBy("l_linestatus")),
+
+    // ---- explode / generator (UDTF-shaped) -------------------------------
+    "q_explode_tokens" -> ((s, d) =>
+      docsSpread(s, d)
+        .select(explode(tokens(normalizeText(col("text")))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(20)),
+
     // ---- data profiling (one-pass column statistics) ---------------------
     "q_profile" -> ((s, d) =>
       graft.operators.Profile.numericProfile(
@@ -660,6 +675,22 @@ object SparkEntry {
              round(sum(coalesce(nullif(l_quantity, 1.0), 0.0)), 2) AS sum_qty0,
              round(avg(nullif(l_quantity, 1.0)), 6) AS avg_nonnull
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_pivot" -> """
+      SELECT l_linestatus,
+             round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2)
+               AS "A",
+             round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2)
+               AS "N",
+             round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2)
+               AS "R"
+      FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q_explode_tokens" -> """
+      SELECT tok, count(*) AS n FROM (
+        SELECT unnest(list_filter(string_split_regex(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+          x -> x <> '')) AS tok
+        FROM documents)
+      GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
     "q_profile" -> """
       WITH p AS (
         SELECT 'l_quantity' AS "column", count(*) AS n_rows,
