@@ -35,6 +35,12 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_agg_golden")(spark, "/root/testdata/sf0.001")
 
+  /** NOTE on the trailing `.orderBy(...)` in every query: the driver's
+    * correctness gate hashes sorted rows, so outputs are made deterministic
+    * here. The sorts are gate artifacts, not operator cost — a production
+    * caller would drop them (and plans without them lose the final
+    * rangepartitioning exchange).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.1 scans -----------------------------------------------------
     "q_scan" -> ((s, d) =>
