@@ -27,6 +27,17 @@ object Profile {
     case _ => false
   }
 
+  /** Approximate distinct count per column (HyperLogLog++ sketch) — the
+    * cardinality profile of a 100 TB table in one pass and O(columns ×
+    * sketch) memory; mergeable across partitions like any partial agg.
+    */
+  def approxDistinct(df: DataFrame, rsd: Double = 0.05): Map[String, Long] = {
+    val cols = df.columns.toSeq
+    val aggs = cols.map(c => approx_count_distinct(col(c), rsd).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    cols.map(c => c -> row.getAs[Long](c)).toMap
+  }
+
   /** One row per numeric column: count/nulls/min/max/mean/stddev/quartiles.
     * All columns' aggregates are computed in ONE aggregation pass.
     */
@@ -36,11 +47,14 @@ object Profile {
     val cols = df.schema.fields.filter(f => isNumeric(f.dataType)).map(_.name)
     require(cols.nonEmpty, "no numeric columns to profile")
     val aggs = cols.flatMap { c =>
+      // percentile/percentile_approx return the INPUT type — cast so the
+      // quantiles of integral columns come back as doubles
       val q =
         if (approx)
-          percentile_approx(col(c), array(lit(0.25), lit(0.5), lit(0.75)),
-            lit(10000))
-        else percentile(col(c), array(lit(0.25), lit(0.5), lit(0.75)))
+          percentile_approx(col(c).cast("double"),
+            array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
+        else percentile(col(c).cast("double"),
+          array(lit(0.25), lit(0.5), lit(0.75)))
       Seq(
         count(lit(1)).as(s"__n_$c"),
         count(when(col(c).isNull, 1)).as(s"__nulls_$c"),
