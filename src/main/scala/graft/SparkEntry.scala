@@ -275,6 +275,28 @@ object SparkEntry {
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
 
+    // ---- JSON functions (events.props is a JSON payload) -----------------
+    "q_json" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(avg("k"), 6).as("avg_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")),
+
+    // ---- array functions over embeddings ---------------------------------
+    "q_array_ops" -> ((s, d) =>
+      t(s, d, "embeddings").select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 6)
+            .as("first_elem"),
+          round(element_at(col("embedding"), -1).cast("double"), 6)
+            .as("last_elem"),
+          round(aggregate(slice(col("embedding"), 1, 8),
+            lit(0.0), (acc, x) => acc + x.cast("double")), 6).as("head_sum"))
+        .orderBy("vec_id")),
+
     // ---- pivot (wide aggregation) ----------------------------------------
     "q_pivot" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -681,6 +703,20 @@ object SparkEntry {
              round(sum(coalesce(nullif(l_quantity, 1.0), 0.0)), 2) AS sum_qty0,
              round(avg(nullif(l_quantity, 1.0)), 6) AS avg_nonnull
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_json" -> """
+      SELECT event_type, count(*) AS n,
+             round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+               AS avg_k,
+             min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+             max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_array_ops" -> """
+      SELECT vec_id, len(embedding) AS dim,
+             round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+             round(CAST(embedding[-1] AS DOUBLE), 6) AS last_elem,
+             round(list_sum(list_transform(embedding[1:8],
+               x -> CAST(x AS DOUBLE))), 6) AS head_sum
+      FROM embeddings ORDER BY vec_id""",
     "q_pivot" -> """
       SELECT l_linestatus,
              round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2)
