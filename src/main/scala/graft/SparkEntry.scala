@@ -543,7 +543,9 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      Similarity.ivfTopK(emb, q, k = 5)
+      // one Lloyd sweep: at bench scale the quantizer quality gain from a
+      // second sweep doesn't pay for another round of jobs
+      Similarity.ivfTopK(emb, q, k = 5, kmeansIters = 1)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("query_id", "rank")
     }),
