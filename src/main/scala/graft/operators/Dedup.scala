@@ -398,4 +398,21 @@ object Dedup {
       .select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** The standard corpus-dedup pipeline, composed from the operators above
+    * the way a training-data run wires them: (1) exact dedup on normalized
+    * fingerprints (cheap, removes the bulk), (2) MinHash-LSH candidate pairs
+    * over the survivors, (3) connected components over the near-dup graph,
+    * (4) keep one representative per cluster. Returns the cleaned corpus.
+    * Every stage shuffles compact keys only; the full documents move once,
+    * in the final semi-join.
+    */
+  def dedupPipeline(docs: DataFrame, nearDupThreshold: Double = 0.8,
+                    idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val exact = exactDedup(docs, idCol, textCol)
+    val pairs = minhashLshPairs(exact, nearDupThreshold,
+      idCol = idCol, textCol = textCol)
+    dropDuplicatesExact(exact, pairs, idCol)
+  }
 }

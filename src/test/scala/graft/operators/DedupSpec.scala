@@ -132,6 +132,14 @@ class DedupSpec extends SparkSpec {
     assert(comps.forall(_.getLong(1) == 1L))
   }
 
+  test("dedupPipeline: exact + near-dup stages keep one rep per cluster") {
+    val kept = Dedup.dedupPipeline(docs, nearDupThreshold = 0.9)
+      .select("doc_id").as[Long].collect().sorted
+    // 2,3 are exact/normalization dups of 1; 4 is below the 0.9 near-dup
+    // threshold; 5, 6 are unique
+    assert(kept.toSeq == Seq(1L, 4L, 5L, 6L))
+  }
+
   test("embeddingNearDupPairs exact path: cosine over normalized vectors") {
     val embs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(2.0f, 0.0f)), // same direction
