@@ -58,6 +58,16 @@ class LakeLogSpec extends AnyFunSuite {
     assert(log.snapshot("t", 0).files.map(_.path) == Seq("b", "c"))
   }
 
+  test("snapshot bounds: future versions rejected, missing tables rejected") {
+    val log = newLog()
+    log.createTable("t", schema)
+    assertThrows[LakeValidationException](log.snapshot("t", 99))
+    assertThrows[LakeValidationException](log.snapshot("nope"))
+    assertThrows[LakeValidationException](log.latestVersion("nope"))
+    assertThrows[LakeValidationException](
+      log.commit("nope", 0, "tx", Nil))
+  }
+
   test("OCC rejects stale base version") {
     val log = newLog()
     log.createTable("t", schema)
