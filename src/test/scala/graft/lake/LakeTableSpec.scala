@@ -283,6 +283,19 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.read(spark, log, "t").count() == 150)
   }
 
+  test("deleteWhere is idempotent under txn retry") {
+    val log = newLog()
+    LakeTable.createTable(log, "t", schema)
+    LakeTable.insert(spark, log, "t", sampleDf(1 to 100, "a"))
+    val r1 = LakeTable.deleteWhere(spark, log, "t", "id > 50", txnId = "del-1")
+    assert(r1.rowsDeleted == 50)
+    val v = log.latestVersion("t")
+    // replayed delete: no new version, no double delete
+    val r2 = LakeTable.deleteWhere(spark, log, "t", "id > 50", txnId = "del-1")
+    assert(r2.rowsDeleted == 0 && log.latestVersion("t") == v)
+    assert(LakeTable.read(spark, log, "t").count() == 50)
+  }
+
   test("upsert replaces matching keys and appends new ones atomically") {
     val log = newLog()
     LakeTable.createTable(log, "t", schema)
