@@ -135,6 +135,7 @@ object LakeTable {
              txnId: String = UUID.randomUUID().toString,
              numFiles: Int = 1,
              clusterBy: Seq[String] = Nil,
+             zOrderBy: Seq[String] = Nil,
              maxAttempts: Int = 3): CommitResult = {
     // early idempotency check: a redelivered transaction (streaming batch
     // replay, client retry) must not re-stage data files
@@ -148,8 +149,18 @@ object LakeTable {
     // (`worker/src/parquet_writer.rs:182-234`): rows hash-routed by key into
     // numFiles files, so equal keys co-locate — narrows each file's min/max
     // stats and makes point-predicate file pruning effective.
+    // zOrderBy = multi-dimensional clustering: range-partition + sort by an
+    // interleaved-bit curve value, so EVERY listed column gets tight
+    // per-file min/max ranges and [[LakeFileIndex]] prunes on any of them.
     val arranged =
-      if (clusterBy.nonEmpty) shaped.repartition(numFiles, clusterBy.map(col): _*)
+      if (zOrderBy.nonEmpty) {
+        val z = ZOrder.zValue(spark, shaped, zOrderBy)
+        shaped.withColumn("__z", z)
+          .repartitionByRange(math.max(1, numFiles), col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+      }
+      else if (clusterBy.nonEmpty) shaped.repartition(numFiles, clusterBy.map(col): _*)
       else if (numFiles > 1) shaped.repartition(numFiles)
       else shaped.coalesce(1)
     arranged

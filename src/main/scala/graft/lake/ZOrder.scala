@@ -1,0 +1,75 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Z-order (Morton-curve) clustering value for multi-column file layout.
+  *
+  * Each column is linearly bucketed into 2^bits ranks between its batch
+  * min/max (one cheap agg on the driver — no global sort, unlike
+  * percent_rank-based z-ordering, so the computation scales to arbitrary
+  * insert sizes); the per-column ranks are bit-interleaved into one long.
+  * Range-partitioning + sorting by that value gives every listed column
+  * locality within each file, which is exactly what per-file min/max
+  * pruning needs: a predicate on ANY z-ordered column skips most files,
+  * where single-key clustering only helps its one key.
+  *
+  * Strings are bucketed by the first 8 bytes' unsigned order (prefix
+  * locality); other non-numeric types fall back to hash bucketing (equal
+  * values still co-locate, range locality is given up).
+  */
+object ZOrder {
+
+  /** Bits per dimension, bounded so the interleaved value fits in a long. */
+  private def bitsFor(n: Int): Int = math.min(16, 62 / math.max(1, n))
+
+  def zValue(spark: SparkSession, df: DataFrame, cols: Seq[String]): Column = {
+    require(cols.nonEmpty, "zOrderBy needs at least one column")
+    val n = cols.length
+    val bits = bitsFor(n)
+    val maxRank = (1 << bits) - 1
+
+    // one pass: min/max per z-column (numeric-ish only)
+    val numericCols = cols.filter(c => df.schema(c).dataType match {
+      case _: NumericType | DateType | TimestampType => true
+      case _ => false
+    })
+    val bounds: Map[String, (Double, Double)] =
+      if (numericCols.isEmpty) Map.empty
+      else {
+        val aggs = numericCols.flatMap(c => Seq(
+          min(col(c)).cast("double").as(s"__lo_$c"),
+          max(col(c)).cast("double").as(s"__hi_$c")))
+        val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+        numericCols.map(c => c -> ((row.getAs[Double](s"__lo_$c"),
+          row.getAs[Double](s"__hi_$c")))).toMap
+      }
+
+    def rank(c: String): Column = df.schema(c).dataType match {
+      case _: NumericType | DateType | TimestampType =>
+        val (lo, hi) = bounds(c)
+        if (hi <= lo) lit(0)
+        else least(lit(maxRank), greatest(lit(0),
+          floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * maxRank)
+            .cast("int")))
+      case StringType =>
+        // unsigned order of the first bytes → top `bits` of a 63-bit prefix
+        val prefix = conv(substring(hex(substr(col(c), lit(1), lit(7))) ||
+          lit("00000000000000"), 1, 14), 16, 10).cast("long")
+        shiftright(prefix, 56 - 2 - bits).cast("int")
+          .bitwiseAND(lit(maxRank))
+      case _ =>
+        pmod(xxhash64(col(c)), lit(maxRank + 1)).cast("int")
+    }
+
+    // interleave: bit j of column i lands at position j*n + i
+    val ranks = cols.map(rank)
+    val terms = for {
+      j <- 0 until bits
+      (r, i) <- ranks.zipWithIndex
+    } yield shiftleft(
+      shiftright(r.cast("long"), j).bitwiseAND(lit(1L)), j * n + i)
+    terms.reduce((a, b) => a.bitwiseOR(b))
+  }
+}

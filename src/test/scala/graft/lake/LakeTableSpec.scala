@@ -412,6 +412,46 @@ class LakeTableSpec extends SparkSpec {
     assert(new LakeLog(log.root).snapshot("t", 1).files == pinned)
   }
 
+  test("zOrderBy insert: pruning works on BOTH curve columns") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f }
+        .map(_.metrics("numFiles").value).sum
+    }
+    val rnd = new scala.util.Random(23)
+    val data = (1 to 20000).map(_ =>
+      (rnd.nextInt(10000).toLong, s"c${rnd.nextInt(3)}",
+        rnd.nextInt(10000) / 10.0)).toDF("id", "category", "price")
+
+    // z-ordered on (id, price): slices on EITHER column prune
+    val zlog = newLog()
+    LakeTable.createTable(zlog, "z", schema)
+    LakeTable.insert(spark, zlog, "z", data, numFiles = 16,
+      zOrderBy = Seq("id", "price"))
+    assert(zlog.snapshot("z").files.size == 16)
+    val z = LakeTable.readIndexed(spark, zlog, "z")
+    val zById = scannedFiles(z.filter(col("id") >= 1000 && col("id") < 2000))
+    val zByPrice = scannedFiles(
+      z.filter(col("price") >= 100.0 && col("price") < 200.0))
+    assert(zById <= 8, s"id-slice scanned $zById of 16")
+    assert(zByPrice <= 8, s"price-slice scanned $zByPrice of 16")
+
+    // baseline: round-robin files have full-range stats on both columns
+    val plog = newLog()
+    LakeTable.createTable(plog, "p", schema)
+    LakeTable.insert(spark, plog, "p", data, numFiles = 16)
+    val p = LakeTable.readIndexed(spark, plog, "p")
+    assert(scannedFiles(
+      p.filter(col("id") >= 1000 && col("id") < 2000)) == 16)
+
+    // correctness unchanged
+    assert(z.count() == 20000)
+    assert(z.filter(col("id") >= 1000 && col("id") < 2000).count() ==
+      p.filter(col("id") >= 1000 && col("id") < 2000).count())
+  }
+
   test("readIndexed: Catalyst filters prune files via LakeFileIndex stats") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val log = newLog()
