@@ -248,10 +248,15 @@ object LakeTable {
 
   /** Compaction thresholds from `pkg/coordinator/compaction_service.go:59-74`
     * and trigger rule from `:314-332`. */
+  /** `zOrderBy`: re-sort each compacted group by the Morton curve so
+    * clustering (and with it multi-column file pruning) survives
+    * compaction — merging z-ordered small files unsorted would widen every
+    * file's min/max back toward the full range. */
   final case class CompactionConfig(minFileSize: Long = 10L * 1024 * 1024,
                                     maxFileSize: Long = 128L * 1024 * 1024,
                                     minFilesCount: Int = 3,
-                                    smallBytesTriggerRatio: Double = 0.10)
+                                    smallBytesTriggerRatio: Double = 0.10,
+                                    zOrderBy: Seq[String] = Nil)
 
   final case class CompactionReport(groupsPlanned: Int, groupsCommitted: Int,
                                     filesRemoved: Int, filesAdded: Int,
@@ -306,8 +311,13 @@ object LakeTable {
     groups.zipWithIndex.foreach { case (group, gi) =>
       val txnId = s"compact-${UUID.randomUUID().toString}"
       val staged = log.tmpDir(table, txnId)
-      spark.read.schema(st).parquet(group.map(_.path): _*)
-        .coalesce(1)
+      val merged = spark.read.schema(st).parquet(group.map(_.path): _*)
+      val rewritten =
+        if (cfg.zOrderBy.nonEmpty)
+          merged.withColumn("__z", ZOrder.zValue(spark, merged, cfg.zOrderBy))
+            .coalesce(1).sortWithinPartitions("__z").drop("__z")
+        else merged.coalesce(1)
+      rewritten
         .write.mode("overwrite").option("compression", "snappy")
         .parquet(staged.toString)
       try {
