@@ -430,6 +430,32 @@ object LakeTable {
     } finally deleteRecursively(staged)
   }
 
+  /** Incremental change feed: all rows ADDED in versions
+    * `(fromVersion, toVersion]` (CDC-style consumption — the batch analog
+    * of a streaming source over the table; 0/negative `toVersion` = latest).
+    * Reads only the delta's files, never the full table, so downstream
+    * incremental pipelines pay for what changed. Rows removed by
+    * compaction/delete rewrites are layout changes, not logical inserts —
+    * consumers wanting delete events diff snapshots instead.
+    */
+  def changesSince(spark: SparkSession, log: LakeLog, table: String,
+                   fromVersion: Long, toVersion: Long = 0L): DataFrame = {
+    val latest = log.latestVersion(table)
+    val to = if (toVersion <= 0) latest else toVersion
+    require(fromVersion <= to, s"fromVersion $fromVersion > toVersion $to")
+    val st = toStructType(log.snapshot(table, to).schema.get)
+    // a rewrite commit (compaction/delete/upsert) re-adds surviving rows;
+    // exclude pure-rewrite adds by skipping entries that also remove files
+    val addedFiles = log.versions(table)
+      .filter(v => v > fromVersion && v <= to)
+      .map(v => log.readEntry(table, v))
+      .filter(_.removes.isEmpty)
+      .flatMap(_.adds.map(_.path))
+    if (addedFiles.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
+    else spark.read.schema(st).parquet(addedFiles: _*)
+  }
+
   /** Table history — one row per committed version (DESCRIBE HISTORY
     * shape): version, commit time, txn id, schema-change flag, files
     * added/removed and row/byte deltas.

@@ -323,6 +323,23 @@ class LakeTableSpec extends SparkSpec {
       .filter(col("id") === 50L).select("price").as[Double].head() == 50 * 1.5)
   }
 
+  test("changesSince reads only the delta; rewrites are not logical inserts") {
+    val log = newLog()
+    LakeTable.createTable(log, "t", schema)
+    LakeTable.insert(spark, log, "t", sampleDf(1 to 100, "a"))     // v1
+    LakeTable.insert(spark, log, "t", sampleDf(101 to 200, "b"))   // v2
+    LakeTable.insert(spark, log, "t", sampleDf(201 to 300, "c"))   // v3
+    assert(LakeTable.changesSince(spark, log, "t", 1).count() == 200)
+    assert(LakeTable.changesSince(spark, log, "t", 1, 2)
+      .select(min("id"), max("id")).collect().head.toSeq == Seq(101L, 200L))
+    assert(LakeTable.changesSince(spark, log, "t", 3).count() == 0)
+    // compaction rewrites files but adds no logical rows
+    LakeTable.compact(spark, log, "t", force = true)               // v4
+    assert(LakeTable.changesSince(spark, log, "t", 3).count() == 0)
+    LakeTable.insert(spark, log, "t", sampleDf(301 to 310, "d"))   // v5
+    assert(LakeTable.changesSince(spark, log, "t", 3).count() == 10)
+  }
+
   test("history and describe expose the commit log") {
     val log = newLog()
     LakeTable.createTable(log, "t", schema)
