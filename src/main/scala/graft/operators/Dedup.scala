@@ -399,6 +399,25 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Incremental exact dedup: drop rows of `newDocs` whose normalized
+    * fingerprint already exists in `corpus` (and dedup within the batch,
+    * keeping lowest id). The shape for continuous ingestion — pairs with
+    * [[graft.lake.LakeTable.changesSince]]: only fingerprints move through
+    * the anti-join, the corpus text is never re-read beyond its fingerprint
+    * column (at scale you'd persist a fingerprint index table and join
+    * against that).
+    */
+  def incrementalExactDedup(corpus: DataFrame, newDocs: DataFrame,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val corpusFps = corpus
+      .select(fingerprint(col(textCol)).as("fp")).distinct()
+    exactDedup(newDocs, idCol, textCol)
+      .withColumn("fp", fingerprint(col(textCol)))
+      .join(corpusFps, Seq("fp"), "left_anti")
+      .drop("fp")
+  }
+
   /** The standard corpus-dedup pipeline, composed from the operators above
     * the way a training-data run wires them: (1) exact dedup on normalized
     * fingerprints (cheap, removes the bulk), (2) MinHash-LSH candidate pairs

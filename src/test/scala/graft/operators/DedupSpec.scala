@@ -132,6 +132,20 @@ class DedupSpec extends SparkSpec {
     assert(comps.forall(_.getLong(1) == 1L))
   }
 
+  test("incrementalExactDedup drops batch rows already in the corpus") {
+    val corpus = Seq((1L, "existing doc one"), (2L, "existing doc two"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "existing doc one"),      // dup of corpus 1
+      (11L, "Existing  DOC two"),     // normalization dup of corpus 2
+      (12L, "genuinely new document"),
+      (13L, "genuinely new document") // in-batch dup of 12
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalExactDedup(corpus, batch)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(12L))
+  }
+
   test("dedupPipeline: exact + near-dup stages keep one rep per cluster") {
     val kept = Dedup.dedupPipeline(docs, nearDupThreshold = 0.9)
       .select("doc_id").as[Long].collect().sorted
