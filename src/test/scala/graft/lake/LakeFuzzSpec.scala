@@ -1,0 +1,74 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Model-based fuzzing of the lake: a random sequence of inserts, deletes,
+  * upserts and compactions runs against both the real LakeTable and an
+  * in-memory model (a Map of rows); after every operation the table must
+  * equal the model, and a randomly chosen historical version must equal the
+  * model's snapshot taken at that version. Catches cross-operation
+  * interactions no single-op spec covers.
+  */
+class LakeFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("v", DoubleType)))
+
+  test("random op sequences: table == model at head and at history") {
+    val rnd = new scala.util.Random(31)
+    val log = new LakeLog(tmpDir("fuzz"))
+    LakeTable.createTable(log, "t", schema)
+    var model = Map.empty[Long, Double]
+    // version -> model state; version 0 means "latest" in reads (reference
+    // GetSnapshot semantics), so it is not an addressable history point
+    var historyModels = Map.empty[Long, Map[Long, Double]]
+    var nextId = 0L
+
+    def tableRows(): Map[Long, Double] =
+      LakeTable.read(spark, log, "t").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    (1 to 12).foreach { step =>
+      rnd.nextInt(4) match {
+        case 0 | 1 => // insert a fresh batch
+          val n = 1 + rnd.nextInt(50)
+          val rows = (0 until n).map { _ =>
+            nextId += 1; (nextId, math.round(rnd.nextDouble() * 1e4) / 100.0) }
+          LakeTable.insert(spark, log, "t", rows.toDF("id", "v"),
+            numFiles = 1 + rnd.nextInt(3))
+          model = model ++ rows.toMap
+        case 2 if model.nonEmpty => // delete a random id range
+          val ids = model.keys.toSeq.sorted
+          val cut = ids(rnd.nextInt(ids.size))
+          LakeTable.deleteWhere(spark, log, "t", s"id > $cut")
+          model = model.filter(_._1 <= cut)
+        case 3 if model.nonEmpty => // upsert: mutate some ids + add one new
+          val picks = model.keys.take(1 + rnd.nextInt(3)).toSeq
+          nextId += 1
+          val ups = picks.map(id => (id, -1.0)) :+ ((nextId, -2.0))
+          LakeTable.upsert(spark, log, "t", ups.toDF("id", "v"), "id")
+          model = model ++ ups.toMap
+        case _ => // compact (no logical change)
+          LakeTable.compact(spark, log, "t", force = true)
+      }
+      val version = log.latestVersion("t")
+      if (version > 0) historyModels += version -> model
+      assert(tableRows() == model, s"step $step head mismatch")
+      // spot-check one random historical version
+      if (historyModels.nonEmpty) {
+        val (hv, hmodel) = historyModels.toSeq(
+          rnd.nextInt(historyModels.size))
+        val got = LakeTable.read(spark, log, "t", hv).collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(got == hmodel, s"step $step: version $hv mismatch")
+      }
+    }
+    // the full log replays deterministically in a fresh reader
+    val fresh = new LakeLog(log.root)
+    assert(fresh.snapshot("t") == log.snapshot("t"))
+  }
+}
