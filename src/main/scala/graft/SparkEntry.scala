@@ -297,6 +297,17 @@ object SparkEntry {
             lit(0.0), (acc, x) => acc + x.cast("double")), 6).as("head_sum"))
         .orderBy("vec_id")),
 
+    // ---- deterministic stratified sampling -------------------------------
+    "q_sample" -> ((s, d) =>
+      // selection is hash-deterministic (not SQL-replicable); the exact-size
+      // guarantee IS the oracle: per stratum, min(25, stratum size) rows
+      graft.operators.Sampling.stratifiedExact(
+          t(s, d, "documents"), "source", 25, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sampled"),
+          countDistinct("doc_id").as("n_distinct"))
+        .orderBy("source")),
+
     // ---- pivot (wide aggregation) ----------------------------------------
     "q_pivot" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -705,6 +716,10 @@ object SparkEntry {
              round(sum(coalesce(nullif(l_quantity, 1.0), 0.0)), 2) AS sum_qty0,
              round(avg(nullif(l_quantity, 1.0)), 6) AS avg_nonnull
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_sample" -> """
+      SELECT source, least(25, count(*)) AS n_sampled,
+             least(25, count(*)) AS n_distinct
+      FROM documents GROUP BY source ORDER BY source""",
     "q_json" -> """
       SELECT event_type, count(*) AS n,
              round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
