@@ -927,7 +927,18 @@ object SparkEntry {
                greatest(0.0, 1.0 - digit_ratio * 2), 6) AS quality
       FROM feats ORDER BY doc_id""",
     "q_lang_id" -> """
-      WITH toks AS (
+      WITH cjk AS (
+        SELECT doc_id,
+               CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0
+                    THEN 0.0
+                    ELSE length(regexp_replace(
+                           regexp_replace(text, '\s', '', 'g'),
+                           '[^\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]',
+                           '', 'g'))
+                         / CAST(length(regexp_replace(text, '\s', '', 'g'))
+                                AS DOUBLE) END AS cjk_ratio
+        FROM documents),
+      toks AS (
         SELECT doc_id,
                list_filter(string_split_regex(
                  regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
@@ -960,8 +971,9 @@ object SparkEntry {
               ['de','que','em','para','com','uma','os','não','mais','das'], x)))
             / CAST(len(t) AS DOUBLE) END AS s_pt
         FROM toks)
-      SELECT doc_id,
-             CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_it,s_pt) <= 0.0 THEN 'und'
+      SELECT s.doc_id,
+             CASE WHEN c.cjk_ratio > 0.3 THEN 'zh'
+                  WHEN greatest(s_de,s_en,s_es,s_fr,s_it,s_pt) <= 0.0 THEN 'und'
                   WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_it,s_pt) THEN 'de'
                   WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_it,s_pt) THEN 'en'
                   WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_it,s_pt) THEN 'es'
@@ -969,7 +981,8 @@ object SparkEntry {
                   WHEN s_it = greatest(s_de,s_en,s_es,s_fr,s_it,s_pt) THEN 'it'
                   ELSE 'pt' END AS lang_guess,
              round(s_en, 6) AS en_score
-      FROM scores ORDER BY doc_id""",
+      FROM scores s JOIN cjk c ON s.doc_id = c.doc_id
+      ORDER BY s.doc_id""",
     "q_dedup_cc" -> """
       WITH fp AS (SELECT doc_id,
                     md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f

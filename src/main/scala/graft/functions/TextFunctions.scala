@@ -120,10 +120,22 @@ object TextFunctions {
       size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks))
   }
 
+  /** Fraction of CJK (Han/Hiragana/Katakana/Hangul) characters — scripts
+    * with no whitespace word boundaries, where stopword scoring can't work.
+    */
+  def cjkRatio(c: Column): Column = {
+    val norm = regexp_replace(c, "\\s", "")
+    when(length(norm) === 0, 0.0).otherwise(
+      length(regexp_replace(norm,
+        "[^\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}]", ""))
+        .cast("double") / length(norm))
+  }
+
   /** Best-scoring language, "und" (undetermined) when nothing matches.
-    * Deterministic tie-break: lexicographically smallest language code wins
-    * among equal scores (languages are evaluated in sorted order and `>` is
-    * strict).
+    * Script check first: a CJK-dominant text is classified by script
+    * ("zh" for Han — a full build would split ja/ko by kana/hangul the same
+    * way); otherwise stopword scoring with a deterministic tie-break
+    * (lexicographically smallest code wins among equals).
     */
   def langId(c: Column): Column = {
     val ordered = stopwords.keys.toSeq.sorted
@@ -133,7 +145,7 @@ object TextFunctions {
         (when(s > bestScore, lit(lang)).otherwise(bestLang),
          when(s > bestScore, s).otherwise(bestScore))
     }
-    best._1
+    when(cjkRatio(c) > 0.3, lit("zh")).otherwise(best._1)
   }
 
   // --- Quality scoring ----------------------------------------------------

@@ -70,6 +70,17 @@ class TextFunctionsSpec extends SparkSpec {
     assert(math.abs(f.getAs[Double]("digit_ratio") - 2.0 / 8) < 1e-9)
   }
 
+  test("langId CJK script route: Han-dominant text is zh, mixed is not") {
+    // (the testdata `lang` column is a random label on English word-soup —
+    // verified by inspection — so script/stopword routing is tested on
+    // constructed inputs instead)
+    assert(one(langId(col("t")), "機械学習は人工知能の分野です").getString(0) == "zh")
+    assert(one(cjkRatio(col("t")), "機械学習は人工知能の分野です").getDouble(0) > 0.9)
+    assert(one(langId(col("t")),
+      "the quick brown fox of the day 機械").getString(0) == "en")
+    assert(one(cjkRatio(col("t")), "no cjk here at all").getDouble(0) == 0.0)
+  }
+
   test("hamming64") {
     val h = Seq((0L, -1L)).toDF("a", "b")
       .select(hamming64(col("a"), col("b")).as("h")).collect().head
