@@ -45,6 +45,12 @@ for qdir in sorted(glob.glob(f"{out_dir}/*/")):
     bad = None
     for c in g.columns:
         gv, ev = g[c], e[c]
+        # Driver hashes stringified values, so int64 26 vs float64 26.0
+        # mismatch even when numerically equal — treat kind skew as FAIL.
+        if (gv.dtype.kind in 'iu') != (ev.dtype.kind in 'iu') and \
+           {gv.dtype.kind, ev.dtype.kind} & {'f'}:
+            bad = (f"col {c}: dtype kind skew (spark {gv.dtype} vs "
+                   f"oracle {ev.dtype}) — driver str-hash would differ"); break
         if gv.dtype.kind == 'f' or ev.dtype.kind == 'f':
             ga = gv.astype(float).to_numpy(); ea = ev.astype(float).to_numpy()
             ok = np.isclose(ga, ea, rtol=0, atol=1e-9, equal_nan=True)

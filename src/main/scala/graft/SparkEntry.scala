@@ -256,7 +256,8 @@ object SparkEntry {
           round(pow(col("l_discount"), 2), 6).as("disc_sq"),
           ceil(col("l_quantity")).as("qty_ceil"),
           floor(col("l_tax") * 100).as("tax_pct"),
-          sign(col("l_quantity") - 25).as("qty_sign"))
+          // cast: Spark sign returns DOUBLE, DuckDB TINYINT — align on BIGINT
+          sign(col("l_quantity") - 25).cast("long").as("qty_sign"))
         .orderBy("l_orderkey", "l_linenumber")),
     "q_nulls" -> ((s, d) =>
       // nullif manufactures nulls; coalesce/null-aware aggs recover them
@@ -706,9 +707,9 @@ object SparkEntry {
              round(sqrt(l_extendedprice), 6) AS sqrt_price,
              round(ln(l_extendedprice + 1), 6) AS ln_price,
              round(pow(l_discount, 2), 6) AS disc_sq,
-             ceil(l_quantity) AS qty_ceil,
-             floor(l_tax * 100) AS tax_pct,
-             sign(l_quantity - 25) AS qty_sign
+             CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+             CAST(floor(l_tax * 100) AS BIGINT) AS tax_pct,
+             CAST(sign(l_quantity - 25) AS BIGINT) AS qty_sign
       FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "q_nulls" -> """
       SELECT l_returnflag, count(*) AS n_rows,
@@ -856,10 +857,10 @@ object SparkEntry {
         FROM lagged),
       numbered AS (
         SELECT user_id, value,
-               sum(new_session) OVER (PARTITION BY user_id
+               CAST(sum(new_session) OVER (PARTITION BY user_id
                  ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS session_id
+                 AS BIGINT) AS session_id
         FROM marked)
       SELECT user_id, session_id, count(*) AS n_events,
              round(sum(value), 4) AS total_value
