@@ -19,9 +19,15 @@ final case class TableSchema(fields: Seq[Field])
   * 102-105`) but never populates or uses them — we do both. */
 final case class FileStats(min_values: Map[String, String] = Map.empty,
                            max_values: Map[String, String] = Map.empty)
+/** `rewrite = true` marks a file whose rows were re-added by a layout
+  * operation (compaction, delete/upsert copy-on-write of surviving rows) —
+  * the inverse of Delta's `dataChange`. The CDC feed ([[LakeTable
+  * .changesSince]]) skips rewrite adds so consumers see each logical row
+  * once. Missing in old log entries → false, i.e. a logical add. */
 final case class FileAdd(path: String, rows: Long, size: Long,
                          partition: Map[String, String] = Map.empty,
-                         stats: Option[FileStats] = None)
+                         stats: Option[FileStats] = None,
+                         rewrite: Boolean = false)
 final case class LogEntry(version: Long, timestamp_ms: Long, txn_id: String,
                           schema: Option[TableSchema] = None,
                           adds: Seq[FileAdd] = Nil, removes: Seq[String] = Nil)

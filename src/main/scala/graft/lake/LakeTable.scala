@@ -177,7 +177,8 @@ object LakeTable {
     * of every stat-eligible column; then rename each file into `data/`.
     */
   private def statAndPromote(spark: SparkSession, log: LakeLog, table: String,
-                             staged: Path, st: StructType): Seq[FileAdd] = {
+                             staged: Path, st: StructType,
+                             rewrite: Boolean = false): Seq[FileAdd] = {
     val cols = statCols(st)
     val aggs = count(lit(1)).as("__rows") +:
       cols.flatMap(f => Seq(
@@ -203,7 +204,7 @@ object LakeTable {
         Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
         FileAdd(dest.toString, rows = row.getAs[Long]("__rows"),
           size = Files.size(dest),
-          stats = Some(FileStats(minVals, maxVals)))
+          stats = Some(FileStats(minVals, maxVals)), rewrite = rewrite)
     }
   }
 
@@ -321,7 +322,7 @@ object LakeTable {
         .write.mode("overwrite").option("compression", "snappy")
         .parquet(staged.toString)
       try {
-        val adds = statAndPromote(spark, log, table, staged, st)
+        val adds = statAndPromote(spark, log, table, staged, st, rewrite = true)
         val inputPaths = group.map(_.path)
         val result = log.commitWithRetry(table, txnId) { fresh =>
           val live = fresh.files.map(_.path).toSet
@@ -363,14 +364,17 @@ object LakeTable {
     val pred = QueryEngine.parsePredicate(predicate)
     val staged = log.tmpDir(table, txnId)
     // rewrite candidates: retained rows only; a file whose rows all match
-    // is dropped entirely (no empty-file adds — parquet writes skip them)
+    // is dropped entirely (no empty-file adds — parquet writes skip them).
+    // SQL DELETE removes only rows where the condition is TRUE — a NULL
+    // predicate keeps the row, so retain !coalesce(pred, false), not !pred.
     val retained = spark.read.schema(st)
-      .parquet(candidates.map(_.path): _*).filter(!pred)
+      .parquet(candidates.map(_.path): _*)
+      .filter(!coalesce(pred, lit(false)))
     retained.coalesce(math.max(1, candidates.size))
       .write.mode("overwrite").option("compression", "snappy")
       .parquet(staged.toString)
     try {
-      val adds = statAndPromote(spark, log, table, staged, st)
+      val adds = statAndPromote(spark, log, table, staged, st, rewrite = true)
         .filter(_.rows > 0)
       val inputPaths = candidates.map(_.path)
       val result = log.commitWithRetry(table, txnId) { fresh =>
@@ -408,17 +412,25 @@ object LakeTable {
     val candidates = FilePruning.prune(
       FilePruning.prune(snap.files, s"$keyCol >= $loK", st),
       s"$keyCol <= $hiK", st)
-    val survivors =
-      if (candidates.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
-      else spark.read.schema(st).parquet(candidates.map(_.path): _*)
+    // stage survivors (layout rewrite of untouched rows) and the update set
+    // (logical adds) as SEPARATE file groups, so the CDC feed can replay
+    // upserted rows without replaying the rewritten survivors
+    if (candidates.nonEmpty)
+      spark.read.schema(st).parquet(candidates.map(_.path): _*)
         .join(keys, Seq(keyCol), "left_anti")
-    survivors.unionByName(shaped)
-      .coalesce(math.max(1, candidates.size))
+        .coalesce(candidates.size)
+        .write.mode("overwrite").option("compression", "snappy")
+        .parquet(staged.resolve("rw").toString)
+    shaped.coalesce(1)
       .write.mode("overwrite").option("compression", "snappy")
-      .parquet(staged.toString)
+      .parquet(staged.resolve("new").toString)
     try {
-      val adds = statAndPromote(spark, log, table, staged, st)
+      val rwAdds =
+        if (candidates.isEmpty) Nil
+        else statAndPromote(spark, log, table, staged.resolve("rw"), st,
+          rewrite = true)
+      val adds = (rwAdds ++
+        statAndPromote(spark, log, table, staged.resolve("new"), st))
         .filter(_.rows > 0)
       val inputPaths = candidates.map(_.path)
       log.commitWithRetry(table, txnId) { fresh =>
@@ -430,13 +442,15 @@ object LakeTable {
     } finally deleteRecursively(staged)
   }
 
-  /** Incremental change feed: all rows ADDED in versions
+  /** Incremental change feed: all rows LOGICALLY added in versions
     * `(fromVersion, toVersion]` (CDC-style consumption — the batch analog
     * of a streaming source over the table; 0/negative `toVersion` = latest).
     * Reads only the delta's files, never the full table, so downstream
-    * incremental pipelines pay for what changed. Rows removed by
-    * compaction/delete rewrites are layout changes, not logical inserts —
-    * consumers wanting delete events diff snapshots instead.
+    * incremental pipelines pay for what changed. Files re-added by layout
+    * operations (compaction, delete/upsert survivor rewrites) carry
+    * `rewrite = true` in the log and are excluded — so upsert's new rows DO
+    * appear while its rewritten survivors don't. Consumers wanting delete
+    * events diff snapshots instead.
     */
   def changesSince(spark: SparkSession, log: LakeLog, table: String,
                    fromVersion: Long, toVersion: Long = 0L): DataFrame = {
@@ -444,13 +458,10 @@ object LakeTable {
     val to = if (toVersion <= 0) latest else toVersion
     require(fromVersion <= to, s"fromVersion $fromVersion > toVersion $to")
     val st = toStructType(log.snapshot(table, to).schema.get)
-    // a rewrite commit (compaction/delete/upsert) re-adds surviving rows;
-    // exclude pure-rewrite adds by skipping entries that also remove files
     val addedFiles = log.versions(table)
       .filter(v => v > fromVersion && v <= to)
       .map(v => log.readEntry(table, v))
-      .filter(_.removes.isEmpty)
-      .flatMap(_.adds.map(_.path))
+      .flatMap(_.adds.filterNot(_.rewrite).map(_.path))
     if (addedFiles.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
     else spark.read.schema(st).parquet(addedFiles: _*)

@@ -54,10 +54,14 @@ object ZOrder {
           floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * maxRank)
             .cast("int")))
       case StringType =>
-        // unsigned order of the first bytes → top `bits` of a 63-bit prefix
-        val prefix = conv(substring(hex(substr(col(c), lit(1), lit(7))) ||
-          lit("00000000000000"), 1, 14), 16, 10).cast("long")
-        shiftright(prefix, 56 - 2 - bits).cast("int")
+        // unsigned order of the first bytes → the true top `bits` bits of
+        // the 56-bit (7-byte) prefix, so rank order is monotonic in byte
+        // order (shifting by less would drop the high bits and alias
+        // 0x01/0x41/0x81/0xC1-prefixed strings together)
+        val prefix = conv(substring(
+          concat(hex(substr(col(c), lit(1), lit(7))), lit("00000000000000")),
+          1, 14), 16, 10).cast("long")
+        shiftright(prefix, 56 - bits).cast("int")
           .bitwiseAND(lit(maxRank))
       case _ =>
         pmod(xxhash64(col(c)), lit(maxRank + 1)).cast("int")

@@ -43,18 +43,22 @@ object AsOfJoin {
 
     // one unioned relation: right rows carry payload, left rows carry their
     // own columns; __side orders right (0) before left (1) at equal times so
-    // a right row AT the left timestamp is visible to it (<= semantics)
+    // a right row AT the left timestamp is visible to it (<= semantics).
+    // The payload travels as ONE struct so the whole matched right row wins
+    // or loses atomically — carrying columns independently would mix values
+    // from different right rows when a payload field is NULL.
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c)))
     val taggedRight = right.select(
       keyCols.map(col) ++
-        Seq(col(rightTime).as("__t"), lit(0).as("__side")) ++
-        payload.map(c => col(c).as(s"__r_$c")) ++
+        Seq(col(rightTime).as("__t"), lit(0).as("__side"),
+          struct(payload.map(col): _*).as("__r")) ++
         leftCols.diff(keyCols).map(c => lit(null).cast(
           left.schema(c).dataType).as(s"__l_$c")): _*)
     val taggedLeft = left.select(
       keyCols.map(col) ++
-        Seq(col(leftTime).as("__t"), lit(1).as("__side")) ++
-        payload.map(c => lit(null).cast(
-          right.schema(c).dataType).as(s"__r_$c")) ++
+        Seq(col(leftTime).as("__t"), lit(1).as("__side"),
+          lit(null).cast(payloadType).as("__r")) ++
         leftCols.diff(keyCols).map(c => col(c).as(s"__l_$c")): _*)
 
     val w = Window.partitionBy(keyCols.map(col): _*)
@@ -63,15 +67,14 @@ object AsOfJoin {
 
     val carried = taggedRight.unionByName(taggedLeft)
       .select((keyCols.map(col) :+ col("__t") :+ col("__side")) ++
-        leftCols.diff(keyCols).map(c => col(s"__l_$c")) ++
-        payload.map(c =>
-          last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"__c_$c")): _*)
+        leftCols.diff(keyCols).map(c => col(s"__l_$c")) :+
+        last(col("__r"), ignoreNulls = true).over(w).as("__c"): _*)
 
     carried.filter(col("__side") === 1)
       .select(leftCols.map(c =>
         if (keyCols.contains(c)) col(c)
         else if (c == leftTime) col("__t").as(leftTime)
         else col(s"__l_$c").as(c)) ++
-        payload.map(c => col(s"__c_$c").as(c)): _*)
+        payload.map(c => col("__c").getField(c).as(c)): _*)
   }
 }

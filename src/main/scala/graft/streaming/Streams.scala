@@ -122,21 +122,27 @@ object Streams {
 
   /** Exactly-once streaming ingestion into a lake table: `foreachBatch`
     * commits each micro-batch through [[graft.lake.LakeTable.insert]] with
-    * `txnId = <queryId>-<batchId>`, so a batch replayed after a failure hits
-    * the transaction log's idempotency map and becomes a no-op — the
-    * engine's at-least-once batch redelivery composes with the log's
-    * dedup into exactly-once table contents (the same contract Delta's
-    * `txnAppId`/`txnVersion` gives a streaming writer).
+    * `txnId = stream-<appId>-<batchId>`, where `appId` is derived from the
+    * checkpoint directory — the identity that actually scopes `batchId`
+    * (a restart from the same checkpoint resumes the same batch sequence,
+    * so a replayed batch hits the transaction log's idempotency map and
+    * becomes a no-op; a DIFFERENT query or a fresh checkpoint gets a
+    * different appId and never collides). This is the same contract Delta's
+    * `txnAppId`/`txnVersion` gives a streaming writer.
     */
   def sinkToLake(stream: DataFrame, log: graft.lake.LakeLog, table: String,
                  checkpointDir: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val appId = java.util.UUID.nameUUIDFromBytes(
+      java.nio.file.Paths.get(checkpointDir).toAbsolutePath.normalize
+        .toString.getBytes("UTF-8")).toString.take(8)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.lake.LakeTable.insert(batch.sparkSession, log, table, batch,
-          txnId = s"stream-$table-$batchId")
+          txnId = s"stream-$appId-$batchId")
         ()
       }
       .start()
+  }
 }

@@ -340,6 +340,38 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.changesSince(spark, log, "t", 3).count() == 10)
   }
 
+  test("deleteWhere keeps rows where the predicate is NULL (SQL semantics)") {
+    val log = newLog()
+    LakeTable.createTable(log, "t", schema)
+    // price NULL on every 10th row — DELETE WHERE price > 100 must keep them
+    val df = (1 to 100).map(i =>
+      (i.toLong, "a", if (i % 10 == 0) null else java.lang.Double.valueOf(i * 2.0)))
+      .toDF("id", "category", "price")
+    LakeTable.insert(spark, log, "t", df)
+    val r = LakeTable.deleteWhere(spark, log, "t", "price > 100")
+    // deleted: price in (102..200) non-null → ids 51..100 minus nulls (60,70,80,90,100)
+    assert(r.rowsDeleted == 45)
+    val back = LakeTable.read(spark, log, "t")
+    assert(back.count() == 55)
+    assert(back.filter(col("price").isNull).count() == 10) // all NULLs survive
+  }
+
+  test("changesSince sees upsert's new rows but not its rewritten survivors") {
+    val log = newLog()
+    LakeTable.createTable(log, "t", schema)
+    LakeTable.insert(spark, log, "t", sampleDf(1 to 100, "a"))     // v1
+    val updates = Seq((50L, "upd", 999.0), (500L, "new", 777.0))
+      .toDF("id", "category", "price")
+    LakeTable.upsert(spark, log, "t", updates, "id")               // v2
+    val feed = LakeTable.changesSince(spark, log, "t", 1)
+    // exactly the two upserted rows — not the 99 rewritten survivors
+    assert(feed.count() == 2)
+    assert(feed.select("id").as[Long].collect().sorted.toSeq == Seq(50L, 500L))
+    // delete rewrite adds are layout-only too
+    LakeTable.deleteWhere(spark, log, "t", "id <= 10")             // v3
+    assert(LakeTable.changesSince(spark, log, "t", 2).count() == 0)
+  }
+
   test("history and describe expose the commit log") {
     val log = newLog()
     LakeTable.createTable(log, "t", schema)

@@ -55,6 +55,20 @@ class AsOfJoinSpec extends SparkSpec {
     assert(fast == naive)
   }
 
+  test("asof carries the matched right row atomically when payload has NULLs") {
+    val left = Seq(("k", 10L, "e")).toDF("key", "t", "name")
+    // latest right row at t=7 has a NULL in one payload column: the output
+    // must be (NULL, 7.7) from that row — not mix a=1.0 from the older row
+    val right = Seq(
+      ("k", 3L, java.lang.Double.valueOf(1.0), java.lang.Double.valueOf(1.1)),
+      ("k", 7L, null.asInstanceOf[java.lang.Double], java.lang.Double.valueOf(7.7))
+    ).toDF("key", "t", "a", "b")
+
+    val row = AsOfJoin.asof(left, right, Seq("key"), "t", "t").collect().head
+    assert(row.isNullAt(row.fieldIndex("a")))
+    assert(row.getDouble(row.fieldIndex("b")) == 7.7)
+  }
+
   test("asof plan has no nested-loop join — one shuffle, window carry") {
     val left = Seq(("k", 1L, "x")).toDF("key", "t", "name")
     val right = Seq(("k", 1L, 1.0)).toDF("key", "t", "v")

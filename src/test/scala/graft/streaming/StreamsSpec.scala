@@ -87,9 +87,12 @@ class StreamsSpec extends SparkSpec {
     LakeTable.createTable(log, "ev", StructType(Seq(
       StructField("event_id", LongType), StructField("value", DoubleType))))
     val input = MemoryStream[(Long, Double)]
+    val ckpt = tmpDir("ckpt").toString
+    val appId = java.util.UUID.nameUUIDFromBytes(
+      java.nio.file.Paths.get(ckpt).toAbsolutePath.normalize
+        .toString.getBytes("UTF-8")).toString.take(8)
     val query = Streams.sinkToLake(
-      input.toDF().toDF("event_id", "value"), log, "ev",
-      tmpDir("ckpt").toString)
+      input.toDF().toDF("event_id", "value"), log, "ev", ckpt)
     try {
       input.addData((1L, 1.0), (2L, 2.0))
       query.processAllAvailable()
@@ -100,10 +103,21 @@ class StreamsSpec extends SparkSpec {
       // simulate engine redelivery of batch 0: idempotent no-op
       val replay = LakeTable.insert(spark, log, "ev",
         Seq((1L, 1.0), (2L, 2.0)).toDF("event_id", "value"),
-        txnId = "stream-ev-0")
+        txnId = s"stream-$appId-0")
       assert(replay.duplicate && replay.version == 1)
       assert(LakeTable.read(spark, log, "ev").count() == 3)
     } finally query.stop()
+    // a SECOND query (fresh checkpoint → batchId restarts at 0) writing the
+    // same table must not collide with the first query's batch 0
+    val input2 = MemoryStream[(Long, Double)]
+    val query2 = Streams.sinkToLake(
+      input2.toDF().toDF("event_id", "value"), log, "ev",
+      tmpDir("ckpt2").toString)
+    try {
+      input2.addData((4L, 4.0))
+      query2.processAllAvailable()
+      assert(LakeTable.read(spark, log, "ev").count() == 4)
+    } finally query2.stop()
   }
 
   test("intervalJoin matches right events inside the left-anchored window") {
