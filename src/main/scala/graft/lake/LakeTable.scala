@@ -163,9 +163,11 @@ object LakeTable {
       else if (clusterBy.nonEmpty) shaped.repartition(numFiles, clusterBy.map(col): _*)
       else if (numFiles > 1) shaped.repartition(numFiles)
       else shaped.coalesce(1)
-    arranged
-      .write.mode("overwrite").option("compression", "snappy")
-      .parquet(tmp.toString)
+    withStatFriendlyWrites(spark) {
+      arranged
+        .write.mode("overwrite").option("compression", "snappy")
+        .parquet(tmp.toString)
+    }
 
     try {
       val adds = statAndPromote(spark, log, table, tmp, st)
@@ -173,38 +175,53 @@ object LakeTable {
     } finally deleteRecursively(tmp)
   }
 
-  /** One Spark pass over the staged directory: per file, row count + min/max
-    * of every stat-eligible column; then rename each file into `data/`.
+  /** Promote staged parquet into `data/`, computing per-file row count +
+    * min/max stats from the parquet FOOTERS ([[FooterStats]]) — O(#files)
+    * metadata reads, no re-scan of the data that was just written. Zero-row
+    * part files (Spark writes them on over-partitioned small data) are
+    * dropped, never committed.
     */
   private def statAndPromote(spark: SparkSession, log: LakeLog, table: String,
                              staged: Path, st: StructType,
                              rewrite: Boolean = false): Seq[FileAdd] = {
     val cols = statCols(st)
-    val aggs = count(lit(1)).as("__rows") +:
-      cols.flatMap(f => Seq(
-        min(col(f.name)).cast("string").as(s"__min_${f.name}"),
-        max(col(f.name)).cast("string").as(s"__max_${f.name}")))
-    val stats = spark.read.schema(st).parquet(staged.toString)
-      .groupBy(input_file_name().as("__file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val parts = Files.list(staged).iterator().asScala.toSeq
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+      }
+      .sortBy(_.getFileName.toString)
 
     val dataDir = log.dataDir(table)
     Files.createDirectories(dataDir)
-    stats.toSeq.sortBy(_.getAs[String]("__file")).zipWithIndex.map {
-      case (row, i) =>
-        val src = java.nio.file.Paths.get(
-          new java.net.URI(row.getAs[String]("__file")).getPath)
+    parts.zipWithIndex.flatMap { case (src, i) =>
+      val (rows, minVals, maxVals) = FooterStats.read(hadoopConf, src, cols, tz)
+      if (rows == 0L) None
+      else {
         val dest = dataDir.resolve(
           f"part-$i%05d-${UUID.randomUUID().toString}.parquet")
-        val minVals = cols.flatMap(f =>
-          Option(row.getAs[String](s"__min_${f.name}")).map(f.name -> _)).toMap
-        val maxVals = cols.flatMap(f =>
-          Option(row.getAs[String](s"__max_${f.name}")).map(f.name -> _)).toMap
         Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
-        FileAdd(dest.toString, rows = row.getAs[Long]("__rows"),
-          size = Files.size(dest),
-          stats = Some(FileStats(minVals, maxVals)), rewrite = rewrite)
+        Some(FileAdd(dest.toString, rows = rows, size = Files.size(dest),
+          stats = Some(FileStats(minVals, maxVals)), rewrite = rewrite))
+      }
+    }
+  }
+
+  /** Parquet footers only carry timestamp statistics for INT64 physical
+    * encodings — pin the writer away from stat-less INT96 for the duration
+    * of a staged write so [[FooterStats]] sees them, then restore the
+    * session's setting (leaking it would silently change how OTHER parquet
+    * writes on the session encode timestamps). */
+  private def withStatFriendlyWrites[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
     }
   }
 
@@ -318,9 +335,11 @@ object LakeTable {
           merged.withColumn("__z", ZOrder.zValue(spark, merged, cfg.zOrderBy))
             .coalesce(1).sortWithinPartitions("__z").drop("__z")
         else merged.coalesce(1)
-      rewritten
-        .write.mode("overwrite").option("compression", "snappy")
-        .parquet(staged.toString)
+      withStatFriendlyWrites(spark) {
+        rewritten
+          .write.mode("overwrite").option("compression", "snappy")
+          .parquet(staged.toString)
+      }
       try {
         val adds = statAndPromote(spark, log, table, staged, st, rewrite = true)
         val inputPaths = group.map(_.path)
@@ -370,9 +389,11 @@ object LakeTable {
     val retained = spark.read.schema(st)
       .parquet(candidates.map(_.path): _*)
       .filter(!coalesce(pred, lit(false)))
-    retained.coalesce(math.max(1, candidates.size))
-      .write.mode("overwrite").option("compression", "snappy")
-      .parquet(staged.toString)
+    withStatFriendlyWrites(spark) {
+      retained.coalesce(math.max(1, candidates.size))
+        .write.mode("overwrite").option("compression", "snappy")
+        .parquet(staged.toString)
+    }
     try {
       val adds = statAndPromote(spark, log, table, staged, st, rewrite = true)
         .filter(_.rows > 0)
@@ -415,15 +436,17 @@ object LakeTable {
     // stage survivors (layout rewrite of untouched rows) and the update set
     // (logical adds) as SEPARATE file groups, so the CDC feed can replay
     // upserted rows without replaying the rewritten survivors
-    if (candidates.nonEmpty)
-      spark.read.schema(st).parquet(candidates.map(_.path): _*)
-        .join(keys, Seq(keyCol), "left_anti")
-        .coalesce(candidates.size)
+    withStatFriendlyWrites(spark) {
+      if (candidates.nonEmpty)
+        spark.read.schema(st).parquet(candidates.map(_.path): _*)
+          .join(keys, Seq(keyCol), "left_anti")
+          .coalesce(candidates.size)
+          .write.mode("overwrite").option("compression", "snappy")
+          .parquet(staged.resolve("rw").toString)
+      shaped.coalesce(1)
         .write.mode("overwrite").option("compression", "snappy")
-        .parquet(staged.resolve("rw").toString)
-    shaped.coalesce(1)
-      .write.mode("overwrite").option("compression", "snappy")
-      .parquet(staged.resolve("new").toString)
+        .parquet(staged.resolve("new").toString)
+    }
     try {
       val rwAdds =
         if (candidates.isEmpty) Nil
