@@ -527,6 +527,27 @@ object SparkEntry {
         round(sum("l_extendedprice"), 2).as("sum_price"))
     }),
 
+    "q_lake_partitioned" -> ((s, d) => {
+      // hive-style partitioned table: partition values live in the log only
+      // (flat data files), a partition-predicate DELETE touches no data
+      // files, and the partition-pruned Catalyst read reconstructs the
+      // partition column — hash-checked against plain SQL over the source
+      import graft.lake.{LakeLog, LakeTable}
+      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftpart"))
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      LakeTable.createTable(log, "li", li.schema,
+        partitionBy = Seq("l_returnflag"))
+      LakeTable.insert(s, log, "li", li)
+      LakeTable.deleteWhere(s, log, "li", "l_returnflag = R")
+      LakeTable.readIndexed(s, log, "li")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- LLM-data-pipeline: embeddings -----------------------------------
     "q_embed_neardup" -> ((s, d) =>
       // threshold 0.3: the synthetic embeddings' max pairwise cosine is ~0.48,
@@ -891,6 +912,12 @@ object SparkEntry {
       SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty,
              round(sum(l_extendedprice), 2) AS sum_price
       FROM lineitem WHERE l_quantity <= 40""",
+    "q_lake_partitioned" -> """
+      SELECT l_returnflag, count(*) AS n_rows,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem WHERE l_returnflag <> 'R'
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_quality" -> """
       WITH norm AS (
         SELECT doc_id,

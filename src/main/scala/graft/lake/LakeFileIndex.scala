@@ -17,7 +17,9 @@ import org.apache.spark.sql.types._
   * kept. The residual filter still runs, so pruning is purely an I/O win.
   */
 final class LakeFileIndex(spark: SparkSession, snap: Snapshot,
-                          dataSchema: StructType) extends FileIndex {
+                          dataSchema: StructType,
+                          partSchema: StructType = StructType(Nil))
+    extends FileIndex {
 
   private val statuses: Seq[(FileAdd, FileStatus)] = snap.files.map { f =>
     val p = new HPath("file://" + f.path)
@@ -26,18 +28,56 @@ final class LakeFileIndex(spark: SparkSession, snap: Snapshot,
 
   override def rootPaths: Seq[HPath] = statuses.map(_._2.getPath)
 
+  /** Partitioned tables: one [[PartitionDirectory]] per distinct partition
+    * value vector (typed from the log's string map), so Spark both prunes
+    * whole partitions via `partitionFilters` — evaluated here against the
+    * partition row, never touching data — and reconstructs the partition
+    * columns per row for free. Data filters then prune the surviving files
+    * by min/max stats, as in the unpartitioned case.
+    */
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val kept = statuses.filter { case (f, _) =>
+    val dataKept = statuses.filter { case (f, _) =>
       dataFilters.forall(expr => mightMatch(f, expr))
     }
-    Seq(PartitionDirectory(InternalRow.empty, kept.map(_._2).toArray))
+    if (partSchema.isEmpty)
+      return Seq(PartitionDirectory(InternalRow.empty, dataKept.map(_._2).toArray))
+    dataKept.groupBy { case (f, _) =>
+      partSchema.map(p => f.partition(p.name)).toIndexedSeq
+    }.toSeq.sortBy(_._1.mkString("/")).flatMap { case (vals, group) =>
+      val row = InternalRow.fromSeq(vals.zip(partSchema).map {
+        case (v, p) => internalValue(v, p.dataType) })
+      if (partitionFilters.forall(pf => evalPartitionFilter(pf, row)))
+        Some(PartitionDirectory(row, group.map(_._2).toArray))
+      else None
+    }
   }
+
+  /** Log partition-map string → Catalyst internal value. */
+  private def internalValue(v: String, dt: DataType): Any = dt match {
+    case IntegerType => v.toInt
+    case LongType => v.toLong
+    case BooleanType => v.toBoolean
+    case DateType => java.time.LocalDate.parse(v).toEpochDay.toInt
+    case _ => org.apache.spark.unsafe.types.UTF8String.fromString(v)
+  }
+
+  /** Evaluate a pushed partition filter against one partition row;
+    * unexpectedly-shaped expressions conservatively keep the partition. */
+  private def evalPartitionFilter(e: Expression, row: InternalRow): Boolean =
+    try {
+      val bound = e.transform {
+        case a: AttributeReference =>
+          val i = partSchema.fieldIndex(a.name)
+          BoundReference(i, partSchema(i).dataType, nullable = true)
+      }
+      Predicate.create(bound).eval(row)
+    } catch { case _: RuntimeException => true }
 
   override def inputFiles: Array[String] = snap.files.map(_.path).toArray
   override def refresh(): Unit = ()
   override def sizeInBytes: Long = snap.files.map(_.size).sum
-  override def partitionSchema: StructType = StructType(Nil)
+  override def partitionSchema: StructType = partSchema
 
   /** Could any row of `f` satisfy `e`? Conservative three-valued logic. */
   private def mightMatch(f: FileAdd, e: Expression): Boolean = e match {

@@ -13,7 +13,17 @@ import scala.jdk.CollectionConverters._
   * versioned log entries — never by directory listing.
   */
 final case class Field(name: String, `type`: String, nullable: Boolean = true)
-final case class TableSchema(fields: Seq[Field])
+/** `partition_columns`: hive-style partition columns, declared once at
+  * CREATE TABLE (the Delta contract — every write must comply). The
+  * reference carries a `partition map<string,string>` per file
+  * (`proto/metadata.proto:98`) but never populates it; here the map is
+  * real: partition values live ONLY in the log (data files are flat and do
+  * not contain the partition columns), and reads reconstruct them.
+  * Option so logs written before this field existed deserialize as None. */
+final case class TableSchema(fields: Seq[Field],
+                             partition_columns: Option[Seq[String]] = None) {
+  def partCols: Seq[String] = partition_columns.getOrElse(Nil)
+}
 /** Per-file min/max statistics (stringified values, typed at prune time via
   * the table schema). The reference declares these (`proto/metadata.proto:
   * 102-105`) but never populates or uses them — we do both. */
@@ -85,6 +95,12 @@ final class LakeLog(val root: Path) {
   val AllowedTypes: Set[String] = Set("int32", "int64", "float32", "float64",
     "string", "boolean", "date", "timestamp")
 
+  /** Types a partition column may have: directory-encodable values with an
+    * unambiguous string round-trip (floats excluded — their rendering is
+    * lossy as a grouping key; timestamps excluded — timezone-dependent). */
+  val AllowedPartitionTypes: Set[String] =
+    Set("int32", "int64", "string", "boolean", "date")
+
   def validateSchema(schema: TableSchema): Unit = {
     if (schema.fields.isEmpty)
       throw new LakeValidationException("schema must have at least one field")
@@ -98,6 +114,20 @@ final class LakeLog(val root: Path) {
         throw new LakeValidationException(
           s"unsupported type '${f.`type`}' for field ${f.name}")
     }
+    val pc = schema.partCols
+    if (pc.distinct.size != pc.size)
+      throw new LakeValidationException("duplicate partition columns")
+    pc.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new LakeValidationException(
+          s"partition column $c is not a schema field"))
+      if (!AllowedPartitionTypes.contains(f.`type`))
+        throw new LakeValidationException(
+          s"type '${f.`type`}' of $c cannot be a partition column")
+    }
+    if (pc.nonEmpty && pc.size == schema.fields.size)
+      throw new LakeValidationException(
+        "at least one non-partition column is required")
   }
 
   def tableExists(table: String): Boolean = Files.exists(logDir(table))
@@ -257,6 +287,9 @@ final class LakeLog(val root: Path) {
         case None =>
           val current = snapshot(table, latest).schema.getOrElse(
             throw new LakeValidationException(s"table $table has no schema"))
+          if (newSchema.partCols != current.partCols)
+            throw new LakeValidationException(
+              "schema evolution cannot change partition columns")
           current.fields.foreach { f =>
             val kept = newSchema.fields.find(_.name == f.name).getOrElse(
               throw new LakeValidationException(

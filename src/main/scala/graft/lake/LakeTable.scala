@@ -51,8 +51,43 @@ object LakeTable {
     TableSchema(st.fields.toSeq.map(f =>
       Field(f.name, fromSparkType(f.dataType), f.nullable)))
 
-  def createTable(log: LakeLog, table: String, schema: StructType): Unit =
-    log.createTable(table, fromStructType(schema))
+  /** `partitionBy`: hive-style partition columns (see [[TableSchema]]) —
+    * declared once here, enforced on every write. */
+  def createTable(log: LakeLog, table: String, schema: StructType,
+                  partitionBy: Seq[String] = Nil): Unit =
+    log.createTable(table, fromStructType(schema).copy(
+      partition_columns = if (partitionBy.isEmpty) None else Some(partitionBy)))
+
+  /** The schema physically stored in data files: declared schema minus
+    * partition columns (those live only in the log's partition map). */
+  private def dataStruct(st: StructType, partCols: Seq[String]): StructType =
+    StructType(st.fields.filterNot(f => partCols.contains(f.name)))
+
+  /** Parse a partition-directory value string back to the column's external
+    * Spark value (for reconstructing partition columns on read). */
+  private def partLit(value: String, dt: DataType): Column =
+    lit(value).cast(dt)
+
+  /** Reconstruct full-schema rows from flat data files + their log-carried
+    * partition values: one scan per distinct partition value, partition
+    * columns re-attached as literals (constant-folded — zero per-row cost),
+    * then unioned. Fine for maintenance paths; high-partition-count
+    * interactive reads should use [[readIndexed]], which exposes the
+    * partition columns through the `FileIndex` instead of a union.
+    */
+  private def readWithPartitions(spark: SparkSession, st: StructType,
+                                 partCols: Seq[String],
+                                 files: Seq[FileAdd]): DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
+    val dataSt = dataStruct(st, partCols)
+    files.groupBy(f => partCols.map(f.partition(_))).map { case (vals, group) =>
+      val base = spark.read.schema(dataSt).parquet(group.map(_.path): _*)
+      val withParts = partCols.zip(vals).foldLeft(base) { case (df, (c, v)) =>
+        df.withColumn(c, partLit(v, st(c).dataType)) }
+      withParts.select(st.fieldNames.toSeq.map(col): _*)
+    }.reduce(_ unionAll _)
+  }
 
   /** Snapshot → DataFrame. Empty tables yield an empty, correctly-typed
     * DataFrame. Reads pass the declared schema so file-level surprises fail
@@ -61,10 +96,13 @@ object LakeTable {
   def read(spark: SparkSession, log: LakeLog, table: String,
            version: Long = 0L): DataFrame = {
     val snap = log.snapshot(table, version)
-    val st = toStructType(snap.schema.getOrElse(
-      throw new LakeValidationException(s"table $table has no schema")))
+    val sch = snap.schema.getOrElse(
+      throw new LakeValidationException(s"table $table has no schema"))
+    val st = toStructType(sch)
     if (snap.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
+    else if (sch.partCols.nonEmpty)
+      readWithPartitions(spark, st, sch.partCols, snap.files)
     else spark.read.schema(st).parquet(snap.files.map(_.path): _*)
   }
 
@@ -79,19 +117,25 @@ object LakeTable {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     val snap = log.snapshot(table, version)
-    val st = toStructType(snap.schema.getOrElse(
-      throw new LakeValidationException(s"table $table has no schema")))
+    val sch = snap.schema.getOrElse(
+      throw new LakeValidationException(s"table $table has no schema"))
+    val st = toStructType(sch)
     if (snap.files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
+    val partCols = sch.partCols
+    val partSt = StructType(partCols.map(c => st(c)))
     val relation = HadoopFsRelation(
-      location = new LakeFileIndex(spark, snap, st),
-      partitionSchema = StructType(Nil),
-      dataSchema = st,
+      location = new LakeFileIndex(spark, snap, st, partSt),
+      partitionSchema = partSt,
+      dataSchema = dataStruct(st, partCols),
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
+    // Spark appends partition columns after data columns — restore the
+    // declared order
     org.apache.spark.sql.classic.ClassicConversions.castToImpl(spark)
       .baseRelationToDataFrame(relation)
+      .select(st.fieldNames.toSeq.map(col): _*)
   }
 
   /** Stat-pruned read: drop files whose [min,max] range for the predicate
@@ -105,12 +149,12 @@ object LakeTable {
   def readFiltered(spark: SparkSession, log: LakeLog, table: String,
                    predicate: String, version: Long = 0L): DataFrame = {
     val snap = log.snapshot(table, version)
-    val st = toStructType(snap.schema.get)
+    val sch = snap.schema.get
+    val st = toStructType(sch)
+    // partition columns carry synthesized min=max stats, so partition
+    // predicates prune here exactly like data predicates
     val kept = FilePruning.prune(snap.files, predicate, st)
-    if (kept.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
-        .filter(QueryEngine.parsePredicate(predicate))
-    else spark.read.schema(st).parquet(kept.map(_.path): _*)
+    readWithPartitions(spark, st, sch.partCols, kept)
       .filter(QueryEngine.parsePredicate(predicate))
   }
 
@@ -141,7 +185,9 @@ object LakeTable {
     // replay, client retry) must not re-stage data files
     log.committedVersion(table, txnId).foreach(v =>
       return CommitResult(v, duplicate = true))
-    val st = toStructType(log.snapshot(table).schema.get)
+    val sch = log.snapshot(table).schema.get
+    val st = toStructType(sch)
+    val partCols = sch.partCols
     val tmp = log.tmpDir(table, txnId)
     val shaped = df.select(st.fields.toSeq.map(f =>
       col(f.name).cast(f.dataType)): _*)
@@ -164,13 +210,17 @@ object LakeTable {
       else if (numFiles > 1) shaped.repartition(numFiles)
       else shaped.coalesce(1)
     withStatFriendlyWrites(spark) {
+      // partitioned tables: hive-style staged layout (col=value/ dirs, data
+      // files stripped of partition columns); values are parsed back into
+      // the log's partition map at promotion
       arranged
         .write.mode("overwrite").option("compression", "snappy")
+        .partitionBy(partCols: _*)
         .parquet(tmp.toString)
     }
 
     try {
-      val adds = statAndPromote(spark, log, table, tmp, st)
+      val adds = statAndPromote(spark, log, table, tmp, st, partCols = partCols)
       log.commitWithRetry(table, txnId, maxAttempts)(_ => Some((adds, Nil))).get
     } finally deleteRecursively(tmp)
   }
@@ -180,19 +230,32 @@ object LakeTable {
     * metadata reads, no re-scan of the data that was just written. Zero-row
     * part files (Spark writes them on over-partitioned small data) are
     * dropped, never committed.
+    *
+    * Partitioned tables: the staged dir carries hive-style `col=value/`
+    * subdirs (from `.partitionBy` writes); values are parsed into the
+    * [[FileAdd]] partition map and the promoted file is FLAT — partition
+    * placement lives only in the log. `partition` pre-sets the map when the
+    * staged write was not `.partitionBy` (compaction merges one partition's
+    * files and already knows their shared values). Every partition column
+    * also gets synthesized `min = max = value` stats, so the stat-based
+    * pruners skip partitions with no extra machinery.
     */
   private def statAndPromote(spark: SparkSession, log: LakeLog, table: String,
                              staged: Path, st: StructType,
-                             rewrite: Boolean = false): Seq[FileAdd] = {
-    val cols = statCols(st)
+                             rewrite: Boolean = false,
+                             partCols: Seq[String] = Nil,
+                             partition: Map[String, String] = Map.empty)
+      : Seq[FileAdd] = {
+    val cols = statCols(dataStruct(st, partCols))
     val hadoopConf = spark.sessionState.newHadoopConf()
     val tz = spark.sessionState.conf.sessionLocalTimeZone
-    val parts = Files.list(staged).iterator().asScala.toSeq
+    val parts = Files.walk(staged).iterator().asScala.toSeq
       .filter { p =>
         val n = p.getFileName.toString
-        n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+        Files.isRegularFile(p) && n.endsWith(".parquet") &&
+          !n.startsWith(".") && !n.startsWith("_")
       }
-      .sortBy(_.getFileName.toString)
+      .sortBy(_.toString)
 
     val dataDir = log.dataDir(table)
     Files.createDirectories(dataDir)
@@ -200,13 +263,39 @@ object LakeTable {
       val (rows, minVals, maxVals) = FooterStats.read(hadoopConf, src, cols, tz)
       if (rows == 0L) None
       else {
+        val partMap = partition ++ parsePartitionDirs(staged, src)
+        partCols.foreach(c => if (!partMap.contains(c))
+          throw new LakeValidationException(
+            s"staged file $src carries no value for partition column $c " +
+              "(null partition values are not supported)"))
+        val synth = partCols.map(c => c -> partMap(c))
         val dest = dataDir.resolve(
           f"part-$i%05d-${UUID.randomUUID().toString}.parquet")
         Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
         Some(FileAdd(dest.toString, rows = rows, size = Files.size(dest),
-          stats = Some(FileStats(minVals, maxVals)), rewrite = rewrite))
+          partition = partMap,
+          stats = Some(FileStats(minVals ++ synth, maxVals ++ synth)),
+          rewrite = rewrite))
       }
     }
+  }
+
+  /** `col=value` components of `file`'s path below `staged`, hive-unescaped.
+    * Rejects the null-partition sentinel: partition values must be non-null
+    * (their directory encoding is otherwise ambiguous). */
+  private def parsePartitionDirs(staged: Path, file: Path)
+      : Map[String, String] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val rel = staged.relativize(file)
+    (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
+      .filter(_.contains("=")).map { seg =>
+        val Array(k, v) = seg.split("=", 2)
+        val value = ExternalCatalogUtils.unescapePathName(v)
+        if (value == ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+          throw new LakeValidationException(
+            s"partition column $k has a null value — not supported")
+        k -> value
+      }.toMap
   }
 
   /** Parquet footers only carry timestamp statistics for INT64 physical
@@ -323,16 +412,28 @@ object LakeTable {
     val snap = log.snapshot(table)
     if (!force && !compactionNeeded(snap, cfg))
       return CompactionReport(0, 0, 0, 0, snap.version)
-    val st = toStructType(snap.schema.get)
-    val groups = planCompaction(snap, cfg)
+    val sch = snap.schema.get
+    val st = toStructType(sch)
+    val partCols = sch.partCols
+    val dataSt = dataStruct(st, partCols)
+    // a compaction group never crosses partition boundaries — merging files
+    // of different partition values would break partition placement
+    val groups = snap.files.groupBy(f => partCols.map(f.partition(_)))
+      .values.toSeq.sortBy(_.head.path)
+      .flatMap(fs => planCompaction(snap.copy(files = fs), cfg))
     var committed = 0; var removed = 0; var added = 0
     groups.zipWithIndex.foreach { case (group, gi) =>
       val txnId = s"compact-${UUID.randomUUID().toString}"
       val staged = log.tmpDir(table, txnId)
-      val merged = spark.read.schema(st).parquet(group.map(_.path): _*)
+      // the group shares one partition value vector: merge the flat data
+      // files as-is and carry the partition map through to the new FileAdd
+      val merged = spark.read.schema(dataSt).parquet(group.map(_.path): _*)
+      // partition columns are constant within a group — drop them from the
+      // z-order key (they're not in the data files either)
+      val zCols = cfg.zOrderBy.filterNot(partCols.contains)
       val rewritten =
-        if (cfg.zOrderBy.nonEmpty)
-          merged.withColumn("__z", ZOrder.zValue(spark, merged, cfg.zOrderBy))
+        if (zCols.nonEmpty)
+          merged.withColumn("__z", ZOrder.zValue(spark, merged, zCols))
             .coalesce(1).sortWithinPartitions("__z").drop("__z")
         else merged.coalesce(1)
       withStatFriendlyWrites(spark) {
@@ -341,7 +442,8 @@ object LakeTable {
           .parquet(staged.toString)
       }
       try {
-        val adds = statAndPromote(spark, log, table, staged, st, rewrite = true)
+        val adds = statAndPromote(spark, log, table, staged, st, rewrite = true,
+          partCols = partCols, partition = group.head.partition)
         val inputPaths = group.map(_.path)
         val result = log.commitWithRetry(table, txnId) { fresh =>
           val live = fresh.files.map(_.path).toSet
@@ -376,7 +478,9 @@ object LakeTable {
     log.committedVersion(table, txnId).foreach(v =>
       return DeleteReport(0, 0, 0, v))
     val snap = log.snapshot(table)
-    val st = toStructType(snap.schema.get)
+    val sch = snap.schema.get
+    val st = toStructType(sch)
+    val partCols = sch.partCols
     val candidates = FilePruning.prune(snap.files, predicate, st)
     if (candidates.isEmpty)
       return DeleteReport(0, snap.files.size, 0, snap.version)
@@ -386,16 +490,19 @@ object LakeTable {
     // is dropped entirely (no empty-file adds — parquet writes skip them).
     // SQL DELETE removes only rows where the condition is TRUE — a NULL
     // predicate keeps the row, so retain !coalesce(pred, false), not !pred.
-    val retained = spark.read.schema(st)
-      .parquet(candidates.map(_.path): _*)
+    // Partitioned tables reconstruct partition columns before evaluating
+    // (the predicate may reference them) and re-split on write.
+    val retained = readWithPartitions(spark, st, partCols, candidates)
       .filter(!coalesce(pred, lit(false)))
     withStatFriendlyWrites(spark) {
       retained.coalesce(math.max(1, candidates.size))
         .write.mode("overwrite").option("compression", "snappy")
+        .partitionBy(partCols: _*)
         .parquet(staged.toString)
     }
     try {
-      val adds = statAndPromote(spark, log, table, staged, st, rewrite = true)
+      val adds = statAndPromote(spark, log, table, staged, st, rewrite = true,
+          partCols = partCols)
         .filter(_.rows > 0)
       val inputPaths = candidates.map(_.path)
       val result = log.commitWithRetry(table, txnId) { fresh =>
@@ -421,7 +528,9 @@ object LakeTable {
     log.committedVersion(table, txnId).foreach(v =>
       return CommitResult(v, duplicate = true))
     val snap = log.snapshot(table)
-    val st = toStructType(snap.schema.get)
+    val sch = snap.schema.get
+    val st = toStructType(sch)
+    val partCols = sch.partCols
     val shaped = updates.select(st.fields.toSeq.map(f =>
       col(f.name).cast(f.dataType)): _*)
     val keys = shaped.select(keyCol)
@@ -438,22 +547,25 @@ object LakeTable {
     // upserted rows without replaying the rewritten survivors
     withStatFriendlyWrites(spark) {
       if (candidates.nonEmpty)
-        spark.read.schema(st).parquet(candidates.map(_.path): _*)
+        readWithPartitions(spark, st, partCols, candidates)
           .join(keys, Seq(keyCol), "left_anti")
           .coalesce(candidates.size)
           .write.mode("overwrite").option("compression", "snappy")
+          .partitionBy(partCols: _*)
           .parquet(staged.resolve("rw").toString)
       shaped.coalesce(1)
         .write.mode("overwrite").option("compression", "snappy")
+        .partitionBy(partCols: _*)
         .parquet(staged.resolve("new").toString)
     }
     try {
       val rwAdds =
         if (candidates.isEmpty) Nil
         else statAndPromote(spark, log, table, staged.resolve("rw"), st,
-          rewrite = true)
+          rewrite = true, partCols = partCols)
       val adds = (rwAdds ++
-        statAndPromote(spark, log, table, staged.resolve("new"), st))
+        statAndPromote(spark, log, table, staged.resolve("new"), st,
+          partCols = partCols))
         .filter(_.rows > 0)
       val inputPaths = candidates.map(_.path)
       log.commitWithRetry(table, txnId) { fresh =>
@@ -480,14 +592,13 @@ object LakeTable {
     val latest = log.latestVersion(table)
     val to = if (toVersion <= 0) latest else toVersion
     require(fromVersion <= to, s"fromVersion $fromVersion > toVersion $to")
-    val st = toStructType(log.snapshot(table, to).schema.get)
+    val sch = log.snapshot(table, to).schema.get
+    val st = toStructType(sch)
     val addedFiles = log.versions(table)
       .filter(v => v > fromVersion && v <= to)
       .map(v => log.readEntry(table, v))
-      .flatMap(_.adds.filterNot(_.rewrite).map(_.path))
-    if (addedFiles.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
-    else spark.read.schema(st).parquet(addedFiles: _*)
+      .flatMap(_.adds.filterNot(_.rewrite))
+    readWithPartitions(spark, st, sch.partCols, addedFiles)
   }
 
   /** Table history — one row per committed version (DESCRIBE HISTORY
