@@ -53,14 +53,8 @@ final class LakeFileIndex(spark: SparkSession, snap: Snapshot,
     }
   }
 
-  /** Log partition-map string → Catalyst internal value. */
-  private def internalValue(v: String, dt: DataType): Any = dt match {
-    case IntegerType => v.toInt
-    case LongType => v.toLong
-    case BooleanType => v.toBoolean
-    case DateType => java.time.LocalDate.parse(v).toEpochDay.toInt
-    case _ => org.apache.spark.unsafe.types.UTF8String.fromString(v)
-  }
+  private def internalValue(v: String, dt: DataType): Any =
+    PartitionValues.internalValue(v, dt)
 
   /** Evaluate a pushed partition filter against one partition row;
     * unexpectedly-shaped expressions conservatively keep the partition. */

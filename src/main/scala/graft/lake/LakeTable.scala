@@ -627,6 +627,33 @@ object LakeTable {
         .getOrElse(Nil))
   }
 
+  /** RESTORE TABLE ... TO VERSION: make the table's live file set equal the
+    * target version's — one metadata-only commit (adds = files visible then
+    * but not now, removes = files visible now but not then). No data is
+    * copied or rewritten, so restoring a 100 TB table costs one log entry;
+    * the restore itself is a new version, so it is undoable and the history
+    * remains append-only. Fails if a needed file was VACUUMed away.
+    * Restored adds are marked `rewrite` — a restore changes table state,
+    * not logical row identity, so the CDC feed does not replay them.
+    */
+  def restore(log: LakeLog, table: String, toVersion: Long,
+              txnId: String = UUID.randomUUID().toString): CommitResult = {
+    val target = log.snapshot(table, toVersion)
+    target.files.foreach(f =>
+      if (!Files.exists(java.nio.file.Paths.get(f.path)))
+        throw new LakeValidationException(
+          s"cannot restore $table to version $toVersion: ${f.path} " +
+            "no longer exists (vacuumed)"))
+    log.commitWithRetry(table, txnId) { fresh =>
+      val now = fresh.files.map(_.path).toSet
+      val then_ = target.files.map(_.path).toSet
+      val adds = target.files.filterNot(f => now.contains(f.path))
+        .map(_.copy(rewrite = true))
+      val removes = fresh.files.map(_.path).filterNot(then_.contains)
+      Some((adds, removes))
+    }.get
+  }
+
   final case class VacuumReport(examined: Int, deleted: Int, keptLive: Int)
 
   /** Garbage-collect data files no longer reachable from any RETAINED

@@ -130,6 +130,21 @@ object Streams {
     * different appId and never collides). This is the same contract Delta's
     * `txnAppId`/`txnVersion` gives a streaming writer.
     */
+  /** CDC stream over a lake table: each micro-batch is the rows logically
+    * added by new log versions (rewrites — compaction, delete survivors,
+    * restores — are never replayed). See [[graft.lake.LakeTableProvider]].
+    * Composes with [[sinkToLake]] into end-to-end exactly-once
+    * lake → transform → lake pipelines.
+    */
+  def lakeStream(spark: org.apache.spark.sql.SparkSession,
+                 log: graft.lake.LakeLog, table: String,
+                 startingVersion: Long = 0L): DataFrame =
+    spark.readStream.format("graft-lake")
+      .option("root", log.root.toString)
+      .option("table", table)
+      .option("startingVersion", startingVersion.toString)
+      .load()
+
   def sinkToLake(stream: DataFrame, log: graft.lake.LakeLog, table: String,
                  checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {

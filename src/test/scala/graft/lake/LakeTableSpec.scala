@@ -372,6 +372,31 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.changesSince(spark, log, "t", 2).count() == 0)
   }
 
+  test("restore rewinds the live file set in one metadata commit") {
+    val log = newLog()
+    LakeTable.createTable(log, "t", schema)
+    LakeTable.insert(spark, log, "t", sampleDf(1 to 100, "a"))      // v1
+    LakeTable.insert(spark, log, "t", sampleDf(101 to 200, "b"))    // v2
+    LakeTable.deleteWhere(spark, log, "t", "id <= 50")              // v3
+    assert(LakeTable.read(spark, log, "t").count() == 150)
+
+    val r = LakeTable.restore(log, "t", 2)                          // v4
+    assert(r.version == 4)
+    assert(LakeTable.read(spark, log, "t").count() == 200)
+    // restore is itself undoable: rewind past it back to the deleted state
+    LakeTable.restore(log, "t", 3)                                  // v5
+    assert(LakeTable.read(spark, log, "t").count() == 150)
+    // restored adds are layout-only for CDC: no replayed rows
+    assert(LakeTable.changesSince(spark, log, "t", 3).count() == 0)
+    // restoring to a vacuumed version fails loudly
+    LakeTable.restore(log, "t", 2)                                  // v6
+    LakeTable.deleteWhere(spark, log, "t", "id <= 50")              // v7
+    LakeTable.vacuum(log, "t", retainVersions = 1)
+    intercept[LakeValidationException] {
+      LakeTable.restore(log, "t", 6)
+    }
+  }
+
   test("history and describe expose the commit log") {
     val log = newLog()
     LakeTable.createTable(log, "t", schema)

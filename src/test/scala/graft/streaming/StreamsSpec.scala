@@ -120,6 +120,51 @@ class StreamsSpec extends SparkSpec {
     } finally query2.stop()
   }
 
+  test("lakeStream: readStream tails the log; rewrites never replay") {
+    import graft.lake.{LakeLog, LakeTable}
+    import org.apache.spark.sql.types._
+    val log = new LakeLog(tmpDir("lakestream"))
+    LakeTable.createTable(log, "ev", StructType(Seq(
+      StructField("id", LongType), StructField("region", StringType),
+      StructField("value", DoubleType))), partitionBy = Seq("region"))
+    LakeTable.insert(spark, log, "ev",
+      Seq((1L, "eu", 1.0), (2L, "us", 2.0)).toDF("id", "region", "value"))
+
+    val query = Streams.lakeStream(spark, log, "ev")
+      .writeStream.format("memory").queryName("lakecdc")
+      .option("checkpointLocation", tmpDir("lakecdc_ckpt").toString)
+      .start()
+    try {
+      query.processAllAvailable()
+      // batch 0: everything since version 0, partition column reconstructed
+      assert(spark.table("lakecdc").count() == 2)
+      assert(spark.table("lakecdc").columns.toSeq ==
+        Seq("id", "region", "value"))
+      assert(spark.table("lakecdc").filter(col("region") === "us")
+        .select("value").as[Double].head() == 2.0)
+
+      // new insert arrives as an incremental batch
+      LakeTable.insert(spark, log, "ev",
+        Seq((3L, "eu", 3.0)).toDF("id", "region", "value"))
+      query.processAllAvailable()
+      assert(spark.table("lakecdc").count() == 3)
+
+      // compaction + restore are layout-only: no replayed rows
+      (1 to 3).foreach(i => LakeTable.insert(spark, log, "ev",
+        Seq((10L + i, "ap", i.toDouble)).toDF("id", "region", "value")))
+      query.processAllAvailable()
+      val before = spark.table("lakecdc").count()
+      LakeTable.compact(spark, log, "ev", force = true)
+      query.processAllAvailable()
+      assert(spark.table("lakecdc").count() == before)
+
+      // a delete's survivor rewrite streams nothing either
+      LakeTable.deleteWhere(spark, log, "ev", "id = 1")
+      query.processAllAvailable()
+      assert(spark.table("lakecdc").count() == before)
+    } finally query.stop()
+  }
+
   test("intervalJoin matches right events inside the left-anchored window") {
     implicit val sq = spark.sqlContext
     val imps = MemoryStream[(Timestamp, Long)]
