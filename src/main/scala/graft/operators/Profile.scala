@@ -38,8 +38,22 @@ object Profile {
     cols.map(c => c -> row.getAs[Long](c)).toMap
   }
 
+  private val Quartiles = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75")
+
   /** One row per numeric column: count/nulls/min/max/mean/stddev/quartiles.
-    * All columns' aggregates are computed in ONE aggregation pass.
+    *
+    * Moments run as ONE codegen'd partial+final aggregation pass. Exact
+    * quartiles do NOT use the `percentile` aggregate — its partial state is
+    * a value→count map per partition that one final reducer must merge, an
+    * OOM magnet at high cardinality. Instead: unpivot → `groupBy(column,
+    * value)` histogram (map-side combine shrinks the shuffle to distinct
+    * values) → per-column cumulative-count window → each quartile is the
+    * interpolation `v_lo + frac · (v_hi − v_lo)` of the two values whose
+    * cumulative ranges cover positions `⌊q(n−1)⌋`/`⌈q(n−1)⌉` — the same
+    * definition as SQL `percentile_cont`, bit-identical results, but memory
+    * bounded by one value's row, never a value map. `approx = true` swaps in
+    * `percentile_approx` (t-digest) inside the moments pass for extreme
+    * cardinalities.
     */
   def numericProfile(df: DataFrame, approx: Boolean = false): DataFrame = {
     val spark = df.sparkSession
@@ -47,33 +61,75 @@ object Profile {
     val cols = df.schema.fields.filter(f => isNumeric(f.dataType)).map(_.name)
     require(cols.nonEmpty, "no numeric columns to profile")
     val aggs = cols.flatMap { c =>
-      // percentile/percentile_approx return the INPUT type — cast so the
-      // quantiles of integral columns come back as doubles
-      val q =
-        if (approx)
-          percentile_approx(col(c).cast("double"),
-            array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
-        else percentile(col(c).cast("double"),
-          array(lit(0.25), lit(0.5), lit(0.75)))
       Seq(
         count(lit(1)).as(s"__n_$c"),
         count(when(col(c).isNull, 1)).as(s"__nulls_$c"),
         min(col(c)).cast("double").as(s"__min_$c"),
         max(col(c)).cast("double").as(s"__max_$c"),
         avg(col(c)).as(s"__mean_$c"),
-        stddev_samp(col(c)).as(s"__std_$c"),
-        q.as(s"__q_$c"))
+        stddev_samp(col(c)).as(s"__std_$c")) ++
+        (if (approx)
+          Seq(percentile_approx(col(c).cast("double"),
+            array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as(s"__q_$c"))
+        else Nil)
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+
+    val quart: Map[String, Seq[Double]] =
+      if (approx) cols.map { c =>
+        c -> Option(row.getAs[scala.collection.Seq[Double]](s"__q_$c"))
+          .map(_.toSeq).getOrElse(Seq(Double.NaN, Double.NaN, Double.NaN))
+      }.toMap
+      else exactQuartiles(df, cols.toSeq)
+
     cols.map { c =>
-      // scala 2.13: Row arrays come back as mutable.ArraySeq, which is not
-      // an immutable scala.Seq — use the collection.Seq supertype
-      val qs = row.getAs[scala.collection.Seq[Double]](s"__q_$c")
+      val qs = quart(c)
       NumericProfile(c,
         row.getAs[Long](s"__n_$c"), row.getAs[Long](s"__nulls_$c"),
         row.getAs[Double](s"__min_$c"), row.getAs[Double](s"__max_$c"),
         row.getAs[Double](s"__mean_$c"), row.getAs[Double](s"__std_$c"),
         qs(0), qs(1), qs(2))
     }.toSeq.toDF()
+  }
+
+  /** Distributed exact `percentile_cont` quartiles for every column in one
+    * plan: histogram → cumulative window → covering-value interpolation.
+    * Columns with no non-null values get NaN quartiles.
+    */
+  private def exactQuartiles(df: DataFrame, cols: Seq[String])
+      : Map[String, Seq[Double]] = {
+    import org.apache.spark.sql.expressions.Window
+    val stacked = df.select(expr(
+      s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', cast(`$c` as double)").mkString(", ") +
+        ") as (`__column`, `__v`)"))
+      .filter(col("__v").isNotNull)
+    val hist = stacked.groupBy("__column", "__v")
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__cum", sum("__cnt").over(
+        Window.partitionBy("__column").orderBy("__v")))
+      .withColumn("__nv", sum("__cnt").over(Window.partitionBy("__column")))
+    val quartAggs = Quartiles.flatMap { case (q, name) =>
+      val k = lit(q) * (col("__nv") - 1)
+      val coversLo = col("__cum") - col("__cnt") <= floor(k) &&
+        floor(k) < col("__cum")
+      val coversHi = col("__cum") - col("__cnt") <= ceil(k) &&
+        ceil(k) < col("__cum")
+      Seq(max(when(coversLo, col("__v"))).as(s"__lo_$name"),
+        max(when(coversHi, col("__v"))).as(s"__hi_$name"),
+        max(k - floor(k)).as(s"__frac_$name"))
+    }
+    val rows = hist.groupBy("__column")
+      .agg(quartAggs.head, quartAggs.tail: _*)
+      .collect()
+    val byCol = rows.map { r =>
+      r.getAs[String]("__column") -> Quartiles.map { case (_, name) =>
+        val lo = r.getAs[Double](s"__lo_$name")
+        val hi = r.getAs[Double](s"__hi_$name")
+        lo + r.getAs[Double](s"__frac_$name") * (hi - lo)
+      }
+    }.toMap
+    cols.map(c => c -> byCol.getOrElse(c,
+      Seq(Double.NaN, Double.NaN, Double.NaN))).toMap
   }
 }
