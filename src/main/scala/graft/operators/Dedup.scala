@@ -210,39 +210,49 @@ object Dedup {
     else prefixJaccardPairs(toksC, threshold)
   }
 
-  /** Prefix-filtered set-similarity join (PPJoin-style) for large vocabs. */
+  /** Prefix-filtered set-similarity join (PPJoin-style) for large vocabs.
+    *
+    * One shuffle of the token table: after the document-frequency join,
+    * everything per-document — the (df, tok)-sorted prefix AND the full
+    * hash set for verification — comes out of a single `groupBy(id)`
+    * (array-sorted in place of two window passes plus a second
+    * aggregation, which would shuffle the full token set three times).
+    */
   private def prefixJaccardPairs(toks: DataFrame, threshold: Double)
       : DataFrame = {
     // global token frequency → per-doc token order (rarest first); ties
     // broken by token text so the order is deterministic cluster-wide
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    val ordered = toks.join(freq, Seq("tok"))
-      .withColumn("pos", row_number().over(
-        Window.partitionBy("id").orderBy(col("df"), col("tok"))))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
-
-    // prefix length: sz - ceil(t*sz) + 1. Persisted: it feeds BOTH sides of
-    // the candidate self-join, which would otherwise re-run the freq join +
-    // windows twice. (id, tok, pos, sz) rows ≈ corpus token count — small.
-    val prefix = ordered.filter(
-      col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+    // one row per document: rarity-ordered tokens + sorted token-hash set.
+    // Persisted: feeds both candidate-join sides and both verify sides.
+    val docs = toks.join(freq, Seq("tok"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
+             .as("ordered"),
+           sort_array(collect_set(xxhash64(col("tok")))).as("set"))
+      .withColumn("sz", size(col("set")))
+      // prefix length: sz - ceil(t*sz) + 1 rarest tokens act as join keys
+      .withColumn("prefix", transform(
+        slice(col("ordered"), lit(1),
+          greatest(lit(1), (col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+            .cast("int"))),
+        s => s.getField("tok")))
+      .drop("ordered")
       .persist()
 
-    val candidates = prefix.select(col("id").as("a_id"), col("tok"))
-      .join(prefix.select(col("id").as("b_id"), col("tok")), Seq("tok"))
+    val candidates = docs
+      .select(col("id").as("a_id"), explode(col("prefix")).as("tok"))
+      .join(docs.select(col("id").as("b_id"), explode(col("prefix")).as("tok")),
+        Seq("tok"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
 
     // exact verification over full sorted token-HASH sets: array_intersect
     // on fixed-width longs instead of strings (exact modulo 64-bit hash
-    // collisions, ~n²/2⁶⁴ — negligible). Persisted: joined once per pair
-    // side. One row per document.
-    val sets = toks.groupBy("id")
-      .agg(sort_array(collect_set(xxhash64(col("tok")))).as("set"))
-      .persist()
+    // collisions, ~n²/2⁶⁴ — negligible)
     candidates
-      .join(sets.select(col("id").as("a_id"), col("set").as("a_set")), Seq("a_id"))
-      .join(sets.select(col("id").as("b_id"), col("set").as("b_set")), Seq("b_id"))
+      .join(docs.select(col("id").as("a_id"), col("set").as("a_set")), Seq("a_id"))
+      .join(docs.select(col("id").as("b_id"), col("set").as("b_set")), Seq("b_id"))
       .withColumn("c", size(array_intersect(col("a_set"), col("b_set"))))
       .select(col("a_id"), col("b_id"),
         (col("c").cast("double") /
