@@ -176,6 +176,38 @@ class LakePartitionSpec extends SparkSpec {
       tricky.toSet)
   }
 
+  test("SQL and structured-query APIs prune partitions end-to-end") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val log = newLog()
+    LakeTable.createTable(log, "sales", schema, partitionBy = Seq("region"))
+    LakeTable.insert(spark, log, "sales", sample(1 to 100, "eu", "2024-01-01"))
+    LakeTable.insert(spark, log, "sales", sample(101 to 200, "us", "2024-01-01"))
+
+    val sql = graft.api.SqlApi.queryLake(spark, log,
+      "SELECT region, count(*) AS n, sum(price) AS total FROM sales " +
+        "WHERE region = 'us' GROUP BY region")
+    val rows = sql.collect()
+    assert(rows.length == 1 && rows.head.getLong(1) == 100)
+    // AQE hides executed stages from plain collect — recurse through
+    // adaptive plans and materialized query stages to reach the scan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(sql.queryExecution.executedPlan).head
+    assert(scan.metrics("numFiles").value == 1) // eu partition never read
+
+    val api = graft.api.QueryApi.runLake(spark, log,
+      """{"table_name": "sales", "filter": "region = eu",
+         "group_by": ["region"],
+         "aggregates": [{"function": "count", "column": "id"}]}""")
+    assert(api.collect().head.getLong(1) == 100)
+  }
+
   test("validation: partition rules enforced") {
     val log = newLog()
     // float partition column
