@@ -138,6 +138,25 @@ object SparkEntry {
           .as("revenue"))
         .orderBy("r_name", "n_name")
     }),
+    "q_tpch_q3" -> ((s, d) => {
+      // TPC-H Q3 shape (shipping-priority): selective filters pushed into
+      // all three scans, broadcast customer dim, grouped revenue top-N.
+      // o_shippriority doesn't exist in this testdata — o_orderpriority
+      // stands in. Ordering uses the ROUNDED revenue so the top-10 set is
+      // engine-independent (ties broken by the unique group key).
+      val cut = lit("1998-01-01").cast("timestamp")
+      val cust = t(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, d, "orders").filter(col("o_orderdate") < cut)
+      val li = t(s, d, "lineitem").filter(col("l_shipdate") > cut)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
     "q_join_semi" -> ((s, d) =>
       t(s, d, "customer")
         .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"),
@@ -386,6 +405,24 @@ object SparkEntry {
           langId(col("text")).as("lang_guess"),
           round(langScore(col("text"), "en"), 6).as("en_score"))
         .orderBy("doc_id")),
+
+    // ---- the flagship 100 TB use case, end-to-end ------------------------
+    "q_corpus_pipeline" -> ((s, d) => {
+      // training-data curation in one plan: quality gate → exact dedup
+      // (lowest doc_id per normalized-text fingerprint) → language tag →
+      // per-language corpus stats. All stages are the already-oracle-checked
+      // operators composed; Catalyst fuses the scalar stages into the scan
+      // and the only shuffles are dedup's (fingerprint, id) pairs and the
+      // final tiny group-by.
+      val scored = docsSpread(s, d).select(col("doc_id"), col("text"),
+        qualityScore(col("text")).as("q"))
+      val kept = scored.filter(col("q") >= 0.5)
+      graft.operators.Dedup.exactDedup(kept, "doc_id", "text")
+        .select(col("doc_id"), col("q"), langId(col("text")).as("lang"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), round(avg("q"), 6).as("avg_quality"))
+        .orderBy("lang")
+    }),
 
     // ---- LLM-data-pipeline: dedup ----------------------------------------
     "q_dedup_exact" -> ((s, d) =>
@@ -645,6 +682,17 @@ object SparkEntry {
       JOIN nation   ON c_nationkey = n_nationkey
       JOIN region   ON n_regionkey = r_regionkey
       GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q_tpch_q3" -> """
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate  > TIMESTAMP '1998-01-01'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "q_join_semi" -> """
       SELECT c_custkey FROM customer
       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -954,6 +1002,95 @@ object SparkEntry {
                greatest(0.0, 1.0 - symbol_ratio * 4) *
                greatest(0.0, 1.0 - digit_ratio * 2), 6) AS quality
       FROM feats ORDER BY doc_id""",
+    "q_corpus_pipeline" -> """
+      WITH norm AS (
+        SELECT doc_id, text,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+        FROM documents),
+      f AS (
+        SELECT doc_id,
+               CAST(length(nt) AS DOUBLE) AS n_chars,
+               CAST(len(list_filter(string_split_regex(nt, '\s+'),
+                 x -> x <> '')) AS DOUBLE) AS n_tok,
+               CAST(length(regexp_replace(nt, '[\p{L}\p{N}\s]', '', 'g'))
+                 AS DOUBLE) AS n_sym,
+               CAST(length(regexp_replace(nt, '[^0-9]', '', 'g'))
+                 AS DOUBLE) AS n_dig
+        FROM norm),
+      qual AS (
+        SELECT doc_id, round(
+          (CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1.0 ELSE 0.3 END) *
+          (CASE WHEN n_tok > 0 AND (n_chars - (n_tok - 1)) / n_tok >= 2
+                 AND (n_chars - (n_tok - 1)) / n_tok <= 12
+                THEN 1.0 ELSE 0.5 END) *
+          greatest(0.0, 1.0 - (CASE WHEN n_chars > 0 THEN n_sym / n_chars
+                                    ELSE 0.0 END) * 4) *
+          greatest(0.0, 1.0 - (CASE WHEN n_chars > 0 THEN n_dig / n_chars
+                                    ELSE 0.0 END) * 2), 6) AS q
+        FROM f),
+      kept AS (
+        SELECT n.doc_id, n.text, n.nt, qual.q
+        FROM norm n JOIN qual USING (doc_id) WHERE qual.q >= 0.5),
+      keepers AS (
+        SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(nt)),
+      cjk AS (
+        SELECT doc_id,
+               CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0
+                    THEN 0.0
+                    ELSE length(regexp_replace(
+                           regexp_replace(text, '\s', '', 'g'),
+                           '[^\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]',
+                           '', 'g'))
+                         / CAST(length(regexp_replace(text, '\s', '', 'g'))
+                                AS DOUBLE) END AS cjk_ratio
+        FROM kept),
+      toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(nt, '\s+'), x -> x <> '') AS t
+        FROM kept),
+      scores AS (
+        SELECT doc_id,
+          CASE WHEN len(t) = 0 THEN 0.0 ELSE
+            len(list_filter(t, x -> list_contains(
+              ['der','die','und','das','ist','nicht','von','mit','den','ein'], x)))
+            / CAST(len(t) AS DOUBLE) END AS s_de,
+          CASE WHEN len(t) = 0 THEN 0.0 ELSE
+            len(list_filter(t, x -> list_contains(
+              ['the','of','and','to','in','is','that','it','was','for'], x)))
+            / CAST(len(t) AS DOUBLE) END AS s_en,
+          CASE WHEN len(t) = 0 THEN 0.0 ELSE
+            len(list_filter(t, x -> list_contains(
+              ['de','la','que','el','en','los','del','las','por','un'], x)))
+            / CAST(len(t) AS DOUBLE) END AS s_es,
+          CASE WHEN len(t) = 0 THEN 0.0 ELSE
+            len(list_filter(t, x -> list_contains(
+              ['le','la','les','des','est','dans','que','une','pour','qui'], x)))
+            / CAST(len(t) AS DOUBLE) END AS s_fr,
+          CASE WHEN len(t) = 0 THEN 0.0 ELSE
+            len(list_filter(t, x -> list_contains(
+              ['di','che','il','la','per','del','con','una','sono','della'], x)))
+            / CAST(len(t) AS DOUBLE) END AS s_it,
+          CASE WHEN len(t) = 0 THEN 0.0 ELSE
+            len(list_filter(t, x -> list_contains(
+              ['de','que','em','para','com','uma','os','não','mais','das'], x)))
+            / CAST(len(t) AS DOUBLE) END AS s_pt
+        FROM toks),
+      lang AS (
+        SELECT s.doc_id,
+             CASE WHEN c.cjk_ratio > 0.3 THEN 'zh'
+                  WHEN greatest(s_de,s_en,s_es,s_fr,s_it,s_pt) <= 0.0 THEN 'und'
+                  WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_it,s_pt) THEN 'de'
+                  WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_it,s_pt) THEN 'en'
+                  WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_it,s_pt) THEN 'es'
+                  WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_it,s_pt) THEN 'fr'
+                  WHEN s_it = greatest(s_de,s_en,s_es,s_fr,s_it,s_pt) THEN 'it'
+                  ELSE 'pt' END AS lang
+        FROM scores s JOIN cjk c ON s.doc_id = c.doc_id)
+      SELECT l.lang, count(*) AS n_docs, round(avg(k.q), 6) AS avg_quality
+      FROM keepers kp
+      JOIN kept k ON k.doc_id = kp.doc_id
+      JOIN lang l ON l.doc_id = kp.doc_id
+      GROUP BY l.lang ORDER BY l.lang""",
     "q_lang_id" -> """
       WITH cjk AS (
         SELECT doc_id,
