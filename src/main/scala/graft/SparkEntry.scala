@@ -564,6 +564,25 @@ object SparkEntry {
         round(sum("l_extendedprice"), 2).as("sum_price"))
     }),
 
+    "q_lake_zorder" -> ((s, d) => {
+      // z-order-clustered insert: multi-dimensional clustering gives BOTH
+      // curve columns tight per-file ranges, so this two-column range
+      // query reads a fraction of the files (LakeTableSpec pins the
+      // pruning; here the RESULT is hash-checked against plain SQL)
+      import graft.lake.{LakeLog, LakeTable}
+      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftzo"))
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+      LakeTable.createTable(log, "li", li.schema)
+      LakeTable.insert(s, log, "li", li, numFiles = 16,
+        zOrderBy = Seq("l_orderkey", "l_partkey"))
+      LakeTable.readIndexed(s, log, "li")
+        .filter(col("l_orderkey") < 100 && col("l_partkey") < 200)
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+    }),
+
     "q_lake_partitioned" -> ((s, d) => {
       // hive-style partitioned table: partition values live in the log only
       // (flat data files), a partition-predicate DELETE touches no data
@@ -960,6 +979,10 @@ object SparkEntry {
       SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty,
              round(sum(l_extendedprice), 2) AS sum_price
       FROM lineitem WHERE l_quantity <= 40""",
+    "q_lake_zorder" -> """
+      SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem WHERE l_orderkey < 100 AND l_partkey < 200""",
     "q_lake_partitioned" -> """
       SELECT l_returnflag, count(*) AS n_rows,
              round(sum(l_quantity), 2) AS sum_qty,
