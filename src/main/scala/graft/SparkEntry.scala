@@ -138,6 +138,20 @@ object SparkEntry {
           .as("revenue"))
         .orderBy("r_name", "n_name")
     }),
+    "q_join_skew_salted" -> ((s, d) => {
+      // salted skew join hash-checked against the plain join: salting is a
+      // partitioning change only — the result set must be identical
+      val ev = t(s, d, "events").select("user_id", "value")
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.operators.SkewJoin.saltedJoin(ev, cust, Seq("user_id"),
+          saltFactor = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("total_value"))
+        .orderBy("c_mktsegment")
+    }),
+
     "q_tpch_q3" -> ((s, d) => {
       // TPC-H Q3 shape (shipping-priority): selective filters pushed into
       // all three scans, broadcast customer dim, grouped revenue top-N.
@@ -701,6 +715,11 @@ object SparkEntry {
       JOIN nation   ON c_nationkey = n_nationkey
       JOIN region   ON n_regionkey = r_regionkey
       GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q_join_skew_salted" -> """
+      SELECT c_mktsegment, count(*) AS n_events,
+             round(sum(value), 2) AS total_value
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_tpch_q3" -> """
       SELECT l_orderkey, o_orderdate, o_orderpriority,
              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
