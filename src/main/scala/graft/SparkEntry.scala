@@ -138,6 +138,19 @@ object SparkEntry {
           .as("revenue"))
         .orderBy("r_name", "n_name")
     }),
+    "q_udaf_weighted" -> ((s, d) => {
+      // typed Aggregator UDAF (partial-merge like any built-in): per
+      // return flag, the quantity-weighted mean unit price — checked
+      // against the closed-form sum(p*q)/sum(q)
+      graft.functions.Aggregators.register(s)
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(call_function("graft_weighted_mean",
+          col("l_extendedprice") / col("l_quantity"), col("l_quantity")), 4)
+          .as("w_mean_unit_price"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_join_skew_salted" -> ((s, d) => {
       // salted skew join hash-checked against the plain join: salting is a
       // partitioning change only — the result set must be identical
@@ -715,6 +728,11 @@ object SparkEntry {
       JOIN nation   ON c_nationkey = n_nationkey
       JOIN region   ON n_regionkey = r_regionkey
       GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q_udaf_weighted" -> """
+      SELECT l_returnflag,
+             round(sum((l_extendedprice / l_quantity) * l_quantity)
+                   / sum(l_quantity), 4) AS w_mean_unit_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_join_skew_salted" -> """
       SELECT c_mktsegment, count(*) AS n_events,
              round(sum(value), 2) AS total_value
