@@ -216,6 +216,22 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    "q_window_range" -> ((s, d) => {
+      // value-RANGE frame (trailing 1h of event time — frame bound by the
+      // ORDER value, not row count) + sliding 3-row average
+      import org.apache.spark.sql.expressions.Window
+      val secs = col("ts").cast("long")
+      val wRange = Window.partitionBy("user_id").orderBy(secs)
+        .rangeBetween(-3600, Window.currentRow)
+      val wRows = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(-2, Window.currentRow)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(wRange).as("n_last_hour"),
+          round(avg("value").over(wRows), 4).as("avg_3"))
+        .orderBy("user_id", "event_id")
+    }),
+
     "q_window_analytics" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy("event_id")
@@ -768,6 +784,14 @@ object SparkEntry {
              round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
                AS running_value
+      FROM events ORDER BY user_id, event_id""",
+    "q_window_range" -> """
+      SELECT user_id, event_id,
+             count(*) OVER (PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour,
+             round(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg_3
       FROM events ORDER BY user_id, event_id""",
     "q_window_analytics" -> """
       SELECT user_id, event_id,

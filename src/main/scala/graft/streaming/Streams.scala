@@ -120,16 +120,6 @@ object Streams {
                r.ts <= l.ts + interval $windowSec seconds"""))
   }
 
-  /** Exactly-once streaming ingestion into a lake table: `foreachBatch`
-    * commits each micro-batch through [[graft.lake.LakeTable.insert]] with
-    * `txnId = stream-<appId>-<batchId>`, where `appId` is derived from the
-    * checkpoint directory — the identity that actually scopes `batchId`
-    * (a restart from the same checkpoint resumes the same batch sequence,
-    * so a replayed batch hits the transaction log's idempotency map and
-    * becomes a no-op; a DIFFERENT query or a fresh checkpoint gets a
-    * different appId and never collides). This is the same contract Delta's
-    * `txnAppId`/`txnVersion` gives a streaming writer.
-    */
   /** CDC stream over a lake table: each micro-batch is the rows logically
     * added by new log versions (rewrites — compaction, delete survivors,
     * restores — are never replayed). See [[graft.lake.LakeTableProvider]].
@@ -145,17 +135,55 @@ object Streams {
       .option("startingVersion", startingVersion.toString)
       .load()
 
+  /** Stable per-query writer identity: derived from the checkpoint dir —
+    * the identity that actually scopes `batchId` (a restart from the same
+    * checkpoint resumes the same batch sequence; a different query or a
+    * fresh checkpoint gets a different appId and never collides in the
+    * transaction log's idempotency map). */
+  private def appIdFor(checkpointDir: String): String =
+    java.util.UUID.nameUUIDFromBytes(
+      java.nio.file.Paths.get(checkpointDir).toAbsolutePath.normalize
+        .toString.getBytes("UTF-8")).toString.take(8)
+
+  /** Exactly-once streaming ingestion into a lake table: `foreachBatch`
+    * commits each micro-batch through [[graft.lake.LakeTable.insert]] with
+    * `txnId = stream-<appId>-<batchId>`, so a batch replayed after failure
+    * hits the log's idempotency map and becomes a no-op — the same contract
+    * Delta's `txnAppId`/`txnVersion` gives a streaming writer.
+    */
   def sinkToLake(stream: DataFrame, log: graft.lake.LakeLog, table: String,
                  checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val appId = java.util.UUID.nameUUIDFromBytes(
-      java.nio.file.Paths.get(checkpointDir).toAbsolutePath.normalize
-        .toString.getBytes("UTF-8")).toString.take(8)
+    val appId = appIdFor(checkpointDir)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.lake.LakeTable.insert(batch.sparkSession, log, table, batch,
           txnId = s"stream-$appId-$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming UPSERT sink for update-mode aggregations: each micro-batch
+    * carries the groups whose aggregates changed; committing them through
+    * [[graft.lake.LakeTable.upsert]] keyed on `keyCol` keeps the lake table
+    * equal to the CURRENT aggregate state (Delta's `foreachBatch` MERGE
+    * recipe). Batch replays dedup through the same txn-id contract as
+    * [[sinkToLake]], so restart-after-failure neither drops nor
+    * double-applies an update.
+    */
+  def sinkAggToLake(stream: DataFrame, log: graft.lake.LakeLog, table: String,
+                    keyCol: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val appId = appIdFor(checkpointDir)
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.lake.LakeTable.upsert(batch.sparkSession, log, table, batch,
+            keyCol, txnId = s"streamagg-$appId-$batchId")
         ()
       }
       .start()

@@ -165,6 +165,34 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sinkAggToLake: update-mode aggregates upsert into the lake table") {
+    import graft.lake.{LakeLog, LakeTable}
+    import org.apache.spark.sql.types._
+    implicit val sq = spark.sqlContext
+    val log = new LakeLog(tmpDir("aggsink"))
+    LakeTable.createTable(log, "totals", StructType(Seq(
+      StructField("user_id", LongType), StructField("total", DoubleType))))
+    val input = MemoryStream[(Long, Double)]
+    val agg = input.toDF().toDF("user_id", "value")
+      .groupBy("user_id").agg(sum("value").as("total"))
+    val query = Streams.sinkAggToLake(agg, log, "totals", "user_id",
+      tmpDir("aggsink_ckpt").toString)
+    try {
+      input.addData((1L, 1.0), (1L, 2.0), (2L, 5.0))
+      query.processAllAvailable()
+      val t1 = LakeTable.read(spark, log, "totals")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(t1 == Map(1L -> 3.0, 2L -> 5.0))
+      // a later batch updates user 1's group IN PLACE and adds user 3
+      input.addData((1L, 4.0), (3L, 7.0))
+      query.processAllAvailable()
+      val t2 = LakeTable.read(spark, log, "totals")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(t2 == Map(1L -> 7.0, 2L -> 5.0, 3L -> 7.0))
+      assert(LakeTable.read(spark, log, "totals").count() == 3) // no dupes
+    } finally query.stop()
+  }
+
   test("lake→transform→lake streaming pipeline is exactly-once across restart") {
     import graft.lake.{LakeLog, LakeTable}
     import org.apache.spark.sql.types._
