@@ -453,15 +453,20 @@ object SparkEntry {
     "q_corpus_pipeline" -> ((s, d) => {
       // training-data curation in one plan: quality gate → exact dedup
       // (lowest doc_id per normalized-text fingerprint) → language tag →
-      // per-language corpus stats. All stages are the already-oracle-checked
-      // operators composed; Catalyst fuses the scalar stages into the scan
-      // and the only shuffles are dedup's (fingerprint, id) pairs and the
-      // final tiny group-by.
-      val scored = docsSpread(s, d).select(col("doc_id"), col("text"),
-        qualityScore(col("text")).as("q"))
-      val kept = scored.filter(col("q") >= 0.5)
-      graft.operators.Dedup.exactDedup(kept, "doc_id", "text")
-        .select(col("doc_id"), col("q"), langId(col("text")).as("lang"))
+      // per-language corpus stats. ALL text expressions evaluate in ONE
+      // projection over the scan (a dedup formulated as a self-join would
+      // re-run the quality/lang/fingerprint regexes on every branch); the
+      // dedup window then shuffles only (doc_id, q, lang, fp) scalars —
+      // the text column never leaves its scan partition.
+      import org.apache.spark.sql.expressions.Window
+      val perDoc = docsSpread(s, d).select(col("doc_id"),
+          qualityScore(col("text")).as("q"),
+          langId(col("text")).as("lang"),
+          fingerprint(col("text")).as("fp"))
+        .filter(col("q") >= 0.5)
+      perDoc
+        .withColumn("min_id", min("doc_id").over(Window.partitionBy("fp")))
+        .filter(col("doc_id") === col("min_id"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), round(avg("q"), 6).as("avg_quality"))
         .orderBy("lang")

@@ -136,16 +136,22 @@ object TextFunctions {
     * ("zh" for Han — a full build would split ja/ko by kana/hangul the same
     * way); otherwise stopword scoring with a deterministic tie-break
     * (lexicographically smallest code wins among equals).
+    *
+    * Shaped as `greatest(scores)` + one linear CASE chain — a
+    * running-max fold (`when(s > best, s).otherwise(best)`) would embed
+    * the accumulator subtree twice per step, doubling the expression per
+    * language (2^6 copies of the first tokenization); with higher-order
+    * token functions evaluated interpreted, that fold is ~10× slower.
     */
   def langId(c: Column): Column = {
     val ordered = stopwords.keys.toSeq.sorted
-    val best = ordered.foldLeft((lit("und"), lit(0.0))) {
-      case ((bestLang, bestScore), lang) =>
-        val s = langScore(c, lang)
-        (when(s > bestScore, lit(lang)).otherwise(bestLang),
-         when(s > bestScore, s).otherwise(bestScore))
+    val scores = ordered.map(l => langScore(c, l))
+    val best = greatest(scores: _*)
+    val pick = ordered.zip(scores).foldRight(lit("und")) {
+      case ((lang, s), els) => when(s === best && s > 0.0, lit(lang))
+        .otherwise(els)
     }
-    when(cjkRatio(c) > 0.3, lit("zh")).otherwise(best._1)
+    when(cjkRatio(c) > 0.3, lit("zh")).otherwise(pick)
   }
 
   // --- Quality scoring ----------------------------------------------------
