@@ -71,4 +71,62 @@ class LakeFuzzSpec extends SparkSpec {
     val fresh = new LakeLog(log.root)
     assert(fresh.snapshot("t") == log.snapshot("t"))
   }
+
+  test("partitioned tables: random op sequences (incl. restore) == model") {
+    val rnd = new scala.util.Random(77)
+    val schemaP = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("part", StringType),
+      StructField("v", DoubleType)))
+    val parts = Seq("alpha", "beta", "ga=mma") // incl. a path-hostile value
+    val log = new LakeLog(tmpDir("fuzzpart"))
+    LakeTable.createTable(log, "t", schemaP, partitionBy = Seq("part"))
+    var model = Map.empty[Long, (String, Double)]
+    var historyModels = Map.empty[Long, Map[Long, (String, Double)]]
+    var nextId = 0L
+
+    def tableRows(): Map[Long, (String, Double)] =
+      LakeTable.read(spark, log, "t").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+
+    (1 to 12).foreach { step =>
+      rnd.nextInt(6) match {
+        case 0 | 1 => // insert across random partitions
+          val n = 1 + rnd.nextInt(40)
+          val rows = (0 until n).map { _ =>
+            nextId += 1
+            (nextId, parts(rnd.nextInt(parts.size)),
+              math.round(rnd.nextDouble() * 1e4) / 100.0) }
+          LakeTable.insert(spark, log, "t", rows.toDF("id", "part", "v"))
+          model = model ++ rows.map(r => r._1 -> (r._2, r._3))
+        case 2 if model.nonEmpty => // partition-predicate delete
+          val p = parts(rnd.nextInt(parts.size))
+          LakeTable.deleteWhere(spark, log, "t", s"part = $p")
+          model = model.filter(_._2._1 != p)
+        case 3 if model.nonEmpty => // data-predicate delete
+          val ids = model.keys.toSeq.sorted
+          val cut = ids(rnd.nextInt(ids.size))
+          LakeTable.deleteWhere(spark, log, "t", s"id > $cut")
+          model = model.filter(_._1 <= cut)
+        case 4 if model.nonEmpty => // upsert: move a row across partitions
+          val id = model.keys.head
+          nextId += 1
+          val ups = Seq((id, parts((parts.indexOf(model(id)._1) + 1) % parts.size), -1.0),
+            (nextId, parts(rnd.nextInt(parts.size)), -2.0))
+          LakeTable.upsert(spark, log, "t", ups.toDF("id", "part", "v"), "id")
+          model = model ++ ups.map(r => r._1 -> (r._2, r._3))
+        case 5 if historyModels.nonEmpty => // restore to a random version
+          val (hv, hmodel) = historyModels.toSeq(rnd.nextInt(historyModels.size))
+          LakeTable.restore(log, "t", hv)
+          model = hmodel
+        case _ =>
+          LakeTable.compact(spark, log, "t", force = true)
+      }
+      val version = log.latestVersion("t")
+      if (version > 0) historyModels += version -> model
+      assert(tableRows() == model, s"step $step head mismatch")
+    }
+    val fresh = new LakeLog(log.root)
+    assert(fresh.snapshot("t") == log.snapshot("t"))
+  }
 }
