@@ -14,14 +14,26 @@ import org.apache.spark.sql.expressions.Window
 object Sampling {
 
   /** Exact-size per-stratum sample: the `n` rows with the smallest
-    * `xxhash64(key, seed)` in each stratum. One window pass per stratum
-    * (shuffle on the stratum column only).
+    * `xxhash64(key, seed)` in each stratum.
+    *
+    * Two-level ranking: rows first rank within (stratum, salt) — the full
+    * data spreads across `parallelism × #strata` window partitions — and
+    * only the ≤ `n` survivors per salt rank again within the stratum. A
+    * single per-stratum window would funnel every row of a stratum through
+    * one reducer; top-n-by-a-total-order is associative, so the two-level
+    * result is identical.
     */
   def stratifiedExact(df: DataFrame, strataCol: String, n: Int,
                       keyCol: String, seed: Long = 42L): DataFrame = {
-    val w = Window.partitionBy(strataCol)
-      .orderBy(xxhash64(col(keyCol), lit(seed)), col(keyCol))
-    df.withColumn("__rk", row_number().over(w))
+    val salts = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    val h = xxhash64(col(keyCol), lit(seed))
+    val w1 = Window.partitionBy(col(strataCol),
+        pmod(xxhash64(col(keyCol), lit(seed + 1)), lit(salts)))
+      .orderBy(h, col(keyCol))
+    val w2 = Window.partitionBy(strataCol).orderBy(h, col(keyCol))
+    df.withColumn("__rk", row_number().over(w1))
+      .filter(col("__rk") <= n)
+      .withColumn("__rk", row_number().over(w2))
       .filter(col("__rk") <= n)
       .drop("__rk")
   }
@@ -61,11 +73,30 @@ object Sampling {
     order.foreach { i => if (remainder > 0) { counts(i) += 1; remainder -= 1 } }
 
     sources.zipWithIndex.map { case ((name, df, _), i) =>
-      val w = Window.orderBy(xxhash64(col(keyCol), lit(seed)), col(keyCol))
-      df.withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") <= counts(i))
-        .drop("__rk")
+      takeSmallestByHash(df, keyCol, seed, counts(i))
         .withColumn("__source", lit(name))
     }.reduce(_ unionByName _)
+  }
+
+  /** Exactly the `k` rows with the smallest `xxhash64(key, seed)`, computed
+    * distributively: range-repartition on the hash (a distributed sort —
+    * every partition holds a contiguous hash range), then `zipWithIndex`
+    * turns local ranks into global ordinals with one extra count job. A
+    * global `row_number()` window would move ALL rows to a single reducer;
+    * this never materializes more than a partition anywhere. The (hash,
+    * key) order is a strict total order, so the selected set is exact and
+    * deterministic regardless of input partitioning.
+    */
+  private def takeSmallestByHash(df: DataFrame, keyCol: String, seed: Long,
+                                 k: Int): DataFrame = {
+    if (k <= 0) return df.limit(0)
+    val spark = df.sparkSession
+    val sorted = df.withColumn("__h", xxhash64(col(keyCol), lit(seed)))
+      .repartitionByRange(col("__h"), col(keyCol))
+      .sortWithinPartitions("__h", keyCol)
+    val schema = sorted.schema
+    val picked = sorted.rdd.zipWithIndex()
+      .filter(_._2 < k).map(_._1)
+    spark.createDataFrame(picked, schema).drop("__h")
   }
 }

@@ -84,12 +84,16 @@ object Similarity {
   def kmeansCentroids(normed: DataFrame, k: Int, iters: Int,
                       vecCol: String = "cv"): DataFrame = {
     VectorExpressions.register(normed.sparkSession)
-    val n = normed.count()
-    val step = math.max(1L, n / k)
-    var cents = normed.withColumn("rn",
-        row_number().over(Window.orderBy(normed.columns.head)) - 1)
-      .filter(col("rn") % step === 0).limit(k)
-      .select(col("rn").as("centroid_id"), col(vecCol).as("centroid"))
+    // deterministic spread seeds: the k smallest rows by key hash — a
+    // TakeOrderedAndProject (distributed top-k), not a global row_number
+    // window that would single-partition the corpus (the id-assignment
+    // window below runs over the k already-collected seed rows only)
+    val keyC = col(normed.columns.head)
+    var cents = normed
+      .orderBy(xxhash64(keyC), keyC).limit(k)
+      .withColumn("centroid_id",
+        (row_number().over(Window.orderBy(xxhash64(keyC), keyC)) - 1).cast("int"))
+      .select(col("centroid_id"), col(vecCol).as("centroid"))
       .localCheckpoint()
     (1 to iters).foreach { _ =>
       val assigned = assignNearest(normed, cents, vecCol, 1)
