@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions._
-import graft.functions.VectorExpressions
+import graft.functions.{TopKAggregate, VectorExpressions}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -110,17 +110,29 @@ object Similarity {
   }
 
   /** For each row of `df`, its `take` highest-cosine centroids (appended
-    * `centroid_id` column; input columns preserved). */
+    * `centroid_id` column; input columns preserved).
+    *
+    * Same bounded-aggregate shape as [[topKPerQuery]]: the broadcast join
+    * leaves each `df` row in its original partition, so the partial
+    * graft_topk collapses the row × nCentroids scored stream back to one
+    * row per key on the MAP side — the exchange carries |df| rows, not
+    * |df| × nCentroids (a rank window would shuffle the full cross score,
+    * vectors included).
+    */
   private def assignNearest(df: DataFrame, centroids: DataFrame,
                             vcol: String, take: Int): DataFrame = {
+    TopKAggregate.register(df.sparkSession)
+    val key = df.columns.head
+    val rest = df.columns.tail.toSeq
     val scored = df.join(broadcast(centroids))
       .withColumn("cdist",
         VectorExpressions.dotNative(col(vcol), col("centroid")))
-    val w = Window.partitionBy(df.columns.head).orderBy(
-      col("cdist").desc, col("centroid_id"))
-    scored.withColumn("crank", row_number().over(w))
-      .filter(col("crank") <= take)
-      .drop("centroid", "cdist", "crank")
+    val aggs =
+      TopKAggregate.topK(struct(col("cdist"), col("centroid_id")), lit(take))
+        .as("tk") +: rest.map(c => first(col(c)).as(c))
+    scored.groupBy(key).agg(aggs.head, aggs.tail: _*)
+      .select(col(key) +: rest.map(col) :+
+        explode(col("tk").getField("centroid_id")).as("centroid_id"): _*)
   }
 
   /** IVF: k-means coarse quantizer (a few true Lloyd sweeps), corpus
@@ -195,12 +207,22 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** Final per-query top-k with deterministic tie-break on vec_id. */
+  /** Final per-query top-k with deterministic tie-break on vec_id.
+    *
+    * NOT a rank window: `row_number() OVER (PARTITION BY query_id)` would
+    * shuffle every scored row and funnel each query's entire corpus score
+    * stream through one reducer. [[graft.functions.BoundedTopK]] aggregates
+    * instead — ObjectHashAggregate's Partial mode keeps a ≤ k bounded buffer
+    * per query on the MAP side, so the exchange carries at most
+    * partitions × queries × k rows no matter how large the corpus is.
+    */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "vec_id", "cos", "rank")
+    TopKAggregate.register(scored.sparkSession)
+    scored
+      .groupBy("query_id")
+      .agg(TopKAggregate.topK(struct(col("cos"), col("vec_id")), lit(k)).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.vec_id").as("vec_id"),
+        col("col.cos").as("cos"), (col("pos") + 1).cast("int").as("rank"))
   }
 }

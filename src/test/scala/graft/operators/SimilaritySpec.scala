@@ -31,6 +31,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ANN top-k plans: partial top-k below the exchange, no rank window") {
+    for (df <- Seq(Similarity.bruteForceTopK(corpus, queries, k = 5),
+                   Similarity.srpTopK(corpus, queries, k = 5),
+                   Similarity.ivfTopK(corpus, queries, k = 5, kmeansIters = 1))) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      val partialAt = plan.indexOf("partial_graft_topk")
+      val exchangeAt = plan.indexOf("Exchange hashpartitioning")
+      assert(partialAt >= 0 && exchangeAt >= 0, plan)
+      assert(partialAt > exchangeAt, plan) // tree prints top-down: partial is below
+    }
+    // the final top-k never funnels a query's corpus stream through a window
+    val brute = Similarity.bruteForceTopK(corpus, queries, k = 5)
+    brute.collect()
+    assert(!brute.queryExecution.executedPlan.toString.contains("Window"),
+      brute.queryExecution.executedPlan.toString)
+  }
+
   test("srpTopK finds the query itself and has reasonable recall@10") {
     val exact = Similarity.bruteForceTopK(corpus, queries, k = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
