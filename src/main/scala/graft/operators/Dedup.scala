@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import graft.functions.VectorExpressions
@@ -150,18 +149,41 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: 64-bit similarity-preserving fingerprint,
-    * candidates = pairs agreeing on at least one 16-bit block (guarantees
-    * finding all pairs within Hamming distance 3), verified by exact Hamming
-    * distance. Shuffle key is (block, 16-bit value) — tiny.
+    * candidates = pairs agreeing on at least one fingerprint block, verified
+    * by exact Hamming distance. The block count is DERIVED from the radius:
+    * `maxHamming` bit flips can touch at most `maxHamming` of
+    * `maxHamming + 1` blocks, so by pigeonhole every pair within the radius
+    * shares one intact block and meets in that block's bucket join — the
+    * recall guarantee covers whatever radius the caller asks for, not a
+    * hardcoded one. Shuffle key is (block, block value) — tiny.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text")
-      : DataFrame = {
-    val fp = simhashFingerprints(docs, idCol, textCol)
+      : DataFrame =
+    simhashPairsOfFingerprints(simhashFingerprints(docs, idCol, textCol),
+      maxHamming)
+
+  /** Candidate generation + verification over precomputed (id, fp) rows —
+    * split out so the pigeonhole guarantee is testable on constructed
+    * fingerprints. Blocks partition the 64 bits as evenly as possible;
+    * 4 blocks minimum keeps the join keys selective (≥ 16-bit buckets)
+    * for small radii.
+    */
+  private[operators] def simhashPairsOfFingerprints(
+      fp: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    val nBlocks = math.max(4, maxHamming + 1)
+    val blockCols = (0 until nBlocks).map { bI =>
+      val start = bI * 64 / nBlocks
+      val width = (bI + 1) * 64 / nBlocks - start
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      struct(lit(bI).as("block"),
+        call_function("shiftrightunsigned", col("fp"), lit(start))
+          .bitwiseAND(lit(mask)).as("bval"))
+    }
     val blocks = fp.select(col("id"), col("fp"),
-      explode(transform(sequence(lit(0), lit(3)), b => struct(b.as("block"),
-        call_function("shiftrightunsigned", col("fp"), b * 16)
-          .bitwiseAND(lit(0xFFFFL)).as("bval")))).as("bb"))
+        explode(array(blockCols: _*)).as("bb"))
       .select(col("id"), col("fp"), col("bb.block"), col("bb.bval"))
     val a = blocks.select(col("block"), col("bval"),
       col("id").as("a_id"), col("fp").as("a_fp"))
@@ -190,7 +212,8 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
                         idCol: String = "doc_id", textCol: String = "text",
-                        n: Int = 1, maxBitmaskVocab: Int = 8192): DataFrame = {
+                        n: Int = 1, maxBitmaskVocab: Int = 8192,
+                        maxBitmaskDocs: Long = 50000): DataFrame = {
     val toks = spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
       .select(col("id"), tokens(normalizeText(col("__text"))).as("__toks"))
       .select(col("id"), explode(array_distinct(
@@ -200,12 +223,19 @@ object Dedup {
     // tokens exist. A tiny shared vocabulary (every token a stop word) makes
     // ~every pair a true candidate — there the right representation is a
     // dictionary-encoded BITMASK per document and a codegen'd popcount
-    // kernel per pair, not token joins. `toks` is persisted because every
-    // strategy walks it several times (vocab probe, dict, masks/prefixes) —
-    // without it the regex tokenization re-runs per pass AND per join side.
+    // kernel per pair, not token joins. The bitmask path is all-pairs,
+    // though, so it's gated on BOTH dimensions: vocab bounds the mask width
+    // but says nothing about corpus size — a huge corpus over a small shared
+    // vocabulary must still take the one-shuffle prefix path. `toks` is
+    // persisted because every strategy walks it several times (size probe,
+    // dict, masks/prefixes) — without it the regex tokenization re-runs per
+    // pass AND per join side.
     val toksC = toks.persist()
-    val vocab = toksC.select("tok").distinct().count()
-    if (vocab <= maxBitmaskVocab)
+    val sizes = toksC.agg(countDistinct(col("tok")).as("vocab"),
+      countDistinct(col("id")).as("docs")).first()
+    val vocab = sizes.getLong(0)
+    val nDocs = sizes.getLong(1)
+    if (vocab <= maxBitmaskVocab && nDocs <= maxBitmaskDocs)
       bitmaskJaccardPairs(toksC, threshold, vocab.toInt)
     else prefixJaccardPairs(toksC, threshold)
   }
@@ -268,10 +298,17 @@ object Dedup {
   private def bitmaskJaccardPairs(toks: DataFrame, threshold: Double,
                                   vocab: Int): DataFrame = {
     VectorExpressions.register(toks.sparkSession)
+    val sp = toks.sparkSession
+    import sp.implicits._
     val nWords = (vocab + 63) / 64
-    // deterministic dictionary: token → dense id in lexicographic order
-    val dict = toks.select("tok").distinct()
-      .withColumn("tok_id", row_number().over(Window.orderBy("tok")) - 1)
+    // deterministic dictionary: token → dense id in lexicographic order,
+    // via range-sorted zipWithIndex — NOT a global row_number window, which
+    // would funnel the whole vocabulary through one reducer the moment the
+    // gate above changes
+    val dict = toks.select("tok").distinct().orderBy("tok")
+      .as[String].rdd.zipWithIndex()
+      .toDF("tok", "tok_idx")
+      .select(col("tok"), col("tok_idx").cast("int").as("tok_id"))
     // masks are persisted + materialized: ~vocab/8 bytes per doc, consumed
     // by BOTH sides of the pair join (which would otherwise recompute the
     // whole tokenize→dict→pack pipeline twice)

@@ -83,6 +83,46 @@ class DedupSpec extends SparkSpec {
     assert(viaBitmask.contains((1L, 2L)))
   }
 
+  test("bitmask gate: large corpus over a tiny vocab takes the prefix path") {
+    // 60 docs over a 4-word vocabulary: a vocab-only gate would go
+    // all-pairs bitmask; the corpus-size gate must fall through to the
+    // one-shuffle prefix path (no BroadcastNestedLoopJoin in the plan)
+    val many = (1L to 60L).map(i =>
+      (i, if (i % 2 == 0) "aa bb cc" else "aa bb dd")).toDF("doc_id", "text")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)),
+        math.round(r.getDouble(2) * 1e9))).toMap
+    val viaPrefix = Dedup.ngramJaccardPairs(many, threshold = 0.5, n = 1,
+      maxBitmaskDocs = 50)
+    viaPrefix.collect()
+    assert(!viaPrefix.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    // identical answers either way ("aa bb cc" vs "aa bb dd" = 2/4 = 0.5)
+    val viaBitmask = Dedup.ngramJaccardPairs(many, threshold = 0.5, n = 1)
+    viaBitmask.collect()
+    assert(viaBitmask.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    assert(pairsOf(viaPrefix) == pairsOf(viaBitmask))
+    assert(pairsOf(viaPrefix).size == 60 * 59 / 2)
+  }
+
+  test("simhash pigeonhole: block count follows the requested radius") {
+    // Hamming-6 pair whose flipped bits touch ALL FOUR 16-bit blocks — a
+    // fixed 4-block scheme can never surface it as a candidate; with
+    // maxHamming=8 the split is 9 blocks and pigeonhole guarantees a match
+    val flips = Seq(0, 8, 16, 24, 32, 48).map(1L << _).reduce(_ | _)
+    val fp = Seq((1L, 0L), (2L, flips)).toDF("id", "fp")
+    val found = Dedup.simhashPairsOfFingerprints(fp, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(found.toSeq == Seq((1L, 2L, 6)))
+    // same pair is outside a radius-3 query — filtered, not a recall hole
+    assert(Dedup.simhashPairsOfFingerprints(fp, maxHamming = 3).count() == 0)
+    // degenerate split still works: 64 one-bit blocks at the max radius
+    val adjacent = Seq((1L, 0L), (2L, 1L)).toDF("id", "fp")
+    assert(Dedup.simhashPairsOfFingerprints(adjacent, maxHamming = 63)
+      .count() == 1)
+  }
+
   test("dropDuplicates removes the b-side of each pair") {
     val pairs = Dedup.minhashLshPairs(docs, threshold = 0.9)
     val kept = Dedup.dropDuplicates(docs, pairs).select("doc_id")
