@@ -1,4 +1,5 @@
 package graft
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -27,6 +28,21 @@ object Bench {
       }
       name -> times.min
     }
+    // observability sidecar (graft.Metrics): one full-materialization pass
+    // per query for duration/rows/files-scanned-vs-pruned/bytes — kept out
+    // of the timing loop above so the stdout numbers stay comparable
+    // across rounds
+    val metricsOut = sys.env.getOrElse("SPARK_GRAFT_METRICS_OUT",
+      "target/bench_metrics.json")
+    val metrics = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      try Metrics.measure(name, fn(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] metrics for $name failed: ${e.getMessage}")
+        Metrics.QueryMetrics(name, -1.0, -1L, 0L, 0L, 0L)
+      }
+    }
+    Files.createDirectories(Paths.get(metricsOut).toAbsolutePath.getParent)
+    Files.writeString(Paths.get(metricsOut), Metrics.toJson(metrics))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -21,14 +21,21 @@ object Verify {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
+    val metrics = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         val task = Future {
           spark.sparkContext.setJobGroup(name, name,
             interruptOnCancel = true)
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          finally spark.sparkContext.clearJobGroup()
+          try {
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            val durationSec = (System.nanoTime() - t0) / 1e9
+            // rows from the written parquet's footer — no re-execution
+            val rows = spark.read.parquet(s"$outDir/$name").count()
+            metrics.synchronized { metrics += ((name, durationSec, rows)) }
+          } finally spark.sparkContext.clearJobGroup()
         }
         Await.result(task, timeoutSec.seconds)
       } catch {
@@ -54,6 +61,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // per-query observability (duration + result rows), the Verify-side
+    // slice of the reference's lakehouse_query_duration_seconds series
+    Files.writeString(Paths.get(s"$outDir/metrics.json"),
+      metrics.sortBy(_._1).map { case (n, d, r) =>
+        s""""$n":{"duration_sec":$d,"rows":$r}""" }
+        .mkString("{", ",", "}"))
     spark.stop()
   }
 }

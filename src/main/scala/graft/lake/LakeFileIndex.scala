@@ -68,6 +68,10 @@ final class LakeFileIndex(spark: SparkSession, snap: Snapshot,
       Predicate.create(bound).eval(row)
     } catch { case _: RuntimeException => true }
 
+  /** Snapshot-wide file count — the "total" side of the scanned-vs-pruned
+    * metrics split (graft.Metrics): pruned = total − scan's numFiles. */
+  def totalFileCount: Int = snap.files.size
+
   override def inputFiles: Array[String] = snap.files.map(_.path).toArray
   override def refresh(): Unit = ()
   override def sizeInBytes: Long = snap.files.map(_.size).sum

@@ -1,0 +1,49 @@
+package graft
+
+import graft.lake.{LakeLog, LakeTable}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-query metrics: duration/rows plus the files-scanned-vs-pruned split
+  * that makes the LakeFileIndex stat-pruning win observable per query. */
+class MetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stat-pruned lake query reports exact scanned vs pruned file counts") {
+    val log = new LakeLog(tmpDir("metrics"))
+    val schema = StructType(Seq(StructField("id", LongType, false),
+      StructField("v", StringType)))
+    LakeTable.createTable(log, "t", schema)
+    // three commits → three files with disjoint id ranges in the log stats
+    LakeTable.insert(spark, log, "t", (1L to 100L).map((_, "a")).toDF("id", "v"))
+    LakeTable.insert(spark, log, "t", (101L to 200L).map((_, "b")).toDF("id", "v"))
+    LakeTable.insert(spark, log, "t", (201L to 300L).map((_, "c")).toDF("id", "v"))
+
+    val pruned = Metrics.measure("probe",
+      LakeTable.readIndexed(spark, log, "t").filter(col("id") > 250))
+    assert(pruned.rows == 50)
+    assert(pruned.filesScanned == 1, pruned)
+    assert(pruned.filesPruned == 2, pruned)
+    assert(pruned.durationSec > 0.0)
+    assert(pruned.bytesScanned > 0L)
+
+    val full = Metrics.measure("full", LakeTable.readIndexed(spark, log, "t"))
+    assert(full.rows == 300 && full.filesScanned == 3 && full.filesPruned == 0)
+  }
+
+  test("non-lake scans report scanned files with no snapshot to prune") {
+    val dir = tmpDir("metricsplain").toString
+    (1L to 1000L).toDF("id").repartition(4).write.parquet(s"$dir/t")
+    val m = Metrics.measure("plain",
+      spark.read.parquet(s"$dir/t").filter(col("id") <= 10))
+    assert(m.rows == 10)
+    assert(m.filesScanned > 0 && m.filesPruned == 0)
+  }
+
+  test("metrics serialize to the JSON shape Bench/Verify emit") {
+    val m = Metrics.QueryMetrics("q", 0.5, 10, 1, 2, 1024)
+    assert(m.toJson ==
+      """{"name":"q","duration_sec":0.5,"rows":10,"files_scanned":1,"files_pruned":2,"bytes_scanned":1024}""")
+    assert(Metrics.toJson(Seq(m)).startsWith("""{"q":{"""))
+  }
+}
