@@ -540,21 +540,26 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
     }),
 
-    // ---- multimodal: binary payloads + metadata (decode is stubbed) ------
+    // ---- multimodal: binary payloads + metadata (real header decode) -----
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.withMeta(Multimodal.syntheticCorpus(t(s, d, "documents")))
         .select(col("id").as("doc_id"), col("modality"),
           col("meta.size_bytes").as("size_bytes"),
           col("meta.content_type").as("content_type"))
         .orderBy("doc_id")),
+    // Real byte-level header parsing (PNG IHDR / WAV fmt+data / MP4 mvhd)
+    // over synthesized-but-valid headers; the DuckDB oracle recomputes the
+    // same metadata from the corpus construction rule, so every parsed
+    // field is exact-value checked.
     "q_multimodal_decode" -> ((s, d) => {
       import org.apache.spark.sql.Encoders
       val corpus = Multimodal.syntheticCorpus(t(s, d, "documents"))
-      Multimodal.decodeStub(
+      Multimodal.decode(
           corpus.as[Multimodal.MediaRow](Encoders.product[Multimodal.MediaRow]))
         .groupBy("modality")
-        .agg(count(lit(1)).as("n"), avg("width").as("avg_width"),
-          avg("durationMs").as("avg_duration_ms"))
+        .agg(count(lit(1)).as("n"), round(avg("width"), 4).as("avg_width"),
+          round(avg("channels"), 4).as("avg_channels"),
+          round(avg("durationMs"), 4).as("avg_duration_ms"))
         .orderBy("modality")
     }),
 
@@ -1025,11 +1030,35 @@ object SparkEntry {
              CASE WHEN doc_id % 3 = 0 THEN 'image'
                   WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
              octet_length(encode(text)) +
-               CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 12 END AS size_bytes,
+               CASE WHEN doc_id % 3 = 0 THEN 33
+                    WHEN doc_id % 3 = 1 THEN 44 ELSE 52 END AS size_bytes,
              CASE WHEN doc_id % 3 = 0 THEN 'image/png'
                   WHEN doc_id % 3 = 1 THEN 'audio/wav'
                   ELSE 'video/mp4' END AS content_type
       FROM documents ORDER BY doc_id""",
+    // q_multimodal_decode: recompute the header fields the Spark side
+    // PARSES out of the synthesized-but-valid PNG/WAV/MP4 bytes, from the
+    // same construction rule (Multimodal.syntheticCorpus scaladoc)
+    "q_multimodal_decode" -> """
+      WITH f AS (
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+               CASE WHEN doc_id % 3 = 0 THEN 16 * (1 + doc_id % 64)
+                    ELSE 0 END AS width,
+               CASE WHEN doc_id % 3 = 0 THEN
+                      (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END)
+                    WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2
+                    ELSE 0 END AS channels,
+               CASE WHEN doc_id % 3 = 1 THEN
+                      (octet_length(encode(text)) * 1000)
+                        // (16000 * (1 + doc_id % 2) * 2)
+                    WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) * 40
+                    ELSE 0 END AS duration_ms
+        FROM documents)
+      SELECT modality, count(*) AS n, round(avg(width), 4) AS avg_width,
+             round(avg(channels), 4) AS avg_channels,
+             round(avg(duration_ms), 4) AS avg_duration_ms
+      FROM f GROUP BY modality ORDER BY modality""",
     "q_lake_timetravel" -> """
       SELECT 1 AS version, count(*) AS n_rows,
              round(sum(l_extendedprice), 2) AS sum_price

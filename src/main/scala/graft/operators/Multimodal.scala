@@ -5,11 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) column handling for training-data
   * pipelines: payloads are opaque `binary` columns with typed metadata
-  * alongside. All the Spark-side plumbing — schema, partition sizing, batch
-  * iteration shape — is real; the actual media decode is STUBBED with a
-  * deterministic fake (this environment ships no image/audio codecs), marked
-  * [STUB] below. Swapping in a real decoder changes only the body of
-  * `decodeStub`, nothing about the distributed plan.
+  * alongside. Header decode is REAL, pure-JVM byte parsing — PNG IHDR
+  * (width/height/channels), WAV RIFF chunks (channels/byte-rate/duration),
+  * MP4 moov/mvhd (timescale/duration) — no codec libraries needed; only
+  * pixel/sample decoding (which would need an actual codec) is out of
+  * scope, and `resize` computes real fit-within-box geometry while noting
+  * the resampling would live in such a codec.
   *
   * Scale notes: binary payloads dominate row size, so operators here never
   * shuffle payloads — metadata extraction is a narrow projection, and
@@ -53,45 +54,106 @@ object Multimodal {
       sniffType(col(binCol)).as("content_type"),
       md5(col(binCol)).as("content_md5")))
 
-  /** [STUB] "Decode" a media payload into per-modality features.
+  /** REAL header parse of one payload. Pure-JVM byte walking, no codec:
     *
-    * Deterministic fake: dimensions/duration derive from the payload bytes
-    * (first/last byte + length) so tests are stable and the full distributed
-    * pipeline — typed Dataset, per-partition batching, per-partition decoder
-    * setup — is exercised for real. A production build replaces the body
-    * with e.g. javax.imageio / ffmpeg bindings; the plan shape is unchanged.
+    *  - PNG: 8-byte signature, then the IHDR chunk — width/height as
+    *    big-endian u32 at offsets 16/20, channels from the color type byte
+    *    at 25 (grayscale 1, RGB 3, palette 1, gray+alpha 2, RGBA 4).
+    *  - WAV: `RIFF....WAVE`, then chunk iteration (chunks pad to even
+    *    sizes): `fmt ` gives channels (LE u16) and byte rate (LE u32),
+    *    `data` gives the sample byte count → duration = data·1000/byteRate.
+    *  - MP4: top-level box iteration to `moov`, child iteration to `mvhd`
+    *    (version 0): timescale/duration as big-endian u32 at byte 12/16 of
+    *    the box body → duration·1000/timescale ms.
+    *
+    * Malformed/truncated/unknown payloads degrade to (size, zeros) — never
+    * throw (a 100 TB corpus always contains garbage rows).
     */
-  def decodeStub(ds: Dataset[MediaRow]): Dataset[DecodedRow] = {
-    implicit val enc = Encoders.product[DecodedRow]
-    ds.mapPartitions { rows =>
-      // per-partition decoder setup would go here (load codec, pin buffers)
-      rows.map { r =>
-        val n = r.payload.length
-        val a = if (n > 0) r.payload(0) & 0xFF else 0
-        val z = if (n > 0) r.payload(n - 1) & 0xFF else 0
-        r.modality match {
-          case "image" =>
-            DecodedRow(r.id, r.modality, n, 16 + (a % 64) * 16,
-              16 + (z % 64) * 16, 3, 0L)
-          case "audio" =>
-            DecodedRow(r.id, r.modality, n, 0, 0, 1 + (a % 2),
-              math.max(1L, n * 1000L / 44100))
-          case "video" =>
-            DecodedRow(r.id, r.modality, n, 16 + (a % 120) * 16,
-              16 + (z % 68) * 16, 3, math.max(1L, n * 1000L / 100000))
-          case _ => DecodedRow(r.id, r.modality, n, 0, 0, 0, 0L)
+  private[operators] def parseHeader(id: Long, modality: String,
+                                     p: Array[Byte]): DecodedRow = {
+    val n = p.length
+    def u8(i: Int): Int = p(i) & 0xFF
+    def be32(i: Int): Long = (u8(i).toLong << 24) | (u8(i + 1) << 16) |
+      (u8(i + 2) << 8) | u8(i + 3)
+    def le32(i: Int): Long = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def tag(i: Int): String =
+      if (i + 4 <= n) new String(p, i, 4, "US-ASCII") else ""
+    val fallback = DecodedRow(id, modality, n, 0, 0, 0, 0L)
+    try {
+      val pngSig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+      if (n >= 26 && pngSig.indices.forall(i => u8(i) == pngSig(i)) &&
+          tag(12) == "IHDR") {
+        val channels = u8(25) match {
+          case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+          case _ => 0
         }
-      }
+        DecodedRow(id, modality, n, be32(16).toInt, be32(20).toInt,
+          channels, 0L)
+      } else if (tag(0) == "RIFF" && tag(8) == "WAVE") {
+        var off = 12
+        var channels = 0; var byteRate = 0L; var dataSize = -1L
+        while (off + 8 <= n && (channels == 0 || dataSize < 0)) {
+          val chunk = tag(off); val sz = le32(off + 4)
+          if (chunk == "fmt " && off + 8 + 16 <= n) {
+            channels = le16(off + 10)
+            byteRate = le32(off + 16)
+          } else if (chunk == "data") dataSize = sz
+          off += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks pad to even
+        }
+        val durationMs =
+          if (dataSize >= 0 && byteRate > 0) dataSize * 1000L / byteRate
+          else 0L
+        DecodedRow(id, modality, n, 0, 0, channels, durationMs)
+      } else if (tag(4) == "ftyp") {
+        var off = 0; var durationMs = 0L; var found = false
+        while (!found && off + 8 <= n) {
+          val sz = be32(off); val box = tag(off + 4)
+          if (box == "moov") {
+            val end = math.min(n.toLong, off + sz)
+            var c = off + 8
+            while (!found && c + 8 <= end) {
+              val csz = be32(c)
+              if (tag(c + 4) == "mvhd" && u8(c + 8) == 0 && c + 28 <= end) {
+                val timescale = be32(c + 20)
+                if (timescale > 0) durationMs = be32(c + 24) * 1000L / timescale
+                found = true
+              }
+              if (csz < 8) c = end.toInt else c += csz.toInt
+            }
+            found = true // moov scanned, mvhd or not
+          }
+          if (sz < 8) off = n else off += sz.toInt
+        }
+        DecodedRow(id, modality, n, 0, 0, 0, durationMs)
+      } else fallback
+    } catch {
+      case _: IndexOutOfBoundsException => fallback
+      case _: NegativeArraySizeException => fallback
     }
   }
 
-  /** [STUB] "Resize" decoded media to a target box, preserving aspect ratio
-    * — the geometry (fit-within-box scaling, even dimensions) is real; only
-    * the pixel resampling would live in the decoder. Runs in the same typed
-    * mapPartitions shape as [[decodeStub]] so per-partition codec state
-    * could be shared.
+  /** Decode media payloads into per-modality features by REAL header
+    * parsing ([[parseHeader]]). Typed mapPartitions: one task streams its
+    * whole partition through the parser, the shape under which a native
+    * codec's per-partition setup would amortize.
     */
-  def resizeStub(ds: Dataset[DecodedRow], maxW: Int, maxH: Int)
+  def decode(ds: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    implicit val enc = Encoders.product[DecodedRow]
+    ds.mapPartitions { rows =>
+      // per-partition decoder setup would go here (load codec, pin buffers)
+      rows.map(r => parseHeader(r.id, r.modality, r.payload))
+    }
+  }
+
+  /** Resize decoded media to a target box, preserving aspect ratio — the
+    * geometry (fit-within-box scaling, even dimensions) is real; the pixel
+    * resampling itself would live in the codec. Runs in the same typed
+    * mapPartitions shape as [[decode]] so per-partition codec state could
+    * be shared.
+    */
+  def resize(ds: Dataset[DecodedRow], maxW: Int, maxH: Int)
       : Dataset[DecodedRow] = {
     implicit val enc = Encoders.product[DecodedRow]
     ds.mapPartitions { rows =>
@@ -128,18 +190,70 @@ object Multimodal {
           .as("frame_bytes"))
   }
 
-  /** Demo corpus: deterministic fake payloads derived from the documents
-    * table (text bytes prefixed with a per-modality magic header), so the
-    * whole pipeline runs on the standard testdata without real media files.
+  // header-building helpers: integer column → fixed-width big/little-endian
+  // bytes (hex assembly keeps everything inside codegen'd expressions)
+  private def be32(v: org.apache.spark.sql.Column) =
+    unhex(lpad(hex(v), 8, "0"))
+  private def le32(v: org.apache.spark.sql.Column) = {
+    val h = lpad(hex(v), 8, "0")
+    unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
+      substring(h, 3, 2), substring(h, 1, 2)))
+  }
+  private def le16(v: org.apache.spark.sql.Column) = {
+    val h = lpad(hex(v), 4, "0")
+    unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+  }
+
+  /** Demo corpus: synthesized-but-VALID media headers (parseable by
+    * [[parseHeader]] or any standards-following reader) wrapping the
+    * documents table's text bytes as the "media data", so the whole decode
+    * pipeline runs on standard testdata without real media files. All
+    * metadata derives deterministically from `doc_id`/text length:
+    *
+    *  - image (id%3=0): PNG sig + IHDR, width 16·(1+id%64),
+    *    height 16·(1+id%37), RGB for even ids / RGBA for odd;
+    *  - audio (id%3=1): WAV fmt+data, 1+id%2 channels, 16 kHz, 16-bit,
+    *    data = the text bytes → duration = len·1000/byteRate;
+    *  - video (id%3=2): MP4 ftyp + moov/mvhd, timescale 1000,
+    *    duration 40·len ms.
     */
   def syntheticCorpus(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    val magic = when(col(idCol) % 3 === 0, unhex(lit("89504E470D0A1A0A")))
-      .when(col(idCol) % 3 === 1, unhex(lit("524946460000000057415645")))
-      .otherwise(unhex(lit("000000186674797069736F6D"))) // ....ftypisom
-    val modality = when(col(idCol) % 3 === 0, "image")
-      .when(col(idCol) % 3 === 1, "audio").otherwise("video")
-    docs.select(col(idCol).as("id"), modality.as("modality"),
-      concat(magic, encode(col(textCol), "UTF-8")).as("payload"))
+    val id = col(idCol)
+    val text = encode(col(textCol), "UTF-8")
+    val tlen = length(text)
+    // PNG: sig(8) | IHDR len=13 + "IHDR" | w | h | depth 8, color 2|6,
+    // compression/filter/interlace 0 | CRC (unvalidated)
+    val pngW = lit(16) * (lit(1) + pmod(id, lit(64)))
+    val pngH = lit(16) * (lit(1) + pmod(id, lit(37)))
+    val png = concat(unhex(lit("89504E470D0A1A0A")),
+      unhex(lit("0000000D49484452")), be32(pngW), be32(pngH),
+      unhex(lit("08")),
+      when(pmod(id, lit(2)) === 0, unhex(lit("02"))).otherwise(unhex(lit("06"))),
+      unhex(lit("000000")), unhex(lit("00000000")))
+    // WAV: RIFF size=36+data | WAVE | fmt(16): pcm, ch, 16 kHz, byteRate,
+    // blockAlign, 16-bit | data size=text bytes
+    val ch = lit(1) + pmod(id, lit(2))
+    val byteRate = lit(16000) * ch * lit(2)
+    val wav = concat(unhex(lit("52494646")), le32(lit(36) + tlen),
+      unhex(lit("57415645")),
+      unhex(lit("666D742010000000")), // "fmt " + chunk size 16
+      unhex(lit("0100")), le16(ch), le32(lit(16000)), le32(byteRate),
+      le16(ch * 2), unhex(lit("1000")), // blockAlign, 16-bit samples
+      unhex(lit("64617461")), le32(tlen))
+    // MP4: ftyp(16) | moov(36) wrapping mvhd(28): v0, timescale 1000,
+    // duration = 40 ms per text byte
+    val mp4 = concat(
+      unhex(lit("000000106674797069736F6D00000000")),
+      unhex(lit("000000246D6F6F76")),
+      unhex(lit("0000001C6D766864")), unhex(lit("000000000000000000000000")),
+      be32(lit(1000)), be32(tlen * 40))
+    val header = when(pmod(id, lit(3)) === 0, png)
+      .when(pmod(id, lit(3)) === 1, wav)
+      .otherwise(mp4)
+    val modality = when(pmod(id, lit(3)) === 0, "image")
+      .when(pmod(id, lit(3)) === 1, "audio").otherwise("video")
+    docs.select(id.as("id"), modality.as("modality"),
+      concat(header, text).as("payload"))
   }
 }

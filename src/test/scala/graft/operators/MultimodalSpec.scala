@@ -35,26 +35,67 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.values.forall(_._1 > 8)) // header + text bytes
   }
 
-  test("decodeStub: typed mapPartitions pipeline with per-modality features") {
+  test("decode parses the synthesized headers to their construction values") {
     import Multimodal._
     val ds = corpus.as[MediaRow](org.apache.spark.sql.Encoders.product[MediaRow])
-    val decoded = decodeStub(ds).collect().map(d => d.id -> d).toMap
+    val decoded = decode(ds).collect().map(d => d.id -> d).toMap
     assert(decoded.size == 4)
-    val img = decoded(0L)
-    assert(img.width >= 16 && img.height >= 16 && img.channels == 3)
-    val aud = decoded(1L)
-    assert(aud.channels >= 1 && aud.durationMs > 0 && aud.width == 0)
-    // deterministic: same input → same features
-    val again = decodeStub(ds).collect().map(d => d.id -> d).toMap
-    assert(again == decoded)
+    // image id=0: width 16·(1+0%64)=16, height 16·(1+0%37)=16, RGB (even id)
+    assert(decoded(0L) == DecodedRow(0L, "image", 33 + 24, 16, 16, 3, 0L))
+    // image id=3: width 16·4=64, height 16·4=64, RGBA (odd id)
+    assert(decoded(3L) == DecodedRow(3L, "image", 33 + 23, 64, 64, 4, 0L))
+    // audio id=1: 2 channels, byteRate 64000, 24 data bytes → 0 ms (floor)
+    assert(decoded(1L) == DecodedRow(1L, "audio", 44 + 24, 0, 0, 2, 0L))
+    // video id=2: mvhd timescale 1000, duration 24·40
+    assert(decoded(2L) == DecodedRow(2L, "video", 52 + 24, 0, 0, 0, 960L))
   }
 
-  test("resizeStub fits within the box preserving aspect ratio") {
+  test("parseHeader: known-answer fixtures incl. real 1x1 PNG bytes") {
+    import Multimodal._
+    // the canonical smallest PNG: 1x1 grayscale, as produced by libpng —
+    // signature + IHDR(1,1,depth 8,color 0) + IDAT + IEND (CRCs real)
+    val realPng = ("89504E470D0A1A0A" + "0000000D49484452" +
+      "00000001" + "00000001" + "0800000000" + "3A7E9B55" +
+      "0000000A4944415478DA63640000000600023081D02F" +
+      "0000000049454E44AE426082")
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val png = parseHeader(7L, "image", realPng)
+    assert(png == DecodedRow(7L, "image", realPng.length, 1, 1, 1, 0L))
+
+    // hand-built 44-byte WAV header: mono, 8 kHz, 16-bit → byteRate 16000,
+    // 4000 data bytes → 250 ms
+    def le32h(v: Long) = f"${(v & 0xFF)}%02X${(v >> 8) & 0xFF}%02X" +
+      f"${(v >> 16) & 0xFF}%02X${(v >> 24) & 0xFF}%02X"
+    val wavHex = "52494646" + le32h(36 + 4000) + "57415645" +
+      "666D742010000000" + "0100" + "0100" + le32h(8000) + le32h(16000) +
+      "0200" + "1000" + "64617461" + le32h(4000)
+    val wav = parseHeader(8L, "audio",
+      wavHex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+    assert(wav.channels == 1 && wav.durationMs == 250L)
+
+    // mp4: ftyp + moov/mvhd, timescale 600, duration 1200 units → 2000 ms
+    val mp4Hex = "000000106674797069736F6D00000000" +
+      "000000246D6F6F76" + "0000001C6D766864" + "000000000000000000000000" +
+      "00000258" + "000004B0"
+    val mp4 = parseHeader(9L, "video",
+      mp4Hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+    assert(mp4.durationMs == 2000L)
+
+    // garbage, truncation, and empties degrade to size-only rows
+    assert(parseHeader(1L, "image", Array[Byte](1, 2, 3)) ==
+      DecodedRow(1L, "image", 3, 0, 0, 0, 0L))
+    assert(parseHeader(2L, "audio", Array.empty[Byte]) ==
+      DecodedRow(2L, "audio", 0, 0, 0, 0, 0L))
+    val truncatedPng = realPng.take(20) // dies mid-IHDR
+    assert(parseHeader(3L, "image", truncatedPng).width == 0)
+  }
+
+  test("resize fits within the box preserving aspect ratio") {
     import Multimodal._
     val ds = corpus.as[MediaRow](org.apache.spark.sql.Encoders.product[MediaRow])
-    val resized = resizeStub(decodeStub(ds), maxW = 64, maxH = 64).collect()
+    val resized = resize(decode(ds), maxW = 32, maxH = 32).collect()
     resized.filter(_.modality == "image").foreach { r =>
-      assert(r.width <= 64 && r.height <= 64)
+      assert(r.width <= 32 && r.height <= 32)
       assert(r.width % 2 == 0 && r.height % 2 == 0)
     }
     // audio rows (width 0) pass through untouched
