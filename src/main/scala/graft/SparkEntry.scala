@@ -981,6 +981,39 @@ object SparkEntry {
       SELECT min(doc_id) AS doc_id FROM documents
       GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
       ORDER BY doc_id""",
+    // Exact all-pairs word-3-gram Jaccard — independent re-derivation of the
+    // shingle semantics (normalize → whitespace tokens → 3-gram shingles,
+    // <3 tokens ⇒ the whole normalized text as one shingle). Exact-value
+    // oracle is valid for BOTH engine strategies (prefix-filter and bitmask)
+    // because each is exact, not approximate.
+    "q_dedup_jaccard" -> """
+      WITH toks AS (
+        SELECT doc_id AS id,
+               list_filter(string_split_regex(
+                 regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+                 x -> x <> '') AS tk
+        FROM documents),
+      sh AS (
+        SELECT id,
+               CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                    ELSE list_transform(range(1, len(tk) - 1),
+                           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+               END AS shl
+        FROM toks),
+      tok AS (SELECT DISTINCT id, tok
+              FROM (SELECT id, unnest(shl) AS tok FROM sh)),
+      sizes AS (SELECT id, count(*) AS sz FROM tok GROUP BY id),
+      inter AS (
+        SELECT a.id AS a_id, b.id AS b_id, count(*) AS c
+        FROM tok a JOIN tok b ON a.tok = b.tok AND a.id < b.id
+        GROUP BY 1, 2)
+      SELECT i.a_id, i.b_id,
+             round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.id = i.a_id
+      JOIN sizes sb ON sb.id = i.b_id
+      WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.6
+      ORDER BY a_id, b_id""",
     "q_sql_golden" -> """
       SELECT l_returnflag AS category, COUNT(*) AS total_orders,
              round(SUM(l_extendedprice * l_quantity), 2) AS total_revenue,
