@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.QueryEngine
 import graft.operators.QueryEngine.{AggregateSpec, SimpleQuery}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Decontaminate, Dedup, Multimodal, Similarity}
 import graft.functions.TextFunctions._
 import graft.sources.Tables
 
@@ -487,6 +487,29 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), threshold = 0.6, n = 3)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("a_id", "b_id")),
+    // Benchmark decontamination: src0 plays the held-out eval suite, the
+    // rest of the corpus is "training data" checked for 5-gram leakage.
+    "q_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Decontaminate.overlap(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), n = 5)
+        .withColumn("overlap_frac", round(col("overlap_frac"), 6))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition quality metrics over the whole corpus.
+    "q_repetition" -> ((s, d) =>
+      operators.Repetition.metrics(t(s, d, "documents"))
+        .withColumn("distinct_frac", round(col("distinct_frac"), 6))
+        .withColumn("top2gram_frac", round(col("top2gram_frac"), 6))
+        .withColumn("top3gram_frac", round(col("top3gram_frac"), 6))
+        .orderBy("doc_id")),
+    // Token-budget sequence packing (sharded greedy chunk assignment).
+    "q_pack" -> ((s, d) =>
+      operators.Packing.packByTokenBudget(t(s, d, "documents"),
+          budget = 2048, nShards = 8)
+        .orderBy("doc_id")),
 
     // ---- SQL surface (un-mocked /query endpoint) -------------------------
     // The reference mocks this endpoint (rest_api.go:709-734); here the same
@@ -1014,6 +1037,84 @@ object SparkEntry {
       JOIN sizes sb ON sb.id = i.b_id
       WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.6
       ORDER BY a_id, b_id""",
+    // Decontamination re-derived: distinct 5-gram shingles per doc, eval
+    // set = src0's distinct shingles, left join counts overlap per train doc.
+    "q_decontaminate" -> """
+      WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(
+                 regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+                 x -> x <> '') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id, source,
+               CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+                    ELSE list_transform(range(1, len(tk) - 3),
+                           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                || ' ' || tk[i+3] || ' ' || tk[i+4])
+               END AS shl
+        FROM toks),
+      tok AS (SELECT DISTINCT doc_id, source, tok
+              FROM (SELECT doc_id, source, unnest(shl) AS tok FROM sh)),
+      ev AS (SELECT DISTINCT tok FROM tok WHERE source = 'src0')
+      SELECT t.doc_id,
+             count(e.tok) AS n_overlap,
+             count(*) AS n_shingles,
+             round(CAST(count(e.tok) AS DOUBLE) / count(*), 6) AS overlap_frac
+      FROM tok t LEFT JOIN ev e ON t.tok = e.tok
+      WHERE t.source <> 'src0'
+      GROUP BY t.doc_id
+      ORDER BY t.doc_id""",
+    // Repetition metrics re-derived: token list per doc, top 2-/3-gram
+    // occurrence counts via unnest+group, token-fraction formulas as in
+    // Repetition.metrics (empty doc ⇒ distinct_frac 1, <n tokens ⇒ 0).
+    "q_repetition" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(
+                 regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+                 x -> x <> '') AS tk
+        FROM documents),
+      grams AS (
+        SELECT doc_id, n, g, count(*) AS c FROM (
+          SELECT doc_id, 2 AS n,
+                 unnest(list_transform(range(1, len(tk)),
+                   i -> tk[i] || ' ' || tk[i+1])) AS g
+          FROM toks WHERE len(tk) >= 2
+          UNION ALL
+          SELECT doc_id, 3 AS n,
+                 unnest(list_transform(range(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+          FROM toks WHERE len(tk) >= 3)
+        GROUP BY 1, 2, 3),
+      tops AS (
+        SELECT doc_id, max(CASE WHEN n = 2 THEN c END) AS t2,
+               max(CASE WHEN n = 3 THEN c END) AS t3
+        FROM grams GROUP BY doc_id)
+      SELECT b.doc_id, len(b.tk) AS n_tokens,
+             round(CASE WHEN len(b.tk) = 0 THEN 1.0
+                   ELSE CAST(len(list_distinct(b.tk)) AS DOUBLE) / len(b.tk)
+                   END, 6) AS distinct_frac,
+             round(coalesce(CAST(t2 * 2 AS DOUBLE) / len(b.tk), 0.0), 6)
+               AS top2gram_frac,
+             round(coalesce(CAST(t3 * 3 AS DOUBLE) / len(b.tk), 0.0), 6)
+               AS top3gram_frac
+      FROM toks b LEFT JOIN tops USING (doc_id)
+      ORDER BY doc_id""",
+    // Sequence packing re-derived: same shard split (doc_id mod 8), same
+    // start-offset cumulative window, chunk = floor(start / budget).
+    "q_pack" -> """
+      WITH base AS (
+        SELECT doc_id, source, CAST(doc_id % 8 AS INT) AS shard,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                 x -> x <> '')) AS BIGINT) AS n_tok
+        FROM documents)
+      SELECT doc_id, source, shard, n_tok,
+             CAST(floor(coalesce(sum(n_tok) OVER (
+                 PARTITION BY source, shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 2048) AS BIGINT) AS chunk_id
+      FROM base ORDER BY doc_id""",
     "q_sql_golden" -> """
       SELECT l_returnflag AS category, COUNT(*) AS total_orders,
              round(SUM(l_extendedprice * l_quantity), 2) AS total_revenue,

@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional: run only the named queries (local iteration; the driver
+    // always passes exactly two args and gets the full set)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -22,7 +25,9 @@ object Verify {
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     val metrics = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try {
         val task = Future {
           spark.sparkContext.setJobGroup(name, name,

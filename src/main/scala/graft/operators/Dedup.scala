@@ -36,7 +36,7 @@ object Dedup {
     * shuffle moves only the narrow (id, text) projection. No-op when the
     * source is already well-partitioned (more partitions than parallelism).
     */
-  private def spread(df: DataFrame): DataFrame = {
+  private[operators] def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
