@@ -510,6 +510,37 @@ object SparkEntry {
       operators.Packing.packByTokenBudget(t(s, d, "documents"),
           budget = 2048, nShards = 8)
         .orderBy("doc_id")),
+    // PII redaction: the corpus text is digit-free, so the query plants
+    // deterministic doc_id-derived PII (the oracle plants the identical
+    // strings) and the scrub + per-class counts are checked exactly.
+    "q_redact" -> ((s, d) => {
+      val id = col("doc_id")
+      def m(k: Int) = pmod(id, lit(k))
+      val seeded = t(s, d, "documents").withColumn("text", concat(
+        col("text"),
+        when(m(7) === 0,
+          concat(lit(" mail u"), id, lit("@ex"), m(5), lit(".org")))
+          .otherwise(lit("")),
+        when(m(11) === 0,
+          concat(lit(" ip 10."), m(250), lit(".0."), m(100)))
+          .otherwise(lit("")),
+        when(m(13) === 0,
+          concat(lit(" tel +1 415-555-"), m(9000) + 1000))
+          .otherwise(lit("")),
+        when(m(17) === 0,
+          concat(lit(" ssn 078-05-"), m(9000) + 1000))
+          .otherwise(lit(""))))
+      operators.Redact.scrub(seeded)
+        .select("doc_id", "n_emails", "n_ips", "n_phones", "n_ssns",
+          "text_clean")
+        .orderBy("doc_id")
+    }),
+    // Corpus TF-IDF: top-3 characteristic terms per document, ranked on
+    // integers only (tf desc, df asc, term asc) so ranks reproduce exactly.
+    "q_tfidf" -> ((s, d) =>
+      operators.TfIdf.topTerms(t(s, d, "documents"), k = 3)
+        .withColumn("tfidf", round(col("tfidf"), 6))
+        .orderBy("doc_id", "rank")),
 
     // ---- SQL surface (un-mocked /query endpoint) -------------------------
     // The reference mocks this endpoint (rest_api.go:709-734); here the same
@@ -1101,6 +1132,58 @@ object SparkEntry {
                AS top3gram_frac
       FROM toks b LEFT JOIN tops USING (doc_id)
       ORDER BY doc_id""",
+    // Redaction re-derived: identical PII seeding from doc_id, identical
+    // portable regexes; DuckDB regexp_replace needs the 'g' flag to match
+    // Spark's replace-all, counts via len(regexp_extract_all).
+    "q_redact" -> """
+      WITH seeded AS (
+        SELECT doc_id, text
+          || CASE WHEN doc_id % 7 = 0 THEN ' mail u' || doc_id || '@ex'
+               || (doc_id % 5) || '.org' ELSE '' END
+          || CASE WHEN doc_id % 11 = 0 THEN ' ip 10.' || (doc_id % 250)
+               || '.0.' || (doc_id % 100) ELSE '' END
+          || CASE WHEN doc_id % 13 = 0 THEN ' tel +1 415-555-'
+               || (doc_id % 9000 + 1000) ELSE '' END
+          || CASE WHEN doc_id % 17 = 0 THEN ' ssn 078-05-'
+               || (doc_id % 9000 + 1000) ELSE '' END AS text
+        FROM documents)
+      SELECT doc_id,
+        len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        len(regexp_extract_all(text,
+          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+        len(regexp_extract_all(text,
+          '\+[0-9]{1,2}[ -][0-9]{3}[ -][0-9]{3}[ -][0-9]{4}\b')) AS n_phones,
+        len(regexp_extract_all(text,
+          '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS n_ssns,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+          '\+[0-9]{1,2}[ -][0-9]{3}[ -][0-9]{3}[ -][0-9]{4}\b', '<PHONE>', 'g'),
+          '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g') AS text_clean
+      FROM seeded ORDER BY doc_id""",
+    // TF-IDF re-derived: same tokenize, same integer rank key, same
+    // smoothed ln((N+1)/(df+1)) score.
+    "q_tfidf" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+          x -> x <> '')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens
+             FROM tf GROUP BY 1),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS nn FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dl.n_tokens, dfreq.df,
+               CAST(tf.tf AS DOUBLE) / dl.n_tokens
+                 * ln(CAST(nn + 1 AS DOUBLE) / (dfreq.df + 1)) AS tfidf,
+               row_number() OVER (PARTITION BY tf.doc_id
+                 ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rank
+        FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN n)
+      SELECT doc_id, term, tf, n_tokens, df, round(tfidf, 6) AS tfidf, rank
+      FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""",
     // Sequence packing re-derived: same shard split (doc_id mod 8), same
     // start-offset cumulative window, chunk = floor(start / budget).
     "q_pack" -> """

