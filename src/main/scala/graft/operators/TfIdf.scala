@@ -45,8 +45,12 @@ object TfIdf {
         docs.select(col(idCol).as("id"), col(textCol).as("__text")))
       .select(col("id"), explode(tokens(normalizeText(col("__text"))))
         .as("term"))
-    // (id, term) counts + per-doc token totals in one shuffled agg tree
+    // (id, term) counts, persisted: docLen and df both re-aggregate this
+    // table, and without materialization Spark would re-scan and
+    // re-tokenize the raw text once PER consumer (3 scans — verified in
+    // the physical plan) instead of reusing the one shuffled word count
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .persist()
     val docLen = tf.groupBy("id").agg(sum("tf").as("n_tokens"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("__N"))
