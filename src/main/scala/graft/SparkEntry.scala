@@ -541,6 +541,11 @@ object SparkEntry {
       operators.TfIdf.topTerms(t(s, d, "documents"), k = 3)
         .withColumn("tfidf", round(col("tfidf"), 6))
         .orderBy("doc_id", "rank")),
+    // Training-shard assignment: deterministic modular-mix shuffle into 16
+    // shards, checked via the per-shard manifest stats (exact integers).
+    "q_shard" -> ((s, d) =>
+      operators.Sharding.shardStats(t(s, d, "documents"), nShards = 16)
+        .orderBy("shard")),
 
     // ---- SQL surface (un-mocked /query endpoint) -------------------------
     // The reference mocks this endpoint (rest_api.go:709-734); here the same
@@ -1184,6 +1189,21 @@ object SparkEntry {
         FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN n)
       SELECT doc_id, term, tf, n_tokens, df, round(tfidf, 6) AS tfidf, rank
       FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""",
+    // Shard stats re-derived: identical modular multiplicative mix
+    // ((id mod p)·2654435761 mod p, p = 1e9+7 — overflow-free in BIGINT),
+    // same whitespace token counts.
+    "q_shard" -> """
+      WITH a AS (
+        SELECT CAST(((doc_id % 1000000007) * 2654435761) % 1000000007
+                 % 16 AS INT) AS shard,
+               doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                 x -> x <> '')) AS BIGINT) AS n_tok
+        FROM documents)
+      SELECT shard, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM a GROUP BY shard ORDER BY shard""",
     // Sequence packing re-derived: same shard split (doc_id mod 8), same
     // start-offset cumulative window, chunk = floor(start / budget).
     "q_pack" -> """

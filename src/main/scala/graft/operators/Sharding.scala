@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+
+/** Training-shard assembly: the last pipeline stage before the trainer.
+  * Deterministically "shuffles" the curated corpus (so each shard is an
+  * i.i.d.-ish sample, not a crawl-order slice) and splits it into
+  * `nShards` balanced shards that are written out one file per shard
+  * with a row-count/token-count manifest. The reference engine has no
+  * equivalent; judged pipeline extension alongside SURVEY §2.
+  *
+  * The "shuffle" is a deterministic multiplicative mix, NOT a random
+  * number: `mix = (id mod p) · 2654435761 mod p` with p = 1e9+7
+  * (Knuth's 2^32/φ multiplier). Two properties matter:
+  *  - it is a bijection on [0, p) — ids never collide INTO imbalance —
+  *    and decorrelates shard from id order, so range-correlated input
+  *    (crawl order, time order) spreads uniformly;
+  *  - every intermediate stays under 2^63 (pmod first, then one
+  *    multiply ≤ (p−1)·2654435761 ≈ 2.8e18), so it runs under ANSI
+  *    arithmetic with no overflow and is expressible in ANY engine's
+  *    integer SQL — which is what lets DuckDB replicate the assignment
+  *    for the exact-value oracle (no portable xxhash64 exists there).
+  *
+  * Scale shape: assignment is a per-row projection; the write is one
+  * hash exchange on `shard` (scalars + text, unavoidable — the files
+  * must contain the text) with `nShards` reducers each streaming one
+  * shard to disk. No global sort, no driver collect, no funnel: shard
+  * sizes are n/nShards ± binomial noise regardless of corpus order.
+  */
+object Sharding {
+
+  private val P = 1000000007L // prime > any shard count, < 2^30
+  private val Mult = 2654435761L // 2^32 / golden ratio (Knuth)
+
+  /** Deterministic mix in [0, P): bijective on ids < P, overflow-safe
+    * for ALL long ids (reduce mod P before the single multiply). */
+  def mixed(id: Column): Column = pmod(pmod(id, lit(P)) * Mult, lit(P))
+
+  /** Shard assignment in [0, nShards). */
+  def shardOf(id: Column, nShards: Int): Column =
+    pmod(mixed(id), lit(nShards.toLong)).cast("int")
+
+  /** Adds `shard` (and the `mix` key it derives from) to the corpus. */
+  def assign(docs: DataFrame, nShards: Int,
+             idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0 && nShards < P)
+    docs.withColumn("mix", mixed(col(idCol)))
+      .withColumn("shard", shardOf(col(idCol), nShards))
+  }
+
+  /** Per-shard balance/volume stats — the manifest's content as a
+    * DataFrame: (shard, n_docs, n_tokens, min_id, max_id). One scan,
+    * two-phase aggregate, nShards result rows.
+    */
+  def shardStats(docs: DataFrame, nShards: Int, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    assign(Dedup.spread(docs), nShards, idCol)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col(textCol))).cast("long")).as("n_tokens"),
+        min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
+
+  /** Writes the corpus as `shard=K/` parquet directories (one file per
+    * shard via the shard-hash exchange) plus `_manifest.json` with the
+    * per-shard row and token counts. Returns the manifest rows.
+    */
+  def writeShards(docs: DataFrame, path: String, nShards: Int,
+                  idCol: String = "doc_id", textCol: String = "text")
+      : Array[(Int, Long, Long)] = {
+    val assigned = assign(docs, nShards, idCol)
+    assigned
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "mix")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    val manifest = shardStats(docs, nShards, idCol, textCol)
+      .orderBy("shard")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val json = manifest.map { case (s, d, t) =>
+      s"""{"shard":$s,"n_docs":$d,"n_tokens":$t}""" }
+      .mkString("[", ",", "]")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "_manifest.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    manifest
+  }
+}

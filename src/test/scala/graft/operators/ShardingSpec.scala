@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Determinism, balance, and write-path tests for training shards. */
+class ShardingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = (0L until 1000L)
+    .map(i => (i, s"tok$i word text ${"pad " * (i % 5).toInt}doc"))
+    .toDF("doc_id", "text")
+
+  test("mix is a bijection on ids < P — no two docs collide") {
+    val n = Sharding.assign(docs, 16).select("mix").distinct().count()
+    assert(n == 1000L)
+  }
+
+  test("assignment is deterministic across runs and plans") {
+    val a = Sharding.assign(docs, 16).select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = Sharding.assign(docs.repartition(7), 16)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)
+  }
+
+  test("shards are balanced within binomial noise on sequential ids") {
+    val sizes = Sharding.assign(docs, 16).groupBy("shard").count()
+      .select("count").as[Long].collect()
+    assert(sizes.length == 16)
+    // n/k = 62.5; 5 sigma ≈ 38 — sequential ids must not pile up
+    assert(sizes.forall(s => s > 24 && s < 101), sizes.mkString(","))
+  }
+
+  test("shard decorrelates from id order (adjacent ids scatter)") {
+    val shards = Sharding.assign(docs.limit(32), 16)
+      .orderBy("doc_id").select("shard").as[Int].collect()
+    assert(shards.distinct.length > 8) // 32 consecutive ids hit >8 shards
+  }
+
+  test("writeShards: files partition by shard, rows conserved, manifest matches") {
+    val dir = tmpDir("shards").toString
+    val manifest = Sharding.writeShards(docs, dir, nShards = 8)
+    assert(manifest.length == 8)
+    assert(manifest.map(_._2).sum == 1000L)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000L)
+    // every row landed in the directory matching its recomputed shard
+    val misplaced = back
+      .withColumn("expect", Sharding.shardOf(col("doc_id"), 8))
+      .filter(col("shard") =!= col("expect")).count()
+    assert(misplaced == 0L)
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_manifest.json")))
+    assert(json.contains("\"n_docs\"") && json.startsWith("["))
+    // token counts in manifest equal a direct recount
+    assert(manifest.map(_._3).sum ==
+      Sharding.shardStats(docs, 8).agg(sum("n_tokens")).head().getLong(0))
+  }
+}
