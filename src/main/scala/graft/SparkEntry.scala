@@ -472,6 +472,27 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Flagship #2: the round-3 curation gates composed end-to-end — exact
+    // dedup → repetition gate → benchmark decontamination → per-source
+    // volume stats. Each gate keeps its optimal internal shape (two-phase
+    // aggregates, broadcast eval set) and gates compose as doc_id
+    // semi-joins: per-doc metrics are invariant to which other training
+    // docs survive earlier gates, so the composition is order-stable and
+    // the whole pipeline is oracle-checkable.
+    "q_pipeline_gates" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val eval = docs.filter(col("source") === "src0")
+      val train = docs.filter(col("source") =!= "src0")
+      val g1 = Dedup.exactDedup(train)
+      val g2 = operators.Repetition.keep(g1, minDistinctFrac = 0.35,
+        maxTop2Frac = 0.25, maxTop3Frac = 0.30)
+      val g3 = Decontaminate.decontaminated(g2, eval, n = 5, maxFrac = 0.2)
+      g3.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text")).cast("long")).as("n_tokens"))
+        .orderBy("source")
+    }),
+
     // ---- LLM-data-pipeline: dedup ----------------------------------------
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactDedup(t(s, d, "documents"))
@@ -1189,6 +1210,79 @@ object SparkEntry {
         FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN n)
       SELECT doc_id, term, tf, n_tokens, df, round(tfidf, 6) AS tfidf, rank
       FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""",
+    // Gate pipeline re-derived end-to-end: dedup = min doc_id per
+    // md5(normalized text); repetition and decontamination formulas as in
+    // q_repetition / q_decontaminate (per-doc metrics are subset-invariant,
+    // so gates compose as id-set intersection in any order).
+    "q_pipeline_gates" -> """
+      WITH train AS (
+        SELECT doc_id, source, text,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+        FROM documents WHERE source <> 'src0'),
+      dedup AS (
+        SELECT min(doc_id) AS doc_id FROM train GROUP BY md5(nt)),
+      tk AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(nt, '\s+'), x -> x <> '') AS tk
+        FROM train),
+      grams AS (
+        SELECT doc_id, n, g, count(*) AS c FROM (
+          SELECT doc_id, 2 AS n,
+                 unnest(list_transform(range(1, len(tk)),
+                   i -> tk[i] || ' ' || tk[i+1])) AS g
+          FROM tk WHERE len(tk) >= 2
+          UNION ALL
+          SELECT doc_id, 3 AS n,
+                 unnest(list_transform(range(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+          FROM tk WHERE len(tk) >= 3)
+        GROUP BY 1, 2, 3),
+      tops AS (
+        SELECT doc_id, max(CASE WHEN n = 2 THEN c END) AS t2,
+               max(CASE WHEN n = 3 THEN c END) AS t3
+        FROM grams GROUP BY doc_id),
+      rep AS (
+        SELECT b.doc_id FROM tk b LEFT JOIN tops USING (doc_id)
+        WHERE (CASE WHEN len(b.tk) = 0 THEN 1.0
+               ELSE CAST(len(list_distinct(b.tk)) AS DOUBLE) / len(b.tk)
+               END) >= 0.35
+          AND coalesce(CAST(t2 * 2 AS DOUBLE) / len(b.tk), 0.0) <= 0.25
+          AND coalesce(CAST(t3 * 3 AS DOUBLE) / len(b.tk), 0.0) <= 0.30),
+      shtr AS (
+        SELECT DISTINCT doc_id, tok FROM (
+          SELECT doc_id, unnest(CASE WHEN len(tk) < 5
+                   THEN [array_to_string(tk, ' ')]
+                   ELSE list_transform(range(1, len(tk) - 3),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                               || ' ' || tk[i+3] || ' ' || tk[i+4])
+                 END) AS tok
+          FROM tk)),
+      evtk AS (
+        SELECT list_filter(string_split_regex(
+                 regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+                 x -> x <> '') AS tk
+        FROM documents WHERE source = 'src0'),
+      ev AS (
+        SELECT DISTINCT tok FROM (
+          SELECT unnest(CASE WHEN len(tk) < 5
+                   THEN [array_to_string(tk, ' ')]
+                   ELSE list_transform(range(1, len(tk) - 3),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                               || ' ' || tk[i+3] || ' ' || tk[i+4])
+                 END) AS tok
+          FROM evtk)),
+      decon AS (
+        SELECT t.doc_id FROM shtr t LEFT JOIN ev e ON t.tok = e.tok
+        GROUP BY t.doc_id
+        HAVING CAST(count(e.tok) AS DOUBLE) / count(*) <= 0.2),
+      surv AS (
+        SELECT tr.doc_id, tr.source, tr.text FROM train tr
+        JOIN dedup USING (doc_id) JOIN rep USING (doc_id)
+        JOIN decon USING (doc_id))
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+               x -> x <> ''))) AS BIGINT) AS n_tokens
+      FROM surv GROUP BY source ORDER BY source""",
     // Shard stats re-derived: identical modular multiplicative mix
     // ((id mod p)·2654435761 mod p, p = 1e9+7 — overflow-free in BIGINT),
     // same whitespace token counts.
