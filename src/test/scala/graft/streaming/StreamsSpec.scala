@@ -271,4 +271,47 @@ class StreamsSpec extends SparkSpec {
       assert(fps.toSeq == Seq("a", "b", "c"))
     } finally query.stop()
   }
+
+  test("streaming curation: redact → quality gate → dedup → lake sink") {
+    // the batch curation operators are per-row Column expressions, so the
+    // same pipeline runs unchanged as a micro-batch stream with
+    // exactly-once lake commits
+    import graft.lake.{LakeLog, LakeTable}
+    import graft.operators.Redact
+    import graft.functions.TextFunctions.{fingerprint, qualityScore}
+    import org.apache.spark.sql.types._
+    implicit val sq = spark.sqlContext
+    val log = new LakeLog(tmpDir("curelake"))
+    LakeTable.createTable(log, "corpus", StructType(Seq(
+      StructField("doc_id", LongType), StructField("text_clean", StringType))))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val cured = Streams.streamingDedup(
+        Redact.scrub(input.toDF().toDF("doc_id", "ts", "text"))
+          .filter(qualityScore(col("text_clean")) >= 0.5)
+          .withColumn("fp", fingerprint(col("text_clean"))),
+        keyCol = "fp")
+      .select("doc_id", "text_clean")
+    val query = Streams.sinkToLake(cured, log, "corpus",
+      tmpDir("cureckpt").toString)
+    try {
+      input.addData(
+        (1L, ts(0), "the quick brown fox jumps over the lazy dog"),
+        (2L, ts(1), "please contact jo.doe@corp.example.org for the details"),
+        (3L, ts(2), "the quick brown fox jumps over the lazy dog"), // dup of 1
+        (4L, ts(3), "a b")) // too short → quality gate drops it
+      query.processAllAvailable()
+      val rows = LakeTable.read(spark, log, "corpus")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.keySet == Set(1L, 2L))
+      assert(rows(2L) == "please contact <EMAIL> for the details")
+      // a second batch: replayed duplicate stays dropped, new doc lands
+      input.addData(
+        (5L, ts(4), "the quick brown fox jumps over the lazy dog"), // dup
+        (6L, ts(5), "an entirely different sentence about sharded corpora"))
+      query.processAllAvailable()
+      val after = LakeTable.read(spark, log, "corpus")
+        .select("doc_id").as[Long].collect().sorted
+      assert(after.toSeq == Seq(1L, 2L, 6L))
+    } finally query.stop()
+  }
 }
