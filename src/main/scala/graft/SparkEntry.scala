@@ -483,11 +483,25 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       val eval = docs.filter(col("source") === "src0")
       val train = docs.filter(col("source") =!= "src0")
-      val g1 = Dedup.exactDedup(train)
-      val g2 = operators.Repetition.keep(g1, minDistinctFrac = 0.35,
-        maxTop2Frac = 0.25, maxTop3Frac = 0.30)
-      val g3 = Decontaminate.decontaminated(g2, eval, n = 5, maxFrac = 0.2)
-      g3.groupBy("source")
+      // Each gate's keep-set is computed INDEPENDENTLY from the base
+      // corpus — one text pass per gate, then narrow id-set semi-joins.
+      // Naively chaining keep(keep(keep(train))) doubles the upstream
+      // subtree at every stage (each gate references its input twice), so
+      // the scan re-executes 2^gates times; subset-invariant metrics make
+      // the independent/intersect form equivalent and linear.
+      val keepDedup = Dedup.exactDedup(train).select("doc_id")
+      val keepRep = operators.Repetition.metrics(train)
+        .filter(col("distinct_frac") >= 0.35 &&
+          col("top2gram_frac") <= 0.25 && col("top3gram_frac") <= 0.30)
+        .select("doc_id")
+      val keepDecon = Decontaminate.overlap(train, eval, n = 5)
+        .filter(col("overlap_frac") <= 0.2)
+        .select("doc_id")
+      train
+        .join(keepDedup, Seq("doc_id"), "left_semi")
+        .join(keepRep, Seq("doc_id"), "left_semi")
+        .join(keepDecon, Seq("doc_id"), "left_semi")
+        .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(tokenCount(col("text")).cast("long")).as("n_tokens"))
         .orderBy("source")
