@@ -63,7 +63,12 @@ object Decontaminate {
   }
 
   /** Convenience gate: training docs whose overlap stays under `maxFrac`
-    * (left-semi on the clean id set — the text column never re-shuffles). */
+    * (left-semi on the clean id set — the text column never re-shuffles).
+    *
+    * Composition note: references `train` twice; when chaining several
+    * gates, derive each keep-id set from the base corpus via [[overlap]]
+    * and intersect the sets (per-doc overlap is invariant to which other
+    * training docs survive) — see SparkEntry q_pipeline_gates. */
   def decontaminated(train: DataFrame, eval: DataFrame, n: Int = 5,
                      maxFrac: Double = 0.0, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {

@@ -66,7 +66,14 @@ object Repetition {
   }
 
   /** Quality gate on the repetition metrics (Gopher-ish defaults). Returns
-    * the surviving documents via left-semi join — text never re-shuffles. */
+    * the surviving documents via left-semi join — text never re-shuffles.
+    *
+    * Composition note: this references `docs` twice (metrics + join back),
+    * so chaining gates as keep(keep(keep(df))) doubles the upstream plan
+    * per stage. When composing several gates, compute each keep-id set
+    * from the BASE corpus via [[metrics]] and intersect the id sets with
+    * semi-joins instead (metrics are per-doc, hence subset-invariant) —
+    * see SparkEntry q_pipeline_gates. */
   def keep(docs: DataFrame, minDistinctFrac: Double = 0.2,
            maxTop2Frac: Double = 0.20, maxTop3Frac: Double = 0.18,
            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
