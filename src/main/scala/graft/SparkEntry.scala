@@ -522,6 +522,24 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), threshold = 0.6, n = 3)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("a_id", "b_id")),
+    // Incremental (cross-batch) dedup via the Bloom fingerprint index:
+    // src1 plays the newly crawled batch, every third doc of the existing
+    // corpus is re-crawled under a fresh id (a guaranteed exact dup). The
+    // bloom path's result is EXACT (no false negatives; false positives
+    // only route extra rows into the verification anti-join), so the
+    // whole scenario sits under the DuckDB oracle.
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(col("source") =!= "src1")
+      val recrawl = corpus.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val newBatch = docs.filter(col("source") === "src1")
+        .unionByName(recrawl)
+      val corpusFps = corpus.select(fingerprint(col("text")).as("fp"))
+      val bloom = Dedup.fingerprintBloom(corpus, expectedItems = 100000)
+      Dedup.incrementalExactDedupBloom(corpusFps, bloom, newBatch)
+        .select("doc_id").orderBy("doc_id")
+    }),
     // Benchmark decontamination: src0 plays the held-out eval suite, the
     // rest of the corpus is "training data" checked for 5-gram leakage.
     "q_decontaminate" -> ((s, d) => {
@@ -1108,6 +1126,31 @@ object SparkEntry {
       JOIN sizes sb ON sb.id = i.b_id
       WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.6
       ORDER BY a_id, b_id""",
+    // Incremental dedup re-derived: same re-crawl construction, dedup
+    // within the batch (min doc_id per normalized-text md5), then
+    // anti-join against the corpus fingerprint set.
+    "q_dedup_incremental" -> """
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE source <> 'src1'),
+      newb AS (
+        SELECT doc_id, text FROM documents WHERE source = 'src1'
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM corpus
+        WHERE doc_id % 3 = 0),
+      nfp AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM newb),
+      within AS (SELECT min(doc_id) AS doc_id FROM nfp GROUP BY fp),
+      cfp AS (
+        SELECT DISTINCT
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM corpus)
+      SELECT n.doc_id
+      FROM nfp n JOIN within USING (doc_id)
+      LEFT JOIN cfp c ON n.fp = c.fp
+      WHERE c.fp IS NULL
+      ORDER BY n.doc_id""",
     // Decontamination re-derived: distinct 5-gram shingles per doc, eval
     // set = src0's distinct shingles, left join counts overlap per train doc.
     "q_decontaminate" -> """

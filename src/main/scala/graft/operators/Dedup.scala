@@ -465,6 +465,45 @@ object Dedup {
       .drop("fp")
   }
 
+  /** Mergeable Bloom membership index over the corpus's content
+    * fingerprints — the scale path for incremental dedup: built once per
+    * corpus (one scan, distributed partial sketches merged like any
+    * aggregate), kept driver/broadcast-side (metadata-priced: ~1.2 GB for
+    * 1e9 fingerprints at 1% fpp), and extended per ingested batch with
+    * `mergeInPlace` instead of ever re-scanning history.
+    */
+  def fingerprintBloom(corpus: DataFrame, expectedItems: Long,
+                       fpp: Double = 0.01, textCol: String = "text")
+      : org.apache.spark.util.sketch.BloomFilter =
+    corpus.select(fingerprint(col(textCol)).as("fp"))
+      .stat.bloomFilter("fp", expectedItems, fpp)
+
+  /** Incremental exact dedup against a Bloom-indexed corpus. EXACT result
+    * (identical to [[incrementalExactDedup]]): the bloom admits no false
+    * negatives, so rows it rejects are definitely new and skip the join
+    * entirely; only bloom-positive rows (true duplicates + the fpp share)
+    * verify against the materialized corpus fingerprint table via
+    * anti-join. At 100 TB this is the difference between anti-joining
+    * EVERY new row against the historical fingerprint set and joining a
+    * left side that is ~|dups| + fpp·|batch| — keep `corpusFps`
+    * clustered/bucketed by fp so that residual join co-locates. The bloom
+    * probe is a Scala UDF (no built-in expression exists); it is one
+    * bounded hash probe per row against broadcast bits, off the
+    * shuffle path.
+    */
+  def incrementalExactDedupBloom(corpusFps: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter, newDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bc = newDocs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((fp: String) => bc.value.mightContain(fp))
+    val batch = exactDedup(newDocs, idCol, textCol)
+      .withColumn("fp", fingerprint(col(textCol)))
+    val definitelyNew = batch.filter(!mightContain(col("fp")))
+    val verified = batch.filter(mightContain(col("fp")))
+      .join(corpusFps.select("fp").distinct(), Seq("fp"), "left_anti")
+    definitelyNew.unionByName(verified).drop("fp")
+  }
+
   /** The standard corpus-dedup pipeline, composed from the operators above
     * the way a training-data run wires them: (1) exact dedup on normalized
     * fingerprints (cheap, removes the bulk), (2) MinHash-LSH candidate pairs

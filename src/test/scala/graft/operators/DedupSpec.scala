@@ -186,6 +186,42 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(12L))
   }
 
+  test("bloom incremental dedup: exact result, no false negatives") {
+    import graft.functions.TextFunctions.fingerprint
+    val corpus = (0L until 200L).map(i => (i, s"corpus document number $i"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1000L, "corpus document number 7"),   // dup of corpus
+      (1001L, "Corpus  DOCUMENT number 42"), // normalization dup
+      (1002L, "a brand new document"),
+      (1003L, "a brand new document"),       // in-batch dup of 1002
+      (1004L, "another brand new document")
+    ).toDF("doc_id", "text")
+    val fps = corpus.select(fingerprint(col("text")).as("fp"))
+    val bloom = Dedup.fingerprintBloom(corpus, expectedItems = 1000)
+    val kept = Dedup.incrementalExactDedupBloom(fps, bloom, batch)
+      .select("doc_id").as[Long].collect().sorted
+    // identical to the join-everything path
+    val exact = Dedup.incrementalExactDedup(corpus, batch)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1002L, 1004L))
+    assert(kept.toSeq == exact.toSeq)
+  }
+
+  test("bloom merges across batches instead of re-scanning history") {
+    import graft.functions.TextFunctions.fingerprint
+    val c1 = Seq((1L, "first corpus doc")).toDF("doc_id", "text")
+    val c2 = Seq((2L, "second corpus doc")).toDF("doc_id", "text")
+    val merged = Dedup.fingerprintBloom(c1, 100)
+    merged.mergeInPlace(Dedup.fingerprintBloom(c2, 100))
+    val fp = (d: org.apache.spark.sql.DataFrame) =>
+      d.select(fingerprint(col("text"))).as[String].head()
+    assert(merged.mightContain(fp(c1)) && merged.mightContain(fp(c2)))
+    // a doc in neither batch is (overwhelmingly) rejected at 1% fpp
+    val probe = Seq((9L, "entirely absent text")).toDF("doc_id", "text")
+    assert(!merged.mightContain(fp(probe)))
+  }
+
   test("dedupPipeline: exact + near-dup stages keep one rep per cluster") {
     val kept = Dedup.dedupPipeline(docs, nearDupThreshold = 0.9)
       .select("doc_id").as[Long].collect().sorted
