@@ -594,6 +594,17 @@ object SparkEntry {
       operators.TfIdf.topTerms(t(s, d, "documents"), k = 3)
         .withColumn("tfidf", round(col("tfidf"), 6))
         .orderBy("doc_id", "rank")),
+    // CCNet-style LM quality scoring: train a smoothed bigram model on the
+    // corpus itself, score every document by mean log-prob. Log-probs are
+    // integer-scaled at training time so per-doc sums are order-independent
+    // and the oracle is exact.
+    "q_lm_score" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val lm = operators.LangModel.trainBigram(docs, k = 1.0)
+      operators.LangModel.score(docs, lm)
+        .withColumn("avg_logp", round(col("avg_logp"), 6))
+        .orderBy("doc_id")
+    }),
     // Training-shard assignment: deterministic modular-mix shuffle into 16
     // shards, checked via the per-shard manifest stats (exact integers).
     "q_shard" -> ((s, d) =>
@@ -1340,6 +1351,50 @@ object SparkEntry {
              CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
                x -> x <> ''))) AS BIGINT) AS n_tokens
       FROM surv GROUP BY source ORDER BY source""",
+    // LM scoring re-derived: same bigram counts, same add-1 smoothing,
+    // same integer scaling round(ln·1e6) — integer sums make the per-doc
+    // aggregation order-independent on both engines.
+    "q_lm_score" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(
+                 regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+                 x -> x <> '') AS tk
+        FROM documents),
+      bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk)),
+                 i -> tk[i] || ' ' || tk[i+1])) AS b
+        FROM toks WHERE len(tk) >= 2),
+      sp AS (
+        SELECT doc_id, split_part(b, ' ', 1) AS w1,
+               split_part(b, ' ', 2) AS w2
+        FROM bg),
+      c12 AS (SELECT w1, w2, count(*) AS c12 FROM sp GROUP BY 1, 2),
+      c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+      vv AS (SELECT count(DISTINCT w) AS v FROM
+               (SELECT unnest(tk) AS w FROM toks)),
+      pairs AS (
+        SELECT w1, w2,
+               CAST(round(ln((c12 + 1) / (c1 + 1.0 * v)) * 1e6) AS BIGINT)
+                 AS lp
+        FROM c12 JOIN c1 USING (w1) CROSS JOIN vv),
+      uni AS (
+        SELECT w1,
+               CAST(round(ln(1.0 / (c1 + 1.0 * v)) * 1e6) AS BIGINT)
+                 AS lp_unseen
+        FROM c1 CROSS JOIN vv),
+      ctx AS (SELECT CAST(round(ln(1.0 / v) * 1e6) AS BIGINT) AS lp0 FROM vv),
+      scored AS (
+        SELECT s.doc_id,
+               coalesce(p.lp, u.lp_unseen, ctx.lp0) AS slp
+        FROM sp s
+        LEFT JOIN pairs p ON s.w1 = p.w1 AND s.w2 = p.w2
+        LEFT JOIN uni u ON s.w1 = u.w1
+        CROSS JOIN ctx)
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(CAST(sum(slp) AS DOUBLE) / 1e6 / count(*), 6) AS avg_logp
+      FROM scored GROUP BY doc_id ORDER BY doc_id""",
     // Shard stats re-derived: identical modular multiplicative mix
     // ((id mod p)·2654435761 mod p, p = 1e9+7 — overflow-free in BIGINT),
     // same whitespace token counts.
