@@ -610,6 +610,12 @@ object SparkEntry {
     "q_shard" -> ((s, d) =>
       operators.Sharding.shardStats(t(s, d, "documents"), nShards = 16)
         .orderBy("shard")),
+    // Deterministic train/val/test assignment (90/5/5 via mix buckets).
+    "q_split" -> ((s, d) =>
+      operators.Sharding.assignSplits(t(s, d, "documents"))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("split", "source")),
 
     // ---- SQL surface (un-mocked /query endpoint) -------------------------
     // The reference mocks this endpoint (rest_api.go:709-734); here the same
@@ -1410,6 +1416,20 @@ object SparkEntry {
              CAST(sum(n_tok) AS BIGINT) AS n_tokens,
              min(doc_id) AS min_id, max(doc_id) AS max_id
       FROM a GROUP BY shard ORDER BY shard""",
+    // Split assignment re-derived: same mix, bucket = mix % 10000,
+    // train < 9000 ≤ val < 9500 ≤ test.
+    "q_split" -> """
+      WITH a AS (
+        SELECT CASE
+                 WHEN ((doc_id % 1000000007) * 2654435761) % 1000000007
+                      % 10000 < 9000 THEN 'train'
+                 WHEN ((doc_id % 1000000007) * 2654435761) % 1000000007
+                      % 10000 < 9500 THEN 'val'
+                 ELSE 'test' END AS split,
+               source
+        FROM documents)
+      SELECT split, source, count(*) AS n_docs
+      FROM a GROUP BY split, source ORDER BY split, source""",
     // Sequence packing re-derived: same shard split (doc_id mod 8), same
     // start-offset cumulative window, chunk = floor(start / budget).
     "q_pack" -> """

@@ -51,6 +51,34 @@ object Sharding {
       .withColumn("shard", shardOf(col(idCol), nShards))
   }
 
+  /** Deterministic train/val/test assignment: the mix maps each id to a
+    * bucket in [0, 10000) and cumulative fraction boundaries carve the
+    * named splits. Properties that matter for eval hygiene: the split is
+    * a pure function of the id (reproducible across runs, clusters and
+    * engines — same arithmetic in plain SQL), membership never depends
+    * on partitioning or row order, and a document can never land in two
+    * splits. Fractions are resolved to integer bucket boundaries
+    * (round(frac·10000)), so the realized shares are exact multiples of
+    * 0.01% rather than float-comparison-dependent.
+    */
+  def assignSplits(docs: DataFrame,
+                   splits: Seq[(String, Double)] = Seq(
+                     "train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+                   idCol: String = "doc_id"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0))
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val bounds = splits.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * 10000)
+    }.tail
+    val bucket = pmod(mixed(col(idCol)), lit(10000L))
+    val splitCol = splits.init.zip(bounds.init)
+      .foldRight(lit(splits.last._1)) { case (((name, _), b), other) =>
+        when(bucket < b, name).otherwise(other)
+      }
+    docs.withColumn("split", splitCol)
+  }
+
   /** Per-shard balance/volume stats — the manifest's content as a
     * DataFrame: (shard, n_docs, n_tokens, min_id, max_id). One scan,
     * two-phase aggregate, nShards result rows.

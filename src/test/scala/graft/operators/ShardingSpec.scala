@@ -39,6 +39,25 @@ class ShardingSpec extends SparkSpec {
     assert(shards.distinct.length > 8) // 32 consecutive ids hit >8 shards
   }
 
+  test("assignSplits: disjoint, exhaustive, deterministic, near-target shares") {
+    val out = Sharding.assignSplits(docs)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set("train", "val", "test"))
+    assert(out.values.sum == 1000L)
+    // 90/5/5 ± binomial noise on 1000 sequential ids
+    assert(out("train") > 850 && out("train") < 950, out.toString)
+    assert(out("val") > 20 && out("val") < 80)
+    assert(out("test") > 20 && out("test") < 80)
+    // pure function of id: repartitioning must not move any document
+    val a = Sharding.assignSplits(docs).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sharding.assignSplits(docs.repartition(7))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
   test("writeShards: files partition by shard, rows conserved, manifest matches") {
     val dir = tmpDir("shards").toString
     val manifest = Sharding.writeShards(docs, dir, nShards = 8)
