@@ -93,8 +93,19 @@ object Profile {
   }
 
   /** Distributed exact `percentile_cont` quartiles for every column in one
-    * plan: histogram → cumulative window → covering-value interpolation.
-    * Columns with no non-null values get NaN quartiles.
+    * plan: histogram → two-level cumulative counts → covering-value
+    * interpolation. Columns with no non-null values get NaN quartiles.
+    *
+    * The cumulative count deliberately does NOT use a per-column window:
+    * `Window.partitionBy(column)` has one partition per COLUMN, so each
+    * column's entire distinct-value stream would sort and scan inside a
+    * single task — 1e9 distinct doubles at warehouse scale through one
+    * reducer. Instead the classic distributed prefix sum: range-partition
+    * the histogram by (column, value) so every task owns a contiguous
+    * value slice, cumulate locally per slice in parallel, then add each
+    * slice's starting offset computed from the per-slice totals — a
+    * (columns × partitions)-row collect, metadata-priced — joined back
+    * broadcast. Identical results, no single-task funnel.
     */
   private def exactQuartiles(df: DataFrame, cols: Seq[String])
       : Map[String, Seq[Double]] = {
@@ -104,11 +115,32 @@ object Profile {
         cols.map(c => s"'$c', cast(`$c` as double)").mkString(", ") +
         ") as (`__column`, `__v`)"))
       .filter(col("__v").isNotNull)
-    val hist = stacked.groupBy("__column", "__v")
+    val parts = math.max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    // (column, value) rows are distinct after the histogram groupBy, so the
+    // local window (one per range-slice × column) never sees frame ties
+    val local = stacked.groupBy("__column", "__v")
       .agg(count(lit(1)).as("__cnt"))
-      .withColumn("__cum", sum("__cnt").over(
-        Window.partitionBy("__column").orderBy("__v")))
-      .withColumn("__nv", sum("__cnt").over(Window.partitionBy("__column")))
+      .repartitionByRange(parts, col("__column"), col("__v"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lcum", sum("__cnt").over(
+        Window.partitionBy("__pid", "__column").orderBy("__v")))
+      .persist()
+    // per-slice totals: columns × partitions rows — driver-side prefix sums
+    val sliceTotals = local.groupBy("__column", "__pid")
+      .agg(sum("__cnt").as("__pt")).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val offsetRows = sliceTotals.keys.toSeq.map { case (c, pid) =>
+      val off = sliceTotals.collect {
+        case ((`c`, p), n) if p < pid => n }.sum
+      val nv = sliceTotals.collect { case ((`c`, _), n) => n }.sum
+      (c, pid, off, nv)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsets = broadcast(
+      offsetRows.toDF("__column", "__pid", "__off", "__nv"))
+    val hist = local.join(offsets, Seq("__column", "__pid"))
+      .withColumn("__cum", col("__lcum") + col("__off"))
     val quartAggs = Quartiles.flatMap { case (q, name) =>
       val k = lit(q) * (col("__nv") - 1)
       val coversLo = col("__cum") - col("__cnt") <= floor(k) &&
@@ -122,6 +154,7 @@ object Profile {
     val rows = hist.groupBy("__column")
       .agg(quartAggs.head, quartAggs.tail: _*)
       .collect()
+    local.unpersist()
     val byCol = rows.map { r =>
       r.getAs[String]("__column") -> Quartiles.map { case (_, name) =>
         val lo = r.getAs[Double](s"__lo_$name")
