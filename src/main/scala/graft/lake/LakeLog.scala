@@ -20,9 +20,19 @@ final case class Field(name: String, `type`: String, nullable: Boolean = true)
   * real: partition values live ONLY in the log (data files are flat and do
   * not contain the partition columns), and reads reconstruct them.
   * Option so logs written before this field existed deserialize as None. */
+/** `check_constraints`: named boolean SQL predicates declared at CREATE
+  * TABLE and enforced on every write of new data (insert/load/json/upsert
+  * source — not on rewrites, which only move rows that were admitted
+  * under the constraints). SQL CHECK semantics: a row violates only when
+  * the predicate evaluates to FALSE; NULL/UNKNOWN passes. The reference
+  * has no constraint surface; this mirrors Delta's table CHECK
+  * constraints. Option so older logs deserialize as None. */
 final case class TableSchema(fields: Seq[Field],
-                             partition_columns: Option[Seq[String]] = None) {
+                             partition_columns: Option[Seq[String]] = None,
+                             check_constraints: Option[Map[String, String]] =
+                               None) {
   def partCols: Seq[String] = partition_columns.getOrElse(Nil)
+  def checks: Map[String, String] = check_constraints.getOrElse(Map.empty)
 }
 /** Per-file min/max statistics (stringified values, typed at prune time via
   * the table schema). The reference declares these (`proto/metadata.proto:

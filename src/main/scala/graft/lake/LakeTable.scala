@@ -54,9 +54,33 @@ object LakeTable {
   /** `partitionBy`: hive-style partition columns (see [[TableSchema]]) —
     * declared once here, enforced on every write. */
   def createTable(log: LakeLog, table: String, schema: StructType,
-                  partitionBy: Seq[String] = Nil): Unit =
+                  partitionBy: Seq[String] = Nil,
+                  constraints: Map[String, String] = Map.empty): Unit =
     log.createTable(table, fromStructType(schema).copy(
-      partition_columns = if (partitionBy.isEmpty) None else Some(partitionBy)))
+      partition_columns = if (partitionBy.isEmpty) None else Some(partitionBy),
+      check_constraints = if (constraints.isEmpty) None else Some(constraints)))
+
+  /** Enforce the table's CHECK constraints on a batch of NEW rows: one
+    * aggregate pass counting per-constraint violations (row violates only
+    * when the predicate is FALSE — NULL passes, per SQL CHECK). Throws
+    * with every failing constraint and its row count; called before any
+    * file is staged, so a rejected batch leaves no trace in log or data.
+    */
+  private def enforceChecks(table: String, sch: TableSchema,
+                            batch: DataFrame): Unit = {
+    val checks = sch.checks
+    if (checks.isEmpty) return
+    val aggs = checks.toSeq.map { case (name, pred) =>
+      sum(when(!coalesce(expr(pred), lit(true)), 1L).otherwise(0L)).as(name)
+    }
+    val row = batch.agg(aggs.head, aggs.tail: _*).head()
+    val bad = checks.keys.toSeq.sorted.flatMap { n =>
+      val c = row.getAs[Long](n)
+      if (c > 0) Some(s"$n (${checks(n)}): $c rows") else None
+    }
+    if (bad.nonEmpty) throw new LakeValidationException(
+      s"CHECK constraint violation on $table — ${bad.mkString("; ")}")
+  }
 
   /** The schema physically stored in data files: declared schema minus
     * partition columns (those live only in the log's partition map). */
@@ -191,6 +215,7 @@ object LakeTable {
     val tmp = log.tmpDir(table, txnId)
     val shaped = df.select(st.fields.toSeq.map(f =>
       col(f.name).cast(f.dataType)): _*)
+    enforceChecks(table, sch, shaped)
     // clusterBy = the reference's hash-partitioned sink
     // (`worker/src/parquet_writer.rs:182-234`): rows hash-routed by key into
     // numFiles files, so equal keys co-locate — narrows each file's min/max
@@ -533,6 +558,7 @@ object LakeTable {
     val partCols = sch.partCols
     val shaped = updates.select(st.fields.toSeq.map(f =>
       col(f.name).cast(f.dataType)): _*)
+    enforceChecks(table, sch, shaped)
     val keys = shaped.select(keyCol)
     val staged = log.tmpDir(table, txnId)
     // files that might contain an updated key (stats-pruned via the key
