@@ -642,15 +642,20 @@ object LakeTable {
       "n_added", "n_removed", "rows_added", "bytes_added")
   }
 
-  /** Current-table summary: version, file/row/byte totals, schema. */
+  /** Current-table summary: version, file/row/byte totals, schema,
+    * partitioning and CHECK constraints. */
   final case class TableInfo(table: String, version: Long, nFiles: Int,
-                             rows: Long, bytes: Long, fields: Seq[String])
+                             rows: Long, bytes: Long, fields: Seq[String],
+                             partitionColumns: Seq[String] = Nil,
+                             constraints: Map[String, String] = Map.empty)
   def describe(log: LakeLog, table: String): TableInfo = {
     val snap = log.snapshot(table)
     TableInfo(table, snap.version, snap.files.size,
       snap.files.map(_.rows).sum, snap.files.map(_.size).sum,
       snap.schema.map(_.fields.map(f => s"${f.name}:${f.`type`}"))
-        .getOrElse(Nil))
+        .getOrElse(Nil),
+      snap.schema.map(_.partCols).getOrElse(Nil),
+      snap.schema.map(_.checks).getOrElse(Map.empty))
   }
 
   /** RESTORE TABLE ... TO VERSION: make the table's live file set equal the

@@ -65,8 +65,11 @@ class LakeConstraintSpec extends SparkSpec {
       "qty_positive" -> "qty > 0"))
     assert(log.snapshot("t").schema.get.checks ==
       Map("qty_positive" -> "qty > 0"))
+    assert(LakeTable.describe(log, "t").constraints ==
+      Map("qty_positive" -> "qty > 0"))
     LakeTable.createTable(log, "plain", schema)
     assert(log.snapshot("plain").schema.get.checks.isEmpty)
+    assert(LakeTable.describe(log, "plain").constraints.isEmpty)
   }
 
   test("a constraint referencing a missing column fails the write, not silently") {
