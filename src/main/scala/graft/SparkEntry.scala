@@ -594,6 +594,25 @@ object SparkEntry {
       operators.TfIdf.topTerms(t(s, d, "documents"), k = 3)
         .withColumn("tfidf", round(col("tfidf"), 6))
         .orderBy("doc_id", "rank")),
+    // Int8 vector quantization quality: per-vector scale, max reconstruction
+    // error (bounded by scale/2) and original↔dequantized cosine — the
+    // storage/bandwidth half of the ANN stack, all per-row projections.
+    "q_quantize" -> ((s, d) => {
+      val q = operators.Quantize.quantizeInt8(t(s, d, "embeddings"))
+      // metrics first, rounding second: aliasing round(scale) AS scale in
+      // the same select would lateral-alias-shadow the raw scale inside
+      // the metric expressions (Spark 4 LCA resolution) and skew max_err
+      q.select(col("vec_id"), col("scale"),
+          operators.Quantize.reconMaxErr(
+            col("embedding"), col("q"), col("scale")).as("max_err"),
+          operators.Quantize.reconCosine(
+            col("embedding"), col("q")).as("recon_cos"))
+        .select(col("vec_id"),
+          round(col("scale"), 6).as("scale"),
+          round(col("max_err"), 6).as("max_err"),
+          round(col("recon_cos"), 6).as("recon_cos"))
+        .orderBy("vec_id")
+    }),
     // CCNet-style LM quality scoring: train a smoothed bigram model on the
     // corpus itself, score every document by mean log-prob. Log-probs are
     // integer-scaled at training time so per-doc sums are order-independent
@@ -1357,6 +1376,40 @@ object SparkEntry {
              CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
                x -> x <> ''))) AS BIGINT) AS n_tokens
       FROM surv GROUP BY source ORDER BY source""",
+    // Quantization re-derived: same max-abs scale, same round-half-away
+    // int8 codes, same in-order element folds (the scale cancels in the
+    // cosine, so no float scale multiplication enters the metric).
+    "q_quantize" -> """
+      WITH base AS (
+        SELECT vec_id, embedding AS v,
+               CAST(list_aggregate(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE))), 'max') AS DOUBLE) AS m
+        FROM embeddings),
+      qz AS (
+        SELECT vec_id, v,
+               CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS s,
+               list_transform(v, x -> CAST(round(CAST(x AS DOUBLE) /
+                 (CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END)) AS INT))
+                 AS qv
+        FROM base),
+      metrics AS (
+        SELECT vec_id, s,
+               list_aggregate(list_transform(range(1, len(v) + 1),
+                 i -> abs(CAST(v[i] AS DOUBLE) - qv[i] * s)), 'max')
+                 AS max_err,
+               list_aggregate(list_transform(range(1, len(v) + 1),
+                 i -> CAST(v[i] AS DOUBLE) * qv[i]), 'sum') AS dvq,
+               sqrt(list_aggregate(list_transform(v,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                 AS nv,
+               sqrt(list_aggregate(list_transform(qv,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                 AS nq
+        FROM qz)
+      SELECT vec_id, round(s, 6) AS scale, round(max_err, 6) AS max_err,
+             round(CASE WHEN nv > 0 AND nq > 0 THEN dvq / (nv * nq) END, 6)
+               AS recon_cos
+      FROM metrics ORDER BY vec_id""",
     // LM scoring re-derived: same bigram counts, same add-1 smoothing,
     // same integer scaling round(ln·1e6) — integer sums make the per-doc
     // aggregation order-independent on both engines.
