@@ -129,4 +129,51 @@ class LakeFuzzSpec extends SparkSpec {
     val fresh = new LakeLog(log.root)
     assert(fresh.snapshot("t") == log.snapshot("t"))
   }
+
+  test("constrained table fuzz: rejects leave no trace, accepts match model") {
+    val rnd = new scala.util.Random(47)
+    val log = new LakeLog(tmpDir("fuzzcheck"))
+    LakeTable.createTable(log, "t", schema,
+      constraints = Map("v_nonneg" -> "v >= 0"))
+    var model = Map.empty[Long, Double]
+    var nextId = 0L
+    def tableRows(): Map[Long, Double] =
+      LakeTable.read(spark, log, "t").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    (1 to 14).foreach { step =>
+      // ~10% of values violate v >= 0, so batches mix clean and dirty
+      def value(): Double = (rnd.nextInt(100) - 10).toDouble
+      val prevVersion = log.latestVersion("t")
+      if (model.isEmpty || rnd.nextBoolean()) {
+        val rows = (0 until 1 + rnd.nextInt(5)).map { _ =>
+          nextId += 1; (nextId, value()) }
+        val valid = rows.forall(_._2 >= 0)
+        try {
+          LakeTable.insert(spark, log, "t", rows.toDF("id", "v"))
+          assert(valid, s"step $step: invalid insert was accepted")
+          model ++= rows.toMap
+        } catch {
+          case _: LakeValidationException =>
+            assert(!valid, s"step $step: valid insert was rejected")
+            assert(log.latestVersion("t") == prevVersion)
+        }
+      } else {
+        val ups = Seq((model.keys.head, value()))
+        try {
+          LakeTable.upsert(spark, log, "t", ups.toDF("id", "v"), "id")
+          assert(ups.forall(_._2 >= 0),
+            s"step $step: invalid upsert was accepted")
+          model ++= ups.toMap
+        } catch {
+          case _: LakeValidationException =>
+            assert(ups.exists(_._2 < 0),
+              s"step $step: valid upsert was rejected")
+            assert(log.latestVersion("t") == prevVersion)
+        }
+      }
+      assert(tableRows() == model, s"step $step state mismatch")
+    }
+    assert(tableRows().values.forall(_ >= 0))
+  }
 }
