@@ -629,6 +629,12 @@ object SparkEntry {
     "q_shard" -> ((s, d) =>
       operators.Sharding.shardStats(t(s, d, "documents"), nShards = 16)
         .orderBy("shard")),
+    // RAG-prep chunking: 32-token windows overlapping by 8, one row per
+    // chunk with position metadata.
+    "q_chunk" -> ((s, d) =>
+      operators.Chunker.chunkByTokens(t(s, d, "documents"),
+          size = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_idx")),
     // Deterministic train/val/test assignment (90/5/5 via mix buckets).
     "q_split" -> ((s, d) =>
       operators.Sharding.assignSplits(t(s, d, "documents"))
@@ -1469,6 +1475,25 @@ object SparkEntry {
              CAST(sum(n_tok) AS BIGINT) AS n_tokens,
              min(doc_id) AS min_id, max(doc_id) AS max_id
       FROM a GROUP BY shard ORDER BY shard""",
+    // Chunking re-derived: same raw whitespace tokens, same stride-24
+    // starts, 1-based inclusive list slicing clamped at the end.
+    "q_chunk" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'),
+                 x -> x <> '') AS tk
+        FROM documents),
+      starts AS (
+        SELECT doc_id, tk, unnest(range(0, len(tk), 24)) AS start_tok
+        FROM toks WHERE len(tk) > 0)
+      SELECT doc_id,
+             CAST(start_tok / 24 AS BIGINT) AS chunk_idx,
+             CAST(start_tok AS BIGINT) AS start_tok,
+             CAST(len(tk[start_tok + 1 : start_tok + 32]) AS BIGINT)
+               AS n_tok,
+             array_to_string(tk[start_tok + 1 : start_tok + 32], ' ')
+               AS chunk_text
+      FROM starts ORDER BY doc_id, chunk_idx""",
     // Split assignment re-derived: same mix, bucket = mix % 10000,
     // train < 9000 ≤ val < 9500 ≤ test.
     "q_split" -> """
