@@ -68,8 +68,11 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // per-query observability (duration + result rows), the Verify-side
     // slice of the reference's lakehouse_query_duration_seconds series
+    // synchronized read: a timed-out query's Future may still be running
+    // and appending concurrently with this final snapshot
+    val metricsSnapshot = metrics.synchronized { metrics.sortBy(_._1).toSeq }
     Files.writeString(Paths.get(s"$outDir/metrics.json"),
-      metrics.sortBy(_._1).map { case (n, d, r) =>
+      metricsSnapshot.map { case (n, d, r) =>
         s""""$n":{"duration_sec":$d,"rows":$r}""" }
         .mkString("{", ",", "}"))
     spark.stop()

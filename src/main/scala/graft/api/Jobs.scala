@@ -38,6 +38,7 @@ object Jobs {
 
   final class JobManager(spark: SparkSession, resultRoot: String) {
     private val jobs = new ConcurrentHashMap[String, JobStatus]()
+    private val cancelled = ConcurrentHashMap.newKeySet[String]()
     private val pool = Executors.newCachedThreadPool(r => {
       val t = new Thread(r, "graft-job")
       t.setDaemon(true)
@@ -59,6 +60,10 @@ object Jobs {
           // query spawns, and the Spark UI groups its stages under the id
           spark.sparkContext.setJobGroup(jobId, s"graft job $jobId",
             interruptOnCancel = true)
+          // a cancel that landed while the job was still PENDING found no
+          // active Spark jobs to kill — honor it here instead of running
+          if (cancelled.contains(jobId))
+            throw new InterruptedException("cancelled before execution")
           val path = s"$resultRoot/$jobId"
           query.write.mode("overwrite").parquet(path)
           jobs.put(jobId, JobStatus(jobId, Completed, resultPath = Some(path)))
@@ -96,11 +101,15 @@ object Jobs {
       spark.read.parquet(s.resultPath.get)
     }
 
-    /** Cancel a running job's Spark stages; the job transitions to FAILED
-      * (cancellation surfaces as the write's failure). No-op if finished. */
+    /** Cancel a job: PENDING jobs fail before executing anything (the
+      * cancelled-set check on the worker thread), RUNNING jobs have their
+      * current AND future Spark jobs in the group killed — so a cancel in
+      * the window between RUNNING and the first stage submission still
+      * takes effect. No-op if already finished. */
     def cancel(jobId: String): Unit = {
       status(jobId) // unknown-id check
-      spark.sparkContext.cancelJobGroup(jobId)
+      cancelled.add(jobId)
+      spark.sparkContext.cancelJobGroupAndFutureJobs(jobId)
     }
 
     /** Poll until the job leaves PENDING/RUNNING or the timeout elapses. */

@@ -215,7 +215,13 @@ object LakeTable {
     val tmp = log.tmpDir(table, txnId)
     val shaped = df.select(st.fields.toSeq.map(f =>
       col(f.name).cast(f.dataType)): _*)
-    enforceChecks(table, sch, shaped)
+    // constrained tables: persist so the violation-count aggregate and the
+    // staged write execute the caller's (possibly expensive) upstream
+    // query once, not twice
+    val checksOn = sch.checks.nonEmpty
+    if (checksOn) shaped.persist()
+    try enforceChecks(table, sch, shaped)
+    catch { case e: Throwable => if (checksOn) shaped.unpersist(); throw e }
     // clusterBy = the reference's hash-partitioned sink
     // (`worker/src/parquet_writer.rs:182-234`): rows hash-routed by key into
     // numFiles files, so equal keys co-locate — narrows each file's min/max
@@ -234,15 +240,17 @@ object LakeTable {
       else if (clusterBy.nonEmpty) shaped.repartition(numFiles, clusterBy.map(col): _*)
       else if (numFiles > 1) shaped.repartition(numFiles)
       else shaped.coalesce(1)
-    withStatFriendlyWrites(spark) {
-      // partitioned tables: hive-style staged layout (col=value/ dirs, data
-      // files stripped of partition columns); values are parsed back into
-      // the log's partition map at promotion
-      arranged
-        .write.mode("overwrite").option("compression", "snappy")
-        .partitionBy(partCols: _*)
-        .parquet(tmp.toString)
-    }
+    try {
+      withStatFriendlyWrites(spark) {
+        // partitioned tables: hive-style staged layout (col=value/ dirs,
+        // data files stripped of partition columns); values are parsed back
+        // into the log's partition map at promotion
+        arranged
+          .write.mode("overwrite").option("compression", "snappy")
+          .partitionBy(partCols: _*)
+          .parquet(tmp.toString)
+      }
+    } finally if (checksOn) shaped.unpersist()
 
     try {
       val adds = statAndPromote(spark, log, table, tmp, st, partCols = partCols)
@@ -556,8 +564,12 @@ object LakeTable {
     val sch = snap.schema.get
     val st = toStructType(sch)
     val partCols = sch.partCols
-    val shaped = updates.select(st.fields.toSeq.map(f =>
+    val shaped0 = updates.select(st.fields.toSeq.map(f =>
       col(f.name).cast(f.dataType)): _*)
+    // the update set is read by the checks aggregate, the key projection,
+    // the key-range aggregate AND the staged write — materialize once
+    val shaped = shaped0.persist()
+    try {
     enforceChecks(table, sch, shaped)
     val keys = shaped.select(keyCol)
     val staged = log.tmpDir(table, txnId)
@@ -601,6 +613,7 @@ object LakeTable {
       }.getOrElse(throw new CommitConflictException(
         s"upsert lost its input files to a concurrent commit"))
     } finally deleteRecursively(staged)
+    } finally shaped.unpersist()
   }
 
   /** Incremental change feed: all rows LOGICALLY added in versions

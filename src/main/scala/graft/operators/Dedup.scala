@@ -495,9 +495,16 @@ object Dedup {
       bloom: org.apache.spark.util.sketch.BloomFilter, newDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val bc = newDocs.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((fp: String) => bc.value.mightContain(fp))
+    // null fingerprint (null text) ⇒ probe false: a null key never matches
+    // the anti-join either, so both paths agree that the row is kept
+    val mightContain =
+      udf((fp: String) => fp != null && bc.value.mightContain(fp))
+    // persisted: the definitely-new and maybe branches both read it, and
+    // without materialization the in-batch dedup (groupBy + semi-join +
+    // fingerprinting) would execute twice per ingested batch
     val batch = exactDedup(newDocs, idCol, textCol)
       .withColumn("fp", fingerprint(col(textCol)))
+      .persist()
     val definitelyNew = batch.filter(!mightContain(col("fp")))
     val verified = batch.filter(mightContain(col("fp")))
       .join(corpusFps.select("fp").distinct(), Seq("fp"), "left_anti")

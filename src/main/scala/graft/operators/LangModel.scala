@@ -53,6 +53,8 @@ object LangModel {
     val bg = docBigrams(corpus, corpus.columns.head, textCol)
       .select("w1", "w2")
     val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // persisted for the pairs + unigrams consumers; left to LRU eviction
+    // (the returned model tables are lazy — see Repetition for the rule)
     val c1 = c12.groupBy("w1").agg(sum("c12").as("c1")).persist()
     val v = corpus
       .select(explode(tokens(normalizeText(col(textCol)))).as("w"))

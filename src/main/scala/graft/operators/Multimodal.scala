@@ -100,7 +100,10 @@ object Multimodal {
             channels = le16(off + 10)
             byteRate = le32(off + 16)
           } else if (chunk == "data") dataSize = sz
-          off += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks pad to even
+          // advance in Long and clamp: sz is an unsigned-32 field, and a
+          // garbage value truncated via .toInt could advance by <= 0 and
+          // loop forever instead of degrading
+          off = math.min(n.toLong, off.toLong + 8L + sz + (sz & 1L)).toInt
         }
         val durationMs =
           if (dataSize >= 0 && byteRate > 0) dataSize * 1000L / byteRate
@@ -120,11 +123,13 @@ object Multimodal {
                 if (timescale > 0) durationMs = be32(c + 24) * 1000L / timescale
                 found = true
               }
-              if (csz < 8) c = end.toInt else c += csz.toInt
+              if (csz < 8) c = end.toInt
+              else c = math.min(end, c.toLong + csz).toInt // Long-safe hop
             }
             found = true // moov scanned, mvhd or not
           }
-          if (sz < 8) off = n else off += sz.toInt
+          if (sz < 8) off = n
+          else off = math.min(n.toLong, off.toLong + sz).toInt // Long-safe
         }
         DecodedRow(id, modality, n, 0, 0, 0, durationMs)
       } else fallback

@@ -33,6 +33,10 @@ object Repetition {
 
   def metrics(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
+    // persisted for the two gram-size consumers; the returned plan is lazy
+    // so the entry is left to Spark's LRU (an eager unpersist here would
+    // force recomputation) — long-running sessions composing many
+    // operators can spark.catalog.clearCache() between stages
     val toks = Dedup.spread(
         docs.select(col(idCol).as("id"), col(textCol).as("__text")))
       .select(col("id"), tokens(normalizeText(col("__text"))).as("tk"))

@@ -98,12 +98,19 @@ object Sharding {
   def writeShards(docs: DataFrame, path: String, nShards: Int,
                   idCol: String = "doc_id", textCol: String = "text")
       : Array[(Int, Long, Long)] = {
-    val assigned = assign(docs, nShards, idCol)
+    // persisted: the manifest aggregates the SAME materialized rows the
+    // shard files were written from — one corpus scan, and the manifest
+    // cannot disagree with the files if the source changes between passes
+    val assigned = assign(docs, nShards, idCol).persist()
+    try {
     assigned
       .repartition(nShards, col("shard"))
       .sortWithinPartitions("shard", "mix")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
-    val manifest = shardStats(docs, nShards, idCol, textCol)
+    val manifest = assigned
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col(textCol))).cast("long")).as("n_tokens"))
       .orderBy("shard")
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
@@ -113,5 +120,6 @@ object Sharding {
     java.nio.file.Files.write(java.nio.file.Paths.get(path, "_manifest.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     manifest
+    } finally assigned.unpersist()
   }
 }

@@ -117,4 +117,35 @@ class MultimodalSpec extends SparkSpec {
     assert(f0.getAs[Array[Byte]](2).take(4).map(_ & 0xFF).toSeq ==
       Seq(0x89, 0x50, 0x4E, 0x47))
   }
+
+  test("parseHeader terminates on malformed chunk/box sizes (no hang)") {
+    // WAV whose only chunk declares size 0xFFFFFFF8: truncating that to
+    // Int once produced a non-positive advance and an infinite loop
+    val wav = "RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+      "WAVE".getBytes("US-ASCII") ++ "junk".getBytes("US-ASCII") ++
+      Array[Byte](0xF8.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte) ++
+      Array.fill[Byte](32)(7)
+    val r1 = Multimodal.parseHeader(1L, "audio", wav)
+    assert(r1.channels == 0 && r1.durationMs == 0L) // degraded, not hung
+    // MP4 whose top-level box size field truncates to a negative Int
+    val mp4 = Array[Byte](0xFF.toByte, 0xFF.toByte, 0xFF.toByte,
+        0xF0.toByte) ++ "ftyp".getBytes("US-ASCII") ++
+      Array.fill[Byte](40)(3)
+    val r2 = Multimodal.parseHeader(2L, "video", mp4)
+    assert(r2.durationMs == 0L)
+    // moov whose child box size truncates negative: inner loop must clamp
+    val inner = Array[Byte](0xFF.toByte, 0xFF.toByte, 0xFF.toByte,
+      0xF0.toByte) ++ "xxxx".getBytes("US-ASCII")
+    val moovBody = inner ++ Array.fill[Byte](16)(0)
+    val moov = be(8L + 8L + moovBody.length) ++ "moov".getBytes("US-ASCII")
+    val mp4b = be(mp4Len(moovBody)) ++ "ftyp".getBytes("US-ASCII") ++
+      moov ++ moovBody
+    val r3 = Multimodal.parseHeader(3L, "video", mp4b)
+    assert(r3.durationMs == 0L)
+  }
+
+  private def be(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+    ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def mp4Len(body: Array[Byte]): Long = 8L
 }
