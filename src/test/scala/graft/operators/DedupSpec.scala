@@ -186,6 +186,23 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(12L))
   }
 
+  test("minhash candidates cover all high-jaccard pairs on real testdata") {
+    // ties the rows-only q_dedup_minhash to exact ground truth: every pair
+    // the exact prefix-filter join scores at jaccard >= 0.8 must surface
+    // as an LSH candidate at threshold 0.5 (deterministic — fixed seeds)
+    val docs = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.8, n = 3)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, threshold = 0.5)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain near-duplicate pairs")
+    val missed = exact -- lsh
+    assert(missed.isEmpty, s"LSH missed high-jaccard pairs: $missed")
+  }
+
   test("bloom incremental dedup: exact result, no false negatives") {
     import graft.functions.TextFunctions.fingerprint
     val corpus = (0L until 200L).map(i => (i, s"corpus document number $i"))
