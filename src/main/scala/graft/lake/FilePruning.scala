@@ -57,19 +57,59 @@ object FilePruning {
   }
 
   /** compare(statValue, literal) in the column's type domain; None if either
-    * side fails to parse (stats are stored stringified). Date/timestamp
-    * stats serialize as ISO strings, which compare correctly as strings.
+    * side fails to parse (stats are stored stringified).
     */
   private def compare(stat: String, lit: String, dt: DataType): Option[Int] =
     try dt match {
-      case IntegerType | LongType =>
-        // int stats, but the literal may be written as a double ("42.0")
-        Some(java.lang.Double.compare(stat.toDouble, lit.toDouble))
-      case FloatType | DoubleType =>
-        Some(java.lang.Double.compare(stat.toDouble, lit.toDouble))
+      case IntegerType | LongType | FloatType | DoubleType =>
+        StatCompare.numeric(stat, lit)
       case BooleanType =>
         Some(java.lang.Boolean.compare(stat.toBoolean, lit.toBoolean))
-      case StringType | DateType | TimestampType => Some(stat.compareTo(lit))
+      case StringType => Some(StatCompare.codePoints(stat, lit))
+      case DateType => Some(StatCompare.codePoints(stat, lit)) // fixed-width ISO
+      case TimestampType => StatCompare.timestamp(stat, lit)
       case _ => None
     } catch { case _: IllegalArgumentException => None }
+}
+
+/** Exact stat-vs-literal comparison kernels shared by the 3-token pruner
+  * and the Catalyst [[LakeFileIndex]] — one implementation so the two read
+  * paths can never prune inconsistently. All of these exist because the
+  * "obvious" comparison is UNSOUND for pruning:
+  *  - doubles lose integer precision above 2^53 (an int64 stat and a
+  *    nearby literal collapse to the same double and `>` falsely prunes);
+  *  - java String.compareTo orders by UTF-16 code unit, but Spark string
+  *    comparison is binary UTF-8 = code-POINT order — they disagree on
+  *    supplementary characters vs U+E000..U+FFFF;
+  *  - timestamp stats trim trailing fractional zeros while user literals
+  *    need not, so lexicographic comparison of semantically equal values
+  *    is nonzero.
+  */
+private[lake] object StatCompare {
+
+  /** Arbitrary-precision numeric compare (handles int64 beyond 2^53 and
+    * decimal/scientific literals exactly); None if either side is not a
+    * plain number (NaN/Infinity included — conservative keep). */
+  def numeric(stat: String, lit: String): Option[Int] =
+    try Some(new java.math.BigDecimal(stat.trim)
+      .compareTo(new java.math.BigDecimal(lit.trim)))
+    catch { case _: NumberFormatException => None }
+
+  /** Code-point order — Spark/UTF-8 binary string semantics. */
+  def codePoints(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** Semantic timestamp compare for `yyyy-MM-dd HH:mm:ss[.fff...]` strings
+    * (the stat serialization); None on any other shape. */
+  def timestamp(stat: String, lit: String): Option[Int] =
+    try Some(java.sql.Timestamp.valueOf(stat.trim)
+      .compareTo(java.sql.Timestamp.valueOf(lit.trim)))
+    catch { case _: IllegalArgumentException => None }
 }

@@ -58,8 +58,8 @@ object FooterStats {
             val hi = withValues.map(_.genericGetMax: Any)
               .reduce((a, b) => if (cmp.compare(a, b) >= 0) a else b)
             val unit = timestampUnit(chunks.head)
-            for (l <- render(lo, f.dataType, sessionTz, unit);
-                 h <- render(hi, f.dataType, sessionTz, unit)) {
+            for (l <- render(lo, f.dataType, sessionTz, unit, roundUp = false);
+                 h <- render(hi, f.dataType, sessionTz, unit, roundUp = true)) {
               mins += f.name -> l
               maxs += f.name -> h
             }
@@ -80,9 +80,13 @@ object FooterStats {
     }
 
   /** Stat value → the string form the pruning readers parse; None drops the
-    * column's stats for this file (NaN bounds, exotic physical types). */
+    * column's stats for this file (NaN bounds, exotic physical types).
+    * `roundUp` applies where rendering loses precision (NANOS→micros): an
+    * UPPER bound must round up or pruning understates the max and drops
+    * matching files. */
   private def render(v: Any, dt: DataType, tz: String,
-                     unit: Option[TimeUnit]): Option[String] = dt match {
+                     unit: Option[TimeUnit],
+                     roundUp: Boolean = false): Option[String] = dt match {
     case IntegerType | LongType | BooleanType => Some(v.toString)
     case FloatType =>
       val f = v.asInstanceOf[java.lang.Float]
@@ -99,7 +103,10 @@ object FooterStats {
       unit.collect {
         case TimeUnit.MICROS => tsString(raw, tz)
         case TimeUnit.MILLIS => tsString(Math.multiplyExact(raw, 1000L), tz)
-        case TimeUnit.NANOS => tsString(Math.floorDiv(raw, 1000L), tz)
+        case TimeUnit.NANOS =>
+          val micros = if (roundUp) Math.floorDiv(raw + 999L, 1000L)
+                       else Math.floorDiv(raw, 1000L)
+          tsString(micros, tz)
       }
     case _ => None
   }

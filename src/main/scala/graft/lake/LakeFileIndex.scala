@@ -134,14 +134,16 @@ final class LakeFileIndex(spark: SparkSession, snap: Snapshot,
       hi <- st.max_values.get(name)
     } yield (lo, hi)
 
-  /** compare(statString, catalystLiteral) in the column's domain. */
+  /** compare(statString, catalystLiteral) in the column's domain —
+    * delegates the exactness-sensitive kernels to [[StatCompare]] so this
+    * path and [[FilePruning]] can never prune inconsistently. */
   private def cmpLit(stat: String, v: Any, dt: DataType): Option[Int] =
     try dt match {
       case IntegerType | LongType | FloatType | DoubleType | ShortType |
            ByteType =>
-        Some(java.lang.Double.compare(stat.toDouble, v.toString.toDouble))
+        StatCompare.numeric(stat, v.toString)
       case StringType =>
-        Some(stat.compareTo(v.toString)) // UTF8String.toString = the value
+        Some(StatCompare.codePoints(stat, v.toString)) // UTF8String value
       case BooleanType =>
         Some(java.lang.Boolean.compare(stat.toBoolean, v.toString.toBoolean))
       case DateType =>

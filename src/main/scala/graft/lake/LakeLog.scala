@@ -142,11 +142,19 @@ final class LakeLog(val root: Path) {
 
   def tableExists(table: String): Boolean = Files.exists(logDir(table))
 
+  /** Files.list with the stream CLOSED — the bare iterator leaks one
+    * directory fd per call until GC, and commits list directories several
+    * times each. */
+  private def listNames(dir: java.nio.file.Path): Seq[String] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString).toList
+    finally s.close()
+  }
+
   def listTables(): Seq[String] = {
     val t = root.resolve("tables")
     if (!Files.exists(t)) Nil
-    else Files.list(t).iterator().asScala.map(_.getFileName.toString)
-      .filter(tableExists).toSeq.sorted
+    else listNames(t).filter(tableExists).sorted
   }
 
   /** CREATE TABLE → version-0 log entry carrying the schema
@@ -175,10 +183,9 @@ final class LakeLog(val root: Path) {
   def versions(table: String): Seq[Long] = {
     val dir = logDir(table)
     if (!Files.exists(dir)) Nil
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
+    else listNames(dir)
       .collect { case EntryNameRe(v) => v.toLong }
-      .toSeq.sorted
+      .sorted
   }
 
   def latestVersion(table: String): Long = {
@@ -307,6 +314,12 @@ final class LakeLog(val root: Path) {
             if (kept.`type` != f.`type`)
               throw new LakeValidationException(
                 s"schema evolution cannot change type of ${f.name}")
+            // tightening nullability would declare old files' nulls away —
+            // Catalyst trusts non-nullability and mis-optimizes over them
+            if (f.nullable && !kept.nullable)
+              throw new LakeValidationException(
+                s"schema evolution cannot make ${f.name} non-nullable " +
+                  "(existing files may contain nulls)")
           }
           newSchema.fields.filterNot(f =>
             current.fields.exists(_.name == f.name)).foreach { added =>

@@ -134,9 +134,12 @@ private final class LakeMicroBatchStream(root: String, table: String,
     // the vectorized one returns ColumnarBatch — force row-based for the
     // duration of building the reader function (CDC batches are deltas,
     // not full-table scans)
-    val key = "spark.sql.parquet.enableVectorizedReader"
-    val prev = spark.conf.getOption(key)
-    val readFn =
+    // serialized set/restore: two streams building readers concurrently on
+    // the shared session would otherwise race the toggle and could leave
+    // the vectorized reader disabled session-wide
+    val readFn = LakeMicroBatchStream.vectorizedToggleLock.synchronized {
+      val key = "spark.sql.parquet.enableVectorizedReader"
+      val prev = spark.conf.getOption(key)
       try {
         spark.conf.set(key, "false")
         new ParquetFileFormat().buildReaderWithPartitionValues(
@@ -151,8 +154,15 @@ private final class LakeMicroBatchStream(root: String, table: String,
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
+    }
     new LakeReaderFactory(readFn, schema, dataSchema, partSchema)
   }
+}
+
+private object LakeMicroBatchStream {
+  /** Guards the session-global vectorized-reader toggle in
+    * createReaderFactory. */
+  val vectorizedToggleLock = new Object
 }
 
 private final case class LakeInputPartition(path: String, size: Long,

@@ -254,7 +254,14 @@ object LakeTable {
 
     try {
       val adds = statAndPromote(spark, log, table, tmp, st, partCols = partCols)
-      log.commitWithRetry(table, txnId, maxAttempts)(_ => Some((adds, Nil))).get
+      val res =
+        try log.commitWithRetry(table, txnId, maxAttempts)(
+          _ => Some((adds, Nil))).get
+        catch { case e: Throwable => discardAdds(adds); throw e }
+      // a concurrent writer won this txnId: its files are the committed
+      // ones, ours are orphans
+      if (res.duplicate) discardAdds(adds)
+      res
     } finally deleteRecursively(tmp)
   }
 
@@ -282,7 +289,9 @@ object LakeTable {
     val cols = statCols(dataStruct(st, partCols))
     val hadoopConf = spark.sessionState.newHadoopConf()
     val tz = spark.sessionState.conf.sessionLocalTimeZone
-    val parts = Files.walk(staged).iterator().asScala.toSeq
+    val walk = Files.walk(staged)
+    val walked = try walk.iterator().asScala.toList finally walk.close()
+    val parts = walked
       .filter { p =>
         val n = p.getFileName.toString
         Files.isRegularFile(p) && n.endsWith(".parquet") &&
@@ -336,16 +345,40 @@ object LakeTable {
     * of a staged write so [[FooterStats]] sees them, then restore the
     * session's setting (leaking it would silently change how OTHER parquet
     * writes on the session encode timestamps). */
+  // reference-counted so CONCURRENT writers on the shared session compose:
+  // a naive set/restore pair races (T1 restores while T2 still writes, or
+  // T2 "restores" T1's temporary value and leaks MICROS session-wide).
+  // Assumes one driver-side session, which is this control plane's model.
+  private val statConfLock = new Object
+  private var statConfDepth = 0
+  private var statConfPrev: Option[String] = None
   private def withStatFriendlyWrites[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.parquet.outputTimestampType"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
+    statConfLock.synchronized {
+      if (statConfDepth == 0) {
+        statConfPrev = spark.conf.getOption(key)
+        spark.conf.set(key, "TIMESTAMP_MICROS")
+      }
+      statConfDepth += 1
+    }
     try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    finally statConfLock.synchronized {
+      statConfDepth -= 1
+      if (statConfDepth == 0) statConfPrev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
   }
+
+  /** Delete promoted-but-never-committed data files (commit threw, aborted,
+    * or lost an idempotency race): without this they are referenced by no
+    * log entry, invisible to vacuum, and leak forever. */
+  private def discardAdds(adds: Seq[FileAdd]): Unit =
+    adds.foreach { a =>
+      try Files.deleteIfExists(java.nio.file.Paths.get(a.path))
+      catch { case _: java.io.IOException => () }
+    }
 
   /** Load an external file into the table — the reference's insert/load
     * source (`pkg/coordinator/table_service.go:121-244`: external file →
@@ -538,12 +571,18 @@ object LakeTable {
           partCols = partCols)
         .filter(_.rows > 0)
       val inputPaths = candidates.map(_.path)
-      val result = log.commitWithRetry(table, txnId) { fresh =>
-        val live = fresh.files.map(_.path).toSet
-        if (inputPaths.forall(live.contains)) Some((adds, inputPaths))
-        else None // concurrent rewrite of our inputs — abort
-      }.getOrElse(throw new CommitConflictException(
-        s"delete lost its input files to a concurrent commit"))
+      val resultOpt =
+        try log.commitWithRetry(table, txnId) { fresh =>
+          val live = fresh.files.map(_.path).toSet
+          if (inputPaths.forall(live.contains)) Some((adds, inputPaths))
+          else None // concurrent rewrite of our inputs — abort
+        } catch { case e: Throwable => discardAdds(adds); throw e }
+      val result = resultOpt.getOrElse {
+        discardAdds(adds)
+        throw new CommitConflictException(
+          s"delete lost its input files to a concurrent commit")
+      }
+      if (result.duplicate) discardAdds(adds)
       val deleted = candidates.map(_.rows).sum - adds.map(_.rows).sum
       DeleteReport(candidates.size, snap.files.size - candidates.size,
         deleted, result.version)
@@ -577,9 +616,19 @@ object LakeTable {
     // range of the update set — single min/max conjunct)
     val Seq(loK, hiK) = keys.agg(min(keyCol).cast("string"),
       max(keyCol).cast("string")).collect().head.toSeq.map(String.valueOf)
-    val candidates = FilePruning.prune(
-      FilePruning.prune(snap.files, s"$keyCol >= $loK", st),
-      s"$keyCol <= $hiK", st)
+    // the prune predicate round-trips through the whitespace-tokenizing
+    // 3-token grammar: a string key containing whitespace/quotes (or an
+    // all-null key set) would be mangled and could prune a file that holds
+    // the OLD row — a silent duplicate key. Skip pruning for unsafe values;
+    // correctness first, the scan is the fallback.
+    val rangeSafe = Seq(loK, hiK).forall(s =>
+      s != "null" && s.nonEmpty &&
+        !s.exists(c => c.isWhitespace || c == '\'' || c == '"'))
+    val candidates =
+      if (!rangeSafe) snap.files
+      else FilePruning.prune(
+        FilePruning.prune(snap.files, s"$keyCol >= $loK", st),
+        s"$keyCol <= $hiK", st)
     // stage survivors (layout rewrite of untouched rows) and the update set
     // (logical adds) as SEPARATE file groups, so the CDC feed can replay
     // upserted rows without replaying the rewritten survivors
@@ -606,12 +655,19 @@ object LakeTable {
           partCols = partCols))
         .filter(_.rows > 0)
       val inputPaths = candidates.map(_.path)
-      log.commitWithRetry(table, txnId) { fresh =>
-        val live = fresh.files.map(_.path).toSet
-        if (inputPaths.forall(live.contains)) Some((adds, inputPaths))
-        else None
-      }.getOrElse(throw new CommitConflictException(
-        s"upsert lost its input files to a concurrent commit"))
+      val resultOpt =
+        try log.commitWithRetry(table, txnId) { fresh =>
+          val live = fresh.files.map(_.path).toSet
+          if (inputPaths.forall(live.contains)) Some((adds, inputPaths))
+          else None
+        } catch { case e: Throwable => discardAdds(adds); throw e }
+      val result = resultOpt.getOrElse {
+        discardAdds(adds)
+        throw new CommitConflictException(
+          s"upsert lost its input files to a concurrent commit")
+      }
+      if (result.duplicate) discardAdds(adds)
+      result
     } finally deleteRecursively(staged)
     } finally shaped.unpersist()
   }
@@ -727,6 +783,9 @@ object LakeTable {
   }
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      val all = try walk.iterator().asScala.toList finally walk.close()
+      all.reverse.foreach(Files.delete)
+    }
 }
