@@ -165,6 +165,25 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    "q_join_skew_adaptive" -> ((s, d) => {
+      // adaptive salting: a counting pass detects hot keys, only those are
+      // salted/replicated — cold keys take the plain one-shuffle join path.
+      // Same oracle shape as the blanket-salted query: salting is a
+      // partitioning change only, the result set must equal the plain join.
+      // hotThreshold=50 so the events table's heavier users actually trip
+      // the hot path at bench scale (auto-derivation needs more rows/key).
+      val ev = t(s, d, "events").select("user_id", "value")
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.operators.SkewJoin.adaptiveSaltedJoin(ev, cust, Seq("user_id"),
+          saltFactor = 8, hotThreshold = 50)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum("value"), 2).as("total_value"))
+        .orderBy("c_mktsegment")
+    }),
+
     "q_tpch_q3" -> ((s, d) => {
       // TPC-H Q3 shape (shipping-priority): selective filters pushed into
       // all three scans, broadcast customer dim, grouped revenue top-N.
@@ -819,6 +838,15 @@ object SparkEntry {
           exact = true)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("a_id", "b_id")),
+    "q_dedup_semantic" -> ((s, d) =>
+      // SemDeDup: k-means cluster → within-cluster exact cosine pairs.
+      // Rows-only (k-means is not DuckDB-expressible); DedupSpec pins
+      // precision=1 (pairs ⊆ exact pairs), determinism, and recall vs the
+      // exact q_embed_neardup ground truth on this same table.
+      Dedup.semanticDupPairs(t(s, d, "embeddings"), threshold = 0.3,
+          k = 4, kmeansIters = 2, nProbe = 2)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("a_id", "b_id")),
     "q_ann_brute" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
@@ -915,6 +943,12 @@ object SparkEntry {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_join_skew_salted" -> """
       SELECT c_mktsegment, count(*) AS n_events,
+             round(sum(value), 2) AS total_value
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_join_skew_adaptive" -> """
+      SELECT c_mktsegment, count(*) AS n_events,
+             count(DISTINCT user_id) AS n_users,
              round(sum(value), 2) AS total_value
       FROM events JOIN customer ON user_id = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",

@@ -367,6 +367,68 @@ object Dedup {
     }
   }
 
+  /** Semantic near-duplicate pairs, SemDeDup-style (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with spherical k-means
+    * ([[Similarity.kmeansCentroids]] — all-DataFrame Lloyd, deterministic
+    * seeds), then compare vectors ONLY within a cluster. Where SRP-LSH
+    * buckets by random hyperplanes, this buckets by the corpus's own
+    * density structure — the standard recipe for semantic (meaning-level)
+    * dedup of training corpora.
+    *
+    * Scale shape: the k-means rounds shuffle (id, vec) narrow projections;
+    * the candidate join shuffles each vector once, partitioned by its
+    * `centroid_id`, and compares within clusters of ~n/k vectors. Every
+    * reported pair is exact-rescored (native dot product), so precision is
+    * 1.0 by construction — clustering only bounds RECALL, like every
+    * SemDeDup deployment. Pick k so n/k clusters fit a reducer; a
+    * pathological corpus that collapses into one cluster degrades to the
+    * within-cluster quadratic — raise k or pre-split on a cheap key.
+    *
+    * `nProbe` is the recall lever for pairs that straddle a cluster
+    * boundary: each vector lands in its `nProbe` nearest clusters (soft
+    * assignment), so a pair is compared whenever ANY probed cluster is
+    * shared. Work scales ~nProbe² per cluster; nProbe=2 recovers most
+    * boundary pairs at moderate thresholds.
+    */
+  def semanticDupPairs(embs: DataFrame, threshold: Double = 0.9,
+                       k: Int = 16, kmeansIters: Int = 2, nProbe: Int = 1,
+                       idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    VectorExpressions.register(embs.sparkSession)
+    val normed = spread(embs.select(col(idCol).as("id"), col(vecCol).as("__v")))
+      .select(col("id"), normalize(col("__v")).as("v"))
+      .localCheckpoint() // read by every Lloyd round AND the pair join
+    val cents = Similarity.kmeansCentroids(normed, k, kmeansIters, "v")
+    val assigned = Similarity.assignNearest(normed, cents, "v", nProbe)
+    val a = assigned.select(col("centroid_id"), col("id").as("a_id"),
+      col("v").as("a_v"))
+    val b = assigned.select(col("centroid_id"), col("id").as("b_id"),
+      col("v").as("b_v"))
+    val raw = a.join(b, Seq("centroid_id")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        VectorExpressions.dotNative(col("a_v"), col("b_v")).as("cos"))
+      .filter(col("cos") >= threshold)
+    // a pair sharing several probed clusters surfaces once per shared
+    // cluster — collapse (same exact cos each time, max is a no-op dedup)
+    if (nProbe == 1) raw
+    else raw.groupBy("a_id", "b_id").agg(max("cos").as("cos"))
+  }
+
+  /** Semantic dedup: keep one representative (minimum id) per connected
+    * component of the [[semanticDupPairs]] graph. `docs` is the full-width
+    * corpus; only ids move through the component computation and the final
+    * anti-join, so document payloads are scanned once.
+    */
+  def semanticDedup(docs: DataFrame, embs: DataFrame,
+                    threshold: Double = 0.9, k: Int = 16,
+                    kmeansIters: Int = 2, nProbe: Int = 1,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val pairs =
+      semanticDupPairs(embs, threshold, k, kmeansIters, nProbe, idCol, vecCol)
+    dropDuplicatesExact(docs, pairs, idCol)
+  }
+
   /** Keep one representative per near-duplicate cluster: given candidate
     * pairs (a_id < b_id), drop every id that appears as the "b" of a pair
     * with a surviving "a" — the standard greedy union-find approximation done

@@ -119,8 +119,8 @@ object Similarity {
     * |df| × nCentroids (a rank window would shuffle the full cross score,
     * vectors included).
     */
-  private def assignNearest(df: DataFrame, centroids: DataFrame,
-                            vcol: String, take: Int): DataFrame = {
+  private[operators] def assignNearest(df: DataFrame, centroids: DataFrame,
+                                       vcol: String, take: Int): DataFrame = {
     TopKAggregate.register(df.sparkSession)
     val key = df.columns.head
     val rest = df.columns.tail.toSeq

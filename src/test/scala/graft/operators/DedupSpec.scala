@@ -247,6 +247,77 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 4L, 5L, 6L))
   }
 
+  test("semanticDupPairs: precision 1, deterministic, dedup keeps min id") {
+    val rnd = new scala.util.Random(17)
+    // 30 vectors in 3 well-separated directions plus small noise: every
+    // within-direction pair has cos > 0.99, cross-direction cos < 0.1
+    val dirs = Seq(Array(1f, 0f, 0f), Array(0f, 1f, 0f), Array(0f, 0f, 1f))
+    val embs = (0L until 30L).map { i =>
+      val d = dirs((i % 3).toInt)
+      (i, d.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f))
+    }.toDF("vec_id", "embedding")
+
+    val pairs = Dedup.semanticDupPairs(embs, threshold = 0.9, k = 3,
+        kmeansIters = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    // precision 1 by construction: every reported pair is a true pair
+    val exact = Dedup.embeddingNearDupPairs(embs, threshold = 0.9,
+        exact = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (p, cos) =>
+      assert(exact.contains(p), s"false positive $p")
+      assert(cos >= 0.9)
+    }
+    // deterministic: a second run returns the identical pair set
+    val again = Dedup.semanticDupPairs(embs, threshold = 0.9, k = 3,
+        kmeansIters = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(pairs.map(_._1).toSet == again.map(_._1).toSet)
+
+    // semanticDedup: among each connected component of the pair graph the
+    // minimum id survives, everything else in the component is dropped
+    val docs = embs.select(col("vec_id"))
+    val kept = Dedup.semanticDedup(docs, embs, threshold = 0.9, k = 3,
+        kmeansIters = 2)
+      .select("vec_id").as[Long].collect().toSet
+    val comps = Dedup.connectedComponents(
+        Dedup.semanticDupPairs(embs, threshold = 0.9, k = 3, kmeansIters = 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val losers = comps.collect { case (id, comp) if id != comp => id }.toSet
+    assert(kept == (0L until 30L).toSet -- losers)
+    comps.groupBy(_._2).foreach { case (_, members) =>
+      assert(kept.contains(members.map(_._1).min))
+    }
+  }
+
+  test("semantic dedup covers near-dup pairs on real testdata") {
+    // ties the rows-only q_dedup_semantic to exact ground truth: SemDeDup's
+    // clustering bounds recall; pin it against the exact all-pairs result
+    // at the query's own parameters (threshold 0.3, k=4 — deterministic)
+    val embs = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = Dedup.embeddingNearDupPairs(embs, threshold = 0.3,
+        exact = true)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = Dedup.semanticDupPairs(embs, threshold = 0.3, k = 4,
+        kmeansIters = 2, nProbe = 2)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain near-dup pairs at 0.3")
+    assert((sem -- exact).isEmpty, "semantic pairs must be a subset of exact")
+    val recall = sem.size.toDouble / exact.size
+    assert(recall >= 0.7, f"semantic recall $recall%.2f below bound")
+    // single-probe recall is strictly cluster-bounded and lower — the
+    // nProbe=2 soft assignment must actually buy boundary pairs back
+    val hard = Dedup.semanticDupPairs(embs, threshold = 0.3, k = 4,
+        kmeansIters = 2)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hard.subsetOf(sem), "nProbe=2 must cover the nProbe=1 pairs")
+  }
+
   test("embeddingNearDupPairs exact path: cosine over normalized vectors") {
     val embs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(2.0f, 0.0f)), // same direction
