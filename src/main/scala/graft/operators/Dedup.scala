@@ -380,9 +380,12 @@ object Dedup {
     * `centroid_id`, and compares within clusters of ~n/k vectors. Every
     * reported pair is exact-rescored (native dot product), so precision is
     * 1.0 by construction — clustering only bounds RECALL, like every
-    * SemDeDup deployment. Pick k so n/k clusters fit a reducer; a
-    * pathological corpus that collapses into one cluster degrades to the
-    * within-cluster quadratic — raise k or pre-split on a cheap key.
+    * SemDeDup deployment. Pick k so n/k clusters fit a reducer AND well
+    * above the executor-core count — the pair join partitions by
+    * centroid_id, so its parallelism is exactly the number of clusters
+    * (the SemDeDup paper runs tens of thousands). A pathological corpus
+    * that collapses into one cluster degrades to the within-cluster
+    * quadratic — raise k or pre-split on a cheap key.
     *
     * `nProbe` is the recall lever for pairs that straddle a cluster
     * boundary: each vector lands in its `nProbe` nearest clusters (soft
@@ -399,7 +402,10 @@ object Dedup {
       .select(col("id"), normalize(col("__v")).as("v"))
       .localCheckpoint() // read by every Lloyd round AND the pair join
     val cents = Similarity.kmeansCentroids(normed, k, kmeansIters, "v")
+    // materialized: both sides of the pair self-join read the assignment —
+    // without this the broadcast-score + top-k assignment pass runs twice
     val assigned = Similarity.assignNearest(normed, cents, "v", nProbe)
+      .localCheckpoint()
     val a = assigned.select(col("centroid_id"), col("id").as("a_id"),
       col("v").as("a_v"))
     val b = assigned.select(col("centroid_id"), col("id").as("b_id"),
