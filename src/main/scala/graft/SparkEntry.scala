@@ -790,6 +790,39 @@ object SparkEntry {
         round(sum("l_extendedprice"), 2).as("sum_price"))
     }),
 
+    // Incremental materialized-view maintenance, end-to-end under the
+    // oracle: two appended slices fold in via INCREMENTAL refreshes, a
+    // DELETE forces the full-recompute fallback, then a third slice folds
+    // into that state incrementally — so the final hash checks the
+    // delta-merge arithmetic (sum-of-sums / count merge), not just a
+    // recompute. Oracle = the same aggregate over the surviving logical
+    // rows: slices 0,1 minus the deleted quantities, plus all of slice 2.
+    "q_lake_mv" -> ((s, d) => {
+      import graft.lake.{LakeLog, LakeTable, MaterializedView}
+      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftmv"))
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      LakeTable.createTable(log, "li", li.schema)
+      val mv = MaterializedView.MvDef("li_by_flag", "li", "l_returnflag",
+        Seq("l_quantity", "l_extendedprice"))
+      MaterializedView.create(log, mv)
+      (0 to 1).foreach { m =>
+        LakeTable.insert(s, log, "li",
+          li.filter(col("l_orderkey") % 3 === m), txnId = s"slice-$m")
+        assert(MaterializedView.refresh(s, log, mv).mode == "incremental")
+      }
+      LakeTable.deleteWhere(s, log, "li", "l_quantity > 45")
+      assert(MaterializedView.refresh(s, log, mv).mode == "full")
+      LakeTable.insert(s, log, "li",
+        li.filter(col("l_orderkey") % 3 === 2), txnId = "slice-2")
+      assert(MaterializedView.refresh(s, log, mv).mode == "incremental")
+      LakeTable.read(s, log, "li_by_flag")
+        .select(col("l_returnflag"), col("n_rows"),
+          round(col("sum_l_quantity"), 2).as("sum_qty"),
+          round(col("sum_l_extendedprice"), 2).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_lake_zorder" -> ((s, d) => {
       // z-order-clustered insert: multi-dimensional clustering gives BOTH
       // curve columns tight per-file ranges, so this two-column range
@@ -1645,6 +1678,14 @@ object SparkEntry {
       UNION ALL SELECT 4, count(*), round(sum(l_extendedprice), 2)
         FROM lineitem
       ORDER BY version""",
+    "q_lake_mv" -> """
+      SELECT l_returnflag, count(*) AS n_rows,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem
+      WHERE (l_orderkey % 3 <> 2 AND l_quantity <= 45)
+         OR l_orderkey % 3 = 2
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_lake_delete" -> """
       SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty,
              round(sum(l_extendedprice), 2) AS sum_price

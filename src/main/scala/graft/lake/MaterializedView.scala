@@ -1,0 +1,154 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incremental materialized aggregate views over lake tables, maintained
+  * from the transaction log's change feed — the lakehouse capability the
+  * reference's scaffolding points toward but never builds: its query plane
+  * recomputes every aggregate from a full scan
+  * (`pkg/coordinator/distributed_query_executor.go` plans each request
+  * from the base table), while the log it keeps per table
+  * (`pkg/metadata/state.go`) is exactly what incremental view maintenance
+  * needs.
+  *
+  * An MV here is `SELECT key, count(*) AS n_rows, sum(c) AS sum_c ... GROUP
+  * BY key`, materialized as a lake table of its own (so it gets OCC
+  * commits, time travel and stats pruning for free). count/sum are
+  * self-maintainable under appends: refresh aggregates ONLY the delta
+  * files since the last refreshed base version and upserts the merged
+  * totals for touched keys — O(|delta| + |touched MV rows|), never a base
+  * re-scan. Derived means (sum/count) come out exact; min/max are NOT
+  * offered because they are not maintainable under deletes without a
+  * re-scan.
+  *
+  * Refresh picks its mode per delta entry from the log alone (no data
+  * read):
+  *  - append-only entries (inserts, loads, streaming sink batches) →
+  *    incremental;
+  *  - layout-only entries (compaction: every add is `rewrite` and re-adds
+  *    exactly the removed row count) → logically empty, skipped;
+  *  - anything else (delete, upsert, restore) → full recompute fallback,
+  *    which is what every production IVM system does when the delta is
+  *    not insert-only and no pre-images were logged.
+  *
+  * The refresh high-water mark lives in the MV table's OWN log: the commit
+  * that applies versions `(last, cur]` carries txn id `mv-<name>-to-<cur>`.
+  * That makes refresh crash-safe and exactly-once — a retried refresh
+  * re-derives `last` by parsing the MV log and its upsert lands in the
+  * idempotency map as a duplicate — with no sidecar state file to drift.
+  */
+object MaterializedView {
+
+  /** View definition: group-by key (single column — the lake upsert keys on
+    * one column), count(*) as `n_rows`, plus `sum_<c>` for each of
+    * `sumCols`. `name` is the MV's lake table name.
+    */
+  final case class MvDef(name: String, base: String, keyCol: String,
+                         sumCols: Seq[String])
+
+  final case class RefreshResult(mode: String, fromVersion: Long,
+                                 toVersion: Long)
+
+  private def txnFor(d: MvDef, to: Long) = s"mv-${d.name}-to-$to"
+  private val TxnPattern = """mv-.*-to-(\d+)""".r
+
+  /** Create the MV's backing lake table (empty; call [[refresh]] to fill). */
+  def create(log: LakeLog, d: MvDef): Unit = {
+    val baseSt = LakeTable.toStructType(log.snapshot(d.base).schema.get)
+    val keyField = baseSt.fields.find(_.name == d.keyCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"key column ${d.keyCol} not in ${d.base}"))
+    d.sumCols.foreach { c =>
+      require(baseSt.fieldNames.contains(c), s"sum column $c not in ${d.base}")
+    }
+    val st = StructType(
+      keyField +:
+        StructField("n_rows", LongType) +:
+        d.sumCols.map(c => StructField(s"sum_$c", DoubleType, nullable = true)))
+    LakeTable.createTable(log, d.name, st)
+  }
+
+  /** The highest base version already folded into the MV, parsed from the
+    * MV log's refresh txn ids (0 = never refreshed). */
+  def lastRefreshed(log: LakeLog, d: MvDef): Long =
+    log.versions(d.name)
+      .map(v => log.readEntry(d.name, v).txn_id)
+      .collect { case TxnPattern(v) => v.toLong }
+      .foldLeft(0L)(math.max)
+
+  /** Aggregate a slice of the base into MV shape. */
+  private def aggOf(df: DataFrame, d: MvDef): DataFrame =
+    df.groupBy(d.keyCol)
+      .agg(count(lit(1)).as("n_rows"),
+        d.sumCols.map(c => sum(col(c).cast("double")).as(s"sum_$c")): _*)
+
+  /** True iff the entry only appends logical rows. Schema-evolution
+    * entries (no adds, no removes) also qualify: their delta is empty. */
+  private def isAppendOnly(e: LogEntry): Boolean =
+    e.removes.isEmpty && e.adds.forall(!_.rewrite)
+
+  /** True iff the entry rewrites layout without changing logical content
+    * (compaction): every add is a rewrite and the re-added row count equals
+    * the removed row count (resolved against the pre-entry snapshot). */
+  private def isLayoutOnly(log: LakeLog, d: MvDef, e: LogEntry): Boolean = {
+    if (e.adds.isEmpty || !e.adds.forall(_.rewrite)) return false
+    val prior = log.snapshot(d.base, e.version - 1)
+      .files.map(f => f.path -> f.rows).toMap
+    val removedRows = e.removes.map(p => prior.getOrElse(p, Long.MinValue)).sum
+    removedRows == e.adds.map(_.rows).sum
+  }
+
+  /** Bring the MV up to the base's latest version. Returns what happened:
+    * `noop` (already current), `incremental` (delta aggregated + merged via
+    * one idempotent upsert), or `full` (recompute; delete-all + insert —
+    * the insert carries the high-water txn, so a crash between the two
+    * commits re-runs the full refresh rather than losing it).
+    */
+  def refresh(spark: SparkSession, log: LakeLog, d: MvDef): RefreshResult = {
+    val cur = log.latestVersion(d.base)
+    val last = lastRefreshed(log, d)
+    if (cur <= last) return RefreshResult("noop", last, cur)
+
+    val entries = ((last + 1) to cur).map(log.readEntry(d.base, _))
+    val incrementalOk =
+      entries.forall(e => isAppendOnly(e) || isLayoutOnly(log, d, e))
+
+    if (incrementalOk) {
+      val delta = aggOf(
+        LakeTable.changesSince(spark, log, d.base, last, cur), d)
+      // merged totals for touched keys only: current MV rows for those
+      // keys + the delta, re-aggregated. The MV-side read is stats-pruned
+      // by upsert's own key-range pruning on write; the semi-join keeps
+      // the merge O(|touched|), not O(|MV|).
+      val touched = LakeTable.read(spark, log, d.name)
+        .join(delta.select(d.keyCol), Seq(d.keyCol), "left_semi")
+      val merged = aggRemerge(touched.unionByName(delta), d)
+      LakeTable.upsert(spark, log, d.name, merged, d.keyCol,
+        txnId = txnFor(d, cur))
+      RefreshResult("incremental", last, cur)
+    } else {
+      val full = aggOf(LakeTable.read(spark, log, d.base), d)
+      // clear, then insert under the high-water txn (idempotent): the
+      // delete predicate is total (n_rows of a group is always >= 1)
+      LakeTable.deleteWhere(spark, log, d.name, "n_rows >= 0")
+      LakeTable.insert(spark, log, d.name, full, txnId = txnFor(d, cur))
+      RefreshResult("full", last, cur)
+    }
+  }
+
+  /** Re-aggregate rows already in MV shape (sums of sums, sum of counts). */
+  private def aggRemerge(mvShaped: DataFrame, d: MvDef): DataFrame =
+    mvShaped.groupBy(d.keyCol)
+      .agg(sum("n_rows").cast("long").as("n_rows"),
+        d.sumCols.map(c => sum(s"sum_$c").as(s"sum_$c")): _*)
+
+  /** Read the MV, with derived exact means (`avg_<c> = sum_<c>/n_rows`)
+    * appended — the read-side face of count/sum self-maintainability. */
+  def read(spark: SparkSession, log: LakeLog, d: MvDef): DataFrame = {
+    val mv = LakeTable.read(spark, log, d.name)
+    d.sumCols.foldLeft(mv)((df, c) =>
+      df.withColumn(s"avg_$c", col(s"sum_$c") / col("n_rows")))
+  }
+}

@@ -1,0 +1,122 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import MaterializedView.MvDef
+
+/** Incremental materialized-view maintenance against the one invariant that
+  * matters: after ANY refresh sequence, the MV equals the aggregate
+  * recomputed from the base's current logical contents.
+  */
+class MaterializedViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("category", StringType),
+    StructField("amount", DoubleType)))
+
+  private def rows(ids: Range, cat: String) =
+    ids.map(i => (i.toLong, cat, i * 1.0)).toDF("id", "category", "amount")
+
+  private def setup(): (LakeLog, MvDef) = {
+    val log = new LakeLog(tmpDir("mv"))
+    LakeTable.createTable(log, "sales", schema)
+    val d = MvDef("sales_by_cat", "sales", "category", Seq("amount"))
+    MaterializedView.create(log, d)
+    (log, d)
+  }
+
+  private def expected(log: LakeLog) =
+    LakeTable.read(spark, log, "sales")
+      .groupBy("category")
+      .agg(count(lit(1)).as("n_rows"), sum("amount").as("sum_amount"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+
+  private def actual(log: LakeLog, d: MvDef) =
+    LakeTable.read(spark, log, d.name)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+
+  test("incremental refresh over appends equals recompute from scratch") {
+    val (log, d) = setup()
+    LakeTable.insert(spark, log, "sales", rows(1 to 50, "a"))
+    val r1 = MaterializedView.refresh(spark, log, d)
+    assert(r1.mode == "incremental" && r1.fromVersion == 0)
+    assert(actual(log, d) == expected(log))
+
+    LakeTable.insert(spark, log, "sales", rows(51 to 80, "a"))
+    LakeTable.insert(spark, log, "sales", rows(81 to 100, "b"))
+    val r2 = MaterializedView.refresh(spark, log, d)
+    assert(r2.mode == "incremental" && r2.fromVersion == r1.toVersion)
+    assert(actual(log, d) == expected(log))
+    // the merge touched key "a" (existing) and created key "b"
+    assert(actual(log, d).map(_._1) == Seq("a", "b"))
+  }
+
+  test("refresh is exactly-once: re-running at the same version is a noop") {
+    val (log, d) = setup()
+    LakeTable.insert(spark, log, "sales", rows(1 to 10, "a"))
+    assert(MaterializedView.refresh(spark, log, d).mode == "incremental")
+    val again = MaterializedView.refresh(spark, log, d)
+    assert(again.mode == "noop")
+    assert(actual(log, d) == expected(log))
+  }
+
+  test("compaction between refreshes is layout-only: still incremental") {
+    val (log, d) = setup()
+    (1 to 4).foreach(i =>
+      LakeTable.insert(spark, log, "sales", rows(i * 10 to i * 10 + 9, "a")))
+    assert(MaterializedView.refresh(spark, log, d).mode == "incremental")
+    LakeTable.compact(spark, log, "sales", force = true)
+    LakeTable.insert(spark, log, "sales", rows(1000 to 1009, "b"))
+    val r = MaterializedView.refresh(spark, log, d)
+    // the compaction entry must NOT force a full recompute, and its
+    // rewritten rows must NOT be double-counted
+    assert(r.mode == "incremental")
+    assert(actual(log, d) == expected(log))
+  }
+
+  test("a delete on the base falls back to full recompute, still exact") {
+    val (log, d) = setup()
+    LakeTable.insert(spark, log, "sales", rows(1 to 100, "a"))
+    LakeTable.insert(spark, log, "sales", rows(101 to 120, "b"))
+    assert(MaterializedView.refresh(spark, log, d).mode == "incremental")
+    LakeTable.deleteWhere(spark, log, "sales", "id > 110")
+    val r = MaterializedView.refresh(spark, log, d)
+    assert(r.mode == "full")
+    assert(actual(log, d) == expected(log))
+    // and subsequent appends go back to the incremental path
+    LakeTable.insert(spark, log, "sales", rows(200 to 210, "c"))
+    val r2 = MaterializedView.refresh(spark, log, d)
+    assert(r2.mode == "incremental")
+    assert(actual(log, d) == expected(log))
+  }
+
+  test("an upsert on the base falls back to full recompute, still exact") {
+    val (log, d) = setup()
+    LakeTable.insert(spark, log, "sales", rows(1 to 50, "a"))
+    assert(MaterializedView.refresh(spark, log, d).mode == "incremental")
+    // replace ids 40..60: 11 updates + 10 logical inserts, category flips
+    val upd = (40 to 60).map(i => (i.toLong, "b", i * 2.0))
+      .toDF("id", "category", "amount")
+    LakeTable.upsert(spark, log, "sales", upd, "id")
+    val r = MaterializedView.refresh(spark, log, d)
+    assert(r.mode == "full")
+    assert(actual(log, d) == expected(log))
+  }
+
+  test("read() derives exact means from the maintained sums") {
+    val (log, d) = setup()
+    LakeTable.insert(spark, log, "sales", rows(1 to 4, "a")) // amounts 1..4
+    MaterializedView.refresh(spark, log, d)
+    val row = MaterializedView.read(spark, log, d)
+      .filter(col("category") === "a")
+      .select("n_rows", "sum_amount", "avg_amount").head()
+    assert(row.getLong(0) == 4 && row.getDouble(1) == 10.0 &&
+      row.getDouble(2) == 2.5)
+  }
+}
