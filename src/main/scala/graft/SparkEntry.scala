@@ -184,6 +184,25 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    "q_join_range" -> ((s, d) => {
+      // pure inequality join (no equi key): events whose value falls in a
+      // per-customer band. Naive Spark = BroadcastNestedLoopJoin; the
+      // bucketed rewrite shuffles an equi-join key instead
+      // (RangeJoinSpec pins both the plan and naive-equivalence). Bands
+      // derive from c_custkey with exact double arithmetic so the DuckDB
+      // oracle reproduces boundaries bit-for-bit.
+      val ev = t(s, d, "events").select("event_id", "value")
+      val bands = t(s, d, "customer").select(col("c_custkey"),
+        (pmod(col("c_custkey"), lit(30)) * 10.0).as("band_lo"),
+        (pmod(col("c_custkey"), lit(30)) * 10.0 + 25.0).as("band_hi"))
+      graft.operators.RangeJoin.pointInInterval(ev, bands, "value",
+          "band_lo", "band_hi", bucketWidth = 10.0)
+        .groupBy("c_custkey")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("total_value"))
+        .orderBy("c_custkey")
+    }),
+
     "q_tpch_q3" -> ((s, d) => {
       // TPC-H Q3 shape (shipping-priority): selective filters pushed into
       // all three scans, broadcast customer dim, grouped revenue top-N.
@@ -979,6 +998,13 @@ object SparkEntry {
              round(sum(value), 2) AS total_value
       FROM events JOIN customer ON user_id = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_join_range" -> """
+      SELECT c_custkey, count(*) AS n_events,
+             round(sum(value), 2) AS total_value
+      FROM events JOIN customer
+        ON value >= (c_custkey % 30) * 10.0
+       AND value <= (c_custkey % 30) * 10.0 + 25.0
+      GROUP BY c_custkey ORDER BY c_custkey""",
     "q_join_skew_adaptive" -> """
       SELECT c_mktsegment, count(*) AS n_events,
              count(DISTINCT user_id) AS n_users,

@@ -109,6 +109,31 @@ class MaterializedViewSpec extends SparkSpec {
     assert(actual(log, d) == expected(log))
   }
 
+  test("streaming sink batches fold into the MV incrementally") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val log = new LakeLog(tmpDir("mvstream"))
+    LakeTable.createTable(log, "sales", schema)
+    val d = MvDef("sales_by_cat", "sales", "category", Seq("amount"))
+    MaterializedView.create(log, d)
+
+    val input = MemoryStream[(Long, String, Double)]
+    val query = graft.streaming.Streams.sinkToLake(
+      input.toDF().toDF("id", "category", "amount"), log, "sales",
+      tmpDir("mvck").toString)
+    try {
+      input.addData((1L, "a", 1.0), (2L, "a", 2.0))
+      query.processAllAvailable()
+      assert(MaterializedView.refresh(spark, log, d).mode == "incremental")
+      input.addData((3L, "b", 3.0))
+      query.processAllAvailable()
+      // the streaming sink appends logical rows — the MV keeps folding
+      // deltas, never re-reading the table the stream has built up
+      assert(MaterializedView.refresh(spark, log, d).mode == "incremental")
+      assert(actual(log, d) == expected(log))
+    } finally query.stop()
+  }
+
   test("read() derives exact means from the maintained sums") {
     val (log, d) = setup()
     LakeTable.insert(spark, log, "sales", rows(1 to 4, "a")) // amounts 1..4
