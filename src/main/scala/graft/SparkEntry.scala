@@ -194,7 +194,7 @@ object SparkEntry {
       val ev = t(s, d, "events").select("event_id", "value")
       val bands = t(s, d, "customer").select(col("c_custkey"),
         (pmod(col("c_custkey"), lit(30)) * 10.0).as("band_lo"),
-        (pmod(col("c_custkey"), lit(30)) * 10.0 + 25.0).as("band_hi"))
+        (pmod(col("c_custkey"), lit(30)) * 10.0 + 2.0).as("band_hi"))
       graft.operators.RangeJoin.pointInInterval(ev, bands, "value",
           "band_lo", "band_hi", bucketWidth = 10.0)
         .groupBy("c_custkey")
@@ -1003,7 +1003,7 @@ object SparkEntry {
              round(sum(value), 2) AS total_value
       FROM events JOIN customer
         ON value >= (c_custkey % 30) * 10.0
-       AND value <= (c_custkey % 30) * 10.0 + 25.0
+       AND value <= (c_custkey % 30) * 10.0 + 2.0
       GROUP BY c_custkey ORDER BY c_custkey""",
     "q_join_skew_adaptive" -> """
       SELECT c_mktsegment, count(*) AS n_events,
