@@ -130,6 +130,65 @@ class LakeFuzzSpec extends SparkSpec {
     assert(fresh.snapshot("t") == log.snapshot("t"))
   }
 
+  test("materialized view fuzz: MV == model aggregate at every refresh") {
+    import MaterializedView.MvDef
+    val rnd = new scala.util.Random(53)
+    val schemaC = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("cat", StringType),
+      StructField("v", DoubleType)))
+    val cats = Seq("x", "y", "z")
+    val log = new LakeLog(tmpDir("fuzzmv"))
+    LakeTable.createTable(log, "t", schemaC)
+    val d = MvDef("t_by_cat", "t", "cat", Seq("v"))
+    MaterializedView.create(log, d)
+    var model = Map.empty[Long, (String, Double)]
+    var nextId = 0L
+
+    def mvRows(): Map[String, (Long, Double)] =
+      LakeTable.read(spark, log, d.name).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // integer-valued doubles: sums are order-independent and exact, so the
+    // model comparison needs no epsilon
+    def modelAgg(): Map[String, (Long, Double)] =
+      model.values.groupBy(_._1).map { case (c, vs) =>
+        c -> (vs.size.toLong, vs.map(_._2).sum) }
+
+    (1 to 14).foreach { step =>
+      rnd.nextInt(5) match {
+        case 0 | 1 => // append (the incremental path's bread and butter)
+          val rows = (0 until 1 + rnd.nextInt(30)).map { _ =>
+            nextId += 1
+            (nextId, cats(rnd.nextInt(cats.size)), rnd.nextInt(100).toDouble) }
+          LakeTable.insert(spark, log, "t", rows.toDF("id", "cat", "v"),
+            numFiles = 1 + rnd.nextInt(2))
+          model ++= rows.map(r => r._1 -> (r._2, r._3))
+        case 2 if model.nonEmpty => // delete → full-recompute fallback
+          val ids = model.keys.toSeq.sorted
+          val cut = ids(rnd.nextInt(ids.size))
+          LakeTable.deleteWhere(spark, log, "t", s"id > $cut")
+          model = model.filter(_._1 <= cut)
+        case 3 if model.nonEmpty => // upsert → full-recompute fallback
+          val picks = model.keys.take(1 + rnd.nextInt(2)).toSeq
+          nextId += 1
+          val ups = picks.map(id => (id, cats(rnd.nextInt(cats.size)), 7.0)) :+
+            ((nextId, cats(rnd.nextInt(cats.size)), 9.0))
+          LakeTable.upsert(spark, log, "t", ups.toDF("id", "cat", "v"), "id")
+          model ++= ups.map(r => r._1 -> (r._2, r._3))
+        case _ => // layout-only: must not perturb the MV's delta accounting
+          LakeTable.compact(spark, log, "t", force = true)
+      }
+      // refresh at a random cadence so deltas span 1..several versions,
+      // mixing append-only and fallback-triggering entries in one delta
+      if (rnd.nextInt(3) != 0) {
+        MaterializedView.refresh(spark, log, d)
+        assert(mvRows() == modelAgg(), s"step $step MV mismatch")
+      }
+    }
+    MaterializedView.refresh(spark, log, d)
+    assert(mvRows() == modelAgg(), "final MV mismatch")
+  }
+
   test("constrained table fuzz: rejects leave no trace, accepts match model") {
     val rnd = new scala.util.Random(47)
     val log = new LakeLog(tmpDir("fuzzcheck"))
