@@ -71,6 +71,23 @@ object SparkEntry {
           round(min("l_extendedprice"), 2).as("min_price"),
           round(max("l_extendedprice"), 2).as("max_price"))
         .orderBy("l_returnflag")),
+    // The async job lifecycle (submit → poll → fetch result location)
+    // exercised inside the correctness gate: the SAME aggregate as q_agg,
+    // but executed through Jobs.JobManager — written to the job's result
+    // path on a worker thread, polled to COMPLETED, read back from the
+    // result location. The oracle hash thus covers the whole round-trip.
+    "q_job_lifecycle" -> ((s, d) => {
+      val jm = new graft.api.Jobs.JobManager(s,
+        java.nio.file.Files.createTempDirectory("graftjobs").toString)
+      val id = jm.submit(
+        t(s, d, "lineitem").groupBy("l_returnflag")
+          .agg(count(lit(1)).as("cnt"),
+            round(sum("l_quantity"), 2).as("sum_qty")))
+      val status = jm.await(id)
+      assert(status.status == graft.api.Jobs.Completed, status.toString)
+      jm.result(id).orderBy("l_returnflag")
+    }),
+
     "q_agg_nogroup" -> ((s, d) =>
       t(s, d, "lineitem")
         .agg(count(lit(1)).as("cnt"),
@@ -322,6 +339,23 @@ object SparkEntry {
       val probes = ev.filter(col("event_id") % 10 === 0)
         .select("event_id", "user_id", "ts")
       graft.operators.AsOfJoin.asof(probes, quotes, Seq("user_id"), "ts", "ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("rv"), 4).as("ref_value"))
+        .orderBy("event_id")
+    }),
+
+    "q_asof_fwd" -> ((s, d) => {
+      // forward as-of with a bounded staleness window: the next quote at or
+      // after each probe, but only within 1 hour — pandas merge_asof
+      // (direction="forward", tolerance=1h) semantics, oracle-checked via a
+      // DuckDB LATERAL min-over-window reformulation.
+      val ev = t(s, d, "events")
+      val quotes = ev.groupBy("user_id", "ts")
+        .agg(max("value").as("rv"))
+      val probes = ev.filter(col("event_id") % 10 === 0)
+        .select("event_id", "user_id", "ts")
+      graft.operators.AsOfJoin.asof(probes, quotes, Seq("user_id"), "ts", "ts",
+          direction = "forward", tolerance = Some(expr("INTERVAL 1 HOUR")))
         .select(col("event_id"), col("user_id"), col("ts"),
           round(col("rv"), 4).as("ref_value"))
         .orderBy("event_id")
@@ -1091,6 +1125,18 @@ object SparkEntry {
       FROM l ASOF LEFT JOIN r
         ON l.user_id = r.user_id AND l.ts >= r.ts
       ORDER BY l.event_id""",
+    "q_asof_fwd" -> """
+      WITH r AS (SELECT user_id, ts, max(value) AS rv
+                 FROM events GROUP BY 1, 2),
+           l AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_id % 10 = 0)
+      SELECT l.event_id, l.user_id, l.ts, round(rr.rv, 4) AS ref_value
+      FROM l LEFT JOIN LATERAL (
+        SELECT r.rv FROM r
+        WHERE r.user_id = l.user_id AND r.ts >= l.ts
+          AND r.ts <= l.ts + INTERVAL 1 HOUR
+        ORDER BY r.ts LIMIT 1) rr ON TRUE
+      ORDER BY l.event_id""",
     "q_scalar_dates" -> """
       SELECT o_orderkey,
              datediff('day', o_orderdate, DATE '1998-12-31') AS days_to_end,
@@ -1704,6 +1750,10 @@ object SparkEntry {
       UNION ALL SELECT 4, count(*), round(sum(l_extendedprice), 2)
         FROM lineitem
       ORDER BY version""",
+    "q_job_lifecycle" -> """
+      SELECT l_returnflag, count(*) AS cnt,
+             round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_lake_mv" -> """
       SELECT l_returnflag, count(*) AS n_rows,
              round(sum(l_quantity), 2) AS sum_qty,

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 
 /** As-of (point-in-time) join: for each left row, the single right row with
   * the greatest `rightTime <= leftTime` within the same key — the join that
@@ -20,6 +20,17 @@ import org.apache.spark.sql.expressions.Window
   * many right rows precede each left row. Ties (equal times) resolve to the
   * right row, matching `ASOF JOIN`'s `<=` semantics; right rows must be
   * unique per (key, time) — pre-aggregate otherwise.
+  *
+  * The full `merge_asof` surface rides the same single shuffle:
+  *  - `direction = "backward"` (default): greatest rightTime <= leftTime;
+  *  - `direction = "forward"`: smallest rightTime >= leftTime — the same
+  *    window with time ordering reversed;
+  *  - `direction = "nearest"`: closer of the two candidates (ties →
+  *    backward). Both carries share one hash exchange — the second
+  *    differently-ordered window adds a sort, never a shuffle;
+  *  - `tolerance`: maximum |leftTime − rightTime| for a match, as a Column
+  *    added to the time type (an INTERVAL literal for timestamps, a number
+  *    for numerics). Matches beyond it become NULL, exactly like pandas.
   */
 object AsOfJoin {
 
@@ -30,12 +41,18 @@ object AsOfJoin {
     * @param rightTime  right event-time column name
     * @param rightVals  right payload columns to carry (default: all but
     *                   key/time)
+    * @param direction  "backward" | "forward" | "nearest"
+    * @param tolerance  max time distance for a valid match (None = unbounded)
     * @return left rows + carried right payload columns (null when no right
-    *         row precedes)
+    *         row matches under the direction/tolerance)
     */
   def asof(left: DataFrame, right: DataFrame, keyCols: Seq[String],
            leftTime: String, rightTime: String,
-           rightVals: Seq[String] = Nil): DataFrame = {
+           rightVals: Seq[String] = Nil,
+           direction: String = "backward",
+           tolerance: Option[Column] = None): DataFrame = {
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"unknown direction: $direction")
     val payload =
       if (rightVals.nonEmpty) rightVals
       else right.columns.toSeq.diff(keyCols :+ rightTime)
@@ -43,16 +60,20 @@ object AsOfJoin {
 
     // one unioned relation: right rows carry payload, left rows carry their
     // own columns; __side orders right (0) before left (1) at equal times so
-    // a right row AT the left timestamp is visible to it (<= semantics).
-    // The payload travels as ONE struct so the whole matched right row wins
-    // or loses atomically — carrying columns independently would mix values
-    // from different right rows when a payload field is NULL.
+    // a right row AT the left timestamp is visible to it (<=/>= semantics
+    // both include equality). The payload travels as ONE struct — including
+    // the right time as __rt for tolerance/nearest arithmetic — so the whole
+    // matched right row wins or loses atomically; carrying columns
+    // independently would mix values from different right rows when a
+    // payload field is NULL.
     val payloadType = org.apache.spark.sql.types.StructType(
-      payload.map(c => right.schema(c)))
+      payload.map(c => right.schema(c)) :+
+        org.apache.spark.sql.types.StructField("__rt",
+          right.schema(rightTime).dataType))
     val taggedRight = right.select(
       keyCols.map(col) ++
         Seq(col(rightTime).as("__t"), lit(0).as("__side"),
-          struct(payload.map(col): _*).as("__r")) ++
+          struct(payload.map(col) :+ col(rightTime).as("__rt"): _*).as("__r")) ++
         leftCols.diff(keyCols).map(c => lit(null).cast(
           left.schema(c).dataType).as(s"__l_$c")): _*)
     val taggedLeft = left.select(
@@ -61,14 +82,52 @@ object AsOfJoin {
           lit(null).cast(payloadType).as("__r")) ++
         leftCols.diff(keyCols).map(c => col(c).as(s"__l_$c")): _*)
 
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
+    // backward scans time ascending; forward scans descending — both windows
+    // hash-partition by the SAME keys, so "nearest" (which needs both) still
+    // exchanges once and only re-sorts for the second pass
+    def w(desc: Boolean): WindowSpec = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy((if (desc) col("__t").desc else col("__t").asc), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val unioned = taggedRight.unionByName(taggedLeft)
+    val baseCols = (keyCols.map(col) :+ col("__t") :+ col("__side")) ++
+      leftCols.diff(keyCols).map(c => col(s"__l_$c"))
 
-    val carried = taggedRight.unionByName(taggedLeft)
-      .select((keyCols.map(col) :+ col("__t") :+ col("__side")) ++
-        leftCols.diff(keyCols).map(c => col(s"__l_$c")) :+
-        last(col("__r"), ignoreNulls = true).over(w).as("__c"): _*)
+    // candidate validity under tolerance: the carried right time must lie
+    // within [__t - tol, __t] (backward) / [__t, __t + tol] (forward)
+    def bounded(c: Column, forward: Boolean): Column = tolerance match {
+      case None => c
+      case Some(tol) =>
+        val ok =
+          if (forward) col("__t") + tol >= c.getField("__rt")
+          else c.getField("__rt") + tol >= col("__t")
+        when(ok, c) // else NULL: out-of-tolerance candidates drop atomically
+    }
+
+    val carried = direction match {
+      case "backward" =>
+        unioned.select(baseCols :+
+          bounded(last(col("__r"), ignoreNulls = true).over(w(desc = false)),
+            forward = false).as("__c"): _*)
+      case "forward" =>
+        unioned.select(baseCols :+
+          bounded(last(col("__r"), ignoreNulls = true).over(w(desc = true)),
+            forward = true).as("__c"): _*)
+      case "nearest" =>
+        val b = bounded(last(col("__r"), ignoreNulls = true)
+          .over(w(desc = false)), forward = false)
+        val f = bounded(last(col("__r"), ignoreNulls = true)
+          .over(w(desc = true)), forward = true)
+        unioned.select(baseCols :+ b.as("__b") :+ f.as("__f"): _*)
+          .withColumn("__c",
+            when(col("__b").isNull, col("__f"))
+              .when(col("__f").isNull, col("__b"))
+              // equal distance → backward, matching pandas' tie rule
+              .when(col("__t") - col("__b").getField("__rt") <=
+                    col("__f").getField("__rt") - col("__t"), col("__b"))
+              .otherwise(col("__f")))
+          .drop("__b", "__f")
+    }
 
     carried.filter(col("__side") === 1)
       .select(leftCols.map(c =>

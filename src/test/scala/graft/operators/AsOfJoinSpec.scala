@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 class AsOfJoinSpec extends SparkSpec {
@@ -53,6 +54,53 @@ class AsOfJoinSpec extends SparkSpec {
         Option(row.getAs[Any]("v")).map(_.asInstanceOf[Double])).toMap
 
     assert(fast == naive)
+  }
+
+  test("forward / nearest / tolerance match their naive formulations") {
+    val rnd = new scala.util.Random(19)
+    val left = (1 to 300).map(i =>
+      (s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong, i))
+      .toDF("key", "t", "row_id")
+    val right = (1 to 200).map(_ =>
+      (s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong, rnd.nextDouble()))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      .toDF("key", "t", "v")
+    val l = left.as("l"); val r = right.as("r")
+
+    def naive(cond: Column, closest: Column): Map[Int, Option[Double]] =
+      l.join(r, col("l.key") === col("r.key") && cond, "left")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("row_id")
+            // second key: at equal distance the EARLIER right row wins,
+            // i.e. the backward candidate — pandas' nearest tie rule
+            .orderBy(closest, col("r.t").asc_nulls_last)))
+        .filter(col("rk") === 1)
+        .collect().map(row => row.getAs[Int]("row_id") ->
+          Option(row.getAs[Any]("v")).map(_.asInstanceOf[Double])).toMap
+    def fast(direction: String, tol: Option[Column] = None) =
+      AsOfJoin.asof(left, right, Seq("key"), "t", "t",
+          direction = direction, tolerance = tol)
+        .collect().map(r => r.getInt(2) ->
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+
+    // forward: smallest right t >= left t
+    assert(fast("forward") ==
+      naive(col("r.t") >= col("l.t"), col("r.t").asc_nulls_last))
+    // nearest: min |distance|, ties -> backward (the <= in the naive sort
+    // expression encodes that: at equal distance the earlier right sorts
+    // first via the second key)
+    assert(fast("nearest") ==
+      naive(lit(true),
+        abs(col("r.t") - col("l.t")).asc_nulls_last))
+    // backward with tolerance 50: matches older than 50 ticks become NULL
+    assert(fast("backward", Some(lit(50L))) ==
+      naive(col("r.t") <= col("l.t") && col("r.t") >= col("l.t") - 50,
+        col("r.t").desc_nulls_last))
+    // forward with tolerance 50
+    assert(fast("forward", Some(lit(50L))) ==
+      naive(col("r.t") >= col("l.t") && col("r.t") <= col("l.t") + 50,
+        col("r.t").asc_nulls_last))
   }
 
   test("asof carries the matched right row atomically when payload has NULLs") {
