@@ -393,19 +393,24 @@ object Dedup {
     * shared. Work scales ~nProbe² per cluster; nProbe=2 recovers most
     * boundary pairs at moderate thresholds.
     */
-  def semanticDupPairs(embs: DataFrame, threshold: Double = 0.9,
-                       k: Int = 16, kmeansIters: Int = 2, nProbe: Int = 1,
-                       idCol: String = "vec_id", vecCol: String = "embedding")
-      : DataFrame = {
+  /** Normalize, cluster and soft-assign the corpus: (id, v, centroid_id,
+    * __ccos) with one row per (vector, probed cluster), materialized so the
+    * pair self-join's two sides and any scoring consumer read ONE
+    * assignment pass. `__ccos` is the vector's cosine to that centroid.
+    */
+  private def clusteredAssignments(embs: DataFrame, k: Int, kmeansIters: Int,
+                                   nProbe: Int, idCol: String,
+                                   vecCol: String): DataFrame = {
     VectorExpressions.register(embs.sparkSession)
     val normed = spread(embs.select(col(idCol).as("id"), col(vecCol).as("__v")))
       .select(col("id"), normalize(col("__v")).as("v"))
       .localCheckpoint() // read by every Lloyd round AND the pair join
     val cents = Similarity.kmeansCentroids(normed, k, kmeansIters, "v")
-    // materialized: both sides of the pair self-join read the assignment —
-    // without this the broadcast-score + top-k assignment pass runs twice
-    val assigned = Similarity.assignNearest(normed, cents, "v", nProbe)
-      .localCheckpoint()
+    Similarity.assignNearest(normed, cents, "v", nProbe).localCheckpoint()
+  }
+
+  private def pairsOfAssignments(assigned: DataFrame, threshold: Double,
+                                 nProbe: Int): DataFrame = {
     val a = assigned.select(col("centroid_id"), col("id").as("a_id"),
       col("v").as("a_v"))
     val b = assigned.select(col("centroid_id"), col("id").as("b_id"),
@@ -420,19 +425,52 @@ object Dedup {
     else raw.groupBy("a_id", "b_id").agg(max("cos").as("cos"))
   }
 
-  /** Semantic dedup: keep one representative (minimum id) per connected
-    * component of the [[semanticDupPairs]] graph. `docs` is the full-width
-    * corpus; only ids move through the component computation and the final
-    * anti-join, so document payloads are scanned once.
+  def semanticDupPairs(embs: DataFrame, threshold: Double = 0.9,
+                       k: Int = 16, kmeansIters: Int = 2, nProbe: Int = 1,
+                       idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame =
+    pairsOfAssignments(
+      clusteredAssignments(embs, k, kmeansIters, nProbe, idCol, vecCol),
+      threshold, nProbe)
+
+  /** Semantic dedup: keep one representative per connected component of the
+    * [[semanticDupPairs]] graph. `docs` is the full-width corpus; only ids
+    * (plus one scalar score) move through the component computation and the
+    * final anti-join, so document payloads are scanned once.
+    *
+    * `keep` picks the representative:
+    *  - `"min_id"` (default): deterministic and cheapest;
+    *  - `"far_from_centroid"`: the member with the LOWEST cosine to its
+    *    primary centroid — the SemDeDup paper's rule (arXiv:2303.09540 §3:
+    *    keeping low-similarity-to-centroid examples preserves diversity at
+    *    the cluster edge). Ties break to the lower id.
     */
   def semanticDedup(docs: DataFrame, embs: DataFrame,
                     threshold: Double = 0.9, k: Int = 16,
                     kmeansIters: Int = 2, nProbe: Int = 1,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
-    val pairs =
-      semanticDupPairs(embs, threshold, k, kmeansIters, nProbe, idCol, vecCol)
-    dropDuplicatesExact(docs, pairs, idCol)
+                    vecCol: String = "embedding",
+                    keep: String = "min_id"): DataFrame = {
+    require(Set("min_id", "far_from_centroid").contains(keep),
+      s"unknown keep strategy: $keep")
+    val assigned =
+      clusteredAssignments(embs, k, kmeansIters, nProbe, idCol, vecCol)
+    val pairs = pairsOfAssignments(assigned, threshold, nProbe)
+    if (keep == "min_id") dropDuplicatesExact(docs, pairs, idCol)
+    else {
+      // primary-centroid cosine per member (nProbe rows → max = nearest)
+      val scores = assigned.groupBy("id").agg(max("__ccos").as("__ccos"))
+      val winners = connectedComponents(pairs)
+        .join(scores, Seq("id"))
+        .groupBy("component")
+        // lexicographic struct min = lowest centroid cosine, then lowest id
+        .agg(min(struct(col("__ccos"), col("id"))).as("w"))
+        .select(col("w.id").as(idCol))
+      val members = pairs.select(col("a_id").as(idCol))
+        .unionAll(pairs.select(col("b_id").as(idCol))).distinct()
+      val losers = members.join(winners, Seq(idCol), "left_anti")
+      docs.join(losers, Seq(idCol), "left_anti")
+    }
   }
 
   /** Keep one representative per near-duplicate cluster: given candidate

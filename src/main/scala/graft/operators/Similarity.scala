@@ -131,8 +131,12 @@ object Similarity {
       TopKAggregate.topK(struct(col("cdist"), col("centroid_id")), lit(take))
         .as("tk") +: rest.map(c => first(col(c)).as(c))
     scored.groupBy(key).agg(aggs.head, aggs.tail: _*)
+      .select(col(key) +: rest.map(col) :+ explode(col("tk")).as("__a"): _*)
       .select(col(key) +: rest.map(col) :+
-        explode(col("tk").getField("centroid_id")).as("centroid_id"): _*)
+        col("__a.centroid_id").as("centroid_id") :+
+        // the assignment's own cosine rides along: SemDeDup's
+        // keep-farthest-from-centroid rule needs it, everyone else drops it
+        col("__a.cdist").as("__ccos"): _*)
   }
 
   /** IVF: k-means coarse quantizer (a few true Lloyd sweeps), corpus

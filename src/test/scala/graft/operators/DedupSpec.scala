@@ -291,6 +291,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup far_from_centroid keeps the cluster-edge member") {
+    val rnd = new scala.util.Random(29)
+    // cluster A: ids 0-8 hug e1 (tiny noise); id 9 is rotated ~10 degrees —
+    // still cos > 0.98 to the others (one dup component) but clearly the
+    // farthest from the cluster centroid. cluster B: ids 10-14 hug e2.
+    def jiggle(d: Array[Float]) =
+      d.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f)
+    val a = (0L until 9L).map(i => (i, jiggle(Array(1f, 0f, 0f))))
+    val edge = Seq((9L, Array(0.985f, 0.174f, 0f))) // ~10 degrees off e1
+    val b = (10L until 15L).map(i => (i, jiggle(Array(0f, 1f, 0f))))
+    val embs = (a ++ edge ++ b).toDF("vec_id", "embedding")
+    val docs = embs.select(col("vec_id"))
+
+    val keptFar = Dedup.semanticDedup(docs, embs, threshold = 0.9, k = 2,
+        kmeansIters = 2, keep = "far_from_centroid")
+      .select("vec_id").as[Long].collect().toSet
+    // cluster A's survivor is the rotated edge member, NOT min id 0;
+    // cluster B's survivor is whichever member noise left farthest out
+    assert(keptFar.contains(9L) && !keptFar.contains(0L))
+    assert(keptFar.size == 2 && keptFar.exists(id => id >= 10L))
+
+    val keptMin = Dedup.semanticDedup(docs, embs, threshold = 0.9, k = 2,
+        kmeansIters = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(keptMin == Set(0L, 10L))
+  }
+
   test("semantic dedup covers near-dup pairs on real testdata") {
     // ties the rows-only q_dedup_semantic to exact ground truth: SemDeDup's
     // clustering bounds recall; pin it against the exact all-pairs result
