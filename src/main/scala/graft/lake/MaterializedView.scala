@@ -118,24 +118,37 @@ object MaterializedView {
     if (incrementalOk) {
       val delta = aggOf(
         LakeTable.changesSince(spark, log, d.base, last, cur), d)
-      // merged totals for touched keys only: current MV rows for those
-      // keys + the delta, re-aggregated. The MV-side read is stats-pruned
-      // by upsert's own key-range pruning on write; the semi-join keeps
-      // the merge O(|touched|), not O(|MV|).
-      val touched = LakeTable.read(spark, log, d.name)
-        .join(delta.select(d.keyCol), Seq(d.keyCol), "left_semi")
-      val merged = aggRemerge(touched.unionByName(delta), d)
-      LakeTable.upsert(spark, log, d.name, merged, d.keyCol,
-        txnId = txnFor(d, cur))
-      RefreshResult("incremental", last, cur)
-    } else {
-      val full = aggOf(LakeTable.read(spark, log, d.base), d)
-      // clear, then insert under the high-water txn (idempotent): the
-      // delete predicate is total (n_rows of a group is always >= 1)
-      LakeTable.deleteWhere(spark, log, d.name, "n_rows >= 0")
-      LakeTable.insert(spark, log, d.name, full, txnId = txnFor(d, cur))
-      RefreshResult("full", last, cur)
-    }
+        .persist()
+      try {
+        // a NULL group key cannot ride the upsert merge: the upsert's
+        // anti-join never matches NULL = NULL, so the old NULL-group row
+        // would survive NEXT TO the merged one. Route null-key deltas to
+        // the full path instead (rare: a whole refresh window where the
+        // null group changed).
+        if (delta.filter(col(d.keyCol).isNull).isEmpty) {
+          // merged totals for touched keys only: current MV rows for those
+          // keys + the delta, re-aggregated. The MV-side read is
+          // stats-pruned by upsert's own key-range pruning on write; the
+          // semi-join keeps the merge O(|touched|), not O(|MV|).
+          val touched = LakeTable.read(spark, log, d.name)
+            .join(delta.select(d.keyCol), Seq(d.keyCol), "left_semi")
+          val merged = aggRemerge(touched.unionByName(delta), d)
+          LakeTable.upsert(spark, log, d.name, merged, d.keyCol,
+            txnId = txnFor(d, cur))
+          RefreshResult("incremental", last, cur)
+        } else fullRefresh(spark, log, d, last, cur)
+      } finally delta.unpersist()
+    } else fullRefresh(spark, log, d, last, cur)
+  }
+
+  private def fullRefresh(spark: SparkSession, log: LakeLog, d: MvDef,
+                          last: Long, cur: Long): RefreshResult = {
+    val full = aggOf(LakeTable.read(spark, log, d.base), d)
+    // clear, then insert under the high-water txn (idempotent): the
+    // delete predicate is total (n_rows of a group is always >= 1)
+    LakeTable.deleteWhere(spark, log, d.name, "n_rows >= 0")
+    LakeTable.insert(spark, log, d.name, full, txnId = txnFor(d, cur))
+    RefreshResult("full", last, cur)
   }
 
   /** Re-aggregate rows already in MV shape (sums of sums, sum of counts). */

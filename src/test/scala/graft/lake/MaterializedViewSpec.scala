@@ -134,6 +134,31 @@ class MaterializedViewSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("NULL group keys route to the full path and never duplicate") {
+    val (log, d) = setup()
+    def withNull(ids: Range, cat: String) =
+      ids.map(i => (i.toLong, if (i % 3 == 0) null else cat, i * 1.0))
+        .toDF("id", "category", "amount")
+    LakeTable.insert(spark, log, "sales", withNull(1 to 30, "a"))
+    // delta contains a NULL group: the upsert merge can't carry it
+    // (NULL = NULL never matches), so refresh must take the full path
+    assert(MaterializedView.refresh(spark, log, d).mode == "full")
+    LakeTable.insert(spark, log, "sales", withNull(31 to 60, "a"))
+    assert(MaterializedView.refresh(spark, log, d).mode == "full")
+    val mv = LakeTable.read(spark, log, d.name).collect()
+    assert(mv.count(_.isNullAt(0)) == 1, "exactly one NULL-group row")
+    val expectedRows = LakeTable.read(spark, log, "sales")
+      .groupBy("category")
+      .agg(count(lit(1)).as("n_rows"), sum("amount").as("sum_amount"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        r.getDouble(2))).toSet
+    assert(mv.map(r => (Option(r.getString(0)), r.getLong(1),
+      r.getDouble(2))).toSet == expectedRows)
+    // an all-non-null delta after that still goes incremental
+    LakeTable.insert(spark, log, "sales", rows(61 to 70, "b"))
+    assert(MaterializedView.refresh(spark, log, d).mode == "incremental")
+  }
+
   test("read() derives exact means from the maintained sums") {
     val (log, d) = setup()
     LakeTable.insert(spark, log, "sales", rows(1 to 4, "a")) // amounts 1..4
