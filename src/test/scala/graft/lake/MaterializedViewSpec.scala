@@ -159,6 +159,41 @@ class MaterializedViewSpec extends SparkSpec {
     assert(MaterializedView.refresh(spark, log, d).mode == "incremental")
   }
 
+  test("concurrent refreshes land exactly once") {
+    val (log, d) = setup()
+    LakeTable.insert(spark, log, "sales", rows(1 to 40, "a"))
+    LakeTable.insert(spark, log, "sales", rows(41 to 60, "b"))
+    // two racing refreshers of the same delta: OCC + the shared
+    // mv-...-to-<cur> txn id must apply the merge exactly once
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    val results = (1 to 2).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[String] {
+        def call(): String = {
+          gate.await()
+          try MaterializedView.refresh(spark, log, d).mode
+          catch { case e: Throwable => s"err:${e.getClass.getSimpleName}" }
+        }
+      })
+    }
+    gate.countDown()
+    val modes = results.map(_.get())
+    pool.shutdown()
+    // both see the same delta; whichever upsert commits second is dropped
+    // by the idempotency map — no double-counting either way
+    assert(modes.forall(m => m == "incremental" || m.startsWith("err")),
+      modes.toString)
+    assert(actual(log, d) == expected(log))
+    assert(MaterializedView.lastRefreshed(log, d) ==
+      log.latestVersion("sales"))
+    // exactly one refresh txn for this high-water mark in the MV log
+    val refreshCommits = log.versions(d.name)
+      .map(v => log.readEntry(d.name, v).txn_id)
+      .count(_ == s"mv-${d.name}-to-${log.latestVersion("sales")}")
+    assert(refreshCommits == 1)
+  }
+
   test("read() derives exact means from the maintained sums") {
     val (log, d) = setup()
     LakeTable.insert(spark, log, "sales", rows(1 to 4, "a")) // amounts 1..4
