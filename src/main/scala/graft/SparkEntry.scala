@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.QueryEngine
 import graft.operators.QueryEngine.{AggregateSpec, SimpleQuery}
-import graft.operators.{Decontaminate, Dedup, Multimodal, Similarity}
+import graft.operators.{Decontaminate, Dedup, EmbeddingPca, Multimodal, Similarity}
 import graft.functions.TextFunctions._
 import graft.sources.Tables
 
@@ -924,6 +924,18 @@ object SparkEntry {
           exact = true)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("a_id", "b_id")),
+    "q_embed_pca" -> ((s, d) => {
+      // PCA-whitened embeddings (rows-only: the projection constants come
+      // from the driver-side eigensolver, not expressible in DuckDB SQL;
+      // EmbeddingPcaSpec pins eigenpair exactness, alignment, whitening
+      // variance and determinism).
+      val embs = t(s, d, "embeddings")
+      val model = graft.operators.EmbeddingPca.fit(embs, k = 4)
+      graft.operators.EmbeddingPca.transform(embs, model, whiten = true)
+        .select(col("vec_id") +:
+          (0 until 4).map(i => round(col("pca")(i), 4).as(s"p$i")): _*)
+        .orderBy("vec_id")
+    }),
     "q_dedup_semantic" -> ((s, d) =>
       // SemDeDup: k-means cluster → within-cluster exact cosine pairs.
       // Rows-only (k-means is not DuckDB-expressible); DedupSpec pins
