@@ -924,6 +924,20 @@ object SparkEntry {
           exact = true)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("a_id", "b_id")),
+    "q_dedup_semantic_fixed" -> ((s, d) => {
+      // semantic dedup against a frozen codebook: centroids = the first 4
+      // corpus vectors (normalized), so assignment, within-cluster pairing
+      // and exact rescoring are all deterministic SQL — the one semantic-
+      // dedup path the DuckDB oracle can hash-match end-to-end.
+      val embs = t(s, d, "embeddings")
+      val cents = embs.filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          graft.functions.VectorFunctions.normalize(col("embedding"))
+            .as("centroid"))
+      Dedup.semanticDupPairsWithCentroids(embs, cents, threshold = 0.3)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("a_id", "b_id")
+    }),
     "q_embed_pca" -> ((s, d) => {
       // PCA-whitened embeddings (rows-only: the projection constants come
       // from the driver-side eigensolver, not expressible in DuckDB SQL;
@@ -1993,6 +2007,28 @@ object SparkEntry {
         FROM scored)
       SELECT query_id, vec_id, round(cos, 6) AS cos, rank
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_dedup_semantic_fixed" -> """
+      WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                 FROM embeddings WHERE vec_id < 4),
+           s AS (SELECT e.vec_id, c.cid,
+                        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                               c.ce) AS sc
+                 FROM embeddings e CROSS JOIN c),
+           a AS (SELECT vec_id, cid FROM (
+                   SELECT vec_id, cid,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY sc DESC, cid) AS rk
+                   FROM s) t WHERE rk = 1)
+      SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+             round(list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
+                                          CAST(ey.embedding AS DOUBLE[])), 6)
+               AS cos
+      FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      JOIN embeddings ex ON ex.vec_id = x.vec_id
+      JOIN embeddings ey ON ey.vec_id = y.vec_id
+      WHERE list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
+                                   CAST(ey.embedding AS DOUBLE[])) >= 0.3
+      ORDER BY a_id, b_id""",
     "q_embed_neardup" -> """
       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
              round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -433,6 +433,28 @@ object Dedup {
       clusteredAssignments(embs, k, kmeansIters, nProbe, idCol, vecCol),
       threshold, nProbe)
 
+  /** [[semanticDupPairs]] against a FROZEN codebook instead of fitting
+    * k-means: `cents` is (centroid_id, centroid[unit-norm]). The
+    * operational shape for continuous ingestion — fit centroids once (or
+    * reuse an IVF index's), assign every new batch against the same
+    * codebook so cluster ids stay stable across batches. Also the
+    * oracle-checkable face of the machinery: with given centroids the
+    * whole assign → within-cluster pair → exact-rescore pipeline is
+    * deterministic SQL, so the driver's DuckDB gate can hash-match it
+    * (q_dedup_semantic_fixed), which the learned-centroid path can't.
+    */
+  def semanticDupPairsWithCentroids(embs: DataFrame, cents: DataFrame,
+                                    threshold: Double, nProbe: Int = 1,
+                                    idCol: String = "vec_id",
+                                    vecCol: String = "embedding"): DataFrame = {
+    VectorExpressions.register(embs.sparkSession)
+    val normed = spread(embs.select(col(idCol).as("id"), col(vecCol).as("__v")))
+      .select(col("id"), normalize(col("__v")).as("v"))
+    val assigned =
+      Similarity.assignNearest(normed, cents, "v", nProbe).localCheckpoint()
+    pairsOfAssignments(assigned, threshold, nProbe)
+  }
+
   /** Semantic dedup: keep one representative per connected component of the
     * [[semanticDupPairs]] graph. `docs` is the full-width corpus; only ids
     * (plus one scalar score) move through the component computation and the
