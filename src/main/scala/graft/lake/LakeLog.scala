@@ -75,7 +75,7 @@ final class LakeValidationException(msg: String) extends RuntimeException(msg)
   * Layout (`pkg/storage/paths.go:17-41`):
   *   <root>/tables/<name>/_log/%020d.json   one entry per version, 0 = create
   *   <root>/tables/<name>/data/...          parquet data files
-  *   <root>/tables/<name>/_tmp/<txn>/       staging for uncommitted writes
+  *   <root>/tables/<name>/_tmp/<txn>-<attempt>/   staging for uncommitted writes
   */
 final class LakeLog(val root: Path) {
 
@@ -94,16 +94,31 @@ final class LakeLog(val root: Path) {
   def tableDir(table: String): Path = root.resolve("tables").resolve(table)
   def logDir(table: String): Path = tableDir(table).resolve("_log")
   def dataDir(table: String): Path = tableDir(table).resolve("data")
+  /** Staging directory for one WRITE ATTEMPT. Suffixed with a fresh UUID:
+    * the txn id is shared by every retry/replica of an idempotent commit
+    * (that is the point of it), so two concurrent attempts with the same
+    * txn id would otherwise stage into the same directory and clobber or
+    * delete each other's files mid-write — the commit-time idempotency map
+    * dedups them, but staging must not. Attempt dirs are removed in the
+    * writers' `finally`; anything orphaned by a crash is swept by vacuum.
+    */
   def tmpDir(table: String, txnId: String): Path =
-    tableDir(table).resolve("_tmp").resolve(txnId)
+    tableDir(table).resolve("_tmp")
+      .resolve(s"$txnId-${java.util.UUID.randomUUID().toString.take(8)}")
   private def entryPath(table: String, version: Long): Path =
     logDir(table).resolve(f"$version%020d.json")
 
   /** Table name rule from `pkg/coordinator/table_service.go:497-514`. */
   private val NameRe = "[A-Za-z0-9_]{1,64}".r
-  /** Declared type whitelist, `table_service.go:546-558`. */
+  /** Declared type whitelist: the reference's 8 scalars
+    * (`table_service.go:546-558`) plus vector columns — a beyond-reference
+    * extension embedding/training tables need (Delta and Iceberg both
+    * declare array types). Vector columns carry no file stats, cannot
+    * partition a table, and never parse in the predicate grammar — they
+    * ride through writes, reads and the CDC feed untouched. */
   val AllowedTypes: Set[String] = Set("int32", "int64", "float32", "float64",
-    "string", "boolean", "date", "timestamp")
+    "string", "boolean", "date", "timestamp",
+    "float32_array", "float64_array")
 
   /** Types a partition column may have: directory-encodable values with an
     * unambiguous string round-trip (floats excluded — their rendering is

@@ -27,6 +27,8 @@ object LakeTable {
     case "boolean" => BooleanType
     case "date" => DateType
     case "timestamp" => TimestampType
+    case "float32_array" => ArrayType(FloatType)
+    case "float64_array" => ArrayType(DoubleType)
     case other => throw new LakeValidationException(s"unsupported type $other")
   }
 
@@ -39,6 +41,8 @@ object LakeTable {
     case BooleanType => "boolean"
     case DateType => "date"
     case TimestampType => "timestamp"
+    case ArrayType(FloatType, _) => "float32_array"
+    case ArrayType(DoubleType, _) => "float64_array"
     case other => throw new LakeValidationException(
       s"no declared type for Spark type $other")
   }
@@ -763,8 +767,8 @@ object LakeTable {
     * version-count (rather than wall-clock) retention window — deterministic
     * for tests and single-writer batch pipelines.
     */
-  def vacuum(log: LakeLog, table: String, retainVersions: Int = 1)
-      : VacuumReport = {
+  def vacuum(log: LakeLog, table: String, retainVersions: Int = 1,
+             tmpRetainMs: Long = 24L * 3600 * 1000): VacuumReport = {
     val latest = log.latestVersion(table)
     val floor = math.max(0L, latest - math.max(0, retainVersions - 1))
     // union of files visible in any retained snapshot
@@ -777,6 +781,21 @@ object LakeTable {
     all.foreach { p =>
       if (!live.contains(p)) {
         if (Files.deleteIfExists(java.nio.file.Paths.get(p))) deleted += 1
+      }
+    }
+    // sweep staging dirs orphaned by crashed write attempts (normal
+    // completion removes them in the writers' finally). Age-gated so an
+    // in-flight write's staging is never pulled out from under it.
+    val tmpRoot = log.tableDir(table).resolve("_tmp")
+    if (Files.exists(tmpRoot)) {
+      val cutoff = System.currentTimeMillis() - math.max(0L, tmpRetainMs)
+      val children = {
+        val s = Files.list(tmpRoot)
+        try s.iterator().asScala.toList finally s.close()
+      }
+      children.foreach { c =>
+        if (Files.getLastModifiedTime(c).toMillis < cutoff)
+          deleteRecursively(c)
       }
     }
     VacuumReport(all.size, deleted, live.size)

@@ -119,7 +119,7 @@ object Similarity {
     * |df| × nCentroids (a rank window would shuffle the full cross score,
     * vectors included).
     */
-  private[operators] def assignNearest(df: DataFrame, centroids: DataFrame,
+  private[graft] def assignNearest(df: DataFrame, centroids: DataFrame,
                                        vcol: String, take: Int): DataFrame = {
     TopKAggregate.register(df.sparkSession)
     val key = df.columns.head

@@ -165,6 +165,71 @@ object Streams {
       .start()
   }
 
+  /** Streaming SEMANTIC dedup into a lake table: each micro-batch of
+    * (id, embedding) rows is assigned against a FROZEN codebook
+    * ([[graft.operators.Dedup.semanticDupPairsWithCentroids]] machinery),
+    * deduped within the batch (greedy min-id over the within-cluster pair
+    * graph) and against everything already accepted into `table`, then the
+    * survivors append exactly-once (same txn contract as [[sinkToLake]]).
+    *
+    * The history table stores (id, v[unit-norm], centroid_id) CLUSTERED BY
+    * centroid_id, and each batch reads it filtered to the batch's own
+    * centroid ids — with the lake's stat pruning that touches only the
+    * files of probed clusters, so per-batch cost tracks batch size, not
+    * history size. The frozen codebook is what keeps centroid ids stable
+    * across batches (a re-fit would silently shift cluster boundaries).
+    */
+  def semanticDedupToLake(stream: DataFrame, log: graft.lake.LakeLog,
+                          table: String, checkpointDir: String,
+                          cents: DataFrame, threshold: Double,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.{VectorExpressions, VectorFunctions}
+    val appId = appIdFor(checkpointDir)
+    val centsLocal = cents.localCheckpoint() // reused every batch
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        VectorExpressions.register(s)
+        val assigned = graft.operators.Similarity.assignNearest(
+            batch.select(col(idCol).as("id"),
+                VectorFunctions.normalize(col(vecCol)).as("v")),
+            centsLocal, "v", 1)
+          .select("id", "v", "centroid_id").localCheckpoint()
+        // within-batch dup pairs (same cluster, cos >= threshold): greedy
+        // min-id survivors — b-side of any pair drops
+        val a = assigned.select(col("centroid_id"), col("id").as("a_id"),
+          col("v").as("a_v"))
+        val b = assigned.select(col("centroid_id"), col("id").as("b_id"),
+          col("v").as("b_v"))
+        val inBatchDrop = a.join(b, Seq("centroid_id"))
+          .filter(col("a_id") < col("b_id"))
+          .filter(VectorExpressions.dotNative(col("a_v"), col("b_v"))
+            >= threshold)
+          .select(col("b_id").as("id")).distinct()
+        val batchKept = assigned.join(inBatchDrop, Seq("id"), "left_anti")
+        // against-history: only the probed clusters' files are read
+        val probed = batchKept.select("centroid_id").distinct()
+          .collect().map(_.get(0)) // batch-bounded: <= |codebook| ids
+        val history = graft.lake.LakeTable.read(s, log, table)
+          .filter(col("centroid_id").isin(probed.toIndexedSeq: _*))
+        val histDrop = batchKept.join(
+            history.select(col("centroid_id"), col("v").as("h_v")),
+            Seq("centroid_id"))
+          .filter(VectorExpressions.dotNative(col("v"), col("h_v"))
+            >= threshold)
+          .select("id").distinct()
+        val survivors = batchKept.join(histDrop, Seq("id"), "left_anti")
+        graft.lake.LakeTable.insert(s, log, table, survivors,
+          txnId = s"stream-sem-$appId-$batchId",
+          clusterBy = Seq("centroid_id"))
+        ()
+      }
+      .start()
+  }
+
   /** Streaming UPSERT sink for update-mode aggregations: each micro-batch
     * carries the groups whose aggregates changed; committing them through
     * [[graft.lake.LakeTable.upsert]] keyed on `keyCol` keeps the lake table

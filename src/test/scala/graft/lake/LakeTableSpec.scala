@@ -436,6 +436,20 @@ class LakeTableSpec extends SparkSpec {
       java.nio.file.Paths.get(p))))
     // current snapshot still fully readable
     assert(LakeTable.read(spark, log, "t").count() == 300)
+
+    // crash-orphaned staging dirs: swept once older than tmpRetainMs,
+    // fresh ones (a concurrent in-flight write) left alone
+    val tmpRoot = log.tableDir("t").resolve("_tmp")
+    val stale = java.nio.file.Files.createDirectories(
+      tmpRoot.resolve("txn-dead-beef"))
+    java.nio.file.Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600_000))
+    val fresh = java.nio.file.Files.createDirectories(
+      tmpRoot.resolve("txn-live-cafe"))
+    LakeTable.vacuum(log, "t", retainVersions = 1, tmpRetainMs = 60_000)
+    assert(!java.nio.file.Files.exists(stale))
+    assert(java.nio.file.Files.exists(fresh))
   }
 
   test("Property 1: random-schema insert→read round-trip preserves data") {
@@ -567,5 +581,27 @@ class LakeTableSpec extends SparkSpec {
     assertThrows[LakeValidationException](
       LakeTable.fromStructType(StructType(Seq(
         StructField("x", ArrayType(LongType))))))
+  }
+
+  test("vector columns: write/read round-trip, stats skipped, not partitionable") {
+    val log = newLog()
+    val st = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("emb", ArrayType(DoubleType))))
+    LakeTable.createTable(log, "vec", st)
+    val df = Seq((1L, Array(0.5, -1.5)), (2L, Array(2.0, 3.0)))
+      .toDF("id", "emb")
+    LakeTable.insert(spark, log, "vec", df)
+    val back = LakeTable.read(spark, log, "vec").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(back == Map(1L -> Seq(0.5, -1.5), 2L -> Seq(2.0, 3.0)))
+    // scalar columns keep real stats; the vector column carries none
+    val stats = log.snapshot("vec").files.head.stats.get
+    assert(stats.min_values.contains("id"))
+    assert(!stats.min_values.contains("emb") &&
+      !stats.max_values.contains("emb"))
+    // an array column can never partition a table
+    assertThrows[LakeValidationException](
+      LakeTable.createTable(log, "vecp", st, partitionBy = Seq("emb")))
   }
 }

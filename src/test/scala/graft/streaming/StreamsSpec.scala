@@ -272,6 +272,47 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming semantic dedup: batch + history dedup against a codebook") {
+    import graft.lake.{LakeLog, LakeTable}
+    import org.apache.spark.sql.types._
+    implicit val sq = spark.sqlContext
+    val log = new LakeLog(tmpDir("semlake"))
+    LakeTable.createTable(log, "vecs", StructType(Seq(
+      StructField("id", LongType),
+      StructField("v", ArrayType(DoubleType)),
+      StructField("centroid_id", IntegerType))))
+    // frozen 2-centroid codebook on the axes
+    val cents = Seq((0, Array(1.0, 0.0)), (1, Array(0.0, 1.0)))
+      .toDF("centroid_id", "centroid")
+    val input = MemoryStream[(Long, Array[Float])]
+    val query = Streams.semanticDedupToLake(
+      input.toDF().toDF("vec_id", "embedding"), log, "vecs",
+      tmpDir("semckpt").toString, cents, threshold = 0.95,
+      idCol = "vec_id", vecCol = "embedding")
+    try {
+      // batch 1: 1 and 2 are near-dups (within-batch, min id survives);
+      // 3 is its own cluster
+      input.addData(
+        (1L, Array(1.0f, 0.01f)), (2L, Array(1.0f, 0.02f)),
+        (3L, Array(0.0f, 1.0f)))
+      query.processAllAvailable()
+      // batch 2: 4 duplicates history (survivor 1); 5 is genuinely new
+      // (same cluster as 3, but cos(~45 degrees) < 0.95)
+      input.addData(
+        (4L, Array(1.0f, 0.03f)), (5L, Array(0.6f, 0.8f)))
+      query.processAllAvailable()
+      val kept = LakeTable.read(spark, log, "vecs")
+        .select("id").as[Long].collect().toSet
+      assert(kept == Set(1L, 3L, 5L))
+      // history is clustered by centroid_id and vectors are unit-norm
+      val row = LakeTable.read(spark, log, "vecs")
+        .filter(col("id") === 5L).head()
+      val v = row.getSeq[Double](row.fieldIndex("v"))
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-6)
+      assert(row.getInt(row.fieldIndex("centroid_id")) == 1)
+    } finally query.stop()
+  }
+
   test("streaming curation: redact → quality gate → dedup → lake sink") {
     // the batch curation operators are per-row Column expressions, so the
     // same pipeline runs unchanged as a micro-batch stream with
