@@ -210,10 +210,13 @@ object Streams {
             >= threshold)
           .select(col("b_id").as("id")).distinct()
         val batchKept = assigned.join(inBatchDrop, Seq("id"), "left_anti")
-        // against-history: only the probed clusters' files are read
+        // against-history: readIndexed routes the isin predicate into
+        // LakeFileIndex, so only files whose centroid_id stat range
+        // intersects the batch's probed clusters are opened (the history
+        // is written clusterBy(centroid_id), so files are stat-tight)
         val probed = batchKept.select("centroid_id").distinct()
           .collect().map(_.get(0)) // batch-bounded: <= |codebook| ids
-        val history = graft.lake.LakeTable.read(s, log, table)
+        val history = graft.lake.LakeTable.readIndexed(s, log, table)
           .filter(col("centroid_id").isin(probed.toIndexedSeq: _*))
         val histDrop = batchKept.join(
             history.select(col("centroid_id"), col("v").as("h_v")),
