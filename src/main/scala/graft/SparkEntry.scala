@@ -938,6 +938,19 @@ object SparkEntry {
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("a_id", "b_id")
     }),
+    "q_bpe" -> ((s, d) => {
+      // real learned BPE (rows-only: the merge table comes from the
+      // driver-side Sennrich loop; BpeSpec pins the classic merge
+      // sequence, greedy-rank encoding, losslessness and determinism).
+      // One distributed word-frequency pass trains; encoding is a
+      // broadcast-ranks map, no shuffle.
+      val docs = docsSpread(s, d)
+      val model = graft.operators.Bpe.train(docs, nMerges = 64)
+      graft.operators.Bpe.encode(docs, model)
+        .select(col("doc_id"), size(col("bpe_tokens")).as("n_subwords"),
+          size(tokens(col("text"))).as("n_words"))
+        .orderBy("doc_id")
+    }),
     "q_embed_pca" -> ((s, d) => {
       // PCA-whitened embeddings (rows-only: the projection constants come
       // from the driver-side eigensolver, not expressible in DuckDB SQL;

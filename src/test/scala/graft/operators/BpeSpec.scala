@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("trainFromFreqs learns the classic merge sequence") {
+    // Sennrich-style toy vocabulary: 'es' then 'est' dominate
+    val freqs = Seq(
+      ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val model = Bpe.trainFromFreqs(freqs, nMerges = 3)
+    // pair counts round 1: (e,s)=9, (s,t)=9, (t,</w>)=9, (l,o)=7, (o,w)=7…
+    // lexicographic tie-break → (e,s) first, then (es,t), then (est,</w>)
+    assert(model.merges.take(3) ==
+      Seq(("e", "s"), ("es", "t"), ("est", "</w>")))
+  }
+
+  test("encodeWord applies merges greedily by rank") {
+    val model = Bpe.trainFromFreqs(
+      Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)), 5)
+    val ranks = model.ranks
+    // "lowest" was never seen whole, but its learned subwords apply
+    val enc = Bpe.encodeWord("lowest", ranks)
+    assert(enc.last == "est</w>", enc.toString)
+    assert(enc.mkString == "lowest</w>") // lossless segmentation
+    // unknown characters degrade to singletons, never crash
+    val odd = Bpe.encodeWord("zq", ranks)
+    assert(odd.mkString == "zq</w>")
+  }
+
+  test("train + encode on a DataFrame corpus is deterministic and lossless") {
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower newest newest newest"),
+      (3L, "newest newest newest widest widest widest")
+    ).toDF("doc_id", "text")
+    val m1 = Bpe.train(docs, nMerges = 15)
+    val m2 = Bpe.train(docs, nMerges = 15)
+    assert(m1.merges == m2.merges)
+    val enc = Bpe.encode(docs, m1)
+      .select(col("doc_id"), concat_ws("", col("bpe_tokens")).as("joined"),
+        size(col("bpe_tokens")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+      .sortBy(_._1)
+    // losslessness: concatenated subwords == words + </w> markers
+    assert(enc.head._2 == "low</w>" * 5)
+    // high-frequency words compress to one token per word
+    assert(enc.head._3 == 5)
+  }
+
+  test("train caps the dict by frequency and still encodes the tail") {
+    val docs = Seq((1L, "aaa aaa aaa bbb bbb zzz")).toDF("doc_id", "text")
+    val model = Bpe.train(docs, nMerges = 4, maxWords = 2) // zzz dropped
+    val enc = Bpe.encode(docs, model)
+      .select(explode(col("bpe_tokens")).as("t"))
+      .collect().map(_.getString(0))
+    assert(enc.contains("aaa</w>")) // learned whole-word merge
+    assert(enc.count(_ == "z") == 2 || enc.exists(_.startsWith("z")))
+  }
+}
