@@ -157,6 +157,26 @@ object MaterializedView {
       .agg(sum("n_rows").cast("long").as("n_rows"),
         d.sumCols.map(c => sum(s"sum_$c").as(s"sum_$c")): _*)
 
+  /** Keep the MV continuously fresh: tail the base table's CDC stream
+    * (offsets = log versions) and run one [[refresh]] per micro-batch.
+    * The batch contents are ignored — refresh re-derives its own delta
+    * from the log, so a restart, a duplicate batch or a batch that
+    * coalesced several versions all land on the same idempotent
+    * high-water txn. This is the streaming face of the MV: the base's
+    * writers don't know the view exists, and the view never re-reads
+    * more than the delta.
+    */
+  def continuousRefresh(spark: SparkSession, log: LakeLog, d: MvDef,
+                        checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.Streams.lakeStream(spark, log, d.base).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        refresh(spark, log, d)
+        ()
+      }
+      .start()
+
   /** Read the MV, with derived exact means (`avg_<c> = sum_<c>/n_rows`)
     * appended — the read-side face of count/sum self-maintainability. */
   def read(spark: SparkSession, log: LakeLog, d: MvDef): DataFrame = {

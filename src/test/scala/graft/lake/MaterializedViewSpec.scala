@@ -159,6 +159,23 @@ class MaterializedViewSpec extends SparkSpec {
     assert(MaterializedView.refresh(spark, log, d).mode == "incremental")
   }
 
+  test("continuousRefresh keeps the MV fresh as the base commits land") {
+    val (log, d) = setup()
+    LakeTable.insert(spark, log, "sales", rows(1 to 20, "a"))
+    val query = MaterializedView.continuousRefresh(spark, log, d,
+      tmpDir("mvcr").toString)
+    try {
+      query.processAllAvailable()
+      assert(actual(log, d) == expected(log))
+      LakeTable.insert(spark, log, "sales", rows(21 to 50, "b"))
+      LakeTable.insert(spark, log, "sales", rows(51 to 60, "a"))
+      query.processAllAvailable()
+      assert(actual(log, d) == expected(log))
+      assert(MaterializedView.lastRefreshed(log, d) ==
+        log.latestVersion("sales"))
+    } finally query.stop()
+  }
+
   test("concurrent refreshes land exactly once") {
     val (log, d) = setup()
     LakeTable.insert(spark, log, "sales", rows(1 to 40, "a"))
