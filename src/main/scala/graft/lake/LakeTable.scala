@@ -269,6 +269,52 @@ object LakeTable {
     } finally deleteRecursively(tmp)
   }
 
+  /** Atomically REPLACE the table's contents with `df`: stage the new
+    * files, then ONE commit removes every currently-live file and adds the
+    * staged ones. Readers see either the old state or the new state, never
+    * an empty intermediate — which is why full materialized-view refreshes
+    * go through this instead of composing deleteWhere + insert (two
+    * commits: a crash or a racing writer between them could leave the
+    * table empty with the work's txn already spent). Duplicate txn ids
+    * replay as no-ops like every other write.
+    */
+  def overwrite(spark: SparkSession, log: LakeLog, table: String,
+                df: DataFrame,
+                txnId: String = UUID.randomUUID().toString,
+                numFiles: Int = 1,
+                maxAttempts: Int = 3): CommitResult = {
+    log.committedVersion(table, txnId).foreach(v =>
+      return CommitResult(v, duplicate = true))
+    val sch = log.snapshot(table).schema.get
+    val st = toStructType(sch)
+    val partCols = sch.partCols
+    val tmp = log.tmpDir(table, txnId)
+    val shaped = df.select(st.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType)): _*)
+    val checksOn = sch.checks.nonEmpty
+    if (checksOn) shaped.persist()
+    try enforceChecks(table, sch, shaped)
+    catch { case e: Throwable => if (checksOn) shaped.unpersist(); throw e }
+    try {
+      withStatFriendlyWrites(spark) {
+        (if (numFiles > 1) shaped.repartition(numFiles)
+         else shaped.coalesce(1))
+          .write.mode("overwrite").option("compression", "snappy")
+          .partitionBy(partCols: _*)
+          .parquet(tmp.toString)
+      }
+    } finally if (checksOn) shaped.unpersist()
+    try {
+      val adds = statAndPromote(spark, log, table, tmp, st, partCols = partCols)
+      val res =
+        try log.commitWithRetry(table, txnId, maxAttempts)(fresh =>
+          Some((adds, fresh.files.map(_.path)))).get
+        catch { case e: Throwable => discardAdds(adds); throw e }
+      if (res.duplicate) discardAdds(adds)
+      res
+    } finally deleteRecursively(tmp)
+  }
+
   /** Promote staged parquet into `data/`, computing per-file row count +
     * min/max stats from the parquet FOOTERS ([[FooterStats]]) — O(#files)
     * metadata reads, no re-scan of the data that was just written. Zero-row

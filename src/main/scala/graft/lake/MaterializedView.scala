@@ -100,13 +100,29 @@ object MaterializedView {
     removedRows == e.adds.map(_.rows).sum
   }
 
+  // Refreshes of one MV are serialized in-process: two concurrent
+  // refreshers could otherwise observe DIFFERENT base versions and the
+  // later-observing one commit first — the earlier one's merge (computed
+  // against the pre-commit MV state) would then overwrite touched keys
+  // with totals missing the newer delta, while lastRefreshed (the max)
+  // claims it was folded. The lake log is explicitly a driver-local
+  // control plane (per-table in-process commit locks), so a per-MV lock
+  // is the same single-process contract; serialized, the loser simply
+  // re-derives `last` and becomes a noop or folds the remaining delta.
+  private val refreshLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Bring the MV up to the base's latest version. Returns what happened:
     * `noop` (already current), `incremental` (delta aggregated + merged via
-    * one idempotent upsert), or `full` (recompute; delete-all + insert —
-    * the insert carries the high-water txn, so a crash between the two
-    * commits re-runs the full refresh rather than losing it).
+    * one idempotent upsert — or, for a logically-empty delta such as a
+    * compaction-only window, a metadata-only commit that just advances the
+    * high-water mark), or `full` (recompute via [[LakeTable.overwrite]] —
+    * ONE atomic commit, so readers never observe an empty MV and a crash
+    * or duplicate replay can never leave one behind).
     */
-  def refresh(spark: SparkSession, log: LakeLog, d: MvDef): RefreshResult = {
+  def refresh(spark: SparkSession, log: LakeLog, d: MvDef): RefreshResult =
+    refreshLocks.computeIfAbsent(s"${log.root}#${d.name}", _ => new Object)
+      .synchronized {
     val cur = log.latestVersion(d.base)
     val last = lastRefreshed(log, d)
     if (cur <= last) return RefreshResult("noop", last, cur)
@@ -120,12 +136,14 @@ object MaterializedView {
         LakeTable.changesSince(spark, log, d.base, last, cur), d)
         .persist()
       try {
-        // a NULL group key cannot ride the upsert merge: the upsert's
-        // anti-join never matches NULL = NULL, so the old NULL-group row
-        // would survive NEXT TO the merged one. Route null-key deltas to
-        // the full path instead (rare: a whole refresh window where the
-        // null group changed).
-        if (delta.filter(col(d.keyCol).isNull).isEmpty) {
+        if (delta.isEmpty) {
+          // logically-empty window (layout-only / schema-only entries):
+          // advance the high-water mark with a metadata-only commit —
+          // routing this through upsert would rewrite the ENTIRE MV (an
+          // empty update set defeats its key-range pruning)
+          log.commitWithRetry(d.name, txnFor(d, cur))(_ => Some((Nil, Nil)))
+          RefreshResult("incremental", last, cur)
+        } else if (delta.filter(col(d.keyCol).isNull).isEmpty) {
           // merged totals for touched keys only: current MV rows for those
           // keys + the delta, re-aggregated. The MV-side read is
           // stats-pruned by upsert's own key-range pruning on write; the
@@ -136,7 +154,12 @@ object MaterializedView {
           LakeTable.upsert(spark, log, d.name, merged, d.keyCol,
             txnId = txnFor(d, cur))
           RefreshResult("incremental", last, cur)
-        } else fullRefresh(spark, log, d, last, cur)
+        } else {
+          // a NULL group key cannot ride the upsert merge: the upsert's
+          // anti-join never matches NULL = NULL, so the old NULL-group row
+          // would survive NEXT TO the merged one. Full path instead.
+          fullRefresh(spark, log, d, last, cur)
+        }
       } finally delta.unpersist()
     } else fullRefresh(spark, log, d, last, cur)
   }
@@ -144,10 +167,7 @@ object MaterializedView {
   private def fullRefresh(spark: SparkSession, log: LakeLog, d: MvDef,
                           last: Long, cur: Long): RefreshResult = {
     val full = aggOf(LakeTable.read(spark, log, d.base), d)
-    // clear, then insert under the high-water txn (idempotent): the
-    // delete predicate is total (n_rows of a group is always >= 1)
-    LakeTable.deleteWhere(spark, log, d.name, "n_rows >= 0")
-    LakeTable.insert(spark, log, d.name, full, txnId = txnFor(d, cur))
+    LakeTable.overwrite(spark, log, d.name, full, txnId = txnFor(d, cur))
     RefreshResult("full", last, cur)
   }
 

@@ -34,6 +34,15 @@ object Bpe {
 
   private val EndOfWord = "</w>"
 
+  /** Base alphabet = Unicode CODE POINTS, not UTF-16 code units: splitting
+    * with `w.map(_.toString)` would shear astral-plane characters (emoji,
+    * rare CJK) into unpaired surrogate halves — merges would then be
+    * learned over malformed half-characters and encode() could emit
+    * invalid strings.
+    */
+  private def symbols(w: String): Array[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
   /** One distributed corpus pass → bounded word-frequency dict → driver
     * merge loop. Deterministic: ties in pair frequency break
     * lexicographically; the word cap breaks ties by (count desc, word).
@@ -54,7 +63,7 @@ object Bpe {
                                         nMerges: Int): BpeModel = {
     // each word as its current symbol sequence (chars + </w>)
     var words: Seq[(Array[String], Long)] = wordFreq.map { case (w, f) =>
-      (w.map(_.toString).toArray :+ EndOfWord, f)
+      (symbols(w) :+ EndOfWord, f)
     }
     val merges = Seq.newBuilder[(String, String)]
     var done = false
@@ -100,7 +109,7 @@ object Bpe {
   private[operators] def encodeWord(word: String,
                                     ranks: Map[(String, String), Int])
       : Seq[String] = {
-    var syms: Array[String] = word.map(_.toString).toArray :+ EndOfWord
+    var syms: Array[String] = symbols(word) :+ EndOfWord
     var continue = syms.length > 1
     while (continue) {
       var bestRank = Int.MaxValue

@@ -409,8 +409,8 @@ object Dedup {
     Similarity.assignNearest(normed, cents, "v", nProbe).localCheckpoint()
   }
 
-  private def pairsOfAssignments(assigned: DataFrame, threshold: Double,
-                                 nProbe: Int): DataFrame = {
+  private[graft] def pairsOfAssignments(assigned: DataFrame, threshold: Double,
+                                        nProbe: Int): DataFrame = {
     val a = assigned.select(col("centroid_id"), col("id").as("a_id"),
       col("v").as("a_v"))
     val b = assigned.select(col("centroid_id"), col("id").as("b_id"),

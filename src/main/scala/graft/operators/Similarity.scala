@@ -182,6 +182,7 @@ object Similarity {
       .localCheckpoint()
     val centroids = kmeansCentroids(c, nCentroids, kmeansIters)
     assignNearest(c, centroids, "cv", 1)
+      .drop("__ccos") // assignment-time score: no index reader uses it
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$path/lists")
     centroids.coalesce(1).write.mode("overwrite")

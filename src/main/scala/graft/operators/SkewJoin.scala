@@ -49,7 +49,13 @@ object SkewJoin {
     */
   def hotKeys(left: DataFrame, keyCols: Seq[String], hotThreshold: Long,
               maxHotKeys: Int = 1024): Array[Seq[Any]] =
-    left.groupBy(keyCols.map(col): _*).count()
+    hotKeysFromCounts(left.groupBy(keyCols.map(col): _*).count(),
+      keyCols, hotThreshold, maxHotKeys)
+
+  private def hotKeysFromCounts(counts: DataFrame, keyCols: Seq[String],
+                                hotThreshold: Long, maxHotKeys: Int)
+      : Array[Seq[Any]] =
+    counts
       .filter(col("count") >= hotThreshold)
       .orderBy(col("count").desc, struct(keyCols.map(col): _*))
       .limit(maxHotKeys)
@@ -84,19 +90,24 @@ object SkewJoin {
                          hotThreshold: Long = 0, maxHotKeys: Int = 1024,
                          joinType: String = "inner"): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
-    val threshold =
-      if (hotThreshold > 0) hotThreshold
-      else {
-        val stats = left.groupBy(keyCols.map(col): _*).count()
-          .agg(avg("count").as("mean")).first()
-        val mean = Option(stats.get(0)).fold(0.0)(_.toString.toDouble)
-        math.max(256L, (4 * mean).toLong)
-      }
     require(!Set("right", "rightouter", "right_outer", "full", "outer",
       "fullouter", "full_outer").contains(joinType.toLowerCase),
       "adaptiveSaltedJoin replicates right-side rows; right/full outer " +
         "joins would duplicate their null-extended output")
-    val hot = hotKeys(left, keyCols, threshold, maxHotKeys).toSet
+    // ONE counting pass serves both the auto-threshold and the hot-key
+    // scan (persisted: the mean aggregate and the top-k filter would
+    // otherwise each re-shuffle the full left relation)
+    val counts = left.groupBy(keyCols.map(col): _*).count().persist()
+    val hot = try {
+      val threshold =
+        if (hotThreshold > 0) hotThreshold
+        else {
+          val stats = counts.agg(avg("count").as("mean")).first()
+          val mean = Option(stats.get(0)).fold(0.0)(_.toString.toDouble)
+          math.max(256L, (4 * mean).toLong)
+        }
+      hotKeysFromCounts(counts, keyCols, threshold, maxHotKeys).toSet
+    } finally counts.unpersist()
     if (hot.isEmpty) return left.join(right, keyCols, joinType)
 
     // hot-key membership predicate: a literal isin stays inside codegen for

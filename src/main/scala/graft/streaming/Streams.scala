@@ -198,18 +198,13 @@ object Streams {
                 VectorFunctions.normalize(col(vecCol)).as("v")),
             centsLocal, "v", 1)
           .select("id", "v", "centroid_id").localCheckpoint()
-        // within-batch dup pairs (same cluster, cos >= threshold): greedy
-        // min-id survivors — b-side of any pair drops
-        val a = assigned.select(col("centroid_id"), col("id").as("a_id"),
-          col("v").as("a_v"))
-        val b = assigned.select(col("centroid_id"), col("id").as("b_id"),
-          col("v").as("b_v"))
-        val inBatchDrop = a.join(b, Seq("centroid_id"))
-          .filter(col("a_id") < col("b_id"))
-          .filter(VectorExpressions.dotNative(col("a_v"), col("b_v"))
-            >= threshold)
-          .select(col("b_id").as("id")).distinct()
-        val batchKept = assigned.join(inBatchDrop, Seq("id"), "left_anti")
+        // within-batch dedup: the SAME pair machinery as the batch
+        // operator (Dedup.pairsOfAssignments), greedy min-id survivors
+        // (Dedup.dropDuplicates: b-side of any pair drops)
+        val pairs = graft.operators.Dedup
+          .pairsOfAssignments(assigned, threshold, nProbe = 1)
+        val batchKept =
+          graft.operators.Dedup.dropDuplicates(assigned, pairs, "id")
         // against-history: readIndexed routes the isin predicate into
         // LakeFileIndex, so only files whose centroid_id stat range
         // intersects the batch's probed clusters are opened (the history

@@ -101,6 +101,11 @@ class AsOfJoinSpec extends SparkSpec {
     assert(fast("forward", Some(lit(50L))) ==
       naive(col("r.t") >= col("l.t") && col("r.t") <= col("l.t") + 50,
         col("r.t").asc_nulls_last))
+    // nearest with tolerance 50: min |distance| within the bound, ties
+    // -> backward (earlier right) via the naive second sort key
+    assert(fast("nearest", Some(lit(50L))) ==
+      naive(abs(col("r.t") - col("l.t")) <= 50,
+        abs(col("r.t") - col("l.t")).asc_nulls_last))
   }
 
   test("asof carries the matched right row atomically when payload has NULLs") {

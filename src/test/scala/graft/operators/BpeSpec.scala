@@ -50,6 +50,23 @@ class BpeSpec extends SparkSpec {
     assert(enc.head._3 == 5)
   }
 
+  test("astral-plane characters stay whole code points, never surrogates") {
+    val smile = new String(Character.toChars(0x1F600)) // U+1F600, 2 chars
+    val model = Bpe.trainFromFreqs(Seq((smile + smile + "a", 4L)), 2)
+    // every learned symbol is a valid string: no lone surrogate halves
+    model.merges.flatMap(m => Seq(m._1, m._2)).foreach { s =>
+      s.toCharArray.zipWithIndex.foreach { case (c, i) =>
+        if (Character.isHighSurrogate(c))
+          assert(i + 1 < s.length && Character.isLowSurrogate(s.charAt(i + 1)),
+            s"lone high surrogate in symbol ${s.toList}")
+      }
+    }
+    val enc = Bpe.encodeWord(smile + "a" + smile, model.ranks)
+    assert(enc.mkString == smile + "a" + smile + "</w>")
+    enc.foreach(t => assert(!t.exists(c => Character.isSurrogate(c)) ||
+      t.codePoints().count() > 0))
+  }
+
   test("train caps the dict by frequency and still encodes the tail") {
     val docs = Seq((1L, "aaa aaa aaa bbb bbb zzz")).toDF("doc_id", "text")
     val model = Bpe.train(docs, nMerges = 4, maxWords = 2) // zzz dropped
