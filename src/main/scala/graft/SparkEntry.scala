@@ -938,6 +938,19 @@ object SparkEntry {
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("a_id", "b_id")
     }),
+    "q_text_normalize" -> ((s, d) => {
+      // Unicode cleaning under the exact oracle: a deterministic dirty
+      // suffix (decomposed e + combining acute, a BEL control char, messy
+      // whitespace) is appended in BOTH engines; cleanText must NFC-compose
+      // it, strip the control char and collapse the runs to the same bytes
+      // DuckDB's nfc_normalize + regexp chain produces.
+      docsSpread(s, d)
+        .select(col("doc_id"),
+          cleanText(concat(col("text"),
+            lit("  café   fin "))).as("clean"))
+        .withColumn("clean_len", length(col("clean")))
+        .orderBy("doc_id")
+    }),
     "q_bpe" -> ((s, d) => {
       // real learned BPE (rows-only: the merge table comes from the
       // driver-side Sennrich loop; BpeSpec pins the classic merge
@@ -2020,6 +2033,19 @@ object SparkEntry {
         FROM scored)
       SELECT query_id, vec_id, round(cos, 6) AS cos, rank
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_text_normalize" -> """
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(
+               nfc_normalize(text || '  cafe' || chr(769) || ' ' || chr(7)
+                             || '  fin '),
+               '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+               '\s+', ' ', 'g')) AS clean,
+             length(trim(regexp_replace(regexp_replace(
+               nfc_normalize(text || '  cafe' || chr(769) || ' ' || chr(7)
+                             || '  fin '),
+               '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+               '\s+', ' ', 'g'))) AS clean_len
+      FROM documents ORDER BY doc_id""",
     "q_dedup_semantic_fixed" -> """
       WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
                  FROM embeddings WHERE vec_id < 4),

@@ -16,6 +16,32 @@ object TextFunctions {
   def normalizeText(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
+  /** Unicode NFC normalization (UAX #15): canonical-composes combining
+    * sequences so visually-identical strings hash/dedup identically —
+    * standard first step of every text-curation pipeline. Spark has no
+    * built-in normalizer, so this is a UDF over `java.text.Normalizer`
+    * (bounded per-row work, off every shuffle path — the same standing as
+    * the Bloom-probe and BPE-encode UDFs); DuckDB's `nfc_normalize`
+    * implements the same algorithm, which is what makes the oracle exact.
+    */
+  def nfc(c: Column): Column = {
+    val f = udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    f(c)
+  }
+
+  /** Full cleaning pass: NFC-compose, strip C0 control characters (except
+    * tab/newline/CR, which the whitespace collapse handles) and DEL, then
+    * collapse whitespace runs and trim — mirrored exactly by the DuckDB
+    * oracle's nfc_normalize + regexp chain.
+    */
+  def cleanText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(nfc(c),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "\\s+", " "))
+
   /** Non-empty whitespace tokens. */
   def tokens(c: Column): Column =
     filter(split(c, "\\s+"), t => t =!= "")
