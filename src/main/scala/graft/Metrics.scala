@@ -72,3 +72,46 @@ object Metrics {
   def toJson(ms: Seq[QueryMetrics]): String =
     ms.map(m => s""""${m.name}":${m.toJson}""").mkString("{", ",", "}")
 }
+
+/** The reference's alert rules (`monitoring/lakehouse_alerts.yml:42-49`)
+  * evaluated driver-side over a metrics batch + the lake log's commit
+  * counters — its whole SLO surface: p95 query latency < 1 s, and the
+  * commit-conflict rate staying under a bound. The reference expresses
+  * these as Prometheus rules over exported series; here the same
+  * predicates run over [[Metrics.QueryMetrics]] directly, so Bench/Verify
+  * output can be gated without a metrics stack.
+  */
+object Alerts {
+
+  final case class Alert(rule: String, value: Double, threshold: Double,
+                         firing: Boolean) {
+    def toJson: String =
+      s"""{"rule":"$rule","value":$value,"threshold":$threshold,""" +
+        s""""firing":$firing}"""
+  }
+
+  /** p95 by the nearest-rank method over the batch's durations. */
+  def p95(durations: Seq[Double]): Double =
+    if (durations.isEmpty) 0.0
+    else {
+      val sorted = durations.sorted
+      sorted(math.ceil(0.95 * sorted.size).toInt - 1)
+    }
+
+  def evaluate(ms: Seq[Metrics.QueryMetrics],
+               log: Option[graft.lake.LakeLog] = None,
+               p95LatencySloSec: Double = 1.0,
+               conflictRateSlo: Double = 0.05): Seq[Alert] = {
+    val lat = p95(ms.map(_.durationSec))
+    val latency = Alert("query_p95_latency_seconds", lat, p95LatencySloSec,
+      firing = lat >= p95LatencySloSec)
+    val commit = log.map { l =>
+      val attempts = l.commitAttempts.get()
+      val conflicts = l.commitConflicts.get()
+      val rate = if (attempts == 0) 0.0 else conflicts.toDouble / attempts
+      Alert("commit_conflict_rate", rate, conflictRateSlo,
+        firing = rate >= conflictRateSlo)
+    }
+    Seq(latency) ++ commit
+  }
+}

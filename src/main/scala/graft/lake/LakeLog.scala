@@ -84,6 +84,12 @@ final class LakeLog(val root: Path) {
     .serializationInclusion(JsonInclude.Include.NON_ABSENT)
     .build() :: ClassTagExtensions
 
+  // Commit-outcome counters: the reference exports these as Prometheus
+  // series (lakehouse commit failures/attempts) and alerts on their ratio;
+  // graft.Alerts evaluates the same rule over them.
+  val commitAttempts = new java.util.concurrent.atomic.AtomicLong()
+  val commitConflicts = new java.util.concurrent.atomic.AtomicLong()
+
   // Log entries are immutable once committed — cache parsed entries forever.
   private val entryCache = new ConcurrentHashMap[Path, LogEntry]()
   // One lock object per table name = the single-process commit point.
@@ -268,15 +274,18 @@ final class LakeLog(val root: Path) {
              adds: Seq[FileAdd], removes: Seq[String] = Nil): CommitResult = {
     if (txnId.isEmpty)
       throw new LakeValidationException("transaction ID cannot be empty")
+    commitAttempts.incrementAndGet()
     lockFor(table).synchronized {
       val latest = latestVersion(table) // also validates existence
       txnVersions(table).get(txnId) match {
         case Some(v) => CommitResult(v, duplicate = true)
         case None =>
-          if (baseVersion != latest)
+          if (baseVersion != latest) {
+            commitConflicts.incrementAndGet()
             throw new CommitConflictException(
               s"optimistic concurrency failure: base version $baseVersion " +
                 s"does not match current version $latest")
+          }
           val current = snapshot(table, latest).files.map(_.path).toSet
           removes.foreach { r =>
             if (!current.contains(r)) throw new LakeValidationException(

@@ -40,6 +40,30 @@ class MetricsSpec extends SparkSpec {
     assert(m.filesScanned > 0 && m.filesPruned == 0)
   }
 
+  test("alert rules fire on the reference's SLO predicates") {
+    def m(d: Double) = Metrics.QueryMetrics("q", d, 1, 1, 0, 1)
+    // 20 queries, one slow: p95 (nearest-rank over 20) = 19th value
+    val healthy = (1 to 19).map(_ => m(0.2)) :+ m(5.0)
+    val a = Alerts.evaluate(healthy)
+    assert(a.exists(x => x.rule == "query_p95_latency_seconds" && !x.firing))
+    // half the batch breaches 1 s → p95 over the SLO, alert fires
+    val slow = (1 to 10).map(_ => m(0.2)) ++ (1 to 10).map(_ => m(2.0))
+    assert(Alerts.evaluate(slow).exists(x =>
+      x.rule == "query_p95_latency_seconds" && x.firing))
+
+    // commit-conflict rate off the log's counters: force an OCC conflict
+    import graft.lake.{CommitConflictException, LakeLog, LakeTable}
+    import org.apache.spark.sql.types._
+    val log = new LakeLog(tmpDir("alerts"))
+    LakeTable.createTable(log, "t", StructType(Seq(
+      StructField("id", LongType))))
+    log.commit("t", 0, "a", Nil)
+    intercept[CommitConflictException](log.commit("t", 0, "b", Nil))
+    val rateAlert = Alerts.evaluate(healthy, Some(log))
+      .find(_.rule == "commit_conflict_rate").get
+    assert(rateAlert.value == 0.5 && rateAlert.firing)
+  }
+
   test("metrics serialize to the JSON shape Bench/Verify emit") {
     val m = Metrics.QueryMetrics("q", 0.5, 10, 1, 2, 1024)
     assert(m.toJson ==
