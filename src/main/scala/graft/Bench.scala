@@ -43,6 +43,10 @@ object Bench {
     }
     Files.createDirectories(Paths.get(metricsOut).toAbsolutePath.getParent)
     Files.writeString(Paths.get(metricsOut), Metrics.toJson(metrics))
+    // the reference's SLO rules over the same batch (stderr, not the
+    // stdout JSON line the driver parses)
+    Alerts.evaluate(metrics.filter(_.durationSec >= 0)).foreach(a =>
+      System.err.println(s"[bench-alert] ${a.toJson}"))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
