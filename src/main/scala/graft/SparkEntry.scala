@@ -938,6 +938,14 @@ object SparkEntry {
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("a_id", "b_id")
     }),
+    "q_dedup_spans" -> ((s, d) =>
+      // CCNet-style span dedup under the exact oracle: every 8-token span
+      // that appeared earlier in (doc_id, pos) order drops; DuckDB
+      // recomputes first occurrences with a rank window over the same
+      // span construction.
+      Dedup.dropDuplicateSpans(docsSpread(s, d), spanTokens = 8)
+        .select("doc_id", "text_spandedup", "n_spans_kept")
+        .orderBy("doc_id")),
     "q_text_normalize" -> ((s, d) => {
       // Unicode cleaning under the exact oracle: a deterministic dirty
       // suffix (decomposed e + combining acute, a BEL control char, messy
@@ -2033,6 +2041,30 @@ object SparkEntry {
         FROM scored)
       SELECT query_id, vec_id, round(cos, 6) AS cos, rank
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_dedup_spans" -> """
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '') AS t
+        FROM documents),
+      sp AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(t[(i*8+1):(i*8+8)], ' ') AS span
+        FROM toks, UNNEST(range(CAST(ceil(len(t)/8.0) AS BIGINT))) AS u(i)),
+      k AS (
+        SELECT doc_id, pos FROM (
+          SELECT doc_id, pos,
+                 row_number() OVER (PARTITION BY span
+                                    ORDER BY doc_id, pos) AS rk
+          FROM sp) WHERE rk = 1)
+      SELECT d.doc_id AS doc_id,
+             coalesce(s.txt, '') AS text_spandedup,
+             CAST(coalesce(s.n, 0) AS INT) AS n_spans_kept
+      FROM documents d LEFT JOIN (
+        SELECT sp.doc_id AS sdoc, string_agg(sp.span, ' ' ORDER BY sp.pos) AS txt,
+               count(*) AS n
+        FROM sp JOIN k USING (doc_id, pos) GROUP BY sp.doc_id) s
+        ON d.doc_id = s.sdoc
+      ORDER BY d.doc_id""",
     "q_text_normalize" -> """
       SELECT doc_id,
              trim(regexp_replace(regexp_replace(

@@ -367,6 +367,51 @@ object Dedup {
     }
   }
 
+  /** Span-level (paragraph) dedup, CCNet-style: documents are cut into
+    * non-overlapping `spanTokens`-token spans and every span whose content
+    * already appeared EARLIER in the corpus (ordered by (doc, position))
+    * is removed — the boilerplate-removal stage that doc-level dedup
+    * can't do (navigation blocks, license headers, repeated paragraphs
+    * survive document-level fingerprinting because the surrounding text
+    * differs).
+    *
+    * Scale shape: the first-occurrence computation shuffles (span-hash,
+    * id, pos) — never span text — with min-per-group map-side combine;
+    * the rebuild joins only the kept POSITIONS (ints) back by document id
+    * and re-slices each document's own token array in place, so document
+    * text crosses the wire zero times. Returns the input plus
+    * `text_spandedup` and `n_spans_kept`.
+    */
+  def dropDuplicateSpans(docs: DataFrame, spanTokens: Int = 8,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(spanTokens >= 1, "spanTokens must be >= 1")
+    val w = spanTokens
+    val toks = tokens(col(textCol))
+    val nSpans = ceil(size(toks).cast("double") / w).cast("int")
+    val spanArr = when(nSpans > 0,
+      transform(sequence(lit(0), nSpans - 1),
+        i => array_join(slice(toks, i * w + 1, lit(w)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val spans = spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), posexplode(spanArr))
+      .toDF(idCol, "pos", "span")
+    // global first occurrence per span content: only (hash, id, pos) moves
+    val kept = spans
+      .select(md5(col("span")).as("h"), col(idCol), col("pos"))
+      .groupBy("h").agg(min(struct(col(idCol), col("pos"))).as("f"))
+      .select(col(s"f.$idCol").as(idCol), col("f.pos").as("pos"))
+      .groupBy(idCol).agg(sort_array(collect_list("pos")).as("__keep"))
+    docs.join(kept, Seq(idCol), "left")
+      .withColumn("text_spandedup",
+        array_join(transform(coalesce(col("__keep"),
+            array().cast("array<int>")),
+          p => array_join(slice(toks, p * w + 1, lit(w)), " ")), " "))
+      .withColumn("n_spans_kept",
+        coalesce(size(col("__keep")), lit(0)).cast("int"))
+      .drop("__keep")
+  }
+
   /** Semantic near-duplicate pairs, SemDeDup-style (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with spherical k-means
     * ([[Similarity.kmeansCentroids]] — all-DataFrame Lloyd, deterministic

@@ -247,6 +247,25 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 4L, 5L, 6L))
   }
 
+  test("dropDuplicateSpans removes repeated spans corpus-wide, keeps first") {
+    // w=2 spans; doc 1 = [a b][c d], doc 2 repeats [a b] then new [e f],
+    // doc 3 repeats its own first span in-document, doc 4 is empty
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b e f"),
+      (3L, "g h g h x"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateSpans(docs, spanTokens = 2)
+      .select("doc_id", "text_spandedup", "n_spans_kept")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2)))
+      .toMap
+    assert(out(1L) == ("a b c d", 2))     // first occurrences keep
+    assert(out(2L) == ("e f", 1))         // cross-doc duplicate span drops
+    assert(out(3L) == ("g h x", 2))       // in-doc repeat drops; tail span kept
+    assert(out(4L) == ("", 0))            // empty doc: empty, not null
+  }
+
   test("semanticDupPairs: precision 1, deterministic, dedup keeps min id") {
     val rnd = new scala.util.Random(17)
     // 30 vectors in 3 well-separated directions plus small noise: every
