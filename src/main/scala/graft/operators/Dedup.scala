@@ -149,13 +149,19 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: 64-bit similarity-preserving fingerprint,
-    * candidates = pairs agreeing on at least one fingerprint block, verified
-    * by exact Hamming distance. The block count is DERIVED from the radius:
-    * `maxHamming` bit flips can touch at most `maxHamming` of
-    * `maxHamming + 1` blocks, so by pigeonhole every pair within the radius
-    * shares one intact block and meets in that block's bucket join — the
-    * recall guarantee covers whatever radius the caller asks for, not a
-    * hardcoded one. Shuffle key is (block, block value) — tiny.
+    * candidates = pairs agreeing on a combination of fingerprint blocks,
+    * verified by exact Hamming distance (Manku et al., WWW 2007 — the
+    * Google web-dedup construction). The fingerprint is split into
+    * `k = maxHamming + c` blocks: `maxHamming` bit flips touch at most
+    * `maxHamming` blocks, so at least `c` blocks survive intact, and by
+    * pigeonhole every pair within the radius agrees EXACTLY on at least
+    * one of the C(k, c) c-block combinations — joining on each
+    * combination's concatenated value guarantees full recall while the
+    * join key stays ~c·64/k bits wide. A single-block key (c = 1) at
+    * maxHamming = 8 would be ~7 bits — 128 buckets, candidates growing
+    * as n²/128 — exactly the quadratic escape this construction closes;
+    * c = 3, k = 11 keeps keys ≥ 17 bits at that radius. Shuffle key is
+    * (combination id, masked fingerprint) — tiny.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text")
@@ -163,25 +169,45 @@ object Dedup {
     simhashPairsOfFingerprints(simhashFingerprints(docs, idCol, textCol),
       maxHamming)
 
+  /** Pick the Manku c (intact-block count per join key): the smallest c
+    * whose key width c·64/(maxHamming+c) reaches ~16 bits, backed off
+    * while the C(k, c) replication factor exceeds 512 rows per document —
+    * selectivity is bought with replication, and both must stay bounded.
+    */
+  private[operators] def simhashComboWidth(maxHamming: Int): Int = {
+    def choose(n: Int, r: Int): Long =
+      (1 to r).foldLeft(1L)((acc, i) => acc * (n - r + i) / i)
+    val byWidth = (1 to 4)
+      .find(c => c * 64.0 / (maxHamming + c) >= 16.0).getOrElse(4)
+    val c = Iterator.iterate(byWidth)(_ - 1)
+      .find(c => c == 1 || choose(maxHamming + c, c) <= 512).get
+    // blocks must be non-empty: k <= 64
+    math.max(1, math.min(c, 64 - maxHamming))
+  }
+
   /** Candidate generation + verification over precomputed (id, fp) rows —
     * split out so the pigeonhole guarantee is testable on constructed
     * fingerprints. Blocks partition the 64 bits as evenly as possible;
-    * 4 blocks minimum keeps the join keys selective (≥ 16-bit buckets)
-    * for small radii.
+    * each join key is the fingerprint masked to one c-block combination
+    * (agreeing on the masked value == agreeing on all c blocks).
     */
   private[operators] def simhashPairsOfFingerprints(
       fp: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 63], got $maxHamming")
-    val nBlocks = math.max(4, maxHamming + 1)
-    val blockCols = (0 until nBlocks).map { bI =>
+    val c = simhashComboWidth(maxHamming)
+    val nBlocks = maxHamming + c
+    val blockMasks = (0 until nBlocks).map { bI =>
       val start = bI * 64 / nBlocks
       val width = (bI + 1) * 64 / nBlocks - start
-      val mask = if (width == 64) -1L else (1L << width) - 1L
-      struct(lit(bI).as("block"),
-        call_function("shiftrightunsigned", col("fp"), lit(start))
-          .bitwiseAND(lit(mask)).as("bval"))
+      (if (width == 64) -1L else (1L << width) - 1L) << start
     }
+    val blockCols = (0 until nBlocks).combinations(c).zipWithIndex.map {
+      case (combo, comboId) =>
+        val mask = combo.map(blockMasks).reduce(_ | _)
+        struct(lit(comboId).as("block"),
+          col("fp").bitwiseAND(lit(mask)).as("bval"))
+    }.toSeq
     val blocks = fp.select(col("id"), col("fp"),
         explode(array(blockCols: _*)).as("bb"))
       .select(col("id"), col("fp"), col("bb.block"), col("bb.bval"))
@@ -387,13 +413,18 @@ object Dedup {
                          textCol: String = "text"): DataFrame = {
     require(spanTokens >= 1, "spanTokens must be >= 1")
     val w = spanTokens
-    val toks = tokens(col(textCol))
+    // The token array is BOUND as a column before any transform() lambda
+    // references it: a higher-order lambda re-evaluates every referenced
+    // subtree per element, so an inline tokens(text) here would re-run the
+    // split+filter once per span — O(tokens²/spanTokens) per document.
+    val toks = col("__toks")
     val nSpans = ceil(size(toks).cast("double") / w).cast("int")
     val spanArr = when(nSpans > 0,
       transform(sequence(lit(0), nSpans - 1),
         i => array_join(slice(toks, i * w + 1, lit(w)), " ")))
       .otherwise(array().cast("array<string>"))
     val spans = spread(docs.select(col(idCol), col(textCol)))
+      .withColumn("__toks", tokens(col(textCol)))
       .select(col(idCol), posexplode(spanArr))
       .toDF(idCol, "pos", "span")
     // global first occurrence per span content: only (hash, id, pos) moves
@@ -403,13 +434,14 @@ object Dedup {
       .select(col(s"f.$idCol").as(idCol), col("f.pos").as("pos"))
       .groupBy(idCol).agg(sort_array(collect_list("pos")).as("__keep"))
     docs.join(kept, Seq(idCol), "left")
+      .withColumn("__toks", tokens(col(textCol)))
       .withColumn("text_spandedup",
         array_join(transform(coalesce(col("__keep"),
             array().cast("array<int>")),
           p => array_join(slice(toks, p * w + 1, lit(w)), " ")), " "))
       .withColumn("n_spans_kept",
         coalesce(size(col("__keep")), lit(0)).cast("int"))
-      .drop("__keep")
+      .drop("__keep", "__toks")
   }
 
   /** Semantic near-duplicate pairs, SemDeDup-style (Abbas et al. 2023,

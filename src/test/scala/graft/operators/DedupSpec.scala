@@ -108,8 +108,9 @@ class DedupSpec extends SparkSpec {
 
   test("simhash pigeonhole: block count follows the requested radius") {
     // Hamming-6 pair whose flipped bits touch ALL FOUR 16-bit blocks — a
-    // fixed 4-block scheme can never surface it as a candidate; with
-    // maxHamming=8 the split is 9 blocks and pigeonhole guarantees a match
+    // fixed 4-block scheme can never surface it as a candidate; at
+    // maxHamming=8 the Manku split is k=11 blocks joined on 3-block
+    // combinations, and pigeonhole guarantees an intact combination
     val flips = Seq(0, 8, 16, 24, 32, 48).map(1L << _).reduce(_ | _)
     val fp = Seq((1L, 0L), (2L, flips)).toDF("id", "fp")
     val found = Dedup.simhashPairsOfFingerprints(fp, maxHamming = 8)
@@ -117,10 +118,32 @@ class DedupSpec extends SparkSpec {
     assert(found.toSeq == Seq((1L, 2L, 6)))
     // same pair is outside a radius-3 query — filtered, not a recall hole
     assert(Dedup.simhashPairsOfFingerprints(fp, maxHamming = 3).count() == 0)
+    // adversarial worst case at the radius boundary: hamming EXACTLY 8
+    // with every flip in a different block (k=11 boundaries: 0,5,11,17,
+    // 23,29,34,40,46,52,58) — touches 8 blocks, leaving exactly one
+    // intact 3-combination (blocks 8,9,10). Full recall means this pair
+    // MUST still meet in that one bucket.
+    val worst = Seq(0, 6, 12, 18, 24, 30, 36, 42).map(1L << _).reduce(_ | _)
+    val edge = Seq((1L, 0L), (2L, worst)).toDF("id", "fp")
+    val edgeFound = Dedup.simhashPairsOfFingerprints(edge, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(edgeFound.toSeq == Seq((1L, 2L, 8)))
     // degenerate split still works: 64 one-bit blocks at the max radius
     val adjacent = Seq((1L, 0L), (2L, 1L)).toDF("id", "fp")
     assert(Dedup.simhashPairsOfFingerprints(adjacent, maxHamming = 63)
       .count() == 1)
+  }
+
+  test("simhash combo width keeps join keys selective and bounded") {
+    // small radii: single-block keys already >= 16 bits
+    assert(Dedup.simhashComboWidth(0) == 1) // key = whole fp
+    assert(Dedup.simhashComboWidth(3) == 1) // k=4, 16-bit blocks
+    // r=8: c=3, k=11 -> ~17-bit keys, C(11,3)=165 combos per doc
+    assert(Dedup.simhashComboWidth(8) == 3)
+    // r=12: c=4 would hit C(16,4)=1820 combos — backed off to c=3
+    assert(Dedup.simhashComboWidth(12) == 3)
+    // near-max radius: blocks must stay non-empty (k <= 64)
+    assert(Dedup.simhashComboWidth(63) == 1)
   }
 
   test("dropDuplicates removes the b-side of each pair") {
