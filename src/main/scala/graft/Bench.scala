@@ -50,7 +50,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // summary fields FIRST, per-query map LAST: a truncated capture of this
+    // line still carries total/median/SLO-count without scraping
+    val sorted = results.values.toSeq.sorted
+    val median = if (sorted.nonEmpty) sorted(sorted.size / 2) else 0.0
+    val over1s = results.values.count(_ >= 1.0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+      s""""n_queries":${results.size},"median":$median,"over_1s":$over1s,""" +
+      s""""queries":$qs}""")
     spark.stop()
   }
 }

@@ -788,6 +788,21 @@ object SparkEntry {
           round(avg("durationMs"), 4).as("avg_duration_ms"))
         .orderBy("modality")
     }),
+    // REAL codec decode under the exact oracle: every document id becomes a
+    // complete spec-valid PNG (ImageIO-encoded, deterministic closed-form
+    // pixels), decoded BACK through the ImageIO codec; the integer
+    // channel-byte sums survive the round trip exactly, and DuckDB
+    // recomputes them from the closed form — so a hash match proves the
+    // decoder really read the IDAT rasters, not the construction rule.
+    "q_multimodal_pixels" -> ((s, d) => {
+      Multimodal.decodeImage(Multimodal.pixelCorpus(t(s, d, "documents")))
+        .groupBy((col("id") % 4).as("grp"))
+        .agg(count(lit(1)).as("n"), sum("width").as("sum_w"),
+          sum("height").as("sum_h"),
+          sum(col("width") * col("height")).as("sum_px"),
+          sum("pixSum").as("sum_channel_bytes"))
+        .orderBy("grp")
+    }),
 
     // ---- §2.12 lake: ACID commits, time travel, compaction ---------------
     // End-to-end through the LakeLog: three OCC-committed inserts (disjoint
@@ -1799,6 +1814,25 @@ object SparkEntry {
              round(avg(channels), 4) AS avg_channels,
              round(avg(duration_ms), 4) AS avg_duration_ms
       FROM f GROUP BY modality ORDER BY modality""",
+    // q_multimodal_pixels: recompute the per-image channel-byte sums from
+    // the closed-form pixel rule (pixel (x,y,c) of image id =
+    // (id + 7y + 13x + 101c) mod 256, dims 8·(1+id%16) × 8·(1+id%9)) —
+    // the Spark side must arrive at the same integers by actually DECODING
+    // the PNGs it encoded (Multimodal.pixelCorpus/decodeImage scaladoc)
+    "q_multimodal_pixels" -> """
+      WITH d AS (
+        SELECT doc_id, 8*(1+doc_id%16) AS w, 8*(1+doc_id%9) AS h,
+          list_sum(list_transform(range(0, 8*(1+doc_id%9)), y ->
+            list_sum(list_transform(range(0, 8*(1+doc_id%16)), x ->
+              list_sum(list_transform(range(0, 3), c ->
+                (doc_id + 7*y + 13*x + 101*c) % 256)))))) AS ps
+        FROM documents)
+      SELECT doc_id % 4 AS grp, count(*) AS n,
+             CAST(sum(w) AS BIGINT) AS sum_w,
+             CAST(sum(h) AS BIGINT) AS sum_h,
+             CAST(sum(w * h) AS BIGINT) AS sum_px,
+             CAST(sum(ps) AS BIGINT) AS sum_channel_bytes
+      FROM d GROUP BY 1 ORDER BY 1""",
     "q_lake_timetravel" -> """
       SELECT 1 AS version, count(*) AS n_rows,
              round(sum(l_extendedprice), 2) AS sum_price

@@ -144,6 +144,55 @@ class MultimodalSpec extends SparkSpec {
     assert(r3.durationMs == 0L)
   }
 
+  test("pixelCorpus round-trips REAL pixels through the ImageIO codec") {
+    import Multimodal._
+    val ids = Seq((0L, "a"), (5L, "b"), (17L, "c")).toDF("doc_id", "text")
+    val decoded = decodeImage(pixelCorpus(ids)).collect()
+      .map(p => p.id -> p).toMap
+    assert(decoded.size == 3)
+    decoded.values.foreach { p =>
+      val w = 8 * (1 + (p.id % 16)).toInt
+      val h = 8 * (1 + (p.id % 9)).toInt
+      assert(p.width == w && p.height == h && p.channels == 3)
+      // exact closed-form pixel sum: decode really read the IDAT raster
+      var expect = 0L
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        expect += pixelValue(p.id, x, y, c)
+      assert(p.pixSum == expect, s"id=${p.id}")
+    }
+    // the payloads are honest PNGs: a fresh ImageIO read agrees on a pixel
+    val payload = pixelCorpus(ids).filter(_.id == 5L).collect().head.payload
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    assert(((img.getRGB(3, 2) >> 16) & 0xFF) == pixelValue(5L, 3, 2, 0))
+  }
+
+  test("resizeImage: nearest-neighbor resample of the decoded raster") {
+    import Multimodal._
+    val ids = Seq((15L, "x")).toDF("doc_id", "text") // 128x56 source
+    val corpus15 = pixelCorpus(ids)
+    val r = resizeImage(corpus15, maxW = 32, maxH = 32).collect().head
+    // fit-within-box, even dims: scale = min(32/128, 32/56) = 0.25 → 32x14
+    assert(r.width == 32 && r.height == 14 && r.channels == 3)
+    // known answer: nearest-neighbor source pixel (x·128/32, y·56/14)
+    var expect = 0L
+    for (y <- 0 until 14; x <- 0 until 32; c <- 0 until 3)
+      expect += pixelValue(15L, x * 128 / 32, y * 56 / 14, c)
+    assert(r.pixSum == expect)
+    // never upscales: a box larger than the image leaves dims unchanged
+    val same = resizeImage(corpus15, maxW = 512, maxH = 512).collect().head
+    assert(same.width == 128 && same.height == 56)
+  }
+
+  test("decodeImage degrades undecodable payloads to zero rows") {
+    import Multimodal._
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    val junk = Seq(MediaRow(1L, "image", Array[Byte](1, 2, 3)),
+      MediaRow(2L, "image", Array.empty[Byte])).toDS()
+    assert(decodeImage(junk).collect().toSet ==
+      Set(PixelRow(1L, 0, 0, 0, 0L), PixelRow(2L, 0, 0, 0, 0L)))
+  }
+
   private def be(v: Long): Array[Byte] = Array(
     ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
     ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
