@@ -988,13 +988,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q_embed_pca" -> ((s, d) => {
-      // PCA-whitened embeddings (rows-only: the projection constants come
-      // from the driver-side eigensolver, not expressible in DuckDB SQL;
-      // EmbeddingPcaSpec pins eigenpair exactness, alignment, whitening
-      // variance and determinism).
+      // PCA projection + whitening under the EXACT oracle via frozen
+      // components (the q_dedup_semantic_fixed trick): components are
+      // Sylvester Hadamard rows (±1/8, both engines construct them
+      // independently), while the centering mean and whitening variances
+      // are LEARNED from the data — DuckDB recomputes every constant and
+      // the full (x·c − mean·c)/√(var+eps) arithmetic. The eigensolver
+      // itself stays pinned by EmbeddingPcaSpec (eigenpair exactness vs
+      // direct covariance eigen, alignment, whitening variance,
+      // determinism).
       val embs = t(s, d, "embeddings")
-      val model = graft.operators.EmbeddingPca.fit(embs, k = 4)
-      graft.operators.EmbeddingPca.transform(embs, model, whiten = true)
+      val model = EmbeddingPca.frozenModel(embs, rowIdx = Seq(1, 2, 3, 5))
+      EmbeddingPca.transform(embs, model, whiten = true)
         .select(col("vec_id") +:
           (0 until 4).map(i => round(col("pca")(i), 4).as(s"p$i")): _*)
         .orderBy("vec_id")
@@ -1035,6 +1040,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
   )
+
+  /** The SRP hyperplanes q_ann_srp uses, as DuckDB VALUES literals: the
+    * generator is deterministic (xorshift seed 42) and data-independent,
+    * so the oracle can carry the exact same doubles — Double.toString
+    * round-trips, and DuckDB's decimal parse recovers the identical bits.
+    */
+  private lazy val srpPlaneLiterals: String =
+    graft.functions.VectorFunctions.randomPlanes(8, 64).zipWithIndex
+      .map { case (p, i) => s"($i, [${p.mkString(",")}]::DOUBLE[])" }
+      .mkString(", ")
 
   /** DuckDB-runnable oracle for each hash-checkable query. Column aliases and
     * ORDER BY match the Spark side exactly (driver sorts columns by name then
@@ -2075,6 +2090,68 @@ object SparkEntry {
         FROM scored)
       SELECT query_id, vec_id, round(cos, 6) AS cos, rank
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    // q_ann_srp: EXACT oracle via frozen hyperplanes — the planes are
+    // deterministic seeded vectors (VectorFunctions.randomPlanes(8, 64,
+    // seed 42)), inlined below as literals, so DuckDB recomputes the SRP
+    // buckets (sign bits over dot products — normalization can't change a
+    // sign), replays the 1-bit-flip multi-probe, and exact-rescores the
+    // same candidate set.
+    "q_ann_srp" -> s"""
+      WITH planes(i, p) AS (VALUES $srpPlaneLiterals),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      b AS (
+        SELECT e.vec_id,
+               CAST(sum(CASE WHEN list_dot_product(e.v, pl.p) >= 0
+                             THEN (1::BIGINT << pl.i) ELSE 0 END) AS BIGINT)
+                 AS bucket
+        FROM e CROSS JOIN planes pl GROUP BY e.vec_id),
+      q AS (SELECT vec_id AS query_id, bucket AS qbucket
+            FROM b WHERE vec_id < 10),
+      probes AS (
+        SELECT query_id,
+               CASE WHEN g < 0 THEN qbucket
+                    ELSE xor(qbucket, (1::BIGINT << g)) END AS bucket
+        FROM q, UNNEST(range(-1, 8)) t(g)),
+      cand AS (SELECT DISTINCT p.query_id, c.vec_id
+               FROM probes p JOIN b c USING (bucket)),
+      scored AS (
+        SELECT cand.query_id, cand.vec_id,
+               list_cosine_similarity(CAST(ce.embedding AS DOUBLE[]),
+                                      CAST(qe.embedding AS DOUBLE[])) AS cos
+        FROM cand JOIN embeddings ce ON ce.vec_id = cand.vec_id
+                  JOIN embeddings qe ON qe.vec_id = cand.query_id),
+      ranked AS (
+        SELECT query_id, vec_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, vec_id) AS rank
+        FROM scored)
+      SELECT query_id, vec_id, round(cos, 6) AS cos, rank
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    // q_embed_pca: frozen Hadamard components h_i[j] = (−1)^popcount(r&j)/8
+    // (r ∈ {1,2,3,5}); DuckDB re-learns the centering means and whitening
+    // variances from the data and replays (x·h − μ)/√(var+1e-9) exactly.
+    "q_embed_pca" -> """
+      WITH hh AS (
+        SELECT i, list_transform(range(0, 64), j ->
+                 (CASE WHEN bit_count(r & j) % 2 = 0
+                       THEN 1.0 ELSE -1.0 END) / 8) AS h
+        FROM (VALUES (0, 1), (1, 2), (2, 3), (3, 5)) planes(i, r)),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      p AS (SELECT e.vec_id, hh.i, list_dot_product(e.v, hh.h) AS praw
+            FROM e CROSS JOIN hh),
+      st AS (SELECT i, avg(praw) AS mu,
+                    avg(praw * praw) - avg(praw) * avg(praw) AS vr
+             FROM p GROUP BY i)
+      SELECT p.vec_id,
+             round(max(CASE WHEN p.i = 0
+               THEN (praw - mu) / sqrt(vr + 1e-9) END), 4) AS p0,
+             round(max(CASE WHEN p.i = 1
+               THEN (praw - mu) / sqrt(vr + 1e-9) END), 4) AS p1,
+             round(max(CASE WHEN p.i = 2
+               THEN (praw - mu) / sqrt(vr + 1e-9) END), 4) AS p2,
+             round(max(CASE WHEN p.i = 3
+               THEN (praw - mu) / sqrt(vr + 1e-9) END), 4) AS p3
+      FROM p JOIN st USING (i) GROUP BY p.vec_id ORDER BY p.vec_id""",
     "q_dedup_spans" -> """
       WITH toks AS (
         SELECT doc_id, list_filter(string_split_regex(text, '\s+'),

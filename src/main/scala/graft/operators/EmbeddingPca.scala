@@ -34,7 +34,13 @@ object EmbeddingPca {
       extends Aggregator[Seq[Double], Array[Double], Array[Double]] {
     override def zero: Array[Double] = new Array[Double](1 + d + d * d)
     override def reduce(b: Array[Double], x: Seq[Double]): Array[Double] = {
-      if (x != null && x.length == d) {
+      // fail fast, don't fit on an arbitrary subset: a null or ragged
+      // vector silently skipped here would yield a model with no signal
+      // that anything was dropped
+      require(x != null, "PCA input contains a null vector")
+      require(x.length == d,
+        s"PCA input dimension mismatch: expected $d, got ${x.length}")
+      locally {
         b(0) += 1
         val xa = x.toArray
         var i = 0
@@ -121,6 +127,41 @@ object EmbeddingPca {
       buf(1 + d + i * d + j) / n - mean(i) * mean(j))
     val (eig, vecs) = jacobiEig(cov)
     PcaModel(mean, eig.take(k), vecs.take(k))
+  }
+
+  /** Frozen-components model (the oracle-facing face of the machinery,
+    * like semantic dedup's frozen codebook): components are rows of the
+    * Sylvester Hadamard matrix — `h_i[j] = (−1)^popcount(r_i & j) / √d`,
+    * exact ±1/√d entries any engine constructs independently, mutually
+    * orthonormal for distinct nonzero `r_i`. The mean and per-component
+    * variances ARE learned from the data (one metadata-priced pass each),
+    * so [[transform]]'s centering + whitening arithmetic runs exactly as
+    * with learned eigenvectors — but a cross-engine oracle can recompute
+    * every constant. The eigensolver itself ([[fit]]/[[jacobiEig]]) is
+    * pinned by EmbeddingPcaSpec's exactness specs.
+    */
+  def frozenModel(embs: DataFrame, rowIdx: Seq[Int] = Seq(1, 2, 3, 5),
+                  vecCol: String = "embedding"): PcaModel = {
+    val d = embs.select(size(col(vecCol))).first().getInt(0)
+    require(rowIdx.nonEmpty && rowIdx.distinct.size == rowIdx.size &&
+      rowIdx.forall(r => r > 0 && r < d),
+      s"rowIdx must be distinct values in (0, $d)")
+    val inv = 1.0 / math.sqrt(d.toDouble)
+    val comps = rowIdx.map(r => Array.tabulate(d)(j =>
+      if (Integer.bitCount(r & j) % 2 == 0) inv else -inv)).toArray
+    // per-dimension mean: 64 scalar rows, metadata-priced
+    val mean = new Array[Double](d)
+    embs.select(posexplode(col(vecCol).cast("array<double>")))
+      .groupBy("pos").agg(avg("col").as("m"))
+      .collect().foreach(r => mean(r.getInt(0)) = r.getDouble(1))
+    // per-component variance of the CENTERED projection (what whitening
+    // divides by): one aggregate over the k projected scalars
+    val centered = transform(embs, PcaModel(mean,
+      Array.fill(rowIdx.size)(1.0), comps), whiten = false, vecCol)
+    val vars = centered.select(rowIdx.indices.map(i =>
+        avg(col("pca")(i) * col("pca")(i)).as(s"v$i")): _*)
+      .first()
+    PcaModel(mean, rowIdx.indices.map(vars.getDouble).toArray, comps)
   }
 
   /** Project onto the model's components: appends `outCol` =

@@ -61,6 +61,34 @@ class EmbeddingPcaSpec extends SparkSpec {
       assert(math.abs(stats.getDouble(i)) < 0.05, s"covar $i")
   }
 
+  test("frozenModel: orthonormal Hadamard components, whitening to unit var") {
+    val embs = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "embeddings")
+    val m = EmbeddingPca.frozenModel(embs, rowIdx = Seq(1, 2, 3, 5))
+    // components are exactly orthonormal (±1/8 entries, Sylvester rows)
+    for (a <- m.components; b <- m.components) {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      if (a eq b) assert(math.abs(dot - 1.0) < 1e-12)
+      else assert(math.abs(dot) < 1e-12)
+    }
+    assert(m.components.flatten.forall(v => math.abs(v) == 0.125))
+    // whitened projections come out ~unit variance (pop vs samp slack)
+    val proj = EmbeddingPca.transform(embs, m, whiten = true)
+    val stats = proj.agg(
+      variance(col("pca")(0)), variance(col("pca")(3))).first()
+    assert(math.abs(stats.getDouble(0) - 1.0) < 0.05)
+    assert(math.abs(stats.getDouble(1) - 1.0) < 0.05)
+  }
+
+  test("GramAggregator fails fast on ragged input instead of sub-fitting") {
+    val ragged = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      EmbeddingPca.fit(ragged, k = 2)
+    }
+    assert(e.getMessage != null)
+  }
+
   test("fit on real testdata: one aggregate pass, deterministic model") {
     val embs = graft.sources.Tables
       .load(spark, "/root/testdata/sf0.001", "embeddings")
