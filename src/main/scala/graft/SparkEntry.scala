@@ -872,7 +872,8 @@ object SparkEntry {
         .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
       LakeTable.createTable(log, "li", li.schema)
       val mv = MaterializedView.MvDef("li_by_flag", "li", "l_returnflag",
-        Seq("l_quantity", "l_extendedprice"))
+        Seq("l_quantity", "l_extendedprice"),
+        minCols = Seq("l_quantity"), maxCols = Seq("l_extendedprice"))
       MaterializedView.create(log, mv)
       (0 to 1).foreach { m =>
         LakeTable.insert(s, log, "li",
@@ -883,11 +884,15 @@ object SparkEntry {
       assert(MaterializedView.refresh(s, log, mv).mode == "full")
       LakeTable.insert(s, log, "li",
         li.filter(col("l_orderkey") % 3 === 2), txnId = "slice-2")
+      // this last refresh exercises the monotone min/max merge: slice-2's
+      // per-key extremes fold into the post-delete MV values
       assert(MaterializedView.refresh(s, log, mv).mode == "incremental")
       LakeTable.read(s, log, "li_by_flag")
         .select(col("l_returnflag"), col("n_rows"),
           round(col("sum_l_quantity"), 2).as("sum_qty"),
-          round(col("sum_l_extendedprice"), 2).as("sum_price"))
+          round(col("sum_l_extendedprice"), 2).as("sum_price"),
+          round(col("min_l_quantity"), 2).as("min_qty"),
+          round(col("max_l_extendedprice"), 2).as("max_price"))
         .orderBy("l_returnflag")
     }),
 
@@ -1866,7 +1871,9 @@ object SparkEntry {
     "q_lake_mv" -> """
       SELECT l_returnflag, count(*) AS n_rows,
              round(sum(l_quantity), 2) AS sum_qty,
-             round(sum(l_extendedprice), 2) AS sum_price
+             round(sum(l_extendedprice), 2) AS sum_price,
+             round(min(l_quantity), 2) AS min_qty,
+             round(max(l_extendedprice), 2) AS max_price
       FROM lineitem
       WHERE (l_orderkey % 3 <> 2 AND l_quantity <= 45)
          OR l_orderkey % 3 = 2

@@ -84,11 +84,18 @@ final class LakeLog(val root: Path) {
     .serializationInclusion(JsonInclude.Include.NON_ABSENT)
     .build() :: ClassTagExtensions
 
-  // Commit-outcome counters: the reference exports these as Prometheus
-  // series (lakehouse commit failures/attempts) and alerts on their ratio;
-  // graft.Alerts evaluates the same rule over them.
+  // Commit-outcome counters: the reference exports commit failure/attempt
+  // Prometheus series and alerts on a windowed failure RATE
+  // (monitoring/lakehouse_alerts.yml HighCommitFailureRate:
+  // rate(failures[5m]) > 0.05/s); graft.Alerts evaluates an ADAPTED form —
+  // a lifetime conflicts/attempts RATIO against the same 0.05 bound —
+  // because there is no scrape loop to window over (documented at
+  // Alerts.evaluate). Attempts count only REAL commit tries: duplicate-txn
+  // replays are tracked separately so idempotent redelivery doesn't dilute
+  // the ratio.
   val commitAttempts = new java.util.concurrent.atomic.AtomicLong()
   val commitConflicts = new java.util.concurrent.atomic.AtomicLong()
+  val commitDuplicates = new java.util.concurrent.atomic.AtomicLong()
 
   // Log entries are immutable once committed — cache parsed entries forever.
   private val entryCache = new ConcurrentHashMap[Path, LogEntry]()
@@ -274,12 +281,16 @@ final class LakeLog(val root: Path) {
              adds: Seq[FileAdd], removes: Seq[String] = Nil): CommitResult = {
     if (txnId.isEmpty)
       throw new LakeValidationException("transaction ID cannot be empty")
-    commitAttempts.incrementAndGet()
     lockFor(table).synchronized {
       val latest = latestVersion(table) // also validates existence
       txnVersions(table).get(txnId) match {
-        case Some(v) => CommitResult(v, duplicate = true)
+        case Some(v) =>
+          // a replay is not a commit ATTEMPT for alerting purposes:
+          // counting it would deflate the conflict ratio the alert watches
+          commitDuplicates.incrementAndGet()
+          CommitResult(v, duplicate = true)
         case None =>
+          commitAttempts.incrementAndGet()
           if (baseVersion != latest) {
             commitConflicts.incrementAndGet()
             throw new CommitConflictException(

@@ -830,18 +830,45 @@ object LakeTable {
       }
     }
     // sweep staging dirs orphaned by crashed write attempts (normal
-    // completion removes them in the writers' finally). Age-gated so an
-    // in-flight write's staging is never pulled out from under it.
+    // completion removes them in the writers' finally). Age-gated on the
+    // NEWEST mtime across the attempt's whole tree: POSIX doesn't bump a
+    // directory's mtime when files land in nested partition subdirs, so
+    // the top-level mtime of a long-running partitioned write can be
+    // arbitrarily stale while the write is still in flight.
+    val cutoff = System.currentTimeMillis() - math.max(0L, tmpRetainMs)
+    def newestMtime(p: Path): Long = {
+      val walk = Files.walk(p)
+      try walk.iterator().asScala
+        .map(f => Files.getLastModifiedTime(f).toMillis).max
+      finally walk.close()
+    }
     val tmpRoot = log.tableDir(table).resolve("_tmp")
     if (Files.exists(tmpRoot)) {
-      val cutoff = System.currentTimeMillis() - math.max(0L, tmpRetainMs)
       val children = {
         val s = Files.list(tmpRoot)
         try s.iterator().asScala.toList finally s.close()
       }
       children.foreach { c =>
-        if (Files.getLastModifiedTime(c).toMillis < cutoff)
-          deleteRecursively(c)
+        if (newestMtime(c) < cutoff) deleteRecursively(c)
+      }
+    }
+    // sweep data files PROMOTED by an attempt that then crashed before its
+    // log commit landed: they appear in no log entry (invisible to every
+    // reader) and no retry will adopt them (promotion destinations are
+    // fresh UUIDs), so they are pure leaked storage. Same age gate — a
+    // concurrent writer sitting between promote and commit is younger than
+    // the cutoff and untouched.
+    val dataDir = log.dataDir(table)
+    if (Files.exists(dataDir)) {
+      val everAdded = all.toSet
+      val kids = {
+        val s = Files.list(dataDir)
+        try s.iterator().asScala.toList finally s.close()
+      }
+      kids.foreach { f =>
+        if (Files.isRegularFile(f) && !everAdded.contains(f.toString) &&
+            Files.getLastModifiedTime(f).toMillis < cutoff &&
+            Files.deleteIfExists(f)) deleted += 1
       }
     }
     VacuumReport(all.size, deleted, live.size)

@@ -15,13 +15,15 @@ import org.apache.spark.sql.types._
   *
   * An MV here is `SELECT key, count(*) AS n_rows, sum(c) AS sum_c ... GROUP
   * BY key`, materialized as a lake table of its own (so it gets OCC
-  * commits, time travel and stats pruning for free). count/sum are
-  * self-maintainable under appends: refresh aggregates ONLY the delta
+  * commits, time travel and stats pruning for free). count/sum/min/max
+  * are self-maintainable under appends: refresh aggregates ONLY the delta
   * files since the last refreshed base version and upserts the merged
   * totals for touched keys — O(|delta| + |touched MV rows|), never a base
-  * re-scan. Derived means (sum/count) come out exact; min/max are NOT
-  * offered because they are not maintainable under deletes without a
-  * re-scan.
+  * re-scan. Derived means (sum/count) come out exact. min/max merge
+  * monotonically (min of mins, max of maxes) — valid precisely because
+  * the incremental path is GATED on insert-only windows; a delete could
+  * raise a min, so any non-append window already takes the full-recompute
+  * fallback below, which restores exactness for every aggregate at once.
   *
   * Refresh picks its mode per delta entry from the log alone (no data
   * read):
@@ -43,10 +45,12 @@ object MaterializedView {
 
   /** View definition: group-by key (single column — the lake upsert keys on
     * one column), count(*) as `n_rows`, plus `sum_<c>` for each of
-    * `sumCols`. `name` is the MV's lake table name.
+    * `sumCols`, `min_<c>` / `max_<c>` for `minCols` / `maxCols` (kept at
+    * the base column's type). `name` is the MV's lake table name.
     */
   final case class MvDef(name: String, base: String, keyCol: String,
-                         sumCols: Seq[String])
+                         sumCols: Seq[String], minCols: Seq[String] = Nil,
+                         maxCols: Seq[String] = Nil)
 
   final case class RefreshResult(mode: String, fromVersion: Long,
                                  toVersion: Long)
@@ -60,13 +64,19 @@ object MaterializedView {
     val keyField = baseSt.fields.find(_.name == d.keyCol).getOrElse(
       throw new IllegalArgumentException(
         s"key column ${d.keyCol} not in ${d.base}"))
-    d.sumCols.foreach { c =>
-      require(baseSt.fieldNames.contains(c), s"sum column $c not in ${d.base}")
+    (d.sumCols ++ d.minCols ++ d.maxCols).foreach { c =>
+      require(baseSt.fieldNames.contains(c), s"agg column $c not in ${d.base}")
     }
+    def baseType(c: String) = baseSt.fields.find(_.name == c).get.dataType
     val st = StructType(
       keyField +:
         StructField("n_rows", LongType) +:
-        d.sumCols.map(c => StructField(s"sum_$c", DoubleType, nullable = true)))
+        (d.sumCols.map(c => StructField(s"sum_$c", DoubleType,
+           nullable = true)) ++
+         d.minCols.map(c => StructField(s"min_$c", baseType(c),
+           nullable = true)) ++
+         d.maxCols.map(c => StructField(s"max_$c", baseType(c),
+           nullable = true))))
     LakeTable.createTable(log, d.name, st)
   }
 
@@ -79,10 +89,13 @@ object MaterializedView {
       .foldLeft(0L)(math.max)
 
   /** Aggregate a slice of the base into MV shape. */
-  private def aggOf(df: DataFrame, d: MvDef): DataFrame =
-    df.groupBy(d.keyCol)
-      .agg(count(lit(1)).as("n_rows"),
-        d.sumCols.map(c => sum(col(c).cast("double")).as(s"sum_$c")): _*)
+  private def aggOf(df: DataFrame, d: MvDef): DataFrame = {
+    val aggs =
+      d.sumCols.map(c => sum(col(c).cast("double")).as(s"sum_$c")) ++
+      d.minCols.map(c => min(col(c)).as(s"min_$c")) ++
+      d.maxCols.map(c => max(col(c)).as(s"max_$c"))
+    df.groupBy(d.keyCol).agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
 
   /** True iff the entry only appends logical rows. Schema-evolution
     * entries (no adds, no removes) also qualify: their delta is empty. */
@@ -171,11 +184,17 @@ object MaterializedView {
     RefreshResult("full", last, cur)
   }
 
-  /** Re-aggregate rows already in MV shape (sums of sums, sum of counts). */
-  private def aggRemerge(mvShaped: DataFrame, d: MvDef): DataFrame =
+  /** Re-aggregate rows already in MV shape (sums of sums, sum of counts,
+    * min of mins / max of maxes — the monotone merge that insert-only
+    * windows license). */
+  private def aggRemerge(mvShaped: DataFrame, d: MvDef): DataFrame = {
+    val aggs =
+      d.sumCols.map(c => sum(s"sum_$c").as(s"sum_$c")) ++
+      d.minCols.map(c => min(s"min_$c").as(s"min_$c")) ++
+      d.maxCols.map(c => max(s"max_$c").as(s"max_$c"))
     mvShaped.groupBy(d.keyCol)
-      .agg(sum("n_rows").cast("long").as("n_rows"),
-        d.sumCols.map(c => sum(s"sum_$c").as(s"sum_$c")): _*)
+      .agg(sum("n_rows").cast("long").as("n_rows"), aggs: _*)
+  }
 
   /** Keep the MV continuously fresh: tail the base table's CDC stream
     * (offsets = log versions) and run one [[refresh]] per micro-batch.

@@ -457,11 +457,13 @@ object Dedup {
     * `centroid_id`, and compares within clusters of ~n/k vectors. Every
     * reported pair is exact-rescored (native dot product), so precision is
     * 1.0 by construction — clustering only bounds RECALL, like every
-    * SemDeDup deployment. Pick k so n/k clusters fit a reducer AND well
-    * above the executor-core count — the pair join partitions by
+    * SemDeDup deployment. By default k is DERIVED from the corpus size
+    * ([[deriveK]]: `max(16, ceil(n/4096))`) so n/k clusters fit a reducer
+    * and parallelism grows with the data — the pair join partitions by
     * centroid_id, so its parallelism is exactly the number of clusters
-    * (the SemDeDup paper runs tens of thousands). A pathological corpus
-    * that collapses into one cluster degrades to the within-cluster
+    * (the SemDeDup paper runs tens of thousands; at 1 B docs the default
+    * derives ~244k clusters). Pass k explicitly to pin it. A pathological
+    * corpus that collapses into one cluster degrades to the within-cluster
     * quadratic — raise k or pre-split on a cheap key.
     *
     * `nProbe` is the recall lever for pairs that straddle a cluster
@@ -475,6 +477,22 @@ object Dedup {
     * pair self-join's two sides and any scoring consumer read ONE
     * assignment pass. `__ccos` is the vector's cosine to that centroid.
     */
+  /** Cluster count for the learned path when the caller doesn't pick one:
+    * `max(kMin, ceil(n / targetClusterSize))`. The cluster count IS the
+    * pair join's parallelism (it partitions by centroid_id) AND bounds the
+    * within-cluster quadratic at ~targetClusterSize² comparisons, so a
+    * default that ignores corpus size is safe only by footnote — this one
+    * is safe by construction (one cheap count of an already-checkpointed
+    * projection).
+    */
+  private[operators] def deriveK(n: Long, kMin: Int = 16,
+                                 targetClusterSize: Long = 4096): Int = {
+    require(kMin >= 1 && targetClusterSize >= 1)
+    math.min(
+      math.max(kMin.toLong, (n + targetClusterSize - 1) / targetClusterSize),
+      Int.MaxValue.toLong).toInt
+  }
+
   private def clusteredAssignments(embs: DataFrame, k: Int, kmeansIters: Int,
                                    nProbe: Int, idCol: String,
                                    vecCol: String): DataFrame = {
@@ -482,7 +500,8 @@ object Dedup {
     val normed = spread(embs.select(col(idCol).as("id"), col(vecCol).as("__v")))
       .select(col("id"), normalize(col("__v")).as("v"))
       .localCheckpoint() // read by every Lloyd round AND the pair join
-    val cents = Similarity.kmeansCentroids(normed, k, kmeansIters, "v")
+    val kEff = if (k > 0) k else deriveK(normed.count())
+    val cents = Similarity.kmeansCentroids(normed, kEff, kmeansIters, "v")
     Similarity.assignNearest(normed, cents, "v", nProbe).localCheckpoint()
   }
 
@@ -502,8 +521,11 @@ object Dedup {
     else raw.groupBy("a_id", "b_id").agg(max("cos").as("cos"))
   }
 
+  /** `k <= 0` (the default) derives the cluster count from the corpus size
+    * via [[deriveK]]; pass an explicit k to pin it.
+    */
   def semanticDupPairs(embs: DataFrame, threshold: Double = 0.9,
-                       k: Int = 16, kmeansIters: Int = 2, nProbe: Int = 1,
+                       k: Int = 0, kmeansIters: Int = 2, nProbe: Int = 1,
                        idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame =
     pairsOfAssignments(
@@ -545,7 +567,7 @@ object Dedup {
     *    the cluster edge). Ties break to the lower id.
     */
   def semanticDedup(docs: DataFrame, embs: DataFrame,
-                    threshold: Double = 0.9, k: Int = 16,
+                    threshold: Double = 0.9, k: Int = 0,
                     kmeansIters: Int = 2, nProbe: Int = 1,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding",

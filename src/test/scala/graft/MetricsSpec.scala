@@ -51,7 +51,7 @@ class MetricsSpec extends SparkSpec {
     assert(Alerts.evaluate(slow).exists(x =>
       x.rule == "query_p95_latency_seconds" && x.firing))
 
-    // commit-conflict rate off the log's counters: force an OCC conflict
+    // commit-conflict ratio off the log's counters: force an OCC conflict
     import graft.lake.{CommitConflictException, LakeLog, LakeTable}
     import org.apache.spark.sql.types._
     val log = new LakeLog(tmpDir("alerts"))
@@ -60,8 +60,31 @@ class MetricsSpec extends SparkSpec {
     log.commit("t", 0, "a", Nil)
     intercept[CommitConflictException](log.commit("t", 0, "b", Nil))
     val rateAlert = Alerts.evaluate(healthy, Some(log))
-      .find(_.rule == "commit_conflict_rate").get
+      .find(_.rule == "commit_conflict_ratio").get
     assert(rateAlert.value == 0.5 && rateAlert.firing)
+    // duplicate-txn replays are NOT attempts: ratio must not dilute
+    log.commit("t", 1, "a", Nil) // replay of committed txn "a"
+    assert(log.commitDuplicates.get() == 1)
+    val after = Alerts.evaluate(healthy, Some(log))
+      .find(_.rule == "commit_conflict_ratio").get
+    assert(after.value == 0.5, after) // still conflicts=1 / attempts=2
+    // strict > comparison (the reference rule's): at exactly the bound,
+    // the alert stays quiet
+    val quiet = Alerts.evaluate(healthy, Some(log), conflictRateSlo = 0.5)
+      .find(_.rule == "commit_conflict_ratio").get
+    assert(!quiet.firing)
+  }
+
+  test("live recorder: measured queries land in the rolling window") {
+    Metrics.live.clear()
+    val df = (1L to 10L).toDF("id")
+    Metrics.measure("live-probe", df)
+    val rec = Metrics.live.recent.filter(_.name == "live-probe")
+    assert(rec.size == 1 && rec.head.rows == 10)
+    // Alerts evaluate over the live window exactly like a harness batch
+    assert(Alerts.evaluate(Metrics.live.recent)
+      .exists(_.rule == "query_p95_latency_seconds"))
+    Metrics.live.clear()
   }
 
   test("metrics serialize to the JSON shape Bench/Verify emit") {

@@ -26,6 +26,32 @@ class JobsSpec extends SparkSpec {
     assert(rows.length == 1 && rows.head.getLong(0) == 2L)
   }
 
+  test("a completed job's execution metrics are queryable by job id") {
+    import graft.lake.{LakeLog, LakeTable}
+    import org.apache.spark.sql.types._
+    val log = new LakeLog(tmpDir("jobmetrics"))
+    LakeTable.createTable(log, "t", StructType(Seq(
+      StructField("id", LongType, false))))
+    // three stat-disjoint files so the job's filter measurably prunes
+    LakeTable.insert(spark, log, "t", (1L to 100L).toDF("id"))
+    LakeTable.insert(spark, log, "t", (101L to 200L).toDF("id"))
+    LakeTable.insert(spark, log, "t", (201L to 300L).toDF("id"))
+    val m = manager()
+    val jobId = m.submit(
+      LakeTable.readIndexed(spark, log, "t").filter(col("id") > 250))
+    assert(m.await(jobId).status == Completed)
+    val qm = m.metrics(jobId).get
+    assert(qm.name == jobId)
+    assert(qm.durationSec > 0.0)
+    assert(qm.rows == 50)
+    assert(qm.filesScanned == 1 && qm.filesPruned == 2, qm)
+    // the job also landed in the session-wide live series
+    assert(graft.Metrics.live.recent.exists(_.name == jobId))
+    // and the result on disk matches what the metered pass computed
+    assert(m.result(jobId).count() == 50)
+    intercept[NoSuchElementException](m.metrics("job-unknown"))
+  }
+
   test("status is RUNNING while the job executes; results refuse until done") {
     val m = manager()
     val gate = new CountDownLatch(1)

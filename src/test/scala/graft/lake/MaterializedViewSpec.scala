@@ -57,6 +57,47 @@ class MaterializedViewSpec extends SparkSpec {
     assert(actual(log, d).map(_._1) == Seq("a", "b"))
   }
 
+  test("min/max maintain monotonically under appends, full-recover on delete") {
+    val log = new LakeLog(tmpDir("mvmm"))
+    LakeTable.createTable(log, "sales", schema)
+    val d = MvDef("sales_mm", "sales", "category", Seq("amount"),
+      minCols = Seq("amount"), maxCols = Seq("amount"))
+    MaterializedView.create(log, d)
+    def expectedMm = LakeTable.read(spark, log, "sales")
+      .groupBy("category")
+      .agg(count(lit(1)).as("n_rows"), sum("amount").as("sum_amount"),
+        min("amount").as("min_amount"), max("amount").as("max_amount"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+    def actualMm = LakeTable.read(spark, log, d.name)
+      .select("category", "n_rows", "sum_amount", "min_amount", "max_amount")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+
+    // append-only windows: min can only drop, max only rise — incremental
+    LakeTable.insert(spark, log, "sales", rows(10 to 20, "a"))
+    assert(MaterializedView.refresh(spark, log, d).mode == "incremental")
+    assert(actualMm == expectedMm)
+    LakeTable.insert(spark, log, "sales",
+      rows(1 to 5, "a").unionAll(rows(30 to 40, "b")))
+    assert(MaterializedView.refresh(spark, log, d).mode == "incremental")
+    assert(actualMm == expectedMm)
+    assert(actualMm.find(_._1 == "a").get._4 == 1.0) // min dropped 10 → 1
+
+    // a delete can RAISE a min — must not ride the monotone merge
+    LakeTable.deleteWhere(spark, log, "sales", "amount <= 5")
+    assert(MaterializedView.refresh(spark, log, d).mode == "full")
+    assert(actualMm == expectedMm)
+    assert(actualMm.find(_._1 == "a").get._4 == 10.0) // min back up
+
+    // appends after the fallback merge monotonically again
+    LakeTable.insert(spark, log, "sales", rows(7 to 8, "a"))
+    assert(MaterializedView.refresh(spark, log, d).mode == "incremental")
+    assert(actualMm == expectedMm)
+  }
+
   test("refresh is exactly-once: re-running at the same version is a noop") {
     val (log, d) = setup()
     LakeTable.insert(spark, log, "sales", rows(1 to 10, "a"))

@@ -146,6 +146,22 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.simhashComboWidth(63) == 1)
   }
 
+  test("semantic dedup derives cluster count from corpus size by default") {
+    // the derivation: floor at kMin, then grows linearly with n
+    assert(Dedup.deriveK(0) == 16)
+    assert(Dedup.deriveK(65536) == 16)
+    assert(Dedup.deriveK(65537) == 17)
+    assert(Dedup.deriveK(1L << 22) == 1024)
+    assert(Dedup.deriveK(1_000_000_000L) == 244141)
+    // default-k run (derived 16 at this size) matches an explicit k=16 run
+    val embs = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "embeddings")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairsOf(Dedup.semanticDupPairs(embs, threshold = 0.3)) ==
+      pairsOf(Dedup.semanticDupPairs(embs, threshold = 0.3, k = 16)))
+  }
+
   test("dropDuplicates removes the b-side of each pair") {
     val pairs = Dedup.minhashLshPairs(docs, threshold = 0.9)
     val kept = Dedup.dropDuplicates(docs, pairs).select("doc_id")
