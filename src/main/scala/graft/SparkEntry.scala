@@ -1044,6 +1044,19 @@ object SparkEntry {
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("query_id", "rank")
     }),
+    // Product quantization + ADC under the EXACT oracle: codebooks are
+    // frozen closed-form dyadic constants (Pq.codebook scaladoc), so DuckDB
+    // independently re-encodes every vector (argmax subspace dots, same tie
+    // rule) and replays the LUT-sum scoring in the same subspace order —
+    // the hash match covers compression AND asymmetric scoring end to end.
+    "q_ann_pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      graft.operators.Pq.adcTopK(emb, q, k = 5)
+        .withColumn("adc", round(col("adc"), 6))
+        .orderBy("query_id", "rank")
+    }),
   )
 
   /** The SRP hyperplanes q_ann_srp uses, as DuckDB VALUES literals: the
@@ -2133,6 +2146,44 @@ object SparkEntry {
                  ORDER BY cos DESC, vec_id) AS rank
         FROM scored)
       SELECT query_id, vec_id, round(cos, 6) AS cos, rank
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    // q_ann_pq: re-derive the frozen closed-form codebooks, re-encode every
+    // vector (row_number over (d DESC, c DESC) = Spark's array_max struct
+    // tie rule), rebuild each query's flattened LUT in (s, c) order and sum
+    // lookups in s order — float-order-identical to the Spark aggregate.
+    "q_ann_pq" -> """
+      WITH cb AS (
+        SELECT s, c, list_transform(range(0, 8), j ->
+          (((5*s + 3*c + 7*j + c*j) % 16) - 7.5) / 64.0) AS v
+        FROM range(0, 8) t1(s), range(0, 16) t2(c)),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw
+            FROM embeddings),
+      n AS (SELECT vec_id,
+              list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw)))
+                AS cv
+            FROM e),
+      qn AS (SELECT vec_id AS query_id, cv AS qv FROM n WHERE vec_id < 10),
+      sub AS (SELECT n.vec_id, cb.s, cb.c,
+                list_dot_product(n.cv[cb.s*8+1 : cb.s*8+8], cb.v)
+                  - list_dot_product(cb.v, cb.v) / 2.0 AS d
+              FROM n CROSS JOIN cb),
+      codes AS (
+        SELECT vec_id, array_agg(c ORDER BY s) AS cs
+        FROM (SELECT vec_id, s, c, row_number() OVER (
+                PARTITION BY vec_id, s ORDER BY d DESC, c DESC) AS rk
+              FROM sub) WHERE rk = 1 GROUP BY vec_id),
+      lut AS (SELECT qn.query_id, array_agg(
+                list_dot_product(qn.qv[cb.s*8+1 : cb.s*8+8], cb.v)
+                ORDER BY cb.s, cb.c) AS lf
+              FROM qn CROSS JOIN cb GROUP BY qn.query_id),
+      adc AS (SELECT lut.query_id, codes.vec_id,
+                list_sum(list_transform(range(0, 8), s ->
+                  lf[s*16 + cs[s+1] + 1])) AS adc
+              FROM codes CROSS JOIN lut),
+      ranked AS (SELECT query_id, vec_id, adc,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY adc DESC, vec_id) AS rank FROM adc)
+      SELECT query_id, vec_id, round(adc, 6) AS adc, rank
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     // q_embed_pca: frozen Hadamard components h_i[j] = (−1)^popcount(r&j)/8
     // (r ∈ {1,2,3,5}); DuckDB re-learns the centering means and whitening

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Product quantization: encode correctness against a driver-side replay,
+  * the compression shape, and ADC's recall against exact brute force on
+  * real testdata.
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val embs = graft.sources.Tables
+    .load(spark, "/root/testdata/sf0.001", "embeddings")
+
+  test("codebook: exact dyadic entries, all codes distinct per subspace") {
+    val cb = Pq.codebook(64, 8, 16)
+    assert(cb.length == 8 && cb(0).length == 16 && cb(0)(0).length == 8)
+    // every entry is an exact dyadic (1/128 units) at component scale
+    assert(cb.flatten.flatten.forall(v =>
+      v >= -0.125 && v <= 0.125 && (v * 128).isWhole))
+    // no duplicated code vector within a subspace (the mod-arithmetic trap)
+    cb.foreach { space =>
+      assert(space.map(_.toSeq).distinct.length == 16)
+    }
+  }
+
+  test("encode matches a driver-side argmax replay, one code per subspace") {
+    val cb = Pq.codebook(64, 8, 16)
+    val rows = Pq.encode(embs.filter(col("vec_id") < 20))
+      .select("vec_id", "cv", "codes")
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Double](1).toArray, r.getSeq[Int](2).toArray))
+    assert(rows.length == 20)
+    rows.foreach { case (id, cv, codes) =>
+      assert(codes.length == 8)
+      (0 until 8).foreach { s =>
+        val subv = cv.slice(s * 8, s * 8 + 8)
+        // argmax by (dot − ‖cb‖²/2, code) == argmin L2, ties → higher code
+        val best = (0 until 16).map { c =>
+          (subv.zip(cb(s)(c)).map { case (a, b) => a * b }.sum -
+            cb(s)(c).map(x => x * x).sum / 2.0, c)
+        }.max
+        assert(codes(s) == best._2, s"id=$id s=$s")
+      }
+    }
+  }
+
+  test("adc recall tracks the code budget; learned codebooks beat frozen") {
+    val q = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(embs, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(rows: Array[(Long, Long, Int)]) =
+      rows.count { case (qid, vid, _) => exact.contains((qid, vid)) }
+
+    // frozen closed-form codebooks at the oracle query's settings
+    // (m=8, nCodes=16 — 256 B → 8 codes, the most aggressive point):
+    // structurally valid ADC but not data-adapted, so quantization error
+    // costs recall on this unstructured corpus
+    val frozen = Pq.adcTopK(embs, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(frozen.length == 50)
+    val frozenHits = recall(frozen)
+    assert(frozenHits >= 10, s"frozen recall collapsed: $frozenHits/50")
+
+    // learned per-subspace Lloyd codebooks at a production operating point
+    // (m=16 subspaces, 64 codes — still 16× compression): the measured
+    // ladder on this corpus is 13/50 (m=8,k=16 learned) → 24 (m=16,k=16)
+    // → 33 (m=16,k=64), exactly PQ's compression-recall tradeoff
+    val cb = Pq.learnCodebooks(embs, m = 16, nCodes = 64, iters = 2)
+    val learned = Pq.adcTopK(embs, q, k = 5, m = 16, nCodes = 64, cb0 = cb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val learnedHits = recall(learned)
+    assert(learnedHits >= 25, s"learned recall@5 too low: $learnedHits/50")
+    assert(learnedHits > frozenHits,
+      s"learning didn't help: $learnedHits <= $frozenHits")
+  }
+
+  test("compression shape: m small codes per vector, codebook is a literal") {
+    val enc = Pq.encode(embs)
+    assert(enc.schema("codes").dataType.simpleString == "array<int>")
+    val sizes = enc.select(size(col("codes"))).distinct().collect()
+    assert(sizes.map(_.getInt(0)).toSeq == Seq(8)) // 64 floats → 8 codes
+    // no shuffle in the encode plan: it's a pure projection
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
