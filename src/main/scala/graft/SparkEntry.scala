@@ -1057,6 +1057,23 @@ object SparkEntry {
         .withColumn("adc", round(col("adc"), 6))
         .orderBy("query_id", "rank")
     }),
+    // Full IVF-PQ under the EXACT oracle: frozen Hadamard coarse centroids
+    // + frozen PQ codebooks, so DuckDB replays coarse assignment (ties →
+    // lower list id, the assignNearest rule), the nProbe=2 probe set, PQ
+    // encoding AND ADC scoring — while the Spark side actually writes the
+    // partition-pruned index to disk and reads back only probed lists.
+    "q_ann_ivfpq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val dir = java.nio.file.Files.createTempDirectory("graftivfpq")
+        .toString
+      graft.operators.Pq.writeIvfPqIndex(emb, dir, nLists = 8,
+        coarse = graft.operators.Pq.hadamardCentroids(64, 8))
+      graft.operators.Pq.ivfPqTopK(s, dir, q, k = 5, nProbe = 2)
+        .withColumn("adc", round(col("adc"), 6))
+        .orderBy("query_id", "rank")
+    }),
   )
 
   /** The SRP hyperplanes q_ann_srp uses, as DuckDB VALUES literals: the
@@ -2180,6 +2197,60 @@ object SparkEntry {
                 list_sum(list_transform(range(0, 8), s ->
                   lf[s*16 + cs[s+1] + 1])) AS adc
               FROM codes CROSS JOIN lut),
+      ranked AS (SELECT query_id, vec_id, adc,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY adc DESC, vec_id) AS rank FROM adc)
+      SELECT query_id, vec_id, round(adc, 6) AS adc, rank
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    // q_ann_ivfpq: frozen-everything IVF-PQ — Hadamard coarse centroids
+    // (unit ±1/8 rows), coarse assignment ties → lower list id
+    // (assignNearest), PQ encode ties → higher code id (array_max), probes
+    // = top-2 lists per query, ADC only over candidates in probed lists.
+    "q_ann_ivfpq" -> """
+      WITH hc AS (
+        SELECT g, list_transform(range(0, 64), j ->
+          (CASE WHEN bit_count((g+1) & j) % 2 = 0
+                THEN 1.0 ELSE -1.0 END) / 8.0) AS hv
+        FROM range(0, 8) t(g)),
+      cb AS (
+        SELECT s, c, list_transform(range(0, 8), j ->
+          (((5*s + 3*c + 7*j + c*j) % 16) - 7.5) / 64.0) AS v
+        FROM range(0, 8) t1(s), range(0, 16) t2(c)),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw
+            FROM embeddings),
+      n AS (SELECT vec_id,
+              list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw)))
+                AS cv
+            FROM e),
+      assign AS (SELECT vec_id, g FROM (
+          SELECT n.vec_id, hc.g, row_number() OVER (PARTITION BY n.vec_id
+            ORDER BY list_dot_product(n.cv, hc.hv) DESC, hc.g ASC) AS rk
+          FROM n CROSS JOIN hc) WHERE rk = 1),
+      sub AS (SELECT n.vec_id, cb.s, cb.c,
+                list_dot_product(n.cv[cb.s*8+1 : cb.s*8+8], cb.v)
+                  - list_dot_product(cb.v, cb.v) / 2.0 AS d
+              FROM n CROSS JOIN cb),
+      codes AS (
+        SELECT vec_id, array_agg(c ORDER BY s) AS cs
+        FROM (SELECT vec_id, s, c, row_number() OVER (
+                PARTITION BY vec_id, s ORDER BY d DESC, c DESC) AS rk
+              FROM sub) WHERE rk = 1 GROUP BY vec_id),
+      qn AS (SELECT vec_id AS query_id, cv AS qv FROM n WHERE vec_id < 10),
+      probes AS (SELECT query_id, g FROM (
+          SELECT qn.query_id, hc.g, row_number() OVER (
+            PARTITION BY qn.query_id
+            ORDER BY list_dot_product(qn.qv, hc.hv) DESC, hc.g ASC) AS rk
+          FROM qn CROSS JOIN hc) WHERE rk <= 2),
+      lut AS (SELECT qn.query_id, array_agg(
+                list_dot_product(qn.qv[cb.s*8+1 : cb.s*8+8], cb.v)
+                ORDER BY cb.s, cb.c) AS lf
+              FROM qn CROSS JOIN cb GROUP BY qn.query_id),
+      cand AS (SELECT p.query_id, a.vec_id
+               FROM probes p JOIN assign a USING (g)),
+      adc AS (SELECT cand.query_id, cand.vec_id,
+                list_sum(list_transform(range(0, 8), s ->
+                  lf[s*16 + cs[s+1] + 1])) AS adc
+              FROM cand JOIN codes USING (vec_id) JOIN lut USING (query_id)),
       ranked AS (SELECT query_id, vec_id, adc,
                    row_number() OVER (PARTITION BY query_id
                      ORDER BY adc DESC, vec_id) AS rank FROM adc)

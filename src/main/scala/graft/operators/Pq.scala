@@ -116,25 +116,20 @@ object Pq {
     out
   }
 
-  /** Normalize and compress `vecCol` to `m` code ids: per subspace, the
-    * code whose codebook vector has the lowest L2 distance to the
-    * subvector — equivalently the highest `dot − ‖cb‖²/2`, which is the
-    * form both the expression below and the SQL oracle compute (ties →
+  /** `codes` expression over an already-normalized vector column: per
+    * subspace, the code whose codebook vector has the lowest L2 distance
+    * to the subvector — equivalently the highest `dot − ‖cb‖²/2`, which is
+    * the form both this expression and the SQL oracle compute (ties →
     * higher code id; `array_max` over (score, code) structs and the SQL
-    * row_number mirror agree on that order). Appends `codes` = array<int>
-    * of length m. `cb` defaults to the frozen [[codebook]].
+    * row_number mirror agree on that order).
     */
-  def encode(corpus: DataFrame, m: Int = 8, nCodes: Int = 16,
-             idCol: String = "vec_id", vecCol: String = "embedding",
-             cb0: Array[Array[Array[Double]]] = null): DataFrame = {
-    VectorExpressions.register(corpus.sparkSession)
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
-    val cb = if (cb0 != null) cb0 else codebook(dim, m, nCodes)
-    val sub = dim / m
-    val normed = corpus
-      .select(col(idCol).as("vec_id"), normalize(col(vecCol)).as("cv"))
-    val codeCols: Seq[Column] = (0 until m).map { s =>
-      val subVec = slice(col("cv"), s * sub + 1, sub)
+  private def codesCol(cv: Column, cb: Array[Array[Array[Double]]])
+      : Column = {
+    val m = cb.length
+    val nCodes = cb(0).length
+    val sub = cb(0)(0).length
+    array((0 until m).map { s =>
+      val subVec = slice(cv, s * sub + 1, sub)
       val scored = array((0 until nCodes).map { c =>
         // dot − ‖cb‖²/2: argmax over codes == argmin L2 (‖x‖² is common),
         // and the correction is an exact driver constant
@@ -145,8 +140,43 @@ object Pq {
           lit(c).as("c"))
       }: _*)
       array_max(scored).getField("c")
-    }
-    normed.select(col("vec_id"), col("cv"), array(codeCols: _*).as("codes"))
+    }: _*)
+  }
+
+  /** Flattened per-query lookup table (m × nCodes subspace dots, index
+    * `s·nCodes + c`) over a normalized query-vector column. */
+  private def lutCol(qv: Column, cb: Array[Array[Array[Double]]]): Column = {
+    val sub = cb(0)(0).length
+    array(cb.zipWithIndex.flatMap { case (space, s) =>
+      space.map { code =>
+        VectorExpressions.dotNative(
+          slice(qv, s * sub + 1, sub), typedLit(code.toSeq))
+      }
+    }.toSeq: _*)
+  }
+
+  /** ADC score expression: `Σ_s lut[s·nCodes + codes[s]]` in fixed s order
+    * (the DuckDB oracle sums a list built in the same order —
+    * float-order identical). Expects `lut` and `codes` columns. */
+  private def adcCol(m: Int, nCodes: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d),
+      (acc, s) => acc +
+        element_at(col("lut"), (s * nCodes + element_at(col("codes"), s + 1))
+          .cast("int") + 1))
+
+  /** Normalize and compress `vecCol` to `m` code ids ([[codesCol]] rule).
+    * Appends `codes` = array<int> of length m. `cb0` defaults to the
+    * frozen [[codebook]].
+    */
+  def encode(corpus: DataFrame, m: Int = 8, nCodes: Int = 16,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             cb0: Array[Array[Array[Double]]] = null): DataFrame = {
+    VectorExpressions.register(corpus.sparkSession)
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val cb = if (cb0 != null) cb0 else codebook(dim, m, nCodes)
+    corpus
+      .select(col(idCol).as("vec_id"), normalize(col(vecCol)).as("cv"))
+      .select(col("vec_id"), col("cv"), codesCol(col("cv"), cb).as("codes"))
   }
 
   /** ADC top-k: score every compressed corpus row against each query's
@@ -171,29 +201,110 @@ object Pq {
     val sub = dim / m
     val encoded = encode(corpus, m, nCodes, corpusId, corpusVec, cb)
       .select("vec_id", "codes")
-    val lutCol = array((0 until m).flatMap { s =>
-      (0 until nCodes).map { c =>
-        VectorExpressions.dotNative(
-          slice(col("qv"), s * sub + 1, sub), typedLit(cb(s)(c).toSeq))
-      }
-    }: _*)
     val q = queries
       .select(col(queryId).as("query_id"), normalize(col(queryVec)).as("qv"))
-      .withColumn("lut", lutCol)
+      .withColumn("lut", lutCol(col("qv"), cb))
       .select("query_id", "lut")
-    // ADC: acc += lut[s·nCodes + codes[s]] in fixed s order (the DuckDB
-    // oracle sums a list built in the same order — float-order identical)
-    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d),
-      (acc, s) => acc +
-        element_at(col("lut"), (s * nCodes + element_at(col("codes"), s + 1))
-          .cast("int") + 1))
     val scored = encoded.join(broadcast(q))
-      .select(col("query_id"), col("vec_id"), adc.as("adc"))
+      .select(col("query_id"), col("vec_id"), adcCol(m, nCodes).as("adc"))
+    topKByAdc(scored, k)
+  }
+
+  private def topKByAdc(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("query_id")
       .agg(TopKAggregate.topK(struct(col("adc"), col("vec_id")), lit(k))
         .as("tk"))
       .select(col("query_id"), posexplode(col("tk")))
       .select(col("query_id"), col("col.vec_id").as("vec_id"),
         col("col.adc").as("adc"), (col("pos") + 1).cast("int").as("rank"))
+
+  /** Frozen coarse centroids for the IVF layer: `nLists` Sylvester
+    * Hadamard rows (`±1/√dim` entries — exactly unit-norm, mutually
+    * orthogonal, dyadic so every engine reconstructs identical doubles).
+    * The closed-form sibling of a learned k-means coarse quantizer, and
+    * what lets the whole IVF-PQ path sit under the exact oracle.
+    */
+  def hadamardCentroids(dim: Int, nLists: Int): Array[Array[Double]] = {
+    require(nLists < dim, s"need nLists < dim, got $nLists vs $dim")
+    val inv = 1.0 / math.sqrt(dim.toDouble)
+    Array.tabulate(nLists, dim)((g, j) =>
+      if (Integer.bitCount((g + 1) & j) % 2 == 0) inv else -inv)
+  }
+
+  /** Materialize an IVF-PQ index — the 100 TB ANN shape: the corpus
+    * coarse-quantizes into `nLists` inverted lists written as parquet
+    * PARTITIONED BY list id, and each entry stores ONLY its m PQ codes
+    * (plus id) — a 1B × 256 B corpus becomes 1B × (8 B codes + id), and a
+    * probe opens `nProbe` list directories of compressed rows. `coarse`
+    * takes frozen centroids ([[hadamardCentroids]]); null learns a k-means
+    * coarse quantizer. `cb0` likewise (frozen [[codebook]] vs
+    * [[learnCodebooks]] output).
+    */
+  def writeIvfPqIndex(corpus: DataFrame, path: String, nLists: Int = 16,
+                      m: Int = 8, nCodes: Int = 16, kmeansIters: Int = 2,
+                      coarse: Array[Array[Double]] = null,
+                      cb0: Array[Array[Array[Double]]] = null,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    VectorExpressions.register(spark)
+    import spark.implicits._
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val cb = if (cb0 != null) cb0 else codebook(dim, m, nCodes)
+    val normed = corpus
+      .select(col(idCol).as("vec_id"), normalize(col(vecCol)).as("cv"))
+      .localCheckpoint() // consumed by (possibly) k-means AND the write
+    val cents =
+      if (coarse != null)
+        coarse.zipWithIndex
+          .map { case (v, i) => (i, v.toSeq) }.toSeq
+          .toDF("centroid_id", "centroid")
+      else Similarity.kmeansCentroids(normed, nLists, kmeansIters, "cv")
+    Similarity.assignNearest(normed, cents, "cv", 1)
+      .select(col("vec_id"), codesCol(col("cv"), cb).as("codes"),
+        col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/lists")
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    cb.zipWithIndex.flatMap { case (space, s) =>
+      space.zipWithIndex.map { case (code, c) => (s, c, code.toSeq) }
+    }.toSeq.toDF("s", "c", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** Query a materialized IVF-PQ index: queries probe their `nProbe`
+    * nearest coarse centroids, the `centroid_id isin(...)` filter prunes
+    * at the FILE level (PartitionFilters — only probed list directories
+    * are read), and candidates are ADC-scored from their stored codes; the
+    * original vectors are never touched. Scanned bytes ≈
+    * `nProbe/nLists × |codes|`, the product of both reductions.
+    */
+  def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                queries: DataFrame, k: Int, nProbe: Int = 2,
+                queryId: String = "query_id", queryVec: String = "qvec")
+      : DataFrame = {
+    VectorExpressions.register(spark)
+    TopKAggregate.register(spark)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val cbRows = spark.read.parquet(s"$path/codebook").collect()
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val nCodes = cbRows.map(_.getInt(1)).max + 1
+    val cb = Array.ofDim[Array[Double]](m, nCodes)
+    cbRows.foreach(r =>
+      cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    val probes = Similarity.assignNearest(
+      queries.select(col(queryId).as("query_id"),
+        normalize(col(queryVec)).as("qv")), cents, "qv", nProbe)
+      .withColumn("lut", lutCol(col("qv"), cb))
+      .select("query_id", "centroid_id", "lut")
+    val probeLists = probes.select("centroid_id").distinct()
+      .collect().map(_.get(0)) // tiny: ≤ nQueries × nProbe ids
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("centroid_id").isin(probeLists: _*))
+    // a corpus vector lives in exactly one list, so no (query, vec) pair
+    // can surface twice — straight to the bounded top-k
+    val scored = lists.join(broadcast(probes), Seq("centroid_id"))
+      .select(col("query_id"), col("vec_id"), adcCol(m, nCodes).as("adc"))
+    topKByAdc(scored, k)
   }
 }

@@ -78,6 +78,36 @@ class PqSpec extends SparkSpec {
       s"learning didn't help: $learnedHits <= $frozenHits")
   }
 
+  test("ivf-pq index: probing all lists equals flat ADC; probes prune " +
+      "at the partition level") {
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    Pq.writeIvfPqIndex(embs, dir, nLists = 8,
+      coarse = Pq.hadamardCentroids(64, 8))
+    val q = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+
+    // nProbe = nLists: zero pruning → must equal the flat ADC scan exactly
+    val all = Pq.ivfPqTopK(spark, dir, q, k = 5, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    val flat = Pq.adcTopK(embs, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    assert(all.toSeq == flat.toSeq)
+
+    // nProbe = 2: the list scan carries a PartitionFilters isin over
+    // centroid_id — file-level pruning, not a post-scan filter
+    val pruned = Pq.ivfPqTopK(spark, dir, q, k = 5, nProbe = 2)
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("centroid_id"), plan.take(2000))
+
+    // the lists store ONLY (vec_id, codes): no vector column on disk
+    val listSchema = spark.read.parquet(s"$dir/lists").schema.fieldNames.toSet
+    assert(listSchema == Set("vec_id", "codes", "centroid_id"))
+  }
+
   test("compression shape: m small codes per vector, codebook is a literal") {
     val enc = Pq.encode(embs)
     assert(enc.schema("codes").dataType.simpleString == "array<int>")
