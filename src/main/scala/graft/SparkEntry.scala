@@ -949,6 +949,9 @@ object SparkEntry {
       // corpus vectors (normalized), so assignment, within-cluster pairing
       // and exact rescoring are all deterministic SQL — the one semantic-
       // dedup path the DuckDB oracle can hash-match end-to-end.
+      // the normalize kernel is a registered native function — and Datasets
+      // analyze eagerly, so registration must precede this select
+      graft.functions.VectorExpressions.register(s)
       val embs = t(s, d, "embeddings")
       val cents = embs.filter(col("vec_id") < 4)
         .select(col("vec_id").cast("int").as("centroid_id"),

@@ -154,10 +154,98 @@ case class MaskJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Unit-normalize a numeric array in ONE pass: out = x / ‖x‖₂ (all-zero
+  * vectors pass through widened, not NaN). The higher-order formulation
+  * (`transform(a, x -> x / sqrt(aggregate(a, …)))`) re-evaluates the norm
+  * aggregate for EVERY element — O(d²) per row, interpreted, and it pins
+  * the whole projection out of WholeStageCodegen because lambda functions
+  * are CodegenFallback. Every ANN / dedup operator normalizes its corpus
+  * first, so this kernel is on the hot path of all of them. Semantics are
+  * bit-identical to the old HOF form (same cast → square → sum order, same
+  * sqrt, same division), which is what keeps the cross-engine oracles
+  * unchanged.
+  */
+case class VecNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vec_norm expects a numeric array, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_vec_norm"
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  private def getter(arr: String, i: String): String = elemType match {
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case DoubleType => s"$arr.getDouble($i)"
+    case IntegerType => s"(double) $arr.getInt($i)"
+    case LongType => s"(double) $arr.getLong($i)"
+    case dt => throw new IllegalStateException(s"unsupported element type $dt")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Double](n)
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      val v = elemType match {
+        case FloatType => x.getFloat(i).toDouble
+        case DoubleType => x.getDouble(i)
+        case IntegerType => x.getInt(i).toDouble
+        case LongType => x.getLong(i).toDouble
+        case dt => throw new IllegalStateException(s"unsupported $dt")
+      }
+      out(i) = v; ss += v * v; i += 1
+    }
+    val norm = math.sqrt(ss)
+    if (norm != 0.0) { i = 0; while (i < n) { out(i) /= norm; i += 1 } }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      val ss = ctx.freshName("ss")
+      val norm = ctx.freshName("norm")
+      s"""
+         |int $n = $a.numElements();
+         |double[] $out = new double[$n];
+         |double $ss = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = ${getter(a, i)};
+         |  $ss += $out[$i] * $out[$i];
+         |}
+         |double $norm = java.lang.Math.sqrt($ss);
+         |if ($norm != 0.0) {
+         |  for (int $i = 0; $i < $n; $i++) { $out[$i] /= $norm; }
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.util.UnsafeArrayData
+         |    .fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : VecNormalize = copy(child = newChild)
+}
+
 /** Registration + Column-level access for the native vector kernels. */
 object VectorExpressions {
   val DotName = "graft_vec_dot"
   val MaskJaccardName = "graft_mask_jaccard"
+  val NormName = "graft_vec_norm"
 
   /** Idempotently register the native functions in this session's registry
     * (also usable from SQL once registered). Operators call this with
@@ -178,6 +266,13 @@ object VectorExpressions {
         MaskJaccard(exprs.head, exprs(1))
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      NormName,
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, s"$NormName expects 1 argument")
+        VecNormalize(exprs.head)
+      },
+      "built-in")
   }
 
   /** Codegen'd Σ aᵢ·bᵢ (requires [[register]] on the session first). */
@@ -186,4 +281,7 @@ object VectorExpressions {
   /** Codegen'd bitmask-set Jaccard (requires [[register]] first). */
   def maskJaccard(a: Column, b: Column): Column =
     call_function(MaskJaccardName, a, b)
+
+  /** Codegen'd one-pass unit normalization (requires [[register]] first). */
+  def normNative(a: Column): Column = call_function(NormName, a)
 }

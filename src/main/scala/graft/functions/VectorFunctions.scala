@@ -36,11 +36,16 @@ object VectorFunctions {
 
   /** Pre-normalize a vector to unit length (do this ONCE per corpus, then
     * cosine = dot — halves the flops of every subsequent comparison).
+    *
+    * Delegates to the native one-pass [[VectorExpressions.VecNormalize]]
+    * kernel — the HOF formulation (`transform(a, x -> x / l2Norm(a))`)
+    * re-evaluated the norm aggregate per ELEMENT (O(d²) per row) and its
+    * lambdas pinned the whole projection out of WholeStageCodegen. Same
+    * semantics bit-for-bit (zero vectors pass through widened). Requires
+    * `VectorExpressions.register` on the session, which every operator
+    * call path already does.
     */
-  def normalize(a: Column): Column = {
-    val n = l2Norm(a)
-    when(n === 0.0, a).otherwise(transform(a, x => x.cast("double") / n))
-  }
+  def normalize(a: Column): Column = VectorExpressions.normNative(a)
 
   /** Sign-random-projection LSH bucket: for each of `planes.length`
     * hyperplanes, bit = (v · plane) >= 0. Returns a long bucket id.

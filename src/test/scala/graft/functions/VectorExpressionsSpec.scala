@@ -41,6 +41,53 @@ class VectorExpressionsSpec extends SparkSpec {
       .collect().head.getDouble(0) == 32.0)
   }
 
+  test("normNative matches the HOF normalize bit-for-bit, incl zero vecs") {
+    VectorExpressions.register(spark)
+    // the pre-kernel formulation, kept here as the reference semantics
+    def hofNormalize(a: org.apache.spark.sql.Column) = {
+      val n = VectorFunctions.l2Norm(a)
+      when(n === 0.0, a).otherwise(transform(a, x => x.cast("double") / n))
+    }
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 100).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))) :+
+      (100L, Array.fill(64)(0.0f)) // all-zero: must pass through, not NaN
+    val both = rows.toDF("id", "a")
+      .select(col("id"),
+        VectorExpressions.normNative(col("a")).as("native"),
+        hofNormalize(col("a")).as("hof"))
+      .collect()
+    both.foreach { r =>
+      val n = r.getSeq[Double](1); val h = r.getSeq[Double](2)
+      assert(n.length == h.length)
+      // bit-for-bit: the kernel replays the exact cast/sum/divide order
+      n.zip(h).foreach { case (x, y) =>
+        assert(java.lang.Double.doubleToLongBits(x) ==
+          java.lang.Double.doubleToLongBits(y), s"id=${r.getLong(0)}") }
+    }
+    // double input and unit norm
+    val d = Seq(Tuple1(Array(3.0, 4.0))).toDF("a")
+      .select(VectorExpressions.normNative(col("a")).as("n")).collect()
+    assert(d.head.getSeq[Double](0) == Seq(0.6, 0.8))
+    // null propagates
+    val nn = Seq(Tuple1(null.asInstanceOf[Array[Double]])).toDF("a")
+      .select(VectorExpressions.normNative(col("a")).as("n")).collect()
+    assert(nn.head.isNullAt(0))
+  }
+
+  test("native normalize keeps the projection in whole-stage codegen") {
+    VectorExpressions.register(spark)
+    // no HOFs in the fixture: a transform() lambda would itself pin the
+    // projection out of codegen regardless of the kernel under test
+    val df = spark.range(3)
+      .select(col("id"),
+        array((1 to 4).map(i => (col("id") + i).cast("double")): _*).as("a"))
+      .select(col("id"), VectorExpressions.normNative(col("a")).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_vec_norm") && l.trim.startsWith("*(")), plan)
+  }
+
   test("native dot is used inside whole-stage codegen") {
     VectorExpressions.register(spark)
     // spark.range keeps a real physical plan (a literal Seq const-folds into
