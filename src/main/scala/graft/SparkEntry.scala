@@ -803,6 +803,23 @@ object SparkEntry {
           sum("pixSum").as("sum_channel_bytes"))
         .orderBy("grp")
     }),
+    // REAL audio sample decode under the exact oracle: the synthetic WAVs
+    // carry the document's UTF-8 bytes as 16-bit LE PCM, the Spark side
+    // walks the RIFF chunks and reduces the ACTUAL data-chunk samples to
+    // integer invariants, and DuckDB rebuilds the same samples from the
+    // construction rule (hex-pair extraction) — a hash match proves the
+    // decoder read the real PCM stream.
+    "q_multimodal_audio" -> ((s, d) => {
+      import org.apache.spark.sql.Encoders
+      val corpus = Multimodal.syntheticCorpus(t(s, d, "documents"))
+        .filter(col("modality") === "audio")
+      Multimodal.decodeAudio(
+          corpus.as[Multimodal.MediaRow](Encoders.product[Multimodal.MediaRow]))
+        .select(col("id").as("doc_id"), col("channels"),
+          col("nSamples").as("n_samples"), col("sumSq").as("sum_sq"),
+          col("peak"))
+        .orderBy("doc_id")
+    }),
 
     // ---- §2.12 lake: ACID commits, time travel, compaction ---------------
     // End-to-end through the LakeLog: three OCC-committed inserts (disjoint
@@ -2167,6 +2184,28 @@ object SparkEntry {
         FROM scored)
       SELECT query_id, vec_id, round(cos, 6) AS cos, rank
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    // q_multimodal_audio: rebuild the 16-bit LE PCM samples from the UTF-8
+    // text bytes (the synthetic WAV's data chunk) via hex-pair extraction,
+    // and recompute the exact integer invariants the Spark decoder reports
+    "q_multimodal_audio" -> """
+      WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+                        octet_length(encode(text)) AS n
+                 FROM documents WHERE doc_id % 3 = 1),
+      s AS (SELECT doc_id, n,
+              list_transform(range(0, n // 2), i ->
+                CAST(('0x' || substr(h, 4*i+3, 2) || substr(h, 4*i+1, 2))
+                  AS INTEGER)) AS raw
+            FROM b),
+      v AS (SELECT doc_id, n, list_transform(raw, x ->
+              CASE WHEN x >= 32768 THEN x - 65536 ELSE x END) AS sm
+            FROM s)
+      SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS channels,
+             CAST(n // 2 AS BIGINT) AS n_samples,
+             CAST(coalesce(list_sum(list_transform(sm, x ->
+               CAST(x AS BIGINT) * x)), 0) AS BIGINT) AS sum_sq,
+             CAST(coalesce(list_max(list_transform(sm, x -> abs(x))), 0)
+               AS INT) AS peak
+      FROM v ORDER BY doc_id""",
     // q_ann_pq: re-derive the frozen closed-form codebooks, re-encode every
     // vector (row_number over (d DESC, c DESC) = Spark's array_max struct
     // tie rule), rebuild each query's flattened LUT in (s, c) order and sum

@@ -198,6 +198,64 @@ object Multimodal {
           .as("frame_bytes"))
   }
 
+  /** Sample-level record for PCM audio: exact integer invariants
+    * (sum of squared samples, peak amplitude) a cross-engine oracle can
+    * recompute from the payload construction rule. */
+  final case class AudioRow(id: Long, channels: Int, nSamples: Long,
+                            sumSq: Long, peak: Int)
+
+  /** REAL audio sample decode — WAV/PCM needs no codec library: the data
+    * chunk IS the samples. Walks the RIFF chunks like [[parseHeader]],
+    * then reads the `data` chunk as 16-bit little-endian signed PCM and
+    * reduces to (sample count, Σ sample², max |sample|) — all integer
+    * arithmetic, so the result is exactly reproducible by any engine
+    * reading the same bytes (q_multimodal_audio's DuckDB oracle rebuilds
+    * the samples from the corpus construction rule). Compressed codecs
+    * (mp3/aac) stay header-only — those genuinely need codec libraries
+    * this environment doesn't ship. Malformed payloads degrade to a zero
+    * row, never throw.
+    */
+  def decodeAudio(ds: Dataset[MediaRow]): Dataset[AudioRow] = {
+    implicit val enc = Encoders.product[AudioRow]
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.payload; val n = p.length
+        def u8(i: Int): Int = p(i) & 0xFF
+        def le32(i: Int): Long = u8(i).toLong | (u8(i + 1).toLong << 8) |
+          (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+        def tag(i: Int): String =
+          if (i + 4 <= n) new String(p, i, 4, "US-ASCII") else ""
+        if (tag(0) != "RIFF" || tag(8) != "WAVE") AudioRow(r.id, 0, 0, 0, 0)
+        else {
+          var off = 12
+          var channels = 0
+          var nSamples = 0L; var sumSq = 0L; var peak = 0
+          while (off + 8 <= n) {
+            val chunk = tag(off); val sz = le32(off + 4)
+            if (chunk == "fmt " && off + 8 + 16 <= n)
+              channels = u8(off + 10) | (u8(off + 11) << 8)
+            else if (chunk == "data") {
+              val start = off + 8
+              val end = math.min(n.toLong, start + sz).toInt
+              var i = start
+              while (i + 1 < end) {
+                var s = u8(i) | (u8(i + 1) << 8)
+                if (s >= 32768) s -= 65536
+                sumSq += s.toLong * s
+                val a = math.abs(s)
+                if (a > peak) peak = a
+                nSamples += 1
+                i += 2
+              }
+            }
+            off = math.min(n.toLong, off.toLong + 8L + sz + (sz & 1L)).toInt
+          }
+          AudioRow(r.id, channels, nSamples, sumSq, peak)
+        }
+      }
+    }
+  }
+
   // ---- real pixel decode (JDK ImageIO PNG codec) -------------------------
 
   /** Pixel-level record: dimensions, color channels, and the exact sum of

@@ -184,6 +184,45 @@ class MultimodalSpec extends SparkSpec {
     assert(same.width == 128 && same.height == 56)
   }
 
+  test("decodeAudio reads REAL PCM samples from the WAV data chunk") {
+    import Multimodal._
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    // hand-built mono WAV with 3 known 16-bit LE samples:
+    // 1000, -2000, 32767 → sumSq = 1000² + 2000² + 32767² = 1078676289
+    def le16(v: Int) = Array(((v & 0xFF)).toByte, (((v >> 8) & 0xFF)).toByte)
+    def le32b(v: Long) = Array(
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val data = le16(1000) ++ le16(-2000 & 0xFFFF) ++ le16(32767)
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32b(36 + data.length) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32b(16) ++
+      le16(1) ++ le16(1) ++ le32b(8000) ++ le32b(16000) ++
+      le16(2) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32b(data.length) ++ data
+    val out = decodeAudio(Seq(MediaRow(1L, "audio", wav)).toDS())
+      .collect().head
+    assert(out == AudioRow(1L, 1, 3, 1000L * 1000 + 2000L * 2000 +
+      32767L * 32767, 32767))
+    // the synthetic corpus's audio rows decode their text bytes as PCM
+    val audio = corpus.filter(col("modality") === "audio")
+      .as[MediaRow]
+    val synth = decodeAudio(audio).collect().head
+    val textBytes = "wav payload content here".getBytes("UTF-8")
+    var expSumSq = 0L; var expPeak = 0
+    textBytes.grouped(2).filter(_.length == 2).foreach { pair =>
+      var s = (pair(0) & 0xFF) | ((pair(1) & 0xFF) << 8)
+      if (s >= 32768) s -= 65536
+      expSumSq += s.toLong * s
+      expPeak = math.max(expPeak, math.abs(s))
+    }
+    assert(synth == AudioRow(1L, 2, textBytes.length / 2, expSumSq, expPeak))
+    // non-WAV payloads degrade to a zero row
+    assert(decodeAudio(Seq(MediaRow(2L, "audio",
+      Array[Byte](1, 2, 3))).toDS()).collect().head ==
+      AudioRow(2L, 0, 0, 0, 0))
+  }
+
   test("decodeImage degrades undecodable payloads to zero rows") {
     import Multimodal._
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
