@@ -140,19 +140,25 @@ class LakeFuzzSpec extends SparkSpec {
     val cats = Seq("x", "y", "z")
     val log = new LakeLog(tmpDir("fuzzmv"))
     LakeTable.createTable(log, "t", schemaC)
-    val d = MvDef("t_by_cat", "t", "cat", Seq("v"))
+    val d = MvDef("t_by_cat", "t", "cat", Seq("v"),
+      minCols = Seq("v"), maxCols = Seq("v"))
     MaterializedView.create(log, d)
     var model = Map.empty[Long, (String, Double)]
     var nextId = 0L
 
-    def mvRows(): Map[String, (Long, Double)] =
-      LakeTable.read(spark, log, d.name).collect()
-        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def mvRows(): Map[String, (Long, Double, Double, Double)] =
+      LakeTable.read(spark, log, d.name)
+        .select("cat", "n_rows", "sum_v", "min_v", "max_v").collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+        .toMap
     // integer-valued doubles: sums are order-independent and exact, so the
-    // model comparison needs no epsilon
-    def modelAgg(): Map[String, (Long, Double)] =
+    // model comparison needs no epsilon; min/max stress the monotone-merge
+    // path on appends and the full-recompute recovery after delete/upsert
+    def modelAgg(): Map[String, (Long, Double, Double, Double)] =
       model.values.groupBy(_._1).map { case (c, vs) =>
-        c -> (vs.size.toLong, vs.map(_._2).sum) }
+        c -> (vs.size.toLong, vs.map(_._2).sum,
+          vs.map(_._2).min, vs.map(_._2).max) }
 
     (1 to 14).foreach { step =>
       rnd.nextInt(5) match {
