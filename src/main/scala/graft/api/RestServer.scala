@@ -1,0 +1,464 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.time.Instant
+import java.util.UUID
+import java.util.concurrent.{ConcurrentHashMap, Executors}
+
+import com.fasterxml.jackson.databind.json.JsonMapper
+import com.fasterxml.jackson.module.scala.{ClassTagExtensions, DefaultScalaModule}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import graft.lake.{Field, LakeLog, LakeTable, TableSchema}
+
+/** The reference coordinator's REST transport as an actual in-process HTTP
+  * listener — route-for-route the table of `pkg/coordinator/rest_api.go:45-68`
+  * plus the compaction routes (`rest_api.go:515-521`) — served by the JDK's
+  * built-in `com.sun.net.httpserver` (zero new dependencies, per the
+  * no-new-libraryDependencies constraint).
+  *
+  * The handlers delegate to the layers that already exist: [[QueryApi]] for
+  * the structured-query body, [[SqlApi]] for SQL, [[Jobs.JobManager]] for the
+  * async submit → poll → results lifecycle, [[graft.lake.LakeLog]]/
+  * [[graft.lake.LakeTable]] for DDL, inserts, snapshots and compaction.
+  * Errors follow Go's `http.Error` convention: plain-text body, 400/404/500.
+  *
+  * Where the reference STUBS an endpoint, this serves the real operation
+  * (same policy as [[SqlApi]]/[[graft.lake.LakeTable.insertJson]]):
+  *   - `DELETE /tables/{t}` — placeholder success, deletes nothing
+  *     (`rest_api.go:683-693`); here a real drop ([[LakeLog.dropTable]]).
+  *   - `POST /tables/{t}/insert` — returns success WITHOUT writing
+  *     (`rest_api.go:695-712`); here a real staged-commit insert.
+  *   - `POST /query` — canned rows pattern-matched on `count(*)`
+  *     (`rest_api.go:714-739`); here real `spark.sql` over the lake's
+  *     snapshot views, rows returned inline (capped at `maxInlineRows` —
+  *     the async `POST /queries` path is the one that scales, results as a
+  *     location not a stream, matching `rest_api.go:404-410`).
+  *
+  * Single-driver scope: the listener binds one port on the Spark driver (the
+  * reference's coordinator process). `port = 0` binds an ephemeral port
+  * (tests); [[boundPort]] reports it.
+  */
+final class RestServer(spark: SparkSession, log: LakeLog,
+                       resultRoot: String, port: Int = 0,
+                       maxInlineRows: Int = 1000) {
+
+  private val mapper = JsonMapper.builder()
+    .addModule(DefaultScalaModule).build() :: ClassTagExtensions
+
+  private val jobs = new Jobs.JobManager(spark, resultRoot)
+
+  private final case class ActiveCompaction(txnId: String, startMs: Long,
+                                            baseVersion: Long)
+  private val activeCompactions =
+    new ConcurrentHashMap[String, ActiveCompaction]()
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  server.setExecutor(Executors.newCachedThreadPool(r => {
+    val t = new Thread(r, "graft-rest")
+    t.setDaemon(true)
+    t
+  }))
+  server.createContext("/", (ex: HttpExchange) => route(ex))
+
+  def start(): RestServer = { server.start(); this }
+  def boundPort: Int = server.getAddress.getPort
+  def stop(): Unit = server.stop(0)
+
+  // ---- routing --------------------------------------------------------
+
+  private def route(ex: HttpExchange): Unit = {
+    val method = ex.getRequestMethod
+    val segs = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty).toList
+    try {
+      (method, segs) match {
+        case ("GET", List("health"))                 => health(ex)
+        case ("POST", List("tables"))                => createTable(ex)
+        case ("GET", List("tables", t))              => getTable(ex, t)
+        case ("DELETE", List("tables", t))           => deleteTable(ex, t)
+        case ("GET", List("tables", t, "versions"))  => listVersions(ex, t)
+        case ("GET", List("tables", t, "versions", v, "snapshot")) =>
+          getSnapshot(ex, t, v)
+        case ("POST", List("tables", t, "data"))     => insertData(ex, t)
+        case ("POST", List("tables", t, "insert"))   => insertDirect(ex, t)
+        case ("POST", List("query"))                 => queryDirect(ex)
+        case ("POST", List("queries"))               => submitQuery(ex)
+        case ("GET", List("queries", id))            => queryStatus(ex, id)
+        case ("GET", List("queries", id, "results")) => queryResults(ex, id)
+        case ("POST", List("tables", t, "compaction")) =>
+          triggerCompaction(ex, t)
+        case ("DELETE", List("tables", t, "compaction")) =>
+          cancelCompaction(ex, t)
+        case ("GET", List("tables", t, "compaction", "status")) =>
+          compactionStatus(ex, t)
+        case ("GET", List("tables", t, "compaction", "metrics")) =>
+          compactionMetrics(ex, t)
+        case ("GET", List("compaction", "active"))   => activeList(ex)
+        case _ => textError(ex, 404, s"no route: $method ${segs.mkString("/")}")
+      }
+    } catch {
+      case e: graft.lake.LakeValidationException =>
+        textError(ex, 400, e.getMessage)
+      case e: NoSuchElementException => textError(ex, 404, e.getMessage)
+      case e: Throwable =>
+        textError(ex, 500, s"Internal error: ${e.getMessage}")
+    } finally ex.close()
+  }
+
+  private def body(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+
+  private def readMap(ex: HttpExchange): Map[String, Any] = {
+    val b = body(ex)
+    if (b.trim.isEmpty) Map.empty
+    else mapper.readValue[Map[String, Any]](b)
+  }
+
+  private def respondJson(ex: HttpExchange, status: Int, payload: Any): Unit = {
+    val bytes = mapper.writeValueAsBytes(payload)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+
+  /** Go `http.Error` shape: text/plain body + newline. */
+  private def textError(ex: HttpExchange, status: Int, msg: String): Unit = {
+    val bytes = (msg + "\n").getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+
+  // ---- handlers -------------------------------------------------------
+
+  /** GET /health (`rest_api.go:466-499`). The single-JVM driver IS the
+    * metadata service, so connected/leader are trivially this process. */
+  private def health(ex: HttpExchange): Unit =
+    respondJson(ex, 200, Map(
+      "status" -> "healthy",
+      "timestamp" -> Instant.now().toString,
+      "service" -> "graft-coordinator",
+      "metadata_service_connected" -> true,
+      "metadata_leader" -> "driver"))
+
+  /** POST /tables (`rest_api.go:128-206`): accepts `name` or `table_name`,
+    * `schema.fields[{name,type,nullable}]`; extension: optional
+    * `partition_columns` (the lake supports hive-style partitioning the
+    * reference lacks). */
+  private def createTable(ex: HttpExchange): Unit = {
+    val req = readMap(ex)
+    val name = req.get("name").orElse(req.get("table_name")) match {
+      case Some(s: String) => s
+      case _ => return textError(ex, 400,
+        "Missing table name (use 'name' or 'table_name' field)")
+    }
+    val fields = req.get("schema") match {
+      case Some(sch: Map[String, Any] @unchecked) =>
+        sch.get("fields") match {
+          case Some(fs: Seq[Any] @unchecked) => fs.map {
+            case f: Map[String, Any] @unchecked => Field(
+              f.getOrElse("name", "").toString,
+              f.getOrElse("type", "").toString,
+              f.get("nullable").forall(_ == true))
+            case _ => return textError(ex, 400, "Invalid field")
+          }
+          case _ =>
+            return textError(ex, 400, "Missing or invalid schema fields")
+        }
+      case _ => return textError(ex, 400, "Missing or invalid schema")
+    }
+    val partCols = req.get("partition_columns") match {
+      case Some(ps: Seq[Any] @unchecked) => Some(ps.map(_.toString))
+      case _ => None
+    }
+    log.createTable(name, TableSchema(fields, partition_columns = partCols))
+    respondJson(ex, 200, Map(
+      "success" -> true,
+      "message" -> s"Table $name created successfully"))
+  }
+
+  /** GET /tables/{t} (`rest_api.go:208-261`). */
+  private def getTable(ex: HttpExchange, table: String): Unit = {
+    if (!log.tableExists(table))
+      return textError(ex, 404, s"table $table does not exist")
+    val snap = log.snapshot(table)
+    respondJson(ex, 200, Map(
+      "table_name" -> table,
+      "latest_version" -> snap.version,
+      "schema" -> schemaJson(snap.schema),
+      "file_count" -> snap.files.size))
+  }
+
+  private def schemaJson(s: Option[TableSchema]): Map[String, Any] =
+    Map("fields" -> s.map(_.fields.map(f => Map(
+      "name" -> f.name, "type" -> f.`type`, "nullable" -> f.nullable)))
+      .getOrElse(Nil))
+
+  /** DELETE /tables/{t} — real drop (reference placeholder,
+    * `rest_api.go:683-693`). */
+  private def deleteTable(ex: HttpExchange, table: String): Unit = {
+    log.dropTable(table)
+    respondJson(ex, 200, Map(
+      "success" -> true,
+      "message" -> s"Table $table deleted"))
+  }
+
+  /** GET /tables/{t}/versions (`rest_api.go:263-287`). */
+  private def listVersions(ex: HttpExchange, table: String): Unit = {
+    if (!log.tableExists(table))
+      return textError(ex, 404, s"table $table does not exist")
+    respondJson(ex, 200, Map(
+      "table_name" -> table,
+      "versions" -> log.versions(table)))
+  }
+
+  /** GET /tables/{t}/versions/{v}/snapshot (`rest_api.go:412-464`). */
+  private def getSnapshot(ex: HttpExchange, table: String, v: String): Unit = {
+    val version = v.toLongOption match {
+      case Some(n) if n >= 0 => n
+      case _ => return textError(ex, 400, s"Invalid version: $v")
+    }
+    if (!log.tableExists(table))
+      return textError(ex, 404, s"table $table does not exist")
+    val snap = log.snapshot(table, version)
+    respondJson(ex, 200, Map(
+      "table_name" -> table,
+      "version" -> snap.version,
+      "schema" -> schemaJson(snap.schema),
+      "files" -> snap.files.map(f => Map(
+        "path" -> f.path, "rows" -> f.rows, "size" -> f.size,
+        "partition" -> f.partition)),
+      "file_count" -> snap.files.size))
+  }
+
+  /** POST /tables/{t}/data (`rest_api.go:289-326`): `{data_path, txn_id?}`
+    * (+ extension `format` ∈ parquet|csv|json, default parquet). */
+  private def insertData(ex: HttpExchange, table: String): Unit = {
+    val req = readMap(ex)
+    val dataPath = req.get("data_path") match {
+      case Some(p: String) if p.nonEmpty => p
+      case _ => return textError(ex, 400, "Missing data_path")
+    }
+    val txnId = req.get("txn_id") match {
+      case Some(t: String) if t.nonEmpty => t
+      case _ => UUID.randomUUID().toString
+    }
+    val format = req.getOrElse("format", "parquet").toString
+    val result = LakeTable.load(spark, log, table, dataPath, format, txnId)
+    respondJson(ex, 200, Map(
+      "success" -> true,
+      "txn_id" -> txnId,
+      "new_version" -> result.version,
+      "job_id" -> s"insert-$txnId",
+      "message" ->
+        s"Data inserted into table $table, new version: ${result.version}"))
+  }
+
+  /** POST /tables/{t}/insert (`rest_api.go:695-712`, a stub there):
+    * `{data: [row, ...]}` — real inline insert via the staged-commit path
+    * ([[LakeTable.insertJson]]). */
+  private def insertDirect(ex: HttpExchange, table: String): Unit = {
+    val req = readMap(ex)
+    val rows = req.get("data") match {
+      case Some(rs: Seq[Any] @unchecked) =>
+        rs.map(r => mapper.writeValueAsString(r))
+      case _ => return textError(ex, 400, "Missing data rows")
+    }
+    val txnId = req.get("txn_id") match {
+      case Some(t: String) if t.nonEmpty => t
+      case _ => UUID.randomUUID().toString
+    }
+    val result = LakeTable.insertJson(spark, log, table, rows, txnId)
+    respondJson(ex, 200, Map(
+      "success" -> true,
+      "txn_id" -> txnId,
+      "new_version" -> result.version,
+      "message" -> s"Data inserted into table $table"))
+  }
+
+  /** POST /query (`rest_api.go:714-739`, mocked there): `{sql}` → REAL
+    * spark.sql over the lake's snapshot views; rows inline (capped). */
+  private def queryDirect(ex: HttpExchange): Unit = {
+    val req = readMap(ex)
+    val sql = req.get("sql") match {
+      case Some(s: String) if s.trim.nonEmpty => s
+      case _ => return textError(ex, 400, "Missing sql")
+    }
+    val jobId = s"job-${UUID.randomUUID()}"
+    val df = SqlApi.queryLake(spark, log, sql)
+    val rows = df.toJSON.take(maxInlineRows)
+      .map(r => mapper.readValue[Map[String, Any]](r)).toSeq
+    respondJson(ex, 200, Map(
+      "job_id" -> jobId,
+      "results" -> rows,
+      "status" -> "completed"))
+  }
+
+  /** POST /queries (`rest_api.go:328-367`): the structured QueryAPIRequest
+    * body, submitted async → job_id. */
+  private def submitQuery(ex: HttpExchange): Unit = {
+    val jobId = jobs.submitLakeJson(log, body(ex))
+    respondJson(ex, 200, Map(
+      "success" -> true,
+      "job_id" -> jobId,
+      "message" -> "Query submitted successfully"))
+  }
+
+  /** GET /queries/{jobId} (`rest_api.go:369-383`). */
+  private def queryStatus(ex: HttpExchange, jobId: String): Unit = {
+    val s = jobs.status(jobId)
+    val base = Map[String, Any]("job_id" -> s.jobId, "status" -> s.status)
+    val withPath = s.resultPath.fold(base)(p => base + ("result_path" -> p))
+    val withErr = s.error.fold(withPath)(e => withPath + ("error" -> e))
+    val withMs = jobs.metrics(jobId).fold(withErr)(m =>
+      withErr + ("duration_ms" -> (m.durationSec * 1000).toLong))
+    respondJson(ex, 200, withMs)
+  }
+
+  /** GET /queries/{jobId}/results (`rest_api.go:385-410`): results are a
+    * LOCATION, never streamed — the path is real parquet. */
+  private def queryResults(ex: HttpExchange, jobId: String): Unit = {
+    val s = jobs.status(jobId)
+    if (s.status != Jobs.Completed)
+      return textError(ex, 400,
+        s"Query not completed, current status: ${s.status}")
+    respondJson(ex, 200, Map(
+      "job_id" -> jobId,
+      "status" -> s.status,
+      "result_path" -> s.resultPath.getOrElse(""),
+      "message" ->
+        "Query completed successfully. Results available at result_path."))
+  }
+
+  /** POST /tables/{t}/compaction (`rest_api.go:530-580`): validate not
+    * already running (the reference's ValidateCompactionSafety), then run a
+    * REAL compaction under a cancellable Spark job group. bytes_read/written
+    * are exact, from the log's before/after file sets. */
+  private def triggerCompaction(ex: HttpExchange, table: String): Unit = {
+    if (!log.tableExists(table))
+      return textError(ex, 404, s"table $table does not exist")
+    val force = readMap(ex).get("force").contains(true)
+    val txnId = s"compaction-${UUID.randomUUID()}"
+    val before = log.snapshot(table)
+    val prev = activeCompactions.putIfAbsent(table,
+      ActiveCompaction(txnId, System.currentTimeMillis(), before.version))
+    if (prev != null)
+      return textError(ex, 400,
+        s"Compaction validation failed: compaction already running for $table")
+    try {
+      spark.sparkContext.setJobGroup(txnId, s"compaction $table",
+        interruptOnCancel = true)
+      val t0 = System.nanoTime()
+      val report = LakeTable.compact(spark, log, table, force = force)
+      val durationMs = (System.nanoTime() - t0) / 1000000L
+      val after = log.snapshot(table, report.finalVersion)
+      val beforeSizes = before.files.map(f => f.path -> f.size).toMap
+      val afterSizes = after.files.map(f => f.path -> f.size).toMap
+      val bytesRead = beforeSizes.collect {
+        case (p, s) if !afterSizes.contains(p) => s }.sum
+      val bytesWritten = afterSizes.collect {
+        case (p, s) if !beforeSizes.contains(p) => s }.sum
+      respondJson(ex, 200, Map(
+        "success" -> true,
+        "txn_id" -> txnId,
+        "new_version" -> report.finalVersion,
+        "input_files" -> report.filesRemoved,
+        "output_files" -> report.filesAdded,
+        "bytes_read" -> bytesRead,
+        "bytes_written" -> bytesWritten,
+        "duration_ms" -> durationMs,
+        "message" ->
+          (if (report.groupsPlanned == 0)
+            s"No compaction needed for table $table"
+          else s"Compaction completed for table $table")))
+    } catch {
+      // a cancel interrupts the Spark jobs; committed groups stay (snapshot-
+      // isolated), uncommitted staging is cleaned by compact's finally
+      case e: Throwable => respondJson(ex, 200, Map(
+        "success" -> false,
+        "error" -> String.valueOf(e.getMessage),
+        "txn_id" -> txnId))
+    } finally {
+      activeCompactions.remove(table)
+      spark.sparkContext.clearJobGroup()
+    }
+  }
+
+  /** DELETE /tables/{t}/compaction (`rest_api.go:661-679`): cancel the
+    * running compaction's Spark job group. */
+  private def cancelCompaction(ex: HttpExchange, table: String): Unit = {
+    val active = activeCompactions.get(table)
+    if (active == null)
+      return textError(ex, 400,
+        s"Failed to cancel compaction: no compaction running for $table")
+    spark.sparkContext.cancelJobGroup(active.txnId)
+    respondJson(ex, 200, Map(
+      "success" -> true,
+      "message" -> s"Compaction cancelled for table $table"))
+  }
+
+  /** GET /tables/{t}/compaction/status (`rest_api.go:582-607`). */
+  private def compactionStatus(ex: HttpExchange, table: String): Unit = {
+    val active = activeCompactions.get(table)
+    val base = Map[String, Any]("table_name" -> table,
+      "running" -> (active != null))
+    respondJson(ex, 200,
+      if (active == null) base
+      else base ++ Map(
+        "txn_id" -> active.txnId,
+        "base_version" -> active.baseVersion,
+        "start_time" -> Instant.ofEpochMilli(active.startMs).toString,
+        "status" -> "RUNNING",
+        "duration_ms" -> (System.currentTimeMillis() - active.startMs)))
+  }
+
+  /** GET /tables/{t}/compaction/metrics (`rest_api.go:609-634`; counts per
+    * `compaction_service.go:244-288`): small = below the config's
+    * minFileSize; potential savings uses the reference's estimate — each
+    * plannable group's compacted output ≈ 0.9× its input bytes
+    * (`compaction_service.go:203-212`), so savings = 10% of grouped bytes. */
+  private def compactionMetrics(ex: HttpExchange, table: String): Unit = {
+    if (!log.tableExists(table))
+      return textError(ex, 404, s"table $table does not exist")
+    val snap = log.snapshot(table)
+    val cfg = LakeTable.CompactionConfig()
+    val small = snap.files.filter(_.size < cfg.minFileSize)
+    val totalSize = snap.files.map(_.size).sum
+    val smallSize = small.map(_.size).sum
+    val groups = LakeTable.planCompaction(snap, cfg)
+    respondJson(ex, 200, Map(
+      "table_name" -> table,
+      "version" -> snap.version,
+      "total_files" -> snap.files.size,
+      "small_files" -> small.size,
+      "compaction_needed" -> LakeTable.compactionNeeded(snap, cfg),
+      "total_size_bytes" -> totalSize,
+      "small_files_size_bytes" -> smallSize,
+      "average_small_file_size" ->
+        (if (small.nonEmpty) smallSize / small.size else 0L),
+      "potential_savings_bytes" ->
+        groups.map(g => (g.map(_.size).sum * 0.1).toLong).sum,
+      "timestamp" -> Instant.now().toString))
+  }
+
+  /** GET /compaction/active (`rest_api.go:636-659`). */
+  private def activeList(ex: HttpExchange): Unit = {
+    val entries = activeCompactions.entrySet().iterator()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Map[String, Any]]
+    while (entries.hasNext) {
+      val e = entries.next()
+      out += Map(
+        "table_name" -> e.getKey,
+        "txn_id" -> e.getValue.txnId,
+        "base_version" -> e.getValue.baseVersion,
+        "start_time" -> Instant.ofEpochMilli(e.getValue.startMs).toString,
+        "status" -> "RUNNING",
+        "duration_ms" -> (System.currentTimeMillis() - e.getValue.startMs))
+    }
+    respondJson(ex, 200, Map(
+      "active_compactions" -> out.toSeq,
+      "count" -> out.size))
+  }
+}

@@ -202,6 +202,24 @@ final class LakeLog(val root: Path) {
     }
   }
 
+  /** DROP TABLE — the reference's `DELETE /tables/{t}` endpoint is a
+    * placeholder that deletes nothing (`pkg/coordinator/rest_api.go:683-693`);
+    * here it is real: log, data and staging all go. The log directory is
+    * removed FIRST (under the table's commit lock), so a concurrent reader
+    * either sees the table fully alive or `tableExists == false` — never a
+    * log that references vanished data files.
+    */
+  def dropTable(table: String): Unit = lockFor(table).synchronized {
+    if (!tableExists(table))
+      throw new LakeValidationException(s"table $table does not exist")
+    def deleteTree(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) listNames(p).foreach(n => deleteTree(p.resolve(n)))
+      Files.deleteIfExists(p)
+    }
+    deleteTree(logDir(table))
+    deleteTree(tableDir(table))
+  }
+
   private val EntryNameRe = "([0-9]{20})\\.json".r
 
   /** Committed versions in ascending order. Only canonical `%020d.json`

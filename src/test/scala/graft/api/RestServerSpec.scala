@@ -1,0 +1,247 @@
+package graft.api
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.json.JsonMapper
+import com.fasterxml.jackson.module.scala.{ClassTagExtensions, DefaultScalaModule}
+import org.scalatest.BeforeAndAfterAll
+
+import graft.SparkSpec
+import graft.lake.LakeLog
+
+/** The REST transport end-to-end over real HTTP: every route of the
+  * reference's `pkg/coordinator/rest_api.go` table served by [[RestServer]],
+  * exercised with the JDK HttpClient against an ephemeral port. The DDL →
+  * insert → query → compaction lifecycle runs against a real lake log; the
+  * stubbed-in-the-reference endpoints (direct insert, direct query, drop)
+  * are asserted to do REAL work here.
+  */
+class RestServerSpec extends SparkSpec with BeforeAndAfterAll {
+
+  private val mapper = JsonMapper.builder()
+    .addModule(DefaultScalaModule).build() :: ClassTagExtensions
+
+  private var log: LakeLog = _
+  private var server: RestServer = _
+  private var base: String = _
+  private val client = HttpClient.newHttpClient()
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    log = new LakeLog(tmpDir("restlake"))
+    server = new RestServer(spark, log, tmpDir("restres").toString).start()
+    base = s"http://127.0.0.1:${server.boundPort}"
+  }
+
+  override def afterAll(): Unit = {
+    server.stop()
+    super.afterAll()
+  }
+
+  private final case class Resp(status: Int, body: String) {
+    def json: Map[String, Any] = mapper.readValue[Map[String, Any]](body)
+  }
+
+  private def get(path: String): Resp = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
+    Resp(r.statusCode(), r.body())
+  }
+
+  private def post(path: String, body: String): Resp = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(base + path))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
+    Resp(r.statusCode(), r.body())
+  }
+
+  private def delete(path: String): Resp = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(base + path)).DELETE().build(),
+      HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
+    Resp(r.statusCode(), r.body())
+  }
+
+  test("GET /health reports a healthy coordinator") {
+    val r = get("/health")
+    assert(r.status == 200)
+    val j = r.json
+    assert(j("status") == "healthy")
+    assert(j("metadata_service_connected") == true)
+  }
+
+  test("full lifecycle: create → get → insert → versions → snapshot → query") {
+    val create = post("/tables", """{
+      "name": "events",
+      "schema": {"fields": [
+        {"name": "id", "type": "int64", "nullable": false},
+        {"name": "kind", "type": "string"}]}}""")
+    assert(create.status == 200, create.body)
+    assert(create.json("success") == true)
+
+    val got = get("/tables/events")
+    assert(got.status == 200)
+    assert(got.json("table_name") == "events")
+    assert(got.json("latest_version") == 0)
+
+    // direct insert (a stub in the reference; real staged commit here)
+    val ins = post("/tables/events/insert", """{
+      "txn_id": "rest-txn-1",
+      "data": [{"id": 1, "kind": "a"}, {"id": 2, "kind": "b"},
+               {"id": 3, "kind": "a"}]}""")
+    assert(ins.status == 200, ins.body)
+    assert(ins.json("new_version") == 1)
+
+    val versions = get("/tables/events/versions")
+    assert(versions.json("versions") == List(0, 1))
+
+    val snap = get("/tables/events/versions/1/snapshot")
+    assert(snap.status == 200)
+    assert(snap.json("version") == 1)
+    assert(snap.json("file_count").asInstanceOf[Int] >= 1)
+    assert(get("/tables/events/versions/nope/snapshot").status == 400)
+
+    // direct query (canned rows in the reference; real spark.sql here)
+    val q = post("/query",
+      """{"sql": "SELECT kind, count(*) AS n FROM events GROUP BY kind ORDER BY kind"}""")
+    assert(q.status == 200, q.body)
+    val rows = q.json("results").asInstanceOf[Seq[Map[String, Any]]]
+    assert(rows == Seq(Map("kind" -> "a", "n" -> 2), Map("kind" -> "b", "n" -> 1)))
+  }
+
+  test("POST /tables/{t}/data loads an external parquet file") {
+    post("/tables", """{
+      "table_name": "loads",
+      "schema": {"fields": [{"name": "id", "type": "int64"}]}}""")
+    import spark.implicits._
+    val src = tmpDir("restload").resolve("src").toString
+    (1L to 10L).toDF("id").write.parquet(src)
+    val r = post("/tables/loads/data", s"""{"data_path": "$src"}""")
+    assert(r.status == 200, r.body)
+    assert(r.json("new_version") == 1)
+    val q = post("/query", """{"sql": "SELECT count(*) AS n FROM loads"}""")
+    assert(q.json("results") == Seq(Map("n" -> 10)))
+  }
+
+  test("async: POST /queries → poll status → results as a location") {
+    post("/tables", """{
+      "name": "asyncq",
+      "schema": {"fields": [{"name": "id", "type": "int64"},
+                            {"name": "v", "type": "string"}]}}""")
+    post("/tables/asyncq/insert",
+      """{"data": [{"id": 1, "v": "x"}, {"id": 2, "v": "y"}]}""")
+
+    val sub = post("/queries", """{
+      "table_name": "asyncq",
+      "filter": "id > 1",
+      "projection": ["id", "v"]}""")
+    assert(sub.status == 200, sub.body)
+    val jobId = sub.json("job_id").toString
+    assert(jobId.startsWith("job-"))
+
+    val deadline = System.currentTimeMillis() + 60000
+    var status = get(s"/queries/$jobId")
+    while (status.json("status") != "COMPLETED" &&
+           status.json("status") != "FAILED" &&
+           System.currentTimeMillis() < deadline) {
+      Thread.sleep(50)
+      status = get(s"/queries/$jobId")
+    }
+    assert(status.json("status") == "COMPLETED", status.body)
+    assert(status.json.contains("duration_ms"))
+
+    val res = get(s"/queries/$jobId/results")
+    assert(res.status == 200)
+    val path = res.json("result_path").toString
+    assert(path.nonEmpty)
+    val back = spark.read.parquet(path).collect()
+    assert(back.length == 1 && back.head.getAs[Long]("id") == 2L)
+
+    assert(get("/queries/job-unknown").status == 404)
+  }
+
+  test("results refuse until the job completes (reference 400 contract)") {
+    // a query that fails analysis: status reaches FAILED, results 400
+    post("/tables", """{
+      "name": "failq",
+      "schema": {"fields": [{"name": "id", "type": "int64"}]}}""")
+    val sub = post("/queries",
+      """{"table_name": "failq", "projection": ["missing_col"]}""")
+    val jobId = sub.json("job_id").toString
+    val deadline = System.currentTimeMillis() + 60000
+    var status = get(s"/queries/$jobId")
+    while (status.json("status") != "FAILED" &&
+           System.currentTimeMillis() < deadline) {
+      Thread.sleep(50)
+      status = get(s"/queries/$jobId")
+    }
+    assert(status.json("status") == "FAILED")
+    val res = get(s"/queries/$jobId/results")
+    assert(res.status == 400)
+    assert(res.body.contains("not completed"))
+  }
+
+  test("compaction: metrics, trigger, status, active list") {
+    post("/tables", """{
+      "name": "compactme",
+      "schema": {"fields": [{"name": "id", "type": "int64"}]}}""")
+    // several small commits → small files the planner wants to merge
+    (1 to 4).foreach { i =>
+      post("/tables/compactme/insert",
+        s"""{"data": [{"id": $i}, {"id": ${i + 100}}]}""")
+    }
+    val metrics = get("/tables/compactme/compaction/metrics")
+    assert(metrics.status == 200)
+    assert(metrics.json("total_files").asInstanceOf[Int] >= 4)
+    assert(metrics.json("compaction_needed") == true)
+    assert(metrics.json("small_files").asInstanceOf[Int] >= 4)
+
+    val status0 = get("/tables/compactme/compaction/status")
+    assert(status0.json("running") == false)
+    assert(get("/compaction/active").json("count") == 0)
+
+    val run = post("/tables/compactme/compaction", """{"force": true}""")
+    assert(run.status == 200, run.body)
+    assert(run.json("success") == true, run.body)
+    assert(run.json("input_files").asInstanceOf[Int] >= 4)
+    assert(run.json("output_files").asInstanceOf[Int] >= 1)
+    assert(run.json("bytes_read").asInstanceOf[Number].longValue > 0L)
+
+    // rows survive the rewrite
+    val q = post("/query", """{"sql": "SELECT count(*) AS n FROM compactme"}""")
+    assert(q.json("results") == Seq(Map("n" -> 8)))
+
+    // cancel with nothing running is the reference's 400
+    assert(delete("/tables/compactme/compaction").status == 400)
+    assert(get("/tables/missing/compaction/metrics").status == 404)
+  }
+
+  test("DELETE /tables/{t} is a real drop (reference placeholder)") {
+    post("/tables", """{
+      "name": "dropme",
+      "schema": {"fields": [{"name": "id", "type": "int64"}]}}""")
+    post("/tables/dropme/insert", """{"data": [{"id": 1}]}""")
+    assert(log.tableExists("dropme"))
+    val r = delete("/tables/dropme")
+    assert(r.status == 200)
+    assert(!log.tableExists("dropme"))
+    // idempotence is NOT silent: second drop is a validation error
+    assert(delete("/tables/dropme").status == 400)
+    assert(get("/tables/dropme").status == 404)
+  }
+
+  test("error conventions: 404 unknown route, 400 bad bodies, plain text") {
+    assert(get("/nope").status == 404)
+    val r = post("/tables", """{"schema": {"fields": []}}""")
+    assert(r.status == 400)
+    assert(r.body.contains("Missing table name"))
+    assert(post("/tables/events/data", "{}").status == 400)
+    assert(post("/query", "{}").status == 400)
+    assert(post("/tables", """{"name": "noschema"}""").status == 400)
+  }
+}
