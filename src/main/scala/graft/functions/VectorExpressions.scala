@@ -232,7 +232,7 @@ case class VecNormalize(child: Expression)
          |  for (int $i = 0; $i < $n; $i++) { $out[$i] /= $norm; }
          |}
          |${ev.value} =
-         |  org.apache.spark.sql.catalyst.util.UnsafeArrayData
+         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
          |    .fromPrimitiveArray($out);
        """.stripMargin
     })

@@ -88,6 +88,32 @@ class VectorExpressionsSpec extends SparkSpec {
       l.contains("graft_vec_norm") && l.trim.startsWith("*(")), plan)
   }
 
+  test("generated code for all three kernels actually COMPILES") {
+    // The '*(n)' plan check above is necessary but not sufficient: Janino
+    // compiles the generated source at EXECUTION time, and a compile error
+    // there silently falls back to interpreted eval (the plan string never
+    // changes). codegen.fallback=false turns that silent downgrade into a
+    // test failure — this caught a wrong package path in VecNormalize's
+    // doGenCode that every plan-level assertion missed.
+    VectorExpressions.register(spark)
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = spark.range(4)
+        .select(col("id"),
+          array((1 to 4).map(i => (col("id") + i).cast("double")): _*).as("a"),
+          array((1 to 4).map(i => (col("id") * i).cast("float")): _*).as("b"),
+          array(col("id") * 7 + 3, col("id") + 1).as("fp1"),
+          array(col("id") * 11 + 5, col("id") + 2).as("fp2"))
+        .select(
+          VectorExpressions.normNative(col("a")).as("n"),
+          VectorExpressions.dotNative(col("a"), col("b")).as("d"),
+          VectorExpressions.maskJaccard(col("fp1"), col("fp2")).as("j"))
+      val rows = df.collect()
+      assert(rows.length == 4 && !rows.head.isNullAt(0))
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("native dot is used inside whole-stage codegen") {
     VectorExpressions.register(spark)
     // spark.range keeps a real physical plan (a literal Seq const-folds into
