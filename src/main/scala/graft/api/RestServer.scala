@@ -50,10 +50,15 @@ final class RestServer(spark: SparkSession, log: LakeLog,
 
   private val jobs = new Jobs.JobManager(spark, resultRoot)
 
+  // every query materialized through this server lands in the live series
+  // the /metrics scrape target renders
+  graft.Metrics.enableLive(spark)
+
   private final case class ActiveCompaction(txnId: String, startMs: Long,
                                             baseVersion: Long)
   private val activeCompactions =
     new ConcurrentHashMap[String, ActiveCompaction]()
+  private val compactionsTotal = new java.util.concurrent.atomic.AtomicLong()
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.setExecutor(Executors.newCachedThreadPool(r => {
@@ -96,6 +101,7 @@ final class RestServer(spark: SparkSession, log: LakeLog,
         case ("GET", List("tables", t, "compaction", "metrics")) =>
           compactionMetrics(ex, t)
         case ("GET", List("compaction", "active"))   => activeList(ex)
+        case ("GET", List("metrics"))                => prometheusMetrics(ex)
         case _ => textError(ex, 404, s"no route: $method ${segs.mkString("/")}")
       }
     } catch {
@@ -353,6 +359,7 @@ final class RestServer(spark: SparkSession, log: LakeLog,
       val t0 = System.nanoTime()
       val report = LakeTable.compact(spark, log, table, force = force)
       val durationMs = (System.nanoTime() - t0) / 1000000L
+      compactionsTotal.incrementAndGet()
       val after = log.snapshot(table, report.finalVersion)
       val beforeSizes = before.files.map(f => f.path -> f.size).toMap
       val afterSizes = after.files.map(f => f.path -> f.size).toMap
@@ -441,6 +448,57 @@ final class RestServer(spark: SparkSession, log: LakeLog,
       "potential_savings_bytes" ->
         groups.map(g => (g.map(_.size).sum * 0.1).toLong).sum,
       "timestamp" -> Instant.now().toString))
+  }
+
+  /** GET /metrics — the reference's Prometheus scrape target
+    * (`pkg/observability/observability.go:92` mounts `promhttp` at
+    * `/metrics`; `monitoring/prometheus.yml` scrapes it), rendered in the
+    * text exposition format from this process's live series:
+    *
+    *  - `lakehouse_query_duration_seconds` histogram with the reference's
+    *    exact buckets (`metrics.go` QueryDuration: 0.1..300) plus
+    *    `lakehouse_queries_total`, over the [[graft.Metrics.live]] rolling
+    *    window — the series its p95 < 1 s alert rule watches;
+    *  - `lakehouse_commits_total` / `lakehouse_commit_failures_total`
+    *    (`metrics.go` CommitsTotal/CommitFailures) from the lake log's
+    *    lifetime counters, the series HighCommitFailureRate rates over;
+    *    duplicate-txn replays exported separately (graft extension) so
+    *    idempotent redelivery is visible without diluting failures;
+    *  - `lakehouse_compactions_total` (`metrics.go` CompactionsTotal) from
+    *    this server's completed compaction requests.
+    */
+  private def prometheusMetrics(ex: HttpExchange): Unit = {
+    val sb = new StringBuilder
+    def counter(name: String, help: String, v: Long): Unit = {
+      sb ++= s"# HELP $name $help\n# TYPE $name counter\n$name $v\n"
+    }
+    val ms = graft.Metrics.live.recent
+    val buckets = Seq(0.1, 0.5, 1.0, 2.5, 5.0, 10.0, 25.0, 60.0, 300.0)
+    sb ++= "# HELP lakehouse_query_duration_seconds Duration of query execution in seconds\n"
+    sb ++= "# TYPE lakehouse_query_duration_seconds histogram\n"
+    buckets.foreach { le =>
+      val n = ms.count(_.durationSec <= le)
+      sb ++= s"""lakehouse_query_duration_seconds_bucket{le="$le"} $n""" += '\n'
+    }
+    sb ++= s"""lakehouse_query_duration_seconds_bucket{le="+Inf"} ${ms.size}""" += '\n'
+    sb ++= s"lakehouse_query_duration_seconds_sum ${ms.map(_.durationSec).sum}\n"
+    sb ++= s"lakehouse_query_duration_seconds_count ${ms.size}\n"
+    counter("lakehouse_queries_total", "Total number of queries executed",
+      ms.size.toLong)
+    counter("lakehouse_commits_total", "Total number of commits",
+      log.commitAttempts.get())
+    counter("lakehouse_commit_failures_total",
+      "Total number of commit failures", log.commitConflicts.get())
+    counter("lakehouse_commit_duplicates_total",
+      "Duplicate-txn commit replays (idempotent redelivery)",
+      log.commitDuplicates.get())
+    counter("lakehouse_compactions_total",
+      "Total number of compactions", compactionsTotal.get())
+    val bytes = sb.result().getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type",
+      "text/plain; version=0.0.4; charset=utf-8")
+    ex.sendResponseHeaders(200, bytes.length)
+    ex.getResponseBody.write(bytes)
   }
 
   /** GET /compaction/active (`rest_api.go:636-659`). */

@@ -235,6 +235,33 @@ class RestServerSpec extends SparkSpec with BeforeAndAfterAll {
     assert(get("/tables/dropme").status == 404)
   }
 
+  test("GET /metrics serves the Prometheus text exposition format") {
+    post("/tables", """{
+      "name": "scraped",
+      "schema": {"fields": [{"name": "id", "type": "int64"}]}}""")
+    post("/tables/scraped/insert", """{"data": [{"id": 1}, {"id": 2}]}""")
+    post("/query", """{"sql": "SELECT count(*) AS n FROM scraped"}""")
+    val r = get("/metrics")
+    assert(r.status == 200)
+    // exposition format, reference series names and buckets (metrics.go)
+    assert(r.body.contains("# TYPE lakehouse_query_duration_seconds histogram"))
+    assert(r.body.contains("""lakehouse_query_duration_seconds_bucket{le="0.1"}"""))
+    assert(r.body.contains("""lakehouse_query_duration_seconds_bucket{le="+Inf"}"""))
+    assert(r.body.contains("# TYPE lakehouse_commits_total counter"))
+    val commits = r.body.linesIterator
+      .find(_.startsWith("lakehouse_commits_total ")).get.split(" ")(1).toLong
+    assert(commits >= 1, s"expected committed inserts counted, got $commits")
+    val count = r.body.linesIterator
+      .find(_.startsWith("lakehouse_query_duration_seconds_count "))
+      .get.split(" ")(1).toLong
+    assert(count >= 1, "the /query execution must land in the live series")
+    // bucket counts are cumulative: each bucket ≤ the next, all ≤ count
+    val buckets = r.body.linesIterator
+      .filter(_.startsWith("lakehouse_query_duration_seconds_bucket"))
+      .map(_.split(" ")(1).toLong).toList
+    assert(buckets == buckets.sorted && buckets.last == count)
+  }
+
   test("error conventions: 404 unknown route, 400 bad bodies, plain text") {
     assert(get("/nope").status == 404)
     val r = post("/tables", """{"schema": {"fields": []}}""")
