@@ -239,6 +239,56 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
+    "q_tpch_q5" -> ((s, d) => {
+      // TPC-H Q5 shape (local-supplier revenue): the canonical 6-table
+      // join-reorder test. Scale shape: region→nation→supplier collapse
+      // into ONE broadcast dim (region and nation are tiny, supplier is
+      // the smallest big table — at 100 TB it's ~1/10000 of lineitem, well
+      // under a broadcast threshold after the nation semi-filter);
+      // lineitem⋈orders and ⋈customer are the real shuffles, keyed on
+      // orderkey/custkey. The c_nationkey = s_nationkey constraint rides
+      // the supplier broadcast, so it costs no extra exchange.
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1998-01-01").cast("timestamp")
+      val supNation = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders")
+            .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supNation),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+    "q_tpch_q17" -> ((s, d) => {
+      // TPC-H Q17 shape (small-quantity-order revenue): the canonical
+      // correlated scalar subquery — decorrelated by hand into the plan
+      // Catalyst would derive: ONE per-partkey average over lineitem
+      // (shuffle keyed on partkey, partial agg map-side), semi-filtered to
+      // the brand's parts FIRST via the broadcast part dim so the avg
+      // never aggregates partkeys the outer query discards. l_quantity is
+      // integral, so the per-key mean is exact FP and the `<` threshold
+      // is engine-deterministic (a float avg of non-integral values would
+      // make the comparison order-dependent near ties).
+      val pt = t(s, d, "part").filter(col("p_brand") === "Brand#23")
+        .select("p_partkey")
+      val branded = t(s, d, "lineitem")
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      val avgQ = branded.groupBy("l_partkey")
+        .agg(avg("l_quantity").as("__avg_qty"))
+      branded.join(avgQ, "l_partkey")
+        .filter(col("l_quantity") < lit(0.2) * col("__avg_qty"))
+        .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+    }),
     "q_join_semi" -> ((s, d) =>
       t(s, d, "customer")
         .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"),
@@ -1201,6 +1251,27 @@ object SparkEntry {
         AND l_shipdate  > TIMESTAMP '1998-01-01'
       GROUP BY l_orderkey, o_orderdate, o_orderpriority
       ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q_tpch_q5" -> """
+      SELECT n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+      GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q_tpch_q17" -> """
+      SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#23'
+        AND l_quantity < (
+          SELECT 0.2 * avg(l2.l_quantity)
+          FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)""",
     "q_join_semi" -> """
       SELECT c_custkey FROM customer
       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
