@@ -1036,6 +1036,15 @@ object SparkEntry {
       Dedup.dropDuplicateSpans(docsSpread(s, d), spanTokens = 8)
         .select("doc_id", "text_spandedup", "n_spans_kept")
         .orderBy("doc_id")),
+    "q_dedup_substr" -> ((s, d) =>
+      // ExactSubstr-style duplicate-substring masking (Lee et al. 2022)
+      // under the exact oracle: every stride-1 8-token window keeps its
+      // global first occurrence; tokens covered by later occurrences are
+      // removed. DuckDB replays the same window rank + coverage union +
+      // in-place token rebuild.
+      Dedup.maskDuplicateSubstrings(docsSpread(s, d), shingleTokens = 8)
+        .select("doc_id", "text_substrdedup", "n_tokens_removed")
+        .orderBy("doc_id")),
     "q_text_normalize" -> ((s, d) => {
       // Unicode cleaning under the exact oracle: a deterministic dirty
       // suffix (decomposed e + combining acute, a BEL control char, messy
@@ -2417,6 +2426,37 @@ object SparkEntry {
                count(*) AS n
         FROM sp JOIN k USING (doc_id, pos) GROUP BY sp.doc_id) s
         ON d.doc_id = s.sdoc
+      ORDER BY d.doc_id""",
+    "q_dedup_substr" -> """
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '') AS t
+        FROM documents),
+      occ AS (
+        SELECT doc_id, i AS pos, array_to_string(t[(i+1):(i+8)], ' ') AS w
+        FROM toks, UNNEST(range(len(t) - 8 + 1)) AS u(i)
+        WHERE len(t) >= 8),
+      masked AS (
+        SELECT doc_id, pos FROM (
+          SELECT doc_id, pos,
+                 row_number() OVER (PARTITION BY w
+                                    ORDER BY doc_id, pos) AS rk
+          FROM occ) WHERE rk > 1),
+      cov AS (
+        SELECT DISTINCT doc_id, pos + j AS p
+        FROM masked, UNNEST(range(8)) AS v(j)),
+      tokpos AS (
+        SELECT doc_id, i AS p, t[i+1] AS tok
+        FROM toks, UNNEST(range(len(t))) AS u(i))
+      SELECT d.doc_id AS doc_id,
+             coalesce(s.txt, '') AS text_substrdedup,
+             CAST(coalesce(c.nrem, 0) AS INT) AS n_tokens_removed
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS txt
+                 FROM tokpos ANTI JOIN cov USING (doc_id, p)
+                 GROUP BY doc_id) s ON d.doc_id = s.doc_id
+      LEFT JOIN (SELECT doc_id, count(*) AS nrem FROM cov
+                 GROUP BY doc_id) c ON d.doc_id = c.doc_id
       ORDER BY d.doc_id""",
     "q_text_normalize" -> """
       SELECT doc_id,

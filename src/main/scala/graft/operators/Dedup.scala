@@ -444,6 +444,73 @@ object Dedup {
       .drop("__keep", "__toks")
   }
 
+  /** Exact duplicate-SUBSTRING removal, ExactSubstr-style (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): every `shingleTokens`-token window (stride 1 — all
+    * overlapping positions, unlike [[dropDuplicateSpans]]'s disjoint
+    * spans) whose content appears ANYWHERE else in the corpus keeps only
+    * its global first occurrence (ordered by (doc, position)); tokens
+    * covered by a later occurrence are removed from the document. This is
+    * the paper's remove-all-but-one semantics at token-window granularity
+    * — where the suffix-array implementation finds maximal duplicated
+    * byte ranges, overlapping fixed-width windows find the same runs:
+    * consecutive duplicated windows merge into one removed span because
+    * their covered positions union.
+    *
+    * Scale shape: the duplicated-window computation shuffles (hash, id,
+    * pos) ONCE — a hash-partitioned window (partition = one shingle
+    * content) ranks occurrences without any self-join, and covered token
+    * positions are ints aggregated per document; the rebuild re-slices
+    * each document's own token array in place (`array_except` over
+    * position arrays is a hash-set difference, O(tokens)), so document
+    * text never crosses the wire. Stride-1 shingling emits one row per
+    * token — the same O(corpus tokens) the suffix array pays, one scan.
+    *
+    * Returns the input plus `text_substrdedup` and `n_tokens_removed`.
+    */
+  def maskDuplicateSubstrings(docs: DataFrame, shingleTokens: Int = 8,
+                              idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame = {
+    require(shingleTokens >= 1, "shingleTokens must be >= 1")
+    val k = shingleTokens
+    // bind the token array as a column BEFORE any transform() lambda
+    // references it (higher-order lambdas re-evaluate referenced subtrees
+    // per element — the documented O(tokens²) trap)
+    val toks = col("__toks")
+    val windows = when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          p => array_join(slice(toks, p + 1, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val occ = spread(docs.select(col(idCol), col(textCol)))
+      .withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol), posexplode(windows))
+      .toDF(idCol, "pos", "w")
+      .select(md5(col("w")).as("h"), col(idCol), col("pos"))
+    // rank occurrences of identical content: rk > 1 ⟺ duplicated AND not
+    // the keeper — one (h, id, pos) shuffle, no join against an aggregate
+    val byContent = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy(col(idCol), col("pos"))
+    val covered = occ
+      .withColumn("__rk", row_number().over(byContent))
+      .filter(col("__rk") > 1)
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+      .groupBy(idCol).agg(sort_array(collect_set("p")).as("__cov"))
+    docs.join(covered, Seq(idCol), "left")
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__cov",
+        coalesce(col("__cov"), array().cast("array<int>")))
+      .withColumn("__keep", array_except(
+        when(size(toks) > 0, sequence(lit(0), size(toks) - 1))
+          .otherwise(array().cast("array<int>")),
+        col("__cov")))
+      .withColumn("text_substrdedup",
+        array_join(transform(col("__keep"),
+          p => element_at(toks, p + 1)), " "))
+      .withColumn("n_tokens_removed", size(col("__cov")).cast("int"))
+      .drop("__cov", "__keep", "__toks")
+  }
+
   /** Semantic near-duplicate pairs, SemDeDup-style (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with spherical k-means
     * ([[Similarity.kmeansCentroids]] — all-DataFrame Lloyd, deterministic

@@ -305,6 +305,73 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == ("", 0))            // empty doc: empty, not null
   }
 
+  test("maskDuplicateSubstrings: later occurrences masked, first kept") {
+    // k=2, stride-1 windows. doc 1 holds the first occurrence of every
+    // window it contains; doc 2 repeats "b c d" (windows [b c],[c d]) in
+    // the middle of fresh text; doc 3 repeats a run IN-DOCUMENT; doc 4 is
+    // shorter than k; doc 5 is empty.
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x y b c d z"),
+      (3L, "p q r p q r"),
+      (4L, "w"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = Dedup.maskDuplicateSubstrings(docs, shingleTokens = 2)
+      .select("doc_id", "text_substrdedup", "n_tokens_removed")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2)))
+      .toMap
+    // doc 1: all windows are global first occurrences → untouched
+    assert(out(1L) == ("a b c d e", 0))
+    // doc 2: [b c] and [c d] already occurred in doc 1 → tokens b,c,d
+    // (positions 2..4) are covered; x y z survive
+    assert(out(2L) == ("x y z", 3))
+    // doc 3: windows [p q],[q r] at positions 3,4 repeat positions 0,1
+    // (the bridging [r p] at 2 is unique) → tokens 3..5 covered, and the
+    // two overlapping duplicated windows merge into ONE removed run
+    assert(out(3L) == ("p q r", 3))
+    // shorter than k: no windows, text passes through (token-joined)
+    assert(out(4L) == ("w", 0))
+    assert(out(5L) == ("", 0))
+  }
+
+  test("maskDuplicateSubstrings finds cross-doc boilerplate on testdata") {
+    // real documents table: the corpus carries injected duplicate
+    // passages; stride-1 masking must remove tokens somewhere while
+    // keeping every document's first-occurrence text intact
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val out = Dedup.maskDuplicateSubstrings(docs, shingleTokens = 8)
+    val agg = out.agg(
+      sum("n_tokens_removed").cast("long"),
+      count(lit(1))).collect().head
+    assert(agg.getLong(1) == docs.count())        // row-preserving
+    assert(agg.getLong(0) > 0, "expected duplicated runs in testdata")
+    // a document containing NO duplicated window must pass through
+    // untouched (token-joined) with zero removals — masking can only be
+    // triggered by window content that repeats somewhere in the corpus
+    import graft.functions.TextFunctions.tokens
+    val k = 8
+    val toks = col("__toks")
+    val windows = when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          p => array_join(slice(toks, p + 1, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val occ = docs.withColumn("__toks", tokens(col("text")))
+      .select(col("doc_id"), explode(windows).as("w"))
+    val dupWins = occ.groupBy("w").count().filter(col("count") > 1)
+    val cleanDocs = docs.join(
+      occ.join(dupWins, "w").select("doc_id").distinct(),
+      Seq("doc_id"), "left_anti")
+    val touched = out
+      .join(cleanDocs.select("doc_id"), "doc_id")
+      .withColumn("__orig", array_join(tokens(col("text")), " "))
+      .filter(col("n_tokens_removed") =!= 0 ||
+        col("text_substrdedup") =!= col("__orig"))
+      .count()
+    assert(touched == 0, s"$touched duplicate-free documents were modified")
+  }
+
   test("semanticDupPairs: precision 1, deterministic, dedup keeps min id") {
     val rnd = new scala.util.Random(17)
     // 30 vectors in 3 well-separated directions plus small noise: every
