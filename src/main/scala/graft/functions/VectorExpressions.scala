@@ -252,6 +252,15 @@ object VectorExpressions {
     * `df.sparkSession` before emitting [[dotNative]] columns.
     */
   def register(spark: SparkSession): Unit = {
+    // The ANN/PQ operators inline whole codebooks as literals, so one
+    // projection can carry hundreds of dot kernels — the generated method
+    // exceeds HotSpot's DontCompileHugeMethods threshold (8000 bytecode)
+    // and would run as INTERPRETED BYTECODE, ~3× slower than Spark's own
+    // interpreted expressions (measured on q_ann_pq: 4.1 s vs 1.2 s at
+    // sf0.1). Capping hugeMethodLimit at the JIT threshold makes Spark
+    // fall back to interpreted eval for exactly those stages while every
+    // normally-sized stage keeps whole-stage codegen.
+    spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       DotName,
       { exprs: Seq[Expression] =>
