@@ -637,6 +637,14 @@ object SparkEntry {
       Dedup.minhashLshPairs(t(s, d, "documents"), threshold = 0.5)
         .withColumn("est_jaccard", round(col("est_jaccard"), 6))
         .orderBy("a_id", "b_id")),
+    "q_dedup_minhash_fixed" -> ((s, d) =>
+      // the LSH machinery's exact-oracle face: md5-derived 60-bit per-seed
+      // hashes DuckDB recomputes bit-for-bit (hex-string cast), raw
+      // signature slices as band keys — banding, candidates and the
+      // signature-estimated Jaccard all replayed cross-engine. est is
+      // count/16 (exact dyadic), no rounding needed.
+      Dedup.minhashLshPairsFixed(t(s, d, "documents"), threshold = 0.5)
+        .orderBy("a_id", "b_id")),
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 8)
         .orderBy("a_id", "b_id")),
@@ -2427,6 +2435,42 @@ object SparkEntry {
         FROM sp JOIN k USING (doc_id, pos) GROUP BY sp.doc_id) s
         ON d.doc_id = s.sdoc
       ORDER BY d.doc_id""",
+    "q_dedup_minhash_fixed" -> """
+      WITH norm AS (
+        SELECT doc_id, list_filter(string_split_regex(
+                 regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+               x -> x <> '') AS t
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id,
+                 CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+                      ELSE array_to_string(t[i:i+2], ' ') END AS sh
+          FROM norm, UNNEST(CASE WHEN len(t) < 3 THEN [CAST(1 AS BIGINT)]
+                                 ELSE range(1, len(t) - 1) END) AS u(i))),
+      sig AS (
+        SELECT doc_id, i,
+               min(CAST(('0x' || substring(md5(i::VARCHAR || ':' || sh),
+                   1, 15)) AS BIGINT)) AS h
+        FROM sh, UNNEST(range(16)) AS s(i)
+        GROUP BY doc_id, i),
+      band AS (
+        SELECT doc_id, i // 2 AS band,
+               string_agg(h::VARCHAR, ',' ORDER BY i) AS key
+        FROM sig GROUP BY doc_id, i // 2),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM band a JOIN band b ON a.band = b.band AND a.key = b.key
+                                AND a.doc_id < b.doc_id)
+      SELECT c.a_id AS a_id, c.b_id AS b_id,
+             sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / 16.0
+               AS est_jaccard
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.a_id
+      JOIN sig sb ON sb.doc_id = c.b_id AND sb.i = sa.i
+      GROUP BY c.a_id, c.b_id
+      HAVING sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / 16.0 >= 0.5
+      ORDER BY a_id, b_id""",
     "q_dedup_substr" -> """
       WITH toks AS (
         SELECT doc_id, list_filter(string_split_regex(text, '\s+'),

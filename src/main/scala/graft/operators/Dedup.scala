@@ -129,6 +129,56 @@ object Dedup {
     pairs
   }
 
+  /** Portable-hash MinHash+LSH — the exact-oracle face of
+    * [[minhashLshPairs]] (same recipe that promoted semantic dedup:
+    * freeze the randomness into something both engines compute). Per-seed
+    * hashes are 60-bit md5-derived values (`conv(substr(md5(seed ':'
+    * shingle), 1, 15), 16, 10)`) that DuckDB reproduces bit-for-bit via
+    * its hex-string cast, and band keys are the raw signature slices
+    * (exactness over key compactness), so banding, candidate generation
+    * and the signature-estimated Jaccard all sit under the exact
+    * cross-engine oracle. The xxhash64 path stays the production default —
+    * one shingle hash + cheap long mixing beats k md5's per shingle — but
+    * the LSH machinery downstream of the hash is THE SAME shape: (id,
+    * band, key) shuffles, signature join, est-Jaccard filter.
+    */
+  def minhashLshPairsFixed(docs: DataFrame, threshold: Double = 0.5,
+                           bands: Int = 8, rowsPerBand: Int = 2,
+                           idCol: String = "doc_id",
+                           textCol: String = "text",
+                           shingleSize: Int = 3): DataFrame = {
+    val k = bands * rowsPerBand
+    val shingled =
+      spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
+        .select(col("id"), tokens(normalizeText(col("__text"))).as("__toks"))
+        .select(col("id"), explode(array_distinct(
+          shinglesFromTokens(col("__toks"), shingleSize))).as("sh"))
+    val aggs = (0 until k).map(i =>
+      min(conv(substring(md5(concat_ws(":", lit(i.toString), col("sh"))),
+        1, 15), 16, 10).cast("long")).as(s"m$i"))
+    val sigs = shingled.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    val buckets = sigs.select(col("id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            concat_ws(",",
+              transform(slice(col("sig"), b * rowsPerBand + 1,
+                lit(rowsPerBand)), _.cast("string"))).as("bucket")))).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val a = buckets.select(col("band"), col("bucket"),
+      col("id").as("a_id"), col("sig").as("a_sig"))
+    val b = buckets.select(col("band"), col("bucket"),
+      col("id").as("b_id"), col("sig").as("b_sig"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (size(filter(zip_with(col("a_sig"), col("b_sig"),
+          (x, y) => x === y), m => m)).cast("double") / k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy("a_id", "b_id").agg(max("est_jaccard").as("est_jaccard"))
+  }
+
   /** 64-bit SimHash fingerprints as (id, fp): per bit b, sum of ±1 over the
     * shingle hashes' bit b, sign → output bit. 64 sum-aggregates in a single
     * codegen'd HashAggregate over the exploded shingle hashes (same
