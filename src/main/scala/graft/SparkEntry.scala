@@ -648,6 +648,13 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 8)
         .orderBy("a_id", "b_id")),
+    "q_dedup_simhash_fixed" -> ((s, d) =>
+      // the Manku machinery's exact-oracle face: portable md5-derived
+      // shingle hashes, Spark runs the REAL multi-block candidate join,
+      // DuckDB brute-forces all-pairs Hamming — equality IS the pigeonhole
+      // full-recall guarantee, checked on real data.
+      Dedup.simhashPairsFixed(t(s, d, "documents"), maxHamming = 8)
+        .orderBy("a_id", "b_id")),
     "q_dedup_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), threshold = 0.6, n = 3)
         .withColumn("jaccard", round(col("jaccard"), 6))
@@ -2471,6 +2478,34 @@ object SparkEntry {
       GROUP BY c.a_id, c.b_id
       HAVING sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / 16.0 >= 0.5
       ORDER BY a_id, b_id""",
+    "q_dedup_simhash_fixed" -> """
+      WITH norm AS (
+        SELECT doc_id, list_filter(string_split_regex(
+                 regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+               x -> x <> '') AS t
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT) AS h
+        FROM (
+          SELECT doc_id,
+                 CASE WHEN len(t) < 2 THEN array_to_string(t, ' ')
+                      ELSE array_to_string(t[i:i+1], ' ') END AS sh
+          FROM norm, UNNEST(CASE WHEN len(t) < 2 THEN [CAST(1 AS BIGINT)]
+                                 ELSE range(1, len(t)) END) AS u(i))),
+      fp AS (
+        SELECT doc_id,
+               list_sum(list_transform(range(64), b ->
+                 CASE WHEN list_sum(list_transform(hl, h ->
+                        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS fp
+        FROM (SELECT doc_id, list(h) AS hl FROM sh GROUP BY doc_id)),
+      p AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               bit_count(xor(a.fp, b.fp)) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+      SELECT a_id, b_id, CAST(hamming AS INT) AS hamming FROM p
+      WHERE hamming <= 8 ORDER BY a_id, b_id""",
     "q_dedup_substr" -> """
       WITH toks AS (
         SELECT doc_id, list_filter(string_split_regex(text, '\s+'),

@@ -273,6 +273,35 @@ object Dedup {
       .groupBy("a_id", "b_id").agg(min("hamming").as("hamming"))
   }
 
+  /** Portable-hash SimHash pairs — the exact-oracle face of
+    * [[simhashPairs]]: shingle hashes are 60-bit md5-derived values both
+    * engines compute identically (fingerprint bits 60-63 are then
+    * constant-zero on both sides — 60 effective bits, recall math
+    * unchanged). Spark runs the REAL Manku multi-block candidate join;
+    * DuckDB verifies it against brute-force all-pairs Hamming — the
+    * pigeonhole full-recall guarantee is exactly what makes those two
+    * computations equal, so the oracle checks the guarantee itself, not
+    * just the arithmetic.
+    */
+  def simhashPairsFixed(docs: DataFrame, maxHamming: Int = 8,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        shingleSize: Int = 2): DataFrame = {
+    val sh = spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), tokens(normalizeText(col("__text"))).as("__toks"))
+      .select(col("id"), explode(array_distinct(
+        shinglesFromTokens(col("__toks"), shingleSize))).as("sh"))
+      .select(col("id"), conv(substring(md5(col("sh")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    val bitAggs = (0 until 64).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$b"))
+    val fp = sh.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b =>
+          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("fp"))
+    simhashPairsOfFingerprints(fp, maxHamming)
+  }
+
   /** Exact n-gram (word-token) Jaccard similarity pairs above a threshold,
     * via prefix filtering (the PPJoin family of set-similarity joins).
     *
