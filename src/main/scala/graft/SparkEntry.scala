@@ -1018,6 +1018,27 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "q_lake_bloom" -> ((s, d) => {
+      // Bloom data skipping: orders land in 8 files clustered by STATUS, so
+      // every file's o_orderkey min/max range spans the whole key domain —
+      // range stats prune NOTHING for key point lookups; the per-file
+      // blooms prune every file the key can't be in. Results are pruning-
+      // transparent (DuckDB recomputes the same lookups over the raw
+      // table); the pruned-file counts are pinned in BloomSkipSpec.
+      import graft.lake.{LakeLog, LakeTable}
+      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftbloom"))
+      val ord = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      LakeTable.createTable(log, "ord", ord.schema)
+      LakeTable.insert(s, log, "ord", ord, numFiles = 8,
+        clusterBy = Seq("o_orderstatus"), bloomCols = Seq("o_orderkey"))
+      LakeTable.readIndexed(s, log, "ord")
+        .filter(col("o_orderkey").isin(1L, 7L, 32L, 133L, 322L, 4000L))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- LLM-data-pipeline: embeddings -----------------------------------
     "q_embed_neardup" -> ((s, d) =>
       // threshold 0.3: the synthetic embeddings' max pairwise cosine is ~0.48,
@@ -2031,6 +2052,12 @@ object SparkEntry {
       SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty,
              round(sum(l_extendedprice), 2) AS sum_price
       FROM lineitem WHERE l_orderkey < 100 AND l_partkey < 200""",
+    "q_lake_bloom" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             round(o_totalprice, 2) AS price
+      FROM orders
+      WHERE o_orderkey IN (1, 7, 32, 133, 322, 4000)
+      ORDER BY o_orderkey""",
     "q_lake_partitioned" -> """
       SELECT l_returnflag, count(*) AS n_rows,
              round(sum(l_quantity), 2) AS sum_qty,

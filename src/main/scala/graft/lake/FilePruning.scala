@@ -47,7 +47,15 @@ object FilePruning {
     val cmpMin = compare(minS.get, lit, dt).getOrElse(return true)
     val cmpMax = compare(maxS.get, lit, dt).getOrElse(return true)
     op match {
-      case "=" | "==" => cmpMin <= 0 && cmpMax >= 0 // lit within [min,max]
+      case "=" | "==" =>
+        // range check first, then the bloom (a bloom that proves the
+        // literal absent drops the file even inside the range); string and
+        // integral literals arrive in their canonical rendering already
+        cmpMin <= 0 && cmpMax >= 0 && (dt match {
+          case StringType | IntegerType | LongType =>
+            BloomSkip.mightContain(f, colName, lit).getOrElse(true)
+          case _ => true
+        })
       case "!=" | "<>" => !(cmpMin == 0 && cmpMax == 0) // not all == lit
       case ">" => cmpMax > 0
       case ">=" => cmpMax >= 0

@@ -89,9 +89,9 @@ final class LakeFileIndex(spark: SparkSession, snap: Snapshot,
         case None => true
       }
     case EqualTo(a: AttributeReference, Literal(v, _)) => cmp(f, a, v) {
-      (cl, ch) => cl <= 0 && ch >= 0 }
+      (cl, ch) => cl <= 0 && ch >= 0 } && bloomKeeps(f, a, v)
     case EqualTo(Literal(v, _), a: AttributeReference) => cmp(f, a, v) {
-      (cl, ch) => cl <= 0 && ch >= 0 }
+      (cl, ch) => cl <= 0 && ch >= 0 } && bloomKeeps(f, a, v)
     case GreaterThan(a: AttributeReference, Literal(v, _)) => cmp(f, a, v) {
       (_, ch) => ch > 0 }
     case GreaterThan(Literal(v, _), a: AttributeReference) => cmp(f, a, v) {
@@ -110,9 +110,23 @@ final class LakeFileIndex(spark: SparkSession, snap: Snapshot,
       cmp(f, a, v) { (_, ch) => ch >= 0 }
     case In(a: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
       list.exists { case Literal(v, _) =>
-        cmp(f, a, v) { (cl, ch) => cl <= 0 && ch >= 0 } }
+        cmp(f, a, v) { (cl, ch) => cl <= 0 && ch >= 0 } &&
+          bloomKeeps(f, a, v) }
     case _ => true // IsNotNull, functions, UDF-ish — keep
   }
+
+  /** Bloom probe for equality predicates: a file whose bloom PROVES the
+    * literal absent is dropped even when its min/max range covers it — the
+    * point-lookup win on unsorted high-cardinality columns. Only types with
+    * a canonical string rendering carry blooms ([[BloomSkip]]); anything
+    * else (or a bloom-less file, or a null literal) is kept.
+    */
+  private def bloomKeeps(f: FileAdd, a: AttributeReference, v: Any): Boolean =
+    a.dataType match {
+      case StringType | IntegerType | LongType if v != null =>
+        BloomSkip.mightContain(f, a.name, String.valueOf(v)).getOrElse(true)
+      case _ => true
+    }
 
   /** Apply `check(cmp(min,lit), cmp(max,lit))`; keep on missing stats. */
   private def cmp(f: FileAdd, a: AttributeReference, v: Any)(

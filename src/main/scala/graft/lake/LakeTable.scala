@@ -208,7 +208,8 @@ object LakeTable {
              numFiles: Int = 1,
              clusterBy: Seq[String] = Nil,
              zOrderBy: Seq[String] = Nil,
-             maxAttempts: Int = 3): CommitResult = {
+             maxAttempts: Int = 3,
+             bloomCols: Seq[String] = Nil): CommitResult = {
     // early idempotency check: a redelivered transaction (streaming batch
     // replay, client retry) must not re-stage data files
     log.committedVersion(table, txnId).foreach(v =>
@@ -257,7 +258,8 @@ object LakeTable {
     } finally if (checksOn) shaped.unpersist()
 
     try {
-      val adds = statAndPromote(spark, log, table, tmp, st, partCols = partCols)
+      val adds = statAndPromote(spark, log, table, tmp, st,
+        partCols = partCols, bloomCols = validateBloomCols(sch, bloomCols))
       val res =
         try log.commitWithRetry(table, txnId, maxAttempts)(
           _ => Some((adds, Nil))).get
@@ -330,11 +332,31 @@ object LakeTable {
     * also gets synthesized `min = max = value` stats, so the stat-based
     * pruners skip partitions with no extra machinery.
     */
+  /** Bloom columns must be real data columns with a canonical string
+    * rendering — never partition columns (their values prune via the
+    * partition map already). */
+  private def validateBloomCols(sch: TableSchema, bloomCols: Seq[String])
+      : Seq[String] = {
+    bloomCols.foreach { c =>
+      val f = sch.fields.find(_.name == c).getOrElse(
+        throw new LakeValidationException(s"bloom column $c is not a schema field"))
+      if (sch.partCols.contains(c))
+        throw new LakeValidationException(
+          s"bloom column $c is a partition column (already pruned exactly)")
+      if (!BloomSkip.SupportedTypes.contains(f.`type`))
+        throw new LakeValidationException(
+          s"bloom column $c has type '${f.`type`}' without a canonical " +
+            "string rendering (supported: string, int32, int64)")
+    }
+    bloomCols
+  }
+
   private def statAndPromote(spark: SparkSession, log: LakeLog, table: String,
                              staged: Path, st: StructType,
                              rewrite: Boolean = false,
                              partCols: Seq[String] = Nil,
-                             partition: Map[String, String] = Map.empty)
+                             partition: Map[String, String] = Map.empty,
+                             bloomCols: Seq[String] = Nil)
       : Seq[FileAdd] = {
     val cols = statCols(dataStruct(st, partCols))
     val hadoopConf = spark.sessionState.newHadoopConf()
@@ -349,6 +371,14 @@ object LakeTable {
       }
       .sortBy(_.toString)
 
+    // one Spark job builds every (file, column) bloom over the staged dir;
+    // keyed by decoded local path so the per-file move below can look up
+    val blooms: Map[String, Map[String, String]] =
+      if (bloomCols.isEmpty || parts.isEmpty) Map.empty
+      else BloomSkip.build(spark,
+        spark.read.parquet(staged.toString), bloomCols)
+        .map { case (uri, m) => new java.net.URI(uri).getPath -> m }
+
     val dataDir = log.dataDir(table)
     Files.createDirectories(dataDir)
     parts.zipWithIndex.flatMap { case (src, i) =>
@@ -361,12 +391,14 @@ object LakeTable {
             s"staged file $src carries no value for partition column $c " +
               "(null partition values are not supported)"))
         val synth = partCols.map(c => c -> partMap(c))
+        val fileBlooms = blooms.get(src.toAbsolutePath.toString)
         val dest = dataDir.resolve(
           f"part-$i%05d-${UUID.randomUUID().toString}.parquet")
         Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
         Some(FileAdd(dest.toString, rows = rows, size = Files.size(dest),
           partition = partMap,
-          stats = Some(FileStats(minVals ++ synth, maxVals ++ synth)),
+          stats = Some(FileStats(minVals ++ synth, maxVals ++ synth,
+            blooms = fileBlooms)),
           rewrite = rewrite))
       }
     }
