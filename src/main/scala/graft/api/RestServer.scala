@@ -179,7 +179,13 @@ final class RestServer(spark: SparkSession, log: LakeLog,
       case Some(ps: Seq[Any] @unchecked) => Some(ps.map(_.toString))
       case _ => None
     }
-    log.createTable(name, TableSchema(fields, partition_columns = partCols))
+    // extension: declared per-file bloom indexes (see graft.lake.BloomSkip)
+    val bloomCols = req.get("bloom_columns") match {
+      case Some(bs: Seq[Any] @unchecked) => Some(bs.map(_.toString))
+      case _ => None
+    }
+    log.createTable(name, TableSchema(fields, partition_columns = partCols,
+      bloom_columns = bloomCols))
     respondJson(ex, 200, Map(
       "success" -> true,
       "message" -> s"Table $name created successfully"))

@@ -30,9 +30,15 @@ final case class Field(name: String, `type`: String, nullable: Boolean = true)
 final case class TableSchema(fields: Seq[Field],
                              partition_columns: Option[Seq[String]] = None,
                              check_constraints: Option[Map[String, String]] =
-                               None) {
+                               None,
+                             bloom_columns: Option[Seq[String]] = None) {
   def partCols: Seq[String] = partition_columns.getOrElse(Nil)
   def checks: Map[String, String] = check_constraints.getOrElse(Map.empty)
+  /** Columns with a DECLARED per-file bloom index: every write path —
+    * inserts AND layout rewrites (compaction, delete/upsert copy-on-write)
+    * — builds blooms for them, so point-lookup pruning never silently
+    * degrades as the table's files get rewritten. */
+  def bloomCols: Seq[String] = bloom_columns.getOrElse(Nil)
 }
 /** Per-file min/max statistics (stringified values, typed at prune time via
   * the table schema). The reference declares these (`proto/metadata.proto:
@@ -170,6 +176,18 @@ final class LakeLog(val root: Path) {
     if (pc.nonEmpty && pc.size == schema.fields.size)
       throw new LakeValidationException(
         "at least one non-partition column is required")
+    schema.bloomCols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new LakeValidationException(
+          s"bloom column $c is not a schema field"))
+      if (pc.contains(c))
+        throw new LakeValidationException(
+          s"bloom column $c is a partition column (already pruned exactly)")
+      if (!BloomSkip.SupportedTypes.contains(f.`type`))
+        throw new LakeValidationException(
+          s"bloom column $c has type '${f.`type`}' without a canonical " +
+            "string rendering (supported: string, int32, int64)")
+    }
   }
 
   def tableExists(table: String): Boolean = Files.exists(logDir(table))

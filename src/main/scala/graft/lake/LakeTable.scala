@@ -59,10 +59,16 @@ object LakeTable {
     * declared once here, enforced on every write. */
   def createTable(log: LakeLog, table: String, schema: StructType,
                   partitionBy: Seq[String] = Nil,
-                  constraints: Map[String, String] = Map.empty): Unit =
-    log.createTable(table, fromStructType(schema).copy(
+                  constraints: Map[String, String] = Map.empty,
+                  bloomFilterCols: Seq[String] = Nil): Unit = {
+    val sch = fromStructType(schema).copy(
       partition_columns = if (partitionBy.isEmpty) None else Some(partitionBy),
-      check_constraints = if (constraints.isEmpty) None else Some(constraints)))
+      check_constraints = if (constraints.isEmpty) None else Some(constraints),
+      bloom_columns =
+        if (bloomFilterCols.isEmpty) None else Some(bloomFilterCols))
+    validateBloomCols(sch, sch.bloomCols)
+    log.createTable(table, sch)
+  }
 
   /** Enforce the table's CHECK constraints on a batch of NEW rows: one
     * aggregate pass counting per-constraint violations (row violates only
@@ -259,7 +265,8 @@ object LakeTable {
 
     try {
       val adds = statAndPromote(spark, log, table, tmp, st,
-        partCols = partCols, bloomCols = validateBloomCols(sch, bloomCols))
+        partCols = partCols, bloomCols =
+          validateBloomCols(sch, (sch.bloomCols ++ bloomCols).distinct))
       val res =
         try log.commitWithRetry(table, txnId, maxAttempts)(
           _ => Some((adds, Nil))).get
@@ -307,7 +314,8 @@ object LakeTable {
       }
     } finally if (checksOn) shaped.unpersist()
     try {
-      val adds = statAndPromote(spark, log, table, tmp, st, partCols = partCols)
+      val adds = statAndPromote(spark, log, table, tmp, st,
+        partCols = partCols, bloomCols = sch.bloomCols)
       val res =
         try log.commitWithRetry(table, txnId, maxAttempts)(fresh =>
           Some((adds, fresh.files.map(_.path)))).get
@@ -591,7 +599,8 @@ object LakeTable {
       }
       try {
         val adds = statAndPromote(spark, log, table, staged, st, rewrite = true,
-          partCols = partCols, partition = group.head.partition)
+          partCols = partCols, partition = group.head.partition,
+          bloomCols = sch.bloomCols)
         val inputPaths = group.map(_.path)
         val result = log.commitWithRetry(table, txnId) { fresh =>
           val live = fresh.files.map(_.path).toSet
@@ -650,7 +659,7 @@ object LakeTable {
     }
     try {
       val adds = statAndPromote(spark, log, table, staged, st, rewrite = true,
-          partCols = partCols)
+          partCols = partCols, bloomCols = sch.bloomCols)
         .filter(_.rows > 0)
       val inputPaths = candidates.map(_.path)
       val resultOpt =
@@ -731,10 +740,10 @@ object LakeTable {
       val rwAdds =
         if (candidates.isEmpty) Nil
         else statAndPromote(spark, log, table, staged.resolve("rw"), st,
-          rewrite = true, partCols = partCols)
+          rewrite = true, partCols = partCols, bloomCols = sch.bloomCols)
       val adds = (rwAdds ++
         statAndPromote(spark, log, table, staged.resolve("new"), st,
-          partCols = partCols))
+          partCols = partCols, bloomCols = sch.bloomCols))
         .filter(_.rows > 0)
       val inputPaths = candidates.map(_.path)
       val resultOpt =

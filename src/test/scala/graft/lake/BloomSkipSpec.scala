@@ -100,6 +100,38 @@ class BloomSkipSpec extends SparkSpec {
     assert(BloomSkip.mightContain(snap.files.head, "id", "5").isEmpty)
   }
 
+  test("declared bloom columns survive compaction and copy-on-write") {
+    val log = new LakeLog(tmpDir("bloomrewrite"))
+    LakeTable.createTable(log, "t", StructType(Seq(
+      StructField("id", LongType, false))),
+      bloomFilterCols = Seq("id"))
+    // schema-declared blooms: plain inserts build them without opting in
+    (0 until 4).foreach { i =>
+      LakeTable.insert(spark, log, "t",
+        (0L until 50L).map(j => j * 4 + i).toDF("id"))
+    }
+    assert(log.snapshot("t").files.forall(
+      _.stats.exists(_.blooms.exists(_.contains("id")))))
+
+    // compaction rewrites the files — the rewritten file must carry a
+    // REBUILT bloom, not lose the index
+    val report = LakeTable.compact(spark, log, "t", force = true)
+    assert(report.filesAdded >= 1)
+    val compacted = log.snapshot("t")
+    assert(compacted.files.forall(
+      _.stats.exists(_.blooms.exists(_.contains("id")))),
+      "compaction dropped the declared bloom index")
+    // and it still answers probes (value present after rewrite)
+    assert(BloomSkip.mightContain(compacted.files.head, "id", "13")
+      .contains(true))
+
+    // copy-on-write delete: surviving-rows rewrite keeps the bloom too
+    LakeTable.deleteWhere(spark, log, "t", "id = 13")
+    assert(log.snapshot("t").files.forall(
+      _.stats.exists(_.blooms.exists(_.contains("id")))),
+      "delete rewrite dropped the declared bloom index")
+  }
+
   test("validation: bloom columns must exist, be data cols, render canonically") {
     val log = new LakeLog(tmpDir("bloomval"))
     LakeTable.createTable(log, "t", StructType(Seq(
