@@ -72,6 +72,58 @@ class LakeFuzzSpec extends SparkSpec {
     assert(fresh.snapshot("t") == log.snapshot("t"))
   }
 
+  test("declared blooms: point lookups match the model across random ops") {
+    // same op mix, bloom index declared on id: after every operation the
+    // bloom-pruned point-lookup path (readIndexed + equality filter) must
+    // agree with the model for present AND absent keys — across inserts,
+    // copy-on-write deletes/upserts and compactions that all REBUILD the
+    // declared blooms
+    val rnd = new scala.util.Random(53)
+    val log = new LakeLog(tmpDir("fuzzbloom"))
+    LakeTable.createTable(log, "t", schema, bloomFilterCols = Seq("id"))
+    var model = Map.empty[Long, Double]
+    var nextId = 0L
+
+    (1 to 10).foreach { step =>
+      rnd.nextInt(4) match {
+        case 0 | 1 =>
+          val n = 1 + rnd.nextInt(40)
+          val rows = (0 until n).map { _ =>
+            nextId += 1; (nextId, math.round(rnd.nextDouble() * 1e4) / 100.0) }
+          LakeTable.insert(spark, log, "t", rows.toDF("id", "v"),
+            numFiles = 1 + rnd.nextInt(3))
+          model = model ++ rows.toMap
+        case 2 if model.nonEmpty =>
+          val ids = model.keys.toSeq.sorted
+          val cut = ids(rnd.nextInt(ids.size))
+          LakeTable.deleteWhere(spark, log, "t", s"id > $cut")
+          model = model.filter(_._1 <= cut)
+        case 3 if model.nonEmpty =>
+          val picks = model.keys.take(1 + rnd.nextInt(3)).toSeq
+          nextId += 1
+          val ups = picks.map(id => (id, -1.0)) :+ ((nextId, -2.0))
+          LakeTable.upsert(spark, log, "t", ups.toDF("id", "v"), "id")
+          model = model ++ ups.toMap
+        case _ =>
+          LakeTable.compact(spark, log, "t", force = true)
+      }
+      // every live file carries the declared bloom after every op
+      assert(log.snapshot("t").files.forall(
+        _.stats.exists(_.blooms.exists(_.contains("id")))),
+        s"step $step: a file lost its declared bloom")
+      // point probes: 2 present keys, 1 deleted/never-present key
+      val present = model.keys.take(2)
+      val absent = Seq(nextId + 1000 + step)
+      (present ++ absent).foreach { k =>
+        val got = LakeTable.readIndexed(spark, log, "t")
+          .filter(col("id") === k).collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(got == model.filter(_._1 == k).toMap,
+          s"step $step probe $k")
+      }
+    }
+  }
+
   test("partitioned tables: random op sequences (incl. restore) == model") {
     val rnd = new scala.util.Random(77)
     val schemaP = StructType(Seq(
