@@ -289,6 +289,27 @@ object SparkEntry {
         .filter(col("l_quantity") < lit(0.2) * col("__avg_qty"))
         .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
     }),
+    "q_tpch_q18" -> ((s, d) => {
+      // TPC-H Q18 shape (large-volume customers): the HAVING-subquery
+      // semi-join. The heavy-hitter key set is one aggregate over lineitem
+      // (map-side partials; the > threshold keeps a tiny fraction), then a
+      // LEFT SEMI join gates lineitem before the orders/customer joins —
+      // at 100 TB the semi-join output is the only lineitem data that ever
+      // reaches a wide join, and AQE broadcasts the key set. l_quantity is
+      // integral, so the HAVING threshold and the final sums are exact FP.
+      val li = t(s, d, "lineitem")
+      val big = li.groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("__q")).filter(col("__q") > 150)
+        .select("l_orderkey")
+      li.join(big, Seq("l_orderkey"), "left_semi")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+          "o_totalprice")
+        .agg(round(sum("l_quantity"), 2).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
     "q_join_semi" -> ((s, d) =>
       t(s, d, "customer")
         .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"),
@@ -1317,6 +1338,17 @@ object SparkEntry {
         AND l_quantity < (
           SELECT 0.2 * avg(l2.l_quantity)
           FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)""",
+    "q_tpch_q18" -> """
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             round(sum(l_quantity), 2) AS total_qty
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+      GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
     "q_join_semi" -> """
       SELECT c_custkey FROM customer
       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
