@@ -536,14 +536,19 @@ object Dedup {
     * consecutive duplicated windows merge into one removed span because
     * their covered positions union.
     *
-    * Scale shape: the duplicated-window computation shuffles (hash, id,
-    * pos) ONCE — a hash-partitioned window (partition = one shingle
-    * content) ranks occurrences without any self-join, and covered token
-    * positions are ints aggregated per document; the rebuild re-slices
-    * each document's own token array in place (`array_except` over
-    * position arrays is a hash-set difference, O(tokens)), so document
-    * text never crosses the wire. Stride-1 shingling emits one row per
-    * token — the same O(corpus tokens) the suffix array pays, one scan.
+    * Scale shape: per-content first occurrences come from a `groupBy(hash)
+    * .agg(min(struct(id,pos)), count)` — fully map-side combinable, so a
+    * content duplicated a million times still contributes ONE row per map
+    * partition to the shuffle. Occurrences then join the firsts to find
+    * "duplicated AND not the keeper" rows; deliberately a JOIN and not a
+    * rank window, because AQE can skew-split a join partition holding a
+    * pathologically hot content (replicating the one matching build row),
+    * while a window partition must sort in a single task. Covered token
+    * positions are ints aggregated per document, and the rebuild
+    * re-slices each document's own token array in place (`array_except`
+    * is a hash-set difference, O(tokens)) — document text never crosses
+    * the wire. Stride-1 shingling emits one row per token, the same
+    * O(corpus tokens) a suffix array pays, one scan.
     *
     * Returns the input plus `text_substrdedup` and `n_tokens_removed`.
     */
@@ -565,13 +570,18 @@ object Dedup {
       .select(col(idCol), posexplode(windows))
       .toDF(idCol, "pos", "w")
       .select(md5(col("w")).as("h"), col(idCol), col("pos"))
-    // rank occurrences of identical content: rk > 1 ⟺ duplicated AND not
-    // the keeper — one (h, id, pos) shuffle, no join against an aggregate
-    val byContent = org.apache.spark.sql.expressions.Window
-      .partitionBy("h").orderBy(col(idCol), col("pos"))
-    val covered = occ
-      .withColumn("__rk", row_number().over(byContent))
-      .filter(col("__rk") > 1)
+    // "duplicated AND not the keeper": min(struct) == the (id, pos)-order
+    // first occurrence (struct ordering is lexicographic by field), count
+    // tells whether the content repeats at all. The aggregate is map-side
+    // combined; the join (not a rank window) lets AQE skew-split hot
+    // contents.
+    val firsts = occ.groupBy("h").agg(
+      min(struct(col(idCol), col("pos"))).as("__first"),
+      count(lit(1)).as("__cnt"))
+    val covered = occ.join(firsts, "h")
+      .filter(col("__cnt") > 1 &&
+        !(col(idCol) === col(s"__first.$idCol") &&
+          col("pos") === col("__first.pos")))
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
       .groupBy(idCol).agg(sort_array(collect_set("p")).as("__cov"))
