@@ -307,4 +307,39 @@ object Pq {
       .select(col("query_id"), col("vec_id"), adcCol(m, nCodes).as("adc"))
     topKByAdc(scored, k)
   }
+
+  /** Append a new embedding batch to an existing IVF-PQ index WITHOUT
+    * retraining: the index's own quantizers (coarse centroids + codebooks,
+    * read back from its side tables) assign and encode the batch, and the
+    * encoded rows land as NEW parquet files inside the existing
+    * `centroid_id=` list directories — committed list files are never
+    * rewritten. This is the maintenance path a 100 TB index needs: the
+    * quantizers are train-once artifacts, batches arrive forever, and a
+    * full rebuild per batch would re-encode the whole corpus. Probes see
+    * old and new rows through the same partition-pruned read, bit-identically
+    * to an index built over the union in one shot (the quantizers are
+    * frozen, so assignment and codes are pure functions of the vector).
+    * Quantizer drift is the operator's lever: when recall decays, retrain
+    * with [[writeIvfPqIndex]].
+    */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, batch: DataFrame,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): Unit = {
+    VectorExpressions.register(spark)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val cbRows = spark.read.parquet(s"$path/codebook").collect()
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val nCodes = cbRows.map(_.getInt(1)).max + 1
+    val cb = Array.ofDim[Array[Double]](m, nCodes)
+    cbRows.foreach(r =>
+      cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    val normed = batch
+      .select(col(idCol).as("vec_id"), normalize(col(vecCol)).as("cv"))
+    Similarity.assignNearest(normed, cents, "cv", 1)
+      .select(col("vec_id"), codesCol(col("cv"), cb).as("codes"),
+        col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$path/lists")
+  }
 }

@@ -108,6 +108,35 @@ class PqSpec extends SparkSpec {
     assert(listSchema == Set("vec_id", "codes", "centroid_id"))
   }
 
+  test("incremental append == one-shot rebuild; committed files untouched") {
+    // build on the first half, append the second half: frozen quantizers
+    // make assignment/codes pure functions of the vector, so probing the
+    // appended index must be BIT-IDENTICAL to an index built over the
+    // union in one shot
+    val dirInc = java.nio.file.Files.createTempDirectory("pqappend").toString
+    val dirFull = java.nio.file.Files.createTempDirectory("pqfull").toString
+    val half1 = embs.filter(col("vec_id") % 2 === 0)
+    val half2 = embs.filter(col("vec_id") % 2 === 1)
+    val coarse = Pq.hadamardCentroids(64, 8)
+    Pq.writeIvfPqIndex(half1, dirInc, nLists = 8, coarse = coarse)
+    val before = new java.io.File(s"$dirInc/lists").listFiles().flatMap(d =>
+      Option(d.listFiles()).toSeq.flatten.map(_.getPath)).toSet
+    Pq.appendToIvfPqIndex(spark, dirInc, half2)
+    val after = new java.io.File(s"$dirInc/lists").listFiles().flatMap(d =>
+      Option(d.listFiles()).toSeq.flatten.map(_.getPath)).toSet
+    assert(before.subsetOf(after), "append rewrote committed list files")
+    assert(after.size > before.size)
+
+    Pq.writeIvfPqIndex(embs, dirFull, nLists = 8, coarse = coarse)
+    val q = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    def probe(dir: String) =
+      Pq.ivfPqTopK(spark, dir, q, k = 5, nProbe = 8).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+    assert(probe(dirInc) == probe(dirFull))
+  }
+
   test("compression shape: m small codes per vector, codebook is a literal") {
     val enc = Pq.encode(embs)
     assert(enc.schema("codes").dataType.simpleString == "array<int>")
