@@ -43,12 +43,13 @@ final case class TableSchema(fields: Seq[Field],
 /** Per-file min/max statistics (stringified values, typed at prune time via
   * the table schema). The reference declares these (`proto/metadata.proto:
   * 102-105`) but never populates or uses them — we do both. */
-/** Per-file pruning stats. `blooms` (column → base64 `spark.util.sketch`
-  * BloomFilter over CAST-AS-STRING renderings) is optional and absent in
-  * pre-bloom log entries — readers treat a missing bloom as "keep". */
+/** Per-file pruning stats. `blooms` lists the columns whose Bloom sketches
+  * live in the file's `<path>.bloom` SIDECAR (sketch bytes never inline in
+  * the log — see [[BloomSkip]]); absent in pre-bloom entries — readers
+  * treat a missing bloom as "keep". */
 final case class FileStats(min_values: Map[String, String] = Map.empty,
                            max_values: Map[String, String] = Map.empty,
-                           blooms: Option[Map[String, String]] = None)
+                           blooms: Option[Seq[String]] = None)
 /** `rewrite = true` marks a file whose rows were re-added by a layout
   * operation (compaction, delete/upsert copy-on-write of surviving rows) —
   * the inverse of Delta's `dataChange`. The CDC feed ([[LakeTable

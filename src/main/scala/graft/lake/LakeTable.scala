@@ -381,7 +381,7 @@ object LakeTable {
 
     // one Spark job builds every (file, column) bloom over the staged dir;
     // keyed by decoded local path so the per-file move below can look up
-    val blooms: Map[String, Map[String, String]] =
+    val blooms: Map[String, Map[String, Array[Byte]]] =
       if (bloomCols.isEmpty || parts.isEmpty) Map.empty
       else BloomSkip.build(spark,
         spark.read.parquet(staged.toString), bloomCols)
@@ -400,13 +400,17 @@ object LakeTable {
               "(null partition values are not supported)"))
         val synth = partCols.map(c => c -> partMap(c))
         val fileBlooms = blooms.get(src.toAbsolutePath.toString)
+          .filter(_.nonEmpty)
         val dest = dataDir.resolve(
           f"part-$i%05d-${UUID.randomUUID().toString}.parquet")
         Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
+        // sketches ride as a sidecar sharing the data file's lifecycle —
+        // the log records only WHICH columns have one (see BloomSkip)
+        fileBlooms.foreach(bs => BloomSkip.writeSidecar(dest, bs))
         Some(FileAdd(dest.toString, rows = rows, size = Files.size(dest),
           partition = partMap,
           stats = Some(FileStats(minVals ++ synth, maxVals ++ synth,
-            blooms = fileBlooms)),
+            blooms = fileBlooms.map(_.keys.toSeq.sorted))),
           rewrite = rewrite))
       }
     }
@@ -466,8 +470,11 @@ object LakeTable {
     * log entry, invisible to vacuum, and leak forever. */
   private def discardAdds(adds: Seq[FileAdd]): Unit =
     adds.foreach { a =>
-      try Files.deleteIfExists(java.nio.file.Paths.get(a.path))
-      catch { case _: java.io.IOException => () }
+      try {
+        Files.deleteIfExists(java.nio.file.Paths.get(a.path))
+        Files.deleteIfExists(
+          java.nio.file.Paths.get(BloomSkip.sidecarPath(a.path)))
+      } catch { case _: java.io.IOException => () }
     }
 
   /** Load an external file into the table — the reference's insert/load
@@ -868,6 +875,9 @@ object LakeTable {
     all.foreach { p =>
       if (!live.contains(p)) {
         if (Files.deleteIfExists(java.nio.file.Paths.get(p))) deleted += 1
+        // the bloom sidecar shares its data file's lifecycle
+        Files.deleteIfExists(
+          java.nio.file.Paths.get(BloomSkip.sidecarPath(p)))
       }
     }
     // sweep staging dirs orphaned by crashed write attempts (normal
@@ -907,7 +917,16 @@ object LakeTable {
         try s.iterator().asScala.toList finally s.close()
       }
       kids.foreach { f =>
-        if (Files.isRegularFile(f) && !everAdded.contains(f.toString) &&
+        val name = f.toString
+        if (name.endsWith(".bloom")) {
+          // a sidecar is live exactly when its data file is: sweep it when
+          // the data file is not in any retained snapshot (same age gate —
+          // a promote-then-commit window in flight is younger than cutoff)
+          val data = name.stripSuffix(".bloom")
+          if (!live.contains(data) &&
+              Files.getLastModifiedTime(f).toMillis < cutoff)
+            Files.deleteIfExists(f)
+        } else if (Files.isRegularFile(f) && !everAdded.contains(name) &&
             Files.getLastModifiedTime(f).toMillis < cutoff &&
             Files.deleteIfExists(f)) deleted += 1
       }

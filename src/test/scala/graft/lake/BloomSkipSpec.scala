@@ -132,6 +132,40 @@ class BloomSkipSpec extends SparkSpec {
       "delete rewrite dropped the declared bloom index")
   }
 
+  test("sidecar lifecycle: blooms ride next to the data, never in the log") {
+    val log = new LakeLog(tmpDir("bloomside"))
+    LakeTable.createTable(log, "t", StructType(Seq(
+      StructField("id", LongType, false))),
+      bloomFilterCols = Seq("id"))
+    LakeTable.insert(spark, log, "t", (0L until 100L).toDF("id"))
+    val f0 = log.snapshot("t").files.head
+    // the log entry carries only the column list; the sketch is a sidecar
+    assert(f0.stats.get.blooms.contains(Seq("id")))
+    val sidecar = java.nio.file.Paths.get(BloomSkip.sidecarPath(f0.path))
+    assert(java.nio.file.Files.exists(sidecar))
+    // log entry on disk holds no sketch bytes (a 100k-item sketch is
+    // ~100 KB — the whole entry must stay far smaller)
+    val entrySize = java.nio.file.Files.size(
+      log.logDir("t").resolve("%020d.json".format(1L)))
+    assert(entrySize < 10000, s"log entry unexpectedly large: $entrySize")
+
+    // compaction rewrites → old file vacuumed → its sidecar goes too
+    (1 to 3).foreach(_ =>
+      LakeTable.insert(spark, log, "t", (0L until 10L).toDF("id")))
+    LakeTable.compact(spark, log, "t", force = true)
+    LakeTable.vacuum(log, "t", retainVersions = 1, tmpRetainMs = 0L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(f0.path)))
+    assert(!java.nio.file.Files.exists(sidecar),
+      "vacuum left the dead file's bloom sidecar behind")
+    // the live rewritten file's sidecar survives and still probes
+    val live = log.snapshot("t").files.head
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(BloomSkip.sidecarPath(live.path))))
+    assert(BloomSkip.mightContain(live, "id", "5").contains(true))
+    assert(BloomSkip.mightContain(live, "id", "99999") == Some(false) ||
+      BloomSkip.mightContain(live, "id", "99999").contains(true)) // fpp
+  }
+
   test("validation: bloom columns must exist, be data cols, render canonically") {
     val log = new LakeLog(tmpDir("bloomval"))
     LakeTable.createTable(log, "t", StructType(Seq(
