@@ -310,6 +310,91 @@ object SparkEntry {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(20)
     }),
+    "q_tpch_q1" -> ((s, d) =>
+      // TPC-H Q1 (pricing summary report): the canonical wide-aggregate
+      // scan. Scale shape: ONE pass over lineitem — the shipdate filter
+      // and all 8 aggregates ride a single partial/final HashAggregate
+      // pair over a 2-value group key (map-side partials collapse ~all
+      // rows before the exchange, so the shuffle moves 6 rows per
+      // partition regardless of SF). l_quantity is integral so sum_qty /
+      // avg_qty are exact FP; price sums follow the round(,2) contract
+      // the golden queries established.
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "q_tpch_q21" -> ((s, d) => {
+      // TPC-H Q21 shape (suppliers who kept waiting): the canonical
+      // EXISTS + NOT-EXISTS double self-join, decorrelated by hand into
+      // the plan Catalyst derives for it: ONE per-order supplier profile
+      // (countDistinct suppliers / late suppliers — partial aggregates
+      // map-side, shuffle keyed on l_orderkey) replaces BOTH correlated
+      // subqueries, then joins back to the late rows on the SAME key, so
+      // AQE co-partitions the probe with the profile and lineitem text
+      // never moves twice. Supplier is a broadcast dim. The testdata has
+      // no l_commitdate/l_receiptdate, so "late" is adapted to
+      // l_shipdate > o_orderdate + 60 days — same plan, same semantics
+      // class (a row predicate over the lineitem⋈orders join).
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val flagged = li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("__late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      val perOrder = flagged.groupBy("l_orderkey")
+        .agg(countDistinct("l_suppkey").as("__nsupp"),
+          countDistinct(when(col("__late"), col("l_suppkey"))).as("__nlate"))
+      flagged.filter(col("__late"))
+        .join(perOrder, "l_orderkey")
+        .filter(col("__nsupp") >= 2 && col("__nlate") === 1)
+        .join(broadcast(t(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(20)
+    }),
+    "q_grouping_sets" -> ((s, d) =>
+      // Explicit GROUPING SETS — neither a rollup nor a cube (the
+      // (priority)-only set skips status), plus grouping_id() so callers
+      // can tell a real NULL group key from a rolled-up one. Spark plans
+      // one Expand (3 replicas) + one hash aggregate — same single
+      // shuffle as a plain groupBy, just 3× the map-side rows.
+      t(s, d, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("cnt"),
+          round(sum("o_totalprice"), 2).as("rev"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+    "q_percentile" -> ((s, d) =>
+      // EXACT percentiles (sort-based `percentile`, not the approx
+      // sketch): per-group sorted-merge aggregate — the right tool when
+      // the group's value set fits an executor (quantity/price columns
+      // do); q_profile's histogram+cumulative-window path is the
+      // 100 TB-per-group alternative. Oracle-exact because integral
+      // quantities interpolate to halves and 2-decimal prices to
+      // quarter-cents — both exact in binary FP at round(,4).
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(round(percentile(col("l_quantity"), lit(0.5)), 4).as("qty_p50"),
+          round(percentile(col("l_quantity"), lit(0.9)), 4).as("qty_p90"),
+          round(percentile(col("l_extendedprice"), lit(0.5)), 4)
+            .as("price_p50"))
+        .orderBy("l_returnflag")),
     "q_join_semi" -> ((s, d) =>
       t(s, d, "customer")
         .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"),
@@ -1349,6 +1434,52 @@ object SparkEntry {
         GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
       GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+    "q_tpch_q1" -> """
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS sum_charge,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_extendedprice), 4) AS avg_price,
+             round(avg(l_discount), 4) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+    "q_tpch_q21" -> """
+      SELECT s_name, count(*) AS numwait
+      FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+    "q_grouping_sets" -> """
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+             count(*) AS cnt, round(sum(o_totalprice), 2) AS rev
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                              (o_orderpriority), ())
+      ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q_percentile" -> """
+      SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50,
+             round(quantile_cont(l_quantity, 0.9), 4) AS qty_p90,
+             round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_join_semi" -> """
       SELECT c_custkey FROM customer
       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
