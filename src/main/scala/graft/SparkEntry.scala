@@ -598,6 +598,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_sampled"),
           countDistinct("doc_id").as("n_distinct"))
         .orderBy("source")),
+    "q_mixture_temp" -> ((s, d) =>
+      // mT5-style temperature resampling (α=0.5) over the skewed lang
+      // column: low-resource languages upsample WITH repetition, the head
+      // downsamples, targeting 1000 rows in expectation. The portable md5
+      // hash lets DuckDB replay the per-row Bernoulli bit-for-bit, so the
+      // gate checks every copy count, not just totals. Plan: one tiny
+      // count agg → driver rates → broadcast join + posexplode; the
+      // corpus never shuffles.
+      graft.operators.Sampling.temperatureResample(
+          t(s, d, "documents"), "lang", "doc_id",
+          targetRows = 1000L, alpha = 0.5,
+          hash01 = graft.operators.Sampling.portableHash01("t"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("doc_id").as("n_docs"),
+          max("copy").as("max_copy"))
+        .orderBy("lang")),
 
     // ---- pivot (wide aggregation) ----------------------------------------
     "q_pivot" -> ((s, d) =>
@@ -1597,6 +1614,23 @@ object SparkEntry {
       SELECT source, least(25, count(*)) AS n_sampled,
              least(25, count(*)) AS n_distinct
       FROM documents GROUP BY source ORDER BY source""",
+    "q_mixture_temp" -> """
+      WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+                 FROM documents GROUP BY lang),
+      s AS (SELECT list_sum(list(sqrt(n) ORDER BY lang)) AS sw FROM c),
+      r AS (SELECT lang, n, sqrt(n) / sw * 1000 / n AS rate FROM c, s),
+      x AS (SELECT d.doc_id, d.lang, r.rate,
+              CAST(floor(r.rate) AS BIGINT)
+              + CASE WHEN CAST(('0x' || substring(
+                      md5('t:' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) / 1152921504606846976.0
+                    < r.rate - floor(r.rate)
+                THEN 1 ELSE 0 END AS copies
+            FROM documents d JOIN r ON d.lang = r.lang)
+      SELECT lang, CAST(sum(copies) AS BIGINT) AS n_rows,
+             count(*) FILTER (WHERE copies > 0) AS n_docs,
+             max(copies) - 1 AS max_copy
+      FROM x GROUP BY lang HAVING sum(copies) > 0 ORDER BY lang""",
     "q_json" -> """
       SELECT event_type, count(*) AS n,
              round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -77,6 +77,70 @@ object Sampling {
         .withColumn("__source", lit(name))
     }.reduce(_ unionByName _)
   }
+
+  /** Temperature-weighted resampling WITH repetition — the "sample source
+    * i proportional to nᵢ^α" recipe multilingual/multi-domain training
+    * mixes use to boost low-resource groups without starving the head
+    * (α=1 keeps natural proportions, α→0 approaches uniform-over-groups).
+    * Each group's expected row count is `targetRows · nᵢ^α / Σⱼnⱼ^α`;
+    * groups above their natural size UPSAMPLE (rows repeat, tagged with a
+    * `copy` ordinal), groups below it downsample.
+    *
+    * Per row: `copies = ⌊rate⌋ + [hash01(key) < frac(rate)]` — a
+    * deterministic Bernoulli on the row key, so reruns, retries and
+    * incremental extensions reproduce the same multiset. Scale shape: the
+    * per-group rate comes from ONE tiny count aggregate collected to the
+    * driver (#groups rows — metadata-priced), then the corpus path is a
+    * broadcast rate join + `posexplode` — ZERO data shuffles at any SF.
+    *
+    * Exact cross-engine replay (the oracle face): rates are computed in a
+    * PINNED evaluation order — `((wᵢ/S)·targetRows)/nᵢ` with
+    * `wᵢ = sqrt(nᵢ)` when α=0.5 (IEEE-exact in every engine, unlike pow)
+    * and `S` summed in group-name order — so an external engine derives
+    * bit-identical rates, and with a portable `hash01` (e.g. the 60-bit
+    * md5 rendering the *_fixed queries use) bit-identical copy counts. */
+  def temperatureResample(df: DataFrame, byCol: String, keyCol: String,
+                          targetRows: Long, alpha: Double = 0.5,
+                          hash01: Column => Column = defaultHash01)
+      : DataFrame = {
+    require(targetRows > 0, "targetRows must be positive")
+    require(alpha > 0 && alpha <= 1, "alpha in (0, 1]")
+    // one #groups-row aggregate; groups are sources/langs — metadata-sized
+    val counts = df.groupBy(col(byCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val wts = counts.map { case (_, n) =>
+      if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+    }
+    val s = wts.foldLeft(0.0)(_ + _) // group-name order, replayable
+    val rates = counts.zip(wts).map { case ((g, n), w) =>
+      (g, ((w / s) * targetRows.toDouble) / n.toDouble) // pinned order
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rateDf = broadcast(rates.toSeq.toDF("__g", "__rate"))
+    val frac = col("__rate") - floor(col("__rate"))
+    val copies = (floor(col("__rate")).cast("long") +
+      when(hash01(col(keyCol)) < frac, 1L).otherwise(0L)).cast("int")
+    df.join(rateDf, col(byCol).cast("string") === col("__g"))
+      .withColumn("__copies", copies)
+      .select(col("*"), posexplode(array_repeat(lit(1), col("__copies")))
+        .as(Seq("copy", "__one")))
+      .drop("__g", "__rate", "__copies", "__one")
+  }
+
+  /** xxhash64 key → uniform [0,1) via the unsigned top 53 bits. */
+  def defaultHash01(key: Column): Column =
+    shiftrightunsigned(xxhash64(key, lit(42L)), 11)
+      .cast("double") / lit((1L << 53).toDouble)
+
+  /** Portable [0,1) hash: 60-bit md5-derived value an external engine can
+    * re-render exactly (`'0x' || substring(md5(tag:key),1,15)` as a long,
+    * over 2^60) — the oracle-face twin of [[defaultHash01]]. */
+  def portableHash01(tag: String)(key: Column): Column =
+    conv(substring(md5(concat(lit(tag + ":"), key.cast("string"))), 1, 15),
+      16, 10).cast("long").cast("double") / lit(math.pow(2, 60))
 
   /** Exactly the `k` rows with the smallest `xxhash64(key, seed)`, computed
     * distributively: range-repartition on the hash (a distributed sort —

@@ -59,4 +59,47 @@ class SamplingSpec extends SparkSpec {
     val bys2 = mix2.groupBy("__source").count().collect().map(_.getLong(1))
     assert(bys2.sum == 100 && bys2.max - bys2.min <= 1)
   }
+
+  test("temperatureResample: n^α shares, repetition ordinals, determinism") {
+    // heavily skewed groups: 2400 web / 500 code / 100 books
+    val skewed = (1 to 3000).map { i =>
+      (i.toLong, if (i <= 2400) "web" else if (i <= 2900) "code" else "books")
+    }.toDF("doc_id", "source")
+    val out = Sampling.temperatureResample(skewed, "source", "doc_id",
+      targetRows = 3000L, alpha = 0.5)
+    val n = Map("web" -> 2400.0, "code" -> 500.0, "books" -> 100.0)
+    val s = List("books", "code", "web").map(g => math.sqrt(n(g))).sum
+    val got = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    n.foreach { case (g, ng) =>
+      val expect = math.sqrt(ng) / s * 3000.0
+      // per-row Bernoulli: binomial σ ≤ sqrt(n)/2 — allow 5σ
+      assert(math.abs(got(g) - expect) < 5 * math.sqrt(ng).max(10.0),
+        s"$g: got ${got(g)}, expected ~$expect")
+    }
+    // α=0.5 boosts the tail ABOVE natural size and trims the head below
+    assert(got("books") > 100 && got("web") < 2400)
+    // every natural row of an upsampled group survives (rate > 1 ⇒ ⌊rate⌋
+    // ≥ 1 copies for every row), with copy ordinals 0..copies-1
+    val books = out.filter(col("source") === "books")
+    assert(books.select("doc_id").distinct().count() == 100)
+    val perDoc = books.groupBy("doc_id")
+      .agg(count(lit(1)).as("c"), min("copy").as("lo"), max("copy").as("hi"))
+      .collect()
+    assert(perDoc.forall(r => r.getInt(2) == 0 &&
+      r.getInt(3).toLong == r.getLong(1) - 1), "copy must be a 0..c-1 ordinal")
+    // deterministic under repartitioning (hash of the key, not of splits)
+    val again = Sampling.temperatureResample(skewed.repartition(13),
+      "source", "doc_id", targetRows = 3000L, alpha = 0.5)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == got)
+    // α=1 recovers ~natural proportions (rate ≈ 1 for every group)
+    val nat = Sampling.temperatureResample(skewed, "source", "doc_id",
+      targetRows = 3000L, alpha = 1.0)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    n.foreach { case (g, ng) =>
+      assert(math.abs(nat(g) - ng) < 5 * math.sqrt(ng).max(10.0)) }
+  }
 }
