@@ -954,6 +954,53 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
     }),
 
+    // Structured Streaming under the exact oracle: the events corpus lands
+    // as several parquet files, replays as micro-batches (maxFilesPerTrigger)
+    // through an UPDATE-mode windowed aggregation, and each batch's changed
+    // groups UPSERT exactly-once into a lake table (Streams.sinkAggToLake's
+    // txn-id contract). The final table state must equal the one-shot batch
+    // GROUP BY — which DuckDB recomputes — so the hash check covers the
+    // incremental state machine, the update-mode delta emission AND the
+    // idempotent merge, end-to-end. At scale the same code tails a Kafka/file
+    // stream; state is partitioned by group key across executors.
+    "q_stream_hourly" -> ((s, d) => {
+      import graft.lake.{LakeLog, LakeTable}
+      import graft.streaming.Streams
+      val ev = t(s, d, "events").select("ts", "event_id", "event_type", "value")
+      val tmp = java.nio.file.Files.createTempDirectory("graftstream")
+      val srcDir = tmp.resolve("src").toString
+      ev.repartition(6, col("event_id")).write.parquet(srcDir)
+      val log = new LakeLog(tmp.resolve("lake"))
+      val sinkDf = ev.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("hour",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("total_value",
+            org.apache.spark.sql.types.DoubleType))))
+      LakeTable.createTable(log, "hourly", sinkDf.schema)
+      val agg = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "2").parquet(srcDir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+        .withColumn("k",
+          concat(col("hour").cast("string"), lit("|"), col("event_type")))
+        .select("k", "hour", "event_type", "n", "total_value")
+      val q = Streams.sinkAggToLake(agg, log, "hourly", "k",
+        tmp.resolve("ckpt").toString)
+      q.processAllAvailable(); q.stop()
+      LakeTable.read(s, log, "hourly")
+        .select(col("hour"), col("event_type"), col("n"),
+          round(col("total_value"), 4).as("total_value"))
+        .orderBy("hour", "event_type")
+    }),
+
     // ---- multimodal: binary payloads + metadata (real header decode) -----
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.withMeta(Multimodal.syntheticCorpus(t(s, d, "documents")))
@@ -1710,6 +1757,11 @@ object SparkEntry {
       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q_events_hourly" -> """
+      SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+             round(sum(value), 4) AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the streaming upsert pipeline must land exactly the batch GROUP BY
+    "q_stream_hourly" -> """
       SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
              round(sum(value), 4) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
