@@ -2731,11 +2731,16 @@ object SparkEntry {
                       ELSE array_to_string(t[i:i+2], ' ') END AS sh
           FROM norm, UNNEST(CASE WHEN len(t) < 3 THEN [CAST(1 AS BIGINT)]
                                  ELSE range(1, len(t) - 1) END) AS u(i))),
+      hb AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(sh), 1, 7)) AS BIGINT) AS h
+        FROM sh),
       sig AS (
         SELECT doc_id, i,
-               min(CAST(('0x' || substring(md5(i::VARCHAR || ':' || sh),
-                   1, 15)) AS BIGINT)) AS h
-        FROM sh, UNNEST(range(16)) AS s(i)
+               min((((1103515245 * (2 * i + 1)) % 2147483647) * h
+                    + ((12345 + 1013904223 * i) % 2147483647))
+                   % 2147483647) AS h
+        FROM hb, UNNEST(range(16)) AS s(i)
         GROUP BY doc_id, i),
       band AS (
         SELECT doc_id, i // 2 AS band,

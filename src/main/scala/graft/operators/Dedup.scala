@@ -131,16 +131,21 @@ object Dedup {
 
   /** Portable-hash MinHash+LSH — the exact-oracle face of
     * [[minhashLshPairs]] (same recipe that promoted semantic dedup:
-    * freeze the randomness into something both engines compute). Per-seed
-    * hashes are 60-bit md5-derived values (`conv(substr(md5(seed ':'
-    * shingle), 1, 15), 16, 10)`) that DuckDB reproduces bit-for-bit via
-    * its hex-string cast, and band keys are the raw signature slices
-    * (exactness over key compactness), so banding, candidate generation
-    * and the signature-estimated Jaccard all sit under the exact
-    * cross-engine oracle. The xxhash64 path stays the production default —
-    * one shingle hash + cheap long mixing beats k md5's per shingle — but
-    * the LSH machinery downstream of the hash is THE SAME shape: (id,
-    * band, key) shuffles, signature join, est-Jaccard filter.
+    * freeze the randomness into something both engines compute). ONE
+    * md5-derived 28-bit base hash per shingle (`conv(substr(md5(shingle),
+    * 1, 7), 16, 10)` — DuckDB's hex-string cast reproduces it
+    * bit-for-bit), then the classic universal-hash family
+    * `hᵢ = (aᵢ·h + bᵢ) mod (2³¹−1)` supplies the k per-seed functions —
+    * aᵢ/bᵢ are exact integer formulas of i, and every product stays under
+    * 2⁵⁹ so the arithmetic is overflow-free (ANSI-safe) in both engines.
+    * One digest + k 3-op affines per shingle, versus k digests in the
+    * naive seeded form — the hash work drops by the signature length.
+    * Band keys are the raw signature slices (exactness over key
+    * compactness), so banding, candidate generation and the
+    * signature-estimated Jaccard all sit under the exact cross-engine
+    * oracle. The xxhash64 path stays the production default; the LSH
+    * machinery downstream of the hash is THE SAME shape: (id, band, key)
+    * shuffles, signature join, est-Jaccard filter.
     */
   def minhashLshPairsFixed(docs: DataFrame, threshold: Double = 0.5,
                            bands: Int = 8, rowsPerBand: Int = 2,
@@ -148,14 +153,20 @@ object Dedup {
                            textCol: String = "text",
                            shingleSize: Int = 3): DataFrame = {
     val k = bands * rowsPerBand
+    val P = 2147483647L // 2^31 - 1 (prime): (2^31)·(2^28) < 2^59 — no overflow
     val shingled =
       spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
         .select(col("id"), tokens(normalizeText(col("__text"))).as("__toks"))
         .select(col("id"), explode(array_distinct(
           shinglesFromTokens(col("__toks"), shingleSize))).as("sh"))
-    val aggs = (0 until k).map(i =>
-      min(conv(substring(md5(concat_ws(":", lit(i.toString), col("sh"))),
-        1, 15), 16, 10).cast("long")).as(s"m$i"))
+        // bind the digest as a column: ONE md5 per shingle, k affines over it
+        .select(col("id"),
+          conv(substring(md5(col("sh")), 1, 7), 16, 10).cast("long").as("h"))
+    val aggs = (0 until k).map { i =>
+      val a = (1103515245L * (2L * i + 1)) % P
+      val b = (12345L + 1013904223L * i) % P
+      min((lit(a) * col("h") + lit(b)) % P).as(s"m$i")
+    }
     val sigs = shingled.groupBy("id").agg(aggs.head, aggs.tail: _*)
       .select(col("id"),
         array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
