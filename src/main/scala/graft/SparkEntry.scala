@@ -632,6 +632,14 @@ object SparkEntry {
         .orderBy(col("n").desc, col("tok")).limit(20)),
 
     // ---- data profiling (one-pass column statistics) ---------------------
+    // Robust outlier gate (median/MAD, Iglewicz–Hoaglin z ≤ 3.5) — the
+    // length-outlier curation step. Medians of integral n_chars interpolate
+    // to exact halves, so every keep/drop decision replays bit-for-bit.
+    "q_outlier_gate" -> ((s, d) =>
+      graft.operators.Outliers.report(
+          t(s, d, "documents"), "n_chars", "lang", k = 3.5)
+        .orderBy("lang")),
+
     "q_profile" -> ((s, d) =>
       graft.operators.Profile.numericProfile(
           t(s, d, "lineitem").select("l_quantity", "l_extendedprice",
@@ -1708,6 +1716,29 @@ object SparkEntry {
           x -> x <> '')) AS tok
         FROM documents)
       GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
+    "q_outlier_gate" -> """
+      WITH med AS (
+        SELECT lang, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
+        FROM documents GROUP BY lang),
+      dev AS (
+        SELECT d.lang, CAST(d.n_chars AS DOUBLE) AS v, m.med
+        FROM documents d JOIN med m USING (lang)),
+      mad AS (
+        SELECT lang, quantile_cont(abs(v - med), 0.5) AS mad
+        FROM dev GROUP BY lang),
+      z AS (
+        SELECT dev.lang, v, dev.med, mad.mad,
+               CASE WHEN mad.mad > 0 THEN abs(v - dev.med) / (mad.mad * 1.4826)
+                    WHEN v = dev.med THEN 0
+                    ELSE CAST('inf' AS DOUBLE) END AS rz
+        FROM dev JOIN mad USING (lang))
+      SELECT lang, count(*) AS n_rows,
+             CAST(sum(CASE WHEN rz <= 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             round(max(med), 4) AS med, round(max(mad), 4) AS mad,
+             round(min(CASE WHEN rz <= 3.5 THEN v END), 4) AS kept_lo,
+             round(max(CASE WHEN rz <= 3.5 THEN v END), 4) AS kept_hi
+      FROM z GROUP BY lang ORDER BY lang""",
     "q_profile" -> """
       WITH p AS (
         SELECT 'l_quantity' AS "column", count(*) AS n_rows,
