@@ -632,6 +632,22 @@ object SparkEntry {
         .orderBy(col("n").desc, col("tok")).limit(20)),
 
     // ---- data profiling (one-pass column statistics) ---------------------
+    // Budgeted selection: best documents by quality until a token budget.
+    // The global prefix sum runs DISTRIBUTED (range partition on the order
+    // key → per-slice running totals → offsets from a #partitions-row
+    // collect) — no single-task Window.orderBy funnel. Integer token
+    // weights make every running total and the keep boundary exact, so
+    // DuckDB's window cumsum replays the selection bit-for-bit.
+    "q_token_budget" -> ((s, d) => {
+      val docs = docsSpread(s, d).select(col("doc_id"),
+        qualityScore(col("text")).as("q"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Selection.takeUntilBudget(docs, "n_tokens",
+          Seq(col("q").desc), "doc_id", budget = 20000L)
+        .select(col("doc_id"), col("q"), col("n_tokens"), col("cum_weight"))
+        .orderBy("cum_weight")
+    }),
+
     // Robust outlier gate (median/MAD, Iglewicz–Hoaglin z ≤ 3.5) — the
     // length-outlier curation step. Medians of integral n_chars interpolate
     // to exact halves, so every keep/drop decision replays bit-for-bit.
@@ -1716,6 +1732,48 @@ object SparkEntry {
           x -> x <> '')) AS tok
         FROM documents)
       GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
+    "q_token_budget" -> """
+      WITH norm AS (
+        SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt,
+               len(list_filter(string_split_regex(text, '\s+'),
+                 x -> x <> '')) AS n_tokens
+        FROM documents),
+      f AS (
+        SELECT doc_id, n_tokens,
+               CAST(length(nt) AS DOUBLE) AS n_chars,
+               CAST(len(list_filter(string_split_regex(nt, '\s+'),
+                 x -> x <> '')) AS DOUBLE) AS n_tok,
+               CAST(length(regexp_replace(nt, '[\p{L}\p{N}\s]', '', 'g'))
+                 AS DOUBLE) AS n_sym,
+               CAST(length(regexp_replace(nt, '[^0-9]', '', 'g'))
+                 AS DOUBLE) AS n_dig
+        FROM norm),
+      scored AS (
+        SELECT doc_id, n_tokens,
+               round(
+                 (CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1.0
+                       ELSE 0.3 END) *
+                 (CASE WHEN (CASE WHEN n_tok > 0
+                               THEN (n_chars - (n_tok - 1)) / n_tok
+                               ELSE 0.0 END) >= 2
+                         AND (CASE WHEN n_tok > 0
+                               THEN (n_chars - (n_tok - 1)) / n_tok
+                               ELSE 0.0 END) <= 12
+                       THEN 1.0 ELSE 0.5 END) *
+                 greatest(0.0, 1.0 - (CASE WHEN n_chars > 0
+                   THEN n_sym / n_chars ELSE 0.0 END) * 4) *
+                 greatest(0.0, 1.0 - (CASE WHEN n_chars > 0
+                   THEN n_dig / n_chars ELSE 0.0 END) * 2), 6) AS q
+        FROM f),
+      c AS (
+        SELECT doc_id, q, n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_weight
+        FROM scored)
+      SELECT doc_id, q, n_tokens, cum_weight
+      FROM c WHERE cum_weight <= 20000 ORDER BY cum_weight""",
     "q_outlier_gate" -> """
       WITH med AS (
         SELECT lang, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
