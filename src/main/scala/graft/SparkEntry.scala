@@ -1025,6 +1025,64 @@ object SparkEntry {
         .orderBy("hour", "event_type")
     }),
 
+    // flatMapGroupsWithState under the exact oracle: gap sessionization is
+    // the custom-STATE streaming operator (KeyValueGroupedDataset +
+    // GroupState), the one surface update-mode aggs can't express. The
+    // events corpus is split into 6 time-range chunks fed as micro-batches
+    // in event-time order (pinned mtimes; maxFilesPerTrigger=1), so
+    // sessions that span batch boundaries must be carried in state and
+    // closed by a later batch. With NoTimeout each user's LAST session
+    // never closes — deterministically — so the oracle is DuckDB's batch
+    // sessionization minus each user's final session, on the same
+    // millisecond gap rule the operator uses. Every emitted session's
+    // count, sum, start and end hash-match.
+    "q_stream_sessions" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
+      import scala.jdk.CollectionConverters._
+      val ev = t(s, d, "events")
+        .select(col("ts"), col("event_id"), col("user_id"),
+          col("event_type"), col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graftsess")
+      val srcDir = tmp.resolve("src"); java.nio.file.Files.createDirectories(srcDir)
+      val Array(loMs, hiMs) = ev
+        .agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val span = math.max(1L, (hiMs - loMs) / 6 + 1)
+      (0 until 6).foreach { i =>
+        val stage = tmp.resolve(s"stage$i")
+        ev.filter(unix_millis(col("ts")) >= loMs + i * span &&
+            unix_millis(col("ts")) < loMs + (i + 1) * span)
+          .coalesce(1).write.parquet(stage.toString)
+        val part = java.nio.file.Files.list(stage).iterator().asScala
+          .find(_.toString.endsWith(".parquet")).get
+        val dst = srcDir.resolve(f"chunk$i%02d.parquet")
+        java.nio.file.Files.move(part, dst)
+        // pinned, strictly increasing mtimes: the file source orders
+        // batches by modification time, and THAT order is the semantics
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+      import org.apache.spark.sql.Encoders
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val sessions = graft.streaming.Streams.sessionize(
+        stream.as[graft.streaming.Streams.Event](
+          Encoders.product[graft.streaming.Streams.Event]),
+        gapMs = 1800000L, timeout = GroupStateTimeout.NoTimeout())
+      val outDir = tmp.resolve("out").toString
+      val q = sessions.writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .select(col("user_id"), col("n_events"),
+          round(col("total_value"), 4).as("total_value"),
+          unix_millis(col("start")).as("start_ms"),
+          unix_millis(col("end")).as("end_ms"))
+        .orderBy("user_id", "start_ms")
+    }),
+
     // ---- multimodal: binary payloads + metadata (real header decode) -----
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.withMeta(Multimodal.syntheticCorpus(t(s, d, "documents")))
@@ -1849,6 +1907,32 @@ object SparkEntry {
       SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
              round(sum(value), 4) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // stream sessionization emits every CLOSED session; with NoTimeout each
+    // user's final session deterministically never closes, so the oracle is
+    // batch sessionization (same millisecond gap rule) minus that session
+    "q_stream_sessions" -> """
+      WITH e AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS tms, value FROM events),
+      m AS (
+        SELECT user_id, event_id, tms, value,
+               CASE WHEN lag(tms) OVER w IS NULL
+                      OR tms - lag(tms) OVER w > 1800000 THEN 1 ELSE 0 END
+                 AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+      s AS (
+        SELECT user_id, tms, value,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m),
+      agg AS (
+        SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS total_value,
+               min(tms) AS start_ms, max(tms) AS end_ms
+        FROM s GROUP BY user_id, sid),
+      last AS (SELECT user_id, max(sid) AS mx FROM agg GROUP BY user_id)
+      SELECT a.user_id, a.n_events, a.total_value, a.start_ms, a.end_ms
+      FROM agg a JOIN last l ON a.user_id = l.user_id AND a.sid < l.mx
+      ORDER BY a.user_id, a.start_ms""",
     // the streaming upsert pipeline must land exactly the batch GROUP BY
     "q_stream_hourly" -> """
       SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,

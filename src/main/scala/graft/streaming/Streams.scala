@@ -69,7 +69,9 @@ object Streams {
             Iterator(Session(userId, s.n, s.total,
               new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs)))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            // (ts, event_id): a TOTAL order — equal-millisecond events
+            // would otherwise fold in nondeterministic iterator order
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var cur = state.getOption
             val closed = scala.collection.mutable.ArrayBuffer[Session]()
             sorted.foreach { e =>
