@@ -1083,6 +1083,57 @@ object SparkEntry {
         .orderBy("user_id", "start_ms")
     }),
 
+    // Stream-stream interval join under the exact oracle (the
+    // impression⋈click shape): two streams of the same corpus joined on
+    // user_id with r.ts ∈ [l.ts, l.ts+1h]. Inner joins emit as rows arrive
+    // — state buffers both sides, watermarks bound it — and with
+    // event-time-ordered batches and a lateness horizon wider than the
+    // corpus nothing is ever late, so the emitted set must equal the batch
+    // join exactly, which DuckDB recomputes. (Watermark EVICTION semantics
+    // — the part that needs late data — is spec-tested in StreamsSpec;
+    // here the oracle pins join completeness and the interval arithmetic.)
+    "q_stream_join" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import scala.jdk.CollectionConverters._
+      val ev = t(s, d, "events")
+        .select(col("ts"), col("event_id"), col("user_id"),
+          col("event_type"), col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graftsj")
+      val srcDir = tmp.resolve("src"); java.nio.file.Files.createDirectories(srcDir)
+      val Array(loMs, hiMs) = ev
+        .agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val span = math.max(1L, (hiMs - loMs) / 4 + 1)
+      (0 until 4).foreach { i =>
+        val stage = tmp.resolve(s"stage$i")
+        ev.filter(unix_millis(col("ts")) >= loMs + i * span &&
+            unix_millis(col("ts")) < loMs + (i + 1) * span)
+          .coalesce(1).write.parquet(stage.toString)
+        val part = java.nio.file.Files.list(stage).iterator().asScala
+          .find(_.toString.endsWith(".parquet")).get
+        val dst = srcDir.resolve(f"chunk$i%02d.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+      def src() = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val joined = graft.streaming.Streams.intervalJoin(
+          src(), src(), "user_id", windowSec = 3600L, lateness = "7 days")
+        .select(col("l.user_id").as("user_id"),
+          col("l.event_id").as("a_id"), col("r.event_id").as("b_id"),
+          unix_millis(col("l.ts")).as("a_ms"),
+          unix_millis(col("r.ts")).as("b_ms"))
+        .filter(col("a_id") =!= col("b_id"))
+      val outDir = tmp.resolve("out").toString
+      val q = joined.writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(outDir).orderBy("user_id", "a_id", "b_id")
+    }),
+
     // ---- multimodal: binary payloads + metadata (real header decode) -----
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.withMeta(Multimodal.syntheticCorpus(t(s, d, "documents")))
@@ -1907,6 +1958,16 @@ object SparkEntry {
       SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
              round(sum(value), 4) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // nothing is late under the 7-day horizon, so the stream-stream join
+    // must emit exactly the batch interval join
+    "q_stream_join" -> """
+      SELECT l.user_id AS user_id, l.event_id AS a_id, r.event_id AS b_id,
+             epoch_ms(l.ts) AS a_ms, epoch_ms(r.ts) AS b_ms
+      FROM events l JOIN events r
+        ON l.user_id = r.user_id AND r.ts >= l.ts
+        AND r.ts <= l.ts + INTERVAL 3600 SECOND
+        AND l.event_id <> r.event_id
+      ORDER BY user_id, a_id, b_id""",
     // stream sessionization emits every CLOSED session; with NoTimeout each
     // user's final session deterministically never closes, so the oracle is
     // batch sessionization (same millisecond gap rule) minus that session
