@@ -21,6 +21,54 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Streaming state parallelism: each micro-batch commits one state-store
+    * delta PER SHUFFLE PARTITION (fsync'd), so a stateful query's fixed
+    * cost is partitions × batches × stores regardless of data volume —
+    * size the conf to the stream's key cardinality, not the session
+    * default. The streaming gate queries pin 8 for the test corpus (a
+    * production deployment sizes this to executor count); restored after.
+    */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val old = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
+  /** Land `ev` (must carry `ts`) as `n` event-time-range chunk files with
+    * PINNED strictly-increasing mtimes — the file-stream source orders
+    * batches by modification time, and that order is the replay semantics
+    * the streaming oracle queries depend on. One write job for all chunks
+    * (dynamic partition write), then each part file moves into place.
+    */
+  private def writeTimeChunks(ev: DataFrame, n: Int,
+                              tmp: java.nio.file.Path): java.nio.file.Path = {
+    import scala.jdk.CollectionConverters._
+    val srcDir = tmp.resolve("src")
+    java.nio.file.Files.createDirectories(srcDir)
+    val Array(loMs, hiMs) = ev
+      .agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val span = math.max(1L, (hiMs - loMs) / n + 1)
+    val stage = tmp.resolve("stage")
+    ev.withColumn("__chunk",
+        floor((unix_millis(col("ts")) - loMs) / span).cast("int"))
+      .repartition(1) // one file per chunk dir; test-scale corpus
+      .write.partitionBy("__chunk").parquet(stage.toString)
+    (0 until n).foreach { i =>
+      val dir = stage.resolve(s"__chunk=$i")
+      if (java.nio.file.Files.exists(dir)) {
+        val part = java.nio.file.Files.list(dir).iterator().asScala
+          .find(_.toString.endsWith(".parquet")).get
+        val dst = srcDir.resolve(f"chunk$i%02d.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + i * 60000L))
+      }
+    }
+    srcDir
+  }
+
   /** documents arrives as ONE scan partition (single parquet row group) —
     * fan out before per-row text analysis so the regex work parallelizes;
     * results are order-insensitive (every query orders its output).
@@ -987,7 +1035,7 @@ object SparkEntry {
     // incremental state machine, the update-mode delta emission AND the
     // idempotent merge, end-to-end. At scale the same code tails a Kafka/file
     // stream; state is partitioned by group key across executors.
-    "q_stream_hourly" -> ((s, d) => {
+    "q_stream_hourly" -> ((s, d) => withShufflePartitions(s, 8) {
       import graft.lake.{LakeLog, LakeTable}
       import graft.streaming.Streams
       val ev = t(s, d, "events").select("ts", "event_id", "event_type", "value")
@@ -1036,32 +1084,14 @@ object SparkEntry {
     // sessionization minus each user's final session, on the same
     // millisecond gap rule the operator uses. Every emitted session's
     // count, sum, start and end hash-match.
-    "q_stream_sessions" -> ((s, d) => {
+    "q_stream_sessions" -> ((s, d) => withShufflePartitions(s, 8) {
       import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
       import scala.jdk.CollectionConverters._
       val ev = t(s, d, "events")
         .select(col("ts"), col("event_id"), col("user_id"),
           col("event_type"), col("value"))
       val tmp = java.nio.file.Files.createTempDirectory("graftsess")
-      val srcDir = tmp.resolve("src"); java.nio.file.Files.createDirectories(srcDir)
-      val Array(loMs, hiMs) = ev
-        .agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
-        .head().toSeq.map(_.asInstanceOf[Long]).toArray
-      val span = math.max(1L, (hiMs - loMs) / 6 + 1)
-      (0 until 6).foreach { i =>
-        val stage = tmp.resolve(s"stage$i")
-        ev.filter(unix_millis(col("ts")) >= loMs + i * span &&
-            unix_millis(col("ts")) < loMs + (i + 1) * span)
-          .coalesce(1).write.parquet(stage.toString)
-        val part = java.nio.file.Files.list(stage).iterator().asScala
-          .find(_.toString.endsWith(".parquet")).get
-        val dst = srcDir.resolve(f"chunk$i%02d.parquet")
-        java.nio.file.Files.move(part, dst)
-        // pinned, strictly increasing mtimes: the file source orders
-        // batches by modification time, and THAT order is the semantics
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
-      }
+      val srcDir = writeTimeChunks(ev, 6, tmp)
       import org.apache.spark.sql.Encoders
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
@@ -1092,39 +1122,25 @@ object SparkEntry {
     // join exactly, which DuckDB recomputes. (Watermark EVICTION semantics
     // — the part that needs late data — is spec-tested in StreamsSpec;
     // here the oracle pins join completeness and the interval arithmetic.)
-    "q_stream_join" -> ((s, d) => {
+    "q_stream_join" -> ((s, d) => withShufflePartitions(s, 8) {
       import org.apache.spark.sql.streaming.Trigger
-      import scala.jdk.CollectionConverters._
       val ev = t(s, d, "events")
         .select(col("ts"), col("event_id"), col("user_id"),
           col("event_type"), col("value"))
       val tmp = java.nio.file.Files.createTempDirectory("graftsj")
-      val srcDir = tmp.resolve("src"); java.nio.file.Files.createDirectories(srcDir)
-      val Array(loMs, hiMs) = ev
-        .agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
-        .head().toSeq.map(_.asInstanceOf[Long]).toArray
-      val span = math.max(1L, (hiMs - loMs) / 4 + 1)
-      (0 until 4).foreach { i =>
-        val stage = tmp.resolve(s"stage$i")
-        ev.filter(unix_millis(col("ts")) >= loMs + i * span &&
-            unix_millis(col("ts")) < loMs + (i + 1) * span)
-          .coalesce(1).write.parquet(stage.toString)
-        val part = java.nio.file.Files.list(stage).iterator().asScala
-          .find(_.toString.endsWith(".parquet")).get
-        val dst = srcDir.resolve(f"chunk$i%02d.parquet")
-        java.nio.file.Files.move(part, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
-      }
-      def src() = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val srcDir = writeTimeChunks(ev, 4, tmp)
+      def src(eventType: String) = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "2").parquet(srcDir.toString)
+        // filter BEFORE the join: each side buffers only its own type's
+        // rows in state — the impression⋈click shape, not a corpus²
+        .filter(col("event_type") === eventType)
       val joined = graft.streaming.Streams.intervalJoin(
-          src(), src(), "user_id", windowSec = 3600L, lateness = "7 days")
+          src("view"), src("click"), "user_id",
+          windowSec = 3600L, lateness = "7 days")
         .select(col("l.user_id").as("user_id"),
           col("l.event_id").as("a_id"), col("r.event_id").as("b_id"),
           unix_millis(col("l.ts")).as("a_ms"),
           unix_millis(col("r.ts")).as("b_ms"))
-        .filter(col("a_id") =!= col("b_id"))
       val outDir = tmp.resolve("out").toString
       val q = joined.writeStream.format("parquet")
         .option("path", outDir)
@@ -1966,7 +1982,7 @@ object SparkEntry {
       FROM events l JOIN events r
         ON l.user_id = r.user_id AND r.ts >= l.ts
         AND r.ts <= l.ts + INTERVAL 3600 SECOND
-        AND l.event_id <> r.event_id
+      WHERE l.event_type = 'view' AND r.event_type = 'click'
       ORDER BY user_id, a_id, b_id""",
     // stream sessionization emits every CLOSED session; with NoTimeout each
     // user's final session deterministically never closes, so the oracle is
