@@ -1178,6 +1178,24 @@ object SparkEntry {
     // channel-byte sums survive the round trip exactly, and DuckDB
     // recomputes them from the closed form — so a hash match proves the
     // decoder really read the IDAT rasters, not the construction rule.
+    // Video frame sampling with REAL per-frame decode: each document is a
+    // 6-frame container of complete PNGs; every 2nd frame (0,2,4) is
+    // decoded through the ImageIO codec — unsampled frames are skipped by
+    // length prefix, never decoded — and the sampled rasters' exact
+    // channel-byte sums are hash-checked against DuckDB's closed-form
+    // recomputation. A hash match proves the sampler really read the IDAT
+    // rasters of exactly the sampled frames.
+    "q_multimodal_video" -> ((s, d) => {
+      Multimodal.sampleVideoFrames(
+          Multimodal.videoCorpus(t(s, d, "documents"), nFrames = 6),
+          stride = 2)
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_sampled"),
+          max("width").as("w"), max("height").as("h"),
+          sum("channel_sum").as("sum_channel_bytes"))
+        .orderBy("doc_id")
+    }),
+
     "q_multimodal_pixels" -> ((s, d) => {
       Multimodal.decodeImage(Multimodal.pixelCorpus(t(s, d, "documents")))
         .groupBy((col("id") % 4).as("grp"))
@@ -2504,6 +2522,20 @@ object SparkEntry {
     // (id + 7y + 13x + 101c) mod 256, dims 8·(1+id%16) × 8·(1+id%9)) —
     // the Spark side must arrive at the same integers by actually DECODING
     // the PNGs it encoded (Multimodal.pixelCorpus/decodeImage scaladoc)
+    "q_multimodal_video" -> """
+      WITH d AS (
+        SELECT doc_id, 8*(1+doc_id%8) AS w, 8*(1+doc_id%5) AS h,
+          list_sum(list_transform([0, 2, 4], f ->
+            list_sum(list_transform(range(0, 8*(1+doc_id%5)), y ->
+              list_sum(list_transform(range(0, 8*(1+doc_id%8)), x ->
+                list_sum(list_transform(range(0, 3), c ->
+                  (doc_id + 1000003*f + 7*y + 13*x + 101*c) % 256))))))))
+            AS ps
+        FROM documents)
+      SELECT doc_id, CAST(3 AS BIGINT) AS n_sampled,
+             CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+             CAST(ps AS BIGINT) AS sum_channel_bytes
+      FROM d ORDER BY doc_id""",
     "q_multimodal_pixels" -> """
       WITH d AS (
         SELECT doc_id, 8*(1+doc_id%16) AS w, 8*(1+doc_id%9) AS h,

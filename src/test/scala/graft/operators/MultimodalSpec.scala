@@ -232,6 +232,35 @@ class MultimodalSpec extends SparkSpec {
       Set(PixelRow(1L, 0, 0, 0, 0L), PixelRow(2L, 0, 0, 0, 0L)))
   }
 
+  test("sampleVideoFrames decodes exactly the sampled frames, for real") {
+    import Multimodal._
+    val docs = Seq(3L, 10L).toDF("doc_id")
+    val vids = videoCorpus(docs, nFrames = 6)
+    // stride 1 = every frame; stride 2 = frames 0,2,4 only
+    val all = sampleVideoFrames(vids, 1).collect()
+    assert(all.map(_.frame_idx).toSet == (0 until 6).toSet)
+    val sampled = sampleVideoFrames(vids, 2).collect()
+    assert(sampled.map(_.frame_idx).toSet == Set(0, 2, 4))
+    // every sampled frame's channel sum equals the closed form — i.e. the
+    // codec really decoded the frame written for THAT (id, frame) seed
+    sampled.foreach { fr =>
+      val id = fr.id
+      val (w, h) = (8 * (1 + (id % 8)).toInt, 8 * (1 + (id % 5)).toInt)
+      assert(fr.width == w && fr.height == h)
+      val seed = id + 1000003L * fr.frame_idx
+      var s = 0L
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        s += pixelValue(seed, x, y, c)
+      assert(fr.channel_sum == s, s"id=$id frame=${fr.frame_idx}")
+    }
+    // a truncated container stops cleanly at the broken length prefix
+    val vid = vids.collect().head
+    val cut = MediaRow(vid.id, "video", vid.payload.take(vid.payload.length / 2))
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    val part = sampleVideoFrames(Seq(cut).toDS(), 1).collect()
+    assert(part.nonEmpty && part.length < 6)
+  }
+
   private def be(v: Long): Array[Byte] = Array(
     ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
     ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
