@@ -1113,6 +1113,40 @@ object SparkEntry {
         .orderBy("user_id", "start_ms")
     }),
 
+    // The DataSource-V2 lake CDC source under the exact oracle: three OCC
+    // commits land in `src`, the CDC stream tails the log (offsets = log
+    // versions, one input partition per logically-added file), a
+    // filter+derive transform runs per micro-batch, and survivors append
+    // exactly-once into `dst` via the txn-id contract. The final `dst`
+    // contents must equal the one-shot batch transform of the source rows,
+    // which DuckDB recomputes from lineitem directly — covering the custom
+    // source's offset/replay semantics, the transform and the idempotent
+    // sink in one hash.
+    "q_stream_cdc" -> ((s, d) => withShufflePartitions(s, 8) {
+      import graft.lake.{LakeLog, LakeTable}
+      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftcdc"))
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      LakeTable.createTable(log, "src", li.schema)
+      def xform(df: DataFrame): DataFrame = df
+        .filter(col("l_quantity") > 10)
+        .withColumn("revenue", col("l_quantity") * col("l_extendedprice"))
+      LakeTable.createTable(log, "dst", xform(li).schema)
+      (0 to 2).foreach { m =>
+        LakeTable.insert(s, log, "src",
+          li.filter(col("l_orderkey") % 3 === m), txnId = s"slice-$m")
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graftcdc_ckpt")
+      val q = graft.streaming.Streams.sinkToLake(
+        xform(graft.streaming.Streams.lakeStream(s, log, "src")),
+        log, "dst", tmp.toString)
+      q.processAllAvailable(); q.stop()
+      LakeTable.read(s, log, "dst")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("revenue"), 2).as("sum_rev"))
+        .orderBy("l_returnflag")
+    }),
+
     // Stream-stream interval join under the exact oracle (the
     // impression⋈click shape): two streams of the same corpus joined on
     // user_id with r.ts ∈ [l.ts, l.ts+1h]. Inner joins emit as rows arrive
@@ -1992,6 +2026,13 @@ object SparkEntry {
       SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
              round(sum(value), 4) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the CDC-sourced lake->lake pipeline must land exactly the one-shot
+    // batch transform of the source rows
+    "q_stream_cdc" -> """
+      SELECT l_returnflag, count(*) AS n,
+             round(sum(l_quantity * l_extendedprice), 2) AS sum_rev
+      FROM lineitem WHERE l_quantity > 10
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
     // nothing is late under the 7-day horizon, so the stream-stream join
     // must emit exactly the batch interval join
     "q_stream_join" -> """
