@@ -1113,6 +1113,35 @@ object SparkEntry {
         .orderBy("user_id", "start_ms")
     }),
 
+    // Streaming exact dedup under the oracle: dropDuplicatesWithinWatermark
+    // keyed on a composite fingerprint emits each key exactly once across
+    // all micro-batches (state carries seen keys; the 7-day horizon keeps
+    // every key in state, so this is exact dedup). Only key-derived columns
+    // are output — which copy of a duplicate survives is the one
+    // within-batch nondeterminism the operator legitimately has — so the
+    // emitted set must equal DuckDB's DISTINCT.
+    "q_stream_dedup" -> ((s, d) => withShufflePartitions(s, 8) {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = t(s, d, "events")
+        .select(col("ts"), col("event_id"), col("user_id"),
+          col("event_type"), col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graftsd")
+      val srcDir = writeTimeChunks(ev, 4, tmp)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "2").parquet(srcDir.toString)
+        .withColumn("k", concat_ws("|", col("user_id"), col("event_type")))
+      val deduped = graft.streaming.Streams
+        .streamingDedup(stream, "k", lateness = "7 days")
+        .select(col("user_id"), col("event_type"))
+      val outDir = tmp.resolve("out").toString
+      val q = deduped.writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(outDir).orderBy("user_id", "event_type")
+    }),
+
     // The DataSource-V2 lake CDC source under the exact oracle: three OCC
     // commits land in `src`, the CDC stream tails the log (offsets = log
     // versions, one input partition per logically-added file), a
@@ -2026,6 +2055,10 @@ object SparkEntry {
       SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
              round(sum(value), 4) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // streaming dedup emits each key exactly once == batch DISTINCT
+    "q_stream_dedup" -> """
+      SELECT DISTINCT user_id, event_type FROM events
+      ORDER BY user_id, event_type""",
     // the CDC-sourced lake->lake pipeline must land exactly the one-shot
     // batch transform of the source rows
     "q_stream_cdc" -> """
