@@ -680,6 +680,14 @@ object SparkEntry {
         .orderBy(col("n").desc, col("tok")).limit(20)),
 
     // ---- data profiling (one-pass column statistics) ---------------------
+    // Shannon character entropy — the information-density quality signal
+    // (integer-scaled log-prob terms make the float-free reduction replay
+    // bit-for-bit; see Entropy.scala's determinism contract)
+    "q_entropy" -> ((s, d) =>
+      graft.operators.Entropy.charEntropy(t(s, d, "documents"))
+        .withColumn("entropy_nats", round(col("entropy_nats"), 6))
+        .orderBy("doc_id")),
+
     // Budgeted selection: best documents by quality until a token budget.
     // The global prefix sum runs DISTRIBUTED (range partition on the order
     // key → per-slice running totals → offsets from a #partitions-row
@@ -1938,6 +1946,24 @@ object SparkEntry {
           x -> x <> '')) AS tok
         FROM documents)
       GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
+    "q_entropy" -> """
+      WITH ch AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+      ct AS (
+        SELECT doc_id, ch, count(*) AS c FROM ch WHERE ch <> ''
+        GROUP BY doc_id, ch),
+      wn AS (
+        SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM ct),
+      t AS (
+        SELECT doc_id, n,
+               c * CAST(round(ln(CAST(c AS DOUBLE) / n) * 1000000)
+                 AS BIGINT) AS term
+        FROM wn)
+      SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+             CAST(count(*) AS BIGINT) AS distinct_chars,
+             round(-(CAST(sum(term) AS DOUBLE) / 1000000.0) / max(n), 6)
+               AS entropy_nats
+      FROM t GROUP BY doc_id ORDER BY doc_id""",
     "q_token_budget" -> """
       WITH norm AS (
         SELECT doc_id,
