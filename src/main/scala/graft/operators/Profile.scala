@@ -73,17 +73,29 @@ object Profile {
             array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as(s"__q_$c"))
         else Nil)
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    // the moments aggregate and the quartile histogram are independent
+    // jobs over the same scan — submit the moments from a second thread so
+    // the two pipelines overlap instead of serializing (Spark schedules
+    // concurrent actions from one session safely); exactQuartiles' own
+    // actions run on this thread meanwhile
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val momentsF = Future { df.agg(aggs.head, aggs.tail: _*).collect().head }
 
     val quart: Map[String, Seq[Double]] =
+      if (approx) Map.empty
+      else exactQuartiles(df, cols.toSeq)
+    val row = Await.result(momentsF, Duration.Inf)
+    val quartResolved: Map[String, Seq[Double]] =
       if (approx) cols.map { c =>
         c -> Option(row.getAs[scala.collection.Seq[Double]](s"__q_$c"))
           .map(_.toSeq).getOrElse(Seq(Double.NaN, Double.NaN, Double.NaN))
       }.toMap
-      else exactQuartiles(df, cols.toSeq)
+      else quart
 
     cols.map { c =>
-      val qs = quart(c)
+      val qs = quartResolved(c)
       NumericProfile(c,
         row.getAs[Long](s"__n_$c"), row.getAs[Long](s"__nulls_$c"),
         row.getAs[Double](s"__min_$c"), row.getAs[Double](s"__max_$c"),
