@@ -413,6 +413,97 @@ object SparkEntry {
         .groupBy("s_name").agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name")).limit(20)
     }),
+    "q_tpch_q4" -> ((s, d) => {
+      // TPC-H Q4 shape (order priority checking): EXISTS over a child
+      // table where the correlated predicate spans BOTH tables
+      // (l_shipdate > o_orderdate + 30 days). Expressed directly as a
+      // LEFT SEMI join carrying the inequality as an extra join
+      // condition — Spark keys the shuffle on the equi part (orderkey)
+      // and evaluates the date predicate inside the join, so lineitem is
+      // touched once and never duplicated by multi-match orders. The
+      // date window prunes orders BEFORE the join (the testdata has no
+      // l_commitdate/l_receiptdate; "late" = shipped >30 days after the
+      // order date — same plan class as the reference predicate).
+      val lo = lit("1996-07-01").cast("timestamp")
+      val hi = lit("1996-10-01").cast("timestamp")
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_shipdate")
+      ord.join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+    "q_tpch_q12" -> ((s, d) => {
+      // TPC-H Q12 shape (shipping-mode priority audit): the canonical
+      // conditional-aggregation join — sum(CASE WHEN ...) pivots the
+      // order-priority split into two counters per group in the SAME
+      // partial/final aggregate pair, so the plan is one shuffle keyed
+      // on the join key plus one keyed on the group key, no matter how
+      // many CASE arms ride along. l_returnflag stands in for the
+      // missing l_shipmode; the date window prunes lineitem at the scan.
+      val lo = lit("1997-01-01").cast("timestamp")
+      val hi = lit("1998-01-01").cast("timestamp")
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .select("l_orderkey", "l_returnflag")
+      val urgent = col("o_orderpriority") === "1-URGENT" ||
+        col("o_orderpriority") === "2-HIGH"
+      li.join(t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!urgent, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+    "q_tpch_q14" -> ((s, d) => {
+      // TPC-H Q14 shape (promotion effect): a ratio of two conditional
+      // sums over the same join — both numerator and denominator ride
+      // ONE aggregate over ONE broadcast join (part is the dim side), so
+      // the lineitem pass is single. The month window prunes the scan.
+      // Ratio rounded to 4dp; the sums are the round(,2)-class price
+      // expressions whose cross-engine stability the golden queries pin.
+      val lo = lit("1997-06-01").cast("timestamp")
+      val hi = lit("1997-07-01").cast("timestamp")
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .select("l_partkey", "l_extendedprice", "l_discount")
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      li.join(broadcast(t(s, d, "part").select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(0.0))
+            / sum(rev), 4).as("promo_revenue"))
+    }),
+    "q_tpch_q19" -> ((s, d) => {
+      // TPC-H Q19 shape (discounted revenue): the canonical DISJUNCTIVE
+      // join predicate — three (brand, size, quantity) clause triples
+      // OR'd together across the part⋈lineitem equi key. Catalyst
+      // factors the disjunction: the common l_partkey = p_partkey key
+      // plans a broadcast hash join, per-side implied filters
+      // (p_brand IN (...), l_quantity <= 30) push into BOTH scans, and
+      // the residual OR evaluates post-join — the shape that keeps a
+      // 100 TB lineitem scan pruned even though no single clause is a
+      // conjunction. Predicate values adapted to this testdata's
+      // brand/size/quantity domains.
+      val li = t(s, d, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      val pt = t(s, d, "part").select("p_partkey", "p_brand", "p_size")
+      val clause =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))
+      li.join(broadcast(pt), col("l_partkey") === col("p_partkey") && clause)
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          2).as("revenue"))
+    }),
     "q_grouping_sets" -> ((s, d) =>
       // Explicit GROUPING SETS — neither a rollup nor a cube (the
       // (priority)-only set skips status), plus grouping_id() so callers
@@ -1768,6 +1859,43 @@ object SparkEntry {
             AND l3.l_suppkey <> l1.l_suppkey
             AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
       GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+    "q_tpch_q4" -> """
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        AND o_orderdate <  TIMESTAMP '1996-10-01'
+        AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_tpch_q12" -> """
+      SELECT l_returnflag,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_tpch_q14" -> """
+      SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4)
+               AS promo_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+        AND l_shipdate <  TIMESTAMP '1997-07-01'""",
+    "q_tpch_q19" -> """
+      SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+             AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+             AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 20 AND 30)""",
     "q_grouping_sets" -> """
       SELECT o_orderstatus, o_orderpriority,
              CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
