@@ -47,17 +47,46 @@ object Bench {
     // stdout JSON line the driver parses)
     Alerts.evaluate(metrics.filter(_.durationSec >= 0)).foreach(a =>
       System.err.println(s"[bench-alert] ${a.toJson}"))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // summary fields FIRST, per-query map LAST: a truncated capture of this
-    // line still carries total/median/SLO-count without scraping
     val sorted = results.values.toSeq.sorted
     val median = if (sorted.nonEmpty) sorted(sorted.size / 2) else 0.0
     val over1s = results.values.count(_ >= 1.0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+    def entry(k: String, v: Double): String = f""""$k":$v%.3f"""
+    // Full-precision per-query map: to a file (committed as BENCH_LOCAL.json
+    // when run by hand) and to stdout EARLY, where tail-truncation can only
+    // eat it, not the summary line below.
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
       s""""n_queries":${results.size},"median":$median,"over_1s":$over1s,""" +
-      s""""queries":$qs}""")
+      s""""queries":$fullQs}"""
+    val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "target/bench_full.json")
+    Files.createDirectories(Paths.get(fullOut).toAbsolutePath.getParent)
+    Files.writeString(Paths.get(fullOut), fullJson + "\n")
+    println(fullJson)
+    // The driver captures only the LAST ~2000 chars of stdout (and sbt's
+    // "[success] Total time" epilogue eats ~80 of them), so the line it
+    // parses must be the final one AND short. Emit a compact summary with
+    // the slowest queries first (the ones worth auditing), dropping the
+    // fast tail until the line fits the budget; "queries_omitted" and
+    // "omitted_sec" keep the total reconcilable.
+    val budget = 1500
+    val bySlowest = results.toSeq.sortBy(-_._2)
+    def summaryLine(kept: Seq[(String, Double)]): String = {
+      val omitted = results.size - kept.size
+      val omittedSec = total - kept.map(_._2).sum
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir",""" +
+      s""""n_queries":${results.size},"median":${f"$median%.3f"},"over_1s":$over1s,""" +
+      s""""queries_omitted":$omitted,"omitted_sec":${f"$omittedSec%.3f"},""" +
+      s""""full":"$fullOut","queries":""" +
+      kept.map { case (k, v) => entry(k, v) }.mkString("{", ",", "}") + "}"
+    }
+    var keep = bySlowest
+    while (keep.nonEmpty && summaryLine(keep).length > budget)
+      keep = keep.dropRight(1)
+    println(summaryLine(keep))
     spark.stop()
   }
 }
