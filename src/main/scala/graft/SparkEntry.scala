@@ -504,6 +504,314 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
           2).as("revenue"))
     }),
+    "q_tpch_q6" -> ((s, d) =>
+      // TPC-H Q6 (forecasting revenue change): the pure-scan aggregate.
+      // All three predicates push into the parquet scan (PushedFilters
+      // carries shipdate+quantity; the discount band evaluates in the
+      // scan's filter node) and the single global sum collapses map-side
+      // — at 100 TB this reads only the shipdate-pruned row groups and
+      // shuffles one partial row per partition.
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"))),
+    "q_tpch_q7" -> ((s, d) => {
+      // TPC-H Q7 shape (volume shipping between two nations): lineitem
+      // joins orders (shuffle on orderkey), customer (shuffle on custkey),
+      // and BOTH nation lookups ride broadcasts (supplier⋈nation and the
+      // customer-side nation dim are tiny). The nation-pair disjunction
+      // filters after the broadcasts, so the big shuffles never carry
+      // rows outside the shipdate window. l_year from l_shipdate.
+      val supN = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val custN = t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(custN, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .filter((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          2).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+    "q_tpch_q8" -> ((s, d) => {
+      // TPC-H Q8 shape (national market share): conditional share —
+      // sum(CASE nation)/sum(all) per order-year over a 5-way join.
+      // part (type filter, broadcast) gates lineitem FIRST so the
+      // orders/customer shuffles only carry the ~1/6 of rows that
+      // survive; region prunes the customer side via a broadcast
+      // nation⋈region dim. Share rounded to 4dp.
+      val pt = t(s, d, "part").filter(col("p_type") === "ECONOMY")
+        .select("p_partkey")
+      val custAmerica = t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")
+            .join(broadcast(t(s, d, "region")
+              .filter(col("r_name") === "AMERICA")),
+              col("n_regionkey") === col("r_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey")
+      val supN = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      t(s, d, "lineitem")
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "orders")
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(custAmerica, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", vol).otherwise(0.0))
+            / sum(vol), 4).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+    "q_tpch_q9" -> ((s, d) => {
+      // TPC-H Q9 shape (product-type profit): the 6-table profit rollup.
+      // part (name filter, broadcast) gates lineitem before the orders
+      // shuffle; supplier⋈nation is the other broadcast. The testdata has
+      // no partsupp.ps_supplycost — a deterministic retail-margin proxy
+      // (p_retailprice * 0.1 per unit) stands in, preserving the
+      // expression shape (revenue minus per-unit cost times quantity).
+      val pt = t(s, d, "part")
+        .filter(col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+      val supN = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      // profit is summed as exact integer cents (per-row round, then a
+      // long sum): double summation is order-dependent across engines and
+      // this query's sums land on .005 boundaries at sf0.01 — the same
+      // integer-scaling trick LangModel uses for cross-engine log-prob sums
+      val profit = (col("l_extendedprice") * (lit(1) - col("l_discount"))) -
+        (col("p_retailprice") * lit(0.1) * col("l_quantity"))
+      t(s, d, "lineitem")
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg((sum(round(profit * 100).cast("long")) / 100.0).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+    "q_tpch_q10" -> ((s, d) => {
+      // TPC-H Q10 shape (returned-item reporting): revenue lost to
+      // returns per customer. The returnflag filter prunes lineitem at
+      // the scan, the orderdate quarter prunes orders; customer and the
+      // nation dim broadcast. Ordering uses the ROUNDED revenue (ties
+      // broken by the unique custkey) so the top-20 set is
+      // engine-independent — same contract as Q3.
+      val lo = lit("1997-01-01").cast("timestamp")
+      val hi = lit("1997-04-01").cast("timestamp")
+      t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, d, "orders")
+            .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+    "q_tpch_q11" -> ((s, d) => {
+      // TPC-H Q11 shape (important stock): per-part value with a
+      // GLOBAL-total scalar threshold in HAVING. partsupp is derived
+      // from lineitem's (partkey, suppkey) pairs (no partsupp table in
+      // this testdata); value = discounted spend through the nation's
+      // suppliers. The global total is the SAME aggregate re-used as a
+      // one-row broadcast (crossJoin), so lineitem is read once per
+      // branch and nothing re-shuffles for the threshold.
+      val supN = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val ps = t(s, d, "lineitem")
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"),
+          "left_semi")
+        .groupBy("l_partkey")
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("__value"))
+      val total = ps.agg(sum("__value").as("__total"))
+      ps.crossJoin(broadcast(total))
+        .filter(col("__value") > col("__total") * lit(0.001))
+        .select(col("l_partkey"), round(col("__value"), 2).as("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    }),
+    "q_tpch_q13" -> ((s, d) => {
+      // TPC-H Q13 shape (customer order-count distribution): the
+      // canonical LEFT OUTER join with a predicate on the RIGHT side
+      // (kept in the join condition, NOT a WHERE — a WHERE would turn
+      // the outer join inner and drop zero-order customers). Two
+      // aggregates: per-customer count (shuffle on custkey), then the
+      // tiny distribution rollup. o_orderpriority <> '1-URGENT' stands
+      // in for the missing o_comment NOT LIKE filter — same plan class.
+      val ord = t(s, d, "orders").select("o_custkey", "o_orderkey",
+        "o_orderpriority")
+      t(s, d, "customer").select("c_custkey")
+        .join(ord, col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "1-URGENT", "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    "q_tpch_q15" -> ((s, d) => {
+      // TPC-H Q15 shape (top supplier): the revenue "view" computed once
+      // (one shuffle keyed on suppkey), its max taken as a one-row
+      // broadcast, and the equality re-join — revenue is ROUNDED before
+      // the max so the equality compares identical 2dp values in both
+      // engines. Supplier is a broadcast dim.
+      val lo = lit("1997-01-01").cast("timestamp")
+      val hi = lit("1997-04-01").cast("timestamp")
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .groupBy("l_suppkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          2).as("total_revenue"))
+      val mx = rev.agg(max("total_revenue").as("__mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("__mx"))
+        .join(broadcast(t(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    }),
+    "q_tpch_q16" -> ((s, d) => {
+      // TPC-H Q16 shape (parts/supplier relationship): distinct-pair
+      // partsupp derived from lineitem, an ANTI join excluding flagged
+      // suppliers (negative balance stands in for the missing
+      // s_comment complaints filter), then countDistinct per part
+      // attribute triple. The anti side is 100 rows — broadcast; the
+      // distinct-pair aggregate is the only big shuffle.
+      val ps = t(s, d, "lineitem").select("l_partkey", "l_suppkey").distinct()
+      val flagged = t(s, d, "supplier").filter(col("s_acctbal") < 0)
+        .select("s_suppkey")
+      val pt = t(s, d, "part")
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "MEDIUM" &&
+          col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      ps.join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+    "q_tpch_q20" -> ((s, d) => {
+      // TPC-H Q20 shape (potential part promotion): nested IN subqueries
+      // — suppliers holding more pre-1997 stock of the named parts than
+      // half of what shipped in 1997. Both per-pair aggregates
+      // (availqty proxy = pre-window quantity; the in-window shipped
+      // sum) ride ONE groupBy over lineitem via conditional sums —
+      // a single shuffle keyed on (partkey, suppkey) replaces the
+      // correlated subquery. Parts filter broadcasts; the supplier
+      // probe is a semi-join against a 100-row dim.
+      val cut = lit("1997-01-01").cast("timestamp")
+      val hi = lit("1998-01-01").cast("timestamp")
+      val named = t(s, d, "part").filter(col("p_name").like("small%"))
+        .select("p_partkey")
+      val pairs = t(s, d, "lineitem")
+        .filter(col("l_shipdate") < hi)
+        .join(broadcast(named), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(when(col("l_shipdate") < cut, col("l_quantity"))
+            .otherwise(0.0)).as("__avail"),
+          sum(when(col("l_shipdate") >= cut, col("l_quantity"))
+            .otherwise(0.0)).as("__shipped"))
+        .filter(col("__avail") > col("__shipped") * 0.5)
+        .select("l_suppkey").distinct()
+      t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_4")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(pairs, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    }),
+    "q_tpch_q22" -> ((s, d) => {
+      // TPC-H Q22 shape (global sales opportunity): scalar-subquery
+      // threshold + NOT EXISTS. The country code is derived from
+      // c_nationkey (no c_phone column) — pmod keeps it non-negative in
+      // both engines. The positive-balance average is a one-row
+      // broadcast; customers with no orders are a LEFT ANTI join keyed
+      // on custkey (at 100 TB the anti join shuffles only the two key
+      // columns).
+      val cust = t(s, d, "customer")
+        .withColumn("cntrycode", pmod(col("c_nationkey"), lit(10))
+          .cast("long"))
+        .filter(col("cntrycode").isin(1, 2, 3, 4, 5))
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg(avg("c_acctbal").as("__avg_bal"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("__avg_bal"))
+        .join(t(s, d, "orders").select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(count(lit(1)).as("numcust"),
+          round(sum("c_acctbal"), 2).as("totacctbal"))
+        .orderBy("cntrycode")
+    }),
+    "q_tpch_q2" -> ((s, d) => {
+      // TPC-H Q2 shape (minimum-cost supplier): the correlated-MIN
+      // subquery, decorrelated into a per-part min over the derived
+      // partsupp (unit cost = min extendedprice/quantity per pair — the
+      // testdata has no ps_supplycost) joined back on (partkey, cost)
+      // equality. Both sides of that join descend from the SAME
+      // aggregate output, so the doubles compare bit-identically in
+      // Spark and DuckDB. Part filter and the supplier⋈nation⋈region
+      // dim broadcast; the pair aggregate is the only lineitem shuffle.
+      val pt = t(s, d, "part")
+        .filter(col("p_size") === 15 && col("p_type") === "LARGE")
+        .select("p_partkey")
+      val supEurope = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")
+            .join(broadcast(t(s, d, "region")
+              .filter(col("r_name") === "EUROPE")),
+              col("n_regionkey") === col("r_regionkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val ps = t(s, d, "lineitem")
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("__cost"))
+        .join(broadcast(supEurope), col("l_suppkey") === col("s_suppkey"))
+      val minCost = ps.groupBy(col("l_partkey").as("__pk"))
+        .agg(min("__cost").as("__min_cost"))
+      ps.join(broadcast(minCost), col("l_partkey") === col("__pk") &&
+          col("__cost") === col("__min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("l_partkey"), round(col("__cost"), 2).as("supply_cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("l_partkey"))
+        .limit(10)
+    }),
     "q_grouping_sets" -> ((s, d) =>
       // Explicit GROUPING SETS — neither a rollup nor a cube (the
       // (priority)-only set skips status), plus grouping_id() so callers
@@ -1896,6 +2204,176 @@ object SparkEntry {
              AND l_quantity BETWEEN 10 AND 20)
          OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
              AND l_quantity BETWEEN 20 AND 30)""",
+    "q_tpch_q6" -> """
+      SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+        AND l_discount >= 0.05 AND l_discount <= 0.07
+        AND l_quantity < 24""",
+    "q_tpch_q7" -> """
+      SELECT supp_nation, cust_nation, l_year,
+             round(sum(volume), 2) AS revenue
+      FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year""",
+    "q_tpch_q8" -> """
+      SELECT o_year,
+             round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                            ELSE 0.0 END) / sum(volume), 4) AS mkt_share
+      FROM (
+        SELECT year(o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n1.n_name AS supp_nation
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        WHERE p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+          AND o_custkey IN (
+            SELECT c_custkey FROM customer
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            JOIN region ON n2.n_regionkey = r_regionkey
+            WHERE r_name = 'AMERICA'))
+      GROUP BY o_year ORDER BY o_year""",
+    "q_tpch_q9" -> """
+      SELECT nation, o_year,
+             sum(CAST(round(profit * 100) AS BIGINT)) / 100.0 AS sum_profit
+      FROM (
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               (l_extendedprice * (1 - l_discount))
+                 - (p_retailprice * 0.1 * l_quantity) AS profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%')
+      GROUP BY nation, o_year ORDER BY nation, o_year DESC""",
+    "q_tpch_q10" -> """
+      SELECT c_custkey, c_name, c_acctbal, n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-04-01'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q_tpch_q11" -> """
+      WITH ps AS (
+        SELECT l_partkey,
+               sum(l_extendedprice * (1 - l_discount)) AS value
+        FROM lineitem
+        WHERE l_suppkey IN (
+          SELECT s_suppkey FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_7')
+        GROUP BY l_partkey)
+      SELECT l_partkey, round(value, 2) AS part_value
+      FROM ps
+      WHERE value > (SELECT sum(value) FROM ps) * 0.001
+      ORDER BY part_value DESC, l_partkey""",
+    "q_tpch_q13" -> """
+      SELECT c_count, count(*) AS custdist
+      FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey)
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC""",
+    "q_tpch_q15" -> """
+      WITH rev AS (
+        SELECT l_suppkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                 AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_revenue
+      FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      ORDER BY s_suppkey""",
+    "q_tpch_q16" -> """
+      SELECT p_brand, p_type, p_size,
+             count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#5' AND p_type <> 'MEDIUM'
+        AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "q_tpch_q20" -> """
+      SELECT s_name, s_acctbal
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_4' AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        GROUP BY l_partkey, l_suppkey
+        HAVING sum(CASE WHEN l_shipdate < TIMESTAMP '1997-01-01'
+                        THEN l_quantity ELSE 0.0 END)
+             > sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                        THEN l_quantity ELSE 0.0 END) * 0.5)
+      ORDER BY s_name""",
+    "q_tpch_q22" -> """
+      WITH cust AS (
+        SELECT c_custkey, c_acctbal,
+               CAST(c_nationkey % 10 AS BIGINT) AS cntrycode
+        FROM customer
+        WHERE c_nationkey % 10 IN (1, 2, 3, 4, 5))
+      SELECT cntrycode, count(*) AS numcust,
+             round(sum(c_acctbal), 2) AS totacctbal
+      FROM cust
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM cust
+                         WHERE c_acctbal > 0)
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY cntrycode ORDER BY cntrycode""",
+    "q_tpch_q2" -> """
+      WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS cost
+        FROM lineitem
+        WHERE l_partkey IN (
+          SELECT p_partkey FROM part
+          WHERE p_size = 15 AND p_type = 'LARGE')
+        GROUP BY l_partkey, l_suppkey),
+      pse AS (
+        SELECT l_partkey, cost, s_name, s_acctbal, n_name
+        FROM ps
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE')
+      SELECT s_acctbal, s_name, n_name, l_partkey,
+             round(cost, 2) AS supply_cost
+      FROM pse
+      WHERE cost = (SELECT min(cost) FROM pse p2
+                    WHERE p2.l_partkey = pse.l_partkey)
+      ORDER BY s_acctbal DESC, n_name, s_name, l_partkey LIMIT 10""",
     "q_grouping_sets" -> """
       SELECT o_orderstatus, o_orderpriority,
              CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
