@@ -69,6 +69,16 @@ for qdir in sorted(glob.glob(f"{out_dir}/*/")):
     if bad: fails.append((name, bad))
     else: passes.append(name)
 
+# A query that crashed inside Verify leaves NO output dir and would be
+# invisible to the dir scan above — flag every attempted query (Verify
+# writes queries.json) that produced nothing.
+qlist = f"{out_dir}/queries.json"
+if os.path.exists(qlist):
+    seen = {os.path.basename(d.rstrip("/")) for d in glob.glob(f"{out_dir}/*/")}
+    for name in json.load(open(qlist)):
+        if name not in seen:
+            fails.append((name, "no output dir — query failed inside Verify"))
+
 print(f"PASS ({len(passes)}):", " ".join(passes))
 print(f"ROWS-ONLY ({len(rows_only)}):", " ".join(f"{n}={r}" for n, r in rows_only))
 print(f"FAIL ({len(fails)}):")

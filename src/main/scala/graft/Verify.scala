@@ -66,6 +66,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // every query this run ATTEMPTED — a query that crashed leaves no
+    // output dir, and a dir-scan-only checker would silently skip it
+    // (exactly how a reader-schema regression hid 16 queries in round 4)
+    val attempted = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      attempted.map(q).mkString("[", ",", "]"))
     // per-query observability (duration + result rows), the Verify-side
     // slice of the reference's lakehouse_query_duration_seconds series
     // synchronized read: a timed-out query's Future may still be running
