@@ -113,6 +113,9 @@ object Dedup {
               transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
                 _.cast("string")))).as("bucket")))).as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+      // persisted: both candidate-join sides consume this — without the
+      // cache the whole shingle→signature aggregation runs twice
+      .persist()
 
     val a = buckets.select(col("band"), col("bucket"),
       col("id").as("a_id"), col("sig").as("a_sig"))
@@ -177,6 +180,9 @@ object Dedup {
               transform(slice(col("sig"), b * rowsPerBand + 1,
                 lit(rowsPerBand)), _.cast("string"))).as("bucket")))).as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+      // persisted: both candidate-join sides consume this (see
+      // minhashLshPairs) — the md5+affine signature pass runs once
+      .persist()
     val a = buckets.select(col("band"), col("bucket"),
       col("id").as("a_id"), col("sig").as("a_sig"))
     val b = buckets.select(col("band"), col("bucket"),
@@ -230,20 +236,39 @@ object Dedup {
     simhashPairsOfFingerprints(simhashFingerprints(docs, idCol, textCol),
       maxHamming)
 
-  /** Pick the Manku c (intact-block count per join key): the smallest c
-    * whose key width c·64/(maxHamming+c) reaches ~16 bits, backed off
-    * while the C(k, c) replication factor exceeds 512 rows per document —
-    * selectivity is bought with replication, and both must stay bounded.
+  /** Pick the Manku c (intact-block count per join key) by MINIMIZING the
+    * estimated total work, not by hitting a fixed key width: with k =
+    * maxHamming + c blocks the key is ~c·64/k bits wide, each document is
+    * replicated C(k, c) times, and expected candidate pairs per combo are
+    * n²/2^width — so cost(c) ≈ C(k,c) · (n + n²/2^width). Replication and
+    * selectivity trade off THROUGH the corpus size: at n = 5·10³ docs the
+    * quadratic term is negligible and c = 2 (45× replication, ~13-bit
+    * keys) beats c = 3 (165×, ~17 bits) threefold; at n = 10⁹ the n²
+    * term dominates and the model pushes to the widest key the ≤512×
+    * replication cap allows. Callers that know n pass it; without it the
+    * conservative fixed-width heuristic (~16-bit keys) applies.
     */
-  private[operators] def simhashComboWidth(maxHamming: Int): Int = {
+  private[operators] def simhashComboWidth(maxHamming: Int,
+                                           nDocs: Long = 0L): Int = {
     def choose(n: Int, r: Int): Long =
       (1 to r).foldLeft(1L)((acc, i) => acc * (n - r + i) / i)
-    val byWidth = (1 to 4)
-      .find(c => c * 64.0 / (maxHamming + c) >= 16.0).getOrElse(4)
-    val c = Iterator.iterate(byWidth)(_ - 1)
-      .find(c => c == 1 || choose(maxHamming + c, c) <= 512).get
     // blocks must be non-empty: k <= 64
-    math.max(1, math.min(c, 64 - maxHamming))
+    val maxC = math.max(1, math.min(6, 64 - maxHamming))
+    if (nDocs > 0L) {
+      val n = nDocs.toDouble
+      (1 to maxC).minBy { c =>
+        val k = maxHamming + c
+        val repl = choose(k, c).toDouble
+        if (c > 1 && repl > 512) Double.MaxValue
+        else repl * (n + n * n / math.pow(2.0, math.min(62.0, c * 64.0 / k)))
+      }
+    } else {
+      val byWidth = (1 to 4)
+        .find(c => c * 64.0 / (maxHamming + c) >= 16.0).getOrElse(4)
+      val c = Iterator.iterate(byWidth)(_ - 1)
+        .find(c => c == 1 || choose(maxHamming + c, c) <= 512).get
+      math.max(1, math.min(c, maxC))
+    }
   }
 
   /** Candidate generation + verification over precomputed (id, fp) rows —
@@ -253,10 +278,15 @@ object Dedup {
     * (agreeing on the masked value == agreeing on all c blocks).
     */
   private[operators] def simhashPairsOfFingerprints(
-      fp: DataFrame, maxHamming: Int): DataFrame = {
+      fp0: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 63], got $maxHamming")
-    val c = simhashComboWidth(maxHamming)
+    // persist + count: fingerprints feed both join sides AND the corpus
+    // size drives the replication/selectivity trade-off above. The cache
+    // is (id, fp) — 16 bytes a row — and saves recomputing the shingle
+    // aggregation per side.
+    val fp = fp0.persist()
+    val c = simhashComboWidth(maxHamming, fp.count())
     val nBlocks = maxHamming + c
     val blockMasks = (0 until nBlocks).map { bI =>
       val start = bI * 64 / nBlocks
@@ -330,10 +360,17 @@ object Dedup {
                         idCol: String = "doc_id", textCol: String = "text",
                         n: Int = 1, maxBitmaskVocab: Int = 8192,
                         maxBitmaskDocs: Long = 50000): DataFrame = {
+    // shingles become xxhash64 longs IMMEDIATELY: every downstream shuffle
+    // (document-frequency aggregate, prefix candidate join, verification
+    // set) then moves 8-byte keys instead of ~n-word strings. The prefix
+    // theorem needs only SOME consistent global token order, so ordering
+    // by (df, hash) instead of (df, text) preserves full recall, and the
+    // verification sets were already these same hashes.
     val toks = spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
       .select(col("id"), tokens(normalizeText(col("__text"))).as("__toks"))
       .select(col("id"), explode(array_distinct(
-        shinglesFromTokens(col("__toks"), n))).as("tok"))
+        shinglesFromTokens(col("__toks"), n))).as("__sh"))
+      .select(col("id"), xxhash64(col("__sh")).as("tok"))
 
     // Strategy choice: prefix filtering prunes candidates only when rare
     // tokens exist. A tiny shared vocabulary (every token a stop word) makes
@@ -367,7 +404,7 @@ object Dedup {
   private def prefixJaccardPairs(toks: DataFrame, threshold: Double)
       : DataFrame = {
     // global token frequency → per-doc token order (rarest first); ties
-    // broken by token text so the order is deterministic cluster-wide
+    // broken by token hash so the order is deterministic cluster-wide
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     // one row per document: rarity-ordered tokens + sorted token-hash set.
     // Persisted: feeds both candidate-join sides and both verify sides.
@@ -375,7 +412,7 @@ object Dedup {
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
              .as("ordered"),
-           sort_array(collect_set(xxhash64(col("tok")))).as("set"))
+           sort_array(collect_set(col("tok"))).as("set"))
       .withColumn("sz", size(col("set")))
       // prefix length: sz - ceil(t*sz) + 1 rarest tokens act as join keys
       .withColumn("prefix", transform(
@@ -417,12 +454,12 @@ object Dedup {
     val sp = toks.sparkSession
     import sp.implicits._
     val nWords = (vocab + 63) / 64
-    // deterministic dictionary: token → dense id in lexicographic order,
+    // deterministic dictionary: token hash → dense id in numeric order,
     // via range-sorted zipWithIndex — NOT a global row_number window, which
     // would funnel the whole vocabulary through one reducer the moment the
     // gate above changes
     val dict = toks.select("tok").distinct().orderBy("tok")
-      .as[String].rdd.zipWithIndex()
+      .as[Long].rdd.zipWithIndex()
       .toDF("tok", "tok_idx")
       .select(col("tok"), col("tok_idx").cast("int").as("tok_id"))
     // masks are persisted + materialized: ~vocab/8 bytes per doc, consumed

@@ -146,6 +146,19 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.simhashComboWidth(63) == 1)
   }
 
+  test("simhash combo width scales with corpus size when n is known") {
+    // cost model C(k,c)·(n + n²/2^width): at tiny n replication dominates
+    assert(Dedup.simhashComboWidth(8, nDocs = 100) == 1)
+    // bench scale: c=2 (45× replication, ~13-bit keys) beats c=3 (165×)
+    assert(Dedup.simhashComboWidth(8, nDocs = 5000) == 2)
+    // web scale: the n² term pushes to the widest key the ≤512×
+    // replication cap allows (c=4, k=12, ~21-bit keys, C(12,4)=495)
+    assert(Dedup.simhashComboWidth(8, nDocs = 1000000000L) == 4)
+    // any chosen c preserves the pigeonhole full-recall guarantee, so
+    // the n-aware choice may differ from the fixed-width heuristic
+    // without changing results — only replication and bucket occupancy
+  }
+
   test("semantic dedup derives cluster count from corpus size by default") {
     // the derivation: floor at kMin, then grows linearly with n
     assert(Dedup.deriveK(0) == 16)
