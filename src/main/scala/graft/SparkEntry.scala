@@ -1717,6 +1717,54 @@ object SparkEntry {
       perVersion.reduce(_ unionAll _).orderBy("version")
     }),
 
+    // Schema evolution end-to-end under the oracle: create with narrow
+    // types (int32 / float32), insert, WIDEN to int64/float64 + add a
+    // nullable column (the log's latest-schema-wins replay hook —
+    // transaction_log.go:191-194 — which the reference declares but never
+    // exercises), insert again under the new schema, and read EVERY
+    // version: v1/v2 through the original narrow schema, v3/v4 through the
+    // widened one (old INT32/FLOAT pages upcast losslessly by the reader;
+    // the added column nulls for pre-evolution rows). The float sums are
+    // integer-scaled (cents) so cross-engine summation is exact; DuckDB
+    // replays the same batches with explicit narrow-then-widen casts.
+    "q_lake_evolution" -> ((s, d) => {
+      import graft.lake.{LakeLog, LakeTable, Field, TableSchema}
+      import org.apache.spark.sql.types._
+      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftevo"))
+      val cust = t(s, d, "customer")
+      val narrow = StructType(Seq(
+        StructField("id", LongType), StructField("nk", IntegerType),
+        StructField("bal", FloatType)))
+      LakeTable.createTable(log, "c", narrow)
+      def batch(m: Int) = cust.filter(pmod(col("c_custkey"), lit(2)) === m)
+        .select(col("c_custkey").as("id"),
+          col("c_nationkey").cast("int").as("nk"),
+          col("c_acctbal").cast("float").as("bal"))
+      LakeTable.insert(s, log, "c", batch(0), txnId = "evo-b0")
+      log.evolveSchema("c", TableSchema(Seq(
+        Field("id", "int64", nullable = true),
+        Field("nk", "int64", nullable = true),
+        Field("bal", "float64", nullable = true),
+        Field("seg", "string", nullable = true))), "evo-widen")
+      LakeTable.insert(s, log, "c",
+        cust.filter(pmod(col("c_custkey"), lit(2)) === 1)
+          .select(col("c_custkey").as("id"),
+            col("c_nationkey").cast("long").as("nk"),
+            col("c_acctbal").as("bal"),
+            col("c_mktsegment").as("seg")), txnId = "evo-b1")
+      val perVersion = Seq(1, 2, 3).map { v =>
+        val df = LakeTable.read(s, log, "c", v.toLong)
+        val segCnt = if (df.columns.contains("seg"))
+          count(col("seg")) else lit(0L)
+        df.agg(lit(v).as("version"), count(lit(1)).as("n_rows"),
+          sum(col("nk").cast("long")).as("sum_nk"),
+          (sum(round(col("bal").cast("double") * 100).cast("long")) / 100.0)
+            .as("sum_bal"),
+          segCnt.as("n_seg"))
+      }
+      perVersion.reduce(_ unionAll _).orderBy("version")
+    }),
+
     "q_dedup_cc" -> ((s, d) => {
       // connected components over the exact-duplicate graph; dup groups are
       // cliques, so component(min-reachable-id) == min(doc_id) per
@@ -3266,6 +3314,31 @@ object SparkEntry {
         FROM lineitem
       UNION ALL SELECT 4, count(*), round(sum(l_extendedprice), 2)
         FROM lineitem
+      ORDER BY version""",
+    "q_lake_evolution" -> """
+      WITH b0 AS (
+        SELECT c_custkey AS id, CAST(c_nationkey AS INTEGER) AS nk,
+               CAST(c_acctbal AS REAL) AS bal, NULL AS seg
+        FROM customer WHERE c_custkey % 2 = 0),
+      b1 AS (
+        SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS nk,
+               CAST(c_acctbal AS DOUBLE) AS bal, c_mktsegment AS seg
+        FROM customer WHERE c_custkey % 2 = 1),
+      v3 AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1)
+      SELECT 1 AS version, count(*) AS n_rows,
+             CAST(sum(nk) AS BIGINT) AS sum_nk,
+             sum(CAST(round(CAST(bal AS DOUBLE) * 100) AS BIGINT)) / 100.0
+               AS sum_bal,
+             CAST(0 AS BIGINT) AS n_seg
+        FROM b0
+      UNION ALL SELECT 2, count(*), CAST(sum(nk) AS BIGINT),
+             sum(CAST(round(CAST(bal AS DOUBLE) * 100) AS BIGINT)) / 100.0,
+             CAST(0 AS BIGINT)
+        FROM b0
+      UNION ALL SELECT 3, count(*), CAST(sum(nk) AS BIGINT),
+             sum(CAST(round(CAST(bal AS DOUBLE) * 100) AS BIGINT)) / 100.0,
+             count(seg)
+        FROM v3
       ORDER BY version""",
     "q_job_lifecycle" -> """
       SELECT l_returnflag, count(*) AS cnt,

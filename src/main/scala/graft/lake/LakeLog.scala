@@ -361,14 +361,30 @@ final class LakeLog(val root: Path) {
     }
   }
 
-  /** Additive schema evolution: commit a new schema version (no file
-    * changes). The replay rule "latest schema wins"
-    * (`transaction_log.go:191-194`) — declared by the reference but never
-    * exercised there — makes it effective for every later read, while
-    * time-travel reads at earlier versions still see the schema that was
-    * current then. Only ADDING nullable fields is allowed: existing files
-    * lack the new columns (read as null), so drops/renames/type-changes
-    * would silently corrupt old data.
+  /** Lossless widenings the Parquet reader performs natively (Spark 4
+    * upcasts INT32 pages into LongType vectors and FLOAT pages into
+    * DoubleType — old files stay valid byte-for-byte). */
+  private val Widenings = Set(("int32", "int64"), ("float32", "float64"))
+
+  /** Schema evolution: commit a new schema version. The replay rule
+    * "latest schema wins" (`transaction_log.go:191-194`) — declared by the
+    * reference but never exercised there — makes it effective for every
+    * later read, while time-travel reads at earlier versions still see
+    * the schema that was current then. Legal changes: ADD a nullable
+    * field (existing files read it as null), WIDEN int32→int64 /
+    * float32→float64 (the reader upcasts old pages losslessly), and
+    * loosen nullability. Drops, renames, narrowing and any other type
+    * change would silently corrupt old data and are rejected.
+    *
+    * Float widening has a pruning-soundness wrinkle: old files quoted
+    * min/max as `Float.toString` (e.g. "0.1"), but after widening their
+    * values surface as the float's exact DOUBLE (0.100000001490…) — a
+    * decimal compare of the stale stat against a double-domain literal
+    * could then prune a file that matches. The evolution entry therefore
+    * re-adds every current file with those stats requoted to the exact
+    * decimal of `parseFloat(stat).toDouble` (replay replaces adds by
+    * path), so pruning stays exact; earlier versions keep the
+    * float-quoted stats that match their float-typed schema.
     */
   def evolveSchema(table: String, newSchema: TableSchema,
                    txnId: String): CommitResult = {
@@ -378,7 +394,8 @@ final class LakeLog(val root: Path) {
       txnVersions(table).get(txnId) match {
         case Some(v) => CommitResult(v, duplicate = true)
         case None =>
-          val current = snapshot(table, latest).schema.getOrElse(
+          val snap = snapshot(table, latest)
+          val current = snap.schema.getOrElse(
             throw new LakeValidationException(s"table $table has no schema"))
           if (newSchema.partCols != current.partCols)
             throw new LakeValidationException(
@@ -387,9 +404,12 @@ final class LakeLog(val root: Path) {
             val kept = newSchema.fields.find(_.name == f.name).getOrElse(
               throw new LakeValidationException(
                 s"schema evolution cannot drop field ${f.name}"))
-            if (kept.`type` != f.`type`)
+            if (kept.`type` != f.`type` &&
+                !Widenings.contains((f.`type`, kept.`type`)))
               throw new LakeValidationException(
-                s"schema evolution cannot change type of ${f.name}")
+                s"schema evolution cannot change type of ${f.name} " +
+                  s"(${f.`type`} -> ${kept.`type`}; only int32->int64 and " +
+                  "float32->float64 widen losslessly)")
             // tightening nullability would declare old files' nulls away —
             // Catalyst trusts non-nullability and mis-optimizes over them
             if (f.nullable && !kept.nullable)
@@ -402,9 +422,32 @@ final class LakeLog(val root: Path) {
             if (!added.nullable) throw new LakeValidationException(
               s"new field ${added.name} must be nullable (old files lack it)")
           }
+          val floatWidened = current.fields.filter(f =>
+            f.`type` == "float32" && newSchema.fields
+              .exists(k => k.name == f.name && k.`type` == "float64"))
+            .map(_.name).toSet
+          def requote(m: Map[String, String]): Map[String, String] =
+            m.map { case (c, v) =>
+              c -> (if (floatWidened(c))
+                new java.math.BigDecimal(
+                  java.lang.Float.parseFloat(v).toDouble).toPlainString
+              else v)
+            }
+          val restated =
+            if (floatWidened.isEmpty) Nil
+            else snap.files
+              .filter(_.stats.exists(st =>
+                (st.min_values.keySet ++ st.max_values.keySet)
+                  .exists(floatWidened)))
+              // rewrite = true: replay replaces the add in place, and the
+              // CDC feed / MV delta must NOT re-deliver these rows
+              .map(f => f.copy(rewrite = true,
+                stats = f.stats.map(st => st.copy(
+                  min_values = requote(st.min_values),
+                  max_values = requote(st.max_values)))))
           val newVersion = latest + 1
           writeEntry(table, LogEntry(newVersion, System.currentTimeMillis(),
-            txnId, Some(newSchema), Nil, Nil))
+            txnId, Some(newSchema), restated, Nil))
           CommitResult(newVersion, duplicate = false)
       }
     }

@@ -102,15 +102,19 @@ object MaterializedView {
   private def isAppendOnly(e: LogEntry): Boolean =
     e.removes.isEmpty && e.adds.forall(!_.rewrite)
 
-  /** True iff the entry rewrites layout without changing logical content
-    * (compaction): every add is a rewrite and the re-added row count equals
-    * the removed row count (resolved against the pre-entry snapshot). */
+  /** True iff the entry rewrites layout without changing logical content:
+    * every add is a rewrite and the re-added row count equals the rows it
+    * displaces — via the removes list (compaction, new paths) or via
+    * in-place path replacement (replay replaces adds by path; schema
+    * evolution restates files this way to requote widened stats). Both
+    * resolved against the pre-entry snapshot. */
   private def isLayoutOnly(log: LakeLog, d: MvDef, e: LogEntry): Boolean = {
     if (e.adds.isEmpty || !e.adds.forall(_.rewrite)) return false
     val prior = log.snapshot(d.base, e.version - 1)
       .files.map(f => f.path -> f.rows).toMap
     val removedRows = e.removes.map(p => prior.getOrElse(p, Long.MinValue)).sum
-    removedRows == e.adds.map(_.rows).sum
+    val replacedRows = e.adds.map(a => prior.getOrElse(a.path, 0L)).sum
+    removedRows + replacedRows == e.adds.map(_.rows).sum
   }
 
   // Refreshes of one MV are serialized in-process: two concurrent

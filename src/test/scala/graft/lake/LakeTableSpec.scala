@@ -254,6 +254,43 @@ class LakeTableSpec extends SparkSpec {
       "evolve-4"))
   }
 
+  test("schema evolution: int32/float32 widen losslessly, stats requoted") {
+    val log = newLog()
+    val narrow = StructType(Seq(
+      StructField("id", LongType), StructField("n", IntegerType),
+      StructField("x", FloatType)))
+    LakeTable.createTable(log, "t2", narrow)
+    LakeTable.insert(spark, log, "t2",
+      Seq((1L, 7, 0.1f), (2L, 9, 0.3f)).toDF("id", "n", "x"))
+    val widened = TableSchema(Seq(Field("id", "int64"), Field("n", "int64"),
+      Field("x", "float64")))
+    assert(!log.evolveSchema("t2", widened, "widen-1").duplicate)
+    // narrowing back is rejected
+    assertThrows[LakeValidationException](log.evolveSchema("t2",
+      TableSchema(Seq(Field("id", "int64"), Field("n", "int32"),
+        Field("x", "float64"))), "narrow-1"))
+    val df = LakeTable.read(spark, log, "t2")
+    assert(df.schema("n").dataType == LongType)
+    assert(df.schema("x").dataType == DoubleType)
+    // old INT32/FLOAT pages upcast losslessly: the double IS the float's
+    // exact value, not a re-parse of its decimal rendering
+    val r1 = df.filter(col("id") === 1).head()
+    assert(r1.getLong(1) == 7L && r1.getDouble(2) == 0.1f.toDouble)
+    // time travel still reads the pre-evolution schema
+    assert(LakeTable.read(spark, log, "t2", 1L)
+      .schema("n").dataType == IntegerType)
+    // the evolution entry restated the file with the float stat requoted
+    // to the float's exact DOUBLE decimal (pruning-soundness invariant)
+    val st = log.snapshot("t2").files.head.stats.get
+    assert(BigDecimal(st.max_values("x")).toDouble == 0.3f.toDouble)
+    assert(st.min_values("n") == "7") // int stats untouched
+    // boundary predicate: 0.3f as a double is 0.30000001192… > 0.3, so the
+    // row matches — a stale "0.3" max stat would have pruned the file
+    assert(LakeTable.readFiltered(spark, log, "t2", "x > 0.3").count() == 1)
+    // the restate is layout-only: the CDC feed delivers no rows for it
+    assert(LakeTable.changesSince(spark, log, "t2", 1L).count() == 0)
+  }
+
   test("deleteWhere rewrites only stat-matching files; time travel intact") {
     val log = newLog()
     LakeTable.createTable(log, "t", schema)
