@@ -649,12 +649,16 @@ object SparkEntry {
         .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_7")),
           col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey")
+      // persisted: the global-total branch would otherwise re-run the
+      // whole lineitem aggregate a second time (same subtree, two
+      // consumers); the cache is one row per part
       val ps = t(s, d, "lineitem")
         .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"),
           "left_semi")
         .groupBy("l_partkey")
         .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("__value"))
+        .persist()
       val total = ps.agg(sum("__value").as("__total"))
       ps.crossJoin(broadcast(total))
         .filter(col("__value") > col("__total") * lit(0.001))
@@ -688,11 +692,14 @@ object SparkEntry {
       // engines. Supplier is a broadcast dim.
       val lo = lit("1997-01-01").cast("timestamp")
       val hi = lit("1997-04-01").cast("timestamp")
+      // persisted: the max branch would otherwise re-run the lineitem
+      // aggregate (one cached row per supplier)
       val rev = t(s, d, "lineitem")
         .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
         .groupBy("l_suppkey")
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
           2).as("total_revenue"))
+        .persist()
       val mx = rev.agg(max("total_revenue").as("__mx"))
       rev.crossJoin(broadcast(mx))
         .filter(col("total_revenue") === col("__mx"))
@@ -796,16 +803,20 @@ object SparkEntry {
               col("n_regionkey") === col("r_regionkey"))),
           col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
-      val ps = t(s, d, "lineitem")
+      // per-part min via a WINDOW, not a groupBy+self-join: the join form
+      // plans the whole pair-aggregate subtree TWICE (once per branch); the
+      // window is one extra exchange on l_partkey over rows already reduced
+      // to one per (part, supplier) — and a part's supplier group is tiny,
+      // so the window frame can never skew a task
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+      t(s, d, "lineitem")
         .join(broadcast(pt), col("l_partkey") === col("p_partkey"),
           "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(min(col("l_extendedprice") / col("l_quantity")).as("__cost"))
         .join(broadcast(supEurope), col("l_suppkey") === col("s_suppkey"))
-      val minCost = ps.groupBy(col("l_partkey").as("__pk"))
-        .agg(min("__cost").as("__min_cost"))
-      ps.join(broadcast(minCost), col("l_partkey") === col("__pk") &&
-          col("__cost") === col("__min_cost"))
+        .withColumn("__min_cost", min("__cost").over(w))
+        .filter(col("__cost") === col("__min_cost"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
           col("l_partkey"), round(col("__cost"), 2).as("supply_cost"))
         .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
