@@ -83,6 +83,7 @@ final class RestServer(spark: SparkSession, log: LakeLog,
         case ("POST", List("tables"))                => createTable(ex)
         case ("GET", List("tables", t))              => getTable(ex, t)
         case ("DELETE", List("tables", t))           => deleteTable(ex, t)
+        case ("PATCH", List("tables", t, "schema"))  => evolveSchema(ex, t)
         case ("GET", List("tables", t, "versions"))  => listVersions(ex, t)
         case ("GET", List("tables", t, "versions", v, "snapshot")) =>
           getSnapshot(ex, t, v)
@@ -189,6 +190,42 @@ final class RestServer(spark: SparkSession, log: LakeLog,
     respondJson(ex, 200, Map(
       "success" -> true,
       "message" -> s"Table $name created successfully"))
+  }
+
+  /** PATCH /tables/{t}/schema — extension route (the reference fixes
+    * schemas at creation, `state.go:104-120`, but declares the
+    * latest-schema-wins replay hook this exercises): body carries the
+    * FULL new schema `{schema:{fields:[{name,type,nullable}]},
+    * txn_id?}`; legality (adds nullable, widens int32→int64 /
+    * float32→float64, never drops/renames/narrows) is enforced by
+    * [[graft.lake.LakeLog.evolveSchema]]. Idempotent under txn_id
+    * redelivery like every commit route. */
+  private def evolveSchema(ex: HttpExchange, table: String): Unit = {
+    val req = readMap(ex)
+    val fields = req.get("schema") match {
+      case Some(sch: Map[String, Any] @unchecked) =>
+        sch.get("fields") match {
+          case Some(fs: Seq[Any] @unchecked) => fs.map {
+            case f: Map[String, Any] @unchecked => Field(
+              f.getOrElse("name", "").toString,
+              f.getOrElse("type", "").toString,
+              f.get("nullable").forall(_ == true))
+            case _ => return textError(ex, 400, "Invalid field")
+          }
+          case _ =>
+            return textError(ex, 400, "Missing or invalid schema fields")
+        }
+      case _ => return textError(ex, 400, "Missing or invalid schema")
+    }
+    val cur = log.snapshot(table).schema
+    val txn = req.get("txn_id").map(_.toString)
+      .getOrElse(java.util.UUID.randomUUID().toString)
+    val r = log.evolveSchema(table, TableSchema(fields,
+      partition_columns = cur.flatMap(_.partition_columns),
+      bloom_columns = cur.flatMap(_.bloom_columns)), txn)
+    respondJson(ex, 200, Map(
+      "success" -> true, "version" -> r.version,
+      "duplicate" -> r.duplicate))
   }
 
   /** GET /tables/{t} (`rest_api.go:208-261`). */

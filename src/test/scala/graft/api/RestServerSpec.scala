@@ -60,6 +60,15 @@ class RestServerSpec extends SparkSpec with BeforeAndAfterAll {
     Resp(r.statusCode(), r.body())
   }
 
+  private def patch(path: String, body: String): Resp = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(base + path))
+        .header("Content-Type", "application/json")
+        .method("PATCH", HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
+    Resp(r.statusCode(), r.body())
+  }
+
   private def delete(path: String): Resp = {
     val r = client.send(
       HttpRequest.newBuilder(URI.create(base + path)).DELETE().build(),
@@ -112,6 +121,40 @@ class RestServerSpec extends SparkSpec with BeforeAndAfterAll {
     assert(q.status == 200, q.body)
     val rows = q.json("results").asInstanceOf[Seq[Map[String, Any]]]
     assert(rows == Seq(Map("kind" -> "a", "n" -> 2), Map("kind" -> "b", "n" -> 1)))
+  }
+
+  test("PATCH /tables/{t}/schema evolves: add + widen, idempotent, 400s") {
+    post("/tables", """{
+      "name": "evo",
+      "schema": {"fields": [
+        {"name": "id", "type": "int64", "nullable": false},
+        {"name": "n", "type": "int32"}]}}""")
+    val widen = """{
+      "txn_id": "rest-evo-1",
+      "schema": {"fields": [
+        {"name": "id", "type": "int64", "nullable": false},
+        {"name": "n", "type": "int64"},
+        {"name": "note", "type": "string"}]}}"""
+    val r1 = patch("/tables/evo/schema", widen)
+    assert(r1.status == 200, r1.body)
+    assert(r1.json("version") == 1 && r1.json("duplicate") == false)
+    // idempotent under txn redelivery
+    val r2 = patch("/tables/evo/schema", widen)
+    assert(r2.status == 200 && r2.json("duplicate") == true)
+    val got = get("/tables/evo")
+    val fields = got.json("schema").asInstanceOf[Map[String, Any]]("fields")
+      .asInstanceOf[Seq[Map[String, Any]]]
+    assert(fields.map(f => f("name") -> f("type")) ==
+      Seq("id" -> "int64", "n" -> "int64", "note" -> "string"))
+    // narrowing and drops are 400s (validation errors), not 500s
+    assert(patch("/tables/evo/schema", """{
+      "schema": {"fields": [
+        {"name": "id", "type": "int64", "nullable": false},
+        {"name": "n", "type": "int32"},
+        {"name": "note", "type": "string"}]}}""").status == 400)
+    assert(patch("/tables/evo/schema", """{
+      "schema": {"fields": [
+        {"name": "id", "type": "int64", "nullable": false}]}}""").status == 400)
   }
 
   test("POST /tables/{t}/data loads an external parquet file") {
