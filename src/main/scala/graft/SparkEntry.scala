@@ -1790,6 +1790,28 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // REAL connected components under the exact oracle on a NON-clique
+    // graph: q_dedup_cc's closed-form oracle only covers exact-dup
+    // cliques, so here the portable-minhash candidate pairs feed the
+    // label-propagation/pointer-doubling operator and DuckDB recomputes
+    // the SAME pairs and closes them transitively with a recursive CTE —
+    // the hash checks the fixpoint labels themselves. Survivors =
+    // component representative (min doc_id) plus every unpaired doc;
+    // byte lengths (octet_length/strlen) keep the check text-sensitive.
+    "q_dedup_cc_minhash" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashLshPairsFixed(docs, threshold = 0.5)
+        .select("a_id", "b_id")
+      val dropped = Dedup.connectedComponents(pairs)
+        .filter(col("component") =!= col("id"))
+        .select(col("id").as("doc_id"))
+      docs.join(dropped, Seq("doc_id"), "left_anti")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(octet_length(col("text"))).as("kept_chars"))
+        .orderBy("source")
+    }),
+
     "q_lake_delete" -> ((s, d) => {
       // copy-on-write DELETE, hash-checked: the post-delete table must
       // equal the source filtered by the negated predicate
@@ -3326,6 +3348,60 @@ object SparkEntry {
       UNION ALL SELECT 4, count(*), round(sum(l_extendedprice), 2)
         FROM lineitem
       ORDER BY version""",
+    "q_dedup_cc_minhash" -> """
+      WITH RECURSIVE norm AS (
+        SELECT doc_id, list_filter(string_split_regex(
+                 regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+               x -> x <> '') AS t
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id,
+                 CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+                      ELSE array_to_string(t[i:i+2], ' ') END AS sh
+          FROM norm, UNNEST(CASE WHEN len(t) < 3 THEN [CAST(1 AS BIGINT)]
+                                 ELSE range(1, len(t) - 1) END) AS u(i))),
+      hb AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(sh), 1, 7)) AS BIGINT) AS h
+        FROM sh),
+      sig AS (
+        SELECT doc_id, i,
+               min((((1103515245 * (2 * i + 1)) % 2147483647) * h
+                    + ((12345 + 1013904223 * i) % 2147483647))
+                   % 2147483647) AS h
+        FROM hb, UNNEST(range(16)) AS s(i)
+        GROUP BY doc_id, i),
+      band AS (
+        SELECT doc_id, i // 2 AS band,
+               string_agg(h::VARCHAR, ',' ORDER BY i) AS key
+        FROM sig GROUP BY doc_id, i // 2),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM band a JOIN band b ON a.band = b.band AND a.key = b.key
+                                AND a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT c.a_id, c.b_id
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.a_id
+        JOIN sig sb ON sb.doc_id = c.b_id AND sb.i = sa.i
+        GROUP BY c.a_id, c.b_id
+        HAVING sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / 16.0 >= 0.5),
+      edges AS (
+        SELECT a_id AS u, b_id AS v FROM pairs
+        UNION SELECT b_id, a_id FROM pairs),
+      r(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r2.u, e.v FROM r r2 JOIN edges e ON r2.v = e.u),
+      labels AS (
+        SELECT u AS id, least(u, min(v)) AS comp FROM r GROUP BY u),
+      dropped AS (SELECT id FROM labels WHERE comp < id)
+      SELECT source, count(*) AS n_kept,
+             CAST(sum(strlen(text)) AS BIGINT) AS kept_chars
+      FROM documents
+      WHERE doc_id NOT IN (SELECT id FROM dropped)
+      GROUP BY source ORDER BY source""",
     "q_lake_evolution" -> """
       WITH b0 AS (
         SELECT c_custkey AS id, CAST(c_nationkey AS INTEGER) AS nk,
