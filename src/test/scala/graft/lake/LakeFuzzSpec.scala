@@ -247,6 +247,111 @@ class LakeFuzzSpec extends SparkSpec {
     assert(mvRows() == modelAgg(), "final MV mismatch")
   }
 
+  test("schema evolution fuzz: widen/add interleaved with ops == model") {
+    // random inserts/deletes/compactions interleaved with ONE-TIME schema
+    // evolutions (widen n int32→int64, widen x float32→float64, add note):
+    // after every op the table equals the model under the schema current
+    // at that moment, historical versions replay under THEIR schema, and
+    // stat-pruned reads stay exact across the float widening. The model
+    // stores what the TABLE stores: pre-widen x is the inserted double
+    // rounded through Float (the reader later promotes it losslessly).
+    val rnd = new scala.util.Random(93)
+    val log = new LakeLog(tmpDir("fuzzevo"))
+    LakeTable.createTable(log, "t", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n", IntegerType),
+      StructField("x", FloatType))))
+    var model = Map.empty[Long, (Long, Double, Option[String])]
+    var historyModels = Map.empty[Long, Map[Long, (Long, Double)]]
+    var nWidened = false; var xWidened = false; var noteAdded = false
+    var nextId = 0L
+
+    def curSchema() = log.snapshot("t").schema.get
+    def insertBatch(step: Int): Unit = {
+      val rows = (0 until 1 + rnd.nextInt(20)).map { _ =>
+        nextId += 1
+        val n = rnd.nextInt(1000).toLong
+        val raw = rnd.nextInt(100000) / 100.0
+        val x = if (xWidened) raw else raw.toFloat.toDouble
+        val note = if (noteAdded) Some(s"s$step") else None
+        (nextId, n, x, note)
+      }
+      val st = LakeTable.toStructType(curSchema())
+      val df = rows.map(r => (r._1, r._2, r._3, r._4.orNull))
+        .toDF("id", "n", "x", "note")
+        .select(st.fields.toSeq.map(f => col(f.name).cast(f.dataType)): _*)
+      LakeTable.insert(spark, log, "t", df)
+      model ++= rows.map(r => r._1 -> (r._2, r._3, r._4))
+    }
+    def tableRows(): Map[Long, (Long, Double, Option[String])] = {
+      val df = LakeTable.read(spark, log, "t")
+      val hasNote = df.columns.contains("note")
+      df.collect().map { r =>
+        r.getAs[Number]("id").longValue() -> (
+          r.getAs[Number]("n").longValue(),
+          r.getAs[Number]("x").doubleValue(),
+          if (hasNote) Option(r.getAs[String]("note")) else None)
+      }.toMap
+    }
+
+    (1 to 14).foreach { step =>
+      rnd.nextInt(6) match {
+        case 0 | 1 => insertBatch(step)
+        case 2 if model.nonEmpty =>
+          val ids = model.keys.toSeq.sorted
+          val cut = ids(rnd.nextInt(ids.size))
+          LakeTable.deleteWhere(spark, log, "t", s"id > $cut")
+          model = model.filter(_._1 <= cut)
+        case 3 if !nWidened || !xWidened || !noteAdded =>
+          // apply one pending evolution, chosen by whichever is first
+          val fields = curSchema().fields.map { f =>
+            if (f.name == "n" && !nWidened) f.copy(`type` = "int64")
+            else if (f.name == "x" && nWidened && !xWidened)
+              f.copy(`type` = "float64")
+            else f
+          }
+          val withNote =
+            if (nWidened && xWidened && !noteAdded)
+              fields :+ Field("note", "string", nullable = true)
+            else fields
+          log.evolveSchema("t", TableSchema(withNote), s"evo-$step")
+          if (!nWidened) nWidened = true
+          else if (!xWidened) xWidened = true
+          else noteAdded = true
+        case _ =>
+          LakeTable.compact(spark, log, "t", force = true)
+      }
+      val version = log.latestVersion("t")
+      if (version > 0)
+        historyModels += version -> model.map { case (k, (n, x, _)) =>
+          k -> (n, x) }
+      // pre-note rows surface note as null under the evolved schema
+      val expect = model.map { case (k, (n, x, note)) =>
+        k -> (n, x, if (noteAdded) note.orElse(None) else None) }
+      assert(tableRows() == expect, s"step $step head mismatch")
+      if (historyModels.nonEmpty) {
+        val (hv, hmodel) = historyModels.toSeq(rnd.nextInt(historyModels.size))
+        val got = LakeTable.read(spark, log, "t", hv).collect().map { r =>
+          r.getAs[Number]("id").longValue() -> (
+            r.getAs[Number]("n").longValue(),
+            r.getAs[Number]("x").doubleValue())
+        }.toMap
+        assert(got == hmodel, s"step $step: version $hv mismatch")
+      }
+      // stat-pruned point-range probe stays exact across widenings
+      if (model.nonEmpty) {
+        val probe = model.values.map(_._2).toSeq.sorted.apply(
+          rnd.nextInt(model.size))
+        val got = LakeTable.readFiltered(spark, log, "t", s"x > $probe")
+          .count()
+        assert(got == model.values.count(_._2 > probe),
+          s"step $step: pruned x > $probe mismatch")
+      }
+    }
+    val fresh = new LakeLog(log.root)
+    assert(fresh.snapshot("t") == log.snapshot("t"))
+  }
+
   test("constrained table fuzz: rejects leave no trace, accepts match model") {
     val rnd = new scala.util.Random(47)
     val log = new LakeLog(tmpDir("fuzzcheck"))
