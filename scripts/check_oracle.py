@@ -71,13 +71,18 @@ for qdir in sorted(glob.glob(f"{out_dir}/*/")):
 
 # A query that crashed inside Verify leaves NO output dir and would be
 # invisible to the dir scan above — flag every attempted query (Verify
-# writes queries.json) that produced nothing.
+# writes queries.json FIRST, so even a whole-process crash leaves the
+# manifest). A missing manifest is itself a failure: it means Verify
+# died before doing anything, and silently passing the dir scan would
+# reopen the round-4 vanishing-queries window.
 qlist = f"{out_dir}/queries.json"
 if os.path.exists(qlist):
     seen = {os.path.basename(d.rstrip("/")) for d in glob.glob(f"{out_dir}/*/")}
     for name in json.load(open(qlist)):
         if name not in seen:
             fails.append((name, "no output dir — query failed inside Verify"))
+else:
+    fails.append(("queries.json", "manifest missing — Verify died before the query loop"))
 
 print(f"PASS ({len(passes)}):", " ".join(passes))
 print(f"ROWS-ONLY ({len(rows_only)}):", " ".join(f"{n}={r}" for n, r in rows_only))

@@ -51,7 +51,12 @@ object Bench {
     val sorted = results.values.toSeq.sorted
     val median = if (sorted.nonEmpty) sorted(sorted.size / 2) else 0.0
     val over1s = results.values.count(_ >= 1.0)
-    def entry(k: String, v: Double): String = f""""$k":$v%.3f"""
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
+    // comma-decimal locale would make the "one valid JSON line" contract
+    // silently false
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def entry(k: String, v: Double): String = s""""$k":${num(v)}"""
     // Full-precision per-query map: to a file (committed as BENCH_LOCAL.json
     // when run by hand) and to stdout EARLY, where tail-truncation can only
     // eat it, not the summary line below.
@@ -77,9 +82,9 @@ object Bench {
     def summaryLine(kept: Seq[(String, Double)]): String = {
       val omitted = results.size - kept.size
       val omittedSec = total - kept.map(_._2).sum
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir",""" +
-      s""""n_queries":${results.size},"median":${f"$median%.3f"},"over_1s":$over1s,""" +
-      s""""queries_omitted":$omitted,"omitted_sec":${f"$omittedSec%.3f"},""" +
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir",""" +
+      s""""n_queries":${results.size},"median":${num(median)},"over_1s":$over1s,""" +
+      s""""queries_omitted":$omitted,"omitted_sec":${num(omittedSec)},""" +
       s""""full":"$fullOut","queries":""" +
       kept.map { case (k, v) => entry(k, v) }.mkString("{", ",", "}") + "}"
     }

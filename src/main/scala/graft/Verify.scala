@@ -25,6 +25,23 @@ object Verify {
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     val metrics = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
+    // the attempted-query manifest is written BEFORE the loop: if the
+    // whole process dies mid-run, the checker must still see which
+    // queries were supposed to produce output (writing it at the end
+    // would reopen the round-4 silently-vanishing-queries window)
+    val attempted = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      attempted.map(jstr).mkString("[", ",", "]"))
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -66,13 +83,6 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // every query this run ATTEMPTED — a query that crashed leaves no
-    // output dir, and a dir-scan-only checker would silently skip it
-    // (exactly how a reader-schema regression hid 16 queries in round 4)
-    val attempted = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.isEmpty || only(n))
-    Files.writeString(Paths.get(s"$outDir/queries.json"),
-      attempted.map(q).mkString("[", ",", "]"))
     // per-query observability (duration + result rows), the Verify-side
     // slice of the reference's lakehouse_query_duration_seconds series
     // synchronized read: a timed-out query's Future may still be running

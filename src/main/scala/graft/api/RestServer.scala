@@ -201,6 +201,8 @@ final class RestServer(spark: SparkSession, log: LakeLog,
     * [[graft.lake.LakeLog.evolveSchema]]. Idempotent under txn_id
     * redelivery like every commit route. */
   private def evolveSchema(ex: HttpExchange, table: String): Unit = {
+    if (!log.tableExists(table))
+      return textError(ex, 404, s"table $table does not exist")
     val req = readMap(ex)
     val fields = req.get("schema") match {
       case Some(sch: Map[String, Any] @unchecked) =>
@@ -220,8 +222,12 @@ final class RestServer(spark: SparkSession, log: LakeLog,
     val cur = log.snapshot(table).schema
     val txn = req.get("txn_id").map(_.toString)
       .getOrElse(java.util.UUID.randomUUID().toString)
+    // partition/bloom/constraint config passes through unchanged — the
+    // route evolves FIELDS only (evolveSchema itself also inherits
+    // constraints when absent, but threading them keeps the echo exact)
     val r = log.evolveSchema(table, TableSchema(fields,
       partition_columns = cur.flatMap(_.partition_columns),
+      check_constraints = cur.flatMap(_.check_constraints),
       bloom_columns = cur.flatMap(_.bloom_columns)), txn)
     respondJson(ex, 200, Map(
       "success" -> true, "version" -> r.version,

@@ -89,8 +89,17 @@ object FooterStats {
                      roundUp: Boolean = false): Option[String] = dt match {
     case IntegerType | LongType | BooleanType => Some(v.toString)
     case FloatType =>
+      // exact-DOUBLE decimal, not Float.toString: Spark evaluates a
+      // float-vs-literal predicate in the DOUBLE domain (the float
+      // promotes), so the stat must bound the promoted values.
+      // Float.toString("0.3") re-parses as decimal 0.3 < the value's
+      // true double 0.30000001192…, and a literal strictly between the
+      // two would prune a file whose rows match. The exact decimal of
+      // the promoted double compares correctly in both domains (and
+      // stays correct if the column is later widened to float64).
       val f = v.asInstanceOf[java.lang.Float]
-      if (f.isNaN) None else Some(f.toString)
+      if (f.isNaN || f.isInfinite) None
+      else Some(new java.math.BigDecimal(f.doubleValue()).toPlainString)
     case DoubleType =>
       val d = v.asInstanceOf[java.lang.Double]
       if (d.isNaN) None else Some(d.toString)

@@ -386,17 +386,30 @@ final class LakeLog(val root: Path) {
     * path), so pruning stays exact; earlier versions keep the
     * float-quoted stats that match their float-typed schema.
     */
-  def evolveSchema(table: String, newSchema: TableSchema,
+  def evolveSchema(table: String, newSchema0: TableSchema,
                    txnId: String): CommitResult = {
-    validateSchema(newSchema)
     lockFor(table).synchronized {
       val latest = latestVersion(table)
       txnVersions(table).get(txnId) match {
-        case Some(v) => CommitResult(v, duplicate = true)
+        case Some(v) =>
+          commitDuplicates.incrementAndGet()
+          CommitResult(v, duplicate = true)
         case None =>
+          commitAttempts.incrementAndGet()
           val snap = snapshot(table, latest)
           val current = snap.schema.getOrElse(
             throw new LakeValidationException(s"table $table has no schema"))
+          // CHECK constraints ride along: a caller evolving fields need
+          // not restate them (None inherits), but restating them
+          // DIFFERENTLY would silently disable enforcement for rows the
+          // old predicate rejected — refuse anything but an exact echo
+          val newSchema =
+            if (newSchema0.check_constraints.isEmpty)
+              newSchema0.copy(check_constraints = current.check_constraints)
+            else if (newSchema0.checks == current.checks) newSchema0
+            else throw new LakeValidationException(
+              "schema evolution cannot add, drop or change CHECK constraints")
+          validateSchema(newSchema)
           if (newSchema.partCols != current.partCols)
             throw new LakeValidationException(
               "schema evolution cannot change partition columns")

@@ -262,6 +262,12 @@ class LakeTableSpec extends SparkSpec {
     LakeTable.createTable(log, "t2", narrow)
     LakeTable.insert(spark, log, "t2",
       Seq((1L, 7, 0.1f), (2L, 9, 0.3f)).toDF("id", "n", "x"))
+    // pre-widening float pruning: stats quote the float's exact DOUBLE
+    // (FooterStats), so a literal strictly between Float.toString's
+    // decimal (0.3) and the promoted value (0.30000001192…) cannot
+    // mis-prune — the row DOES match in Spark's double comparison domain
+    assert(LakeTable.readFiltered(spark, log, "t2", "x > 0.3000000")
+      .count() == 1)
     val widened = TableSchema(Seq(Field("id", "int64"), Field("n", "int64"),
       Field("x", "float64")))
     assert(!log.evolveSchema("t2", widened, "widen-1").duplicate)
@@ -289,6 +295,30 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.readFiltered(spark, log, "t2", "x > 0.3").count() == 1)
     // the restate is layout-only: the CDC feed delivers no rows for it
     assert(LakeTable.changesSince(spark, log, "t2", 1L).count() == 0)
+  }
+
+  test("schema evolution preserves CHECK constraints") {
+    val log = newLog()
+    LakeTable.createTable(log, "tc", schema,
+      constraints = Map("p_nonneg" -> "price >= 0"))
+    LakeTable.insert(spark, log, "tc", sampleDf(1 to 5, "a"))
+    // evolving fields WITHOUT restating constraints inherits them…
+    log.evolveSchema("tc", TableSchema(
+      LakeTable.fromStructType(schema).fields :+
+        Field("note", "string", nullable = true)), "tc-evo-1")
+    assert(log.snapshot("tc").schema.get.checks ==
+      Map("p_nonneg" -> "price >= 0"))
+    // …so violations are still rejected after evolution
+    assertThrows[LakeValidationException](LakeTable.insert(spark, log, "tc",
+      Seq((9L, "bad", -1.0, "x")).toDF("id", "category", "price", "note")))
+    // restating DIFFERENT constraints is refused (silently weakening
+    // enforcement), an exact echo is accepted
+    assertThrows[LakeValidationException](log.evolveSchema("tc",
+      TableSchema(log.snapshot("tc").schema.get.fields,
+        check_constraints = Some(Map("p_nonneg" -> "price >= -10"))),
+      "tc-evo-2"))
+    log.evolveSchema("tc", TableSchema(log.snapshot("tc").schema.get.fields,
+      check_constraints = Some(Map("p_nonneg" -> "price >= 0"))), "tc-evo-3")
   }
 
   test("deleteWhere rewrites only stat-matching files; time travel intact") {
