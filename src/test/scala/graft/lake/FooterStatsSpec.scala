@@ -50,10 +50,20 @@ class FooterStatsSpec extends SparkSpec {
       ).collect().head
       val stats = f.stats.get
       for (c <- st.fields) {
-        assert(stats.min_values(c.name) == expect.getAs[String](s"min_${c.name}"),
-          s"min mismatch for ${c.name}")
-        assert(stats.max_values(c.name) == expect.getAs[String](s"max_${c.name}"),
-          s"max mismatch for ${c.name}")
+        // float32 stats quote the EXACT decimal of the promoted double
+        // (pruning compares in the double domain — see FooterStats), so
+        // compare float columns numerically, everything else verbatim
+        def check(got: String, want: String, side: String): Unit =
+          c.dataType match {
+            case FloatType =>
+              assert(BigDecimal(got).toDouble == want.toFloat.toDouble,
+                s"$side mismatch for ${c.name}")
+            case _ => assert(got == want, s"$side mismatch for ${c.name}")
+          }
+        check(stats.min_values(c.name),
+          expect.getAs[String](s"min_${c.name}"), "min")
+        check(stats.max_values(c.name),
+          expect.getAs[String](s"max_${c.name}"), "max")
       }
     }
   }
