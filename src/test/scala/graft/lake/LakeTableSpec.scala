@@ -295,6 +295,15 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.readFiltered(spark, log, "t2", "x > 0.3").count() == 1)
     // the restate is layout-only: the CDC feed delivers no rows for it
     assert(LakeTable.changesSince(spark, log, "t2", 1L).count() == 0)
+    // the Catalyst-integrated read path (LakeFileIndex + HadoopFsRelation)
+    // upcasts the same old INT32/FLOAT pages — and its stat pruning uses
+    // the requoted bounds, so the boundary predicate keeps the file there
+    // too
+    val idx = LakeTable.readIndexed(spark, log, "t2")
+    assert(idx.schema("x").dataType == DoubleType)
+    assert(idx.filter(col("x") > 0.3).count() == 1)
+    assert(idx.collect().map(_.getDouble(2)).sorted.toSeq ==
+      Seq(0.1f.toDouble, 0.3f.toDouble))
   }
 
   test("schema evolution preserves CHECK constraints") {
