@@ -1790,6 +1790,58 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // RESTORE under the exact oracle: three committed slices, roll back to
+    // the first, then commit a third — the final state must equal slice 0
+    // + slice 2 with slice 1 GONE (restore is a new commit that re-exposes
+    // v1's file set; time travel to the pre-restore head still sees B).
+    "q_lake_restore" -> ((s, d) => {
+      import graft.lake.{LakeLog, LakeTable}
+      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftres"))
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      LakeTable.createTable(log, "li", li.schema)
+      (0 to 1).foreach(m => LakeTable.insert(s, log, "li",
+        li.filter(col("l_orderkey") % 3 === m), txnId = s"res-$m"))
+      LakeTable.restore(log, "li", toVersion = 1L)
+      LakeTable.insert(s, log, "li",
+        li.filter(col("l_orderkey") % 3 === 2), txnId = "res-2")
+      val head = LakeTable.read(s, log, "li").agg(
+        lit("head").as("state"), count(lit(1)).as("n_rows"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      // the pre-restore head (version 2 = slices 0+1) is still addressable
+      val preRestore = LakeTable.read(s, log, "li", 2L).agg(
+        lit("pre_restore").as("state"), count(lit(1)).as("n_rows"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      head.unionAll(preRestore).orderBy("state")
+    }),
+
+    // UPSERT (MERGE) under the exact oracle: update half the keys, insert
+    // fresh ones; the final table must equal the source with updated rows
+    // CASE-mapped and the inserts appended — checked value-by-value.
+    "q_lake_upsert" -> ((s, d) => {
+      import graft.lake.{LakeLog, LakeTable}
+      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftups"))
+      val ord = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      LakeTable.createTable(log, "o", ord.schema)
+      LakeTable.insert(s, log, "o", ord, numFiles = 4)
+      // the update is an EXACT dyadic doubling: a ×1.1-and-round update
+      // diverges cross-engine on .005 ties (Spark rounds the shortest
+      // decimal rendering, DuckDB the raw binary value)
+      val updates = ord.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val inserts = ord.filter(col("o_orderkey") % 7 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_custkey"), lit(0.0).as("o_totalprice"))
+      LakeTable.upsert(s, log, "o", updates.unionByName(inserts),
+        "o_orderkey")
+      LakeTable.read(s, log, "o")
+        .groupBy(pmod(col("o_orderkey"), lit(10)).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("bucket")
+    }),
+
     // REAL connected components under the exact oracle on a NON-clique
     // graph: q_dedup_cc's closed-form oracle only covers exact-dup
     // cliques, so here the portable-minhash candidate pairs feed the
@@ -3348,6 +3400,27 @@ object SparkEntry {
       UNION ALL SELECT 4, count(*), round(sum(l_extendedprice), 2)
         FROM lineitem
       ORDER BY version""",
+    "q_lake_restore" -> """
+      SELECT 'head' AS state, count(*) AS n_rows,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem WHERE l_orderkey % 3 IN (0, 2)
+      UNION ALL
+      SELECT 'pre_restore', count(*), round(sum(l_extendedprice), 2)
+      FROM lineitem WHERE l_orderkey % 3 IN (0, 1)
+      ORDER BY state""",
+    "q_lake_upsert" -> """
+      WITH final AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0
+                    THEN o_totalprice * 2
+                    ELSE o_totalprice END AS p
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + 10000000, 0.0
+        FROM orders WHERE o_orderkey % 7 = 0)
+      SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,
+             round(sum(p), 2) AS sum_price
+      FROM final GROUP BY bucket ORDER BY bucket""",
     "q_dedup_cc_minhash" -> """
       WITH RECURSIVE norm AS (
         SELECT doc_id, list_filter(string_split_regex(
