@@ -26,6 +26,12 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      // drop this query's persisted intermediates before the next query:
+      // repeated runs of the SAME query still share them (the cache
+      // manager matches canonicalized plans within the loop above), but
+      // 130 queries' worth of stale caches would otherwise accumulate
+      // executor memory for the rest of the run
+      spark.catalog.clearCache()
       name -> times.min
     }
     // observability sidecar (graft.Metrics): one full-materialization pass
