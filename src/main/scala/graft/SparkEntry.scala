@@ -1631,6 +1631,40 @@ object SparkEntry {
       s.read.parquet(outDir).orderBy("user_id", "a_id", "b_id")
     }),
 
+    // Stream-stream LEFT OUTER interval join under the exact oracle: the
+    // null-emission operator. Matches emit as they arrive (≡ the inner
+    // join); an unmatched view emits its null row only once the global
+    // watermark (min of both sides' max event time, minus lateness)
+    // passes view.ts + window — so the batch equivalence is: ALL matched
+    // pairs, plus null rows exactly for unmatched views old enough that
+    // no future click could still pair with them. DuckDB recomputes the
+    // final watermark and that cutoff from the same rows.
+    "q_stream_join_outer" -> ((s, d) => withShufflePartitions(s, 8) {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = t(s, d, "events")
+        .select(col("ts"), col("event_id"), col("user_id"),
+          col("event_type"), col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graftsjo")
+      val srcDir = writeTimeChunks(ev, 4, tmp)
+      def src(eventType: String) = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "2").parquet(srcDir.toString)
+        .filter(col("event_type") === eventType)
+      val joined = graft.streaming.Streams.intervalJoinLeftOuter(
+          src("view"), src("click"), "user_id",
+          windowSec = 3600L, lateness = "1 hour")
+        .select(col("l.user_id").as("user_id"),
+          col("l.event_id").as("a_id"), col("r.event_id").as("b_id"),
+          unix_millis(col("l.ts")).as("a_ms"),
+          unix_millis(col("r.ts")).as("b_ms"))
+      val outDir = tmp.resolve("out").toString
+      val q = joined.writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(outDir).orderBy("user_id", "a_id", "b_id")
+    }),
+
     // ---- multimodal: binary payloads + metadata (real header decode) -----
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.withMeta(Multimodal.syntheticCorpus(t(s, d, "documents")))
@@ -3400,6 +3434,24 @@ object SparkEntry {
       UNION ALL SELECT 4, count(*), round(sum(l_extendedprice), 2)
         FROM lineitem
       ORDER BY version""",
+    "q_stream_join_outer" -> """
+      WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+      cl AS (SELECT * FROM events WHERE event_type = 'click'),
+      wm AS (SELECT least((SELECT max(ts) FROM v),
+                          (SELECT max(ts) FROM cl))
+                    - INTERVAL 1 HOUR AS w)
+      SELECT v.user_id, v.event_id AS a_id, cl.event_id AS b_id,
+             epoch_ms(v.ts) AS a_ms, epoch_ms(cl.ts) AS b_ms
+      FROM v JOIN cl ON v.user_id = cl.user_id
+        AND cl.ts >= v.ts AND cl.ts <= v.ts + INTERVAL 3600 SECONDS
+      UNION ALL
+      SELECT v.user_id, v.event_id, CAST(NULL AS BIGINT),
+             epoch_ms(v.ts), CAST(NULL AS BIGINT)
+      FROM v
+      WHERE NOT EXISTS (SELECT 1 FROM cl WHERE cl.user_id = v.user_id
+          AND cl.ts >= v.ts AND cl.ts <= v.ts + INTERVAL 3600 SECONDS)
+        AND v.ts + INTERVAL 3600 SECONDS < (SELECT w FROM wm)
+      ORDER BY user_id, a_id, b_id""",
     "q_lake_restore" -> """
       SELECT 'head' AS state, count(*) AS n_rows,
              round(sum(l_extendedprice), 2) AS sum_price

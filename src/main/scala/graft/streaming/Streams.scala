@@ -113,14 +113,28 @@ object Streams {
     * the time bound + watermarks a stream-stream join would buffer forever.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
-                   windowSec: Long, lateness: String = "1 hour"): DataFrame = {
+                   windowSec: Long, lateness: String = "1 hour",
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", lateness).as("l")
     val r = right.withWatermark("ts", lateness).as("r")
     l.join(r,
       expr(s"""l.$keyCol = r.$keyCol AND
                r.ts >= l.ts AND
-               r.ts <= l.ts + interval $windowSec seconds"""))
+               r.ts <= l.ts + interval $windowSec seconds"""), joinType)
   }
+
+  /** Stream-stream LEFT OUTER interval join: matches emit as they arrive
+    * (same as the inner join); an UNMATCHED left row emits with nulls only
+    * once the watermark passes `l.ts + window` — i.e. once no future right
+    * row could still match it. Left rows too close to the stream's end
+    * (within `window + lateness` of the final watermark) stay buffered in
+    * state and never emit their null form — the price of correctness
+    * under late data, and exactly the region a batch-equivalence check
+    * must exclude. */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+                            keyCol: String, windowSec: Long,
+                            lateness: String = "1 hour"): DataFrame =
+    intervalJoin(left, right, keyCol, windowSec, lateness, "left_outer")
 
   /** CDC stream over a lake table: each micro-batch is the rows logically
     * added by new log versions (rewrites — compaction, delete survivors,
