@@ -41,11 +41,13 @@ object Bench {
     val metricsOut = sys.env.getOrElse("SPARK_GRAFT_METRICS_OUT",
       "target/bench_metrics.json")
     val metrics = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      try Metrics.measure(name, fn(spark, sfDir))
+      val m = try Metrics.measure(name, fn(spark, sfDir))
       catch { case e: Throwable =>
         System.err.println(s"[bench] metrics for $name failed: ${e.getMessage}")
         Metrics.QueryMetrics(name, -1.0, -1L, 0L, 0L, 0L)
       }
+      spark.catalog.clearCache() // same per-query bound as the timing loop
+      m
     }
     Files.createDirectories(Paths.get(metricsOut).toAbsolutePath.getParent)
     Files.writeString(Paths.get(metricsOut), Metrics.toJson(metrics))

@@ -127,10 +127,10 @@ object Streams {
     * (same as the inner join); an UNMATCHED left row emits with nulls only
     * once the watermark passes `l.ts + window` — i.e. once no future right
     * row could still match it. Left rows too close to the stream's end
-    * (within `window + lateness` of the final watermark) stay buffered in
-    * state and never emit their null form — the price of correctness
-    * under late data, and exactly the region a batch-equivalence check
-    * must exclude. */
+    * (within `window` of the final watermark, i.e. `window + lateness` of
+    * the max event time) stay buffered in state and never emit their null
+    * form — the price of correctness under late data, and exactly the
+    * region a batch-equivalence check must exclude. */
   def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
                             keyCol: String, windowSec: Long,
                             lateness: String = "1 hour"): DataFrame =

@@ -255,6 +255,43 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("intervalJoinLeftOuter: null row on expiry, late match dropped") {
+    implicit val sq = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, Long)]
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val joined = Streams.intervalJoinLeftOuter(
+      imps.toDF().toDF("ts", "ad_id"),
+      clicks.toDF().toDF("ts", "ad_id"),
+      "ad_id", windowSec = 600, lateness = "10 minutes")
+    val query = joined.select(col("l.ad_id").as("ad"),
+        col("r.ts").as("click_ts"))
+      .writeStream.format("memory").queryName("outer_attr")
+      .outputMode("append").start()
+    try {
+      imps.addData((ts(0), 1L), (ts(0), 2L))
+      clicks.addData((ts(5), 1L)) // matches ad 1 — emits immediately
+      query.processAllAvailable()
+      // advance BOTH sides' watermarks far past ad 2's window: the global
+      // watermark (min of the two) moves to ts(110), beyond ts(0)+600s
+      imps.addData((ts(120), 9L))
+      clicks.addData((ts(120), 8L))
+      query.processAllAvailable()
+      // a click for ad 2 arrives LATE (behind the watermark): it must be
+      // dropped — ad 2's null row has already been licensed by expiry, and
+      // a resurrected pair NEXT TO the null row would break outer-join
+      // cardinality. This batch also performs the eviction emission.
+      clicks.addData((ts(6), 2L))
+      query.processAllAvailable()
+      val rows = spark.table("outer_attr").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      // ad 1: matched pair; ad 2: exactly its null form; ad 9's window is
+      // still open (watermark hasn't passed ts(120)+600s) → buffered
+      assert(rows.map(_._1) == Set(1L, 2L), rows)
+      assert(rows.collect { case (1L, c) => c.isDefined } == Set(true), rows)
+      assert(rows.collect { case (2L, c) => c.isEmpty } == Set(true), rows)
+    } finally query.stop()
+  }
+
   test("streamingDedup drops duplicate keys within the watermark") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
