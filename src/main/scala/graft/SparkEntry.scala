@@ -203,6 +203,30 @@ object SparkEntry {
           .as("revenue"))
         .orderBy("r_name", "n_name")
     }),
+    "q_join_full" -> ((s, d) => {
+      // FULL OUTER join with BOTH sides genuinely unmatched: customers
+      // holding only finished ('F') orders vs only open ('O') orders.
+      // Both inputs aggregate on o_custkey first, so the full-outer
+      // SortMergeJoin reuses the aggregates' hash partitioning — one
+      // shuffle per side, none for the join itself, and the join carries
+      // one row per customer, not per order. (A full outer can never
+      // broadcast — both sides must see all unmatched keys — so shrinking
+      // the sides BEFORE the join is the 100 TB lever.)
+      val o = t(s, d, "orders")
+      val fin = o.filter(col("o_orderstatus") === "F").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_f"), round(sum("o_totalprice"), 2).as("rev_f"))
+        .withColumnRenamed("o_custkey", "ck_f")
+      val open = o.filter(col("o_orderstatus") === "O").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_o"), round(sum("o_totalprice"), 2).as("rev_o"))
+        .withColumnRenamed("o_custkey", "ck_o")
+      fin.join(open, col("ck_f") === col("ck_o"), "full_outer")
+        .select(coalesce(col("ck_f"), col("ck_o")).as("custkey"),
+          coalesce(col("n_f"), lit(0L)).as("n_f"),
+          coalesce(col("rev_f"), lit(0.0)).as("rev_f"),
+          coalesce(col("n_o"), lit(0L)).as("n_o"),
+          coalesce(col("rev_o"), lit(0.0)).as("rev_o"))
+        .orderBy("custkey")
+    }),
     "q_udaf_weighted" -> ((s, d) => {
       // typed Aggregator UDAF (partial-merge like any built-in): per
       // return flag, the quantity-weighted mean unit price — checked
@@ -1082,12 +1106,42 @@ object SparkEntry {
         .agg(round(sum("l_quantity"), 2))
         .orderBy("l_linestatus")),
 
+    // ---- unpivot / melt (long-format reshape) ---------------------------
+    "q_unpivot" -> ((s, d) =>
+      // Dataset.unpivot = one Expand node (3 output rows per input, no
+      // shuffle, stays inside whole-stage codegen) — the inverse of
+      // q_pivot's wide aggregation; long format is what per-measure
+      // profiling and plotting pipelines consume
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+          "l_tax")
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .withColumn("val", round(col("val"), 2))
+        .orderBy("l_orderkey", "l_linenumber", "measure")),
+
     // ---- explode / generator (UDTF-shaped) -------------------------------
     "q_explode_tokens" -> ((s, d) =>
       docsSpread(s, d)
         .select(explode(tokens(normalizeText(col("text")))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok")).limit(20)),
+
+    // ---- heavy hitters (two-pass sketch-then-verify) ---------------------
+    "q_heavy_hitters" -> ((s, d) => {
+      // tokens with frequency > n/40, EXACT, without ever shuffling the
+      // vocabulary: pass 1 is a Misra–Gries partial aggregate (≤ 80
+      // counters per partition cross the exchange, guarantee bound
+      // n/81 < threshold), pass 2 re-counts only the ≤ 80 candidates
+      // behind a scan-pruning isin filter. See operators/HeavyHitters.
+      // (This corpus's vocabulary fits the sketch whole — the SPEC drives
+      // vocab ≫ k Zipf streams through the compress/merge path.)
+      val toks = docsSpread(s, d)
+        .select(explode(tokens(normalizeText(col("text")))).as("item"))
+      graft.operators.HeavyHitters.exactHeavy(toks, denom = 40)
+        .orderBy(col("cnt").desc, col("item"))
+    }),
 
     // ---- data profiling (one-pass column statistics) ---------------------
     // Shannon character entropy — the information-density quality signal
@@ -1134,6 +1188,42 @@ object SparkEntry {
           round(col("p25"), 4).as("p25"), round(col("p50"), 4).as("p50"),
           round(col("p75"), 4).as("p75"))
         .orderBy("column")),
+
+    // Equi-width histogram: the distribution profile behind outlier bounds
+    // and mixture design. One metadata-priced min/max aggregate broadcast
+    // back as a 1-row crossJoin, then bucket = integer `div` over CENTS —
+    // every boundary decision is integer-exact, so DuckDB replays bucket
+    // assignment bit-for-bit (a double divide could round a value across a
+    // bucket edge differently per engine). Scan → broadcast → one groupBy
+    // on ≤ 20 keys: the only full-data exchange carries bucket ids.
+    "q_histogram" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .crossJoin(broadcast(
+          t(s, d, "lineitem")
+            .select(round(col("l_extendedprice") * 100).cast("long")
+              .as("cents"))
+            .agg(min("cents").as("lo"), max("cents").as("hi"))))
+        .withColumn("bucket",
+          expr("(cents - lo) * 20 div (hi - lo + 1)"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"),
+          min("cents").as("min_cents"), max("cents").as("max_cents"))
+        .orderBy("bucket")),
+
+    // Pairwise correlation / covariance — the feature-redundancy signal a
+    // curation pipeline reads before dropping collinear quality scores.
+    // ONE codegen'd partial+final aggregate pass computes every pair via
+    // mergeable co-moments (no per-pair scans, no shuffle beyond one
+    // partial-agg row per partition) — the same one-pass shape at 100 TB.
+    "q_corr" -> ((s, d) =>
+      t(s, d, "lineitem").agg(
+        round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
+        round(corr("l_quantity", "l_discount"), 6).as("corr_qty_disc"),
+        round(corr("l_extendedprice", "l_tax"), 6).as("corr_price_tax"),
+        round(covar_samp("l_quantity", "l_extendedprice"), 2)
+          .as("covar_qty_price"),
+        round(covar_samp("l_discount", "l_tax"), 8).as("covar_disc_tax"))),
 
     // ---- grouping sets / rollup (extension) ------------------------------
     "q_rollup" -> ((s, d) =>
@@ -1560,6 +1650,40 @@ object SparkEntry {
       s.read.parquet(outDir).orderBy("user_id", "event_type")
     }),
 
+    // Stream-STATIC join under the exact oracle — the dimension-enrichment
+    // shape (event stream ⋈ slowly-changing dim table). Unlike the
+    // stream-stream joins there is NO state store: each micro-batch plans a
+    // fresh BroadcastHashJoin against the static side, so the stream side
+    // never shuffles and the dim is re-resolved per batch (at scale that is
+    // what picks up dim-table updates between batches). The batch output
+    // must equal DuckDB's one-shot LEFT JOIN of the same tables.
+    "q_stream_enrich" -> ((s, d) => withShufflePartitions(s, 8) {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = t(s, d, "events")
+        .select(col("ts"), col("event_id"), col("user_id"),
+          col("event_type"), col("value"))
+      val dim = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val tmp = java.nio.file.Files.createTempDirectory("graftse")
+      val srcDir = writeTimeChunks(ev, 4, tmp)
+      val enriched = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "2").parquet(srcDir.toString)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"),
+          "left_outer")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("c_mktsegment"))
+      val outDir = tmp.resolve("out").toString
+      val q = enriched.writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+        .orderBy("c_mktsegment", "event_type")
+    }),
+
     // The DataSource-V2 lake CDC source under the exact oracle: three OCC
     // commits land in `src`, the CDC stream tails the log (offsets = log
     // versions, one input partition per logically-added file), a
@@ -1914,6 +2038,40 @@ object SparkEntry {
         round(sum("l_extendedprice"), 2).as("sum_price"))
     }),
 
+    "q_lake_vacuum" -> ((s, d) => {
+      // VACUUM under the exact oracle: a multi-commit lifecycle (3 inserts
+      // → copy-on-write DELETE → forced compaction) strands every
+      // pre-rewrite file behind the latest snapshot; vacuum with
+      // retainVersions=1 physically deletes all of them, and the
+      // post-GC read must still hash-match DuckDB's recomputation of the
+      // surviving rows from the raw source. The in-query requires pin
+      // that GC really deleted files and never touched a live one (the
+      // file count visible to the latest snapshot is unchanged).
+      import graft.lake.{LakeLog, LakeTable}
+      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftvac"))
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      LakeTable.createTable(log, "li", li.schema)
+      (0 to 2).foreach(m => LakeTable.insert(s, log, "li",
+        li.filter(pmod(col("l_orderkey"), lit(3)) === m),
+        txnId = s"slice-$m", numFiles = 3))
+      LakeTable.deleteWhere(s, log, "li", "l_quantity > 40")
+      LakeTable.compact(s, log, "li", force = true)
+      val liveBefore = log.snapshot("li").files.map(_.path).toSet
+      val report = LakeTable.vacuum(log, "li", retainVersions = 1,
+        tmpRetainMs = 0L)
+      val liveAfter = log.snapshot("li").files.map(_.path).toSet
+      require(report.deleted > 0, "vacuum deleted nothing — lifecycle broken")
+      require(liveAfter == liveBefore &&
+        liveAfter.forall(p => java.nio.file.Files.exists(
+          java.nio.file.Paths.get(p))),
+        "vacuum touched a live file")
+      LakeTable.read(s, log, "li").agg(
+        count(lit(1)).as("n_rows"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+    }),
+
     // Incremental materialized-view maintenance, end-to-end under the
     // oracle: two appended slices fold in via INCREMENTAL refreshes, a
     // DELETE forces the full-recompute fallback, then a third slice folds
@@ -2236,6 +2394,20 @@ object SparkEntry {
       JOIN nation   ON c_nationkey = n_nationkey
       JOIN region   ON n_regionkey = r_regionkey
       GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q_join_full" -> """
+      WITH f AS (
+        SELECT o_custkey AS ck, count(*) AS n_f,
+               round(sum(o_totalprice), 2) AS rev_f
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+      o AS (
+        SELECT o_custkey AS ck, count(*) AS n_o,
+               round(sum(o_totalprice), 2) AS rev_o
+        FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
+      SELECT coalesce(f.ck, o.ck) AS custkey,
+             coalesce(n_f, 0) AS n_f, coalesce(rev_f, 0.0) AS rev_f,
+             coalesce(n_o, 0) AS n_o, coalesce(rev_o, 0.0) AS rev_o
+      FROM f FULL OUTER JOIN o ON f.ck = o.ck
+      ORDER BY custkey""",
     "q_udaf_weighted" -> """
       SELECT l_returnflag,
              round(sum((l_extendedprice / l_quantity) * l_quantity)
@@ -2712,6 +2884,43 @@ object SparkEntry {
              round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2)
                AS "R"
       FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q_unpivot" -> """
+      SELECT l_orderkey, l_linenumber, measure, round(val, 2) AS val FROM (
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+               l_quantity AS val FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+      ORDER BY l_orderkey, l_linenumber, measure""",
+    "q_heavy_hitters" -> """
+      WITH tok AS (
+        SELECT unnest(list_filter(string_split_regex(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+          x -> x <> '')) AS item
+        FROM documents),
+      t AS (SELECT count(*) AS n FROM tok),
+      c AS (SELECT item, count(*) AS cnt FROM tok GROUP BY item)
+      SELECT c.item, c.cnt, t.n FROM c, t WHERE c.cnt * 40 > t.n
+      ORDER BY c.cnt DESC, c.item""",
+    "q_histogram" -> """
+      WITH c AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem),
+      mm AS (SELECT min(cents) AS lo, max(cents) AS hi FROM c)
+      SELECT (cents - lo) * 20 // (hi - lo + 1) AS bucket,
+             count(*) AS cnt, min(cents) AS min_cents,
+             max(cents) AS max_cents
+      FROM c, mm GROUP BY 1 ORDER BY bucket""",
+    "q_corr" -> """
+      SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+             round(corr(l_quantity, l_discount), 6) AS corr_qty_disc,
+             round(corr(l_extendedprice, l_tax), 6) AS corr_price_tax,
+             round(covar_samp(l_quantity, l_extendedprice), 2)
+               AS covar_qty_price,
+             round(covar_samp(l_discount, l_tax), 8) AS covar_disc_tax
+      FROM lineitem""",
     "q_explode_tokens" -> """
       SELECT tok, count(*) AS n FROM (
         SELECT unnest(list_filter(string_split_regex(
@@ -2858,6 +3067,11 @@ object SparkEntry {
     "q_stream_dedup" -> """
       SELECT DISTINCT user_id, event_type FROM events
       ORDER BY user_id, event_type""",
+    "q_stream_enrich" -> """
+      SELECT c_mktsegment, event_type, count(*) AS n,
+             round(sum(value), 4) AS total_value
+      FROM events LEFT JOIN customer ON user_id = c_custkey
+      GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""",
     // the CDC-sourced lake->lake pipeline must land exactly the one-shot
     // batch transform of the source rows
     "q_stream_cdc" -> """
@@ -3567,6 +3781,10 @@ object SparkEntry {
          OR l_orderkey % 3 = 2
       GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_lake_delete" -> """
+      SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem WHERE l_quantity <= 40""",
+    "q_lake_vacuum" -> """
       SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty,
              round(sum(l_extendedprice), 2) AS sum_price
       FROM lineitem WHERE l_quantity <= 40""",

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.FrequentItems
+
+/** Exact heavy hitters over an unbounded-vocabulary item stream — the
+  * corpus-analysis primitive behind stopword discovery, boilerplate n-gram
+  * detection and hot-key profiling (the reference ships no frequency
+  * operator; its `SELECT ... GROUP BY` surface would word-count the whole
+  * vocabulary).
+  *
+  * The naive plan — `groupBy(item).count` then filter by the global total —
+  * shuffles one row per DISTINCT item. On a 100 TB text corpus the n-gram
+  * vocabulary is billions of keys, so the exchange and the final aggregate
+  * pay for the whole dictionary to read off a few hundred frequent items.
+  * This operator is the classic two-pass sketch-then-verify instead:
+  *
+  *  1. ONE pass builds a mergeable Misra–Gries summary ([[FrequentItems]],
+  *     k = 2·denom counters): a partial aggregate per partition, a shuffle
+  *     of O(partitions × k) rows, and the n/(k+1) < threshold/2 error bound
+  *     guarantees every item with f > n/denom is among the ≤ k candidates.
+  *     The same aggregate row carries the exact global item count n.
+  *  2. A second pass re-counts ONLY the candidates exactly: the ≤ k items
+  *     broadcast into an `isin` filter that prunes at the scan, so the
+  *     groupBy shuffles at most k distinct keys.
+  *
+  * The output is therefore EXACT and deterministic — `{(item, f) : f·denom
+  * > n}` — even though pass 1's extra light candidates are partition-order
+  * dependent; they are filtered by the exact recount. Cost: two scans of
+  * the item stream (at scale, persist the tokenized column or accept the
+  * re-tokenize; both beat a vocabulary-wide shuffle).
+  */
+object HeavyHitters {
+
+  /** Items with exact frequency strictly above n/denom, as
+    * (item, cnt, n) rows. `items` must be a single-column DataFrame (one
+    * row per item occurrence); re-evaluating it must be deterministic
+    * (both passes read it). */
+  def exactHeavy(items: DataFrame, denom: Int): DataFrame = {
+    require(denom >= 2, s"denom must be >= 2, got $denom")
+    FrequentItems.register(items.sparkSession)
+    val itemCol = items.columns.head
+    // pass 1: sketch + global count in ONE aggregate (one scan); the
+    // result is a single row of ≤ 2·denom candidates — metadata-priced
+    val row = items.agg(
+      FrequentItems.sketch(col(itemCol), lit(2 * denom)).as("sk"),
+      count(col(itemCol)).as("n")).head() // non-null occurrences only
+    val n = row.getAs[Long]("n")
+    val candidates: Seq[Any] =
+      row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("sk")
+        .map(_.get(0)).toSeq
+    if (candidates.isEmpty) {
+      // empty input: no candidates, no heavy hitters
+      return items.limit(0)
+        .select(col(itemCol), lit(0L).as("cnt"), lit(0L).as("n"))
+    }
+    // pass 2: exact recount of the candidate set only — the isin literal
+    // list pushes into the scan, the shuffle carries ≤ 2·denom keys
+    items.filter(col(itemCol).isin(candidates: _*))
+      .groupBy(itemCol)
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * denom > n) // integer-exact threshold
+      .withColumn("n", lit(n))
+  }
+
+  /** Convenience: heavy hitters over an expression of `df`. */
+  def exactHeavy(df: DataFrame, item: Column, denom: Int): DataFrame =
+    exactHeavy(df.select(item.as("item")), denom)
+}
