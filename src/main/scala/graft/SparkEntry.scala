@@ -1247,6 +1247,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(avg("k"), 6).as("avg_k"))
         .orderBy("event_type")),
 
+    // Strictly-ordered behavioral funnel (view → click → purchase): each
+    // stage is "first qualifying event AFTER the previous stage's time",
+    // not mere event existence. Every stage aggregates and joins on
+    // user_id, so one hash partitioning carries the whole chain (the
+    // later joins reuse the earlier stages' exchanges) and each stage's
+    // input is pre-filtered to its own event type before any shuffle.
+    // Counts are integers — exact across engines.
+    "q_funnel" -> ((s, d) => {
+      val ev = t(s, d, "events").select("user_id", "event_type", "ts")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("t_click"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      v.agg(count(lit(1)).as("n")).withColumn("stage", lit("1_view"))
+        .unionByName(
+          c.agg(count(lit(1)).as("n")).withColumn("stage", lit("2_click")))
+        .unionByName(
+          p.agg(count(lit(1)).as("n")).withColumn("stage", lit("3_purchase")))
+        .select("stage", "n").orderBy("stage")
+    }),
+
     // ---- LLM-data-pipeline: text analysis --------------------------------
     "q_text_stats" -> ((s, d) =>
       docsSpread(s, d).select(
@@ -3125,6 +3152,22 @@ object SparkEntry {
              round(avg(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)), 6)
                AS avg_k
       FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_funnel" -> """
+      WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+      p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+      SELECT '1_view' AS stage, count(*) AS n FROM v
+      UNION ALL SELECT '2_click', count(*) FROM c
+      UNION ALL SELECT '3_purchase', count(*) FROM p
+      ORDER BY stage""",
     "q_text_stats" -> """
       SELECT doc_id,
              len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))

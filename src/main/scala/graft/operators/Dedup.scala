@@ -817,8 +817,12 @@ object Dedup {
     * O(graph diameter / log) and dedup similarity graphs are shallow
     * (dup clusters are near-cliques), so 3-8 rounds settle; each round is
     * ONE groupBy over the (undirected) edge list — no driver-side graph.
-    * Convergence is checked with a cheap changed-count aggregate; `maxIter`
-    * bounds the worst case.
+    * Convergence: labels are node ids and every step (neighborhood min,
+    * pointer doubling) is non-increasing per node, so the label SUM is a
+    * strictly-decreasing monotone until the fixpoint — one scalar
+    * aggregate per round detects convergence, no join-and-count pass
+    * (decimal(38,0) so a 10⁹-node × 2⁶³-id sum cannot overflow).
+    * `maxIter` bounds the worst case.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     // undirected neighbor list as (node, neighbor), plus self-loops so
@@ -831,11 +835,22 @@ object Dedup {
       .distinct()
       .withColumn("component", col("id"))
       .persist()
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("component").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s // empty graph
+    }
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       iter += 1
-      // neighborhood minimum: min(own label, min of neighbors' labels)
+      // neighborhood minimum: min(own label, min of neighbors' labels).
+      // localCheckpoint BEFORE the pointer-doubling self-join: both join
+      // sides read this subtree, and differently-aliased projections
+      // defeat exchange reuse — without materializing it the whole
+      // edge-join + groupBy would run twice per round (the round-5
+      // candidate-self-join lesson, PLANS.md)
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "v"), Seq("v"))
         .groupBy(col("u").as("id"))
@@ -843,6 +858,7 @@ object Dedup {
         .join(labels, Seq("id"))
         .select(col("id"),
           least(col("component"), col("nbr_min")).as("component"))
+        .localCheckpoint()
       // pointer doubling: adopt the label OF the label — turns O(diameter)
       // propagation into O(log n) rounds (labels always reference real nodes)
       // localCheckpoint (not persist): truncates the lineage, so round N's
@@ -855,12 +871,12 @@ object Dedup {
         .select(col("x.id").as("id"),
           coalesce(col("y.lcomp"), col("x.component")).as("component"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("component", "old"),
-          Seq("id"))
-        .filter(col("component") =!= col("old")).count()
+      // monotone fixpoint test: unchanged sum ⇔ no label moved this round
+      val newSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
     }
     edges.unpersist()
     labels
