@@ -17,6 +17,19 @@ object Bench {
       try graft.sources.Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => }
     }
+    // codec warmup, same rationale: the multimodal queries run the JDK
+    // ImageIO PNG codec inside executor tasks, and its one-time plugin
+    // scan + class-load + JIT cost bills to whichever multimodal query
+    // the map happens to order first (observed as an 8× swing on
+    // q_multimodal_video purely from query-map reordering). One tiny
+    // encode+decode job pays it before anything is timed.
+    // 512 images: tiered JIT needs real iteration volume before the
+    // per-pixel encode/decode loops reach C2 — 64 left several seconds of
+    // compilation still billed to the first timed multimodal query
+    try graft.operators.Multimodal.decodeImage(
+      graft.operators.Multimodal.pixelCorpus(
+        spark.range(0, 512).toDF("doc_id"))).count()
+    catch { case _: Throwable => }
     // min of N runs (default 2): one-off host-load spikes and JIT warmup
     // otherwise masquerade as query cost — the min is the reproducible time
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt

@@ -83,6 +83,36 @@ class HeavyHittersSpec extends SparkSpec {
     assert(hh == Map("hot" -> 30L))
   }
 
+  test("grouped sketch: per-group candidates respect the per-group bound") {
+    // graft_mg composes under groupBy like any aggregate — partial
+    // sketches merge per GROUP, so the guarantee holds with each group's
+    // own n. Two groups with different vocabularies and sizes.
+    FrequentItems.register(spark)
+    val k = 10
+    val data =
+      zipf(vocab = 400, m = 300).map(("g1", _)) ++
+        zipf(vocab = 50, m = 80).map { w => ("g2", w + "_b") }
+    val df = new scala.util.Random(11).shuffle(data)
+      .toDF("g", "item").repartition(6)
+    val got = df.groupBy("g")
+      .agg(FrequentItems.sketch(col("item"), lit(k)).as("sk"))
+      .selectExpr("g", "inline(sk)")
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    data.groupBy(_._1).foreach { case (g, rows) =>
+      val n = rows.length.toLong
+      val exact = rows.groupBy(_._2).view.mapValues(_.length.toLong)
+      val sk = got(g)
+      assert(sk.size <= k)
+      exact.foreach { case (w, f) =>
+        if (f > n / (k + 1)) assert(sk.contains(w), s"$g/$w f=$f missing")
+        sk.get(w).foreach { est =>
+          assert(est <= f && f - est <= n / (k + 1), s"$g/$w est=$est f=$f")
+        }
+      }
+    }
+  }
+
   test("sketch output is est-descending and capped at k") {
     FrequentItems.register(spark)
     val df = zipf(vocab = 300, m = 200).toDF("item").repartition(3)
