@@ -25,7 +25,10 @@ object SparkEntry {
     * delta PER SHUFFLE PARTITION (fsync'd), so a stateful query's fixed
     * cost is partitions × batches × stores regardless of data volume —
     * size the conf to the stream's key cardinality, not the session
-    * default. The streaming gate queries pin 8 for the test corpus (a
+    * default. The streaming gate queries pin 4 for the test corpus —
+    * measured: 8 → 4 cuts the stateful queries ~30% at sf0.1 purely in
+    * state-store delta commits, and the corpus key cardinalities (≤ 1.5k
+    * users, hundreds of agg groups) nowhere near saturate 4 stores (a
     * production deployment sizes this to executor count); restored after.
     */
   private def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
@@ -1570,7 +1573,7 @@ object SparkEntry {
     // incremental state machine, the update-mode delta emission AND the
     // idempotent merge, end-to-end. At scale the same code tails a Kafka/file
     // stream; state is partitioned by group key across executors.
-    "q_stream_hourly" -> ((s, d) => withShufflePartitions(s, 8) {
+    "q_stream_hourly" -> ((s, d) => withShufflePartitions(s, 4) {
       import graft.lake.{LakeLog, LakeTable}
       import graft.streaming.Streams
       val ev = t(s, d, "events").select("ts", "event_id", "event_type", "value")
@@ -1619,7 +1622,7 @@ object SparkEntry {
     // sessionization minus each user's final session, on the same
     // millisecond gap rule the operator uses. Every emitted session's
     // count, sum, start and end hash-match.
-    "q_stream_sessions" -> ((s, d) => withShufflePartitions(s, 8) {
+    "q_stream_sessions" -> ((s, d) => withShufflePartitions(s, 4) {
       import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
       import scala.jdk.CollectionConverters._
       val ev = t(s, d, "events")
@@ -1655,7 +1658,7 @@ object SparkEntry {
     // are output — which copy of a duplicate survives is the one
     // within-batch nondeterminism the operator legitimately has — so the
     // emitted set must equal DuckDB's DISTINCT.
-    "q_stream_dedup" -> ((s, d) => withShufflePartitions(s, 8) {
+    "q_stream_dedup" -> ((s, d) => withShufflePartitions(s, 4) {
       import org.apache.spark.sql.streaming.Trigger
       val ev = t(s, d, "events")
         .select(col("ts"), col("event_id"), col("user_id"),
@@ -1684,7 +1687,7 @@ object SparkEntry {
     // never shuffles and the dim is re-resolved per batch (at scale that is
     // what picks up dim-table updates between batches). The batch output
     // must equal DuckDB's one-shot LEFT JOIN of the same tables.
-    "q_stream_enrich" -> ((s, d) => withShufflePartitions(s, 8) {
+    "q_stream_enrich" -> ((s, d) => withShufflePartitions(s, 4) {
       import org.apache.spark.sql.streaming.Trigger
       val ev = t(s, d, "events")
         .select(col("ts"), col("event_id"), col("user_id"),
@@ -1720,7 +1723,7 @@ object SparkEntry {
     // which DuckDB recomputes from lineitem directly — covering the custom
     // source's offset/replay semantics, the transform and the idempotent
     // sink in one hash.
-    "q_stream_cdc" -> ((s, d) => withShufflePartitions(s, 8) {
+    "q_stream_cdc" -> ((s, d) => withShufflePartitions(s, 4) {
       import graft.lake.{LakeLog, LakeTable}
       val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftcdc"))
       val li = t(s, d, "lineitem")
@@ -1754,7 +1757,7 @@ object SparkEntry {
     // join exactly, which DuckDB recomputes. (Watermark EVICTION semantics
     // — the part that needs late data — is spec-tested in StreamsSpec;
     // here the oracle pins join completeness and the interval arithmetic.)
-    "q_stream_join" -> ((s, d) => withShufflePartitions(s, 8) {
+    "q_stream_join" -> ((s, d) => withShufflePartitions(s, 4) {
       import org.apache.spark.sql.streaming.Trigger
       val ev = t(s, d, "events")
         .select(col("ts"), col("event_id"), col("user_id"),
@@ -1790,7 +1793,7 @@ object SparkEntry {
     // pairs, plus null rows exactly for unmatched views old enough that
     // no future click could still pair with them. DuckDB recomputes the
     // final watermark and that cutoff from the same rows.
-    "q_stream_join_outer" -> ((s, d) => withShufflePartitions(s, 8) {
+    "q_stream_join_outer" -> ((s, d) => withShufflePartitions(s, 4) {
       import org.apache.spark.sql.streaming.Trigger
       val ev = t(s, d, "events")
         .select(col("ts"), col("event_id"), col("user_id"),
