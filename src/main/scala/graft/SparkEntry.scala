@@ -1145,6 +1145,17 @@ object SparkEntry {
       graft.operators.HeavyHitters.exactHeavy(toks, denom = 40)
         .orderBy(col("cnt").desc, col("item"))
     }),
+    "q_heavy_hitters_grouped" -> ((s, d) => {
+      // the grouped face: per-LANGUAGE frequent tokens, each language's
+      // threshold its own n_lang/40. Pass 1 is one groupBy(lang) sketch
+      // aggregate (≤ 80 counters per group cross the exchange); the
+      // candidate (lang, item) pairs broadcast back to prune pass 2.
+      val toks = docsSpread(s, d).select(col("lang"),
+        explode(tokens(normalizeText(col("text")))).as("item"))
+      graft.operators.HeavyHitters
+        .exactHeavyPerGroup(toks, "lang", "item", denom = 40)
+        .orderBy(col("lang"), col("cnt").desc, col("item"))
+    }),
 
     // ---- data profiling (one-pass column statistics) ---------------------
     // Shannon character entropy — the information-density quality signal
@@ -2934,6 +2945,17 @@ object SparkEntry {
       c AS (SELECT item, count(*) AS cnt FROM tok GROUP BY item)
       SELECT c.item, c.cnt, t.n FROM c, t WHERE c.cnt * 40 > t.n
       ORDER BY c.cnt DESC, c.item""",
+    "q_heavy_hitters_grouped" -> """
+      WITH tok AS (
+        SELECT lang, unnest(list_filter(string_split_regex(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+          x -> x <> '')) AS item
+        FROM documents),
+      t AS (SELECT lang, count(*) AS n FROM tok GROUP BY 1),
+      c AS (SELECT lang, item, count(*) AS cnt FROM tok GROUP BY 1, 2)
+      SELECT c.lang, c.item, c.cnt, t.n
+      FROM c JOIN t USING (lang) WHERE c.cnt * 40 > t.n
+      ORDER BY c.lang, c.cnt DESC, c.item""",
     "q_histogram" -> """
       WITH c AS (
         SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents

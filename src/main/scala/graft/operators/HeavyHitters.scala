@@ -68,4 +68,50 @@ object HeavyHitters {
   /** Convenience: heavy hitters over an expression of `df`. */
   def exactHeavy(df: DataFrame, item: Column, denom: Int): DataFrame =
     exactHeavy(df.select(item.as("item")), denom)
+
+  /** Per-group exact heavy hitters: items with frequency > n_g/denom
+    * WITHIN each group g, as (group, item, cnt, n) rows.
+    *
+    * Same two passes, grouped: pass 1 is `groupBy(group).agg(graft_mg)` —
+    * the sketch is a real aggregate, so it partial-merges per group like
+    * any built-in and the exchange carries ≤ k counters per (partition,
+    * group), never a vocabulary. The ≤ groups × k candidate (group, item)
+    * pairs collect to the driver (metadata-priced for the few-hundred-
+    * group case this targets — per-language/per-source corpus analysis),
+    * broadcast back as an inner join that prunes pass 2's recount before
+    * its shuffle. Group totals ride the same pass-1 aggregate row.
+    */
+  def exactHeavyPerGroup(df: DataFrame, groupCol: String, itemCol: String,
+                         denom: Int): DataFrame = {
+    require(denom >= 2, s"denom must be >= 2, got $denom")
+    val spark = df.sparkSession
+    FrequentItems.register(spark)
+    val sketches = df.groupBy(groupCol)
+      .agg(FrequentItems.sketch(col(itemCol), lit(2 * denom)).as("sk"),
+        count(col(itemCol)).as("n"))
+      .collect()
+    if (sketches.isEmpty)
+      return df.limit(0).select(col(groupCol), col(itemCol),
+        lit(0L).as("cnt"), lit(0L).as("n"))
+    import scala.jdk.CollectionConverters._
+    val candRows: java.util.List[org.apache.spark.sql.Row] =
+      sketches.flatMap { r =>
+        val g = r.get(0)
+        r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("sk")
+          .map(c => org.apache.spark.sql.Row(g, c.get(0)))
+      }.toList.asJava
+    val gi = df.select(groupCol, itemCol).schema
+    val cand = spark.createDataFrame(candRows, gi)
+    val totals = spark.createDataFrame(
+      sketches.map(r => org.apache.spark.sql.Row(r.get(0),
+        r.getAs[Long]("n"))).toList.asJava,
+      org.apache.spark.sql.types.StructType(Seq(gi.head,
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    df.join(broadcast(cand), Seq(groupCol, itemCol))
+      .groupBy(groupCol, itemCol)
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), Seq(groupCol))
+      .filter(col("cnt") * denom > col("n"))
+  }
 }

@@ -113,6 +113,24 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("exactHeavyPerGroup matches per-group naive on real testdata") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import graft.functions.TextFunctions._
+    val toks = docs.select(col("lang"),
+      explode(tokens(normalizeText(col("text")))).as("item"))
+    val got = HeavyHitters.exactHeavyPerGroup(toks, "lang", "item", 40)
+      .select("lang", "item", "cnt").as[(String, String, Long)]
+      .collect().toSet
+    val totals = toks.groupBy("lang").agg(count(lit(1)).as("n"))
+    val want = toks.groupBy("lang", "item").agg(count(lit(1)).as("cnt"))
+      .join(totals, Seq("lang"))
+      .filter(col("cnt") * 40 > col("n"))
+      .select("lang", "item", "cnt").as[(String, String, Long)]
+      .collect().toSet
+    assert(got == want)
+    assert(got.map(_._1).size > 1, "expected multiple language groups")
+  }
+
   test("sketch output is est-descending and capped at k") {
     FrequentItems.register(spark)
     val df = zipf(vocab = 300, m = 200).toDF("item").repartition(3)
