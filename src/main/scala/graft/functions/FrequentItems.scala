@@ -105,22 +105,24 @@ case class MisraGries(
     }
   }
 
-  private def add(buf: java.util.HashMap[UnsafeRow, Long],
-                  key: UnsafeRow, by: Long): Unit = {
-    val cur = buf.get(key)
-    if (cur != 0L || buf.containsKey(key)) buf.put(key, cur + by)
-    else {
-      buf.put(key, by)
-      if (buf.size() > 2 * k) compress(buf)
-    }
-  }
-
   override def update(buf: java.util.HashMap[UnsafeRow, Long],
                       input: InternalRow): java.util.HashMap[UnsafeRow, Long] = {
     val v = child.eval(input)
     if (v != null) {
       keyRow.update(0, v)
-      add(buf, toUnsafe(keyRow).copy(), 1L)
+      // probe with the projection's REUSED buffer row (UnsafeRow equality
+      // and hashCode are byte-based, so the transient view is a valid
+      // lookup key, and HashMap.put on an existing key keeps the stored
+      // key object); copy the bytes only on FIRST insertion — on a
+      // skewed stream most updates hit existing counters, and this is
+      // the once-per-token hot path
+      val probe = toUnsafe(keyRow)
+      val cur = buf.get(probe)
+      if (cur != 0L || buf.containsKey(probe)) buf.put(probe, cur + 1L)
+      else {
+        buf.put(probe.copy(), 1L)
+        if (buf.size() > 2 * k) compress(buf)
+      }
     }
     buf
   }

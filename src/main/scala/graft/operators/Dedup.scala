@@ -840,17 +840,26 @@ object Dedup {
         .getDecimal(0)
       if (s == null) java.math.BigDecimal.ZERO else s // empty graph
     }
+    // a localCheckpoint'd DF is NOT freed by Dataset.unpersist (its blocks
+    // bypass the cache manager) — extract the materialized RDD so each
+    // round can free the previous round's blocks deterministically instead
+    // of letting up to maxIter copies of the label table pile up until GC
+    def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+        case _ => None
+      }
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       iter += 1
-      // neighborhood minimum: min(own label, min of neighbors' labels).
-      // localCheckpoint BEFORE the pointer-doubling self-join: both join
-      // sides read this subtree, and differently-aliased projections
-      // defeat exchange reuse — without materializing it the whole
-      // edge-join + groupBy would run twice per round (the round-5
-      // candidate-self-join lesson, PLANS.md)
+      // neighborhood minimum, materialized BEFORE the pointer-doubling
+      // self-join: both join sides read this subtree, and differently-
+      // aliased projections defeat exchange reuse — without a persist the
+      // whole edge-join + groupBy would run twice per round (the round-5
+      // candidate-self-join lesson, PLANS.md). persist (not checkpoint):
+      // it frees deterministically at end of round.
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "v"), Seq("v"))
         .groupBy(col("u").as("id"))
@@ -858,7 +867,7 @@ object Dedup {
         .join(labels, Seq("id"))
         .select(col("id"),
           least(col("component"), col("nbr_min")).as("component"))
-        .localCheckpoint()
+        .persist()
       // pointer doubling: adopt the label OF the label — turns O(diameter)
       // propagation into O(log n) rounds (labels always reference real nodes)
       // localCheckpoint (not persist): truncates the lineage, so round N's
@@ -870,10 +879,12 @@ object Dedup {
           col("x.component") === col("y.lid"), "left")
         .select(col("x.id").as("id"),
           coalesce(col("y.lcomp"), col("x.component")).as("component"))
-        .localCheckpoint()
+        .localCheckpoint() // eager — next is materialized after this line
       // monotone fixpoint test: unchanged sum ⇔ no label moved this round
       val newSum = labelSum(next)
-      labels.unpersist()
+      nbrMin.unpersist()
+      checkpointRdd(labels).foreach(_.unpersist(blocking = false))
+      labels.unpersist() // no-op for checkpointed rounds, frees round 0
       labels = next
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum

@@ -42,27 +42,34 @@ object HeavyHitters {
     require(denom >= 2, s"denom must be >= 2, got $denom")
     FrequentItems.register(items.sparkSession)
     val itemCol = items.columns.head
+    // "cnt"/"n" are the operator's output columns — an input column with
+    // either name would silently collide (all internal work happens on a
+    // reserved alias, but the OUTPUT would carry duplicate names)
+    require(itemCol != "cnt" && itemCol != "n",
+      s"item column '$itemCol' collides with the output columns cnt/n — rename it")
+    val its = items.select(col(itemCol).as("__hh_item"))
     // pass 1: sketch + global count in ONE aggregate (one scan); the
     // result is a single row of ≤ 2·denom candidates — metadata-priced
-    val row = items.agg(
-      FrequentItems.sketch(col(itemCol), lit(2 * denom)).as("sk"),
-      count(col(itemCol)).as("n")).head() // non-null occurrences only
+    val row = its.agg(
+      FrequentItems.sketch(col("__hh_item"), lit(2 * denom)).as("sk"),
+      count(col("__hh_item")).as("n")).head() // non-null occurrences only
     val n = row.getAs[Long]("n")
     val candidates: Seq[Any] =
       row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("sk")
         .map(_.get(0)).toSeq
     if (candidates.isEmpty) {
       // empty input: no candidates, no heavy hitters
-      return items.limit(0)
-        .select(col(itemCol), lit(0L).as("cnt"), lit(0L).as("n"))
+      return its.limit(0)
+        .select(col("__hh_item").as(itemCol), lit(0L).as("cnt"),
+          lit(0L).as("n"))
     }
     // pass 2: exact recount of the candidate set only — the isin literal
     // list pushes into the scan, the shuffle carries ≤ 2·denom keys
-    items.filter(col(itemCol).isin(candidates: _*))
-      .groupBy(itemCol)
+    its.filter(col("__hh_item").isin(candidates: _*))
+      .groupBy("__hh_item")
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * denom > n) // integer-exact threshold
-      .withColumn("n", lit(n))
+      .select(col("__hh_item").as(itemCol), col("cnt"), lit(n).as("n"))
   }
 
   /** Convenience: heavy hitters over an expression of `df`. */
@@ -84,15 +91,20 @@ object HeavyHitters {
   def exactHeavyPerGroup(df: DataFrame, groupCol: String, itemCol: String,
                          denom: Int): DataFrame = {
     require(denom >= 2, s"denom must be >= 2, got $denom")
+    require(groupCol != "cnt" && groupCol != "n" &&
+      itemCol != "cnt" && itemCol != "n",
+      s"'$groupCol'/'$itemCol' collide with the output columns cnt/n — rename")
     val spark = df.sparkSession
     FrequentItems.register(spark)
-    val sketches = df.groupBy(groupCol)
-      .agg(FrequentItems.sketch(col(itemCol), lit(2 * denom)).as("sk"),
-        count(col(itemCol)).as("n"))
+    // reserved aliases: the caller's names come back only on the output
+    val d2 = df.select(col(groupCol).as("__hh_g"), col(itemCol).as("__hh_item"))
+    val sketches = d2.groupBy("__hh_g")
+      .agg(FrequentItems.sketch(col("__hh_item"), lit(2 * denom)).as("sk"),
+        count(col("__hh_item")).as("n"))
       .collect()
     if (sketches.isEmpty)
-      return df.limit(0).select(col(groupCol), col(itemCol),
-        lit(0L).as("cnt"), lit(0L).as("n"))
+      return d2.limit(0).select(col("__hh_g").as(groupCol),
+        col("__hh_item").as(itemCol), lit(0L).as("cnt"), lit(0L).as("n"))
     import scala.jdk.CollectionConverters._
     val candRows: java.util.List[org.apache.spark.sql.Row] =
       sketches.flatMap { r =>
@@ -100,7 +112,7 @@ object HeavyHitters {
         r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("sk")
           .map(c => org.apache.spark.sql.Row(g, c.get(0)))
       }.toList.asJava
-    val gi = df.select(groupCol, itemCol).schema
+    val gi = d2.schema
     val cand = spark.createDataFrame(candRows, gi)
     val totals = spark.createDataFrame(
       sketches.map(r => org.apache.spark.sql.Row(r.get(0),
@@ -108,10 +120,12 @@ object HeavyHitters {
       org.apache.spark.sql.types.StructType(Seq(gi.head,
         org.apache.spark.sql.types.StructField("n",
           org.apache.spark.sql.types.LongType, nullable = false))))
-    df.join(broadcast(cand), Seq(groupCol, itemCol))
-      .groupBy(groupCol, itemCol)
+    d2.join(broadcast(cand), Seq("__hh_g", "__hh_item"))
+      .groupBy("__hh_g", "__hh_item")
       .agg(count(lit(1)).as("cnt"))
-      .join(broadcast(totals), Seq(groupCol))
+      .join(broadcast(totals), Seq("__hh_g"))
       .filter(col("cnt") * denom > col("n"))
+      .select(col("__hh_g").as(groupCol), col("__hh_item").as(itemCol),
+        col("cnt"), col("n"))
   }
 }
