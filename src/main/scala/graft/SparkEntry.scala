@@ -1288,6 +1288,29 @@ object SparkEntry {
         .select("stage", "n").orderBy("stage")
     }),
 
+    // Cohort retention: users bucketed by signup week, counted in each
+    // later activity week (the week-offset matrix growth teams read).
+    // Cohorts and activity both aggregate on user_id first — the corpus
+    // shuffles once per side, the join is cohort-sized, and every output
+    // value is an integer count over Monday-truncated weeks (both engines
+    // truncate ISO weeks to Monday, offsets are exact multiples of 7 days).
+    "q_retention" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val cohorts = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(date_trunc("week", min("ts")).as("cweek"))
+      val activity = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("aweek"))
+        .distinct()
+      cohorts.join(activity, Seq("user_id"))
+        .filter(col("aweek") >= col("cweek"))
+        .withColumn("week_offset",
+          (datediff(col("aweek"), col("cweek")) / 7).cast("long"))
+        .groupBy("cweek", "week_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cweek", "week_offset")
+    }),
+
     // ---- LLM-data-pipeline: text analysis --------------------------------
     "q_text_stats" -> ((s, d) =>
       docsSpread(s, d).select(
@@ -3193,6 +3216,19 @@ object SparkEntry {
       UNION ALL SELECT '2_click', count(*) FROM c
       UNION ALL SELECT '3_purchase', count(*) FROM p
       ORDER BY stage""",
+    "q_retention" -> """
+      WITH s AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cweek FROM events
+        WHERE event_type = 'signup' GROUP BY 1),
+      a AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS aweek
+        FROM events)
+      SELECT s.cweek,
+             date_diff('day', s.cweek, a.aweek) // 7 AS week_offset,
+             count(DISTINCT s.user_id) AS n_users
+      FROM s JOIN a USING (user_id)
+      WHERE a.aweek >= s.cweek
+      GROUP BY 1, 2 ORDER BY cweek, week_offset""",
     "q_text_stats" -> """
       SELECT doc_id,
              len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
