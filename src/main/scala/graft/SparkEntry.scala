@@ -2136,6 +2136,80 @@ object SparkEntry {
         round(sum("l_extendedprice"), 2).as("sum_price"))
     }),
 
+    // Metadata-only aggregates: COUNT(*) / COUNT(c) / MIN / MAX answered
+    // ENTIRELY from the log's per-file footer stats (StatsAgg) — the
+    // Delta/Iceberg "select count(*) without touching data" trick. The
+    // in-query require makes the zero-I/O claim physical: every data file
+    // is DELETED from disk before the aggregate runs, so the numbers can
+    // only have come from metadata; DuckDB recomputes them from the
+    // original source. COUNT(c) additionally exercises the footer
+    // null-count stats via an injected 10%-null quantity column.
+    "q_lake_stats_agg" -> ((s, d) => {
+      import graft.lake.{LakeLog, LakeTable, StatsAgg}
+      val log = new LakeLog(
+        java.nio.file.Files.createTempDirectory("graftstats"))
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"),
+          when(col("l_linenumber") % 10 === 0, lit(null))
+            .otherwise(col("l_quantity")).as("l_quantity"),
+          col("l_extendedprice"))
+      LakeTable.createTable(log, "li", li.schema)
+      LakeTable.insert(s, log, "li", li, numFiles = 4)
+      log.snapshot("li").files.foreach(f =>
+        java.nio.file.Files.delete(java.nio.file.Paths.get(f.path)))
+      val res = StatsAgg.fromStats(s, log.snapshot("li"),
+        Seq("l_orderkey", "l_quantity", "l_extendedprice")).getOrElse(
+        throw new IllegalStateException(
+          "stats-only aggregate fell back — footer stats incomplete"))
+      res.select(col("n_rows"), col("cnt_l_quantity").as("cnt_qty"),
+        col("min_l_orderkey").as("min_ok"), col("max_l_orderkey").as("max_ok"),
+        col("min_l_quantity").as("min_qty"), col("max_l_quantity").as("max_qty"),
+        col("min_l_extendedprice").as("min_price"),
+        col("max_l_extendedprice").as("max_price"))
+    }),
+
+    // SHALLOW CLONE: version 1 of the clone re-adds the source snapshot's
+    // files by path — zero bytes copied (the require pins that every clone
+    // file IS a source file). The tables then diverge: an extra slice
+    // lands only in the clone, a DELETE hits only the source — and the
+    // clone's hash must equal DuckDB's recomputation of (full source +
+    // extra slice), proving both the sharing and the independence.
+    "q_lake_clone" -> ((s, d) => {
+      import graft.lake.{LakeLog, LakeTable}
+      val log = new LakeLog(
+        java.nio.file.Files.createTempDirectory("graftclone"))
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      LakeTable.createTable(log, "li", li.schema)
+      LakeTable.insert(s, log, "li", li, numFiles = 4)
+      val srcFiles = log.snapshot("li").files.map(_.path).toSet
+      LakeTable.cloneTable(log, "li", "li_clone")
+      require(log.snapshot("li_clone").files.map(_.path).toSet == srcFiles,
+        "clone staged new data files — not zero-copy")
+      LakeTable.insert(s, log, "li_clone",
+        li.filter(col("l_orderkey") % 5 === 0), txnId = "extra")
+      LakeTable.deleteWhere(s, log, "li", "l_quantity > 25")
+      LakeTable.read(s, log, "li_clone").agg(
+        count(lit(1)).as("n_rows"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+    }),
+
+    // Inverted-index keyword search: postings (term, doc_id, tf) persisted
+    // as a term-clustered, bloom-indexed lake table; the conjunctive query
+    // probes only the files its terms can live in (pruning pinned in
+    // InvertedIndexSpec) and DuckDB replays tokenize → postings →
+    // AND-intersection over the raw text.
+    "q_search_index" -> ((s, d) => {
+      import graft.lake.LakeLog
+      import graft.operators.InvertedIndex
+      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftidx"))
+      InvertedIndex.buildIndex(s, log, "idx", t(s, d, "documents"),
+        numFiles = 8)
+      InvertedIndex.searchIndex(s, log, "idx", Seq("spark", "window", "hash"))
+        .orderBy("doc_id")
+    }),
+
     // Incremental materialized-view maintenance, end-to-end under the
     // oracle: two appended slices fold in via INCREMENTAL refreshes, a
     // DELETE forces the full-recompute fallback, then a third slice folds
@@ -2344,6 +2418,18 @@ object SparkEntry {
       Similarity.srpTopK(emb, q, k = 5)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("query_id", "rank")
+    }),
+    // MMR diversified retrieval under the EXACT oracle: DuckDB regenerates
+    // the top-10 candidate sets, the pairwise candidate cosines, and
+    // replays the greedy λ=0.5 selection unrolled three stages deep —
+    // every argmax compares the identical IEEE doubles, ties break by id.
+    "q_ann_mmr" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      graft.operators.Mmr.diversifiedTopK(emb, q, n = 10, k = 3)
+        .withColumn("mmr_score", round(col("mmr_score"), 6))
+        .orderBy("query_id", "mmr_rank")
     }),
     "q_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -3908,6 +3994,41 @@ object SparkEntry {
              round(sum(l_extendedprice), 2) AS sum_price
       FROM lineitem WHERE l_returnflag <> 'R'
       GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // the Spark side answered these from footer stats alone (data files
+    // physically deleted before the aggregate); DuckDB computes them the
+    // honest way from the raw source — equality proves the metadata is an
+    // exact witness, not an approximation
+    "q_lake_stats_agg" -> """
+      SELECT count(*) AS n_rows,
+             count(CASE WHEN l_linenumber % 10 = 0 THEN NULL
+                        ELSE l_quantity END) AS cnt_qty,
+             min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+             min(CASE WHEN l_linenumber % 10 = 0 THEN NULL
+                      ELSE l_quantity END) AS min_qty,
+             max(CASE WHEN l_linenumber % 10 = 0 THEN NULL
+                      ELSE l_quantity END) AS max_qty,
+             min(l_extendedprice) AS min_price,
+             max(l_extendedprice) AS max_price
+      FROM lineitem""",
+    "q_lake_clone" -> """
+      SELECT count(*) AS n_rows,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM (SELECT l_quantity, l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT l_quantity, l_extendedprice FROM lineitem
+            WHERE l_orderkey % 5 = 0)""",
+    "q_search_index" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+          x -> x <> '')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      m AS (SELECT doc_id, count(*) AS n_matched,
+                   CAST(sum(tf) AS BIGINT) AS total_tf
+            FROM tf WHERE term IN ('spark', 'window', 'hash') GROUP BY 1)
+      SELECT doc_id, total_tf FROM m WHERE n_matched = 3 ORDER BY doc_id""",
     "q_quality" -> """
       WITH norm AS (
         SELECT doc_id,
@@ -4448,6 +4569,65 @@ object SparkEntry {
       WHERE list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
                                    CAST(ey.embedding AS DOUBLE[])) >= 0.3
       ORDER BY a_id, b_id""",
+    // q_ann_mmr: replay candidate generation (brute top-10), pairwise
+    // candidate sims, then the greedy MMR selection unrolled k=3 stages —
+    // stage argmaxes ORDER BY the same 0.5*rel - 0.5*maxSim doubles Spark
+    // compares, ties by vec_id
+    "q_ann_mmr" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      cand AS (SELECT query_id, vec_id, rel FROM (
+        SELECT q.query_id, e.vec_id,
+               list_cosine_similarity(e.v, q.qv) AS rel,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id)
+                 AS rn
+        FROM e CROSS JOIN q) WHERE rn <= 10),
+      sims AS (SELECT a.query_id, a.vec_id AS a_id, b.vec_id AS b_id,
+                      list_cosine_similarity(ea.v, eb.v) AS sim
+               FROM cand a
+               JOIN cand b ON a.query_id = b.query_id
+                          AND a.vec_id < b.vec_id
+               JOIN e ea ON ea.vec_id = a.vec_id
+               JOIN e eb ON eb.vec_id = b.vec_id),
+      s1 AS (SELECT query_id, vec_id, 0.5 * rel AS sc FROM (
+        SELECT query_id, vec_id, rel, row_number() OVER (
+          PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
+        FROM cand) WHERE rn = 1),
+      p2 AS (SELECT c.query_id, c.vec_id,
+                    0.5 * c.rel - 0.5 * coalesce(s.sim, 0) AS sc
+             FROM cand c
+             JOIN s1 ON c.query_id = s1.query_id AND c.vec_id <> s1.vec_id
+             LEFT JOIN sims s ON s.query_id = c.query_id
+               AND ((s.a_id = c.vec_id AND s.b_id = s1.vec_id) OR
+                    (s.a_id = s1.vec_id AND s.b_id = c.vec_id))),
+      s2 AS (SELECT query_id, vec_id, sc FROM (
+        SELECT query_id, vec_id, sc, row_number() OVER (
+          PARTITION BY query_id ORDER BY sc DESC, vec_id) AS rn
+        FROM p2) WHERE rn = 1),
+      p3 AS (SELECT c.query_id, c.vec_id,
+                    0.5 * c.rel - 0.5 * greatest(coalesce(x1.sim, 0),
+                                                 coalesce(x2.sim, 0)) AS sc
+             FROM cand c
+             JOIN s1 ON c.query_id = s1.query_id AND c.vec_id <> s1.vec_id
+             JOIN s2 ON c.query_id = s2.query_id AND c.vec_id <> s2.vec_id
+             LEFT JOIN sims x1 ON x1.query_id = c.query_id
+               AND ((x1.a_id = c.vec_id AND x1.b_id = s1.vec_id) OR
+                    (x1.a_id = s1.vec_id AND x1.b_id = c.vec_id))
+             LEFT JOIN sims x2 ON x2.query_id = c.query_id
+               AND ((x2.a_id = c.vec_id AND x2.b_id = s2.vec_id) OR
+                    (x2.a_id = s2.vec_id AND x2.b_id = c.vec_id))),
+      s3 AS (SELECT query_id, vec_id, sc FROM (
+        SELECT query_id, vec_id, sc, row_number() OVER (
+          PARTITION BY query_id ORDER BY sc DESC, vec_id) AS rn
+        FROM p3) WHERE rn = 1),
+      sel AS (
+        SELECT query_id, vec_id, 1 AS mmr_rank, sc FROM s1
+        UNION ALL SELECT query_id, vec_id, 2, sc FROM s2
+        UNION ALL SELECT query_id, vec_id, 3, sc FROM s3)
+      SELECT query_id, vec_id, mmr_rank, round(sc, 6) AS mmr_score
+      FROM sel ORDER BY query_id, mmr_rank""",
     "q_embed_neardup" -> """
       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
              round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -50,11 +50,43 @@ object QueryApi {
     */
   def runLake(spark: SparkSession, log: LakeLog, json: String): DataFrame = {
     val req = parse(json)
-    // readIndexed: the request's filter (parsed to a Catalyst predicate by
-    // QueryEngine) reaches LakeFileIndex, so stat-based file skipping
-    // happens for the structured API too
-    QueryEngine.run(
-      LakeTable.readIndexed(spark, log, req.table_name, req.version),
-      toSimpleQuery(req))
+    // metadata fast path first: an unfiltered, ungrouped COUNT/MIN/MAX
+    // aggregate is answered from the log's footer stats with ZERO data I/O
+    // (the Delta/Iceberg count(*) trick) — at 100 TB this is the
+    // difference between a sub-second API response and a full-table scan.
+    // Identical answers by construction (StatsAgg falls back to None for
+    // any column whose stats aren't exact witnesses).
+    statsFastPath(spark, log, req).getOrElse {
+      // readIndexed: the request's filter (parsed to a Catalyst predicate by
+      // QueryEngine) reaches LakeFileIndex, so stat-based file skipping
+      // happens for the structured API too
+      QueryEngine.run(
+        LakeTable.readIndexed(spark, log, req.table_name, req.version),
+        toSimpleQuery(req))
+    }
+  }
+
+  private def statsFastPath(spark: SparkSession, log: LakeLog,
+                            req: QueryApiRequest): Option[DataFrame] = {
+    if (req.filter.exists(_.trim.nonEmpty) || req.group_by.nonEmpty ||
+        req.projection.nonEmpty || req.aggregates.isEmpty) return None
+    val eligible = req.aggregates.forall(a => a.function.toLowerCase match {
+      case "count" => true
+      case "min" | "max" => a.column != "*"
+      case _ => false
+    })
+    if (!eligible) return None
+    val cols = req.aggregates.filter(_.column != "*").map(_.column).distinct
+    graft.lake.StatsAgg.fromStats(spark,
+        log.snapshot(req.table_name, req.version), cols)
+      .map(stats => stats.select(req.aggregates.map { a =>
+        val src = (a.function.toLowerCase, a.column) match {
+          case ("count", "*") => org.apache.spark.sql.functions.col("n_rows")
+          case ("count", c) => org.apache.spark.sql.functions.col(s"cnt_$c")
+          case ("min", c) => org.apache.spark.sql.functions.col(s"min_$c")
+          case (_, c) => org.apache.spark.sql.functions.col(s"max_$c")
+        }
+        src.as(AggregateSpec(a.function, a.column, a.alias).outputName)
+      }: _*))
   }
 }

@@ -32,9 +32,13 @@ import org.apache.spark.sql.types._
   */
 object FooterStats {
 
-  /** (rowCount, min per column, max per column) for one parquet file. */
+  /** (rowCount, min per column, max per column, null count per column) for
+    * one parquet file. A column gets a null-count entry only when EVERY
+    * chunk recorded `num_nulls` (writers may omit it); min/max rules are
+    * unchanged. */
   def read(hadoopConf: Configuration, file: Path, cols: Seq[StructField],
-           sessionTz: String): (Long, Map[String, String], Map[String, String]) = {
+           sessionTz: String)
+      : (Long, Map[String, String], Map[String, String], Map[String, Long]) = {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new HPath(file.toUri), hadoopConf))
     try {
@@ -42,6 +46,7 @@ object FooterStats {
       val rows = blocks.map(_.getRowCount).sum
       val mins = Map.newBuilder[String, String]
       val maxs = Map.newBuilder[String, String]
+      val nulls = Map.newBuilder[String, Long]
       for (f <- cols) {
         val chunks = blocks.flatMap(
           _.getColumns.asScala.find(_.getPath.toDotString == f.name))
@@ -49,6 +54,8 @@ object FooterStats {
         // usable only when every chunk recorded statistics (all-null chunks
         // count: they record numNulls and contribute no values)
         if (stats.nonEmpty && stats.forall(s => s != null && !s.isEmpty)) {
+          if (stats.forall(_.isNumNullsSet))
+            nulls += f.name -> stats.map(_.getNumNulls).sum
           val withValues = stats.filter(_.hasNonNullValue)
           if (withValues.nonEmpty) {
             val cmp = withValues.head.comparator
@@ -66,7 +73,7 @@ object FooterStats {
           }
         }
       }
-      (rows, mins.result(), maxs.result())
+      (rows, mins.result(), maxs.result(), nulls.result())
     } finally reader.close()
   }
 

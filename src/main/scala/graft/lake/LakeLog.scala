@@ -49,7 +49,16 @@ final case class TableSchema(fields: Seq[Field],
   * treat a missing bloom as "keep". */
 final case class FileStats(min_values: Map[String, String] = Map.empty,
                            max_values: Map[String, String] = Map.empty,
-                           blooms: Option[Seq[String]] = None)
+                           blooms: Option[Seq[String]] = None,
+                           null_counts: Option[Map[String, Long]] = None) {
+  /** Jackson deserializes the erased map's small values as Integer —
+    * normalize through Number (via an erased view: a typed destructure
+    * would specialize the tuple accessor and unbox) so callers always see
+    * Long. */
+  def nullCounts: Map[String, Long] =
+    null_counts.getOrElse(Map.empty).asInstanceOf[Map[String, Any]]
+      .map { case (k, v) => k -> v.asInstanceOf[Number].longValue }
+}
 /** `rewrite = true` marks a file whose rows were re-added by a layout
   * operation (compaction, delete/upsert copy-on-write of surviving rows) —
   * the inverse of Delta's `dataChange`. The CDC feed ([[LakeTable

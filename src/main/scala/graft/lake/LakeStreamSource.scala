@@ -66,14 +66,16 @@ final class LakeTableProvider extends TableProvider with DataSourceRegister {
     val (log, table) = logFor(opts)
     val sch = log.snapshot(table).schema.get
     new LakeStreamTable(opts.get("root"), table, schema, sch.partCols,
-      Option(opts.get("startingVersion")).map(_.toLong).getOrElse(0L))
+      Option(opts.get("startingVersion")).map(_.toLong).getOrElse(0L),
+      Option(opts.get("maxVersionsPerBatch")).map(_.toLong))
   }
 }
 
 private final class LakeStreamTable(root: String, table: String,
                                     tableSchema: StructType,
                                     partCols: Seq[String],
-                                    startingVersion: Long)
+                                    startingVersion: Long,
+                                    maxVersionsPerBatch: Option[Long])
     extends Table with SupportsRead {
 
   override def name(): String = s"graft-lake:$table"
@@ -87,7 +89,7 @@ private final class LakeStreamTable(root: String, table: String,
       override def toMicroBatchStream(checkpointLocation: String)
           : MicroBatchStream =
         new LakeMicroBatchStream(root, table, tableSchema, partCols,
-          startingVersion)
+          startingVersion, maxVersionsPerBatch)
     }
 }
 
@@ -100,8 +102,10 @@ final case class LakeOffset(version: Long) extends Offset {
 private final class LakeMicroBatchStream(root: String, table: String,
                                          schema: StructType,
                                          partCols: Seq[String],
-                                         startingVersion: Long)
-    extends MicroBatchStream {
+                                         startingVersion: Long,
+                                         maxVersionsPerBatch: Option[Long])
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private val log = new LakeLog(java.nio.file.Paths.get(root))
   private val partSchema = StructType(partCols.map(c => schema(c)))
@@ -110,6 +114,25 @@ private final class LakeMicroBatchStream(root: String, table: String,
 
   override def initialOffset(): Offset = LakeOffset(startingVersion)
   override def latestOffset(): Offset = LakeOffset(log.latestVersion(table))
+
+  // Backfill admission control: `maxVersionsPerBatch` caps how many log
+  // versions one micro-batch may consume, so a stream starting at version 0
+  // of a long-lived table catches up in bounded batches (bounded task count
+  // and state-update size per trigger) instead of materializing the whole
+  // history in batch 1. The engine prefers this overload when the source
+  // declares SupportsAdmissionControl; uncapped sources see no change.
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset = {
+    val lo = start.asInstanceOf[LakeOffset].version
+    val latest = log.latestVersion(table)
+    LakeOffset(maxVersionsPerBatch.fold(latest)(m =>
+      math.min(latest, lo + math.max(1L, m))))
+  }
   override def deserializeOffset(json: String): Offset =
     LakeOffset("""\d+""".r.findFirstIn(json).get.toLong)
   override def commit(end: Offset): Unit = ()

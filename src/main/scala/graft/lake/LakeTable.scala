@@ -390,7 +390,8 @@ object LakeTable {
     val dataDir = log.dataDir(table)
     Files.createDirectories(dataDir)
     parts.zipWithIndex.flatMap { case (src, i) =>
-      val (rows, minVals, maxVals) = FooterStats.read(hadoopConf, src, cols, tz)
+      val (rows, minVals, maxVals, nullCounts) =
+        FooterStats.read(hadoopConf, src, cols, tz)
       if (rows == 0L) None
       else {
         val partMap = partition ++ parsePartitionDirs(staged, src)
@@ -399,6 +400,8 @@ object LakeTable {
             s"staged file $src carries no value for partition column $c " +
               "(null partition values are not supported)"))
         val synth = partCols.map(c => c -> partMap(c))
+        // partition values are non-null by construction
+        val synthNulls = partCols.map(c => c -> 0L)
         val fileBlooms = blooms.get(src.toAbsolutePath.toString)
           .filter(_.nonEmpty)
         val dest = dataDir.resolve(
@@ -410,7 +413,8 @@ object LakeTable {
         Some(FileAdd(dest.toString, rows = rows, size = Files.size(dest),
           partition = partMap,
           stats = Some(FileStats(minVals ++ synth, maxVals ++ synth,
-            blooms = fileBlooms.map(_.keys.toSeq.sorted))),
+            blooms = fileBlooms.map(_.keys.toSeq.sorted),
+            null_counts = Some(nullCounts ++ synthNulls))),
           rewrite = rewrite))
       }
     }
@@ -852,6 +856,27 @@ object LakeTable {
     }.get
   }
 
+  /** SHALLOW CLONE: a zero-copy snapshot of `src` at `version` (0 = latest)
+    * as a new independent table — Delta-style. The clone's version-1 entry
+    * re-ADDS the source snapshot's files BY PATH (stats, partitions and
+    * bloom-sidecar references ride along); no data bytes move, so cloning a
+    * 100 TB table is an O(#files) metadata commit. From then on the tables
+    * evolve independently: inserts land in the clone's own data dir, and any
+    * copy-on-write rewrite (DELETE/UPSERT/compaction) un-shares exactly the
+    * files it touches. Caveat shared with Delta shallow clones: `vacuum` on
+    * the SOURCE can delete still-shared files out from under the clone —
+    * clone lifetimes must sit inside the source's retention window, or the
+    * clone must be compacted (un-shared) first.
+    */
+  def cloneTable(log: LakeLog, src: String, dst: String, version: Long = 0L,
+                 txnId: String = UUID.randomUUID().toString): CommitResult = {
+    val snap = log.snapshot(src, version)
+    val sch = snap.schema.getOrElse(
+      throw new LakeValidationException(s"table $src has no schema"))
+    log.createTable(dst, sch)
+    log.commit(dst, baseVersion = 0L, txnId, adds = snap.files)
+  }
+
   final case class VacuumReport(examined: Int, deleted: Int, keptLive: Int)
 
   /** Garbage-collect data files no longer reachable from any RETAINED
@@ -871,9 +896,14 @@ object LakeTable {
     // every file ever added
     val all = log.versions(table)
       .flatMap(v => log.readEntry(table, v).adds.map(_.path)).distinct
+    // ownership guard (Delta-parity): only reclaim files under THIS table's
+    // data dir. A shallow clone's log references the source's files by
+    // path; once the clone rewrites them away they leave its snapshots, but
+    // they are the SOURCE's storage to reclaim, not the clone's.
+    val own = log.dataDir(table).toAbsolutePath.toString + java.io.File.separator
     var deleted = 0
     all.foreach { p =>
-      if (!live.contains(p)) {
+      if (!live.contains(p) && p.startsWith(own)) {
         if (Files.deleteIfExists(java.nio.file.Paths.get(p))) deleted += 1
         // the bloom sidecar shares its data file's lifecycle
         Files.deleteIfExists(

@@ -144,12 +144,17 @@ object Streams {
     */
   def lakeStream(spark: org.apache.spark.sql.SparkSession,
                  log: graft.lake.LakeLog, table: String,
-                 startingVersion: Long = 0L): DataFrame =
-    spark.readStream.format("graft-lake")
+                 startingVersion: Long = 0L,
+                 maxVersionsPerBatch: Option[Long] = None): DataFrame = {
+    val base = spark.readStream.format("graft-lake")
       .option("root", log.root.toString)
       .option("table", table)
       .option("startingVersion", startingVersion.toString)
-      .load()
+    // admission control: cap log versions consumed per micro-batch so a
+    // backfill from version 0 of a long table catches up in bounded steps
+    maxVersionsPerBatch.fold(base)(m =>
+      base.option("maxVersionsPerBatch", m.toString)).load()
+  }
 
   /** Stable per-query writer identity: derived from the checkpoint dir —
     * the identity that actually scopes `batchId` (a restart from the same

@@ -53,4 +53,35 @@ class QueryApiSpec extends SparkSpec {
           "aggregates": [{"function": "avg", "column": "price"}]}""").columns
     assert(cols.toSeq == Seq("avg_price"))
   }
+
+  test("unfiltered count/min/max answers from metadata — zero data I/O") {
+    val log = new LakeLog(tmpDir("queryapi_stats"))
+    val schema = StructType(Seq(StructField("id", LongType, false),
+      StructField("price", DoubleType)))
+    LakeTable.createTable(log, "sales", schema)
+    LakeTable.insert(spark, log, "sales",
+      Seq((1L, 50.0), (2L, 150.0), (3L, 300.0)).toDF("id", "price"))
+    val json = """
+      {"table_name": "sales",
+       "aggregates": [{"function": "count", "column": "*"},
+                      {"function": "min", "column": "price"},
+                      {"function": "max", "column": "price", "alias": "top"}]}"""
+    val before = QueryApi.runLake(spark, log, json).collect().head
+    assert(before.getLong(0) == 3L && before.getDouble(1) == 50.0 &&
+      before.getDouble(2) == 300.0)
+    assert(QueryApi.runLake(spark, log, json).columns.toSeq ==
+      Seq("count_*", "min_price", "top"))
+    // the physical witness: delete every data file — the answer is
+    // unchanged because no data was ever read
+    log.snapshot("sales").files.foreach(f =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(f.path)))
+    assert(QueryApi.runLake(spark, log, json).collect().head == before)
+    // a filtered query takes the data path (and now fails — files gone):
+    // proves the fast path is gated exactly on metadata-answerability
+    intercept[Exception] {
+      QueryApi.runLake(spark, log, """
+        {"table_name": "sales", "filter": "price > 100",
+         "aggregates": [{"function": "count", "column": "*"}]}""").collect()
+    }
+  }
 }

@@ -120,6 +120,33 @@ class StreamsSpec extends SparkSpec {
     } finally query2.stop()
   }
 
+  test("lakeStream: maxVersionsPerBatch bounds backfill batches") {
+    import graft.lake.{LakeLog, LakeTable}
+    import org.apache.spark.sql.types._
+    val log = new LakeLog(tmpDir("lakestream_cap"))
+    LakeTable.createTable(log, "ev", StructType(Seq(
+      StructField("id", LongType), StructField("value", DoubleType))))
+    (1 to 6).foreach(i => LakeTable.insert(spark, log, "ev",
+      Seq((i.toLong, i.toDouble)).toDF("id", "value")))
+
+    val query = Streams.lakeStream(spark, log, "ev",
+        maxVersionsPerBatch = Some(2L))
+      .writeStream.format("memory").queryName("lakecap")
+      .option("checkpointLocation", tmpDir("lakecap_ckpt").toString)
+      .start()
+    try {
+      query.processAllAvailable()
+      // identical results to an uncapped stream...
+      assert(spark.table("lakecap").count() == 6)
+      // ...but the 6-version backfill was consumed 2 versions at a time:
+      // 3 data-carrying micro-batches, each of exactly 2 rows
+      val carrying = query.recentProgress.filter(_.numInputRows > 0)
+      assert(carrying.length == 3,
+        s"expected 3 capped batches, got ${carrying.length}")
+      assert(carrying.forall(_.numInputRows == 2))
+    } finally query.stop()
+  }
+
   test("lakeStream: readStream tails the log; rewrites never replay") {
     import graft.lake.{LakeLog, LakeTable}
     import org.apache.spark.sql.types._
