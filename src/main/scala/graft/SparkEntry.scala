@@ -1190,6 +1190,32 @@ object SparkEntry {
           t(s, d, "documents"), "n_chars", "lang", k = 3.5)
         .orderBy("lang")),
 
+    // Model-based quality filtering under the EXACT oracle: a FROZEN
+    // logistic model (dyadic weights/means/stds → exact standardization
+    // literals) scores the corpus-standard quality features; DuckDB
+    // recomputes the features (q_quality's formulas), the same
+    // left-to-right margin and the sigmoid. Training itself is
+    // spec-checked like BPE/k-means (QualityClassifierSpec).
+    "q_quality_model" -> ((s, d) => {
+      import graft.operators.QualityClassifier
+      val m = QualityClassifier.Model(
+        Seq("n_tokens_d", "mean_token_len", "symbol_ratio", "digit_ratio"),
+        Seq(0.75, -0.5, -1.25, -0.75), 0.25,
+        Seq(64.0, 5.0, 0.03125, 0.0625), Seq(32.0, 2.0, 0.03125, 0.0625))
+      val f = t(s, d, "documents").select(col("doc_id"),
+          graft.functions.TextFunctions.qualityFeatures(col("text")).as("f"))
+        .select(col("doc_id"),
+          col("f.n_tokens").cast("double").as("n_tokens_d"),
+          col("f.mean_token_len").as("mean_token_len"),
+          col("f.symbol_ratio").as("symbol_ratio"),
+          col("f.digit_ratio").as("digit_ratio"))
+      QualityClassifier.score(f, m)
+        .select(col("doc_id"), col("quality_prob"),
+          (col("quality_prob") >= 0.5).as("keep"))
+        .withColumn("quality_prob", round(col("quality_prob"), 6))
+        .orderBy("doc_id")
+    }),
+
     "q_profile" -> ((s, d) =>
       graft.operators.Profile.numericProfile(
           t(s, d, "lineitem").select("l_quantity", "l_extendedprice",
@@ -2166,6 +2192,32 @@ object SparkEntry {
         col("min_l_quantity").as("min_qty"), col("max_l_quantity").as("max_qty"),
         col("min_l_extendedprice").as("min_price"),
         col("max_l_extendedprice").as("max_price"))
+    }),
+
+    // The grouped variant, through the API surface: GROUP BY the partition
+    // column is answered by grouping the log's FileAdds (each file carries
+    // its partition values + row count + stats) — the "rows per partition"
+    // ops query at O(#files). Same zero-I/O witness: data files deleted
+    // before the query; the answer comes through QueryApi's fast path.
+    "q_lake_stats_by_part" -> ((s, d) => {
+      import graft.lake.{LakeLog, LakeTable}
+      val log = new LakeLog(
+        java.nio.file.Files.createTempDirectory("graftstatsp"))
+      val li = t(s, d, "lineitem")
+        .select("l_returnflag", "l_orderkey", "l_quantity")
+      LakeTable.createTable(log, "li", li.schema,
+        partitionBy = Seq("l_returnflag"))
+      LakeTable.insert(s, log, "li", li, numFiles = 3)
+      log.snapshot("li").files.foreach(f =>
+        java.nio.file.Files.delete(java.nio.file.Paths.get(f.path)))
+      graft.api.QueryApi.runLake(s, log, """
+        {"table_name": "li", "group_by": ["l_returnflag"],
+         "aggregates": [
+           {"function": "count", "column": "*", "alias": "n_rows"},
+           {"function": "min", "column": "l_orderkey", "alias": "min_ok"},
+           {"function": "max", "column": "l_orderkey", "alias": "max_ok"},
+           {"function": "min", "column": "l_quantity", "alias": "min_qty"},
+           {"function": "max", "column": "l_quantity", "alias": "max_qty"}]}""")
     }),
 
     // SHALLOW CLONE: version 1 of the clone re-adds the source snapshot's
@@ -4010,6 +4062,11 @@ object SparkEntry {
              min(l_extendedprice) AS min_price,
              max(l_extendedprice) AS max_price
       FROM lineitem""",
+    "q_lake_stats_by_part" -> """
+      SELECT l_returnflag, count(*) AS n_rows,
+             min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+             min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_lake_clone" -> """
       SELECT count(*) AS n_rows,
              round(sum(l_quantity), 2) AS sum_qty,
@@ -4029,6 +4086,38 @@ object SparkEntry {
                    CAST(sum(tf) AS BIGINT) AS total_tf
             FROM tf WHERE term IN ('spark', 'window', 'hash') GROUP BY 1)
       SELECT doc_id, total_tf FROM m WHERE n_matched = 3 ORDER BY doc_id""",
+    "q_quality_model" -> """
+      WITH norm AS (
+        SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+        FROM documents),
+      f AS (
+        SELECT doc_id,
+               CAST(length(nt) AS DOUBLE) AS n_chars,
+               CAST(len(list_filter(string_split_regex(nt, '\s+'),
+                 x -> x <> '')) AS DOUBLE) AS n_tok,
+               CAST(length(regexp_replace(nt, '[\p{L}\p{N}\s]', '', 'g'))
+                 AS DOUBLE) AS n_sym,
+               CAST(length(regexp_replace(nt, '[^0-9]', '', 'g'))
+                 AS DOUBLE) AS n_dig
+        FROM norm),
+      feats AS (
+        SELECT doc_id, n_tok,
+               CASE WHEN n_tok > 0 THEN (n_chars - (n_tok - 1)) / n_tok
+                    ELSE 0.0 END AS mtl,
+               CASE WHEN n_chars > 0 THEN n_sym / n_chars ELSE 0.0 END AS sym,
+               CASE WHEN n_chars > 0 THEN n_dig / n_chars ELSE 0.0 END AS dig
+        FROM f),
+      m AS (
+        SELECT doc_id,
+               0.25 + (n_tok - 64.0) / 32.0 * 0.75
+                    + (mtl - 5.0) / 2.0 * (-0.5)
+                    + (sym - 0.03125) / 0.03125 * (-1.25)
+                    + (dig - 0.0625) / 0.0625 * (-0.75) AS margin
+        FROM feats)
+      SELECT doc_id, round(1.0 / (1.0 + exp(-margin)), 6) AS quality_prob,
+             1.0 / (1.0 + exp(-margin)) >= 0.5 AS keep
+      FROM m ORDER BY doc_id""",
     "q_quality" -> """
       WITH norm AS (
         SELECT doc_id,

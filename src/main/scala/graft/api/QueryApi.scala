@@ -68,8 +68,9 @@ object QueryApi {
 
   private def statsFastPath(spark: SparkSession, log: LakeLog,
                             req: QueryApiRequest): Option[DataFrame] = {
-    if (req.filter.exists(_.trim.nonEmpty) || req.group_by.nonEmpty ||
-        req.projection.nonEmpty || req.aggregates.isEmpty) return None
+    import org.apache.spark.sql.functions.col
+    if (req.filter.exists(_.trim.nonEmpty) || req.projection.nonEmpty ||
+        req.aggregates.isEmpty) return None
     val eligible = req.aggregates.forall(a => a.function.toLowerCase match {
       case "count" => true
       case "min" | "max" => a.column != "*"
@@ -77,16 +78,27 @@ object QueryApi {
     })
     if (!eligible) return None
     val cols = req.aggregates.filter(_.column != "*").map(_.column).distinct
-    graft.lake.StatsAgg.fromStats(spark,
-        log.snapshot(req.table_name, req.version), cols)
-      .map(stats => stats.select(req.aggregates.map { a =>
-        val src = (a.function.toLowerCase, a.column) match {
-          case ("count", "*") => org.apache.spark.sql.functions.col("n_rows")
-          case ("count", c) => org.apache.spark.sql.functions.col(s"cnt_$c")
-          case ("min", c) => org.apache.spark.sql.functions.col(s"min_$c")
-          case (_, c) => org.apache.spark.sql.functions.col(s"max_$c")
-        }
-        src.as(AggregateSpec(a.function, a.column, a.alias).outputName)
-      }: _*))
+    val snap = log.snapshot(req.table_name, req.version)
+    val outputs = req.aggregates.map { a =>
+      val src = (a.function.toLowerCase, a.column) match {
+        case ("count", "*") => col("n_rows")
+        case ("count", c) => col(s"cnt_$c")
+        case ("min", c) => col(s"min_$c")
+        case (_, c) => col(s"max_$c")
+      }
+      src.as(AggregateSpec(a.function, a.column, a.alias).outputName)
+    }
+    if (req.group_by.isEmpty)
+      graft.lake.StatsAgg.fromStats(spark, snap, cols)
+        .map(_.select(outputs: _*))
+    else if (req.group_by == snap.schema.map(_.partCols).getOrElse(Nil))
+      // GROUP BY exactly the partition columns: every file's partition
+      // values live in the log, so the grouped aggregate is a grouping of
+      // FileAdds — same zero-I/O answer, ordered like QueryEngine's
+      // deterministic group sort
+      graft.lake.StatsAgg.fromStatsByPartition(spark, snap, cols)
+        .map(df => df.select(req.group_by.map(col) ++ outputs: _*)
+          .orderBy(req.group_by.map(col): _*))
+    else None
   }
 }

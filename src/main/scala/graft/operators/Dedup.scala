@@ -824,13 +824,48 @@ object Dedup {
     * (decimal(38,0) so a 10⁹-node × 2⁶³-id sum cannot overflow).
     * `maxIter` bounds the worst case.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
+                          driverSolveMaxEdges: Long = 1L << 20): DataFrame = {
     // undirected neighbor list as (node, neighbor), plus self-loops so
     // isolated-in-one-direction nodes keep their own label
     val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionAll(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
       .distinct()
       .persist()
+    // Adaptive driver solve (same standing as the corpus-size-gated bitmask
+    // Jaccard): a dedup graph that survived LSH banding is usually TINY
+    // relative to the corpus — when the deduped edge list fits comfortably
+    // on the driver, label propagation's 2 jobs × rounds are pure overhead
+    // vs one collect + union-find. Identical output (component = min
+    // reachable id) — only the venue changes; beyond the gate the
+    // distributed fixpoint below is the 100 TB path. Long ids only (every
+    // caller's id domain); anything else takes the general path.
+    val idsAreLong = edges.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    if (idsAreLong && edges.count() <= 2 * driverSolveMaxEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.as[(Long, Long)].collect()
+      edges.unpersist()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      es.foreach { case (u, v) =>
+        parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+        val (ru, rv) = (find(u), find(v))
+        // union by min id: the root IS the component label
+        if (ru < rv) parent(rv) = ru else if (rv < ru) parent(ru) = rv
+      }
+      return parent.keys.toSeq.sorted.map(id => (id, find(id)))
+        .toDF("id", "component")
+    }
     var labels = edges.select(col("u").as("id"))
       .distinct()
       .withColumn("component", col("id"))

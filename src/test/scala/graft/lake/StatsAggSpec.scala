@@ -104,6 +104,31 @@ class StatsAggSpec extends SparkSpec {
       && row.isNullAt(row.fieldIndex("min_id")))
   }
 
+  test("per-partition grouping merges multi-file partitions exactly") {
+    val log = new LakeLog(tmpDir("statsagg"))
+    LakeTable.createTable(log, "t", StructType(Seq(
+      StructField("part", StringType, nullable = false),
+      StructField("id", LongType, nullable = false))),
+      partitionBy = Seq("part"))
+    // two inserts → ≥2 files per partition
+    (0 until 2).foreach(i => LakeTable.insert(spark, log, "t",
+      (0 until 30).map(j => (s"p${j % 3}", (i * 30 + j).toLong))
+        .toDF("part", "id")))
+    val got = StatsAgg.fromStatsByPartition(spark, log.snapshot("t"),
+      Seq("id"))
+    assert(got.isDefined)
+    val expect = LakeTable.read(spark, log, "t").groupBy("part")
+      .agg(count(lit(1)).as("n_rows"), count(col("id")).as("cnt_id"),
+        min("id").as("min_id"), max("id").as("max_id"))
+      .orderBy("part").collect().toSeq
+    assert(got.get.orderBy("part").collect().toSeq == expect)
+    // a non-partitioned table has no partition grouping to answer
+    LakeTable.createTable(log, "flat", StructType(Seq(
+      StructField("id", LongType, nullable = false))))
+    assert(StatsAgg.fromStatsByPartition(spark, log.snapshot("flat"),
+      Seq("id")).isEmpty)
+  }
+
   test("copy-on-write delete keeps stats answers exact") {
     val log = new LakeLog(tmpDir("statsagg"))
     mkTable(log, "t")

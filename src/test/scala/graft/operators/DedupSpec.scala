@@ -224,6 +224,21 @@ class DedupSpec extends SparkSpec {
     assert(comps.forall(_.getLong(1) == 1L))
   }
 
+  test("driver union-find and distributed label propagation agree") {
+    // random-ish graph: chains, merges, isolated pairs
+    val rnd = (0 until 200).map { i =>
+      val a = (i * 37L) % 80L; val b = (i * 53L + 11L) % 80L
+      (math.min(a, b), math.max(a, b))
+    }.filter { case (a, b) => a != b }
+    val pairs = rnd.toDF("a_id", "b_id")
+    val viaDriver = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCluster = Dedup.connectedComponents(pairs,
+        driverSolveMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaCluster)
+  }
+
   test("incrementalExactDedup drops batch rows already in the corpus") {
     val corpus = Seq((1L, "existing doc one"), (2L, "existing doc two"))
       .toDF("doc_id", "text")
