@@ -71,6 +71,22 @@ final case class FileAdd(path: String, rows: Long, size: Long,
 final case class LogEntry(version: Long, timestamp_ms: Long, txn_id: String,
                           schema: Option[TableSchema] = None,
                           adds: Seq[FileAdd] = Nil, removes: Seq[String] = Nil)
+/** Materialized replay state at a version — the Delta-checkpoint analog
+  * (`%020d.checkpoint.json` beside the entries): full file list, effective
+  * schema, and the txn-id idempotency map through `version`. DERIVED data:
+  * readers that find none fall back to full replay; writers emit one every
+  * `checkpointInterval` commits so snapshot cost is O(interval), not
+  * O(versions), at any table age. */
+final case class LogCheckpoint(version: Long,
+                               schema: Option[TableSchema] = None,
+                               files: Seq[FileAdd] = Nil,
+                               txns: Map[String, Long] = Map.empty) {
+  /** Jackson's erased-map values arrive as Integer — normalize (see
+    * [[FileStats.nullCounts]]). */
+  def txnMap: Map[String, Long] =
+    txns.asInstanceOf[Map[String, Any]]
+      .map { case (k, v) => k -> v.asInstanceOf[Number].longValue }
+}
 /** Table state at a version: replay of adds/removes for versions 0..V, files
   * sorted by path for determinism (`transaction_log.go:212-215`). */
 final case class Snapshot(table: String, version: Long,
@@ -97,7 +113,7 @@ final class LakeValidationException(msg: String) extends RuntimeException(msg)
   *   <root>/tables/<name>/data/...          parquet data files
   *   <root>/tables/<name>/_tmp/<txn>-<attempt>/   staging for uncommitted writes
   */
-final class LakeLog(val root: Path) {
+final class LakeLog(val root: Path, val checkpointInterval: Int = 10) {
 
   private val mapper = JsonMapper.builder()
     .addModule(DefaultScalaModule)
@@ -119,6 +135,7 @@ final class LakeLog(val root: Path) {
 
   // Log entries are immutable once committed — cache parsed entries forever.
   private val entryCache = new ConcurrentHashMap[Path, LogEntry]()
+  private val checkpointCache = new ConcurrentHashMap[Path, LogCheckpoint]()
   // One lock object per table name = the single-process commit point.
   private val tableLocks = new ConcurrentHashMap[String, Object]()
   private def lockFor(table: String): Object =
@@ -250,9 +267,45 @@ final class LakeLog(val root: Path) {
     }
     deleteTree(logDir(table))
     deleteTree(tableDir(table))
+    // a later CREATE of the same name would otherwise resurrect parsed
+    // entries/checkpoints cached under the deleted paths
+    val prefix = logDir(table)
+    entryCache.keySet.removeIf(_.startsWith(prefix))
+    checkpointCache.keySet.removeIf(_.startsWith(prefix))
   }
 
   private val EntryNameRe = "([0-9]{20})\\.json".r
+  private val CheckpointNameRe = "([0-9]{20})\\.checkpoint\\.json".r
+
+  private def checkpointPath(table: String, v: Long): Path =
+    logDir(table).resolve(f"$v%020d.checkpoint.json")
+
+  /** Largest checkpoint at or below `upTo`, if one exists. */
+  private def latestCheckpointAt(table: String, upTo: Long)
+      : Option[LogCheckpoint] = {
+    val dir = logDir(table)
+    if (!Files.exists(dir)) None
+    else listNames(dir).collect { case CheckpointNameRe(v) => v.toLong }
+      .filter(_ <= upTo).maxOption
+      .map { v =>
+        val p = checkpointPath(table, v)
+        checkpointCache.computeIfAbsent(p,
+          path => mapper.readValue[LogCheckpoint](Files.readString(path)))
+      }
+  }
+
+  /** Write the checkpoint for `version`. Atomic rename like entries, so a
+    * partial checkpoint can never be observed; called with the table lock
+    * held (from writeEntry), so the replay it materializes is stable. */
+  private def writeCheckpoint(table: String, version: Long): Unit = {
+    val snap = snapshot(table, version)
+    val cp = LogCheckpoint(version, snap.schema, snap.files,
+      txnsThrough(table, version))
+    val staged = Files.createTempFile(logDir(table), ".staged", ".json")
+    Files.writeString(staged, mapper.writeValueAsString(cp))
+    Files.move(staged, checkpointPath(table, version),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
 
   /** Committed versions in ascending order. Only canonical `%020d.json`
     * names count — a concurrent writer's `.staged*` temp file must never be
@@ -273,10 +326,16 @@ final class LakeLog(val root: Path) {
     vs.last
   }
 
+  /** Cold entry-file parses — the cost a checkpoint bounds; pinned by
+    * LakeCheckpointSpec's O(interval) test. */
+  val entryReads = new java.util.concurrent.atomic.AtomicLong()
+
   def readEntry(table: String, version: Long): LogEntry = {
     val p = entryPath(table, version)
-    entryCache.computeIfAbsent(p,
-      path => mapper.readValue[LogEntry](Files.readString(path)))
+    entryCache.computeIfAbsent(p, path => {
+      entryReads.incrementAndGet()
+      mapper.readValue[LogEntry](Files.readString(path))
+    })
   }
 
   private def writeEntry(table: String, entry: LogEntry): Unit = {
@@ -287,9 +346,22 @@ final class LakeLog(val root: Path) {
     val staged = Files.createTempFile(logDir(table), ".staged", ".json")
     Files.writeString(staged, mapper.writeValueAsString(entry))
     Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
+    // checkpoint cadence: every Nth commit materializes the replay state.
+    // Best-effort by design — the entry above IS committed, and a reader
+    // finding no checkpoint just replays more entries
+    if (checkpointInterval > 0 && entry.version > 0 &&
+        entry.version % checkpointInterval == 0)
+      try writeCheckpoint(table, entry.version)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[lake] checkpoint ${entry.version} for $table failed: " +
+            e.getMessage)
+      }
   }
 
-  /** Replay the log through `version` (0 or negative = latest). Latest
+  /** Replay the log through `version` (0 or negative = latest) — from the
+    * newest checkpoint at or below it when one exists, so the fold touches
+    * at most `checkpointInterval` entries however old the table is. Latest
     * schema wins (`transaction_log.go:191-194`); files sorted by path. */
   def snapshot(table: String, version: Long = 0L): Snapshot = {
     val latest = latestVersion(table)
@@ -297,13 +369,18 @@ final class LakeLog(val root: Path) {
     if (target > latest)
       throw new LakeValidationException(
         s"version $target does not exist for $table (latest $latest)")
-    var schema: Option[TableSchema] = None
+    val cp = latestCheckpointAt(table, target)
+    var schema: Option[TableSchema] = cp.flatMap(_.schema)
     val fileMap = scala.collection.mutable.LinkedHashMap[String, FileAdd]()
-    versions(table).takeWhile(_ <= target).foreach { v =>
-      val e = readEntry(table, v)
-      if (e.schema.isDefined) schema = e.schema
-      e.adds.foreach(a => fileMap(a.path) = a)
-      e.removes.foreach(fileMap.remove)
+    cp.foreach(_.files.foreach(a => fileMap(a.path) = a))
+    val from = cp.map(_.version).getOrElse(-1L)
+    versions(table).foreach { v =>
+      if (v > from && v <= target) {
+        val e = readEntry(table, v)
+        if (e.schema.isDefined) schema = e.schema
+        e.adds.foreach(a => fileMap(a.path) = a)
+        e.removes.foreach(fileMap.remove)
+      }
     }
     Snapshot(table, target, schema, fileMap.values.toSeq.sortBy(_.path))
   }
@@ -313,11 +390,19 @@ final class LakeLog(val root: Path) {
   def committedVersion(table: String, txnId: String): Option[Long] =
     txnVersions(table).get(txnId)
 
+  /** txn-id → version map through `upTo`, checkpoint-accelerated. */
+  private def txnsThrough(table: String, upTo: Long): Map[String, Long] = {
+    val cp = latestCheckpointAt(table, upTo)
+    val from = cp.map(_.version).getOrElse(-1L)
+    cp.map(_.txnMap).getOrElse(Map.empty) ++
+      versions(table).filter(v => v > from && v <= upTo)
+        .map(v => { val e = readEntry(table, v); e.txn_id -> v })
+  }
+
   /** The transaction-id → version idempotency map, rebuilt from the log
     * (the reference persists it in the Raft FSM, `state.go:150-159`). */
   private def txnVersions(table: String): Map[String, Long] =
-    versions(table).map(v => { val e = readEntry(table, v); e.txn_id -> v })
-      .toMap
+    txnsThrough(table, latestVersion(table))
 
   /** OCC commit (`state.go:124-195`):
     *  1. duplicate txn_id → return prior version, duplicate=true;
