@@ -2220,6 +2220,36 @@ object SparkEntry {
            {"function": "max", "column": "l_quantity", "alias": "max_qty"}]}""")
     }),
 
+    // Row-level DIFF between versions (table_changes analog): a lifecycle
+    // of copy-on-write DELETE + UPSERT (updates + fresh inserts) between
+    // v1 and latest; diff reads ONLY the files in the two snapshots'
+    // symmetric difference and classifies each changed row. DuckDB
+    // re-derives the same change set from the raw source predicates;
+    // rows rewritten unchanged (delete/upsert survivors) must cancel.
+    "q_lake_diff" -> ((s, d) => {
+      import graft.lake.{LakeLog, LakeTable}
+      val log = new LakeLog(
+        java.nio.file.Files.createTempDirectory("graftdiff"))
+      // the synthetic lineitem repeats (orderkey, linenumber) pairs — a
+      // keyed diff needs unique keys, so reduce to one row per key first
+      val li = t(s, d, "lineitem")
+        .groupBy((col("l_orderkey") * 10 + col("l_linenumber")).as("lkey"))
+        .agg(min("l_quantity").as("l_quantity"),
+          min("l_extendedprice").as("l_extendedprice"))
+      LakeTable.createTable(log, "li", li.schema)
+      LakeTable.insert(s, log, "li", li, numFiles = 4)
+      val v1 = log.latestVersion("li")
+      LakeTable.deleteWhere(s, log, "li", "l_quantity > 45")
+      val ups = li.filter(col("lkey") % 7 === 0 && col("l_quantity") <= 45)
+        .withColumn("l_extendedprice", col("l_extendedprice") + 1000)
+      val news = li.filter(col("lkey") % 11 === 0)
+        .select((-col("lkey")).as("lkey"), col("l_quantity"),
+          col("l_extendedprice"))
+      LakeTable.upsert(s, log, "li", ups.unionAll(news), keyCol = "lkey")
+      LakeTable.diff(s, log, "li", fromVersion = v1, keyCols = Seq("lkey"))
+        .orderBy("lkey")
+    }),
+
     // SHALLOW CLONE: version 1 of the clone re-adds the source snapshot's
     // files by path — zero bytes copied (the require pins that every clone
     // file IS a source file). The tables then diverge: an extra slice
@@ -4062,6 +4092,31 @@ object SparkEntry {
              min(l_extendedprice) AS min_price,
              max(l_extendedprice) AS max_price
       FROM lineitem""",
+    "q_lake_diff" -> """
+      WITH base AS (
+        SELECT l_orderkey * 10 + l_linenumber AS lkey,
+               min(l_quantity) AS l_quantity,
+               min(l_extendedprice) AS l_extendedprice
+        FROM lineitem GROUP BY 1),
+      del AS (
+        SELECT lkey, 'delete' AS change_type,
+               l_quantity AS old_l_quantity,
+               CAST(NULL AS DOUBLE) AS new_l_quantity,
+               l_extendedprice AS old_l_extendedprice,
+               CAST(NULL AS DOUBLE) AS new_l_extendedprice
+        FROM base WHERE l_quantity > 45),
+      upd AS (
+        SELECT lkey, 'update', l_quantity, l_quantity,
+               l_extendedprice, l_extendedprice + 1000
+        FROM base WHERE lkey % 7 = 0 AND l_quantity <= 45),
+      ins AS (
+        SELECT -lkey, 'insert', CAST(NULL AS DOUBLE), l_quantity,
+               CAST(NULL AS DOUBLE), l_extendedprice
+        FROM base WHERE lkey % 11 = 0)
+      SELECT * FROM (
+        SELECT * FROM del UNION ALL SELECT * FROM upd
+        UNION ALL SELECT * FROM ins)
+      ORDER BY lkey""",
     "q_lake_stats_by_part" -> """
       SELECT l_returnflag, count(*) AS n_rows,
              min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,

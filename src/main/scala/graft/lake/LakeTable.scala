@@ -798,6 +798,63 @@ object LakeTable {
     readWithPartitions(spark, st, sch.partCols, addedFiles)
   }
 
+  /** Row-level DIFF between two versions (Delta `table_changes` analog,
+    * keyed): classify every logical row change from `fromVersion` to
+    * `toVersion` as insert / delete / update. `keyCols` must uniquely
+    * identify a row within each snapshot (the usual CDC primary key).
+    *
+    * The metadata trick that makes this 100 TB-shaped: files present in
+    * BOTH snapshots contribute identical rows by definition (data files
+    * are immutable), so only the symmetric difference of the two file
+    * lists is read — a table where a DELETE rewrote 3 of 10,000 files
+    * diffs by reading 3 + 3 files, not 2 × 10,000. Rows rewritten
+    * unchanged (compaction, delete survivors) cancel in the keyed
+    * full-outer join and are filtered as no-ops.
+    *
+    * Output: keyCols, `change_type` ('insert' | 'delete' | 'update'),
+    * then `old_<c>` / `new_<c>` for every non-key column (null on the
+    * absent side).
+    */
+  def diff(spark: SparkSession, log: LakeLog, table: String,
+           fromVersion: Long, toVersion: Long = 0L,
+           keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "diff needs key columns")
+    val latest = log.latestVersion(table)
+    val to = if (toVersion <= 0) latest else toVersion
+    require(fromVersion <= to, s"fromVersion $fromVersion > toVersion $to")
+    val snapA = log.snapshot(table, fromVersion)
+    val snapB = log.snapshot(table, to)
+    val sch = snapB.schema.get
+    val st = toStructType(sch)
+    keyCols.foreach(c => require(st.fieldNames.contains(c), s"no column $c"))
+    val valCols = st.fieldNames.toSeq.filterNot(keyCols.contains)
+    val pathsA = snapA.files.map(_.path).toSet
+    val pathsB = snapB.files.map(_.path).toSet
+    val onlyA = snapA.files.filterNot(f => pathsB.contains(f.path))
+    val onlyB = snapB.files.filterNot(f => pathsA.contains(f.path))
+    def side(files: Seq[FileAdd], tag: String): DataFrame = {
+      val base =
+        if (files.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
+        else readWithPartitions(spark, st, sch.partCols, files)
+      base.select(keyCols.map(col) ++
+        valCols.map(c => col(c).as(s"${tag}_$c")): _*)
+    }
+    val joined = side(onlyA, "old").withColumn("__in_old", lit(true))
+      .join(side(onlyB, "new").withColumn("__in_new", lit(true)),
+        keyCols, "full_outer")
+    val isUpdate = valCols.map(c =>
+        !(col(s"old_$c") <=> col(s"new_$c")))
+      .foldLeft(lit(false))(_ || _)
+    joined.withColumn("change_type",
+        when(col("__in_old").isNull, "insert")
+          .when(col("__in_new").isNull, "delete")
+          .when(isUpdate, "update"))
+      .filter(col("change_type").isNotNull)
+      .select(keyCols.map(col) :+ col("change_type") :++
+        valCols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
+  }
+
   /** Table history — one row per committed version (DESCRIBE HISTORY
     * shape): version, commit time, txn id, schema-change flag, files
     * added/removed and row/byte deltas.
