@@ -1190,6 +1190,16 @@ object SparkEntry {
           t(s, d, "documents"), "n_chars", "lang", k = 3.5)
         .orderBy("lang")),
 
+    // Feature-hashing vectorizer under the EXACT oracle: the sparse
+    // (doc_id, bucket, tf) face replays bit-for-bit — DuckDB tokenizes
+    // with the corpus tokenizer and recomputes the portable 60-bit md5
+    // bucket for every token. The dense Array[Float] face feeds the
+    // ANN/PCA operators (spec-checked equivalent to this sparse form).
+    "q_text_vectorize" -> ((s, d) =>
+      graft.operators.TextVectorizer.sparseHashedTf(
+          t(s, d, "documents"), dim = 64)
+        .orderBy("doc_id", "bucket")),
+
     // Model-based quality filtering under the EXACT oracle: a FROZEN
     // logistic model (dyadic weights/means/stds → exact standardization
     // literals) scores the corpus-standard quality features; DuckDB
@@ -4141,6 +4151,19 @@ object SparkEntry {
                    CAST(sum(tf) AS BIGINT) AS total_tf
             FROM tf WHERE term IN ('spark', 'window', 'hash') GROUP BY 1)
       SELECT doc_id, total_tf FROM m WHERE n_matched = 3 ORDER BY doc_id""",
+    "q_text_vectorize" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+          x -> x <> '')) AS term
+        FROM documents),
+      b AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5('tv:' || term), 1, 15))
+                 AS BIGINT) % 64 AS bucket
+        FROM toks)
+      SELECT doc_id, bucket, count(*) AS tf
+      FROM b GROUP BY 1, 2 ORDER BY doc_id, bucket""",
     "q_quality_model" -> """
       WITH norm AS (
         SELECT doc_id,
