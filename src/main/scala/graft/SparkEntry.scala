@@ -1200,6 +1200,21 @@ object SparkEntry {
           t(s, d, "documents"), dim = 64)
         .orderBy("doc_id", "bucket")),
 
+    // Distribution drift (PSI) between two corpus slices under the EXACT
+    // oracle: integer-cent bucketing replays bit-for-bit; proportions,
+    // smoothing and the ln term are the same IEEE expressions both sides.
+    "q_drift" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      def cents(df: org.apache.spark.sql.DataFrame) = df.select(
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      graft.operators.Drift.psiBuckets(
+          cents(li.filter(col("l_orderkey") % 2 === 0)),
+          cents(li.filter(col("l_quantity") > 25)),
+          "cents", lo = 0L, width = 500000L, nBuckets = 20)
+        .withColumn("psi_term", round(col("psi_term"), 6))
+        .orderBy("bucket")
+    }),
+
     // Model-based quality filtering under the EXACT oracle: a FROZEN
     // logistic model (dyadic weights/means/stds → exact standardization
     // literals) scores the corpus-standard quality features; DuckDB
@@ -4151,6 +4166,34 @@ object SparkEntry {
                    CAST(sum(tf) AS BIGINT) AS total_tf
             FROM tf WHERE term IN ('spark', 'window', 'hash') GROUP BY 1)
       SELECT doc_id, total_tf FROM m WHERE n_matched = 3 ORDER BY doc_id""",
+    "q_drift" -> """
+      WITH refs AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem WHERE l_orderkey % 2 = 0),
+      curs AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem WHERE l_quantity > 25),
+      rb AS (SELECT least(greatest(cents - 0, 0) // 500000, 19) AS bucket,
+                    count(*) AS ref_n FROM refs GROUP BY 1),
+      cb AS (SELECT least(greatest(cents - 0, 0) // 500000, 19) AS bucket,
+                    count(*) AS cur_n FROM curs GROUP BY 1),
+      spine AS (SELECT unnest(range(0, 20)) AS bucket),
+      tot AS (SELECT (SELECT count(*) FROM refs) AS rt,
+                     (SELECT count(*) FROM curs) AS ct),
+      j AS (SELECT s.bucket, coalesce(ref_n, 0) AS ref_n,
+                   coalesce(cur_n, 0) AS cur_n, rt, ct
+            FROM spine s LEFT JOIN rb USING (bucket)
+            LEFT JOIN cb USING (bucket) CROSS JOIN tot)
+      SELECT bucket, ref_n, cur_n,
+             round(((CAST(cur_n AS DOUBLE) + 0.5) /
+                      (CAST(ct AS DOUBLE) + 10.0)
+                  - (CAST(ref_n AS DOUBLE) + 0.5) /
+                      (CAST(rt AS DOUBLE) + 10.0))
+               * ln(((CAST(cur_n AS DOUBLE) + 0.5) /
+                       (CAST(ct AS DOUBLE) + 10.0))
+                  / ((CAST(ref_n AS DOUBLE) + 0.5) /
+                       (CAST(rt AS DOUBLE) + 10.0))), 6) AS psi_term
+      FROM j ORDER BY bucket""",
     "q_text_vectorize" -> """
       WITH toks AS (
         SELECT doc_id, unnest(list_filter(string_split_regex(

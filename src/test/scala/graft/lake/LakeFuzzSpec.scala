@@ -20,7 +20,9 @@ class LakeFuzzSpec extends SparkSpec {
 
   test("random op sequences: table == model at head and at history") {
     val rnd = new scala.util.Random(31)
-    val log = new LakeLog(tmpDir("fuzz"))
+    // random checkpoint cadence: the fuzz must hold at ANY interval,
+    // including mid-scenario checkpoints and none at all
+    val log = new LakeLog(tmpDir("fuzz"), checkpointInterval = rnd.nextInt(5))
     LakeTable.createTable(log, "t", schema)
     var model = Map.empty[Long, Double]
     // version -> model state; version 0 means "latest" in reads (reference
