@@ -2153,6 +2153,142 @@ object SparkEntry {
         round(sum("l_extendedprice"), 2).as("sum_price"))
     }),
 
+    // Merge-on-read DELETE via deletion vectors, hash-checked: two
+    // overlapping deletes punch position holes into files that are NEVER
+    // rewritten (the in-query requires pin byte-identical data files and a
+    // live DvRef), a third delete that only re-hits dead rows must be a
+    // no-op, time travel still sees the pre-delete rows, and the
+    // metadata-only COUNT(*) subtracts the holes exactly. DuckDB recomputes
+    // the surviving rows from the raw source.
+    "q_lake_dv" -> ((s, d) => {
+      import graft.lake.{LakeLog, LakeTable, StatsAgg}
+      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftdv"))
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      LakeTable.createTable(log, "li", li.schema)
+      LakeTable.insert(s, log, "li", li, numFiles = 4)
+      val pre = log.snapshot("li")
+      val preBytes = pre.files.map(f =>
+        f.path -> java.nio.file.Files.size(java.nio.file.Paths.get(f.path)))
+      LakeTable.deleteWhereMor(s, log, "li", "l_quantity > 45")
+      LakeTable.deleteWhereMor(s, log, "li", "l_quantity > 40")
+      // re-hitting only already-deleted positions commits nothing
+      val vStable = log.latestVersion("li")
+      LakeTable.deleteWhereMor(s, log, "li", "l_quantity > 44")
+      require(log.latestVersion("li") == vStable,
+        "no-op MOR delete committed a version")
+      val snap = log.snapshot("li")
+      require(snap.files.map(_.path).sorted == pre.files.map(_.path).sorted,
+        "merge-on-read delete changed the data file set")
+      require(preBytes.forall { case (p, sz) =>
+        java.nio.file.Files.size(java.nio.file.Paths.get(p)) == sz },
+        "merge-on-read delete rewrote data bytes")
+      require(snap.files.exists(_.dvRows > 0), "no deletion vector attached")
+      // time travel: the pre-delete version still sees every row
+      require(LakeTable.read(s, log, "li", pre.version).count() ==
+        pre.files.map(_.rows).sum, "time travel lost pre-delete rows")
+      // metadata-only count subtracts dv positions exactly
+      require(StatsAgg.fromStats(s, snap, Nil).get
+        .head().getAs[Long]("n_rows") == snap.files.map(_.liveRows).sum,
+        "stats count disagrees with dv metadata")
+      LakeTable.read(s, log, "li")
+        .groupBy(pmod(col("l_orderkey"), lit(4)).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("bucket")
+    }),
+
+    // Shuffle-free fact-fact join via BUCKETED layout: both sides are
+    // written hash-clustered into 8 buckets on the join key, so the join
+    // AND the key-prefixed aggregation plan with ZERO hash exchanges — the
+    // in-query require pins it (broadcast forced off so the zero can only
+    // come from bucket alignment). DuckDB recomputes the join from the raw
+    // sources: layout must never change answers.
+    "q_join_bucketed" -> ((s, d) => {
+      import graft.operators.Bucketing
+      val dir = java.nio.file.Files.createTempDirectory("graftbkt")
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+      val ord = t(s, d, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      Bucketing.writeBucketed(s, li, "graft_bkt_li", "l_orderkey", 8,
+        Some(dir.resolve("li").toString))
+      Bucketing.writeBucketed(s, ord, "graft_bkt_ord", "l_orderkey", 8,
+        Some(dir.resolve("ord").toString))
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = Bucketing.bucketedJoin(s, "graft_bkt_li",
+            "graft_bkt_ord", "l_orderkey")
+          .groupBy("l_orderkey", "o_custkey")
+          .agg(count(lit(1)).as("n_items"),
+            round(sum("l_extendedprice"), 2).as("sum_price"))
+        require(Bucketing.hashExchanges(joined) == 0,
+          "co-bucketed join planned a hash exchange")
+        // the top-N sort is a range exchange over ALREADY-AGGREGATED rows
+        joined.orderBy(col("sum_price").desc, col("l_orderkey"))
+          .limit(10)
+          .select(col("l_orderkey").as("o_orderkey"), col("o_custkey"),
+            col("n_items"), col("sum_price"))
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }),
+
+    // Change feed with row-level deletes (Delta CDF analog): inserts from
+    // the append feed, deletes enumerated EXACTLY from deletion-vector
+    // growth — both metadata-priced (only files whose DV grew are read,
+    // position-joined). DuckDB recomputes both halves from the raw source.
+    "q_lake_cdf" -> ((s, d) => {
+      import graft.lake.{LakeLog, LakeTable}
+      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftcdf"))
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      LakeTable.createTable(log, "li", li.schema)
+      LakeTable.insert(s, log, "li",
+        li.filter(col("l_orderkey") % 2 === 0), numFiles = 2)
+      val v0 = log.latestVersion("li")
+      LakeTable.insert(s, log, "li",
+        li.filter(col("l_orderkey") % 2 === 1), numFiles = 2)
+      LakeTable.deleteWhereMor(s, log, "li", "l_quantity > 45")
+      LakeTable.changeFeed(s, log, "li", v0)
+        .groupBy("_change_type")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("_change_type")
+    }),
+
+    // Incremental MV maintenance UNDER DELETES: the deletion vector
+    // enumerates exactly the deleted rows, so the count/sum MV folds a
+    // merge-on-read delete as a NEGATIVE delta — O(delta), no base
+    // re-scan (the in-query require pins mode == incremental_dv). The
+    // final MV hash-checks against DuckDB's from-scratch aggregate.
+    "q_lake_mv_mor" -> ((s, d) => {
+      import graft.lake.{LakeLog, LakeTable, MaterializedView}
+      val log = new LakeLog(
+        java.nio.file.Files.createTempDirectory("graftmvmor"))
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      LakeTable.createTable(log, "li", li.schema)
+      val mv = MaterializedView.MvDef("mv_flag", "li", "l_returnflag",
+        sumCols = Seq("l_quantity", "l_extendedprice"))
+      MaterializedView.create(log, mv)
+      LakeTable.insert(s, log, "li",
+        li.filter(col("l_orderkey") % 2 === 0), numFiles = 2)
+      MaterializedView.refresh(s, log, mv)
+      LakeTable.insert(s, log, "li",
+        li.filter(col("l_orderkey") % 2 === 1), numFiles = 2)
+      LakeTable.deleteWhereMor(s, log, "li", "l_quantity > 45")
+      val res = MaterializedView.refresh(s, log, mv)
+      require(res.mode == "incremental_dv",
+        s"expected incremental_dv refresh, got ${res.mode}")
+      MaterializedView.read(s, log, mv)
+        .select(col("l_returnflag"), col("n_rows"),
+          round(col("sum_l_quantity"), 2).as("sum_qty"),
+          round(col("sum_l_extendedprice"), 2).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_lake_vacuum" -> ((s, d) => {
       // VACUUM under the exact oracle: a multi-commit lifecycle (3 inserts
       // → copy-on-write DELETE → forced compaction) strands every
@@ -4081,6 +4217,35 @@ object SparkEntry {
       SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty,
              round(sum(l_extendedprice), 2) AS sum_price
       FROM lineitem WHERE l_quantity <= 40""",
+    "q_join_bucketed" -> """
+      SELECT o_orderkey, o_custkey, count(*) AS n_items,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderkey, o_custkey
+      ORDER BY sum_price DESC, o_orderkey LIMIT 10""",
+    "q_lake_dv" -> """
+      SELECT l_orderkey % 4 AS bucket, count(*) AS n_rows,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem WHERE l_quantity <= 40
+      GROUP BY bucket ORDER BY bucket""",
+    "q_lake_cdf" -> """
+      SELECT ct AS _change_type, count(*) AS n_rows,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM (
+        SELECT 'insert' AS ct, l_quantity, l_extendedprice
+        FROM lineitem WHERE l_orderkey % 2 = 1
+        UNION ALL
+        SELECT 'delete' AS ct, l_quantity, l_extendedprice
+        FROM lineitem WHERE l_quantity > 45)
+      GROUP BY ct ORDER BY ct""",
+    "q_lake_mv_mor" -> """
+      SELECT l_returnflag, count(*) AS n_rows,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem WHERE l_quantity <= 45
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_lake_vacuum" -> """
       SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty,
              round(sum(l_extendedprice), 2) AS sum_price

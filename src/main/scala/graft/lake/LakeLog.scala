@@ -59,15 +59,30 @@ final case class FileStats(min_values: Map[String, String] = Map.empty,
     null_counts.getOrElse(Map.empty).asInstanceOf[Map[String, Any]]
       .map { case (k, v) => k -> v.asInstanceOf[Number].longValue }
 }
+/** Deletion-vector reference (Delta/Iceberg merge-on-read deletes): `path`
+  * is a positions sidecar parquet — rows `(file: string, pos: long)` where
+  * `file` is the data file's basename and `pos` its parquet row index —
+  * and `rows` the number of positions for THIS data file. A file with a DV
+  * is read minus those positions; the data bytes are never rewritten. One
+  * sidecar may serve several files from the same commit. */
+final case class DvRef(path: String, rows: Long)
 /** `rewrite = true` marks a file whose rows were re-added by a layout
   * operation (compaction, delete/upsert copy-on-write of surviving rows) —
   * the inverse of Delta's `dataChange`. The CDC feed ([[LakeTable
   * .changesSince]]) skips rewrite adds so consumers see each logical row
-  * once. Missing in old log entries → false, i.e. a logical add. */
+  * once. Missing in old log entries → false, i.e. a logical add.
+  *
+  * `dv`: merge-on-read deletion vector for this file ([[DvRef]]). `rows`
+  * stays the PHYSICAL footer count (what the parquet file holds);
+  * [[liveRows]] is the logical count readers see. Absent in pre-DV logs. */
 final case class FileAdd(path: String, rows: Long, size: Long,
                          partition: Map[String, String] = Map.empty,
                          stats: Option[FileStats] = None,
-                         rewrite: Boolean = false)
+                         rewrite: Boolean = false,
+                         dv: Option[DvRef] = None) {
+  def dvRows: Long = dv.map(_.rows).getOrElse(0L)
+  def liveRows: Long = rows - dvRows
+}
 final case class LogEntry(version: Long, timestamp_ms: Long, txn_id: String,
                           schema: Option[TableSchema] = None,
                           adds: Seq[FileAdd] = Nil, removes: Seq[String] = Nil)
@@ -378,8 +393,11 @@ final class LakeLog(val root: Path, val checkpointInterval: Int = 10) {
       if (v > from && v <= target) {
         val e = readEntry(table, v)
         if (e.schema.isDefined) schema = e.schema
-        e.adds.foreach(a => fileMap(a.path) = a)
+        // removes BEFORE adds (Delta semantics): an entry that removes and
+        // re-adds the same path REPLACES the file entry — the shape a
+        // deletion-vector commit uses to attach a DvRef in place
         e.removes.foreach(fileMap.remove)
+        e.adds.foreach(a => fileMap(a.path) = a)
       }
     }
     Snapshot(table, target, schema, fileMap.values.toSeq.sortBy(_.path))

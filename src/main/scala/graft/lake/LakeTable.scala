@@ -102,6 +102,59 @@ object LakeTable {
   private def partLit(value: String, dt: DataType): Column =
     lit(value).cast(dt)
 
+  /** Basename of a data file path. DV sidecars key positions by basename:
+    * promotion names embed a fresh UUID so basenames are unique within a
+    * table (and [[deleteWhereMor]] asserts it before relying on it), which
+    * sidesteps the `file:/` URI-rendering mismatch between log paths and
+    * `_metadata.file_path`. */
+  private[lake] def baseName(p: String): String =
+    p.substring(p.lastIndexOf('/') + 1)
+
+  /** DV sidecar schema: deleted parquet row indexes keyed by data-file
+    * basename. */
+  private[lake] val DvSchema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false)))
+
+  /** Positions above which a DV anti-join stops broadcasting (≈64 MB of
+    * (name, pos) rows). Selective deletes — the merge-on-read use case —
+    * sit far below it; a bigger DV still reads correctly via a shuffled
+    * anti-join, it just signals the file wants compaction. */
+  private val DvBroadcastMaxPositions = 4L * 1000 * 1000
+
+  /** Read a set of FLAT data files applying any deletion vectors: plain
+    * files scan as-is; DV'd files scan with the parquet row index exposed
+    * (`_metadata.row_index`) and anti-join their positions-only sidecars —
+    * broadcast while small, so the data side never shuffles. */
+  private def readFlat(spark: SparkSession, dataSt: StructType,
+                       files: Seq[FileAdd]): DataFrame = {
+    val (dvd, plain) = files.partition(_.dvRows > 0)
+    val plainDf =
+      if (plain.isEmpty) None
+      else Some(spark.read.schema(dataSt).parquet(plain.map(_.path): _*))
+    val dvdDf =
+      if (dvd.isEmpty) None
+      else {
+        val base = spark.read.schema(dataSt).parquet(dvd.map(_.path): _*)
+          .withColumn("__file",
+            element_at(split(col("_metadata.file_path"), "/"), -1))
+          .withColumn("__pos", col("_metadata.row_index"))
+        val dvPaths = dvd.flatMap(_.dv.map(_.path)).distinct
+        val names = dvd.map(f => baseName(f.path))
+        // one sidecar can serve several files — restrict to THIS file set
+        val dv0 = spark.read.schema(DvSchema).parquet(dvPaths: _*)
+          .filter(col("file").isin(names: _*))
+        val dvDf =
+          if (dvd.map(_.dvRows).sum <= DvBroadcastMaxPositions) broadcast(dv0)
+          else dv0
+        Some(base.join(dvDf,
+            base("__file") === dvDf("file") && base("__pos") === dvDf("pos"),
+            "left_anti")
+          .drop("__file", "__pos"))
+      }
+    (plainDf.toSeq ++ dvdDf.toSeq).reduce(_ unionAll _)
+  }
+
   /** Reconstruct full-schema rows from flat data files + their log-carried
     * partition values: one scan per distinct partition value, partition
     * columns re-attached as literals (constant-folded — zero per-row cost),
@@ -116,7 +169,7 @@ object LakeTable {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
     val dataSt = dataStruct(st, partCols)
     files.groupBy(f => partCols.map(f.partition(_))).map { case (vals, group) =>
-      val base = spark.read.schema(dataSt).parquet(group.map(_.path): _*)
+      val base = readFlat(spark, dataSt, group)
       val withParts = partCols.zip(vals).foldLeft(base) { case (df, (c, v)) =>
         df.withColumn(c, partLit(v, st(c).dataType)) }
       withParts.select(st.fieldNames.toSeq.map(col): _*)
@@ -137,7 +190,7 @@ object LakeTable {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
     else if (sch.partCols.nonEmpty)
       readWithPartitions(spark, st, sch.partCols, snap.files)
-    else spark.read.schema(st).parquet(snap.files.map(_.path): _*)
+    else readFlat(spark, st, snap.files)
   }
 
   /** Catalyst-integrated read: the returned DataFrame prunes files by log
@@ -158,8 +211,15 @@ object LakeTable {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
     val partCols = sch.partCols
     val partSt = StructType(partCols.map(c => st(c)))
+    // DV'd files can't ride the FileIndex (their read is an anti-join, not
+    // a scan): they union in via the maintenance read path and rejoin the
+    // stat-pruned fast path when compaction materializes their DVs. The
+    // untouched majority of a big table keeps full planning-time pruning.
+    val (dvd, plain) = snap.files.partition(_.dvRows > 0)
+    if (plain.isEmpty)
+      return readWithPartitions(spark, st, partCols, dvd)
     val relation = HadoopFsRelation(
-      location = new LakeFileIndex(spark, snap, st, partSt),
+      location = new LakeFileIndex(spark, snap.copy(files = plain), st, partSt),
       partitionSchema = partSt,
       dataSchema = dataStruct(st, partCols),
       bucketSpec = None,
@@ -167,9 +227,12 @@ object LakeTable {
       options = Map.empty)(spark)
     // Spark appends partition columns after data columns — restore the
     // declared order
-    org.apache.spark.sql.classic.ClassicConversions.castToImpl(spark)
+    val indexed = org.apache.spark.sql.classic.ClassicConversions
+      .castToImpl(spark)
       .baseRelationToDataFrame(relation)
       .select(st.fieldNames.toSeq.map(col): _*)
+    if (dvd.isEmpty) indexed
+    else indexed.unionAll(readWithPartitions(spark, st, partCols, dvd))
   }
 
   /** Stat-pruned read: drop files whose [min,max] range for the predicate
@@ -526,11 +589,15 @@ object LakeTable {
     * clustering (and with it multi-column file pruning) survives
     * compaction — merging z-ordered small files unsorted would widen every
     * file's min/max back toward the full range. */
+  /** `dvRewriteFraction`: a file whose deletion vector covers at least this
+    * fraction of its rows is rewritten (DV materialized) even when it is not
+    * small — merge-on-read reads stay cheap only while DVs stay sparse. */
   final case class CompactionConfig(minFileSize: Long = 10L * 1024 * 1024,
                                     maxFileSize: Long = 128L * 1024 * 1024,
                                     minFilesCount: Int = 3,
                                     smallBytesTriggerRatio: Double = 0.10,
-                                    zOrderBy: Seq[String] = Nil)
+                                    zOrderBy: Seq[String] = Nil,
+                                    dvRewriteFraction: Double = 0.10)
 
   final case class CompactionReport(groupsPlanned: Int, groupsCommitted: Int,
                                     filesRemoved: Int, filesAdded: Int,
@@ -558,12 +625,21 @@ object LakeTable {
   }
 
   /** Should compaction run at all? Small-file bytes above the trigger ratio
-    * of total table bytes (`compaction_service.go:314-332`). */
+    * of total table bytes (`compaction_service.go:314-332`), or any file
+    * whose deletion vector has punched out enough of it that the
+    * merge-on-read anti-join is no longer worth carrying. */
   def compactionNeeded(snap: Snapshot, cfg: CompactionConfig): Boolean = {
     val total = snap.files.map(_.size).sum
     val small = snap.files.filter(_.size < cfg.minFileSize).map(_.size).sum
-    total > 0 && small.toDouble / total > cfg.smallBytesTriggerRatio
+    (total > 0 && small.toDouble / total > cfg.smallBytesTriggerRatio) ||
+      snap.files.exists(needsDvRewrite(_, cfg))
   }
+
+  /** A DV'd file wants its holes materialized once the deleted fraction
+    * crosses the threshold (Delta's `merge-on-read → rewrite` heuristic). */
+  private def needsDvRewrite(f: FileAdd, cfg: CompactionConfig): Boolean =
+    f.dvRows > 0 &&
+      f.dvRows.toDouble / math.max(1L, f.rows) >= cfg.dvRewriteFraction
 
   /** Real compaction: per group, rewrite the parquet bytes into one file and
     * atomically commit (removes = inputs, adds = output) with OCC retry ×3.
@@ -585,16 +661,26 @@ object LakeTable {
     val dataSt = dataStruct(st, partCols)
     // a compaction group never crosses partition boundaries — merging files
     // of different partition values would break partition placement
-    val groups = snap.files.groupBy(f => partCols.map(f.partition(_)))
+    val sizeGroups = snap.files.groupBy(f => partCols.map(f.partition(_)))
       .values.toSeq.sortBy(_.head.path)
       .flatMap(fs => planCompaction(snap.copy(files = fs), cfg))
+    // DV materialization: files over the deleted-fraction threshold (or any
+    // DV'd file under force) rewrite as singleton groups — the DV-aware
+    // merge read below drops the holes, and the fresh add carries no DV
+    val inSizeGroups = sizeGroups.flatten.map(_.path).toSet
+    val dvGroups = snap.files
+      .filter(f => !inSizeGroups.contains(f.path) &&
+        (needsDvRewrite(f, cfg) || (force && f.dvRows > 0)))
+      .sortBy(_.path).map(Seq(_))
+    val groups = sizeGroups ++ dvGroups
     var committed = 0; var removed = 0; var added = 0
     groups.zipWithIndex.foreach { case (group, gi) =>
       val txnId = s"compact-${UUID.randomUUID().toString}"
       val staged = log.tmpDir(table, txnId)
       // the group shares one partition value vector: merge the flat data
-      // files as-is and carry the partition map through to the new FileAdd
-      val merged = spark.read.schema(dataSt).parquet(group.map(_.path): _*)
+      // files (minus any DV'd positions — a compacted file materializes its
+      // deletes) and carry the partition map through to the new FileAdd
+      val merged = readFlat(spark, dataSt, group)
       // partition columns are constant within a group — drop them from the
       // z-order key (they're not in the data files either)
       val zCols = cfg.zOrderBy.filterNot(partCols.contains)
@@ -613,10 +699,15 @@ object LakeTable {
           partCols = partCols, partition = group.head.partition,
           bloomCols = sch.bloomCols)
         val inputPaths = group.map(_.path)
+        // inputs must be unchanged INCLUDING their dv refs — a concurrent
+        // merge-on-read delete on an input would otherwise be silently
+        // undone by this rewrite (it merged positions we didn't read)
+        val expectDv = group.map(f => f.path -> f.dv).toMap
         val result = log.commitWithRetry(table, txnId) { fresh =>
-          val live = fresh.files.map(_.path).toSet
-          if (inputPaths.forall(live.contains)) Some((adds, inputPaths))
-          else None // inputs compacted/removed concurrently — drop this group
+          val live = fresh.files.map(f => f.path -> f.dv).toMap
+          if (expectDv.forall { case (p, d) => live.get(p).contains(d) })
+            Some((adds, inputPaths))
+          else None // inputs compacted/removed/re-deleted concurrently — drop
         }
         if (result.isDefined) {
           committed += 1; removed += group.size; added += adds.size
@@ -673,10 +764,14 @@ object LakeTable {
           partCols = partCols, bloomCols = sch.bloomCols)
         .filter(_.rows > 0)
       val inputPaths = candidates.map(_.path)
+      // (path, dv) must both be unchanged: a concurrent merge-on-read
+      // delete keeps the path but changes the logical content we read
+      val expectDv = candidates.map(f => f.path -> f.dv).toMap
       val resultOpt =
         try log.commitWithRetry(table, txnId) { fresh =>
-          val live = fresh.files.map(_.path).toSet
-          if (inputPaths.forall(live.contains)) Some((adds, inputPaths))
+          val live = fresh.files.map(f => f.path -> f.dv).toMap
+          if (expectDv.forall { case (p, d) => live.get(p).contains(d) })
+            Some((adds, inputPaths))
           else None // concurrent rewrite of our inputs — abort
         } catch { case e: Throwable => discardAdds(adds); throw e }
       val result = resultOpt.getOrElse {
@@ -685,10 +780,142 @@ object LakeTable {
           s"delete lost its input files to a concurrent commit")
       }
       if (result.duplicate) discardAdds(adds)
-      val deleted = candidates.map(_.rows).sum - adds.map(_.rows).sum
+      val deleted = candidates.map(_.liveRows).sum - adds.map(_.rows).sum
       DeleteReport(candidates.size, snap.files.size - candidates.size,
         deleted, result.version)
     } finally deleteRecursively(staged)
+  }
+
+  final case class MorDeleteReport(filesWithDv: Int, filesRemoved: Int,
+                                   filesUntouched: Int, rowsDeleted: Long,
+                                   version: Long)
+
+  /** DELETE WHERE, merge-on-read (Delta/Iceberg deletion vectors): instead
+    * of rewriting every file that holds a matching row ([[deleteWhere]]'s
+    * copy-on-write), write the matching PARQUET ROW POSITIONS to a
+    * positions-only sidecar and re-add the touched files with a [[DvRef]].
+    * Data bytes are never copied — at 100 TB, deleting a handful of rows
+    * from a 1 GB file costs a positions write and a log entry, not a
+    * gigabyte rewrite. Readers subtract the DV as a broadcast anti-join on
+    * (basename, row index); compaction materializes it once the deleted
+    * fraction crosses [[CompactionConfig.dvRewriteFraction]].
+    *
+    * A file whose rows ALL die is removed outright (no DV); a re-delete on
+    * an already-DV'd file merges prior + new positions into a fresh
+    * sidecar (the re-added [[DvRef]] is always the complete hole set).
+    * File stats stay attached untouched — min/max/null bounds over a
+    * superset remain SOUND for pruning, though no longer exact witnesses
+    * ([[StatsAgg]] therefore answers only COUNT(*) over DV'd files).
+    */
+  def deleteWhereMor(spark: SparkSession, log: LakeLog, table: String,
+                     predicate: String,
+                     txnId: String = UUID.randomUUID().toString)
+      : MorDeleteReport = {
+    log.committedVersion(table, txnId).foreach(v =>
+      return MorDeleteReport(0, 0, 0, 0, v))
+    val snap = log.snapshot(table)
+    val sch = snap.schema.get
+    val st = toStructType(sch)
+    val partCols = sch.partCols
+    // DV positions key by basename (see baseName) — refuse, rather than
+    // silently corrupt, the pathological table with colliding names
+    val allNames = snap.files.map(f => baseName(f.path))
+    if (allNames.distinct.size != allNames.size)
+      throw new LakeValidationException(
+        s"table $table has duplicate data-file basenames; merge-on-read " +
+          "delete requires unique names (use copy-on-write deleteWhere)")
+    val candidates = FilePruning.prune(snap.files, predicate, st)
+    if (candidates.isEmpty)
+      return MorDeleteReport(0, 0, snap.files.size, 0, snap.version)
+    val pred = QueryEngine.parsePredicate(predicate)
+    val dataSt = dataStruct(st, partCols)
+    // matching positions, partition-aware (the predicate may reference
+    // partition columns, which live only in the log). The scan reads RAW
+    // files including already-deleted positions — re-matching a dead row
+    // is harmless (the union below is a set).
+    val newPos = candidates.groupBy(f => partCols.map(f.partition(_)))
+      .map { case (vals, group) =>
+        val base = spark.read.schema(dataSt).parquet(group.map(_.path): _*)
+          .withColumn("__file",
+            element_at(split(col("_metadata.file_path"), "/"), -1))
+          .withColumn("__pos", col("_metadata.row_index"))
+        val withParts = partCols.zip(vals).foldLeft(base) {
+          case (df, (c, v)) => df.withColumn(c, partLit(v, st(c).dataType)) }
+        withParts.filter(coalesce(pred, lit(false)))
+          .select(col("__file").as("file"), col("__pos").as("pos"))
+      }.reduce(_ unionAll _)
+    // complete hole set per candidate: prior DV positions ∪ new matches
+    val priorDvPaths = candidates.flatMap(_.dv.map(_.path)).distinct
+    val candNames = candidates.map(f => baseName(f.path))
+    val merged = (if (priorDvPaths.isEmpty) newPos
+      else newPos.unionAll(
+        spark.read.schema(DvSchema).parquet(priorDvPaths: _*)
+          .filter(col("file").isin(candNames: _*))))
+      .distinct().persist()
+    try {
+      // O(#candidates) rows to the driver — metadata-priced
+      val totals: Map[String, Long] = merged.groupBy("file").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def total(f: FileAdd): Long = totals.getOrElse(baseName(f.path), 0L)
+      // touched = strictly more holes than before (a match that only
+      // re-hits already-deleted positions changes nothing)
+      val touched = candidates.filter(f => total(f) > f.dvRows)
+      if (touched.isEmpty)
+        return MorDeleteReport(0, 0, snap.files.size, 0, snap.version)
+      val (fullDead, partial) = touched.partition(f => total(f) == f.rows)
+      val staged = log.tmpDir(table, txnId)
+      var dvPath: Option[Path] = None
+      def discardDv(): Unit =
+        dvPath.foreach(p => Files.deleteIfExists(p))
+      try {
+        if (partial.nonEmpty) {
+          val partialNames = partial.map(f => baseName(f.path))
+          merged.filter(col("file").isin(partialNames: _*))
+            .repartition(1).sortWithinPartitions("file", "pos")
+            .write.mode("overwrite").option("compression", "snappy")
+            .parquet(staged.toString)
+          val listed = Files.list(staged)
+          val part = try listed.iterator().asScala.toList finally listed.close()
+          val one = part.filter { p =>
+            val n = p.getFileName.toString
+            Files.isRegularFile(p) && n.endsWith(".parquet") &&
+              !n.startsWith(".") && !n.startsWith("_")
+          } match {
+            case Seq(p) => p
+            case other => throw new IllegalStateException(
+              s"expected one staged dv file, found ${other.size}")
+          }
+          val dataDir = log.dataDir(table)
+          Files.createDirectories(dataDir)
+          val dest = dataDir.resolve(
+            s"dv-${UUID.randomUUID().toString}.parquet")
+          Files.move(one, dest, StandardCopyOption.ATOMIC_MOVE)
+          dvPath = Some(dest)
+        }
+        val adds = partial.map(f => f.copy(rewrite = true,
+          dv = Some(DvRef(dvPath.get.toString, total(f)))))
+        val removes = touched.map(_.path)
+        // candidates must be unchanged INCLUDING dv refs: a concurrent MOR
+        // delete merged positions this commit didn't fold in
+        val expectDv = touched.map(f => f.path -> f.dv).toMap
+        val resultOpt =
+          try log.commitWithRetry(table, txnId) { fresh =>
+            val live = fresh.files.map(f => f.path -> f.dv).toMap
+            if (expectDv.forall { case (p, d) => live.get(p).contains(d) })
+              Some((adds, removes))
+            else None
+          } catch { case e: Throwable => discardDv(); throw e }
+        val result = resultOpt.getOrElse {
+          discardDv()
+          throw new CommitConflictException(
+            "merge-on-read delete lost its input files to a concurrent commit")
+        }
+        if (result.duplicate) discardDv()
+        val deleted = touched.map(f => total(f) - f.dvRows).sum
+        MorDeleteReport(partial.size, fullDead.size,
+          snap.files.size - touched.size, deleted, result.version)
+      } finally deleteRecursively(staged)
+    } finally merged.unpersist()
   }
 
   /** Upsert by key — MERGE INTO semantics for the common whole-row case:
@@ -757,10 +984,14 @@ object LakeTable {
           partCols = partCols, bloomCols = sch.bloomCols))
         .filter(_.rows > 0)
       val inputPaths = candidates.map(_.path)
+      // dv refs included for the same reason as deleteWhere: a concurrent
+      // merge-on-read delete keeps the path but changes what we read
+      val expectDv = candidates.map(f => f.path -> f.dv).toMap
       val resultOpt =
         try log.commitWithRetry(table, txnId) { fresh =>
-          val live = fresh.files.map(_.path).toSet
-          if (inputPaths.forall(live.contains)) Some((adds, inputPaths))
+          val live = fresh.files.map(f => f.path -> f.dv).toMap
+          if (expectDv.forall { case (p, d) => live.get(p).contains(d) })
+            Some((adds, inputPaths))
           else None
         } catch { case e: Throwable => discardAdds(adds); throw e }
       val result = resultOpt.getOrElse {
@@ -798,6 +1029,125 @@ object LakeTable {
     readWithPartitions(spark, st, sch.partCols, addedFiles)
   }
 
+  /** Rows DELETED via deletion-vector growth across `(fromVersion,
+    * toVersion]` — the delete half of a change feed, priced like one:
+    * positions are metadata, so the cost is one scan of only the files
+    * whose DV grew, semi-joined on (basename, row index). A file absent at
+    * `fromVersion` but DV'd at `toVersion` contributes ALL its positions
+    * (its insert rode [[changesSince]] in full, so the subtraction
+    * balances). Copy-on-write rewrites are invisible here by design —
+    * their windows aren't DV-expressible and consumers (MV refresh, CDC)
+    * detect that from the log and fall back to [[diff]]/recompute.
+    */
+  def dvDeletedRows(spark: SparkSession, log: LakeLog, table: String,
+                    fromVersion: Long, toVersion: Long = 0L): DataFrame = {
+    val latest = log.latestVersion(table)
+    val to = if (toVersion <= 0) latest else toVersion
+    require(fromVersion <= to, s"fromVersion $fromVersion > toVersion $to")
+    val snapB = log.snapshot(table, to)
+    val sch = snapB.schema.get
+    val st = toStructType(sch)
+    val partCols = sch.partCols
+    val priorByName = log.snapshot(table, fromVersion).files
+      .map(f => baseName(f.path) -> f).toMap
+    def priorDvRows(f: FileAdd): Long =
+      priorByName.get(baseName(f.path)).map(_.dvRows).getOrElse(0L)
+    val grown = snapB.files.filter(f => f.dvRows > priorDvRows(f))
+    if (grown.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
+    val grownNames = grown.map(f => baseName(f.path))
+    val newDv = spark.read.schema(DvSchema)
+      .parquet(grown.flatMap(_.dv.map(_.path)).distinct: _*)
+      .filter(col("file").isin(grownNames: _*))
+    val priorDvPaths = grown
+      .flatMap(f => priorByName.get(baseName(f.path)).flatMap(_.dv))
+      .map(_.path).distinct
+    // delta = new positions minus the positions already holes at `from`
+    val delta = (if (priorDvPaths.isEmpty) newDv
+      else newDv.join(
+        spark.read.schema(DvSchema).parquet(priorDvPaths: _*)
+          .filter(col("file").isin(grownNames: _*)),
+        Seq("file", "pos"), "left_anti"))
+    val dataSt = dataStruct(st, partCols)
+    grown.groupBy(f => partCols.map(f.partition(_))).map { case (vals, group) =>
+      val base = spark.read.schema(dataSt).parquet(group.map(_.path): _*)
+        .withColumn("__file",
+          element_at(split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("__pos", col("_metadata.row_index"))
+      val hit = base.join(broadcast(delta),
+        base("__file") === delta("file") && base("__pos") === delta("pos"),
+        "left_semi")
+      val withParts = partCols.zip(vals).foldLeft(hit) { case (df, (c, v)) =>
+        df.withColumn(c, partLit(v, st(c).dataType)) }
+      withParts.select(st.fieldNames.toSeq.map(col): _*)
+    }.reduce(_ unionAll _)
+  }
+
+  /** True iff `entry` is a pure deletion-vector delta: every add re-adds a
+    * pre-entry path unchanged except for a strictly larger DV, and the
+    * removes are exactly those paths. The shape [[deleteWhereMor]] commits
+    * for partial deletes — the window a change feed or an incremental MV
+    * can fold WITHOUT pre-images. (A fully-dead file's removal is not
+    * expressible this way and correctly fails the test.) */
+  def isDvDeltaEntry(log: LakeLog, table: String, e: LogEntry): Boolean = {
+    if (e.adds.isEmpty || !e.adds.forall(a => a.rewrite && a.dv.isDefined))
+      return false
+    if (e.removes.toSet != e.adds.map(_.path).toSet) return false
+    val prior = log.snapshot(table, e.version - 1).files
+      .map(f => f.path -> f).toMap
+    e.adds.forall(a => prior.get(a.path).exists(p =>
+      a.rows == p.rows && a.dvRows > p.dvRows))
+  }
+
+  /** True iff `entry` rewrites layout without changing logical content:
+    * every add is a rewrite whose dv matches the pre-entry state for its
+    * path, and live row counts balance against what the entry displaces
+    * (via removes, or via in-place path replacement). Compaction, schema
+    * requotes and restores-to-identical-content qualify; CoW deletes and
+    * upserts don't (their live counts shrink/grow). */
+  def isLayoutOnlyEntry(log: LakeLog, table: String, e: LogEntry): Boolean = {
+    if (e.adds.isEmpty || !e.adds.forall(_.rewrite)) return false
+    val priorFiles = log.snapshot(table, e.version - 1).files
+    val priorDv = priorFiles.map(f => f.path -> f.dv).toMap
+    if (e.adds.exists(a => priorDv.get(a.path) match {
+      case Some(d0) => d0 != a.dv // in-place replacement with a new dv
+      case None => a.dv.isDefined // fresh path carrying a dv
+    })) return false
+    val prior = priorFiles.map(f => f.path -> f.liveRows).toMap
+    val removed = e.removes.map(p => prior.getOrElse(p, Long.MinValue)).sum
+    val replaced = e.adds.map(a => prior.getOrElse(a.path, 0L)).sum
+    removed + replaced == e.adds.map(_.liveRows).sum
+  }
+
+  /** Change feed with row-level deletes (Delta CDF analog): every logical
+    * row change in `(fromVersion, toVersion]` tagged `_change_type`
+    * 'insert' | 'delete'. Inserts come from the append feed
+    * ([[changesSince]]); deletes from deletion-vector growth
+    * ([[dvDeletedRows]]) — both metadata-priced. Windows containing
+    * copy-on-write rewrites (CoW delete, upsert, restore) have no logged
+    * pre-images and are refused: callers key on [[diff]] for those.
+    */
+  def changeFeed(spark: SparkSession, log: LakeLog, table: String,
+                 fromVersion: Long, toVersion: Long = 0L): DataFrame = {
+    val latest = log.latestVersion(table)
+    val to = if (toVersion <= 0) latest else toVersion
+    ((fromVersion + 1) to to).foreach { v =>
+      val e = log.readEntry(table, v)
+      val expressible =
+        (e.removes.isEmpty && e.adds.forall(!_.rewrite)) || // append-only
+          isDvDeltaEntry(log, table, e) ||
+          isLayoutOnlyEntry(log, table, e)
+      if (!expressible)
+        throw new LakeValidationException(
+          s"version $v of $table is not change-feed expressible " +
+            "(copy-on-write rewrite without pre-images) — use diff()")
+    }
+    changesSince(spark, log, table, fromVersion, to)
+      .withColumn("_change_type", lit("insert"))
+      .unionAll(dvDeletedRows(spark, log, table, fromVersion, to)
+        .withColumn("_change_type", lit("delete")))
+  }
+
   /** Row-level DIFF between two versions (Delta `table_changes` analog,
     * keyed): classify every logical row change from `fromVersion` to
     * `toVersion` as insert / delete / update. `keyCols` must uniquely
@@ -828,10 +1178,13 @@ object LakeTable {
     val st = toStructType(sch)
     keyCols.foreach(c => require(st.fieldNames.contains(c), s"no column $c"))
     val valCols = st.fieldNames.toSeq.filterNot(keyCols.contains)
-    val pathsA = snapA.files.map(_.path).toSet
-    val pathsB = snapB.files.map(_.path).toSet
-    val onlyA = snapA.files.filterNot(f => pathsB.contains(f.path))
-    val onlyB = snapB.files.filterNot(f => pathsA.contains(f.path))
+    // identity = (path, dv): a file whose deletion vector changed between
+    // the versions has the same path but different logical rows — it must
+    // enter the diff on both sides (the surviving rows cancel in the join)
+    val keysA = snapA.files.map(f => (f.path, f.dv)).toSet
+    val keysB = snapB.files.map(f => (f.path, f.dv)).toSet
+    val onlyA = snapA.files.filterNot(f => keysB.contains((f.path, f.dv)))
+    val onlyB = snapB.files.filterNot(f => keysA.contains((f.path, f.dv)))
     def side(files: Seq[FileAdd], tag: String): DataFrame = {
       val base =
         if (files.isEmpty)
@@ -879,7 +1232,7 @@ object LakeTable {
   def describe(log: LakeLog, table: String): TableInfo = {
     val snap = log.snapshot(table)
     TableInfo(table, snap.version, snap.files.size,
-      snap.files.map(_.rows).sum, snap.files.map(_.size).sum,
+      snap.files.map(_.liveRows).sum, snap.files.map(_.size).sum,
       snap.schema.map(_.fields.map(f => s"${f.name}:${f.`type`}"))
         .getOrElse(Nil),
       snap.schema.map(_.partCols).getOrElse(Nil),
@@ -898,17 +1251,24 @@ object LakeTable {
   def restore(log: LakeLog, table: String, toVersion: Long,
               txnId: String = UUID.randomUUID().toString): CommitResult = {
     val target = log.snapshot(table, toVersion)
-    target.files.foreach(f =>
-      if (!Files.exists(java.nio.file.Paths.get(f.path)))
-        throw new LakeValidationException(
-          s"cannot restore $table to version $toVersion: ${f.path} " +
-            "no longer exists (vacuumed)"))
+    target.files.foreach { f =>
+      (f.path +: f.dv.map(_.path).toSeq).foreach(p =>
+        if (!Files.exists(java.nio.file.Paths.get(p)))
+          throw new LakeValidationException(
+            s"cannot restore $table to version $toVersion: $p " +
+              "no longer exists (vacuumed)"))
+    }
     log.commitWithRetry(table, txnId) { fresh =>
-      val now = fresh.files.map(_.path).toSet
-      val then_ = target.files.map(_.path).toSet
-      val adds = target.files.filterNot(f => now.contains(f.path))
+      // identity is (path, dv): a file whose deletion vector changed since
+      // the target version must be re-added with the target's dv state
+      // (remove + re-add replaces the entry in place)
+      val now = fresh.files.map(f => (f.path, f.dv)).toSet
+      val thenPaths = target.files.map(_.path).toSet
+      val adds = target.files.filterNot(f => now.contains((f.path, f.dv)))
         .map(_.copy(rewrite = true))
-      val removes = fresh.files.map(_.path).filterNot(then_.contains)
+      val replaced = adds.map(_.path).toSet
+      val removes = fresh.files.map(_.path)
+        .filter(p => !thenPaths.contains(p) || replaced.contains(p))
       Some((adds, removes))
     }.get
   }
@@ -947,12 +1307,15 @@ object LakeTable {
              tmpRetainMs: Long = 24L * 3600 * 1000): VacuumReport = {
     val latest = log.latestVersion(table)
     val floor = math.max(0L, latest - math.max(0, retainVersions - 1))
-    // union of files visible in any retained snapshot
+    // union of files visible in any retained snapshot — a DV sidecar is
+    // live exactly while some retained FileAdd references it
     val live = (floor to latest)
-      .flatMap(v => log.snapshot(table, v).files.map(_.path)).toSet
-    // every file ever added
+      .flatMap(v => log.snapshot(table, v).files
+        .flatMap(f => f.path +: f.dv.map(_.path).toSeq)).toSet
+    // every file (and dv sidecar) ever added
     val all = log.versions(table)
-      .flatMap(v => log.readEntry(table, v).adds.map(_.path)).distinct
+      .flatMap(v => log.readEntry(table, v).adds
+        .flatMap(a => a.path +: a.dv.map(_.path).toSeq)).distinct
     // ownership guard (Delta-parity): only reclaim files under THIS table's
     // data dir. A shallow clone's log references the source's files by
     // path; once the clone rewrites them away they leave its snapshots, but

@@ -31,9 +31,14 @@ import org.apache.spark.sql.types._
   *    incremental;
   *  - layout-only entries (compaction: every add is `rewrite` and re-adds
   *    exactly the removed row count) → logically empty, skipped;
-  *  - anything else (delete, upsert, restore) → full recompute fallback,
-  *    which is what every production IVM system does when the delta is
-  *    not insert-only and no pre-images were logged.
+  *  - deletion-vector entries (merge-on-read deletes) → incremental TOO,
+  *    for count/sum MVs: the DV enumerates exactly the deleted rows — the
+  *    pre-images a copy-on-write delete lacks — so their aggregate folds
+  *    in as a NEGATIVE delta ([[LakeTable.dvDeletedRows]]); min/max MVs
+  *    still fall back (a delete can raise a min);
+  *  - anything else (CoW delete, upsert, restore) → full recompute
+  *    fallback, which is what every production IVM system does when the
+  *    delta is not enumerable and no pre-images were logged.
   *
   * The refresh high-water mark lives in the MV table's OWN log: the commit
   * that applies versions `(last, cur]` carries txn id `mv-<name>-to-<cur>`.
@@ -102,20 +107,11 @@ object MaterializedView {
   private def isAppendOnly(e: LogEntry): Boolean =
     e.removes.isEmpty && e.adds.forall(!_.rewrite)
 
-  /** True iff the entry rewrites layout without changing logical content:
-    * every add is a rewrite and the re-added row count equals the rows it
-    * displaces — via the removes list (compaction, new paths) or via
-    * in-place path replacement (replay replaces adds by path; schema
-    * evolution restates files this way to requote widened stats). Both
-    * resolved against the pre-entry snapshot. */
-  private def isLayoutOnly(log: LakeLog, d: MvDef, e: LogEntry): Boolean = {
-    if (e.adds.isEmpty || !e.adds.forall(_.rewrite)) return false
-    val prior = log.snapshot(d.base, e.version - 1)
-      .files.map(f => f.path -> f.rows).toMap
-    val removedRows = e.removes.map(p => prior.getOrElse(p, Long.MinValue)).sum
-    val replacedRows = e.adds.map(a => prior.getOrElse(a.path, 0L)).sum
-    removedRows + replacedRows == e.adds.map(_.rows).sum
-  }
+  /** Layout-only = no logical content change (shared classifier — see
+    * [[LakeTable.isLayoutOnlyEntry]]: rewrite adds, dv state unchanged,
+    * live row counts balance). */
+  private def isLayoutOnly(log: LakeLog, d: MvDef, e: LogEntry): Boolean =
+    LakeTable.isLayoutOnlyEntry(log, d.base, e)
 
   // Refreshes of one MV are serialized in-process: two concurrent
   // refreshers could otherwise observe DIFFERENT base versions and the
@@ -147,11 +143,27 @@ object MaterializedView {
     val entries = ((last + 1) to cur).map(log.readEntry(d.base, _))
     val incrementalOk =
       entries.forall(e => isAppendOnly(e) || isLayoutOnly(log, d, e))
+    // deletion-vector windows fold incrementally too — count/sum are
+    // self-maintainable under deletes because the DV enumerates EXACTLY
+    // the deleted rows (the pre-images a CoW delete lacks): subtract
+    // their aggregate as a negative delta. min/max are not (a delete can
+    // raise a min), so their presence keeps the full-recompute fallback.
+    val dvEntries = entries.filter(LakeTable.isDvDeltaEntry(log, d.base, _))
+    val dvOk = !incrementalOk && d.minCols.isEmpty && d.maxCols.isEmpty &&
+      entries.forall(e => isAppendOnly(e) || isLayoutOnly(log, d, e) ||
+        LakeTable.isDvDeltaEntry(log, d.base, e))
 
-    if (incrementalOk) {
-      val delta = aggOf(
+    if (incrementalOk || dvOk) {
+      val inserts = aggOf(
         LakeTable.changesSince(spark, log, d.base, last, cur), d)
-        .persist()
+      val delta = (if (dvEntries.isEmpty) inserts else {
+        val deleted = aggOf(
+          LakeTable.dvDeletedRows(spark, log, d.base, last, cur), d)
+        val negated = deleted.withColumn("n_rows", -col("n_rows"))
+        inserts.unionByName(d.sumCols.foldLeft(negated)((df, c) =>
+          df.withColumn(s"sum_$c", -col(s"sum_$c"))))
+      }).persist()
+      val mode = if (dvEntries.isEmpty) "incremental" else "incremental_dv"
       try {
         if (delta.isEmpty) {
           // logically-empty window (layout-only / schema-only entries):
@@ -159,7 +171,7 @@ object MaterializedView {
           // routing this through upsert would rewrite the ENTIRE MV (an
           // empty update set defeats its key-range pruning)
           log.commitWithRetry(d.name, txnFor(d, cur))(_ => Some((Nil, Nil)))
-          RefreshResult("incremental", last, cur)
+          RefreshResult(mode, last, cur)
         } else if (delta.filter(col(d.keyCol).isNull).isEmpty) {
           // merged totals for touched keys only: current MV rows for those
           // keys + the delta, re-aggregated. The MV-side read is
@@ -167,10 +179,20 @@ object MaterializedView {
           // semi-join keeps the merge O(|touched|), not O(|MV|).
           val touched = LakeTable.read(spark, log, d.name)
             .join(delta.select(d.keyCol), Seq(d.keyCol), "left_semi")
-          val merged = aggRemerge(touched.unionByName(delta), d)
-          LakeTable.upsert(spark, log, d.name, merged, d.keyCol,
-            txnId = txnFor(d, cur))
-          RefreshResult("incremental", last, cur)
+          val merged = aggRemerge(touched.unionByName(delta), d).persist()
+          try {
+            // a key whose every row died merges to n_rows = 0 — SQL GROUP
+            // BY would not emit it, and the upsert merge cannot DROP a
+            // row. Rare (a whole group deleted); recompute restores truth.
+            if (dvEntries.nonEmpty &&
+                !merged.filter(col("n_rows") === 0).isEmpty)
+              fullRefresh(spark, log, d, last, cur)
+            else {
+              LakeTable.upsert(spark, log, d.name, merged, d.keyCol,
+                txnId = txnFor(d, cur))
+              RefreshResult(mode, last, cur)
+            }
+          } finally merged.unpersist()
         } else {
           // a NULL group key cannot ride the upsert merge: the upsert's
           // anti-join never matches NULL = NULL, so the old NULL-group row
