@@ -30,9 +30,11 @@ object Bench {
       graft.operators.Multimodal.pixelCorpus(
         spark.range(0, 512).toDF("doc_id"))).count()
     catch { case _: Throwable => }
-    // min of N runs (default 2): one-off host-load spikes and JIT warmup
-    // otherwise masquerade as query cost — the min is the reproducible time
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // min of N runs (default 3): one-off host-load spikes and JIT warmup
+    // otherwise masquerade as query cost — the min is the reproducible
+    // time (ambient load on this host runs 4-5 even when "idle", so two
+    // samples still let a spike through ~1/3 of the time)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to math.max(1, runs)).map { _ =>
         val t0 = System.nanoTime()

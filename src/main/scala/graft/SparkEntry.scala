@@ -1463,6 +1463,24 @@ object SparkEntry {
       // count/16 (exact dyadic), no rounding needed.
       Dedup.minhashLshPairsFixed(t(s, d, "documents"), threshold = 0.5)
         .orderBy("a_id", "b_id")),
+    // PERSISTED LSH index, the continuous-crawl shape: 2/3 of the corpus
+    // becomes an indexed lake table (bucket-clustered + bucket blooms);
+    // the other 1/3 arrives as a "new batch" and probes it — history is
+    // never re-shingled, and within the key budget the probe's isin
+    // filter reaches the scan and file-prunes. Same portable hashes as
+    // q_dedup_minhash_fixed, so DuckDB replays index build + probe
+    // end-to-end (candidates restricted to cross hist×batch pairs).
+    "q_dedup_minhash_index" -> ((s, d) => {
+      import graft.lake.LakeLog
+      import graft.operators.DedupIndex
+      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftlsh"))
+      val docs = t(s, d, "documents")
+      DedupIndex.buildIndex(s, log, "lsh",
+        docs.filter(col("doc_id") % 3 =!= 0))
+      DedupIndex.probeIndex(s, log, "lsh",
+          docs.filter(col("doc_id") % 3 === 0), threshold = 0.5)
+        .orderBy("new_id", "hist_id")
+    }),
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 8)
         .orderBy("a_id", "b_id")),
@@ -4850,6 +4868,47 @@ object SparkEntry {
       GROUP BY c.a_id, c.b_id
       HAVING sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / 16.0 >= 0.5
       ORDER BY a_id, b_id""",
+    "q_dedup_minhash_index" -> """
+      WITH norm AS (
+        SELECT doc_id, list_filter(string_split_regex(
+                 regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+               x -> x <> '') AS t
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id,
+                 CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+                      ELSE array_to_string(t[i:i+2], ' ') END AS sh
+          FROM norm, UNNEST(CASE WHEN len(t) < 3 THEN [CAST(1 AS BIGINT)]
+                                 ELSE range(1, len(t) - 1) END) AS u(i))),
+      hb AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(sh), 1, 7)) AS BIGINT) AS h
+        FROM sh),
+      sig AS (
+        SELECT doc_id, i,
+               min((((1103515245 * (2 * i + 1)) % 2147483647) * h
+                    + ((12345 + 1013904223 * i) % 2147483647))
+                   % 2147483647) AS h
+        FROM hb, UNNEST(range(16)) AS s(i)
+        GROUP BY doc_id, i),
+      band AS (
+        SELECT doc_id, i // 2 AS band,
+               string_agg(h::VARCHAR, ',' ORDER BY i) AS key
+        FROM sig GROUP BY doc_id, i // 2),
+      cand AS (
+        SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS hist_id
+        FROM band a JOIN band b ON a.band = b.band AND a.key = b.key
+        WHERE a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0)
+      SELECT c.new_id AS new_id, c.hist_id AS hist_id,
+             sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / 16.0
+               AS est_jaccard
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.new_id
+      JOIN sig sb ON sb.doc_id = c.hist_id AND sb.i = sa.i
+      GROUP BY c.new_id, c.hist_id
+      HAVING sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / 16.0 >= 0.5
+      ORDER BY new_id, hist_id""",
     "q_dedup_simhash_fixed" -> """
       WITH norm AS (
         SELECT doc_id, list_filter(string_split_regex(

@@ -150,12 +150,12 @@ object Dedup {
     * machinery downstream of the hash is THE SAME shape: (id, band, key)
     * shuffles, signature join, est-Jaccard filter.
     */
-  def minhashLshPairsFixed(docs: DataFrame, threshold: Double = 0.5,
-                           bands: Int = 8, rowsPerBand: Int = 2,
-                           idCol: String = "doc_id",
-                           textCol: String = "text",
-                           shingleSize: Int = 3): DataFrame = {
-    val k = bands * rowsPerBand
+  /** Portable (md5 + universal-hash affine) minhash signatures — the
+    * machinery of [[minhashLshPairsFixed]], shared with the persisted
+    * LSH index ([[DedupIndex]]): `(id, sig: Array[Long])` of length `k`. */
+  private[operators] def portableSigs(docs: DataFrame, k: Int,
+                                      idCol: String, textCol: String,
+                                      shingleSize: Int): DataFrame = {
     val P = 2147483647L // 2^31 - 1 (prime): (2^31)·(2^28) < 2^59 — no overflow
     val shingled =
       spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
@@ -170,16 +170,32 @@ object Dedup {
       val b = (12345L + 1013904223L * i) % P
       min((lit(a) * col("h") + lit(b)) % P).as(s"m$i")
     }
-    val sigs = shingled.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    shingled.groupBy("id").agg(aggs.head, aggs.tail: _*)
       .select(col("id"),
         array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-    val buckets = sigs.select(col("id"), col("sig"),
+  }
+
+  /** Band keys over portable signatures: `(id, sig, band, bucket)` —
+    * bucket = the band's raw signature slice comma-joined (exactness over
+    * key compactness). */
+  private[operators] def portableBandRows(sigs: DataFrame, bands: Int,
+                                          rowsPerBand: Int): DataFrame =
+    sigs.select(col("id"), col("sig"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
             concat_ws(",",
               transform(slice(col("sig"), b * rowsPerBand + 1,
                 lit(rowsPerBand)), _.cast("string"))).as("bucket")))).as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+
+  def minhashLshPairsFixed(docs: DataFrame, threshold: Double = 0.5,
+                           bands: Int = 8, rowsPerBand: Int = 2,
+                           idCol: String = "doc_id",
+                           textCol: String = "text",
+                           shingleSize: Int = 3): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = portableSigs(docs, k, idCol, textCol, shingleSize)
+    val buckets = portableBandRows(sigs, bands, rowsPerBand)
       // persisted: both candidate-join sides consume this (see
       // minhashLshPairs) — the md5+affine signature pass runs once
       .persist()
