@@ -1826,6 +1826,40 @@ object SparkEntry {
     // which DuckDB recomputes from lineitem directly — covering the custom
     // source's offset/replay semantics, the transform and the idempotent
     // sink in one hash.
+    // Streaming CHANGE FEED: the CDC source in changeFeed mode tails a
+    // table through two overlapping merge-on-read deletes — deletes
+    // arrive as rows tagged _change_type='delete', enumerated from DV
+    // growth per micro-batch (each hole streamed exactly once), reading
+    // only the touched files' positions. DuckDB recomputes both halves.
+    "q_stream_cdf" -> ((s, d) => withShufflePartitions(s, 4) {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.lake.{LakeLog, LakeTable}
+      val log = new LakeLog(
+        java.nio.file.Files.createTempDirectory("graftscdf"))
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      LakeTable.createTable(log, "src", li.schema)
+      LakeTable.insert(s, log, "src",
+        li.filter(col("l_orderkey") % 2 === 0), txnId = "even")
+      LakeTable.insert(s, log, "src",
+        li.filter(col("l_orderkey") % 2 === 1), txnId = "odd")
+      LakeTable.deleteWhereMor(s, log, "src", "l_quantity > 45")
+      LakeTable.deleteWhereMor(s, log, "src", "l_quantity > 40")
+      val tmp = java.nio.file.Files.createTempDirectory("graftscdf_io")
+      val q = graft.streaming.Streams.lakeChangeFeedStream(s, log, "src")
+        .writeStream.format("parquet")
+        .option("path", tmp.resolve("out").toString)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(tmp.resolve("out").toString)
+        .groupBy("_change_type")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("_change_type")
+    }),
+
     "q_stream_cdc" -> ((s, d) => withShufflePartitions(s, 4) {
       import graft.lake.{LakeLog, LakeTable}
       val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftcdc"))
@@ -3496,6 +3530,16 @@ object SparkEntry {
       GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""",
     // the CDC-sourced lake->lake pipeline must land exactly the one-shot
     // batch transform of the source rows
+    "q_stream_cdf" -> """
+      SELECT ct AS _change_type, count(*) AS n_rows,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM (
+        SELECT 'insert' AS ct, l_quantity, l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT 'delete' AS ct, l_quantity, l_extendedprice
+        FROM lineitem WHERE l_quantity > 40)
+      GROUP BY ct ORDER BY ct""",
     "q_stream_cdc" -> """
       SELECT l_returnflag, count(*) AS n,
              round(sum(l_quantity * l_extendedprice), 2) AS sum_rev

@@ -54,10 +54,19 @@ final class LakeTableProvider extends TableProvider with DataSourceRegister {
     (new LakeLog(java.nio.file.Paths.get(root)), table)
   }
 
+  private def isCdf(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("changeFeed")).exists(_.toBoolean)
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (log, table) = logFor(options)
-    LakeTable.toStructType(log.snapshot(table).schema.getOrElse(
+    val base = LakeTable.toStructType(log.snapshot(table).schema.getOrElse(
       throw new LakeValidationException(s"table $table has no schema")))
+    // change-feed mode appends the classification column (always LAST —
+    // the reader's projection relies on it)
+    if (isCdf(options))
+      base.add(org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false))
+    else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -67,7 +76,7 @@ final class LakeTableProvider extends TableProvider with DataSourceRegister {
     val sch = log.snapshot(table).schema.get
     new LakeStreamTable(opts.get("root"), table, schema, sch.partCols,
       Option(opts.get("startingVersion")).map(_.toLong).getOrElse(0L),
-      Option(opts.get("maxVersionsPerBatch")).map(_.toLong))
+      Option(opts.get("maxVersionsPerBatch")).map(_.toLong), isCdf(opts))
   }
 }
 
@@ -75,7 +84,8 @@ private final class LakeStreamTable(root: String, table: String,
                                     tableSchema: StructType,
                                     partCols: Seq[String],
                                     startingVersion: Long,
-                                    maxVersionsPerBatch: Option[Long])
+                                    maxVersionsPerBatch: Option[Long],
+                                    changeFeed: Boolean)
     extends Table with SupportsRead {
 
   override def name(): String = s"graft-lake:$table"
@@ -89,7 +99,7 @@ private final class LakeStreamTable(root: String, table: String,
       override def toMicroBatchStream(checkpointLocation: String)
           : MicroBatchStream =
         new LakeMicroBatchStream(root, table, tableSchema, partCols,
-          startingVersion, maxVersionsPerBatch)
+          startingVersion, maxVersionsPerBatch, changeFeed)
     }
 }
 
@@ -103,14 +113,19 @@ private final class LakeMicroBatchStream(root: String, table: String,
                                          schema: StructType,
                                          partCols: Seq[String],
                                          startingVersion: Long,
-                                         maxVersionsPerBatch: Option[Long])
+                                         maxVersionsPerBatch: Option[Long],
+                                         changeFeed: Boolean = false)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private val log = new LakeLog(java.nio.file.Paths.get(root))
-  private val partSchema = StructType(partCols.map(c => schema(c)))
+  // columns physically present in data files: declared schema minus
+  // partition columns (log-carried) minus the synthetic _change_type
+  private val physical = StructType(schema.fields.filterNot(f =>
+    changeFeed && f.name == "_change_type"))
+  private val partSchema = StructType(partCols.map(c => physical(c)))
   private val dataSchema =
-    StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+    StructType(physical.fields.filterNot(f => partCols.contains(f.name)))
 
   override def initialOffset(): Offset = LakeOffset(startingVersion)
   override def latestOffset(): Offset = LakeOffset(log.latestVersion(table))
@@ -142,14 +157,45 @@ private final class LakeMicroBatchStream(root: String, table: String,
       : Array[InputPartition] = {
     val lo = start.asInstanceOf[LakeOffset].version
     val hi = end.asInstanceOf[LakeOffset].version
-    log.versions(table)
-      .filter(v => v > lo && v <= hi)
-      .flatMap(v => log.readEntry(table, v).adds)
-      .filterNot(_.rewrite)
-      .map(f => LakeInputPartition(f.path, f.size,
-        partCols.map(f.partition(_)).toArray): InputPartition)
-      .toArray
+    val versions = log.versions(table).filter(v => v > lo && v <= hi)
+    if (!changeFeed)
+      // CDC-insert mode: logically added files only; rewrites (and DV
+      // re-adds, which are rewrite-flagged) never replay
+      return versions
+        .flatMap(v => log.readEntry(table, v).adds)
+        .filterNot(_.rewrite)
+        .map(f => LakeInputPartition(f.path, f.size,
+          partCols.map(f.partition(_)).toArray): InputPartition)
+        .toArray
+    // change-feed mode: classify each version from the log alone
+    versions.flatMap { v =>
+      val e = log.readEntry(table, v)
+      if (e.removes.isEmpty && e.adds.forall(!_.rewrite))
+        e.adds.map(f => LakeInputPartition(f.path, f.size,
+          partCols.map(f.partition(_)).toArray, changeType = "insert"))
+      else if (LakeTable.isDvDeltaEntry(log, table, e)) {
+        // one delete partition per re-added file: its rows at (new dv
+        // positions ∖ prior dv positions)
+        val prior = log.snapshot(table, v - 1).files
+          .map(f => f.path -> f).toMap
+        e.adds.map { a =>
+          val dv = a.dv.get
+          val pdv = prior(a.path).dv
+          LakeInputPartition(a.path, a.size,
+            partCols.map(a.partition(_)).toArray, changeType = "delete",
+            dvPath = dv.path, dvSize = fileSize(dv.path),
+            priorDvPath = pdv.map(_.path).orNull,
+            priorDvSize = pdv.map(p => fileSize(p.path)).getOrElse(0L))
+        }
+      } else if (LakeTable.isLayoutOnlyEntry(log, table, e)) Nil
+      else throw new LakeValidationException(
+        s"version $v of $table is not change-feed expressible " +
+          "(copy-on-write rewrite without pre-images) — use diff()")
+    }.map(p => p: InputPartition).toArray
   }
+
+  private def fileSize(p: String): Long =
+    java.nio.file.Files.size(java.nio.file.Paths.get(p))
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
@@ -160,25 +206,38 @@ private final class LakeMicroBatchStream(root: String, table: String,
     // serialized set/restore: two streams building readers concurrently on
     // the shared session would otherwise race the toggle and could leave
     // the vectorized reader disabled session-wide
-    val readFn = LakeMicroBatchStream.vectorizedToggleLock.synchronized {
-      val key = "spark.sql.parquet.enableVectorizedReader"
-      val prev = spark.conf.getOption(key)
-      try {
-        spark.conf.set(key, "false")
-        new ParquetFileFormat().buildReaderWithPartitionValues(
-          sparkSession = spark,
-          dataSchema = dataSchema,
-          partitionSchema = partSchema,
-          requiredSchema = dataSchema,
-          filters = Nil,
-          options = Map.empty,
-          hadoopConf = spark.sessionState.newHadoopConf())
-      } finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
+    val (readFn, dvReadFn) =
+      LakeMicroBatchStream.vectorizedToggleLock.synchronized {
+        val key = "spark.sql.parquet.enableVectorizedReader"
+        val prev = spark.conf.getOption(key)
+        try {
+          spark.conf.set(key, "false")
+          val data = new ParquetFileFormat().buildReaderWithPartitionValues(
+            sparkSession = spark,
+            dataSchema = dataSchema,
+            partitionSchema = partSchema,
+            requiredSchema = dataSchema,
+            filters = Nil,
+            options = Map.empty,
+            hadoopConf = spark.sessionState.newHadoopConf())
+          // second reader for DV sidecars (delete partitions only)
+          val dv = if (!changeFeed) None
+            else Some(new ParquetFileFormat().buildReaderWithPartitionValues(
+              sparkSession = spark,
+              dataSchema = LakeTable.DvSchema,
+              partitionSchema = StructType(Nil),
+              requiredSchema = LakeTable.DvSchema,
+              filters = Nil,
+              options = Map.empty,
+              hadoopConf = spark.sessionState.newHadoopConf()))
+          (data, dv)
+        } finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
       }
-    }
-    new LakeReaderFactory(readFn, schema, dataSchema, partSchema)
+    new LakeReaderFactory(readFn, physical, dataSchema, partSchema,
+      changeFeed, dvReadFn)
   }
 }
 
@@ -189,15 +248,41 @@ private object LakeMicroBatchStream {
 }
 
 private final case class LakeInputPartition(path: String, size: Long,
-                                            partValues: Array[String])
+                                            partValues: Array[String],
+                                            changeType: String = "insert",
+                                            dvPath: String = null,
+                                            dvSize: Long = 0L,
+                                            priorDvPath: String = null,
+                                            priorDvSize: Long = 0L)
     extends InputPartition
 
 /** Reads one flat data file and projects `dataCols ++ partCols` back into
-  * the table's declared column order. */
+  * the table's declared column order (+ the `_change_type` literal in
+  * change-feed mode). Delete partitions read the file's DV sidecars
+  * executor-side, build the position delta (new ∖ prior) in memory —
+  * bounded by the file's deleted-row count — and emit only the rows the
+  * delete punched out, by running row index. */
 private final class LakeReaderFactory(
     readFn: PartitionedFile => Iterator[InternalRow],
-    schema: StructType, dataSchema: StructType, partSchema: StructType)
+    schema: StructType, dataSchema: StructType, partSchema: StructType,
+    changeFeed: Boolean = false,
+    dvReadFn: Option[PartitionedFile => Iterator[InternalRow]] = None)
     extends PartitionReaderFactory {
+
+  private def dvPositions(fn: PartitionedFile => Iterator[InternalRow],
+                          path: String, size: Long,
+                          forBase: String): java.util.HashSet[Long] = {
+    val out = new java.util.HashSet[Long]()
+    val emptyPart = PartitionValues.internalRow(IndexedSeq.empty,
+      StructType(Nil))
+    val it = fn(PartitionedFile(emptyPart,
+      SparkPath.fromPathString("file://" + path), 0, size))
+    while (it.hasNext) {
+      val r = it.next()
+      if (r.getUTF8String(0).toString == forBase) out.add(r.getLong(1))
+    }
+    out
+  }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val lp = p.asInstanceOf[LakeInputPartition]
@@ -206,11 +291,32 @@ private final class LakeReaderFactory(
     val file = PartitionedFile(partRow,
       SparkPath.fromPathString("file://" + lp.path), 0, lp.size)
     val produced = dataSchema.fields ++ partSchema.fields
-    val projection = UnsafeProjection.create(schema.fields.toSeq.map { f =>
-      val i = produced.indexWhere(_.name == f.name)
-      BoundReference(i, produced(i).dataType, nullable = true)
-    })
-    val it = readFn(file)
+    val columns: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      schema.fields.toSeq.map { f =>
+        val i = produced.indexWhere(_.name == f.name)
+        BoundReference(i, produced(i).dataType, nullable = true)
+      } ++ (if (changeFeed)
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(lp.changeType),
+          org.apache.spark.sql.types.StringType))
+      else Nil)
+    val projection = UnsafeProjection.create(columns)
+    val raw = readFn(file)
+    val it =
+      if (lp.changeType != "delete") raw
+      else {
+        // positions this delete added: new dv minus whatever was already
+        // a hole before the entry
+        val base = lp.path.substring(lp.path.lastIndexOf('/') + 1)
+        val fn = dvReadFn.get
+        val pos = dvPositions(fn, lp.dvPath, lp.dvSize, base)
+        if (lp.priorDvPath != null)
+          pos.removeAll(dvPositions(fn, lp.priorDvPath, lp.priorDvSize, base))
+        // running row index == parquet row index: the reader consumes the
+        // whole file (no filters, no split), in file order
+        var idx = -1L
+        raw.filter { _ => idx += 1; pos.contains(idx) }
+      }
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =

@@ -156,6 +156,29 @@ object Streams {
       base.option("maxVersionsPerBatch", m.toString)).load()
   }
 
+  /** Streaming CHANGE FEED over a lake table — [[lakeStream]] plus a
+    * `_change_type` column ('insert' | 'delete'). Deletes are the rows
+    * deletion vectors punched out, read executor-side at O(dv positions)
+    * per touched file; layout-only windows stream zero rows; windows with
+    * copy-on-write rewrites fail the stream (no pre-images — Delta's CDF
+    * makes the same demand of its writers). Pairs with
+    * [[graft.lake.MaterializedView.continuousRefresh]]-style consumers
+    * that need to SEE deletes rather than re-derive them.
+    */
+  def lakeChangeFeedStream(spark: org.apache.spark.sql.SparkSession,
+                           log: graft.lake.LakeLog, table: String,
+                           startingVersion: Long = 0L,
+                           maxVersionsPerBatch: Option[Long] = None)
+      : DataFrame = {
+    val base = spark.readStream.format("graft-lake")
+      .option("root", log.root.toString)
+      .option("table", table)
+      .option("changeFeed", "true")
+      .option("startingVersion", startingVersion.toString)
+    maxVersionsPerBatch.fold(base)(m =>
+      base.option("maxVersionsPerBatch", m.toString)).load()
+  }
+
   /** Stable per-query writer identity: derived from the checkpoint dir —
     * the identity that actually scopes `batchId` (a restart from the same
     * checkpoint resumes the same batch sequence; a different query or a

@@ -192,6 +192,55 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("lakeChangeFeedStream: inserts and DV deletes with _change_type") {
+    import graft.lake.{LakeLog, LakeTable}
+    import org.apache.spark.sql.types._
+    val log = new LakeLog(tmpDir("lakecdf"))
+    LakeTable.createTable(log, "ev", StructType(Seq(
+      StructField("id", LongType), StructField("region", StringType),
+      StructField("value", DoubleType))), partitionBy = Seq("region"))
+    LakeTable.insert(spark, log, "ev",
+      (1 to 20).map(i => (i.toLong, if (i % 2 == 0) "eu" else "us", i * 1.0))
+        .toDF("id", "region", "value"))
+    val query = Streams.lakeChangeFeedStream(spark, log, "ev")
+      .writeStream.format("memory").queryName("lakecdf")
+      .option("checkpointLocation", tmpDir("lakecdf_ckpt").toString)
+      .start()
+    try {
+      query.processAllAvailable()
+      assert(spark.table("lakecdf").columns.toSeq ==
+        Seq("id", "region", "value", "_change_type"))
+      assert(spark.table("lakecdf")
+        .filter($"_change_type" === "insert").count() == 20)
+      // a MOR delete streams EXACTLY the deleted rows as deletes
+      LakeTable.deleteWhereMor(spark, log, "ev", "id > 15")
+      query.processAllAvailable()
+      val dels = spark.table("lakecdf").filter($"_change_type" === "delete")
+      assert(dels.count() == 5)
+      assert(dels.agg(min("id")).as[Long].head() == 16L)
+      // partition values ride along on delete rows too
+      assert(dels.filter($"region" === "eu").count() == 3) // 16, 18, 20
+      // a second OVERLAPPING delete streams only the NEW holes
+      LakeTable.deleteWhereMor(spark, log, "ev", "id > 12")
+      query.processAllAvailable()
+      assert(spark.table("lakecdf")
+        .filter($"_change_type" === "delete").count() == 8)
+      // compaction (which materializes the DVs) is layout-only: no rows
+      LakeTable.compact(spark, log, "ev", force = true)
+      query.processAllAvailable()
+      assert(spark.table("lakecdf").count() == 28)
+      // replaying the feed reproduces the table: inserts minus deletes
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("id", "region", "value").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      val ins = rows(spark.table("lakecdf")
+        .filter($"_change_type" === "insert"))
+      val del = rows(spark.table("lakecdf")
+        .filter($"_change_type" === "delete"))
+      assert(ins -- del == rows(LakeTable.read(spark, log, "ev")))
+    } finally query.stop()
+  }
+
   test("sinkAggToLake: update-mode aggregates upsert into the lake table") {
     import graft.lake.{LakeLog, LakeTable}
     import org.apache.spark.sql.types._
