@@ -2341,6 +2341,40 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // The SQL DML surface end-to-end: CREATE / INSERT INTO..SELECT /
+    // merge-on-read DELETE / copy-on-write DELETE (hint) / OPTIMIZE /
+    // VACUUM / SELECT — every statement a LakeSql.execute string, every
+    // mutation a real OCC commit. DuckDB recomputes the final state from
+    // the raw source: the two deletes compose to l_quantity <= 40.
+    "q_lake_sql_dml" -> ((s, d) => {
+      import graft.api.LakeSql
+      import graft.lake.{LakeLog, LakeTable}
+      val log = new LakeLog(
+        java.nio.file.Files.createTempDirectory("graftsql"))
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      LakeTable.createTable(log, "src", li.schema)
+      LakeTable.insert(s, log, "src", li, numFiles = 2)
+      def sql(q: String) = LakeSql.execute(s, log, q)
+      sql("CREATE TABLE work (l_orderkey int64, l_linenumber int32, " +
+        "l_quantity float64, l_extendedprice float64)")
+      sql("INSERT INTO work SELECT l_orderkey, l_linenumber, l_quantity, " +
+        "l_extendedprice FROM src WHERE l_orderkey % 2 = 0")
+      sql("INSERT INTO work SELECT l_orderkey, l_linenumber, l_quantity, " +
+        "l_extendedprice FROM src WHERE l_orderkey % 2 = 1")
+      val mor = sql("DELETE FROM work WHERE l_quantity > 45").head()
+      require(mor.getAs[String]("mode") == "mor", "expected a MOR delete")
+      require(log.snapshot("work").files.exists(_.dvRows > 0),
+        "no deletion vector after SQL DELETE")
+      sql("DELETE /*+ COW */ FROM work WHERE l_quantity > 40")
+      sql("OPTIMIZE work")
+      sql("VACUUM work RETAIN 1 VERSIONS")
+      sql("SELECT l_orderkey % 4 AS bucket, count(*) AS n_rows, " +
+        "round(sum(l_quantity), 2) AS sum_qty, " +
+        "round(sum(l_extendedprice), 2) AS sum_price " +
+        "FROM work GROUP BY bucket ORDER BY bucket")
+    }),
+
     "q_lake_vacuum" -> ((s, d) => {
       // VACUUM under the exact oracle: a multi-commit lifecycle (3 inserts
       // → copy-on-write DELETE → forced compaction) strands every
@@ -4308,6 +4342,12 @@ object SparkEntry {
              round(sum(l_extendedprice), 2) AS sum_price
       FROM lineitem WHERE l_quantity <= 45
       GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_lake_sql_dml" -> """
+      SELECT l_orderkey % 4 AS bucket, count(*) AS n_rows,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem WHERE l_quantity <= 40
+      GROUP BY bucket ORDER BY bucket""",
     "q_lake_vacuum" -> """
       SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty,
              round(sum(l_extendedprice), 2) AS sum_price

@@ -1,0 +1,134 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import graft.lake.{Field, LakeLog, LakeTable, TableSchema}
+
+/** SQL statement dispatcher over lake tables — the DML/utility face the
+  * reference's mocked `/query` endpoint gestures at. [[SqlApi.queryLake]]
+  * covers reads (full ANSI SQL through Catalyst); this adds the
+  * table-mutating statements a lakehouse user expects to type, each routed
+  * to the corresponding lake operation (all the ACID/OCC machinery
+  * applies):
+  *
+  *   CREATE TABLE t (c type, ...) [PARTITIONED BY (c, ...)]
+  *   INSERT INTO t SELECT ...                (source: any lake tables)
+  *   DELETE FROM t WHERE <pred>              (merge-on-read deletion
+  *                                            vectors; a leading COW hint
+  *                                            block — "DELETE" then
+  *                                            slash-star + COW star-slash
+  *                                            then "FROM" — forces the
+  *                                            copy-on-write rewrite)
+  *   ALTER TABLE t ADD COLUMN c type         (nullable schema evolution)
+  *   OPTIMIZE t [ZORDER BY (c, ...)]         (forced compaction)
+  *   VACUUM t [RETAIN n VERSIONS]
+  *   RESTORE TABLE t TO VERSION AS OF v
+  *   DESCRIBE HISTORY t  /  DESCRIBE DETAIL t
+  *   anything else → [[SqlApi.queryLake]] (SELECT etc.)
+  *
+  * The type names in DDL are the lake's declared types (int32, int64,
+  * float32, float64, string, boolean, date, timestamp, *_array). Utility
+  * statements return one-row status DataFrames so every statement yields
+  * a DataFrame. The grammar is deliberately small and regex-anchored —
+  * it matches the Delta-style syntax for these operations, not a general
+  * SQL parser (Catalyst remains the parser for everything relational).
+  */
+object LakeSql {
+
+  private val Delete =
+    """(?is)\s*DELETE\s+(/\*\+\s*COW\s*\*/\s+)?FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val Optimize =
+    """(?is)\s*OPTIMIZE\s+(\w+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+  private val Vacuum =
+    """(?is)\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+  private val Restore =
+    """(?is)\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val History = """(?is)\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*""".r
+  private val Detail = """(?is)\s*DESCRIBE\s+DETAIL\s+(\w+)\s*;?\s*""".r
+  private val InsertInto =
+    """(?is)\s*INSERT\s+INTO\s+(\w+)\s+(SELECT\s.+)""".r
+  private val CreateT =
+    """(?is)\s*CREATE\s+TABLE\s+(\w+)\s*\((.+?)\)\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+  private val AlterAdd =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+(\w+)\s*;?\s*""".r
+
+  private def status(spark: SparkSession,
+                     fields: (String, Any)*): DataFrame = {
+    val st = StructType(fields.map { case (n, v) =>
+      StructField(n, v match {
+        case _: Long | _: Int => LongType
+        case _: Boolean => BooleanType
+        case _ => StringType
+      })
+    })
+    val row = Row(fields.map {
+      case (_, v: Int) => v.toLong
+      case (_, v) => v
+    }: _*)
+    spark.createDataFrame(java.util.List.of(row), st)
+  }
+
+  /** Execute one statement; every statement returns a DataFrame. */
+  def execute(spark: SparkSession, log: LakeLog, sql: String): DataFrame =
+    sql match {
+      case CreateT(table, colsSpec, partBy) =>
+        val fields = colsSpec.split(",").map(_.trim).filter(_.nonEmpty)
+          .map { c =>
+            val parts = c.split("\\s+")
+            require(parts.length == 2, s"bad column spec: '$c'")
+            Field(parts(0), parts(1).toLowerCase)
+          }
+        val partCols = Option(partBy).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        log.createTable(table, TableSchema(fields.toIndexedSeq,
+          partition_columns = if (partCols.isEmpty) None else Some(partCols)))
+        status(spark, "table" -> table, "created" -> true,
+          "version" -> 0L)
+      case InsertInto(table, select) =>
+        val rows = SqlApi.queryLake(spark, log, select)
+        val r = LakeTable.insert(spark, log, table, rows)
+        status(spark, "table" -> table, "version" -> r.version)
+      case Delete(cowHint, table, pred) =>
+        if (cowHint != null) {
+          val r = LakeTable.deleteWhere(spark, log, table, pred)
+          status(spark, "table" -> table, "mode" -> "cow",
+            "rows_deleted" -> r.rowsDeleted, "version" -> r.version)
+        } else {
+          val r = LakeTable.deleteWhereMor(spark, log, table, pred)
+          status(spark, "table" -> table, "mode" -> "mor",
+            "rows_deleted" -> r.rowsDeleted, "version" -> r.version)
+        }
+      case AlterAdd(table, colName, colType) =>
+        val cur = log.snapshot(table).schema.getOrElse(
+          throw new graft.lake.LakeValidationException(
+            s"table $table has no schema"))
+        val r = log.evolveSchema(table,
+          cur.copy(fields = cur.fields :+
+            Field(colName, colType.toLowerCase, nullable = true)),
+          txnId = s"altadd-$table-$colName")
+        status(spark, "table" -> table, "added" -> colName,
+          "version" -> r.version)
+      case Optimize(table, zorder) =>
+        val zCols = Option(zorder).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val r = LakeTable.compact(spark, log, table,
+          LakeTable.CompactionConfig(zOrderBy = zCols), force = true)
+        status(spark, "table" -> table,
+          "files_removed" -> r.filesRemoved.toLong,
+          "files_added" -> r.filesAdded.toLong,
+          "version" -> r.finalVersion)
+      case Vacuum(table, retain) =>
+        val r = LakeTable.vacuum(log, table,
+          retainVersions = Option(retain).map(_.toInt).getOrElse(1),
+          tmpRetainMs = 0L)
+        status(spark, "table" -> table, "deleted" -> r.deleted.toLong,
+          "kept_live" -> r.keptLive.toLong)
+      case Restore(table, v) =>
+        val r = LakeTable.restore(log, table, v.toLong)
+        status(spark, "table" -> table, "restored_to" -> v.toLong,
+          "version" -> r.version)
+      case History(table) => LakeTable.history(spark, log, table)
+      case Detail(table) => LakeTable.filesTable(spark, log, table)
+      case other => SqlApi.queryLake(spark, log, other)
+    }
+}

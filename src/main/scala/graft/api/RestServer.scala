@@ -97,6 +97,9 @@ final class RestServer(spark: SparkSession, log: LakeLog,
           triggerCompaction(ex, t)
         case ("DELETE", List("tables", t, "compaction")) =>
           cancelCompaction(ex, t)
+        case ("DELETE", List("tables", t, "rows"))   => deleteRows(ex, t)
+        case ("GET", List("tables", t, "changes"))   => tableChanges(ex, t)
+        case ("GET", List("tables", t, "files"))     => tableFiles(ex, t)
         case ("GET", List("tables", t, "compaction", "status")) =>
           compactionStatus(ex, t)
         case ("GET", List("tables", t, "compaction", "metrics")) =>
@@ -385,6 +388,82 @@ final class RestServer(spark: SparkSession, log: LakeLog,
       "result_path" -> s.resultPath.getOrElse(""),
       "message" ->
         "Query completed successfully. Results available at result_path."))
+  }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&")
+      .filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        java.net.URLDecoder.decode(k, "UTF-8") ->
+          java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+
+  /** DELETE /tables/{t}/rows — row-level delete (beyond the reference's
+    * route table, which has no row deletion at all). Body:
+    * `{"predicate": "...", "mode": "mor"|"cow", "txn_id": "..."}` — mor
+    * (default) = deletion vectors, no data rewrite; cow = copy-on-write
+    * file rewrite. */
+  private def deleteRows(ex: HttpExchange, table: String): Unit = {
+    if (!log.tableExists(table))
+      return textError(ex, 404, s"table $table does not exist")
+    val req = readMap(ex)
+    val pred = req.get("predicate") match {
+      case Some(p: String) if p.trim.nonEmpty => p
+      case _ => return textError(ex, 400, "Missing predicate")
+    }
+    val txn = req.get("txn_id").map(_.toString)
+      .getOrElse(UUID.randomUUID().toString)
+    req.getOrElse("mode", "mor").toString match {
+      case "cow" =>
+        val r = LakeTable.deleteWhere(spark, log, table, pred, txn)
+        respondJson(ex, 200, Map("mode" -> "cow",
+          "files_rewritten" -> r.filesRewritten,
+          "files_untouched" -> r.filesUntouched,
+          "rows_deleted" -> r.rowsDeleted, "version" -> r.version))
+      case "mor" =>
+        val r = LakeTable.deleteWhereMor(spark, log, table, pred, txn)
+        respondJson(ex, 200, Map("mode" -> "mor",
+          "files_with_dv" -> r.filesWithDv,
+          "files_removed" -> r.filesRemoved,
+          "files_untouched" -> r.filesUntouched,
+          "rows_deleted" -> r.rowsDeleted, "version" -> r.version))
+      case other => textError(ex, 400, s"unknown delete mode: $other")
+    }
+  }
+
+  /** GET /tables/{t}/changes?from=V[&to=V][&limit=N] — the change feed
+    * (inserts + DV deletes) as JSON rows with `_change_type`. `limit`
+    * caps the response (default 1000); windows with CoW rewrites return
+    * 400 with the classification error. */
+  private def tableChanges(ex: HttpExchange, table: String): Unit = {
+    if (!log.tableExists(table))
+      return textError(ex, 404, s"table $table does not exist")
+    val p = queryParams(ex)
+    val from = p.get("from").map(_.toLong).getOrElse(0L)
+    val to = p.get("to").map(_.toLong).getOrElse(0L)
+    val limit = p.get("limit").map(_.toInt).getOrElse(1000)
+    val df = LakeTable.changeFeed(spark, log, table, from, to).limit(limit)
+    val cols = df.columns
+    val rows = df.collect().map(r =>
+      cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap)
+    respondJson(ex, 200, Map("table" -> table, "from_version" -> from,
+      "rows" -> rows, "count" -> rows.length, "limit" -> limit))
+  }
+
+  /** GET /tables/{t}/files — the file inventory metadata table
+    * ([[LakeTable.filesTable]]): per-file physical/live rows, dv state,
+    * partition values, stats. Pure log read. */
+  private def tableFiles(ex: HttpExchange, table: String): Unit = {
+    if (!log.tableExists(table))
+      return textError(ex, 404, s"table $table does not exist")
+    val files = log.snapshot(table).files.map(f => Map(
+      "path" -> f.path, "rows" -> f.rows, "live_rows" -> f.liveRows,
+      "size" -> f.size, "partition" -> f.partition,
+      "rewrite" -> f.rewrite, "dv_path" -> f.dv.map(_.path).orNull,
+      "dv_rows" -> f.dvRows))
+    respondJson(ex, 200, Map("table" -> table,
+      "version" -> log.latestVersion(table), "files" -> files,
+      "count" -> files.size))
   }
 
   /** POST /tables/{t}/compaction (`rest_api.go:530-580`): validate not

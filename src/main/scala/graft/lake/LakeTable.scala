@@ -1048,8 +1048,11 @@ object LakeTable {
     val sch = snapB.schema.get
     val st = toStructType(sch)
     val partCols = sch.partCols
-    val priorByName = log.snapshot(table, fromVersion).files
-      .map(f => baseName(f.path) -> f).toMap
+    // snapshot() reads version ≤ 0 as LATEST; `fromVersion = 0` here means
+    // "since creation", whose file set is empty
+    val priorFiles =
+      if (fromVersion <= 0) Nil else log.snapshot(table, fromVersion).files
+    val priorByName = priorFiles.map(f => baseName(f.path) -> f).toMap
     def priorDvRows(f: FileAdd): Long =
       priorByName.get(baseName(f.path)).map(_.dvRows).getOrElse(0L)
     val grown = snapB.files.filter(f => f.dvRows > priorDvRows(f))
@@ -1238,6 +1241,64 @@ object LakeTable {
       snap.schema.map(_.partCols).getOrElse(Nil),
       snap.schema.map(_.checks).getOrElse(Map.empty))
   }
+
+  /** The snapshot's file inventory as a DataFrame — the Iceberg `.files` /
+    * Delta `DESCRIBE DETAIL` metadata-table analog: one row per live file
+    * with physical vs live rows, deletion-vector state, partition values
+    * and per-column min/max stats. Pure log read — table ops queries
+    * (skew, file sizing, dv debt) at O(#files), zero data I/O. */
+  def filesTable(spark: SparkSession, log: LakeLog, table: String,
+                 version: Long = 0L): DataFrame = {
+    val st = StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("rows", LongType, nullable = false),
+      StructField("live_rows", LongType, nullable = false),
+      StructField("size", LongType, nullable = false),
+      StructField("partition", MapType(StringType, StringType),
+        nullable = false),
+      StructField("rewrite", BooleanType, nullable = false),
+      StructField("dv_path", StringType, nullable = true),
+      StructField("dv_rows", LongType, nullable = false),
+      StructField("min_values", MapType(StringType, StringType),
+        nullable = false),
+      StructField("max_values", MapType(StringType, StringType),
+        nullable = false),
+      StructField("null_counts", MapType(StringType, LongType),
+        nullable = false)))
+    val rows = log.snapshot(table, version).files.map(f =>
+      Row(f.path, f.rows, f.liveRows, f.size, f.partition, f.rewrite,
+        f.dv.map(_.path).orNull, f.dvRows,
+        f.stats.map(_.min_values).getOrElse(Map.empty[String, String]),
+        f.stats.map(_.max_values).getOrElse(Map.empty[String, String]),
+        f.stats.map(_.nullCounts).getOrElse(Map.empty[String, Long])))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), st)
+  }
+
+  /** File count targeting `targetFileBytes` per output file, from the
+    * plan's size estimate — for parquet-backed inputs that estimate is the
+    * COMPRESSED input byte count (the right order of magnitude for a
+    * parquet output); in-memory inputs overestimate and simply split
+    * finer, which is the safe direction. Clamped to [1, 4096]. */
+  def autoNumFiles(df: DataFrame, targetFileBytes: Long): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = ((est + targetFileBytes - 1) / targetFileBytes).min(4096).max(1)
+    n.toInt
+  }
+
+  /** [[insert]] with file sizing chosen from the input's size estimate —
+    * the "optimize write" default for callers that don't know their batch
+    * size: big backfills split into ~`targetFileBytes` files (default
+    * 128 MB, the compaction target), small batches stay single-file. */
+  def insertAutoSized(spark: SparkSession, log: LakeLog, table: String,
+                      df: DataFrame,
+                      txnId: String = UUID.randomUUID().toString,
+                      targetFileBytes: Long = 128L * 1024 * 1024,
+                      clusterBy: Seq[String] = Nil,
+                      zOrderBy: Seq[String] = Nil): CommitResult =
+    insert(spark, log, table, df, txnId,
+      numFiles = autoNumFiles(df, targetFileBytes),
+      clusterBy = clusterBy, zOrderBy = zOrderBy)
 
   /** RESTORE TABLE ... TO VERSION: make the table's live file set equal the
     * target version's — one metadata-only commit (adds = files visible then

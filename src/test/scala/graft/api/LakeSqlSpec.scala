@@ -1,0 +1,71 @@
+package graft.api
+
+import graft.SparkSpec
+import graft.lake.{LakeLog, LakeTable}
+import org.apache.spark.sql.functions._
+
+/** The SQL DML/utility dispatcher: every lake mutation drivable from a SQL
+  * string, with the ACID machinery (OCC, DVs, compaction, vacuum) behind
+  * it.
+  */
+class LakeSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("full DML lifecycle through SQL statements") {
+    val log = new LakeLog(tmpDir("lakesql"))
+    def sql(s: String) = LakeSql.execute(spark, log, s)
+
+    sql("CREATE TABLE t (id int64, cat string, price float64)")
+    LakeTable.insert(spark, log, "t",
+      (1 to 100).map(i => (i.toLong, if (i % 2 == 0) "a" else "b", i * 1.5))
+        .toDF("id", "cat", "price"))
+
+    sql("CREATE TABLE t2 (id int64, cat string, price float64)")
+    sql("INSERT INTO t2 SELECT id, cat, price FROM t WHERE id <= 80")
+    assert(LakeTable.read(spark, log, "t2").count() == 80)
+    val preDelete = log.latestVersion("t2")
+
+    // default delete is merge-on-read: a DV appears, files stay
+    val del = sql("DELETE FROM t2 WHERE id > 50").head()
+    assert(del.getAs[String]("mode") == "mor" &&
+      del.getAs[Long]("rows_deleted") == 30L)
+    assert(log.snapshot("t2").files.exists(_.dvRows > 0))
+    assert(LakeTable.read(spark, log, "t2").count() == 50)
+
+    // restore undoes it, SQL-side
+    sql(s"RESTORE TABLE t2 TO VERSION AS OF $preDelete")
+    assert(LakeTable.read(spark, log, "t2").count() == 80)
+
+    // COW hint forces the rewrite path
+    val cow = sql("DELETE /*+ COW */ FROM t2 WHERE id > 60").head()
+    assert(cow.getAs[String]("mode") == "cow" &&
+      cow.getAs[Long]("rows_deleted") == 20L)
+
+    sql("ALTER TABLE t2 ADD COLUMN note string")
+    assert(LakeTable.read(spark, log, "t2").columns.contains("note"))
+
+    sql("OPTIMIZE t2")
+    assert(log.snapshot("t2").files.forall(_.dv.isEmpty))
+    sql("VACUUM t2 RETAIN 1 VERSIONS")
+    assert(sql("DESCRIBE HISTORY t2").count() >= 5)
+    assert(sql("DESCRIBE DETAIL t2")
+      .agg(sum("live_rows")).as[Long].head() == 60L)
+    assert(sql("SELECT count(*) AS n FROM t2").as[Long].head() == 60L)
+    assert(sql("SELECT max(id) AS m FROM t2 WHERE cat = 'a'")
+      .as[Long].head() == 60L)
+  }
+
+  test("partitioned create + zorder optimize via SQL") {
+    val log = new LakeLog(tmpDir("lakesqlp"))
+    def sql(s: String) = LakeSql.execute(spark, log, s)
+    sql("CREATE TABLE p (id int64, region string, v float64) " +
+      "PARTITIONED BY (region)")
+    assert(log.snapshot("p").schema.get.partCols == Seq("region"))
+    LakeTable.insert(spark, log, "p",
+      (1 to 40).map(i => (i.toLong, if (i % 2 == 0) "eu" else "us", i * 1.0))
+        .toDF("id", "region", "v"))
+    sql("OPTIMIZE p ZORDER BY (id, v)")
+    assert(sql("SELECT count(*) AS n FROM p WHERE region = 'eu'")
+      .as[Long].head() == 20L)
+  }
+}

@@ -76,6 +76,48 @@ class RestServerSpec extends SparkSpec with BeforeAndAfterAll {
     Resp(r.statusCode(), r.body())
   }
 
+  private def deleteBody(path: String, body: String): Resp = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(base + path))
+        .header("Content-Type", "application/json")
+        .method("DELETE", HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
+    Resp(r.statusCode(), r.body())
+  }
+
+  test("row deletes, change feed and file inventory over HTTP") {
+    val create = post("/tables", """{
+      "name": "dvt",
+      "schema": {"fields": [
+        {"name": "id", "type": "int64", "nullable": false},
+        {"name": "v", "type": "float64", "nullable": true}]}}""")
+    assert(create.status == 200 || create.status == 201)
+    val rows = (1 to 20).map(i => s"""{"id": $i, "v": $i.5}""")
+      .mkString("[", ",", "]")
+    assert(post("/tables/dvt/insert", s"""{"data": $rows}""").status == 200)
+    // merge-on-read delete (default mode)
+    val del = deleteBody("/tables/dvt/rows", """{"predicate": "id > 15"}""")
+    assert(del.status == 200)
+    assert(del.json("mode") == "mor" && del.json("rows_deleted") == 5)
+    // file inventory shows the DV debt, data file untouched
+    val files = get("/tables/dvt/files")
+    assert(files.status == 200)
+    val fs = files.json("files").asInstanceOf[Seq[Map[String, Any]]]
+    assert(fs.size == 1 && fs.head("rows") == 20 &&
+      fs.head("live_rows") == 15 && fs.head("dv_rows") == 5)
+    // change feed: 20 inserts + 5 deletes
+    val feed = get("/tables/dvt/changes?from=0")
+    assert(feed.status == 200)
+    val byType = feed.json("rows").asInstanceOf[Seq[Map[String, Any]]]
+      .groupBy(_("_change_type")).view.mapValues(_.size).toMap
+    assert(byType == Map("insert" -> 20, "delete" -> 5))
+    // validation conventions hold for the new routes
+    assert(deleteBody("/tables/dvt/rows", "{}").status == 400)
+    assert(deleteBody("/tables/nope/rows",
+      """{"predicate": "id > 1"}""").status == 404)
+    assert(get("/tables/nope/changes").status == 404)
+  }
+
   test("GET /health reports a healthy coordinator") {
     val r = get("/health")
     assert(r.status == 200)

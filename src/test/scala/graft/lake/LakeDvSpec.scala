@@ -307,6 +307,22 @@ class LakeDvSpec extends SparkSpec {
     }
   }
 
+  test("filesTable inventory + auto-sized inserts") {
+    val log = newLog()
+    LakeTable.createTable(log, "inv", schema)
+    // tiny target forces the size estimate to split the batch
+    LakeTable.insertAutoSized(spark, log, "inv", sampleDf(1 to 1000, "a"),
+      targetFileBytes = 4096)
+    val ft = LakeTable.filesTable(spark, log, "inv")
+    assert(ft.count() >= 2)
+    assert(ft.agg(sum("rows")).as[Long].head() == 1000L)
+    LakeTable.deleteWhereMor(spark, log, "inv", "id <= 100")
+    val ft2 = LakeTable.filesTable(spark, log, "inv")
+    assert(ft2.agg(sum("live_rows")).as[Long].head() == 900L)
+    assert(ft2.agg(sum("dv_rows")).as[Long].head() == 100L)
+    assert(ft2.agg(sum("rows")).as[Long].head() == 1000L)
+  }
+
   test("upsert and CoW delete apply DVs when rewriting touched files") {
     val log = newLog()
     LakeTable.createTable(log, "t", schema)
