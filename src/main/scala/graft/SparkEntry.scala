@@ -1182,6 +1182,46 @@ object SparkEntry {
         .orderBy("cum_weight")
     }),
 
+    // Per-source frequency cap (the FineWeb/Dolma per-domain cap): top 5
+    // docs per source by length, rank reported. Total ordering via
+    // (n_chars desc, doc_id) makes the cap boundary engine-exact.
+    "q_source_cap" -> ((s, d) =>
+      graft.operators.Selection.capPerGroup(
+          t(s, d, "documents").select("doc_id", "source", "n_chars"),
+          "source", Seq(col("n_chars").desc), "doc_id", n = 5)
+        .select("source", "doc_id", "n_chars", "rank_in_group")
+        .orderBy("source", "rank_in_group")),
+
+    // Link-graph centrality: fixed-point PageRank (5 iterations, d=0.85)
+    // over the deterministic synthetic link graph i → (17i+c) mod n,
+    // c=1..3. Every rank is integer arithmetic (rank div outdeg,
+    // (85·sum) div 100), so DuckDB unrolling the same iterations in SQL
+    // reproduces the values bit-for-bit — no float drift across engines.
+    // 8 shuffle partitions: the per-iteration exchanges carry (long,
+    // long) rows for a graph whose node count is corpus-sized, and the
+    // loop runs 10+ small jobs — at 32 partitions the task-scheduling
+    // overhead dominates the arithmetic.
+    "q_pagerank" -> ((s, d) => withShufflePartitions(s, 8) {
+      val edges = graft.operators.LinkGraph.syntheticLinks(
+        t(s, d, "documents"), k = 3, mult = 17L)
+      graft.operators.LinkGraph.pageRank(edges, iters = 5)
+        .orderBy(col("rank_fp").desc, col("id").asc).limit(20)
+    }),
+
+    // DSIR-style importance scoring (arXiv:2302.03169): rank the corpus
+    // by unigram log-likelihood ratio against the English slice as the
+    // target distribution; keep the 100 most target-like docs. The
+    // explicit-vocabulary path replays in DuckDB (same tokenizer, same
+    // add-1 smoothing); the hashed-bucket scale path is spec-checked
+    // for rank agreement in DsirSpec.
+    "q_dsir" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Dsir.scoreExact(docs, docs.filter(col("lang") === "en"))
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(100)
+    }),
+
     // Robust outlier gate (median/MAD, Iglewicz–Hoaglin z ≤ 3.5) — the
     // length-outlier curation step. Medians of integral n_chars interpolate
     // to exact halves, so every keep/drop decision replays bit-for-bit.
@@ -2812,6 +2852,41 @@ object SparkEntry {
       .map { case (p, i) => s"($i, [${p.mkString(",")}]::DOUBLE[])" }
       .mkString(", ")
 
+  /** Unrolled fixed-point PageRank: the same integer recurrence
+    * [[graft.operators.LinkGraph.pageRank]] runs (teleport 0.15·10¹²,
+    * per-edge `rank // outdeg`, damped `(85·sum) // 100`), one CTE per
+    * iteration. Integer `//` in DuckDB and `div` in Spark agree on
+    * positives, which is what makes the oracle exact.
+    */
+  private def pageRankOracleSql(iters: Int): String = {
+    val base = """
+      WITH nodes AS (SELECT doc_id AS id FROM documents),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      edges AS (
+        SELECT id AS src, (id * 17 + c.c) % nn.n AS dst
+        FROM nodes CROSS JOIN nn
+        CROSS JOIN (SELECT unnest([1, 2, 3]) AS c) c),
+      od AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+      r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS r FROM nodes)"""
+    val iterCtes = (1 to iters).map { i =>
+      s""",
+      r$i AS (
+        SELECT n.id,
+               CAST(150000000000 + (85 * COALESCE(c.s, 0)) // 100
+                 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst, CAST(SUM(r.r // od.od) AS BIGINT) AS s
+          FROM edges e
+          JOIN r${i - 1} r ON e.src = r.id
+          JOIN od ON od.src = e.src
+          GROUP BY e.dst) c ON c.dst = n.id)"""
+    }.mkString
+    base + iterCtes +
+      s"""
+      SELECT id, r AS rank_fp FROM r$iters
+      ORDER BY rank_fp DESC, id ASC LIMIT 20"""
+  }
+
   /** DuckDB-runnable oracle for each hash-checkable query. Column aliases and
     * ORDER BY match the Spark side exactly (driver sorts columns by name then
     * hashes values). Queries without an entry get a rows-only check (their
@@ -2819,6 +2894,45 @@ object SparkEntry {
     * approximation — those are property-tested in ScalaTest instead).
     */
   def oracleSql: Map[String, String] = Map(
+    "q_source_cap" -> """
+      SELECT source, doc_id, n_chars, rank_in_group FROM (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY n_chars DESC, doc_id ASC) AS rank_in_group
+        FROM documents)
+      WHERE rank_in_group <= 5
+      ORDER BY source, rank_in_group""",
+
+    "q_pagerank" -> pageRankOracleSql(5),
+
+    "q_dsir" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+          x -> x <> '')) AS term
+        FROM documents),
+      raw_cnt AS (SELECT term, count(*) AS cnt_raw FROM toks GROUP BY 1),
+      tgt_cnt AS (
+        SELECT term, count(*) AS cnt_target
+        FROM toks JOIN documents USING (doc_id)
+        WHERE lang = 'en' GROUP BY 1),
+      j AS (
+        SELECT r.term, r.cnt_raw, COALESCE(t.cnt_target, 0) AS cnt_target
+        FROM raw_cnt r LEFT JOIN tgt_cnt t USING (term)),
+      tot AS (SELECT sum(cnt_raw) AS nr, sum(cnt_target) AS nt,
+                     count(*) AS v FROM j),
+      w AS (
+        SELECT term,
+               ln((cnt_target + 1) / CAST(nt + v AS DOUBLE)) -
+               ln((cnt_raw + 1) / CAST(nr + v AS DOUBLE)) AS w
+        FROM j CROSS JOIN tot),
+      scored AS (
+        SELECT doc_id, count(*) AS n_tokens, sum(w.w) AS score
+        FROM toks JOIN w USING (term) GROUP BY 1)
+      SELECT doc_id, n_tokens, round(score, 6) AS score
+      FROM scored
+      ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 100""",
+
     "q_scan" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q_filter" ->

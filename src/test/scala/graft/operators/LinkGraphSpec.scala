@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LinkGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two-node cycle is stationary at rank = scale") {
+    val edges = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val ranks = LinkGraph.pageRank(edges, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // teleport 150e9 + 85% of 1e12 = exactly 1e12 every iteration
+    assert(ranks == Map(0L -> 1000000000000L, 1L -> 1000000000000L))
+  }
+
+  test("dangling chain: hand-computed two iterations") {
+    // a -> b; b dangles. iter1: a = teleport; b = teleport + 85% * scale.
+    // iter2: b = teleport + (85 * rank1(a)) div 100.
+    val edges = Seq((0L, 1L)).toDF("src", "dst")
+    val t = 150000000000L
+    val r1 = LinkGraph.pageRank(edges, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1(0L) == t && r1(1L) == t + 850000000000L)
+    val r2 = LinkGraph.pageRank(edges, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2(0L) == t && r2(1L) == t + 85L * t / 100L)
+  }
+
+  test("rank mass never exceeds n * scale and ranks stay positive") {
+    val docs = (0L until 64L).toDF("doc_id")
+    val edges = LinkGraph.syntheticLinks(docs, k = 3, mult = 17L)
+    val ranks = LinkGraph.pageRank(edges, iters = 5)
+    val total = ranks.agg(sum("rank_fp")).head.getLong(0)
+    assert(total <= 64L * 1000000000000L)
+    assert(ranks.filter(col("rank_fp") <= 0).count() == 0)
+  }
+
+  test("syntheticLinks: k out-edges per node, targets in range") {
+    val docs = (0L until 50L).toDF("doc_id")
+    val edges = LinkGraph.syntheticLinks(docs, k = 3, mult = 17L)
+    val degs = edges.groupBy("src").count().collect()
+    assert(degs.length == 50 && degs.forall(_.getLong(1) == 3L))
+    assert(edges.filter(col("dst") < 0 || col("dst") >= 50).count() == 0)
+    // deterministic: same call twice gives the identical edge set
+    val again = LinkGraph.syntheticLinks(docs, k = 3, mult = 17L)
+    assert(edges.except(again).count() == 0 && again.except(edges).count() == 0)
+  }
+
+  test("higher in-degree wins: a hub out-ranks a leaf") {
+    // everyone links to node 0; node 0 links to 1
+    val edges = ((1L to 9L).map(i => (i, 0L)) :+ (0L, 1L)).toDF("src", "dst")
+    val ranks = LinkGraph.pageRank(edges, iters = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks(0L) > ranks(2L) && ranks(1L) > ranks(2L))
+  }
+}

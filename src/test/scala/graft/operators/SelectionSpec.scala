@@ -53,4 +53,24 @@ class SelectionSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byG == Map("a" -> 3L, "b" -> 3L)) // cum 10,20,30 ≤ 35
   }
+
+  test("capPerGroup: keeps top-n per group in the declared order") {
+    val df = (for (g <- Seq("x", "y"); i <- 1 to 7)
+      yield (g, i.toLong, (i * 10).toLong)).toDF("g", "id", "len")
+    val out = Selection.capPerGroup(df, "g", Seq(col("len").desc), "id", 3)
+    val kept = out.select("g", "id", "rank_in_group").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    // longest three of each group, rank 1..3 by len desc
+    assert(kept == Set(("x", 7L, 1), ("x", 6L, 2), ("x", 5L, 3),
+                       ("y", 7L, 1), ("y", 6L, 2), ("y", 5L, 3)))
+  }
+
+  test("capPerGroup: tie broken by tieCol, cap smaller than group is total") {
+    val df = Seq(("g", 3L, 5L), ("g", 1L, 5L), ("g", 2L, 5L))
+      .toDF("g", "id", "len")
+    val out = Selection.capPerGroup(df, "g", Seq(col("len").desc), "id", 2)
+      .select("id", "rank_in_group").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 1, 2L -> 2)) // id ascending breaks the tie
+  }
 }
