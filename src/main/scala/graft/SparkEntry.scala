@@ -2657,6 +2657,40 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Atomic predicate-scoped overwrite (replaceWhere): the partition-
+    // backfill idiom — recompute the A slice (even orderkeys, doubled
+    // quantity), swap it in ONE commit, leave every other partition's
+    // files untouched (both pinned by in-query requires). DuckDB
+    // recomputes the final state from the raw source.
+    "q_lake_replace" -> ((s, d) => {
+      import graft.lake.{LakeLog, LakeTable}
+      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftrw"))
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      LakeTable.createTable(log, "li", li.schema,
+        partitionBy = Seq("l_returnflag"))
+      LakeTable.insert(s, log, "li", li)
+      val pre = log.snapshot("li")
+      val backfill = li
+        .filter(col("l_returnflag") === "A" && col("l_orderkey") % 2 === 0)
+        .withColumn("l_quantity", col("l_quantity") * 2)
+      val r = LakeTable.replaceWhere(s, log, "li", "l_returnflag = A",
+        backfill)
+      require(r.version == pre.version + 1,
+        "replaceWhere must be exactly one commit")
+      val untouched = pre.files
+        .filter(_.partition("l_returnflag") != "A").map(_.path).toSet
+      require(log.snapshot("li").files
+        .filter(_.partition("l_returnflag") != "A").map(_.path).toSet ==
+        untouched, "replaceWhere rewrote files outside the region")
+      LakeTable.readIndexed(s, log, "li")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_lake_bloom" -> ((s, d) => {
       // Bloom data skipping: orders land in 8 files clustered by STATUS, so
       // every file's o_orderkey min/max range spans the whole key domain —
@@ -4481,6 +4515,17 @@ object SparkEntry {
              round(sum(l_quantity), 2) AS sum_qty,
              round(sum(l_extendedprice), 2) AS sum_price
       FROM lineitem WHERE l_returnflag <> 'R'
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_lake_replace" -> """
+      SELECT l_returnflag, count(*) AS n_rows,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM (
+        SELECT l_returnflag, l_quantity, l_extendedprice
+        FROM lineitem WHERE l_returnflag <> 'A'
+        UNION ALL
+        SELECT l_returnflag, l_quantity * 2 AS l_quantity, l_extendedprice
+        FROM lineitem WHERE l_returnflag = 'A' AND l_orderkey % 2 = 0)
       GROUP BY l_returnflag ORDER BY l_returnflag""",
     // the Spark side answered these from footer stats alone (data files
     // physically deleted before the aggregate); DuckDB computes them the

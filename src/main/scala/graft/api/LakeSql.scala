@@ -13,6 +13,13 @@ import graft.lake.{Field, LakeLog, LakeTable, TableSchema}
   *
   *   CREATE TABLE t (c type, ...) [PARTITIONED BY (c, ...)]
   *   INSERT INTO t SELECT ...                (source: any lake tables)
+  *   INSERT INTO t REPLACE WHERE <pred> SELECT ...
+  *                                           (atomic predicate-scoped
+  *                                            overwrite — Delta's
+  *                                            replaceWhere backfill)
+  *   SELECT ... FROM t VERSION AS OF v ...   (time-travel read; clause
+  *                                            stripped, version routed to
+  *                                            the snapshot resolver)
   *   DELETE FROM t WHERE <pred>              (merge-on-read deletion
   *                                            vectors; a leading COW hint
   *                                            block — "DELETE" then
@@ -45,8 +52,16 @@ object LakeSql {
     """(?is)\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val History = """(?is)\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*""".r
   private val Detail = """(?is)\s*DESCRIBE\s+DETAIL\s+(\w+)\s*;?\s*""".r
+  private val InsertReplace =
+    """(?is)\s*INSERT\s+INTO\s+(\w+)\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\s.+)""".r
   private val InsertInto =
     """(?is)\s*INSERT\s+INTO\s+(\w+)\s+(SELECT\s.+)""".r
+  // SELECT-side time travel: `FROM t VERSION AS OF v` (any table
+  // reference position). The clause is stripped and the version is
+  // routed to [[SqlApi.queryLake]]'s per-table version map; one version
+  // per table per statement.
+  private val VersionRef =
+    """(?i)\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
   private val CreateT =
     """(?is)\s*CREATE\s+TABLE\s+(\w+)\s*\((.+?)\)\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val AlterAdd =
@@ -84,6 +99,13 @@ object LakeSql {
           partition_columns = if (partCols.isEmpty) None else Some(partCols)))
         status(spark, "table" -> table, "created" -> true,
           "version" -> 0L)
+      case InsertReplace(table, pred, select) =>
+        val rows = SqlApi.queryLake(spark, log, select)
+        val r = LakeTable.replaceWhere(spark, log, table, pred.trim, rows)
+        status(spark, "table" -> table,
+          "files_replaced" -> r.filesReplaced.toLong,
+          "rows_removed" -> r.rowsRemoved, "rows_added" -> r.rowsAdded,
+          "version" -> r.version)
       case InsertInto(table, select) =>
         val rows = SqlApi.queryLake(spark, log, select)
         val r = LakeTable.insert(spark, log, table, rows)
@@ -129,6 +151,11 @@ object LakeSql {
           "version" -> r.version)
       case History(table) => LakeTable.history(spark, log, table)
       case Detail(table) => LakeTable.filesTable(spark, log, table)
-      case other => SqlApi.queryLake(spark, log, other)
+      case other =>
+        val versions = VersionRef.findAllMatchIn(other)
+          .map(m => m.group(1) -> m.group(2).toLong).toMap
+        if (versions.isEmpty) SqlApi.queryLake(spark, log, other)
+        else SqlApi.queryLake(spark, log,
+          VersionRef.replaceAllIn(other, m => m.group(1)), versions)
     }
 }

@@ -786,6 +786,114 @@ object LakeTable {
     } finally deleteRecursively(staged)
   }
 
+  final case class ReplaceReport(filesReplaced: Int, filesUntouched: Int,
+                                 rowsRemoved: Long, rowsAdded: Long,
+                                 version: Long)
+
+  /** Atomic predicate-scoped overwrite — Delta's `replaceWhere`, the
+    * partition-backfill idiom ("recompute yesterday's slice, leave the
+    * rest of the table untouched"). In ONE commit: rows matching
+    * `predicate` are removed and replaced by `df`; files wholly outside
+    * the predicate (by log stats / partition values) are never read or
+    * rewritten, so at 100 TB a one-partition backfill prices as that
+    * partition, not the table. Readers see old or new state, never a
+    * mixture (the two-commit delete+insert composition has exactly that
+    * hole, plus a crash window that loses the slice entirely).
+    *
+    * Semantics guards:
+    *  - every incoming row must satisfy `predicate` (else the "replace"
+    *    would smuggle rows outside the replaced region) — violations
+    *    reject the whole statement before any staging;
+    *  - surviving rows of partially-matching files are rewritten
+    *    copy-on-write with deletion-vector holes already subtracted;
+    *    their re-adds carry `rewrite = true` so the change feed reports
+    *    only the genuinely new rows as inserts;
+    *  - the commit aborts if a concurrent writer touched any input file
+    *    (same (path, dv) guard as [[deleteWhere]]); duplicate txn ids
+    *    replay as no-ops.
+    */
+  def replaceWhere(spark: SparkSession, log: LakeLog, table: String,
+                   predicate: String, df: DataFrame,
+                   txnId: String = UUID.randomUUID().toString,
+                   numFiles: Int = 1,
+                   maxAttempts: Int = 3): ReplaceReport = {
+    log.committedVersion(table, txnId).foreach(v =>
+      return ReplaceReport(0, 0, 0, 0, v))
+    val snap = log.snapshot(table)
+    val sch = snap.schema.get
+    val st = toStructType(sch)
+    val partCols = sch.partCols
+    val pred = QueryEngine.parsePredicate(predicate)
+    // persisted: the violation count, checks and the staged write must
+    // execute the caller's upstream query once, not three times
+    val shaped = df.select(st.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType)): _*).persist()
+    val keepDir = log.tmpDir(table, s"$txnId-keep")
+    val newDir = log.tmpDir(table, s"$txnId-new")
+    try {
+      enforceChecks(table, sch, shaped)
+      val violations = shaped.filter(!coalesce(pred, lit(false))).count()
+      if (violations > 0)
+        throw new LakeValidationException(
+          s"replaceWhere: $violations incoming row(s) do not satisfy " +
+            s"'$predicate' (rows outside the replaced region)")
+      val candidates = FilePruning.prune(snap.files, predicate, st)
+      val keepAdds =
+        if (candidates.isEmpty) Nil
+        else {
+          // NULL predicate keeps the row (same rule as SQL DELETE):
+          // replaced = pred IS TRUE, survivors = everything else
+          val retained = readWithPartitions(spark, st, partCols, candidates)
+            .filter(!coalesce(pred, lit(false)))
+          withStatFriendlyWrites(spark) {
+            retained.coalesce(math.max(1, candidates.size))
+              .write.mode("overwrite").option("compression", "snappy")
+              .partitionBy(partCols: _*)
+              .parquet(keepDir.toString)
+          }
+          statAndPromote(spark, log, table, keepDir, st, rewrite = true,
+            partCols = partCols, bloomCols = sch.bloomCols)
+            .filter(_.rows > 0)
+        }
+      val newAdds = try {
+        withStatFriendlyWrites(spark) {
+          (if (numFiles > 1) shaped.repartition(numFiles)
+           else shaped.coalesce(1))
+            .write.mode("overwrite").option("compression", "snappy")
+            .partitionBy(partCols: _*)
+            .parquet(newDir.toString)
+        }
+        statAndPromote(spark, log, table, newDir, st,
+          partCols = partCols, bloomCols = sch.bloomCols)
+      } catch { case e: Throwable => discardAdds(keepAdds); throw e }
+      val adds = keepAdds ++ newAdds
+      val inputPaths = candidates.map(_.path)
+      // (path, dv) both unchanged, as in deleteWhere: a concurrent
+      // merge-on-read delete keeps paths but changes what we read
+      val expectDv = candidates.map(f => f.path -> f.dv).toMap
+      val resultOpt =
+        try log.commitWithRetry(table, txnId, maxAttempts) { cur =>
+          val live = cur.files.map(f => f.path -> f.dv).toMap
+          if (expectDv.forall { case (p, d) => live.get(p).contains(d) })
+            Some((adds, inputPaths))
+          else None
+        } catch { case e: Throwable => discardAdds(adds); throw e }
+      val result = resultOpt.getOrElse {
+        discardAdds(adds)
+        throw new CommitConflictException(
+          "replaceWhere lost its input files to a concurrent commit")
+      }
+      if (result.duplicate) discardAdds(adds)
+      ReplaceReport(candidates.size, snap.files.size - candidates.size,
+        candidates.map(_.liveRows).sum - keepAdds.map(_.rows).sum,
+        newAdds.map(_.rows).sum, result.version)
+    } finally {
+      shaped.unpersist()
+      deleteRecursively(keepDir)
+      deleteRecursively(newDir)
+    }
+  }
+
   final case class MorDeleteReport(filesWithDv: Int, filesRemoved: Int,
                                    filesUntouched: Int, rowsDeleted: Long,
                                    version: Long)
