@@ -53,9 +53,13 @@ object Dsir {
                                 tgtCnt: DataFrame): DataFrame = {
     // raw vocabulary carries the weight table: a token absent from raw
     // cannot appear in a raw document being scored, so the left join is
-    // total for scoring purposes
+    // total for scoring purposes. Persisted (vocab-sized): the totals
+    // aggregate AND the weight projection both consume it — unpersisted,
+    // Catalyst re-evaluates the whole count subtree (re-tokenizing the
+    // target corpus) once per consumer.
     val joined = rawCnt.join(tgtCnt, Seq("term"), "left")
       .na.fill(0L, Seq("cnt_target"))
+      .persist()
     val totals = joined.agg(
         sum("cnt_raw").as("__nr"), sum("cnt_target").as("__nt"),
         count(lit(1)).as("__v"))
