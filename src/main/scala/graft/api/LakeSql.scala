@@ -17,6 +17,10 @@ import graft.lake.{Field, LakeLog, LakeTable, TableSchema}
   *                                           (atomic predicate-scoped
   *                                            overwrite — Delta's
   *                                            replaceWhere backfill)
+  *   MERGE INTO t USING (SELECT ...) ON key  (keyed upsert: matched rows
+  *                                            replaced, new rows
+  *                                            inserted — updateAll/
+  *                                            insertAll semantics)
   *   SELECT ... FROM t VERSION AS OF v ...   (time-travel read; clause
   *                                            stripped, version routed to
   *                                            the snapshot resolver)
@@ -54,6 +58,11 @@ object LakeSql {
   private val Detail = """(?is)\s*DESCRIBE\s+DETAIL\s+(\w+)\s*;?\s*""".r
   private val InsertReplace =
     """(?is)\s*INSERT\s+INTO\s+(\w+)\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\s.+)""".r
+  // keyed merge: WHEN MATCHED → replace the row, WHEN NOT MATCHED →
+  // insert (Delta's updateAll/insertAll defaults — the only merge shape
+  // [[LakeTable.upsert]] implements, so the grammar declares no clauses)
+  private val MergeInto =
+    """(?is)\s*MERGE\s+INTO\s+(\w+)\s+USING\s+\((.+)\)\s+ON\s+(\w+)\s*;?\s*""".r
   private val InsertInto =
     """(?is)\s*INSERT\s+INTO\s+(\w+)\s+(SELECT\s.+)""".r
   // SELECT-side time travel: `FROM t VERSION AS OF v` (any table
@@ -99,6 +108,11 @@ object LakeSql {
           partition_columns = if (partCols.isEmpty) None else Some(partCols)))
         status(spark, "table" -> table, "created" -> true,
           "version" -> 0L)
+      case MergeInto(table, select, key) =>
+        val rows = SqlApi.queryLake(spark, log, select)
+        val r = LakeTable.upsert(spark, log, table, rows, key)
+        status(spark, "table" -> table, "key" -> key,
+          "version" -> r.version)
       case InsertReplace(table, pred, select) =>
         val rows = SqlApi.queryLake(spark, log, select)
         val r = LakeTable.replaceWhere(spark, log, table, pred.trim, rows)

@@ -68,4 +68,24 @@ class LakeSqlSpec extends SparkSpec {
     assert(sql("SELECT count(*) AS n FROM p WHERE region = 'eu'")
       .as[Long].head() == 20L)
   }
+
+  test("MERGE INTO: matched rows replaced, new rows inserted") {
+    val log = new LakeLog(tmpDir("lakesqlm"))
+    def sql(s: String) = LakeSql.execute(spark, log, s)
+    sql("CREATE TABLE m (id int64, cat string, v float64)")
+    LakeTable.insert(spark, log, "m",
+      (1 to 10).map(i => (i.toLong, "old", i * 1.0)).toDF("id", "cat", "v"))
+    // source: ids 8..12 — 8,9,10 update in place, 11,12 are new
+    LakeTable.insert(spark, log, "m",
+      Seq.empty[(Long, String, Double)].toDF("id", "cat", "v"))
+    val st = sql("MERGE INTO m USING (" +
+      "SELECT id + 7 AS id, 'new' AS cat, 0.5 AS v FROM m WHERE id <= 5" +
+      ") ON id")
+    assert(st.columns.contains("version"))
+    val back = sql("SELECT id, cat FROM m ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(back.length == 12)
+    assert(back.filter(_._1 <= 7).forall(_._2 == "old"))
+    assert(back.filter(_._1 >= 8).forall(_._2 == "new"))
+  }
 }

@@ -143,8 +143,8 @@ class LakeFuzzSpec extends SparkSpec {
       LakeTable.read(spark, log, "t").collect()
         .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
 
-    (1 to 12).foreach { step =>
-      rnd.nextInt(6) match {
+    (1 to 14).foreach { step =>
+      rnd.nextInt(7) match {
         case 0 | 1 => // insert across random partitions
           val n = 1 + rnd.nextInt(40)
           val rows = (0 until n).map { _ =>
@@ -173,6 +173,16 @@ class LakeFuzzSpec extends SparkSpec {
           val (hv, hmodel) = historyModels.toSeq(rnd.nextInt(historyModels.size))
           LakeTable.restore(log, "t", hv)
           model = hmodel
+        case 6 => // atomic predicate-scoped overwrite of one partition
+          val p = parts(rnd.nextInt(parts.size))
+          val n = 1 + rnd.nextInt(10)
+          val rows = (0 until n).map { _ =>
+            nextId += 1
+            (nextId, p, math.round(rnd.nextDouble() * 1e4) / 100.0) }
+          LakeTable.replaceWhere(spark, log, "t", s"part = $p",
+            rows.toDF("id", "part", "v"))
+          model = model.filter(_._2._1 != p) ++
+            rows.map(r => r._1 -> (r._2, r._3))
         case _ =>
           LakeTable.compact(spark, log, "t", force = true)
       }
