@@ -43,7 +43,24 @@ object SparkEntry {
     * the streaming oracle queries depend on. One write job for all chunks
     * (dynamic partition write), then each part file moves into place.
     */
+  /** Fixture memo: identical (canonical input plan, n) requests reuse the
+    * already-staged chunk dir — harness processes (Verify/Bench) run many
+    * stream queries over the same corpus slice, and min-of-N bench
+    * repetition would otherwise re-stage identical read-only files every
+    * run, billing fixture construction to the streaming operator being
+    * measured. Content is deterministic (same plan ⇒ same rows, pinned
+    * mtimes), and every consumer only READS the dir.
+    */
+  private val chunkCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), java.nio.file.Path]()
+
   private def writeTimeChunks(ev: DataFrame, n: Int,
+                              tmp: java.nio.file.Path): java.nio.file.Path =
+    chunkCache.computeIfAbsent(
+      (ev.queryExecution.logical.canonicalized.toString, n),
+      _ => writeTimeChunksUncached(ev, n, tmp))
+
+  private def writeTimeChunksUncached(ev: DataFrame, n: Int,
                               tmp: java.nio.file.Path): java.nio.file.Path = {
     import scala.jdk.CollectionConverters._
     val srcDir = tmp.resolve("src")
