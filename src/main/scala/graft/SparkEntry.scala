@@ -2771,6 +2771,16 @@ object SparkEntry {
       Dedup.maskDuplicateSubstrings(docsSpread(s, d), shingleTokens = 8)
         .select("doc_id", "text_substrdedup", "n_tokens_removed")
         .orderBy("doc_id")),
+    // HTML → text extraction (the WET-generation step): deterministic
+    // boilerplate pages synthesized around each doc's text in BOTH
+    // engines, then script/style/comment/tag strip + fixed-order entity
+    // decode + whitespace collapse, with title and link-count structure
+    // signals. Pure codegen projection — zero shuffles.
+    "q_html_extract" -> ((s, d) =>
+      graft.operators.HtmlExtract.extract(
+          graft.operators.HtmlExtract.synthesize(docsSpread(s, d)))
+        .orderBy("doc_id")),
+
     "q_text_normalize" -> ((s, d) => {
       // Unicode cleaning under the exact oracle: a deterministic dirty
       // suffix (decomposed e + combining acute, a BEL control char, messy
@@ -5228,6 +5238,37 @@ object SparkEntry {
       LEFT JOIN (SELECT doc_id, count(*) AS nrem FROM cov
                  GROUP BY doc_id) c ON d.doc_id = c.doc_id
       ORDER BY d.doc_id""",
+    "q_html_extract" -> """
+      WITH h AS (
+        SELECT doc_id,
+          '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+          '</title><style>body { color: #333; }</style><script>var id=' ||
+          CAST(doc_id AS VARCHAR) ||
+          ';</script></head><body><nav><a href="/">home</a> | ' ||
+          '<a href="/about">about</a></nav><!-- boilerplate --><h1>Doc ' ||
+          CAST(doc_id AS VARCHAR) ||
+          '</h1><p>Q&amp;A &lt;tag&gt; &quot;q&quot; it&#39;s ' ||
+          'x&nbsp;y</p><p>' || text ||
+          '</p><footer>&copy; example</footer></body></html>' AS html
+        FROM documents)
+      SELECT doc_id,
+        regexp_extract(html, '(?is)<title>(.*?)</title>', 1) AS title,
+        len(regexp_extract_all(html, '(?is)<a\s')) AS n_links,
+        trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(html,
+                    '(?is)<script.*?</script>', ' ', 'g'),
+                  '(?is)<style.*?</style>', ' ', 'g'),
+                '(?s)<!--.*?-->', ' ', 'g'),
+              '(?s)<[^>]+>', ' ', 'g'),
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+            '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+          '\s+', ' ', 'g')) AS text_clean
+      FROM h ORDER BY doc_id""",
+
     "q_text_normalize" -> """
       SELECT doc_id,
              trim(regexp_replace(regexp_replace(
