@@ -1225,6 +1225,17 @@ object SparkEntry {
         .orderBy(col("rank_fp").desc, col("id").asc).limit(20)
     }),
 
+    // Triangle count over the same link graph — the clustering /
+    // link-spam density signal. Degree-oriented two-join enumeration
+    // (each wedge at its lowest-rank vertex, closure as a pure
+    // equi-join); DuckDB counts the same triangles with the naive
+    // a<b<c three-way join — counts must agree exactly.
+    "q_triangles" -> ((s, d) => withShufflePartitions(s, 8) {
+      val edges = graft.operators.LinkGraph.syntheticLinks(
+        t(s, d, "documents"), k = 3, mult = 17L)
+      graft.operators.LinkGraph.triangleCount(edges)
+    }),
+
     // DSIR-style importance scoring (arXiv:2302.03169): rank the corpus
     // by unigram log-likelihood ratio against the English slice as the
     // target distribution; keep the 100 most target-like docs. The
@@ -2965,6 +2976,21 @@ object SparkEntry {
       ORDER BY source, rank_in_group""",
 
     "q_pagerank" -> pageRankOracleSql(5),
+
+    "q_triangles" -> """
+      WITH nodes AS (SELECT doc_id AS id FROM documents),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      edges AS (
+        SELECT id AS src, (id * 17 + c.c) % nn.n AS dst
+        FROM nodes CROSS JOIN nn
+        CROSS JOIN (SELECT unnest([1, 2, 3]) AS c) c),
+      und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst)
+      SELECT count(*) AS n_triangles
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""",
 
     "q_dsir" -> """
       WITH toks AS (

@@ -48,6 +48,27 @@ class LinkGraphSpec extends SparkSpec {
     assert(edges.except(again).count() == 0 && again.except(edges).count() == 0)
   }
 
+  private def tri(edges: Seq[(Long, Long)]): Long =
+    LinkGraph.triangleCount(edges.toDF("src", "dst"))
+      .head.getLong(0)
+
+  test("triangle count: known graphs") {
+    assert(tri(Seq((0L, 1L), (1L, 2L), (2L, 0L))) == 1) // one triangle
+    assert(tri(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))) == 0) // square
+    // K4 = 4 triangles; edges given in mixed directions with a duplicate
+    // and a self-loop — canonicalization must absorb all of it
+    val k4 = Seq((0L, 1L), (0L, 2L), (3L, 0L), (1L, 2L), (3L, 1L),
+      (2L, 3L), (2L, 1L), (2L, 2L))
+    assert(tri(k4) == 4)
+  }
+
+  test("triangle count: hub graph (star) has none, star+rim has spokes") {
+    val star = (1L to 6L).map(i => (0L, i))
+    assert(tri(star) == 0)
+    // close the rim 1-2: exactly one triangle (0,1,2)
+    assert(tri(star :+ (1L, 2L)) == 1)
+  }
+
   test("higher in-degree wins: a hub out-ranks a leaf") {
     // everyone links to node 0; node 0 links to 1
     val edges = ((1L to 9L).map(i => (i, 0L)) :+ (0L, 1L)).toDF("src", "dst")
