@@ -1250,6 +1250,27 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // The composed curation recipe — this round's new operators chained
+    // as ONE Catalyst plan: per-domain frequency caps (≤40 docs per
+    // source by length) feed DSIR importance scoring (weights learned on
+    // the capped corpus vs its English slice), and the 100 most
+    // target-like survivors ship with their provenance. Every stage's
+    // decisions are integer- or rounded-decidable, so DuckDB replays the
+    // whole funnel end-to-end.
+    "q_curation_recipe" -> ((s, d) => {
+      val capped = graft.operators.Selection.capPerGroup(
+          docsSpread(s, d), "source", Seq(col("n_chars").desc), "doc_id",
+          n = 40)
+        .drop("rank_in_group")
+      graft.operators.Dsir.scoreExact(capped,
+          capped.filter(col("lang") === "en"))
+        .join(capped.select("doc_id", "source"), "doc_id")
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .select("doc_id", "source", "n_tokens", "score")
+        .limit(100)
+    }),
+
     // Robust outlier gate (median/MAD, Iglewicz–Hoaglin z ≤ 3.5) — the
     // length-outlier curation step. Medians of integral n_chars interpolate
     // to exact halves, so every keep/drop decision replays bit-for-bit.
@@ -2991,6 +3012,41 @@ object SparkEntry {
       FROM und e1
       JOIN und e2 ON e2.a = e1.b
       JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""",
+
+    "q_curation_recipe" -> """
+      WITH capped AS (
+        SELECT doc_id, text, lang, source FROM (
+          SELECT doc_id, text, lang, source,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id ASC) AS rn
+          FROM documents) WHERE rn <= 40),
+      toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+          x -> x <> '')) AS term
+        FROM capped),
+      raw_cnt AS (SELECT term, count(*) AS cnt_raw FROM toks GROUP BY 1),
+      tgt_cnt AS (
+        SELECT term, count(*) AS cnt_target
+        FROM toks JOIN capped USING (doc_id)
+        WHERE lang = 'en' GROUP BY 1),
+      j AS (
+        SELECT r.term, r.cnt_raw, COALESCE(t.cnt_target, 0) AS cnt_target
+        FROM raw_cnt r LEFT JOIN tgt_cnt t USING (term)),
+      tot AS (SELECT sum(cnt_raw) AS nr, sum(cnt_target) AS nt,
+                     count(*) AS v FROM j),
+      w AS (
+        SELECT term,
+               ln((cnt_target + 1) / CAST(nt + v AS DOUBLE)) -
+               ln((cnt_raw + 1) / CAST(nr + v AS DOUBLE)) AS w
+        FROM j CROSS JOIN tot),
+      scored AS (
+        SELECT doc_id, count(*) AS n_tokens, sum(w.w) AS score
+        FROM toks JOIN w USING (term) GROUP BY 1)
+      SELECT s.doc_id, c.source, s.n_tokens,
+             round(s.score, 6) AS score
+      FROM scored s JOIN capped c USING (doc_id)
+      ORDER BY round(s.score, 6) DESC, s.doc_id ASC LIMIT 100""",
 
     "q_dsir" -> """
       WITH toks AS (
