@@ -1686,6 +1686,28 @@ object SparkEntry {
         .withColumn("avg_logp", round(col("avg_logp"), 6))
         .orderBy("doc_id")
     }),
+    // CCNet's perplexity bucketing: per-language head/middle/tail
+    // terciles of the bigram-LM score (head = most fluent third). The
+    // integer-scaled scoring makes every rounded avg exact, and the
+    // (score, doc_id) total order makes each ntile boundary
+    // engine-deterministic — DuckDB replays LM training, scoring and the
+    // tercile split end-to-end.
+    "q_ccnet_buckets" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val lm = operators.LangModel.trainBigram(docs, k = 1.0)
+      val scored = operators.LangModel.score(docs, lm)
+        .withColumn("avg_logp", round(col("avg_logp"), 6))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      val w = Window.partitionBy("lang")
+        .orderBy(col("avg_logp").desc, col("doc_id").asc)
+      scored.withColumn("bucket", ntile(3).over(w))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          max("avg_logp").as("best"), min("avg_logp").as("worst"))
+        .orderBy("lang", "bucket")
+    }),
+
     // Training-shard assignment: deterministic modular-mix shuffle into 16
     // shards, checked via the per-shard manifest stats (exact integers).
     "q_shard" -> ((s, d) =>
@@ -4250,6 +4272,55 @@ object SparkEntry {
       SELECT doc_id, count(*) AS n_bigrams,
              round(CAST(sum(slp) AS DOUBLE) / 1e6 / count(*), 6) AS avg_logp
       FROM scored GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_ccnet_buckets" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(
+                 regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+                 x -> x <> '') AS tk
+        FROM documents),
+      bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk)),
+                 i -> tk[i] || ' ' || tk[i+1])) AS b
+        FROM toks WHERE len(tk) >= 2),
+      sp AS (
+        SELECT doc_id, split_part(b, ' ', 1) AS w1,
+               split_part(b, ' ', 2) AS w2
+        FROM bg),
+      c12 AS (SELECT w1, w2, count(*) AS c12 FROM sp GROUP BY 1, 2),
+      c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+      vv AS (SELECT count(DISTINCT w) AS v FROM
+               (SELECT unnest(tk) AS w FROM toks)),
+      pairs AS (
+        SELECT w1, w2,
+               CAST(round(ln((c12 + 1) / (c1 + 1.0 * v)) * 1e6) AS BIGINT)
+                 AS lp
+        FROM c12 JOIN c1 USING (w1) CROSS JOIN vv),
+      uni AS (
+        SELECT w1,
+               CAST(round(ln(1.0 / (c1 + 1.0 * v)) * 1e6) AS BIGINT)
+                 AS lp_unseen
+        FROM c1 CROSS JOIN vv),
+      ctx AS (SELECT CAST(round(ln(1.0 / v) * 1e6) AS BIGINT) AS lp0 FROM vv),
+      perdoc AS (
+        SELECT s.doc_id,
+               round(CAST(sum(coalesce(p.lp, u.lp_unseen, ctx.lp0))
+                 AS DOUBLE) / 1e6 / count(*), 6) AS avg_logp
+        FROM sp s
+        LEFT JOIN pairs p ON s.w1 = p.w1 AND s.w2 = p.w2
+        LEFT JOIN uni u ON s.w1 = u.w1
+        CROSS JOIN ctx
+        GROUP BY s.doc_id),
+      bk AS (
+        SELECT d.lang, pd.doc_id, pd.avg_logp,
+               ntile(3) OVER (PARTITION BY d.lang
+                 ORDER BY pd.avg_logp DESC, pd.doc_id ASC) AS bucket
+        FROM perdoc pd JOIN documents d USING (doc_id))
+      SELECT lang, bucket, count(*) AS n_docs,
+             max(avg_logp) AS best, min(avg_logp) AS worst
+      FROM bk GROUP BY lang, bucket ORDER BY lang, bucket""",
     // Shard stats re-derived: identical modular multiplicative mix
     // ((id mod p)·2654435761 mod p, p = 1e9+7 — overflow-free in BIGINT),
     // same whitespace token counts.

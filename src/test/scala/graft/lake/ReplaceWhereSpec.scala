@@ -104,6 +104,57 @@ class ReplaceWhereSpec extends SparkSpec {
     assert(LakeTable.read(spark, log, "t").count() == 25)
   }
 
+  test("concurrent: disjoint regions both land; overlapping loser aborts") {
+    import java.util.concurrent.{CountDownLatch, Executors}
+    import scala.util.Try
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    try {
+      // disjoint partitions: both writers must commit (OCC retry absorbs
+      // the version race; neither touches the other's input files)
+      val log = newLog()
+      log.createTable("t", TableSchema(IndexedSeq(
+        Field("id", "int64", nullable = false), Field("part", "string"),
+        Field("v", "float64")), partition_columns = Some(Seq("part"))))
+      LakeTable.insert(spark, log, "t",
+        df(1 to 50, "a").unionByName(df(51 to 100, "b")), numFiles = 2)
+      val gate = new CountDownLatch(2)
+      def replace(part: String, ids: Range) = Future {
+        gate.countDown(); gate.await()
+        LakeTable.replaceWhere(spark, log, "t", s"part = $part",
+          df(ids, part, scale = 10.0))
+      }
+      val (ra, rb) = (replace("a", 200 to 204), replace("b", 300 to 306))
+      Await.result(ra, 120.seconds); Await.result(rb, 120.seconds)
+      val back = LakeTable.read(spark, log, "t")
+      assert(back.count() == 12)
+      assert(back.filter(col("part") === "a").count() == 5)
+      assert(back.filter(col("part") === "b").count() == 7)
+
+      // overlapping region: exactly one writer wins, the loser aborts
+      // with a conflict (its input files were removed by the winner)
+      val log2 = newLog()
+      LakeTable.createTable(log2, "t", schema)
+      LakeTable.insert(spark, log2, "t", df(1 to 50, "a"))
+      val gate2 = new CountDownLatch(2)
+      def clash(lo: Int) = Future {
+        gate2.countDown(); gate2.await()
+        Try(LakeTable.replaceWhere(spark, log2, "t", "id < 1000",
+          df(lo to lo + 4, "a")))
+      }
+      val outcomes = Seq(clash(600), clash(700)).map(
+        Await.result(_, 120.seconds))
+      assert(outcomes.count(_.isSuccess) == 1,
+        s"expected exactly one winner, got $outcomes")
+      assert(outcomes.exists(_.failed.toOption.exists(
+        _.isInstanceOf[CommitConflictException])))
+      assert(LakeTable.read(spark, log2, "t").count() == 5)
+    } finally pool.shutdown()
+  }
+
   test("SQL surface: INSERT INTO .. REPLACE WHERE and VERSION AS OF") {
     val log = newLog()
     LakeTable.createTable(log, "t", schema)
