@@ -1225,6 +1225,31 @@ object SparkEntry {
         .orderBy(col("rank_fp").desc, col("id").asc).limit(20)
     }),
 
+    // TrustRank (personalized PageRank): teleport mass lands only on the
+    // trusted seed set (every 10th doc) — trust decays with link
+    // distance from the seeds, the link-spam detection recipe. Same
+    // integer recurrence as q_pagerank; DuckDB unrolls it with the seed
+    // CASE in the teleport term.
+    "q_trustrank" -> ((s, d) => withShufflePartitions(s, 8) {
+      val docs = t(s, d, "documents")
+      val edges = graft.operators.LinkGraph.syntheticLinks(
+        docs, k = 3, mult = 17L)
+      val seeds = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select("doc_id")
+      graft.operators.LinkGraph.pageRankPersonalized(edges, seeds,
+          iters = 5)
+        .orderBy(col("rank_fp").desc, col("id").asc).limit(20)
+    }),
+
+    // Per-label embedding centroids (mean pooling) in the long form —
+    // (label, dim, mean): fixed-width rows with map-side partial sums,
+    // arrays never cross an exchange.
+    "q_embed_pool" -> ((s, d) =>
+      graft.operators.EmbedPool.meanPoolLong(
+          t(s, d, "embeddings"), "label", "embedding")
+        .withColumn("mean", round(col("mean"), 6))
+        .orderBy("label", "pos")),
+
     // Triangle count over the same link graph — the clustering /
     // link-spam density signal. Degree-oriented two-join enumeration
     // (each wedge at its lowest-rank vertex, closure as a pure
@@ -2973,8 +2998,10 @@ object SparkEntry {
     * iteration. Integer `//` in DuckDB and `div` in Spark agree on
     * positives, which is what makes the oracle exact.
     */
-  private def pageRankOracleSql(iters: Int): String = {
-    val base = """
+  private def pageRankOracleSql(iters: Int,
+                                seedCond: String => String = _ => "TRUE")
+      : String = {
+    val base = s"""
       WITH nodes AS (SELECT doc_id AS id FROM documents),
       nn AS (SELECT count(*) AS n FROM nodes),
       edges AS (
@@ -2982,12 +3009,18 @@ object SparkEntry {
         FROM nodes CROSS JOIN nn
         CROSS JOIN (SELECT unnest([1, 2, 3]) AS c) c),
       od AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
-      r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS r FROM nodes)"""
+      r0 AS (SELECT id,
+               CASE WHEN ${seedCond("id")}
+                    THEN CAST(1000000000000 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS r
+             FROM nodes)"""
     val iterCtes = (1 to iters).map { i =>
       s""",
       r$i AS (
         SELECT n.id,
-               CAST(150000000000 + (85 * COALESCE(c.s, 0)) // 100
+               CAST((CASE WHEN ${seedCond("n.id")}
+                          THEN 150000000000 ELSE 0 END) +
+                    (85 * COALESCE(c.s, 0)) // 100
                  AS BIGINT) AS r
         FROM nodes n LEFT JOIN (
           SELECT e.dst, CAST(SUM(r.r // od.od) AS BIGINT) AS s
@@ -3019,6 +3052,17 @@ object SparkEntry {
       ORDER BY source, rank_in_group""",
 
     "q_pagerank" -> pageRankOracleSql(5),
+
+    "q_trustrank" -> pageRankOracleSql(5, id => s"$id % 10 = 0"),
+
+    "q_embed_pool" -> """
+      WITH u AS (
+        SELECT label,
+               unnest(range(len(embedding))) AS pos,
+               unnest(CAST(embedding AS DOUBLE[])) AS v
+        FROM embeddings)
+      SELECT label, pos, round(avg(v), 6) AS mean
+      FROM u GROUP BY label, pos ORDER BY label, pos""",
 
     "q_triangles" -> """
       WITH nodes AS (SELECT doc_id AS id FROM documents),

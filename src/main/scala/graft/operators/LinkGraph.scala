@@ -112,20 +112,46 @@ object LinkGraph {
     * Nodes = src ∪ dst of the edge set.
     */
   def pageRank(edges: DataFrame, iters: Int, scale: Long = 1000000000000L,
-               dampPct: Int = 85, checkpointInterval: Int = 2): DataFrame = {
+               dampPct: Int = 85, checkpointInterval: Int = 2): DataFrame =
+    pageRankPersonalized(edges,
+      edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct(),
+      iters, scale, dampPct, checkpointInterval)
+
+  /** Personalized PageRank — teleport mass lands only on `seeds` (one id
+    * column; any name). With a trusted-page seed set this is TrustRank
+    * (Gyöngyi et al., VLDB'04): trust flows out of the seeds along links
+    * and decays with distance, so link-spam clusters unreachable from
+    * the seeds rank near zero however densely they interlink. Seeds
+    * start at `scale`, everything else at 0; same integer recurrence as
+    * [[pageRank]] (which IS this with seeds = all nodes), same two
+    * fixed-width exchanges per iteration.
+    */
+  def pageRankPersonalized(edges: DataFrame, seeds: DataFrame, iters: Int,
+                           scale: Long = 1000000000000L, dampPct: Int = 85,
+                           checkpointInterval: Int = 2): DataFrame = {
     require(iters >= 1 && scale > 0 && dampPct >= 0 && dampPct <= 100)
     require(checkpointInterval >= 1)
     val teleport = scale * (100L - dampPct) / 100L
+    // per-node teleport/initial mass attached ONCE (left join against
+    // the seed set), reused by every iteration's update projection
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id")))
       .distinct()
+      .join(seeds.select(col(seeds.columns.head).as("id"))
+        .distinct().withColumn("__s", lit(1)), Seq("id"), "left")
+      .select(col("id"),
+        when(col("__s").isNotNull, lit(teleport)).otherwise(lit(0L))
+          .as("__t"),
+        when(col("__s").isNotNull, lit(scale)).otherwise(lit(0L))
+          .as("__r0"))
+      .localCheckpoint()
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("__od"))
     // degree attached once, reused by every iteration's contribution join
     val edgesWithDeg = edges.join(outdeg, "src")
       .select(col("src"), col("dst"), col("__od"))
       .localCheckpoint()
-    var ranks = nodes.select(col("id"), lit(scale).as("rank_fp"))
-      .localCheckpoint()
+    var ranks = nodes.select(col("id"), col("__r0").as("rank_fp"))
     (1 to iters).foreach { i =>
       val contrib = edgesWithDeg
         .join(ranks.withColumnRenamed("id", "src"), "src")
@@ -134,7 +160,7 @@ object LinkGraph {
       ranks = nodes.join(contrib.withColumnRenamed("dst", "id"),
           Seq("id"), "left")
         .select(col("id"),
-          (lit(teleport) +
+          (col("__t") +
             expr(s"$dampPct * coalesce(__in, 0L) div 100")).as("rank_fp"))
       // checkpoint every Nth round (and always the last): lineage growth
       // is geometric in the round count, but each eager materialization

@@ -48,6 +48,32 @@ class LinkGraphSpec extends SparkSpec {
     assert(edges.except(again).count() == 0 && again.except(edges).count() == 0)
   }
 
+  test("personalized: spam cluster unreachable from seeds gets zero") {
+    // seeds {0}; 0→1→2 trusted chain; 8↔9 a dense spam pair with no
+    // path from the seed
+    val edges = Seq((0L, 1L), (1L, 2L), (8L, 9L), (9L, 8L))
+      .toDF("src", "dst")
+    val seeds = Seq(0L).toDF("id")
+    val r = LinkGraph.pageRankPersonalized(edges, seeds, iters = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(0L) > 0 && r(1L) > 0 && r(2L) > 0)
+    assert(r(8L) == 0 && r(9L) == 0)
+    // trust decays with distance from the seed
+    assert(r(0L) > r(1L) && r(1L) > r(2L))
+  }
+
+  test("pageRank IS personalized with seeds = all nodes") {
+    val docs = (0L until 40L).toDF("doc_id")
+    val edges = LinkGraph.syntheticLinks(docs, k = 3, mult = 17L)
+    val all = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    val a = LinkGraph.pageRank(edges, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = LinkGraph.pageRankPersonalized(edges, all, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   private def tri(edges: Seq[(Long, Long)]): Long =
     LinkGraph.triangleCount(edges.toDF("src", "dst"))
       .head.getLong(0)
