@@ -31,7 +31,12 @@ import graft.lake.{Field, LakeLog, LakeTable, TableSchema}
   *                                            then "FROM" — forces the
   *                                            copy-on-write rewrite)
   *   ALTER TABLE t ADD COLUMN c type         (nullable schema evolution)
-  *   OPTIMIZE t [ZORDER BY (c, ...)]         (forced compaction)
+  *   OPTIMIZE t [WHERE <pred>] [ZORDER BY (c, ...)]
+  *                                           (forced compaction; WHERE
+  *                                            scopes it to the files the
+  *                                            predicate can touch — the
+  *                                            "optimize one partition"
+  *                                            form)
   *   VACUUM t [RETAIN n VERSIONS]
   *   RESTORE TABLE t TO VERSION AS OF v
   *   DESCRIBE HISTORY t  /  DESCRIBE DETAIL t
@@ -49,7 +54,7 @@ object LakeSql {
   private val Delete =
     """(?is)\s*DELETE\s+(/\*\+\s*COW\s*\*/\s+)?FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+(\w+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+(\w+)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val Vacuum =
     """(?is)\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val Restore =
@@ -144,11 +149,12 @@ object LakeSql {
           txnId = s"altadd-$table-$colName")
         status(spark, "table" -> table, "added" -> colName,
           "version" -> r.version)
-      case Optimize(table, zorder) =>
+      case Optimize(table, where, zorder) =>
         val zCols = Option(zorder).toSeq
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
         val r = LakeTable.compact(spark, log, table,
-          LakeTable.CompactionConfig(zOrderBy = zCols), force = true)
+          LakeTable.CompactionConfig(zOrderBy = zCols), force = true,
+          where = Option(where).map(_.trim).filter(_.nonEmpty))
         status(spark, "table" -> table,
           "files_removed" -> r.filesRemoved.toLong,
           "files_added" -> r.filesAdded.toLong,

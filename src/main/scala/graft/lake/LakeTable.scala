@@ -651,7 +651,8 @@ object LakeTable {
     */
   def compact(spark: SparkSession, log: LakeLog, table: String,
               cfg: CompactionConfig = CompactionConfig(),
-              force: Boolean = false): CompactionReport = {
+              force: Boolean = false,
+              where: Option[String] = None): CompactionReport = {
     val snap = log.snapshot(table)
     if (!force && !compactionNeeded(snap, cfg))
       return CompactionReport(0, 0, 0, 0, snap.version)
@@ -659,16 +660,26 @@ object LakeTable {
     val st = toStructType(sch)
     val partCols = sch.partCols
     val dataSt = dataStruct(st, partCols)
+    // OPTIMIZE ... WHERE: restrict the candidate set to files the
+    // predicate can touch (log stats / partition values — zero data I/O).
+    // At 100 TB "optimize yesterday's partition" must price as that
+    // partition; scoping happens HERE so grouping, DV materialization and
+    // the trigger heuristics all see only the scoped files. Commit
+    // validation below still runs against the fresh FULL snapshot.
+    val scopedFiles = where match {
+      case Some(p) => FilePruning.prune(snap.files, p, st)
+      case None => snap.files
+    }
     // a compaction group never crosses partition boundaries — merging files
     // of different partition values would break partition placement
-    val sizeGroups = snap.files.groupBy(f => partCols.map(f.partition(_)))
+    val sizeGroups = scopedFiles.groupBy(f => partCols.map(f.partition(_)))
       .values.toSeq.sortBy(_.head.path)
       .flatMap(fs => planCompaction(snap.copy(files = fs), cfg))
     // DV materialization: files over the deleted-fraction threshold (or any
     // DV'd file under force) rewrite as singleton groups — the DV-aware
     // merge read below drops the holes, and the fresh add carries no DV
     val inSizeGroups = sizeGroups.flatten.map(_.path).toSet
-    val dvGroups = snap.files
+    val dvGroups = scopedFiles
       .filter(f => !inSizeGroups.contains(f.path) &&
         (needsDvRewrite(f, cfg) || (force && f.dvRows > 0)))
       .sortBy(_.path).map(Seq(_))

@@ -69,6 +69,33 @@ class LakeSqlSpec extends SparkSpec {
       .as[Long].head() == 20L)
   }
 
+  test("OPTIMIZE WHERE: compacts only the scoped partition's files") {
+    val log = new LakeLog(tmpDir("lakesqlo"))
+    def sql(s: String) = LakeSql.execute(spark, log, s)
+    sql("CREATE TABLE o (id int64, region string, v float64) " +
+      "PARTITIONED BY (region)")
+    // 3 small files per partition
+    (1 to 3).foreach { i =>
+      LakeTable.insert(spark, log, "o",
+        (1 to 10).map(j => ((i * 100 + j).toLong, "eu", j * 1.0))
+          .toDF("id", "region", "v"))
+      LakeTable.insert(spark, log, "o",
+        (1 to 10).map(j => ((i * 1000 + j).toLong, "us", j * 1.0))
+          .toDF("id", "region", "v"))
+    }
+    val usBefore = log.snapshot("o").files
+      .filter(_.partition("region") == "us").map(_.path).toSet
+    val st = sql("OPTIMIZE o WHERE region = eu").head
+    assert(st.getAs[Long]("files_removed") == 3L &&
+      st.getAs[Long]("files_added") == 1L)
+    val after = log.snapshot("o").files
+    assert(after.count(_.partition("region") == "eu") == 1)
+    // the other partition's files are untouched — same paths
+    assert(after.filter(_.partition("region") == "us")
+      .map(_.path).toSet == usBefore)
+    assert(sql("SELECT count(*) AS n FROM o").as[Long].head() == 60L)
+  }
+
   test("MERGE INTO: matched rows replaced, new rows inserted") {
     val log = new LakeLog(tmpDir("lakesqlm"))
     def sql(s: String) = LakeSql.execute(spark, log, s)
