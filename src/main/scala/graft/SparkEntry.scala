@@ -52,12 +52,17 @@ object SparkEntry {
     * mtimes), and every consumer only READS the dir.
     */
   private val chunkCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int), java.nio.file.Path]()
+    (String, String, Int), java.nio.file.Path]()
 
   private def writeTimeChunks(ev: DataFrame, n: Int,
                               tmp: java.nio.file.Path): java.nio.file.Path =
+    // the canonicalized plan does NOT pin the data (LogicalRelation's
+    // string form elides the file paths), so the source files join the
+    // key — without them, the same projection over two scale-factor dirs
+    // in one JVM would silently reuse the first dir's staged chunks
     chunkCache.computeIfAbsent(
-      (ev.queryExecution.logical.canonicalized.toString, n),
+      (ev.inputFiles.sorted.mkString(","),
+        ev.queryExecution.logical.canonicalized.toString, n),
       _ => writeTimeChunksUncached(ev, n, tmp))
 
   private def writeTimeChunksUncached(ev: DataFrame, n: Int,
@@ -1258,7 +1263,10 @@ object SparkEntry {
     "q_triangles" -> ((s, d) => withShufflePartitions(s, 8) {
       val edges = graft.operators.LinkGraph.syntheticLinks(
         t(s, d, "documents"), k = 3, mult = 17L)
-      graft.operators.LinkGraph.triangleCount(edges)
+      // localCheckpoint EXECUTES here, inside the conf scope — a lazy
+      // plan would escape the wrapper and materialize later at the
+      // session-default partition count, silently voiding the sizing
+      graft.operators.LinkGraph.triangleCount(edges).localCheckpoint()
     }),
 
     // DSIR-style importance scoring (arXiv:2302.03169): rank the corpus

@@ -172,10 +172,34 @@ object LakeSql {
       case History(table) => LakeTable.history(spark, log, table)
       case Detail(table) => LakeTable.filesTable(spark, log, table)
       case other =>
-        val versions = VersionRef.findAllMatchIn(other)
-          .map(m => m.group(1) -> m.group(2).toLong).toMap
-        if (versions.isEmpty) SqlApi.queryLake(spark, log, other)
-        else SqlApi.queryLake(spark, log,
-          VersionRef.replaceAllIn(other, m => m.group(1)), versions)
+        val refs = VersionRef.findAllMatchIn(other)
+          .map(m => m.group(1) -> m.group(2).toLong).toList
+        if (refs.isEmpty) SqlApi.queryLake(spark, log, other)
+        else {
+          // fail loudly on every silent-wrong-answer shape: the captured
+          // word must be a lake table (an alias would register nothing
+          // and read latest), versions must not conflict per table, and
+          // 0 is unaddressable (the snapshot resolver's latest-sentinel)
+          val tables = log.listTables().toSet
+          refs.foreach { case (t, v) =>
+            if (!tables.contains(t))
+              throw new graft.lake.LakeValidationException(
+                s"VERSION AS OF must directly follow a lake table name; " +
+                  s"'$t' is not a table (alias it after the clause)")
+            if (v == 0)
+              throw new graft.lake.LakeValidationException(
+                s"VERSION AS OF 0 is not addressable (0 means latest to " +
+                  s"the snapshot resolver); DESCRIBE HISTORY $t and pick " +
+                  "a version >= 1")
+          }
+          refs.groupBy(_._1).foreach { case (t, vs) =>
+            if (vs.map(_._2).distinct.size > 1)
+              throw new graft.lake.LakeValidationException(
+                s"conflicting VERSION AS OF values for table $t: " +
+                  vs.map(_._2).distinct.sorted.mkString(", "))
+          }
+          SqlApi.queryLake(spark, log,
+            VersionRef.replaceAllIn(other, m => m.group(1)), refs.toMap)
+        }
     }
 }

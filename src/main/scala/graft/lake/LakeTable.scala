@@ -801,6 +801,22 @@ object LakeTable {
                                  rowsRemoved: Long, rowsAdded: Long,
                                  version: Long)
 
+  /** A concurrent writer appended a file that may hold rows inside the
+    * replaced region (Delta's ConcurrentAppendException condition):
+    * files in the fresh snapshot that were NOT in ours and that the
+    * predicate cannot prune away. Conservative by construction — stat
+    * pruning only proves absence, so a false positive aborts a commit
+    * that might have been safe; the reverse (committing over a foreign
+    * in-region row) would silently break the region invariant.
+    */
+  private[lake] def replaceAppendConflict(snapPaths: Set[String],
+                                          freshFiles: Seq[FileAdd],
+                                          predicate: String,
+                                          st: StructType): Boolean = {
+    val foreign = freshFiles.filterNot(f => snapPaths.contains(f.path))
+    foreign.nonEmpty && FilePruning.prune(foreign, predicate, st).nonEmpty
+  }
+
   /** Atomic predicate-scoped overwrite — Delta's `replaceWhere`, the
     * partition-backfill idiom ("recompute yesterday's slice, leave the
     * rest of the table untouched"). In ONE commit: rows matching
@@ -820,8 +836,11 @@ object LakeTable {
     *    their re-adds carry `rewrite = true` so the change feed reports
     *    only the genuinely new rows as inserts;
     *  - the commit aborts if a concurrent writer touched any input file
-    *    (same (path, dv) guard as [[deleteWhere]]); duplicate txn ids
-    *    replay as no-ops.
+    *    (same (path, dv) guard as [[deleteWhere]]) OR appended a file
+    *    the predicate cannot prune away ([[replaceAppendConflict]] —
+    *    Delta's ConcurrentAppendException: a foreign in-region row
+    *    would survive the swap and break the region invariant);
+    *    duplicate txn ids replay as no-ops.
     */
   def replaceWhere(spark: SparkSession, log: LakeLog, table: String,
                    predicate: String, df: DataFrame,
@@ -876,16 +895,19 @@ object LakeTable {
         }
         statAndPromote(spark, log, table, newDir, st,
           partCols = partCols, bloomCols = sch.bloomCols)
+          .filter(_.rows > 0) // empty df ⇒ schema-only part file: no adds
       } catch { case e: Throwable => discardAdds(keepAdds); throw e }
       val adds = keepAdds ++ newAdds
       val inputPaths = candidates.map(_.path)
       // (path, dv) both unchanged, as in deleteWhere: a concurrent
       // merge-on-read delete keeps paths but changes what we read
       val expectDv = candidates.map(f => f.path -> f.dv).toMap
+      val snapPaths = snap.files.map(_.path).toSet
       val resultOpt =
         try log.commitWithRetry(table, txnId, maxAttempts) { cur =>
           val live = cur.files.map(f => f.path -> f.dv).toMap
-          if (expectDv.forall { case (p, d) => live.get(p).contains(d) })
+          if (expectDv.forall { case (p, d) => live.get(p).contains(d) } &&
+              !replaceAppendConflict(snapPaths, cur.files, predicate, st))
             Some((adds, inputPaths))
           else None
         } catch { case e: Throwable => discardAdds(adds); throw e }

@@ -115,15 +115,19 @@ object Dsir {
                   idCol: String = "doc_id", textCol: String = "text"
                  ): DataFrame = {
     require(buckets > 0)
-    def bucketCounts(df: DataFrame) = Dedup.spread(
-        df.select(normalizeText(col(textCol)).as("__text")))
-      .select(explode(tokens(col("__text"))).as("__term"))
-      .select(pmod(xxhash64(col("__term")), lit(buckets)).as("b"))
-      .groupBy("b").agg(count(lit(1)).as("cnt"))
-    val rawCnt = bucketCounts(raw).withColumnRenamed("cnt", "cnt_raw")
-    val tgtCnt = bucketCounts(target).withColumnRenamed("cnt", "cnt_target")
+    def bucketed(df: DataFrame) = tokenized(df, idCol, textCol)
+      .select(col("id"), pmod(xxhash64(col("term")), lit(buckets)).as("b"))
+    // one persisted tokenize+hash pass over the raw corpus feeds both
+    // the bucket counts and the scorer — the same single-pass shape as
+    // [[scoreExact]] (re-tokenizing the heaviest input per consumer is
+    // the trap); smoothing over `buckets` replaces the vocab-size term
+    val toks = bucketed(raw).persist()
+    val rawCnt = toks.groupBy("b").agg(count(lit(1)).as("cnt_raw"))
+    val tgtCnt = bucketed(target)
+      .groupBy("b").agg(count(lit(1)).as("cnt_target"))
     val joined = rawCnt.join(tgtCnt, Seq("b"), "left")
       .na.fill(0L, Seq("cnt_target"))
+      .persist() // bucket-sized; totals + weight projection both read it
     val totals = joined.agg(
         sum("cnt_raw").as("__nr"), sum("cnt_target").as("__nt"))
     val w = broadcast(joined.crossJoin(broadcast(totals))
@@ -132,12 +136,7 @@ object Dsir {
              (col("__nt") + buckets)) -
          log((col("cnt_raw") + 1).cast("double") /
              (col("__nr") + buckets))).as("w")))
-    Dedup.spread(
-        raw.select(col(idCol).as("id"),
-          normalizeText(col(textCol)).as("__text")))
-      .select(col("id"), explode(tokens(col("__text"))).as("__term"))
-      .select(col("id"), pmod(xxhash64(col("__term")), lit(buckets)).as("b"))
-      .join(w, "b")
+    toks.join(w, "b")
       .groupBy("id")
       .agg(count(lit(1)).as("n_tokens"), sum("w").as("score"))
       .withColumnRenamed("id", idCol)

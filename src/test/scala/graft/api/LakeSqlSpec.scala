@@ -96,6 +96,32 @@ class LakeSqlSpec extends SparkSpec {
     assert(sql("SELECT count(*) AS n FROM o").as[Long].head() == 60L)
   }
 
+  test("VERSION AS OF rejects aliases, version 0, and conflicting versions") {
+    import graft.lake.LakeValidationException
+    val log = new LakeLog(tmpDir("lakesqlv"))
+    def sql(s: String) = LakeSql.execute(spark, log, s)
+    sql("CREATE TABLE v (id int64, cat string, v float64)")
+    LakeTable.insert(spark, log, "v",
+      (1 to 5).map(i => (i.toLong, "a", i * 1.0)).toDF("id", "cat", "v"))
+    val vNow = log.latestVersion("v")
+    assert(sql(s"SELECT count(*) AS n FROM v VERSION AS OF $vNow")
+      .as[Long].head() == 5)
+    // alias captured instead of the table name → loud failure, not a
+    // silent latest-read
+    intercept[LakeValidationException] {
+      sql("SELECT count(*) AS n FROM v AS x VERSION AS OF 1")
+    }
+    // version 0 is the snapshot resolver's latest-sentinel → rejected
+    intercept[LakeValidationException] {
+      sql("SELECT count(*) AS n FROM v VERSION AS OF 0")
+    }
+    // two different versions for one table → rejected
+    intercept[LakeValidationException] {
+      sql("SELECT a.id FROM v VERSION AS OF 1 a " +
+        "JOIN v VERSION AS OF 2 b ON a.id = b.id")
+    }
+  }
+
   test("MERGE INTO: matched rows replaced, new rows inserted") {
     val log = new LakeLog(tmpDir("lakesqlm"))
     def sql(s: String) = LakeSql.execute(spark, log, s)

@@ -155,6 +155,39 @@ class ReplaceWhereSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("append-conflict detector: foreign in-region file aborts, out-of-region passes") {
+    val st = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("part", StringType), StructField("v", DoubleType)))
+    def fa(path: String, lo: Long, hi: Long) = FileAdd(path, rows = 10,
+      size = 100, stats = Some(FileStats(
+        Map("id" -> lo.toString), Map("id" -> hi.toString))))
+    val snapPaths = Set("f1", "f2")
+    // no foreign files → never a conflict
+    assert(!LakeTable.replaceAppendConflict(snapPaths,
+      Seq(fa("f1", 1, 50), fa("f2", 51, 100)), "id < 10", st))
+    // foreign file provably outside the region → safe
+    assert(!LakeTable.replaceAppendConflict(snapPaths,
+      Seq(fa("f1", 1, 50), fa("f3", 500, 600)), "id < 10", st))
+    // foreign file overlapping the region → conflict
+    assert(LakeTable.replaceAppendConflict(snapPaths,
+      Seq(fa("f1", 1, 50), fa("f3", 5, 8)), "id < 10", st))
+    // foreign file with NO stats → unprunable → conservative conflict
+    assert(LakeTable.replaceAppendConflict(snapPaths,
+      Seq(FileAdd("f3", rows = 1, size = 10)), "id < 10", st))
+  }
+
+  test("empty replacement df clears the region without committing 0-row files") {
+    val log = newLog()
+    LakeTable.createTable(log, "t", schema)
+    LakeTable.insert(spark, log, "t", df(1 to 30, "a"))
+    val r = LakeTable.replaceWhere(spark, log, "t", "id < 11",
+      df(1 to 0, "a")) // empty range → empty df
+    assert(r.rowsRemoved == 10 && r.rowsAdded == 0)
+    assert(log.snapshot("t").files.forall(_.rows > 0),
+      "a 0-row file entry was committed")
+    assert(LakeTable.read(spark, log, "t").count() == 20)
+  }
+
   test("SQL surface: INSERT INTO .. REPLACE WHERE and VERSION AS OF") {
     val log = newLog()
     LakeTable.createTable(log, "t", schema)
