@@ -1230,6 +1230,22 @@ object SparkEntry {
         .orderBy(col("rank_fp").desc, col("id").asc).limit(20)
     }),
 
+    // Warm-start PageRank on a GROWING graph — the continuous-crawl
+    // recompute: converged ranks over the k=2 link set seed 2 iterations
+    // over the enlarged k=3 set (new edges, same recurrence). DuckDB
+    // unrolls both phases — 3 cold iterations on the old edges, the
+    // warm hand-off, 2 more on the new edges — to bit-equality.
+    "q_pagerank_warm" -> ((s, d) => withShufflePartitions(s, 8) {
+      val docs = t(s, d, "documents")
+      val edgesOld = graft.operators.LinkGraph.syntheticLinks(
+        docs, k = 2, mult = 17L)
+      val edgesNew = graft.operators.LinkGraph.syntheticLinks(
+        docs, k = 3, mult = 17L)
+      val prev = graft.operators.LinkGraph.pageRank(edgesOld, iters = 3)
+      graft.operators.LinkGraph.pageRankWarmStart(edgesNew, prev, iters = 2)
+        .orderBy(col("rank_fp").desc, col("id").asc).limit(20)
+    }),
+
     // TrustRank (personalized PageRank): teleport mass lands only on the
     // trusted seed set (every 10th doc) — trust decays with link
     // distance from the seeds, the link-spam detection recipe. Same
@@ -3062,6 +3078,43 @@ object SparkEntry {
     "q_pagerank" -> pageRankOracleSql(5),
 
     "q_trustrank" -> pageRankOracleSql(5, id => s"$id % 10 = 0"),
+
+    "q_pagerank_warm" -> {
+      def iter(out: String, prev: String, edges: String,
+               od: String): String = s""",
+      $out AS (
+        SELECT n.id,
+               CAST(150000000000 + (85 * COALESCE(c.s, 0)) // 100
+                 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst, CAST(SUM(r.r // $od.od) AS BIGINT) AS s
+          FROM $edges e
+          JOIN $prev r ON e.src = r.id
+          JOIN $od ON $od.src = e.src
+          GROUP BY e.dst) c ON c.dst = n.id)"""
+      """
+      WITH nodes AS (SELECT doc_id AS id FROM documents),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      e1 AS (
+        SELECT id AS src, (id * 17 + c.c) % nn.n AS dst
+        FROM nodes CROSS JOIN nn
+        CROSS JOIN (SELECT unnest([1, 2]) AS c) c),
+      e2 AS (
+        SELECT id AS src, (id * 17 + c.c) % nn.n AS dst
+        FROM nodes CROSS JOIN nn
+        CROSS JOIN (SELECT unnest([1, 2, 3]) AS c) c),
+      od1 AS (SELECT src, count(*) AS od FROM e1 GROUP BY 1),
+      od2 AS (SELECT src, count(*) AS od FROM e2 GROUP BY 1),
+      p0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS r FROM nodes)""" +
+      (1 to 3).map(i => iter(s"p$i", s"p${i - 1}", "e1", "od1")).mkString +
+      """,
+      w0 AS (SELECT n.id, CAST(COALESCE(p.r, 150000000000) AS BIGINT) AS r
+             FROM nodes n LEFT JOIN p3 p ON p.id = n.id)""" +
+      (1 to 2).map(i => iter(s"w$i", s"w${i - 1}", "e2", "od2")).mkString +
+      """
+      SELECT id, r AS rank_fp FROM w2
+      ORDER BY rank_fp DESC, id ASC LIMIT 20"""
+    },
 
     "q_embed_pool" -> """
       WITH u AS (

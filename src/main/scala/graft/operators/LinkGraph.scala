@@ -118,6 +118,52 @@ object LinkGraph {
         .union(edges.select(col("dst").as("id"))).distinct(),
       iters, scale, dampPct, checkpointInterval)
 
+  /** Warm-start PageRank for GROWING graphs — the continuous-crawl shape:
+    * yesterday's converged ranks seed today's iterations over the
+    * enlarged edge set, so the loop runs the handful of rounds the delta
+    * needs instead of restarting from uniform mass. Nodes absent from
+    * `prev` (newly discovered pages) start at the teleport floor.
+    * The recurrence is identical to [[pageRank]]'s, so warm-starting
+    * from rankᵏ of the SAME edge set and running m more rounds equals
+    * rank^(k+m) exactly — the property the oracle pins across a real
+    * edge-growth step.
+    */
+  def pageRankWarmStart(edges: DataFrame, prev: DataFrame, iters: Int,
+                        scale: Long = 1000000000000L, dampPct: Int = 85,
+                        checkpointInterval: Int = 2): DataFrame = {
+    require(iters >= 1 && scale > 0 && dampPct >= 0 && dampPct <= 100)
+    require(checkpointInterval >= 1)
+    val teleport = scale * (100L - dampPct) / 100L
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint()
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("__od"))
+    val edgesWithDeg = edges.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("__od"))
+      .localCheckpoint()
+    var ranks = nodes
+      .join(prev.select(col(prev.columns.head).as("id"),
+        col(prev.columns(1)).as("__p")), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("__p"), lit(teleport)).as("rank_fp"))
+      .localCheckpoint()
+    (1 to iters).foreach { i =>
+      val contrib = edgesWithDeg
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), expr("rank_fp div __od").as("__c"))
+        .groupBy("dst").agg(sum("__c").as("__in"))
+      ranks = nodes.join(contrib.withColumnRenamed("dst", "id"),
+          Seq("id"), "left")
+        .select(col("id"),
+          (lit(teleport) +
+            expr(s"$dampPct * coalesce(__in, 0L) div 100")).as("rank_fp"))
+      if (i % checkpointInterval == 0 || i == iters)
+        ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
   /** Personalized PageRank — teleport mass lands only on `seeds` (one id
     * column; any name). With a trusted-page seed set this is TrustRank
     * (Gyöngyi et al., VLDB'04): trust flows out of the seeds along links

@@ -62,6 +62,28 @@ class LinkGraphSpec extends SparkSpec {
     assert(r(0L) > r(1L) && r(1L) > r(2L))
   }
 
+  test("warm-start continues the same recurrence: warm(r3, 2) == cold(5)") {
+    val docs = (0L until 40L).toDF("doc_id")
+    val edges = LinkGraph.syntheticLinks(docs, k = 3, mult = 17L)
+    val r3 = LinkGraph.pageRank(edges, iters = 3)
+    val warm = LinkGraph.pageRankWarmStart(edges, r3, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cold = LinkGraph.pageRank(edges, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(warm == cold)
+  }
+
+  test("warm-start: nodes newly discovered start at the teleport floor") {
+    // prev knows only node 0; edge 0→1 introduces node 1
+    val edges = Seq((0L, 1L)).toDF("src", "dst")
+    val prev = Seq((0L, 999000000000L)).toDF("id", "rank_fp")
+    val r = LinkGraph.pageRankWarmStart(edges, prev, iters = 1).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // node 0: no in-edges → teleport; node 1: teleport + 85% of prev(0)
+    assert(r(0L) == 150000000000L)
+    assert(r(1L) == 150000000000L + 85L * 999000000000L / 100L)
+  }
+
   test("pageRank IS personalized with seeds = all nodes") {
     val docs = (0L until 40L).toDF("doc_id")
     val edges = LinkGraph.syntheticLinks(docs, k = 3, mult = 17L)
