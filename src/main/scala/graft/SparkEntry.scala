@@ -1735,6 +1735,17 @@ object SparkEntry {
         .withColumn("avg_logp", round(col("avg_logp"), 6))
         .orderBy("doc_id")
     }),
+    // Quality-weighted corpus draw: Efraimidis–Spirakis sampling without
+    // replacement, inclusion ∝ n_chars — the weighted subset selection a
+    // mixture recipe uses when "sample by quality" must be exact,
+    // deterministic and one-pass. DuckDB recomputes every portable key.
+    "q_sample_weighted" -> ((s, d) =>
+      operators.Sampling.weightedSampleNoReplace(
+          t(s, d, "documents").select("doc_id", "source", "n_chars"),
+          k = 50, weightCol = "n_chars", keyCol = "doc_id", tag = "ws")
+        .withColumn("sample_key", round(col("sample_key"), 9))
+        .select("doc_id", "source", "n_chars", "sample_key")),
+
     // CCNet's perplexity bucketing: per-language head/middle/tail
     // terciles of the bigram-LM score (head = most fluent third). The
     // integer-scaled scoring makes every rounded avg exact, and the
@@ -4377,6 +4388,17 @@ object SparkEntry {
       SELECT doc_id, count(*) AS n_bigrams,
              round(CAST(sum(slp) AS DOUBLE) / 1e6 / count(*), 6) AS avg_logp
       FROM scored GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_sample_weighted" -> """
+      WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               -ln(CAST(('0x' || substring(
+                   md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) / 1152921504606846976.0)
+               / CAST(n_chars AS DOUBLE) AS sk
+        FROM documents WHERE n_chars > 0)
+      SELECT doc_id, source, n_chars, round(sk, 9) AS sample_key
+      FROM keyed ORDER BY sk ASC, doc_id ASC LIMIT 50""",
 
     "q_ccnet_buckets" -> """
       WITH toks AS (

@@ -130,6 +130,27 @@ object Sampling {
       .drop("__g", "__rate", "__copies", "__one")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    * IPL 2006): per-row key `-ln(u)/w` with `u` the portable per-row
+    * uniform; the k SMALLEST keys are distributed exactly as k
+    * sequential draws without replacement with probabilities ∝ weight —
+    * the quality-weighted corpus-subset draw. One pass, no state: the
+    * selection is a global top-k (TakeOrderedAndProject — per-partition
+    * heaps, k rows to the driver, no global sort), deterministic given
+    * `tag` so retries and repartitioning reproduce the same sample.
+    * Non-positive weights are excluded (they cannot be drawn).
+    */
+  def weightedSampleNoReplace(df: DataFrame, k: Int, weightCol: String,
+                              keyCol: String, tag: String): DataFrame = {
+    require(k > 0)
+    df.filter(col(weightCol) > 0)
+      .withColumn("sample_key",
+        -log(portableHash01(tag)(col(keyCol))) /
+          col(weightCol).cast("double"))
+      .orderBy(col("sample_key").asc, col(keyCol).asc)
+      .limit(k)
+  }
+
   /** xxhash64 key → uniform [0,1) via the unsigned top 53 bits. */
   def defaultHash01(key: Column): Column =
     shiftrightunsigned(xxhash64(key, lit(42L)), 11)

@@ -102,4 +102,30 @@ class SamplingSpec extends SparkSpec {
     n.foreach { case (g, ng) =>
       assert(math.abs(nat(g) - ng) < 5 * math.sqrt(ng).max(10.0)) }
   }
+
+  test("weightedSampleNoReplace: deterministic, exact k, weights gate entry") {
+    val df = (1L to 200L).map(i => (i, i)).toDF("id", "w")
+    val a = Sampling.weightedSampleNoReplace(df, 20, "w", "id", "t1")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val b = Sampling.weightedSampleNoReplace(
+        df.repartition(7), 20, "w", "id", "t1")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(a == b && a.size == 20, "same tag must reproduce the same sample")
+    // zero/negative weights can never be drawn
+    val withDead = df.union(Seq((900L, 0L), (901L, -5L)).toDF("id", "w"))
+    val c = Sampling.weightedSampleNoReplace(withDead, 200, "w", "id", "t1")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!c.contains(900L) && !c.contains(901L) && c.size == 200)
+  }
+
+  test("weightedSampleNoReplace: inclusion tracks weight across tags") {
+    // two candidates, one 50x heavier; over many independent tags the
+    // heavy one must win the k=1 draw most of the time (p = 50/51)
+    val df = Seq((1L, 100L), (2L, 2L)).toDF("id", "w")
+    val wins = (1 to 40).count { t =>
+      Sampling.weightedSampleNoReplace(df, 1, "w", "id", s"tag$t")
+        .head.getLong(0) == 1L
+    }
+    assert(wins >= 32, s"heavy item won only $wins/40 draws")
+  }
 }
