@@ -1735,6 +1735,20 @@ object SparkEntry {
         .withColumn("avg_logp", round(col("avg_logp"), 6))
         .orderBy("doc_id")
     }),
+    // Declarative data-quality validation (the Deequ shape): six checks
+    // compile into ONE aggregate pass; the report row set replays
+    // exactly (all counters are exact aggregates).
+    "q_validate" -> ((s, d) => {
+      import graft.operators.Validate._
+      graft.operators.Validate.run(t(s, d, "documents"), Seq(
+          NotNull("text"), Unique("doc_id"),
+          InRange("n_chars", 1, 1000000),
+          InSet("lang", Seq("de", "en", "es", "fr", "zh")),
+          Matches("source", "^src[0-9]+$"),
+          RowCountBetween(1, 10000000)))
+        .orderBy("check_name", "target")
+    }),
+
     // Quality-weighted corpus draw: Efraimidis–Spirakis sampling without
     // replacement, inclusion ∝ n_chars — the weighted subset selection a
     // mixture recipe uses when "sample by quality" must be exact,
@@ -4388,6 +4402,50 @@ object SparkEntry {
       SELECT doc_id, count(*) AS n_bigrams,
              round(CAST(sum(slp) AS DOUBLE) / 1e6 / count(*), 6) AS avg_logp
       FROM scored GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_validate" -> """
+      SELECT 'not_null' AS check_name, 'text' AS target,
+             count(*) - count(text) = 0 AS passed,
+             CAST(count(*) - count(text) AS BIGINT) AS observed
+      FROM documents
+      UNION ALL
+      SELECT 'unique', 'doc_id',
+             count(doc_id) - count(DISTINCT doc_id) = 0,
+             CAST(count(doc_id) - count(DISTINCT doc_id) AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT 'in_range', 'n_chars',
+             sum(CASE WHEN n_chars IS NOT NULL
+                       AND (n_chars < 1 OR n_chars > 1000000)
+                      THEN 1 ELSE 0 END) = 0,
+             CAST(sum(CASE WHEN n_chars IS NOT NULL
+                            AND (n_chars < 1 OR n_chars > 1000000)
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT 'in_set', 'lang',
+             sum(CASE WHEN lang IS NOT NULL
+                       AND lang NOT IN ('de','en','es','fr','zh')
+                      THEN 1 ELSE 0 END) = 0,
+             CAST(sum(CASE WHEN lang IS NOT NULL
+                            AND lang NOT IN ('de','en','es','fr','zh')
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT 'matches', 'source',
+             sum(CASE WHEN source IS NOT NULL
+                       AND NOT regexp_matches(source, '^src[0-9]+$')
+                      THEN 1 ELSE 0 END) = 0,
+             CAST(sum(CASE WHEN source IS NOT NULL
+                            AND NOT regexp_matches(source, '^src[0-9]+$')
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT 'row_count', '*',
+             count(*) BETWEEN 1 AND 10000000,
+             CAST(count(*) AS BIGINT)
+      FROM documents
+      ORDER BY check_name, target""",
 
     "q_sample_weighted" -> """
       WITH keyed AS (
