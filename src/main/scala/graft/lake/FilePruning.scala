@@ -49,11 +49,20 @@ object FilePruning {
     op match {
       case "=" | "==" =>
         // range check first, then the bloom (a bloom that proves the
-        // literal absent drops the file even inside the range); string and
-        // integral literals arrive in their canonical rendering already
+        // literal absent drops the file even inside the range). The bloom
+        // hashed the CANONICAL value rendering (Spark CAST), so integral
+        // literals must canonicalize before probing — "007"/"+5"/"5e0"
+        // would otherwise miss the sketch and unsoundly prune the file;
+        // an uncanonicalizable literal skips the bloom, never the range.
         cmpMin <= 0 && cmpMax >= 0 && (dt match {
-          case StringType | IntegerType | LongType =>
+          case StringType =>
             BloomSkip.mightContain(f, colName, lit).getOrElse(true)
+          case IntegerType | LongType =>
+            canonicalIntegral(lit) match {
+              case Some(c) =>
+                BloomSkip.mightContain(f, colName, c).getOrElse(true)
+              case None => true
+            }
           case _ => true
         })
       case "!=" | "<>" => !(cmpMin == 0 && cmpMax == 0) // not all == lit
@@ -63,6 +72,14 @@ object FilePruning {
       case "<=" => cmpMin <= 0
     }
   }
+
+  /** Exact canonical rendering of an integral literal (what Spark's CAST
+    * to string — and therefore [[BloomSkip.build]] — produced): None when
+    * the text is not an exact integer.
+    */
+  private def canonicalIntegral(lit: String): Option[String] =
+    try Some(new java.math.BigDecimal(lit.trim).toBigIntegerExact.toString)
+    catch { case _: ArithmeticException | _: NumberFormatException => None }
 
   /** compare(statValue, literal) in the column's type domain; None if either
     * side fails to parse (stats are stored stringified).

@@ -450,7 +450,11 @@ final class LakeLog(val root: Path, val checkpointInterval: Int = 10) {
               s"optimistic concurrency failure: base version $baseVersion " +
                 s"does not match current version $latest")
           }
-          val current = snapshot(table, latest).files.map(_.path).toSet
+          // ONE snapshot replay per commit attempt (it was computed twice
+          // — once for validation, once for the entry — doubling log
+          // replay on the hot write path)
+          val snap = snapshot(table, latest)
+          val current = snap.files.map(_.path).toSet
           removes.foreach { r =>
             if (!current.contains(r)) throw new LakeValidationException(
               s"cannot remove file $r: file does not exist")
@@ -466,8 +470,12 @@ final class LakeLog(val root: Path, val checkpointInterval: Int = 10) {
               s"file ${a.path} has size but no rows")
           }
           val newVersion = latest + 1
+          // data commits carry NO schema: replay's "latest schema wins"
+          // takes it from the create/evolve entries (and checkpoints), so
+          // embedding the current schema here only bloated every entry
+          // and made history()'s schema_change flag permanently true
           writeEntry(table, LogEntry(newVersion, System.currentTimeMillis(),
-            txnId, snapshot(table, latest).schema, adds, removes))
+            txnId, None, adds, removes))
           CommitResult(newVersion, duplicate = false)
       }
     }
@@ -515,12 +523,21 @@ final class LakeLog(val root: Path, val checkpointInterval: Int = 10) {
           // not restate them (None inherits), but restating them
           // DIFFERENTLY would silently disable enforcement for rows the
           // old predicate rejected — refuse anything but an exact echo
-          val newSchema =
+          val newSchema1 =
             if (newSchema0.check_constraints.isEmpty)
               newSchema0.copy(check_constraints = current.check_constraints)
             else if (newSchema0.checks == current.checks) newSchema0
             else throw new LakeValidationException(
               "schema evolution cannot add, drop or change CHECK constraints")
+          // bloom columns inherit the same way: a caller evolving fields
+          // that omits them must not silently stop sidecar builds on
+          // every later write (the pruning regression is invisible until
+          // point lookups slow down) — previously each API caller had to
+          // re-thread them by hand
+          val newSchema =
+            if (newSchema1.bloom_columns.isEmpty)
+              newSchema1.copy(bloom_columns = current.bloom_columns)
+            else newSchema1
           validateSchema(newSchema)
           if (newSchema.partCols != current.partCols)
             throw new LakeValidationException(

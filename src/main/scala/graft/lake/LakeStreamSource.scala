@@ -307,7 +307,9 @@ private final class LakeReaderFactory(
       else {
         // positions this delete added: new dv minus whatever was already
         // a hole before the entry
-        val base = lp.path.substring(lp.path.lastIndexOf('/') + 1)
+        // the shared helper IS the DV-keying contract — an inline copy
+        // here could desynchronize the two position-matching paths
+        val base = LakeTable.baseName(lp.path)
         val fn = dvReadFn.get
         val pos = dvPositions(fn, lp.dvPath, lp.dvSize, base)
         if (lp.priorDvPath != null)

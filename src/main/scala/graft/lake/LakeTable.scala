@@ -289,13 +289,15 @@ object LakeTable {
     val tmp = log.tmpDir(table, txnId)
     val shaped = df.select(st.fields.toSeq.map(f =>
       col(f.name).cast(f.dataType)): _*)
-    // constrained tables: persist so the violation-count aggregate and the
-    // staged write execute the caller's (possibly expensive) upstream
-    // query once, not twice
+    // persist whenever ANOTHER job will consume `shaped` before the
+    // staged write: the CHECK-violation aggregate and the z-order range
+    // aggregate each execute the caller's (possibly expensive) upstream
+    // query — unpersisted, the write would run it a second time
     val checksOn = sch.checks.nonEmpty
-    if (checksOn) shaped.persist()
+    val reused = checksOn || zOrderBy.nonEmpty
+    if (reused) shaped.persist()
     try enforceChecks(table, sch, shaped)
-    catch { case e: Throwable => if (checksOn) shaped.unpersist(); throw e }
+    catch { case e: Throwable => if (reused) shaped.unpersist(); throw e }
     // clusterBy = the reference's hash-partitioned sink
     // (`worker/src/parquet_writer.rs:182-234`): rows hash-routed by key into
     // numFiles files, so equal keys co-locate — narrows each file's min/max
@@ -324,7 +326,7 @@ object LakeTable {
           .partitionBy(partCols: _*)
           .parquet(tmp.toString)
       }
-    } finally if (checksOn) shaped.unpersist()
+    } finally if (reused) shaped.unpersist()
 
     try {
       val adds = statAndPromote(spark, log, table, tmp, st,
@@ -714,16 +716,22 @@ object LakeTable {
         // merge-on-read delete on an input would otherwise be silently
         // undone by this rewrite (it merged positions we didn't read)
         val expectDv = group.map(f => f.path -> f.dv).toMap
-        val result = log.commitWithRetry(table, txnId) { fresh =>
-          val live = fresh.files.map(f => f.path -> f.dv).toMap
-          if (expectDv.forall { case (p, d) => live.get(p).contains(d) })
-            Some((adds, inputPaths))
-          else None // inputs compacted/removed/re-deleted concurrently — drop
-        }
+        val result =
+          try log.commitWithRetry(table, txnId) { fresh =>
+            val live = fresh.files.map(f => f.path -> f.dv).toMap
+            if (expectDv.forall { case (p, d) => live.get(p).contains(d) })
+              Some((adds, inputPaths))
+            else None // inputs compacted/removed/re-deleted concurrently
+          } catch { case e: Throwable =>
+            // exhausted retries / IO failure: the promoted rewrite (data
+            // AND bloom sidecars) is referenced by no log entry — reclaim
+            // now, as every other write path does, instead of leaving it
+            // to vacuum's age-gated sweep
+            discardAdds(adds); throw e
+          }
         if (result.isDefined) {
           committed += 1; removed += group.size; added += adds.size
-        } else adds.foreach(a => Files.deleteIfExists(
-          java.nio.file.Paths.get(a.path))) // orphaned rewrite, not visible
+        } else discardAdds(adds) // orphaned rewrite incl. sidecars
       } finally deleteRecursively(staged)
     }
     CompactionReport(groups.size, committed, removed, added,
@@ -1089,9 +1097,17 @@ object LakeTable {
     // the prune predicate round-trips through the whitespace-tokenizing
     // 3-token grammar: a string key containing whitespace/quotes (or an
     // all-null key set) would be mangled and could prune a file that holds
-    // the OLD row — a silent duplicate key. Skip pruning for unsafe values;
-    // correctness first, the scan is the fallback.
-    val rangeSafe = Seq(loK, hiK).forall(s =>
+    // the OLD row — a silent duplicate key. Float keys are ALSO unsafe:
+    // cast-to-string renders the shortest float repr ("0.3") while footer
+    // stats carry the exact decimal ("0.30000001..."), so a boundary
+    // key's file could be pruned and its old row survive. Skip pruning
+    // for unsafe values/types; correctness first, the scan is the
+    // fallback.
+    val keyIsFloat = st(keyCol).dataType match {
+      case FloatType | DoubleType => true
+      case _ => false
+    }
+    val rangeSafe = !keyIsFloat && Seq(loK, hiK).forall(s =>
       s != "null" && s.nonEmpty &&
         !s.exists(c => c.isWhitespace || c == '\'' || c == '"'))
     val candidates =
@@ -1316,8 +1332,14 @@ object LakeTable {
     val latest = log.latestVersion(table)
     val to = if (toVersion <= 0) latest else toVersion
     require(fromVersion <= to, s"fromVersion $fromVersion > toVersion $to")
-    val snapA = log.snapshot(table, fromVersion)
+    // fromVersion <= 0 means "since creation": snapshot() would resolve
+    // the 0-sentinel to LATEST (an empty latest-vs-latest diff — silent
+    // wrong answer), so the creation state is materialized explicitly as
+    // the empty file set and every current row diffs as an insert
     val snapB = log.snapshot(table, to)
+    val snapA =
+      if (fromVersion <= 0) snapB.copy(version = 0, files = Nil)
+      else log.snapshot(table, fromVersion)
     val sch = snapB.schema.get
     val st = toStructType(sch)
     keyCols.foreach(c => require(st.fieldNames.contains(c), s"no column $c"))

@@ -186,4 +186,34 @@ class BloomSkipSpec extends SparkSpec {
     assert(log.snapshot("t").files.head.stats.exists(
       _.blooms.exists(_.contains("id"))))
   }
+
+  test("non-canonical integral literals canonicalize before the bloom probe") {
+    import spark.implicits._
+    val log = new LakeLog(tmpDir("bloomcanon"))
+    LakeTable.createTable(log, "t", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", DoubleType))))
+    LakeTable.insert(spark, log, "t",
+      (1L to 100L).map(i => (i, i * 1.0)).toDF("id", "v"),
+      bloomCols = Seq("id"))
+    // "007", "+7", "7e0" all denote 7 — the sketch hashed "7"; an
+    // uncanonicalized probe would prove absence and unsoundly prune the
+    // only file, silently skipping the delete
+    Seq("007", "+7", "7e0").foreach { spelled =>
+      val log2 = new LakeLog(tmpDir("bloomcanon2"))
+      LakeTable.createTable(log2, "t", StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("v", DoubleType))))
+      LakeTable.insert(spark, log2, "t",
+        (1L to 100L).map(i => (i, i * 1.0)).toDF("id", "v"),
+        bloomCols = Seq("id"))
+      val d = LakeTable.deleteWhere(spark, log2, "t", s"id = $spelled")
+      assert(d.rowsDeleted == 1L, s"literal '$spelled' deleted nothing")
+      assert(LakeTable.read(spark, log2, "t")
+        .filter(org.apache.spark.sql.functions.col("id") === 7L)
+        .count() == 0)
+    }
+    // sanity: canonical spelling still prunes/deletes
+    assert(LakeTable.deleteWhere(spark, log, "t", "id = 7").rowsDeleted == 1L)
+  }
 }

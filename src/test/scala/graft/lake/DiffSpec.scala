@@ -71,4 +71,68 @@ class DiffSpec extends SparkSpec {
     val v = log.latestVersion("t")
     assert(LakeTable.diff(spark, log, "t", v, v, Seq("id")).count() == 0L)
   }
+
+  test("diff from version 0 reports every current row as an insert") {
+    // 0 is snapshot()'s latest-sentinel: an unguarded diff(0) would
+    // compare latest against latest and return nothing
+    val log = new LakeLog(tmpDir("diff0"))
+    mk(log)
+    val d = LakeTable.diff(spark, log, "t", 0L, 0L, Seq("id")).collect()
+    assert(d.length == 40)
+    assert(d.forall(_.getAs[String]("change_type") == "insert"))
+  }
+
+  test("upsert on a float key never duplicates a boundary key") {
+    import org.apache.spark.sql.functions.col
+    val log = new LakeLog(tmpDir("floatkey"))
+    LakeTable.createTable(log, "t", StructType(Seq(
+      StructField("k", FloatType, nullable = false),
+      StructField("v", DoubleType))))
+    // 0.3f renders as "0.3" via cast-to-string but its footer stat is the
+    // exact decimal 0.30000001... — a range prune on the rendered key
+    // would skip the file holding the OLD row and duplicate the key
+    LakeTable.insert(spark, log, "t",
+      Seq((0.3f, 1.0), (0.7f, 2.0)).toDF("k", "v"))
+    LakeTable.upsert(spark, log, "t",
+      Seq((0.3f, 99.0)).toDF("k", "v"), "k")
+    val rows = LakeTable.read(spark, log, "t")
+      .filter(col("k") === 0.3f).collect()
+    assert(rows.length == 1, s"duplicate float key: ${rows.mkString(",")}")
+    assert(rows.head.getDouble(1) == 99.0)
+  }
+
+  test("history flags schema changes only on create/evolve entries") {
+    val log = new LakeLog(tmpDir("histflag"))
+    mk(log) // create (v0) + insert (v1)
+    LakeTable.deleteWhere(spark, log, "t", "id > 30") // v2
+    val h = LakeTable.history(spark, log, "t")
+      .select("version", "schema_change").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(h(0L), "create must flag a schema change")
+    assert(!h(1L) && !h(2L), "data commits must not flag schema changes")
+    // evolve flags again, and bloom columns inherit without restating
+    val cur = log.snapshot("t").schema.get
+    log.evolveSchema("t", TableSchema(
+      cur.fields :+ Field("note", "string", nullable = true)), "ev1")
+    val h2 = LakeTable.history(spark, log, "t")
+      .select("version", "schema_change").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(h2(3L), "evolve must flag a schema change")
+  }
+
+  test("evolveSchema inherits bloom columns when the caller omits them") {
+    val log = new LakeLog(tmpDir("bloominherit"))
+    LakeTable.createTable(log, "t", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", DoubleType))))
+    val withBloom = log.snapshot("t").schema.get
+      .copy(bloom_columns = Some(Seq("id")))
+    log.evolveSchema("t", withBloom, "ev-bloom")
+    // evolve WITHOUT restating blooms: they must survive
+    val cur = log.snapshot("t").schema.get
+    log.evolveSchema("t", TableSchema(
+      cur.fields :+ Field("extra", "string", nullable = true)), "ev-add")
+    assert(log.snapshot("t").schema.get.bloomCols == Seq("id"),
+      "bloom columns silently dropped by evolution")
+  }
 }
