@@ -3029,6 +3029,140 @@ object SparkEntry {
         .withColumn("adc", round(col("adc"), 6))
         .orderBy("query_id", "rank")
     }),
+
+    // k-core decomposition — the dense-subgraph extractor (link farms,
+    // tight crawl communities). The fixture plants a degree-10 circulant
+    // block inside the base link graph; peeling at k=6 cascades 4 rounds
+    // (452 → 336 → 128 → 50 survivors) before converging on the planted
+    // block. Fixed 6-round peel (rounds past convergence are no-ops) so
+    // DuckDB unrolls the exact same peeling in materialized CTEs; output
+    // = surviving nodes with their in-core degree.
+    "q_kcore" -> ((s, d) => withShufflePartitions(s, 8) {
+      val docs = t(s, d, "documents")
+      val edges = graft.operators.LinkGraph.syntheticLinks(
+          docs, k = 3, mult = 17L)
+        .unionAll(graft.operators.LinkGraph.syntheticHubLinks(
+          docs, every = 10, k = 5))
+      graft.operators.LinkGraph.kCore(edges, k = 6, rounds = 6)
+        .orderBy("id")
+    }),
+
+    // BM25 ranked retrieval over the inverted-index postings with the
+    // document length denormalized per posting (impact-index layout: no
+    // corpus-sized doc-length join at query time). DuckDB replays
+    // tokenize → tf/dl → df → the full Lucene-idf BM25 arithmetic;
+    // ranking ties break on the ROUNDED score then doc_id, so the order
+    // is engine-independent.
+    "q_search_bm25" -> ((s, d) => {
+      import graft.operators.InvertedIndex
+      val posts = InvertedIndex.postingsWithLen(t(s, d, "documents"))
+      val stats = InvertedIndex.bm25Stats(posts)
+      InvertedIndex.bm25Search(posts, stats, Seq("spark", "window", "hash"))
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // Count-min sketch frequency estimation: the fixed-grid sketch whose
+    // shuffle is ≤ depth×width cells REGARDLESS of vocabulary size (the
+    // map-side partial aggregate collapses occurrences into the grid
+    // before the exchange — contrast the vocabulary-sized word-count
+    // exchange). Portable affine hashes over the 60-bit md5 key, so
+    // DuckDB rebuilds the identical grid and replays the probes; output
+    // pairs each estimate with the exact count (est ≥ exact always —
+    // CMS never underestimates a point query).
+    "q_cms" -> ((s, d) => {
+      import graft.operators.Cms
+      val occ = t(s, d, "documents").repartition(16)
+        .select(explode(tokens(normalizeText(col("text")))).as("term"))
+      val grid = Cms.sketch(occ, width = 16, depth = 4)
+      val probes = Seq("spark", "window", "hash", "data", "query",
+        "fast", "slow", "table")
+      val exact = occ.filter(col("term").isin(probes: _*))
+        .groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+      Cms.estimate(grid, probes, width = 16, depth = 4)
+        .join(exact, Seq("term"), "left")
+        .select(col("term"),
+          coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"),
+          col("est_cnt"))
+        .orderBy("term")
+    }),
+
+    // Edit-distance fuzzy matching on short linkage keys (40-char
+    // normalized prefixes): positional q-gram count filter + position and
+    // length windows generate candidates, exact levenshtein verifies —
+    // never the O(n²) cross join the DuckDB oracle is allowed to run at
+    // oracle scale.
+    "q_dedup_editdist" -> ((s, d) => {
+      val keys = t(s, d, "documents").repartition(16)
+        .select(col("doc_id"),
+          substring(normalizeText(col("text")), 1, 40).as("key"))
+      graft.operators.EditDist.editDistancePairs(keys, maxDist = 2, q = 3)
+        .withColumn("dist", col("dist").cast("long"))
+        .orderBy("id_1", "id_2")
+    }),
+
+    // UPDATE ... SET ... WHERE through the SQL face: copy-on-write row
+    // update with stat-pruned file rewrites in one OCC commit. The final
+    // read groups by the updated flag column, so the hash covers exactly
+    // which rows the predicate touched and the SET arithmetic applied.
+    "q_lake_update" -> ((s, d) => {
+      import graft.api.LakeSql
+      import graft.lake.{LakeLog, LakeTable}
+      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftupd"))
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+      LakeTable.createTable(log, "li", li.schema)
+      LakeTable.insert(s, log, "li", li, numFiles = 4,
+        zOrderBy = Seq("l_quantity"))
+      val st = LakeSql.execute(s, log,
+        "UPDATE li SET l_extendedprice = l_extendedprice * 0.9, " +
+          "l_returnflag = 'X' WHERE l_quantity > 40")
+      // quantity-clustered files + stat pruning: the predicate must leave
+      // at least one file untouched (rewriting all 4 would mean pruning
+      // regressed to a full-table rewrite)
+      require(st.head.getAs[Long]("files_rewritten") < 4,
+        "UPDATE rewrote every file — stat pruning inoperative")
+      LakeTable.read(s, log, "li")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Timestamp time travel: TIMESTAMP AS OF resolves through the log's
+    // commit timestamps (binary search) to the newest version at-or-before
+    // the instant, then reads that snapshot. The query pins the instant to
+    // version 1's own commit timestamp, so the as-of read must see exactly
+    // the first slice while the latest read sees both — DuckDB recomputes
+    // both states from the base table.
+    "q_lake_timetravel_ts" -> ((s, d) => {
+      import graft.api.LakeSql
+      import graft.lake.{LakeLog, LakeTable}
+      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftts"))
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_quantity")
+      LakeTable.createTable(log, "li", li.schema)
+      (0 to 1).foreach { m =>
+        LakeTable.insert(s, log, "li",
+          li.filter(col("l_orderkey") % 3 === m), txnId = s"slice-$m")
+        // commit timestamps are millisecond-grained; keep versions on
+        // distinct instants so "as of v1's timestamp" is unambiguous
+        Thread.sleep(5)
+      }
+      val ts1 = LakeTable.history(s, log, "li")
+        .filter(col("version") === 1).head.getTimestamp(1)
+      val asOf = LakeSql.execute(s, log,
+        s"SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty " +
+          s"FROM li TIMESTAMP AS OF '$ts1'")
+        .withColumn("which", lit("asof_v1"))
+      val latest = LakeSql.execute(s, log,
+        "SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty " +
+          "FROM li")
+        .withColumn("which", lit("latest"))
+      asOf.unionAll(latest).select("which", "n_rows", "sum_qty")
+        .orderBy("which")
+    }),
   )
 
   /** The SRP hyperplanes q_ann_srp uses, as DuckDB VALUES literals: the
@@ -3082,6 +3216,48 @@ object SparkEntry {
       s"""
       SELECT id, r AS rank_fp FROM r$iters
       ORDER BY rank_fp DESC, id ASC LIMIT 20"""
+  }
+
+  /** Unrolled k-core peel over the synthetic link graph plus the planted
+    * circulant block: `rounds` fixed rounds of "drop nodes with degree
+    * < k", exactly the Spark loop's recurrence (rounds past convergence
+    * are no-ops on both sides). Every chained CTE is MATERIALIZED —
+    * DuckDB inlines single-reference CTEs by default, and u_{i-1}
+    * appears three times per round, so the un-hinted plan re-expands the
+    * whole chain exponentially (measured: 5 rounds un-hinted times out
+    * where materialized runs in 30 ms). */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val peel = (1 to rounds).map { i =>
+      s""",
+      d$i AS MATERIALIZED (SELECT v, count(*) AS d FROM (
+          SELECT a AS v FROM u${i - 1}
+          UNION ALL SELECT b AS v FROM u${i - 1}) GROUP BY 1),
+      al$i AS MATERIALIZED (SELECT v FROM d$i WHERE d >= $k),
+      u$i AS MATERIALIZED (SELECT u.a, u.b FROM u${i - 1} u
+        JOIN al$i x ON u.a = x.v
+        JOIN al$i y ON u.b = y.v)"""
+    }.mkString
+    s"""
+      WITH nodes AS (SELECT doc_id AS id FROM documents),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      base AS (
+        SELECT id AS src, (id * 17 + c.c) % nn.n AS dst
+        FROM nodes CROSS JOIN nn
+        CROSS JOIN (SELECT unnest([1, 2, 3]) AS c) c),
+      blk AS (
+        SELECT id AS src, (id + 10 * c.c) % nn.n AS dst
+        FROM nodes CROSS JOIN nn
+        CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5]) AS c) c
+        WHERE id % 10 = 0),
+      u0 AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM blk)
+        WHERE src <> dst)""" + peel + s"""
+      SELECT id, core_deg FROM (
+        SELECT v AS id, count(*) AS core_deg FROM (
+          SELECT a AS v FROM u$rounds
+          UNION ALL SELECT b AS v FROM u$rounds) GROUP BY 1)
+      WHERE core_deg >= $k ORDER BY id"""
   }
 
   /** DuckDB-runnable oracle for each hash-checkable query. Column aliases and
@@ -5709,5 +5885,106 @@ object SparkEntry {
       WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                    CAST(b.embedding AS DOUBLE[])) >= 0.3
       ORDER BY a_id, b_id""",
+
+    "q_kcore" -> kCoreOracleSql(6, 6),
+
+    "q_search_bm25" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+          x -> x <> '')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      st AS (SELECT count(*) AS n_docs,
+                    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      df_ AS (SELECT term, count(*) AS df FROM tf
+              WHERE term IN ('spark', 'window', 'hash') GROUP BY 1),
+      sc AS (SELECT t.doc_id,
+               ln(1.0 + (st.n_docs - df_.df + 0.5) / (df_.df + 0.5)) *
+                 (t.tf * (1.2 + 1)) /
+                 (t.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / st.avgdl)) AS s
+             FROM tf t
+             JOIN df_ ON df_.term = t.term
+             JOIN dl ON dl.doc_id = t.doc_id
+             CROSS JOIN st)
+      SELECT doc_id, round(sum(s), 6) AS score
+      FROM sc GROUP BY 1
+      ORDER BY score DESC, doc_id ASC LIMIT 20""",
+
+    "q_cms" -> """
+      WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+          x -> x <> '')) AS term
+        FROM documents),
+      tc AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+      keys AS (SELECT term, cnt,
+          CAST(('0x' || substring(md5(term), 1, 15)) AS BIGINT)
+            % 2147483647 AS xm
+        FROM tc),
+      fam AS (SELECT unnest([0, 1, 2, 3]) AS row_i,
+                     unnest([1103515245, 1664525, 22695477,
+                             1566083941]) AS a,
+                     unnest([12345, 1013904223, 1, 2531011]) AS b),
+      cells AS (SELECT row_i,
+                       ((a * xm + b) % 2147483647) % 16 AS bucket,
+                       CAST(sum(cnt) AS BIGINT) AS cnt
+                FROM keys CROSS JOIN fam GROUP BY 1, 2),
+      probes AS (SELECT unnest(['data', 'fast', 'hash', 'query', 'slow',
+                                'spark', 'table', 'window']) AS term),
+      pc AS (SELECT p.term, f.row_i,
+                    ((f.a * (CAST(('0x' || substring(md5(p.term), 1, 15))
+                        AS BIGINT) % 2147483647) + f.b)
+                      % 2147483647) % 16 AS bucket
+             FROM probes p CROSS JOIN fam f),
+      est AS (SELECT pc.term,
+                     CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_cnt
+              FROM pc LEFT JOIN cells c
+                ON c.row_i = pc.row_i AND c.bucket = pc.bucket
+              GROUP BY 1),
+      ex AS (SELECT term, count(*) AS exact_cnt FROM toks
+             WHERE term IN ('data', 'fast', 'hash', 'query', 'slow',
+                            'spark', 'table', 'window') GROUP BY 1)
+      SELECT e.term, CAST(coalesce(ex.exact_cnt, 0) AS BIGINT) AS exact_cnt,
+             e.est_cnt
+      FROM est e LEFT JOIN ex ON ex.term = e.term
+      ORDER BY e.term""",
+
+    "q_dedup_editdist" -> """
+      WITH k AS (
+        SELECT doc_id, substr(regexp_replace(lower(trim(text)),
+          '\s+', ' ', 'g'), 1, 40) AS key
+        FROM documents)
+      SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+             CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+      FROM k a JOIN k b ON a.doc_id < b.doc_id
+        AND abs(length(a.key) - length(b.key)) <= 2
+      WHERE levenshtein(a.key, b.key) <= 2
+      ORDER BY id_1, id_2""",
+
+    "q_lake_update" -> """
+      WITH upd AS (
+        SELECT l_quantity,
+               CASE WHEN l_quantity > 40 THEN l_extendedprice * 0.9
+                    ELSE l_extendedprice END AS l_extendedprice,
+               CASE WHEN l_quantity > 40 THEN 'X'
+                    ELSE l_returnflag END AS l_returnflag
+        FROM lineitem)
+      SELECT l_returnflag, count(*) AS n_rows,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM upd GROUP BY 1 ORDER BY 1""",
+
+    "q_lake_timetravel_ts" -> """
+      SELECT * FROM (
+        SELECT 'asof_v1' AS which, count(*) AS n_rows,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem WHERE l_orderkey % 3 = 0
+        UNION ALL
+        SELECT 'latest' AS which, count(*) AS n_rows,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem WHERE l_orderkey % 3 IN (0, 1))
+      ORDER BY which""",
   )
 }

@@ -24,6 +24,15 @@ import graft.lake.{Field, LakeLog, LakeTable, TableSchema}
   *   SELECT ... FROM t VERSION AS OF v ...   (time-travel read; clause
   *                                            stripped, version routed to
   *                                            the snapshot resolver)
+  *   SELECT ... FROM t TIMESTAMP AS OF 'ts'  (timestamp time travel —
+  *                                            resolved to the newest
+  *                                            version committed ≤ ts via
+  *                                            binary search over the
+  *                                            log's commit timestamps)
+  *   UPDATE t SET c = expr, ... WHERE <pred> (copy-on-write row update;
+  *                                            stat-pruned file rewrite,
+  *                                            one OCC commit)
+  *   RESTORE TABLE t TO TIMESTAMP AS OF 'ts'
   *   DELETE FROM t WHERE <pred>              (merge-on-read deletion
   *                                            vectors; a leading COW hint
   *                                            block — "DELETE" then
@@ -59,6 +68,10 @@ object LakeSql {
     """(?is)\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val Restore =
     """(?is)\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val RestoreTs =
+    """(?is)\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+  private val Update =
+    """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val History = """(?is)\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*""".r
   private val Detail = """(?is)\s*DESCRIBE\s+DETAIL\s+(\w+)\s*;?\s*""".r
   private val InsertReplace =
@@ -76,6 +89,41 @@ object LakeSql {
   // per table per statement.
   private val VersionRef =
     """(?i)\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+  // `FROM t TIMESTAMP AS OF '2026-08-14 10:00:00'` (or epoch millis) —
+  // resolved to a version via the log's commit timestamps, then routed
+  // exactly like VERSION AS OF
+  private val TimestampRef =
+    """(?i)\b(\w+)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r
+
+  /** '2026-08-14 10:00:00[.fff]', '2026-08-14' or raw epoch millis →
+    * epoch millis (session-local time, same clock the log stamps). */
+  private[graft] def parseTsMs(s: String): Long = {
+    val t = s.trim
+    if (t.matches("\\d{13,}")) t.toLong
+    else if (t.matches("\\d{4}-\\d{2}-\\d{2}"))
+      java.sql.Timestamp.valueOf(t + " 00:00:00").getTime
+    else java.sql.Timestamp.valueOf(t).getTime
+  }
+
+  /** Split `a = f(x, y), b = g(z)` on TOP-LEVEL commas only. */
+  private[graft] def splitAssignments(s: String): Seq[(String, String)] = {
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case ',' if depth == 0 => parts += cur.result(); cur.clear()
+      case c =>
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        cur += c
+    }
+    parts += cur.result()
+    parts.toSeq.map(_.trim).filter(_.nonEmpty).map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"bad SET assignment: '$a'")
+      (a.take(i).trim, a.drop(i + 1).trim)
+    }
+  }
   private val CreateT =
     """(?is)\s*CREATE\s+TABLE\s+(\w+)\s*\((.+?)\)\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val AlterAdd =
@@ -169,12 +217,43 @@ object LakeSql {
         val r = LakeTable.restore(log, table, v.toLong)
         status(spark, "table" -> table, "restored_to" -> v.toLong,
           "version" -> r.version)
+      case RestoreTs(table, ts) =>
+        val v = log.versionAtTimestamp(table, parseTsMs(ts))
+        val r = LakeTable.restore(log, table, v)
+        status(spark, "table" -> table, "restored_to" -> v,
+          "version" -> r.version)
+      case Update(table, setSpec, pred) =>
+        val r = LakeTable.updateWhere(spark, log, table, pred.trim,
+          splitAssignments(setSpec))
+        status(spark, "table" -> table,
+          "rows_updated" -> r.rowsUpdated,
+          "files_rewritten" -> r.filesRewritten.toLong,
+          "version" -> r.version)
       case History(table) => LakeTable.history(spark, log, table)
       case Detail(table) => LakeTable.filesTable(spark, log, table)
       case other =>
-        val refs = VersionRef.findAllMatchIn(other)
+        // TIMESTAMP AS OF resolves to a concrete version first (failing
+        // loudly on non-tables / pre-history timestamps), then shares
+        // VERSION AS OF's validation and routing
+        val tsRefs = TimestampRef.findAllMatchIn(other)
+          .map(m => m.group(1) -> m.group(2)).toList
+        tsRefs.foreach { case (t, _) =>
+          if (!log.listTables().contains(t))
+            throw new graft.lake.LakeValidationException(
+              s"TIMESTAMP AS OF must directly follow a lake table name; " +
+                s"'$t' is not a table (alias it after the clause)")
+        }
+        val resolved = tsRefs.map { case (t, ts) =>
+          t -> log.versionAtTimestamp(t, parseTsMs(ts))
+        }
+        val stripped =
+          if (tsRefs.isEmpty) other
+          else TimestampRef.replaceAllIn(other,
+            m => s"${m.group(1)} VERSION AS OF ${
+              resolved.find(_._1 == m.group(1)).get._2}")
+        val refs = VersionRef.findAllMatchIn(stripped)
           .map(m => m.group(1) -> m.group(2).toLong).toList
-        if (refs.isEmpty) SqlApi.queryLake(spark, log, other)
+        if (refs.isEmpty) SqlApi.queryLake(spark, log, stripped)
         else {
           // fail loudly on every silent-wrong-answer shape: the captured
           // word must be a lake table (an alias would register nothing
@@ -199,7 +278,7 @@ object LakeSql {
                   vs.map(_._2).distinct.sorted.mkString(", "))
           }
           SqlApi.queryLake(spark, log,
-            VersionRef.replaceAllIn(other, m => m.group(1)), refs.toMap)
+            VersionRef.replaceAllIn(stripped, m => m.group(1)), refs.toMap)
         }
     }
 }

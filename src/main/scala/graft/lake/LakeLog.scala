@@ -341,6 +341,35 @@ final class LakeLog(val root: Path, val checkpointInterval: Int = 10) {
     vs.last
   }
 
+  /** Resolve `TIMESTAMP AS OF`: the newest version committed at or before
+    * `tsMs`. Commit timestamps are non-decreasing in version order (one
+    * wall clock stamps every entry at commit), so this is a binary search
+    * — O(log versions) entry reads, all served from the entry cache on
+    * repeat. Version 0 is the bare CREATE (and the snapshot resolver's
+    * latest-sentinel), so a timestamp that lands before the first DATA
+    * commit fails loudly instead of silently reading the latest state.
+    */
+  def versionAtTimestamp(table: String, tsMs: Long): Long = {
+    val vs = versions(table)
+    if (vs.isEmpty)
+      throw new LakeValidationException(s"table $table does not exist")
+    var lo = 0
+    var hi = vs.size - 1
+    var ans = -1L
+    while (lo <= hi) {
+      val mid = (lo + hi) / 2
+      if (readEntry(table, vs(mid)).timestamp_ms <= tsMs) {
+        ans = vs(mid); lo = mid + 1
+      } else hi = mid - 1
+    }
+    if (ans <= 0) throw new LakeValidationException(
+      s"no committed version of $table at or before timestamp $tsMs " +
+        s"(earliest data commit: ${if (vs.size > 1)
+          readEntry(table, vs(1)).timestamp_ms.toString
+        else "none"})")
+    ans
+  }
+
   /** Cold entry-file parses — the cost a checkpoint bounds; pinned by
     * LakeCheckpointSpec's O(interval) test. */
   val entryReads = new java.util.concurrent.atomic.AtomicLong()

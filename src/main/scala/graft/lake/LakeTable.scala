@@ -805,6 +805,97 @@ object LakeTable {
     } finally deleteRecursively(staged)
   }
 
+  final case class UpdateReport(filesRewritten: Int, filesUntouched: Int,
+                                rowsUpdated: Long, version: Long)
+
+  /** UPDATE ... SET ... WHERE — the remaining DML verb: copy-on-write at
+    * file granularity, same shape as [[deleteWhere]]. Only files whose
+    * stats admit matching rows are rewritten (stat-pruned — a one-key
+    * update on a clustered table prices as one file, not the table); in
+    * each, matching rows get every SET expression applied (cast to the
+    * column's declared type, so the schema cannot drift) and the rest pass
+    * through byte-identical. One OCC commit: readers see the update
+    * atomically, old versions time travel to pre-update data, and the
+    * (path, dv) guard aborts if a concurrent writer touched an input file.
+    * SET expressions may reference any column of the row (`a = a + b`);
+    * partition columns are not updatable (that is a row MOVE between
+    * partitions — delete + insert expresses it honestly). CHECK
+    * constraints are enforced on the rewritten rows before staging.
+    */
+  def updateWhere(spark: SparkSession, log: LakeLog, table: String,
+                  predicate: String, sets: Seq[(String, String)],
+                  txnId: String = UUID.randomUUID().toString): UpdateReport = {
+    require(sets.nonEmpty, "UPDATE needs at least one assignment")
+    require(sets.map(_._1).distinct.size == sets.size,
+      s"duplicate SET column in UPDATE: ${sets.map(_._1).mkString(", ")}")
+    log.committedVersion(table, txnId).foreach(v =>
+      return UpdateReport(0, 0, 0, v))
+    val snap = log.snapshot(table)
+    val sch = snap.schema.getOrElse(throw new LakeValidationException(
+      s"table $table has no schema"))
+    val st = toStructType(sch)
+    val partCols = sch.partCols
+    val cols = st.fieldNames.toSet
+    sets.foreach { case (c, _) =>
+      if (!cols.contains(c)) throw new LakeValidationException(
+        s"unknown column $c in UPDATE on $table")
+      if (partCols.contains(c)) throw new LakeValidationException(
+        s"cannot UPDATE partition column $c (a partition move is a " +
+          "DELETE + INSERT)")
+    }
+    val candidates = FilePruning.prune(snap.files, predicate, st)
+    if (candidates.isEmpty)
+      return UpdateReport(0, snap.files.size, 0, snap.version)
+    val pred = QueryEngine.parsePredicate(predicate)
+    // SQL UPDATE touches only rows where the condition is TRUE — NULL
+    // leaves the row unchanged (the dual of deleteWhere's retain rule)
+    val hit = coalesce(pred, lit(false))
+    val setFor = sets.toMap
+    val staged = log.tmpDir(table, txnId)
+    val src = readWithPartitions(spark, st, partCols, candidates)
+    val updated = src.select(st.fields.map { f =>
+      setFor.get(f.name) match {
+        case Some(e) =>
+          when(hit, expr(e).cast(f.dataType)).otherwise(col(f.name))
+            .as(f.name)
+        case None => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+    enforceChecks(table, sch, updated)
+    // matched-row count for the report: one aggregate over the (already
+    // pruned) candidate files — metadata-priced next to the rewrite
+    val rowsUpdated = src.agg(coalesce(
+        sum(when(hit, 1L).otherwise(0L)), lit(0L)).as("n"))
+      .head.getLong(0)
+    withStatFriendlyWrites(spark) {
+      updated.coalesce(math.max(1, candidates.size))
+        .write.mode("overwrite").option("compression", "snappy")
+        .partitionBy(partCols: _*)
+        .parquet(staged.toString)
+    }
+    try {
+      val adds = statAndPromote(spark, log, table, staged, st, rewrite = true,
+        partCols = partCols, bloomCols = sch.bloomCols)
+      val inputPaths = candidates.map(_.path)
+      val expectDv = candidates.map(f => f.path -> f.dv).toMap
+      val resultOpt =
+        try log.commitWithRetry(table, txnId) { fresh =>
+          val live = fresh.files.map(f => f.path -> f.dv).toMap
+          if (expectDv.forall { case (p, d) => live.get(p).contains(d) })
+            Some((adds, inputPaths))
+          else None // concurrent rewrite of our inputs — abort
+        } catch { case e: Throwable => discardAdds(adds); throw e }
+      val result = resultOpt.getOrElse {
+        discardAdds(adds)
+        throw new CommitConflictException(
+          "update lost its input files to a concurrent commit")
+      }
+      if (result.duplicate) discardAdds(adds)
+      UpdateReport(candidates.size, snap.files.size - candidates.size,
+        rowsUpdated, result.version)
+    } finally deleteRecursively(staged)
+  }
+
   final case class ReplaceReport(filesReplaced: Int, filesUntouched: Int,
                                  rowsRemoved: Long, rowsAdded: Long,
                                  version: Long)

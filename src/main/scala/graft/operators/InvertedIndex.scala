@@ -72,4 +72,62 @@ object InvertedIndex {
   def searchIndex(spark: SparkSession, log: LakeLog, table: String,
                   terms: Seq[String]): DataFrame =
     searchAll(LakeTable.readIndexed(spark, log, table), terms)
+
+  /** Postings with the document length DENORMALIZED onto every row:
+    * (term, doc_id, tf, dl). Impact-ordered search indexes store exactly
+    * this — 8 extra bytes per posting buys BM25 scoring without joining
+    * the corpus-sized doc-length table at query time (which would shuffle
+    * the whole length table against a handful of candidate postings).
+    * `dl` = token count of the document under the corpus tokenizer. */
+  def postingsWithLen(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    Dedup.spread(docs.select(col(idCol).as("doc_id"),
+        col(textCol).as("__text")))
+      .select(col("doc_id"),
+        tokens(normalizeText(col("__text"))).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).as("dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"), min("dl").as("dl"))
+
+  /** Corpus stats BM25 needs: one row (n_docs, avgdl). Computed with a
+    * single aggregate over the postings (build-time cost); production
+    * persists this row next to the index rather than recomputing per
+    * query — [[bm25Search]] accepts it as a DataFrame so either source
+    * plugs in. */
+  def bm25Stats(postings: DataFrame): DataFrame =
+    postings.groupBy("doc_id").agg(min("dl").as("__dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum("__dl").cast("double") / count(lit(1))).as("avgdl"))
+
+  /** Disjunctive (OR) BM25 ranking: every document matching ≥ 1 query
+    * term, scored Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * with the Lucene idf  ln(1 + (N−df+0.5)/(df+0.5)).
+    *
+    * Scale shape: the term filter prunes to ≤ |terms| postings runs
+    * (bloom + min-max file skipping on a clustered index); `df` is a
+    * tiny per-term aggregate over those candidates, broadcast back; the
+    * stats row is a broadcast scalar. One candidate-sized groupBy on
+    * doc_id is the only exchange — the corpus itself never moves.
+    * Returns (doc_id, score) unrounded/unordered; callers round before
+    * ranking so ties break identically on every engine. */
+  def bm25Search(postings: DataFrame, stats: DataFrame, terms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    val distinctTerms = terms.distinct
+    val cand = postings
+      .filter(col("term").isin(distinctTerms.map(_.asInstanceOf[Any]): _*))
+    val df_ = cand.groupBy("term").agg(count(lit(1)).as("df"))
+    cand.join(broadcast(df_), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log(lit(1.0) +
+            (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl").cast("double") / col("avgdl"))))
+          .as("__s"))
+      .groupBy("doc_id").agg(sum("__s").as("score"))
+  }
 }

@@ -57,6 +57,25 @@ object LinkGraph {
         pmod(col("src") * mult + col("__c"), col("__n")).as("dst"))
   }
 
+  /** Dense-community overlay for the synthetic graph: every `every`-th
+    * node links to the next `k` nodes of its own stride — a circulant
+    * block whose members hold degree 2k among themselves regardless of
+    * the base graph, i.e. a planted k-core (what a link farm looks like
+    * in a crawl graph). Reproducible in SQL like [[syntheticLinks]]. */
+  def syntheticHubLinks(docs: DataFrame, every: Int = 10, k: Int = 5,
+                        idCol: String = "doc_id"): DataFrame = {
+    require(every >= 1 && k >= 1)
+    val n = docs.select(count(lit(1)).as("__n"))
+    docs.select(col(idCol).cast("long").as("src"))
+      .filter(pmod(col("src"), lit(every)) === 0)
+      .crossJoin(broadcast(n))
+      .select(col("src"), explode(sequence(lit(1), lit(k))).as("__c"),
+        col("__n"))
+      .select(col("src"),
+        pmod(col("src") + lit(every.toLong) * col("__c"), col("__n"))
+          .as("dst"))
+  }
+
   /** Triangle count over the undirected version of the edge set — the
     * clustering/link-spam structure signal (spam farms are triangle-dense,
     * organic link neighborhoods sparse). Classic two-join shape with the
@@ -217,5 +236,47 @@ object LinkGraph {
         ranks = ranks.localCheckpoint()
     }
     ranks
+  }
+
+  /** k-core decomposition (membership for a fixed `k`): iteratively peel
+    * every node whose degree in the surviving subgraph is < k until no
+    * node is removable — the standard dense-subgraph extractor for link
+    * farms / tight crawl communities (a node in the k-core has ≥ k
+    * neighbors that are themselves in the k-core). Returns the surviving
+    * nodes with their IN-CORE degree: (id, core_deg).
+    *
+    * Exactness: the peel runs EXACTLY `rounds` rounds in both engines —
+    * once the core is stable a round is a no-op, so any rounds ≥ the
+    * peel depth gives the true k-core, and a fixed round count replays
+    * bit-for-bit in the DuckDB oracle's unrolled CTEs (the same device
+    * as [[pageRank]]'s fixed iteration count).
+    *
+    * Scale shape: each round is one degree aggregate plus two semi-joins,
+    * all on (long, long) rows — text never enters; `localCheckpoint`
+    * per round caps lineage like every iterative loop here. Peel depth
+    * on real link graphs is tens of rounds, not O(n): each round removes
+    * an entire "shell", not one node.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    var und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val deg = und.select(col("a").as("v"))
+        .union(und.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val alive = deg.filter(col("d") >= k).select("v")
+      und = und
+        .join(alive.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(alive.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint()
+    }
+    und.select(col("a").as("id")).union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("core_deg"))
+      .filter(col("core_deg") >= k)
   }
 }

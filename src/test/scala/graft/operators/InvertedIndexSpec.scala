@@ -39,6 +39,47 @@ class InvertedIndexSpec extends SparkSpec {
     assert(dup == Set(0L, 2L, 3L, 4L))
   }
 
+  test("bm25: hand-computed scores on a 3-doc corpus") {
+    val corpus = Seq(
+      (0L, "x x y"), (1L, "x z z z"), (2L, "y y y y y"))
+      .toDF("doc_id", "text")
+    val posts = InvertedIndex.postingsWithLen(corpus)
+    // dl rides on every posting row
+    val dls = posts.select("doc_id", "dl").distinct().collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(dls == Map(0L -> 3L, 1L -> 4L, 2L -> 5L))
+    val stats = InvertedIndex.bm25Stats(posts)
+    val st = stats.head
+    assert(st.getLong(0) == 3L && st.getDouble(1) == 4.0)
+    // independent recompute of the same closed-form (k1=1.2, b=0.75)
+    def term(tf: Long, df: Long, dl: Long): Double = {
+      val idf = math.log(1.0 + (3.0 - df + 0.5) / (df + 0.5))
+      idf * (tf * (1.2 + 1)) / (tf + 1.2 * (0.25 + 0.75 * dl / 4.0))
+    }
+    val got = InvertedIndex.bm25Search(posts, stats, Seq("x", "y"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // OR semantics: every doc holds x or y
+    assert(got.keySet == Set(0L, 1L, 2L))
+    assert(math.abs(got(0L) - (term(2, 2, 3) + term(1, 2, 3))) < 1e-12)
+    assert(math.abs(got(1L) - term(1, 2, 4)) < 1e-12)
+    assert(math.abs(got(2L) - term(5, 2, 5)) < 1e-12)
+  }
+
+  test("bm25 ranking properties: rarity, saturation, length norm") {
+    // 10 filler docs make 'rare' rare and 'common' common
+    val corpus = ((0L until 10L).map(i => (i, "common pad pad")) ++
+      Seq((10L, "rare pad pad"), (11L, "common pad pad pad pad pad")))
+      .toDF("doc_id", "text")
+    val posts = InvertedIndex.postingsWithLen(corpus)
+    val stats = InvertedIndex.bm25Stats(posts)
+    val got = InvertedIndex.bm25Search(posts, stats, Seq("rare", "common"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the rare-term doc out-scores any common-term doc (idf dominance)
+    assert(got(10L) > got(0L))
+    // longer doc with same tf scores lower (length normalization)
+    assert(got(11L) < got(0L))
+  }
+
   test("persisted index prunes postings files for selective probes") {
     val log = new LakeLog(tmpDir("invidx"))
     // many docs, heavy-tailed vocab: cluster by term into 8 files

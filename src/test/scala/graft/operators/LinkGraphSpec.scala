@@ -124,4 +124,44 @@ class LinkGraphSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ranks(0L) > ranks(2L) && ranks(1L) > ranks(2L))
   }
+
+  private def core(edges: Seq[(Long, Long)], k: Int, rounds: Int = 8) =
+    LinkGraph.kCore(edges.toDF("src", "dst"), k, rounds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kCore: a 4-clique with a tail keeps exactly the clique at k=3") {
+    val clique = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val tail = Seq((3L, 4L), (4L, 5L))
+    assert(core(clique ++ tail, k = 3) ==
+      Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("kCore: peeling cascades — a path empties at k=2") {
+    // endpoints have degree 1 → removed; removal exposes new endpoints
+    // every round; a 6-path needs 3 peel rounds to vanish entirely
+    val path = (0L until 6L).sliding(2).map(s => (s(0), s(1))).toSeq
+    assert(core(path, k = 2).isEmpty)
+    // a cycle is its own 2-core: no endpoints, nothing peels
+    val cycle = path :+ (5L, 0L)
+    assert(core(cycle, k = 2) == (0L to 5L).map(_ -> 2L).toMap)
+  }
+
+  test("kCore: rounds past convergence are no-ops; direction/dups ignored") {
+    val clique = for (a <- 0L to 3L; b <- 0L to 3L if a != b) yield (a, b)
+    val r3 = core(clique, k = 3, rounds = 3)
+    val r9 = core(clique, k = 3, rounds = 9)
+    assert(r3 == r9 && r3.values.forall(_ == 3L))
+  }
+
+  test("syntheticHubLinks plant a k-core the base graph lacks") {
+    val docs = (0L until 500L).toDF("doc_id")
+    val base = LinkGraph.syntheticLinks(docs, k = 3, mult = 17L)
+    val withHub = base.unionAll(
+      LinkGraph.syntheticHubLinks(docs, every = 10, k = 5))
+    assert(LinkGraph.kCore(base, k = 6, rounds = 8).count() == 0)
+    val planted = LinkGraph.kCore(withHub, k = 6, rounds = 8)
+    // the planted circulant block (ids ≡ 0 mod 10) survives
+    assert(planted.count() == 50)
+    assert(planted.filter(col("id") % 10 =!= 0).count() == 0)
+  }
 }
