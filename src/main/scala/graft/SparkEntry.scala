@@ -3131,6 +3131,43 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Column mapping: RENAME COLUMN is a metadata-only commit (the data
+    // files are untouched — asserted on the file set), reads alias the
+    // immutable physical name back to the new logical name, writes AFTER
+    // the rename land under the same physical name, stat pruning on the
+    // renamed column still skips files (asserted via scan metrics), and
+    // DROP COLUMN removes a field without rewriting a byte. The final
+    // aggregate runs over files written on BOTH sides of the rename.
+    "q_lake_rename" -> ((s, d) => {
+      import graft.api.{LakeSql, SqlApi}
+      import graft.lake.{LakeLog, LakeTable}
+      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftcm"))
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+      LakeTable.createTable(log, "li", li.schema)
+      LakeTable.insert(s, log, "li", li.filter(col("l_orderkey") % 2 === 0),
+        numFiles = 4, zOrderBy = Seq("l_quantity"))
+      val preFiles = log.snapshot("li").files.map(_.path).toSet
+      LakeSql.execute(s, log, "ALTER TABLE li RENAME COLUMN l_quantity TO qty")
+      require(log.snapshot("li").files.map(_.path).toSet == preFiles,
+        "RENAME COLUMN touched data files — not metadata-only")
+      LakeTable.insert(s, log, "li",
+        li.filter(col("l_orderkey") % 2 === 1)
+          .withColumnRenamed("l_quantity", "qty"),
+        numFiles = 4, zOrderBy = Seq("qty"))
+      LakeSql.execute(s, log, "ALTER TABLE li DROP COLUMN l_extendedprice")
+      val out = SqlApi.queryLake(s, log,
+        "SELECT l_returnflag, count(*) AS n_rows, " +
+          "round(sum(qty), 2) AS sum_qty " +
+          "FROM li WHERE qty > 45 GROUP BY l_returnflag ORDER BY l_returnflag")
+      // pre- AND post-rename files are quantity-sorted: the qty predicate
+      // must prune through the renamed logical name
+      val m = graft.Metrics.measure("rename-prune-probe", out)
+      require(m.filesPruned > 0,
+        s"no pruning through renamed column (scanned=${m.filesScanned})")
+      out
+    }),
+
     // Timestamp time travel: TIMESTAMP AS OF resolves through the log's
     // commit timestamps (binary search) to the newest version at-or-before
     // the instant, then reads that snapshot. The query pins the instant to
@@ -5975,6 +6012,12 @@ object SparkEntry {
              round(sum(l_quantity), 2) AS sum_qty,
              round(sum(l_extendedprice), 2) AS sum_price
       FROM upd GROUP BY 1 ORDER BY 1""",
+
+    "q_lake_rename" -> """
+      WITH src AS (
+        SELECT l_quantity AS qty, l_returnflag FROM lineitem)
+      SELECT l_returnflag, count(*) AS n_rows, round(sum(qty), 2) AS sum_qty
+      FROM src WHERE qty > 45 GROUP BY 1 ORDER BY 1""",
 
     "q_lake_timetravel_ts" -> """
       SELECT * FROM (

@@ -128,6 +128,10 @@ object LakeSql {
     """(?is)\s*CREATE\s+TABLE\s+(\w+)\s*\((.+?)\)\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val AlterAdd =
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+(\w+)\s*;?\s*""".r
+  private val AlterRename =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  private val AlterDrop =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*""".r
 
   private def status(spark: SparkSession,
                      fields: (String, Any)*): DataFrame = {
@@ -196,6 +200,16 @@ object LakeSql {
             Field(colName, colType.toLowerCase, nullable = true)),
           txnId = s"altadd-$table-$colName")
         status(spark, "table" -> table, "added" -> colName,
+          "version" -> r.version)
+      case AlterRename(table, oldName, newName) =>
+        val r = log.renameColumn(table, oldName, newName,
+          txnId = s"altren-$table-$oldName-$newName")
+        status(spark, "table" -> table, "renamed" -> oldName,
+          "to" -> newName, "version" -> r.version)
+      case AlterDrop(table, colName) =>
+        val r = log.dropColumn(table, colName,
+          txnId = s"altdrop-$table-$colName")
+        status(spark, "table" -> table, "dropped" -> colName,
           "version" -> r.version)
       case Optimize(table, where, zorder) =>
         val zCols = Option(zorder).toSeq

@@ -12,7 +12,16 @@ import scala.jdk.CollectionConverters._
   * a table is a set of parquet files whose visibility is controlled solely by
   * versioned log entries — never by directory listing.
   */
-final case class Field(name: String, `type`: String, nullable: Boolean = true)
+/** `physical_name`: Delta-style column mapping — the column's name INSIDE
+  * data files, which never changes after the column is created. RENAME
+  * COLUMN rewrites only the logical `name` (a metadata commit; zero data
+  * I/O on a 100 TB table); every read aliases physical → logical and every
+  * write renames logical → physical at the file boundary. Absent (the
+  * overwhelmingly common case) means physical == logical. */
+final case class Field(name: String, `type`: String, nullable: Boolean = true,
+                       physical_name: Option[String] = None) {
+  def phys: String = physical_name.getOrElse(name)
+}
 /** `partition_columns`: hive-style partition columns, declared once at
   * CREATE TABLE (the Delta contract — every write must comply). The
   * reference carries a `partition map<string,string>` per file
@@ -27,11 +36,17 @@ final case class Field(name: String, `type`: String, nullable: Boolean = true)
   * the predicate evaluates to FALSE; NULL/UNKNOWN passes. The reference
   * has no constraint surface; this mirrors Delta's table CHECK
   * constraints. Option so older logs deserialize as None. */
+/** `retired_columns`: physical names ever used by DROPPED columns. Old
+  * data files still contain those columns' bytes; a later ADD COLUMN that
+  * would reuse such a physical name gets a fresh unique one instead —
+  * otherwise the new logical column would silently read the dropped
+  * column's stale values out of pre-drop files. */
 final case class TableSchema(fields: Seq[Field],
                              partition_columns: Option[Seq[String]] = None,
                              check_constraints: Option[Map[String, String]] =
                                None,
-                             bloom_columns: Option[Seq[String]] = None) {
+                             bloom_columns: Option[Seq[String]] = None,
+                             retired_columns: Option[Seq[String]] = None) {
   def partCols: Seq[String] = partition_columns.getOrElse(Nil)
   def checks: Map[String, String] = check_constraints.getOrElse(Map.empty)
   /** Columns with a DECLARED per-file bloom index: every write path —
@@ -39,6 +54,14 @@ final case class TableSchema(fields: Seq[Field],
     * — builds blooms for them, so point-lookup pruning never silently
     * degrades as the table's files get rewritten. */
   def bloomCols: Seq[String] = bloom_columns.getOrElse(Nil)
+  def retired: Seq[String] = retired_columns.getOrElse(Nil)
+  /** logical → physical column name (identity unless renamed). */
+  def physFor(c: String): String =
+    fields.find(_.name == c).map(_.phys).getOrElse(c)
+  def physMap: Map[String, String] = fields.map(f => f.name -> f.phys).toMap
+  /** Any column whose on-file name differs from its logical name? The
+    * mapping layers below are no-ops when false (the common case). */
+  def hasMapping: Boolean = fields.exists(f => f.phys != f.name)
 }
 /** Per-file min/max statistics (stringified values, typed at prune time via
   * the table schema). The reference declares these (`proto/metadata.proto:
@@ -593,10 +616,34 @@ final class LakeLog(val root: Path, val checkpointInterval: Int = 10) {
             if (!added.nullable) throw new LakeValidationException(
               s"new field ${added.name} must be nullable (old files lack it)")
           }
+          // column-mapping invariants: physical names are immutable and
+          // inherited (callers restate fields logically); an ADDED field
+          // whose name collides with a live or retired PHYSICAL name gets
+          // a fresh unique physical name — otherwise it would read the
+          // old column's stale bytes out of pre-existing files
+          val currentByName = current.fields.map(f => f.name -> f).toMap
+          val takenPhys = current.fields.map(_.phys).toSet ++ current.retired
+          val mappedFields = newSchema.fields.map { f =>
+            currentByName.get(f.name) match {
+              case Some(cur) =>
+                if (f.physical_name.exists(_ != cur.phys))
+                  throw new LakeValidationException(
+                    s"schema evolution cannot change the physical name " +
+                      s"of ${f.name}")
+                f.copy(physical_name = cur.physical_name)
+              case None =>
+                if (takenPhys.contains(f.name))
+                  f.copy(physical_name = Some(s"${f.name}__p${latest + 1}"))
+                else f
+            }
+          }
+          val mappedSchema = newSchema.copy(fields = mappedFields,
+            retired_columns = current.retired_columns)
+          // stats keys below are PHYSICAL names
           val floatWidened = current.fields.filter(f =>
             f.`type` == "float32" && newSchema.fields
               .exists(k => k.name == f.name && k.`type` == "float64"))
-            .map(_.name).toSet
+            .map(_.phys).toSet
           def requote(m: Map[String, String]): Map[String, String] =
             m.map { case (c, v) =>
               c -> (if (floatWidened(c))
@@ -618,11 +665,97 @@ final class LakeLog(val root: Path, val checkpointInterval: Int = 10) {
                   max_values = requote(st.max_values)))))
           val newVersion = latest + 1
           writeEntry(table, LogEntry(newVersion, System.currentTimeMillis(),
-            txnId, Some(newSchema), restated, Nil))
+            txnId, Some(mappedSchema), restated, Nil))
           CommitResult(newVersion, duplicate = false)
       }
     }
   }
+
+  /** Shared guard for rename/drop: the column must exist, must not be a
+    * partition column (its name keys the log's partition maps and the
+    * hive directory layout), and must not be referenced by a CHECK
+    * constraint (constraint text holds logical names; rewriting arbitrary
+    * SQL safely is not worth the risk — drop the constraint first). */
+  private def mappableColumn(table: String, sch: TableSchema,
+                             name: String): Field = {
+    val f = sch.fields.find(_.name == name).getOrElse(
+      throw new LakeValidationException(
+        s"table $table has no column $name"))
+    if (sch.partCols.contains(name))
+      throw new LakeValidationException(
+        s"cannot rename or drop partition column $name")
+    sch.checks.foreach { case (cn, pred) =>
+      if (("""\b""" + java.util.regex.Pattern.quote(name) + """\b""").r
+          .findFirstIn(pred).isDefined)
+        throw new LakeValidationException(
+          s"column $name is referenced by CHECK constraint $cn; " +
+            "drop the constraint before renaming or dropping the column")
+    }
+    f
+  }
+
+  /** ALTER TABLE ... RENAME COLUMN — metadata-only (Delta column mapping):
+    * the logical name changes in the schema, the physical name in every
+    * data file stays what it was at column creation, so ZERO data I/O at
+    * any table size. Old snapshots keep their own schema entries, so time
+    * travel sees the old name. Bloom declarations follow the rename. */
+  def renameColumn(table: String, oldName: String, newName: String,
+                   txnId: String): CommitResult =
+    lockFor(table).synchronized {
+      txnVersions(table).get(txnId) match {
+        case Some(v) => CommitResult(v, duplicate = true)
+        case None =>
+          val latest = latestVersion(table)
+          val sch = snapshot(table, latest).schema.getOrElse(
+            throw new LakeValidationException(s"table $table has no schema"))
+          val f = mappableColumn(table, sch, oldName)
+          if (sch.fields.exists(_.name == newName))
+            throw new LakeValidationException(
+              s"table $table already has a column $newName")
+          validateSchema(TableSchema(Seq(Field(newName, f.`type`))))
+          val renamed = sch.copy(
+            fields = sch.fields.map(x =>
+              if (x.name == oldName)
+                x.copy(name = newName, physical_name = Some(x.phys))
+              else x),
+            bloom_columns = sch.bloom_columns.map(_.map(c =>
+              if (c == oldName) newName else c)))
+          val v = latest + 1
+          writeEntry(table, LogEntry(v, System.currentTimeMillis(), txnId,
+            Some(renamed)))
+          CommitResult(v, duplicate = false)
+      }
+    }
+
+  /** ALTER TABLE ... DROP COLUMN — metadata-only: the field leaves the
+    * schema (reads simply never project the physical column again; the
+    * bytes in existing files become dead weight until files are naturally
+    * rewritten). The physical name is RETIRED so a later ADD COLUMN with
+    * the same name cannot resurrect stale values. Dropping the last
+    * column is refused; bloom declarations are cleaned up. */
+  def dropColumn(table: String, name: String, txnId: String): CommitResult =
+    lockFor(table).synchronized {
+      txnVersions(table).get(txnId) match {
+        case Some(v) => CommitResult(v, duplicate = true)
+        case None =>
+          val latest = latestVersion(table)
+          val sch = snapshot(table, latest).schema.getOrElse(
+            throw new LakeValidationException(s"table $table has no schema"))
+          val f = mappableColumn(table, sch, name)
+          if (sch.fields.size == 1)
+            throw new LakeValidationException(
+              s"cannot drop the only column of $table")
+          val dropped = sch.copy(
+            fields = sch.fields.filterNot(_.name == name),
+            bloom_columns = sch.bloom_columns
+              .map(_.filterNot(_ == name)).filter(_.nonEmpty),
+            retired_columns = Some(sch.retired :+ f.phys))
+          val v = latest + 1
+          writeEntry(table, LogEntry(v, System.currentTimeMillis(), txnId,
+            Some(dropped)))
+          CommitResult(v, duplicate = false)
+      }
+    }
 
   /** Commit with automatic OCC retry: re-resolves the base version and
     * re-validates through `plan` on each attempt (the reference's

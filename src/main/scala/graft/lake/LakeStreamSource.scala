@@ -126,6 +126,17 @@ private final class LakeMicroBatchStream(root: String, table: String,
   private val partSchema = StructType(partCols.map(c => physical(c)))
   private val dataSchema =
     StructType(physical.fields.filterNot(f => partCols.contains(f.name)))
+  // the FILE-side twin of dataSchema under column mapping: parquet matches
+  // columns by name, and files carry PHYSICAL names (immutable across
+  // renames, so a stream running across a RENAME COLUMN keeps reading the
+  // right bytes). Same field order and types — rows stay positionally
+  // identical, so the logical projection in the reader factory is
+  // untouched.
+  private val physDataSchema = {
+    val sch = log.snapshot(table).schema.getOrElse(
+      throw new LakeValidationException(s"table $table has no schema"))
+    StructType(dataSchema.fields.map(f => f.copy(name = sch.physFor(f.name))))
+  }
 
   override def initialOffset(): Offset = LakeOffset(startingVersion)
   override def latestOffset(): Offset = LakeOffset(log.latestVersion(table))
@@ -214,9 +225,9 @@ private final class LakeMicroBatchStream(root: String, table: String,
           spark.conf.set(key, "false")
           val data = new ParquetFileFormat().buildReaderWithPartitionValues(
             sparkSession = spark,
-            dataSchema = dataSchema,
+            dataSchema = physDataSchema,
             partitionSchema = partSchema,
-            requiredSchema = dataSchema,
+            requiredSchema = physDataSchema,
             filters = Nil,
             options = Map.empty,
             hadoopConf = spark.sessionState.newHadoopConf())

@@ -92,6 +92,53 @@ object LakeTable {
       s"CHECK constraint violation on $table — ${bad.mkString("; ")}")
   }
 
+  /** Column mapping (Delta-style): data files and their footer stats /
+    * bloom sidecars are keyed by PHYSICAL column names — immutable from
+    * column creation — while the API surface speaks logical names. The
+    * three seams below are the whole mapping layer: [[physStruct]] turns a
+    * logical struct into the on-file shape, [[toPhys]] renames an outgoing
+    * frame at the write boundary, and [[physExpr]] rewrites a predicate
+    * string before it is consulted against file stats. Reads alias
+    * physical → logical inside [[readFlat]]. All are identity for tables
+    * that never renamed a column. */
+  private def physStruct(st: StructType, sch: TableSchema): StructType =
+    if (!sch.hasMapping) st
+    else StructType(st.fields.map(f => f.copy(name = sch.physFor(f.name))))
+
+  private def toPhys(df: DataFrame, sch: TableSchema): DataFrame =
+    if (!sch.hasMapping) df
+    else {
+      val m = sch.physMap
+      df.select(df.columns.toSeq.map(c =>
+        col(c).as(m.getOrElse(c, c))): _*)
+    }
+
+  /** Rewrite logical identifiers to physical in a predicate/expression
+    * STRING (single-quote aware, so literals like 'price' survive). Only
+    * used to consult PHYSICAL file stats; the residual filter always runs
+    * with the original expression on the logical frame. */
+  private[lake] def physExpr(e: String, sch: TableSchema): String = {
+    if (!sch.hasMapping) return e
+    val m = sch.physMap
+    val out = new StringBuilder
+    var i = 0
+    while (i < e.length) {
+      val c = e.charAt(i)
+      if (c == '\'') { // copy the quoted literal verbatim
+        val end = e.indexOf('\'', i + 1)
+        val stop = if (end < 0) e.length else end + 1
+        out.append(e.substring(i, stop)); i = stop
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < e.length &&
+          (e.charAt(i).isLetterOrDigit || e.charAt(i) == '_')) i += 1
+        val word = e.substring(start, i)
+        out.append(m.getOrElse(word, word))
+      } else { out.append(c); i += 1 }
+    }
+    out.result()
+  }
+
   /** The schema physically stored in data files: declared schema minus
     * partition columns (those live only in the log's partition map). */
   private def dataStruct(st: StructType, partCols: Seq[String]): StructType =
@@ -126,16 +173,24 @@ object LakeTable {
     * files scan as-is; DV'd files scan with the parquet row index exposed
     * (`_metadata.row_index`) and anti-join their positions-only sidecars —
     * broadcast while small, so the data side never shuffles. */
-  private def readFlat(spark: SparkSession, dataSt: StructType,
+  private def readFlat(spark: SparkSession, sch: TableSchema,
+                       dataSt: StructType,
                        files: Seq[FileAdd]): DataFrame = {
+    // files carry PHYSICAL column names; alias back to logical on exit
+    val pSt = physStruct(dataSt, sch)
+    def logical(df: DataFrame): DataFrame =
+      if (!sch.hasMapping) df
+      else df.select(dataSt.fieldNames.toSeq.map(n =>
+        col(sch.physFor(n)).as(n)): _*)
     val (dvd, plain) = files.partition(_.dvRows > 0)
     val plainDf =
       if (plain.isEmpty) None
-      else Some(spark.read.schema(dataSt).parquet(plain.map(_.path): _*))
+      else Some(logical(
+        spark.read.schema(pSt).parquet(plain.map(_.path): _*)))
     val dvdDf =
       if (dvd.isEmpty) None
       else {
-        val base = spark.read.schema(dataSt).parquet(dvd.map(_.path): _*)
+        val base = spark.read.schema(pSt).parquet(dvd.map(_.path): _*)
           .withColumn("__file",
             element_at(split(col("_metadata.file_path"), "/"), -1))
           .withColumn("__pos", col("_metadata.row_index"))
@@ -147,10 +202,10 @@ object LakeTable {
         val dvDf =
           if (dvd.map(_.dvRows).sum <= DvBroadcastMaxPositions) broadcast(dv0)
           else dv0
-        Some(base.join(dvDf,
+        Some(logical(base.join(dvDf,
             base("__file") === dvDf("file") && base("__pos") === dvDf("pos"),
             "left_anti")
-          .drop("__file", "__pos"))
+          .drop("__file", "__pos")))
       }
     (plainDf.toSeq ++ dvdDf.toSeq).reduce(_ unionAll _)
   }
@@ -162,14 +217,15 @@ object LakeTable {
     * interactive reads should use [[readIndexed]], which exposes the
     * partition columns through the `FileIndex` instead of a union.
     */
-  private def readWithPartitions(spark: SparkSession, st: StructType,
+  private def readWithPartitions(spark: SparkSession, sch: TableSchema,
+                                 st: StructType,
                                  partCols: Seq[String],
                                  files: Seq[FileAdd]): DataFrame = {
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
     val dataSt = dataStruct(st, partCols)
     files.groupBy(f => partCols.map(f.partition(_))).map { case (vals, group) =>
-      val base = readFlat(spark, dataSt, group)
+      val base = readFlat(spark, sch, dataSt, group)
       val withParts = partCols.zip(vals).foldLeft(base) { case (df, (c, v)) =>
         df.withColumn(c, partLit(v, st(c).dataType)) }
       withParts.select(st.fieldNames.toSeq.map(col): _*)
@@ -189,8 +245,8 @@ object LakeTable {
     if (snap.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
     else if (sch.partCols.nonEmpty)
-      readWithPartitions(spark, st, sch.partCols, snap.files)
-    else readFlat(spark, st, snap.files)
+      readWithPartitions(spark, sch, st, sch.partCols, snap.files)
+    else readFlat(spark, sch, st, snap.files)
   }
 
   /** Catalyst-integrated read: the returned DataFrame prunes files by log
@@ -217,22 +273,27 @@ object LakeTable {
     // untouched majority of a big table keeps full planning-time pruning.
     val (dvd, plain) = snap.files.partition(_.dvRows > 0)
     if (plain.isEmpty)
-      return readWithPartitions(spark, st, partCols, dvd)
+      return readWithPartitions(spark, sch, st, partCols, dvd)
+    // the scan speaks PHYSICAL column names (what the files and the
+    // log's stats contain); filters pushed through the alias projection
+    // below arrive already rewritten to physical attributes, so the
+    // FileIndex's stat pruning stays consistent under column mapping
     val relation = HadoopFsRelation(
-      location = new LakeFileIndex(spark, snap.copy(files = plain), st, partSt),
+      location = new LakeFileIndex(spark, snap.copy(files = plain),
+        physStruct(st, sch), partSt),
       partitionSchema = partSt,
-      dataSchema = dataStruct(st, partCols),
+      dataSchema = physStruct(dataStruct(st, partCols), sch),
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
     // Spark appends partition columns after data columns — restore the
-    // declared order
+    // declared order (and the logical names)
     val indexed = org.apache.spark.sql.classic.ClassicConversions
       .castToImpl(spark)
       .baseRelationToDataFrame(relation)
-      .select(st.fieldNames.toSeq.map(col): _*)
+      .select(st.fieldNames.toSeq.map(n => col(sch.physFor(n)).as(n)): _*)
     if (dvd.isEmpty) indexed
-    else indexed.unionAll(readWithPartitions(spark, st, partCols, dvd))
+    else indexed.unionAll(readWithPartitions(spark, sch, st, partCols, dvd))
   }
 
   /** Stat-pruned read: drop files whose [min,max] range for the predicate
@@ -250,8 +311,9 @@ object LakeTable {
     val st = toStructType(sch)
     // partition columns carry synthesized min=max stats, so partition
     // predicates prune here exactly like data predicates
-    val kept = FilePruning.prune(snap.files, predicate, st)
-    readWithPartitions(spark, st, sch.partCols, kept)
+    val kept = FilePruning.prune(snap.files, physExpr(predicate, sch),
+      physStruct(st, sch))
+    readWithPartitions(spark, sch, st, sch.partCols, kept)
       .filter(QueryEngine.parsePredicate(predicate))
   }
 
@@ -321,7 +383,7 @@ object LakeTable {
         // partitioned tables: hive-style staged layout (col=value/ dirs,
         // data files stripped of partition columns); values are parsed back
         // into the log's partition map at promotion
-        arranged
+        toPhys(arranged, sch)
           .write.mode("overwrite").option("compression", "snappy")
           .partitionBy(partCols: _*)
           .parquet(tmp.toString)
@@ -329,7 +391,7 @@ object LakeTable {
     } finally if (reused) shaped.unpersist()
 
     try {
-      val adds = statAndPromote(spark, log, table, tmp, st,
+      val adds = statAndPromote(spark, log, table, tmp, sch, st,
         partCols = partCols, bloomCols =
           validateBloomCols(sch, (sch.bloomCols ++ bloomCols).distinct))
       val res =
@@ -371,15 +433,15 @@ object LakeTable {
     catch { case e: Throwable => if (checksOn) shaped.unpersist(); throw e }
     try {
       withStatFriendlyWrites(spark) {
-        (if (numFiles > 1) shaped.repartition(numFiles)
-         else shaped.coalesce(1))
+        toPhys(if (numFiles > 1) shaped.repartition(numFiles)
+               else shaped.coalesce(1), sch)
           .write.mode("overwrite").option("compression", "snappy")
           .partitionBy(partCols: _*)
           .parquet(tmp.toString)
       }
     } finally if (checksOn) shaped.unpersist()
     try {
-      val adds = statAndPromote(spark, log, table, tmp, st,
+      val adds = statAndPromote(spark, log, table, tmp, sch, st,
         partCols = partCols, bloomCols = sch.bloomCols)
       val res =
         try log.commitWithRetry(table, txnId, maxAttempts)(fresh =>
@@ -425,13 +487,16 @@ object LakeTable {
   }
 
   private def statAndPromote(spark: SparkSession, log: LakeLog, table: String,
-                             staged: Path, st: StructType,
+                             staged: Path, sch: TableSchema, st: StructType,
                              rewrite: Boolean = false,
                              partCols: Seq[String] = Nil,
                              partition: Map[String, String] = Map.empty,
                              bloomCols: Seq[String] = Nil)
       : Seq[FileAdd] = {
-    val cols = statCols(dataStruct(st, partCols))
+    // staged files carry PHYSICAL column names: stats and bloom sidecars
+    // are keyed by them (the log's storage-side convention)
+    val cols = statCols(physStruct(dataStruct(st, partCols), sch))
+    val physBloomCols = bloomCols.map(sch.physFor)
     val hadoopConf = spark.sessionState.newHadoopConf()
     val tz = spark.sessionState.conf.sessionLocalTimeZone
     val walk = Files.walk(staged)
@@ -449,7 +514,7 @@ object LakeTable {
     val blooms: Map[String, Map[String, Array[Byte]]] =
       if (bloomCols.isEmpty || parts.isEmpty) Map.empty
       else BloomSkip.build(spark,
-        spark.read.parquet(staged.toString), bloomCols)
+        spark.read.parquet(staged.toString), physBloomCols)
         .map { case (uri, m) => new java.net.URI(uri).getPath -> m }
 
     val dataDir = log.dataDir(table)
@@ -669,7 +734,8 @@ object LakeTable {
     // the trigger heuristics all see only the scoped files. Commit
     // validation below still runs against the fresh FULL snapshot.
     val scopedFiles = where match {
-      case Some(p) => FilePruning.prune(snap.files, p, st)
+      case Some(p) => FilePruning.prune(snap.files, physExpr(p, sch),
+        physStruct(st, sch))
       case None => snap.files
     }
     // a compaction group never crosses partition boundaries — merging files
@@ -693,7 +759,7 @@ object LakeTable {
       // the group shares one partition value vector: merge the flat data
       // files (minus any DV'd positions — a compacted file materializes its
       // deletes) and carry the partition map through to the new FileAdd
-      val merged = readFlat(spark, dataSt, group)
+      val merged = readFlat(spark, sch, dataSt, group)
       // partition columns are constant within a group — drop them from the
       // z-order key (they're not in the data files either)
       val zCols = cfg.zOrderBy.filterNot(partCols.contains)
@@ -703,12 +769,12 @@ object LakeTable {
             .coalesce(1).sortWithinPartitions("__z").drop("__z")
         else merged.coalesce(1)
       withStatFriendlyWrites(spark) {
-        rewritten
+        toPhys(rewritten, sch)
           .write.mode("overwrite").option("compression", "snappy")
           .parquet(staged.toString)
       }
       try {
-        val adds = statAndPromote(spark, log, table, staged, st, rewrite = true,
+        val adds = statAndPromote(spark, log, table, staged, sch, st, rewrite = true,
           partCols = partCols, partition = group.head.partition,
           bloomCols = sch.bloomCols)
         val inputPaths = group.map(_.path)
@@ -759,7 +825,8 @@ object LakeTable {
     val sch = snap.schema.get
     val st = toStructType(sch)
     val partCols = sch.partCols
-    val candidates = FilePruning.prune(snap.files, predicate, st)
+    val candidates = FilePruning.prune(snap.files,
+      physExpr(predicate, sch), physStruct(st, sch))
     if (candidates.isEmpty)
       return DeleteReport(0, snap.files.size, 0, snap.version)
     val pred = QueryEngine.parsePredicate(predicate)
@@ -770,16 +837,16 @@ object LakeTable {
     // predicate keeps the row, so retain !coalesce(pred, false), not !pred.
     // Partitioned tables reconstruct partition columns before evaluating
     // (the predicate may reference them) and re-split on write.
-    val retained = readWithPartitions(spark, st, partCols, candidates)
+    val retained = readWithPartitions(spark, sch, st, partCols, candidates)
       .filter(!coalesce(pred, lit(false)))
     withStatFriendlyWrites(spark) {
-      retained.coalesce(math.max(1, candidates.size))
+      toPhys(retained.coalesce(math.max(1, candidates.size)), sch)
         .write.mode("overwrite").option("compression", "snappy")
         .partitionBy(partCols: _*)
         .parquet(staged.toString)
     }
     try {
-      val adds = statAndPromote(spark, log, table, staged, st, rewrite = true,
+      val adds = statAndPromote(spark, log, table, staged, sch, st, rewrite = true,
           partCols = partCols, bloomCols = sch.bloomCols)
         .filter(_.rows > 0)
       val inputPaths = candidates.map(_.path)
@@ -843,7 +910,8 @@ object LakeTable {
         s"cannot UPDATE partition column $c (a partition move is a " +
           "DELETE + INSERT)")
     }
-    val candidates = FilePruning.prune(snap.files, predicate, st)
+    val candidates = FilePruning.prune(snap.files,
+      physExpr(predicate, sch), physStruct(st, sch))
     if (candidates.isEmpty)
       return UpdateReport(0, snap.files.size, 0, snap.version)
     val pred = QueryEngine.parsePredicate(predicate)
@@ -852,7 +920,7 @@ object LakeTable {
     val hit = coalesce(pred, lit(false))
     val setFor = sets.toMap
     val staged = log.tmpDir(table, txnId)
-    val src = readWithPartitions(spark, st, partCols, candidates)
+    val src = readWithPartitions(spark, sch, st, partCols, candidates)
     val updated = src.select(st.fields.map { f =>
       setFor.get(f.name) match {
         case Some(e) =>
@@ -868,13 +936,13 @@ object LakeTable {
         sum(when(hit, 1L).otherwise(0L)), lit(0L)).as("n"))
       .head.getLong(0)
     withStatFriendlyWrites(spark) {
-      updated.coalesce(math.max(1, candidates.size))
+      toPhys(updated.coalesce(math.max(1, candidates.size)), sch)
         .write.mode("overwrite").option("compression", "snappy")
         .partitionBy(partCols: _*)
         .parquet(staged.toString)
     }
     try {
-      val adds = statAndPromote(spark, log, table, staged, st, rewrite = true,
+      val adds = statAndPromote(spark, log, table, staged, sch, st, rewrite = true,
         partCols = partCols, bloomCols = sch.bloomCols)
       val inputPaths = candidates.map(_.path)
       val expectDv = candidates.map(f => f.path -> f.dv).toMap
@@ -910,10 +978,11 @@ object LakeTable {
     */
   private[lake] def replaceAppendConflict(snapPaths: Set[String],
                                           freshFiles: Seq[FileAdd],
-                                          predicate: String,
-                                          st: StructType): Boolean = {
+                                          physPredicate: String,
+                                          physSt: StructType): Boolean = {
     val foreign = freshFiles.filterNot(f => snapPaths.contains(f.path))
-    foreign.nonEmpty && FilePruning.prune(foreign, predicate, st).nonEmpty
+    foreign.nonEmpty &&
+      FilePruning.prune(foreign, physPredicate, physSt).nonEmpty
   }
 
   /** Atomic predicate-scoped overwrite — Delta's `replaceWhere`, the
@@ -966,33 +1035,34 @@ object LakeTable {
         throw new LakeValidationException(
           s"replaceWhere: $violations incoming row(s) do not satisfy " +
             s"'$predicate' (rows outside the replaced region)")
-      val candidates = FilePruning.prune(snap.files, predicate, st)
+      val candidates = FilePruning.prune(snap.files,
+        physExpr(predicate, sch), physStruct(st, sch))
       val keepAdds =
         if (candidates.isEmpty) Nil
         else {
           // NULL predicate keeps the row (same rule as SQL DELETE):
           // replaced = pred IS TRUE, survivors = everything else
-          val retained = readWithPartitions(spark, st, partCols, candidates)
+          val retained = readWithPartitions(spark, sch, st, partCols, candidates)
             .filter(!coalesce(pred, lit(false)))
           withStatFriendlyWrites(spark) {
-            retained.coalesce(math.max(1, candidates.size))
+            toPhys(retained.coalesce(math.max(1, candidates.size)), sch)
               .write.mode("overwrite").option("compression", "snappy")
               .partitionBy(partCols: _*)
               .parquet(keepDir.toString)
           }
-          statAndPromote(spark, log, table, keepDir, st, rewrite = true,
+          statAndPromote(spark, log, table, keepDir, sch, st, rewrite = true,
             partCols = partCols, bloomCols = sch.bloomCols)
             .filter(_.rows > 0)
         }
       val newAdds = try {
         withStatFriendlyWrites(spark) {
-          (if (numFiles > 1) shaped.repartition(numFiles)
-           else shaped.coalesce(1))
+          toPhys(if (numFiles > 1) shaped.repartition(numFiles)
+                 else shaped.coalesce(1), sch)
             .write.mode("overwrite").option("compression", "snappy")
             .partitionBy(partCols: _*)
             .parquet(newDir.toString)
         }
-        statAndPromote(spark, log, table, newDir, st,
+        statAndPromote(spark, log, table, newDir, sch, st,
           partCols = partCols, bloomCols = sch.bloomCols)
           .filter(_.rows > 0) // empty df ⇒ schema-only part file: no adds
       } catch { case e: Throwable => discardAdds(keepAdds); throw e }
@@ -1006,7 +1076,8 @@ object LakeTable {
         try log.commitWithRetry(table, txnId, maxAttempts) { cur =>
           val live = cur.files.map(f => f.path -> f.dv).toMap
           if (expectDv.forall { case (p, d) => live.get(p).contains(d) } &&
-              !replaceAppendConflict(snapPaths, cur.files, predicate, st))
+              !replaceAppendConflict(snapPaths, cur.files,
+                physExpr(predicate, sch), physStruct(st, sch)))
             Some((adds, inputPaths))
           else None
         } catch { case e: Throwable => discardAdds(adds); throw e }
@@ -1064,7 +1135,8 @@ object LakeTable {
       throw new LakeValidationException(
         s"table $table has duplicate data-file basenames; merge-on-read " +
           "delete requires unique names (use copy-on-write deleteWhere)")
-    val candidates = FilePruning.prune(snap.files, predicate, st)
+    val candidates = FilePruning.prune(snap.files,
+      physExpr(predicate, sch), physStruct(st, sch))
     if (candidates.isEmpty)
       return MorDeleteReport(0, 0, snap.files.size, 0, snap.version)
     val pred = QueryEngine.parsePredicate(predicate)
@@ -1075,10 +1147,14 @@ object LakeTable {
     // is harmless (the union below is a set).
     val newPos = candidates.groupBy(f => partCols.map(f.partition(_)))
       .map { case (vals, group) =>
-        val base = spark.read.schema(dataSt).parquet(group.map(_.path): _*)
+        val base = spark.read.schema(physStruct(dataSt, sch))
+          .parquet(group.map(_.path): _*)
           .withColumn("__file",
             element_at(split(col("_metadata.file_path"), "/"), -1))
           .withColumn("__pos", col("_metadata.row_index"))
+          .select(dataSt.fieldNames.toSeq.map(n =>
+            col(sch.physFor(n)).as(n)) ++
+            Seq(col("__file"), col("__pos")): _*)
         val withParts = partCols.zip(vals).foldLeft(base) {
           case (df, (c, v)) => df.withColumn(c, partLit(v, st(c).dataType)) }
         withParts.filter(coalesce(pred, lit(false)))
@@ -1204,20 +1280,21 @@ object LakeTable {
     val candidates =
       if (!rangeSafe) snap.files
       else FilePruning.prune(
-        FilePruning.prune(snap.files, s"$keyCol >= $loK", st),
-        s"$keyCol <= $hiK", st)
+        FilePruning.prune(snap.files,
+          s"${sch.physFor(keyCol)} >= $loK", physStruct(st, sch)),
+        s"${sch.physFor(keyCol)} <= $hiK", physStruct(st, sch))
     // stage survivors (layout rewrite of untouched rows) and the update set
     // (logical adds) as SEPARATE file groups, so the CDC feed can replay
     // upserted rows without replaying the rewritten survivors
     withStatFriendlyWrites(spark) {
       if (candidates.nonEmpty)
-        readWithPartitions(spark, st, partCols, candidates)
-          .join(keys, Seq(keyCol), "left_anti")
-          .coalesce(candidates.size)
+        toPhys(readWithPartitions(spark, sch, st, partCols, candidates)
+            .join(keys, Seq(keyCol), "left_anti")
+            .coalesce(candidates.size), sch)
           .write.mode("overwrite").option("compression", "snappy")
           .partitionBy(partCols: _*)
           .parquet(staged.resolve("rw").toString)
-      shaped.coalesce(1)
+      toPhys(shaped.coalesce(1), sch)
         .write.mode("overwrite").option("compression", "snappy")
         .partitionBy(partCols: _*)
         .parquet(staged.resolve("new").toString)
@@ -1225,10 +1302,10 @@ object LakeTable {
     try {
       val rwAdds =
         if (candidates.isEmpty) Nil
-        else statAndPromote(spark, log, table, staged.resolve("rw"), st,
+        else statAndPromote(spark, log, table, staged.resolve("rw"), sch, st,
           rewrite = true, partCols = partCols, bloomCols = sch.bloomCols)
       val adds = (rwAdds ++
-        statAndPromote(spark, log, table, staged.resolve("new"), st,
+        statAndPromote(spark, log, table, staged.resolve("new"), sch, st,
           partCols = partCols, bloomCols = sch.bloomCols))
         .filter(_.rows > 0)
       val inputPaths = candidates.map(_.path)
@@ -1274,7 +1351,7 @@ object LakeTable {
       .filter(v => v > fromVersion && v <= to)
       .map(v => log.readEntry(table, v))
       .flatMap(_.adds.filterNot(_.rewrite))
-    readWithPartitions(spark, st, sch.partCols, addedFiles)
+    readWithPartitions(spark, sch, st, sch.partCols, addedFiles)
   }
 
   /** Rows DELETED via deletion-vector growth across `(fromVersion,
@@ -1446,7 +1523,7 @@ object LakeTable {
       val base =
         if (files.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
-        else readWithPartitions(spark, st, sch.partCols, files)
+        else readWithPartitions(spark, sch, st, sch.partCols, files)
       base.select(keyCols.map(col) ++
         valCols.map(c => col(c).as(s"${tag}_$c")): _*)
     }
