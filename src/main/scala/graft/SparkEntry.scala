@@ -3131,6 +3131,71 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Deterministic training order: curriculum rank within each source
+    // (longest docs first) + stride-scheduling interleave across sources
+    // with integer virtual time, so any prefix matches the weight mixture
+    // and the whole order replays bit-identically in DuckDB's window
+    // recompute. Ranks and the final sequence are assigned DISTRIBUTED
+    // (range partition + zipWithIndex + offset join) — no global window.
+    "q_curriculum" -> ((s, d) => withShufflePartitions(s, 8) {
+      val docs = t(s, d, "documents").select("doc_id", "source", "n_chars")
+      graft.operators.Curriculum.interleave(docs, "source",
+          Seq(col("n_chars").desc, col("doc_id").asc),
+          lit(1) + substring(col("source"), 4, 10).cast("long") % 4)
+        .select("seq", "doc_id", "source", "rk", "vt")
+        .orderBy("seq")
+    }),
+
+    // Tokenizer-fit metric: out-of-vocabulary rate per source against a
+    // frozen vocabulary — the "does this corpus match the tokenizer"
+    // gate run before committing to a training mix. Zero shuffles before
+    // the tiny per-source aggregate; the token array never leaves its row.
+    "q_vocab_coverage" -> ((s, d) => {
+      val vlit = array(Seq("data", "query", "table", "row", "column",
+        "spark", "batch", "stream", "window", "filter", "scan", "merge",
+        "agg", "key", "value").map(lit): _*)
+      t(s, d, "documents")
+        .select(col("source"), tokens(normalizeText(col("text"))).as("toks"))
+        .select(col("source"), size(col("toks")).as("n_tok"),
+          size(filter(col("toks"),
+            tk => !array_contains(vlit, tk))).as("n_oov"))
+        .groupBy("source")
+        .agg(sum("n_tok").as("n_tokens"), sum("n_oov").as("oov_tokens"),
+          round(sum("n_oov").cast("double") / sum("n_tok"), 6)
+            .as("oov_rate"))
+        .orderBy("source")
+    }),
+
+    // Generated columns (Delta's GENERATED ALWAYS AS): the quantity band
+    // is a generated PARTITION column — writers never supply it, the
+    // write computes it, and a filter on it prunes whole partitions from
+    // the log alone (asserted via scan metrics). DuckDB recomputes the
+    // same derivation.
+    "q_lake_generated" -> ((s, d) => {
+      import graft.api.{LakeSql, SqlApi}
+      import graft.lake.{LakeLog, LakeTable}
+      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftgen"))
+      LakeSql.execute(s, log,
+        "CREATE TABLE li (l_orderkey int64, l_quantity float64, " +
+          "l_extendedprice float64, " +
+          "qband int64 GENERATED ALWAYS AS " +
+          "(cast(floor(l_quantity / 10) as bigint))) " +
+          "PARTITIONED BY (qband)")
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+      // the writer does NOT supply qband — the lake computes it
+      LakeTable.insert(s, log, "li", li, numFiles = 2)
+      val out = SqlApi.queryLake(s, log,
+        "SELECT qband, count(*) AS n_rows, " +
+          "round(sum(l_extendedprice), 2) AS sum_price " +
+          "FROM li WHERE qband >= 3 GROUP BY qband ORDER BY qband")
+      val m = graft.Metrics.measure("gen-partition-probe", out)
+      require(m.filesPruned > 0,
+        s"generated partition column did not prune " +
+          s"(scanned=${m.filesScanned})")
+      out
+    }),
+
     // Column mapping: RENAME COLUMN is a metadata-only commit (the data
     // files are untouched — asserted on the file set), reads alias the
     // immutable physical name back to the new logical name, writes AFTER
@@ -6012,6 +6077,47 @@ object SparkEntry {
              round(sum(l_quantity), 2) AS sum_qty,
              round(sum(l_extendedprice), 2) AS sum_price
       FROM upd GROUP BY 1 ORDER BY 1""",
+
+    "q_curriculum" -> """
+      WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY n_chars DESC, doc_id ASC) - 1 AS rk
+        FROM documents),
+      keyed AS (
+        SELECT doc_id, source, rk,
+               ((2 * rk + 1) * 1048576) //
+                 (1 + CAST(substr(source, 4) AS BIGINT) % 4) AS vt
+        FROM ranked)
+      SELECT row_number() OVER (ORDER BY vt, source, rk) AS seq,
+             doc_id, source, rk, vt
+      FROM keyed ORDER BY seq""",
+
+    "q_vocab_coverage" -> """
+      WITH toks AS (
+        SELECT source, unnest(list_filter(string_split_regex(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+          x -> x <> '')) AS term
+        FROM documents)
+      SELECT source, count(*) AS n_tokens,
+             CAST(count(*) FILTER (WHERE term NOT IN ('data', 'query',
+               'table', 'row', 'column', 'spark', 'batch', 'stream',
+               'window', 'filter', 'scan', 'merge', 'agg', 'key',
+               'value')) AS BIGINT) AS oov_tokens,
+             round(CAST(count(*) FILTER (WHERE term NOT IN ('data',
+               'query', 'table', 'row', 'column', 'spark', 'batch',
+               'stream', 'window', 'filter', 'scan', 'merge', 'agg',
+               'key', 'value')) AS DOUBLE) / count(*), 6) AS oov_rate
+      FROM toks GROUP BY source ORDER BY source""",
+
+    "q_lake_generated" -> """
+      WITH src AS (
+        SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS qband,
+               l_extendedprice
+        FROM lineitem)
+      SELECT qband, count(*) AS n_rows,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM src WHERE qband >= 3 GROUP BY 1 ORDER BY 1""",
 
     "q_lake_rename" -> """
       WITH src AS (

@@ -105,8 +105,8 @@ object LakeSql {
     else java.sql.Timestamp.valueOf(t).getTime
   }
 
-  /** Split `a = f(x, y), b = g(z)` on TOP-LEVEL commas only. */
-  private[graft] def splitAssignments(s: String): Seq[(String, String)] = {
+  /** Split on TOP-LEVEL commas only (paren depth tracked). */
+  private[graft] def splitTopCommas(s: String): Seq[String] = {
     val parts = scala.collection.mutable.ArrayBuffer[String]()
     val cur = new StringBuilder
     var depth = 0
@@ -118,12 +118,16 @@ object LakeSql {
         cur += c
     }
     parts += cur.result()
-    parts.toSeq.map(_.trim).filter(_.nonEmpty).map { a =>
+    parts.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Split `a = f(x, y), b = g(z)` on TOP-LEVEL commas only. */
+  private[graft] def splitAssignments(s: String): Seq[(String, String)] =
+    splitTopCommas(s).map { a =>
       val i = a.indexOf('=')
       require(i > 0, s"bad SET assignment: '$a'")
       (a.take(i).trim, a.drop(i + 1).trim)
     }
-  }
   private val CreateT =
     """(?is)\s*CREATE\s+TABLE\s+(\w+)\s*\((.+?)\)\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val AlterAdd =
@@ -153,16 +157,23 @@ object LakeSql {
   def execute(spark: SparkSession, log: LakeLog, sql: String): DataFrame =
     sql match {
       case CreateT(table, colsSpec, partBy) =>
-        val fields = colsSpec.split(",").map(_.trim).filter(_.nonEmpty)
-          .map { c =>
+        val GenCol =
+          """(?is)(\w+)\s+(\w+)\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)\s*""".r
+        var gens = Map.empty[String, String]
+        val fields = splitTopCommas(colsSpec).map {
+          case GenCol(n, t, e) =>
+            gens += n -> e.trim
+            Field(n, t.toLowerCase)
+          case c =>
             val parts = c.split("\\s+")
             require(parts.length == 2, s"bad column spec: '$c'")
             Field(parts(0), parts(1).toLowerCase)
-          }
+        }
         val partCols = Option(partBy).toSeq
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
         log.createTable(table, TableSchema(fields.toIndexedSeq,
-          partition_columns = if (partCols.isEmpty) None else Some(partCols)))
+          partition_columns = if (partCols.isEmpty) None else Some(partCols),
+          generated_columns = if (gens.isEmpty) None else Some(gens)))
         status(spark, "table" -> table, "created" -> true,
           "version" -> 0L)
       case MergeInto(table, select, key) =>

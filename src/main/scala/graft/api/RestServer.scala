@@ -98,6 +98,12 @@ final class RestServer(spark: SparkSession, log: LakeLog,
         case ("DELETE", List("tables", t, "compaction")) =>
           cancelCompaction(ex, t)
         case ("DELETE", List("tables", t, "rows"))   => deleteRows(ex, t)
+        case ("PATCH", List("tables", t, "rows"))    => updateRows(ex, t)
+        case ("PATCH", List("tables", t, "columns", c)) =>
+          alterColumn(ex, t, c)
+        case ("DELETE", List("tables", t, "columns", c)) =>
+          val r = log.dropColumn(t, c, s"rest-drop-$t-$c")
+          respondJson(ex, 200, Map("dropped" -> c, "version" -> r.version))
         case ("GET", List("tables", t, "changes"))   => tableChanges(ex, t)
         case ("GET", List("tables", t, "files"))     => tableFiles(ex, t)
         case ("GET", List("tables", t, "compaction", "status")) =>
@@ -403,6 +409,46 @@ final class RestServer(spark: SparkSession, log: LakeLog,
     * `{"predicate": "...", "mode": "mor"|"cow", "txn_id": "..."}` — mor
     * (default) = deletion vectors, no data rewrite; cow = copy-on-write
     * file rewrite. */
+  /** PATCH /tables/{t}/rows — UPDATE ... SET ... WHERE over HTTP:
+    * `{"predicate": "...", "set": {"col": "expr", ...}, "txn_id"?}`. */
+  private def updateRows(ex: HttpExchange, table: String): Unit = {
+    if (!log.tableExists(table))
+      return textError(ex, 404, s"table $table does not exist")
+    val req = readMap(ex)
+    val pred = req.get("predicate") match {
+      case Some(p: String) if p.trim.nonEmpty => p
+      case _ => return textError(ex, 400, "Missing predicate")
+    }
+    val sets = req.get("set") match {
+      case Some(m: Map[String, Any] @unchecked) if m.nonEmpty =>
+        m.toSeq.map { case (c, e) => c -> e.toString }
+      case _ => return textError(ex, 400, "Missing set map")
+    }
+    val txn = req.get("txn_id").map(_.toString)
+      .getOrElse(UUID.randomUUID().toString)
+    val r = LakeTable.updateWhere(spark, log, table, pred, sets, txn)
+    respondJson(ex, 200, Map(
+      "rows_updated" -> r.rowsUpdated,
+      "files_rewritten" -> r.filesRewritten,
+      "files_untouched" -> r.filesUntouched, "version" -> r.version))
+  }
+
+  /** PATCH /tables/{t}/columns/{c} — metadata-only column ops:
+    * `{"rename_to": "newName"}`. */
+  private def alterColumn(ex: HttpExchange, table: String,
+                          column: String): Unit = {
+    if (!log.tableExists(table))
+      return textError(ex, 404, s"table $table does not exist")
+    readMap(ex).get("rename_to") match {
+      case Some(n: String) if n.trim.nonEmpty =>
+        val r = log.renameColumn(table, column, n.trim,
+          s"rest-ren-$table-$column-$n")
+        respondJson(ex, 200, Map("renamed" -> column, "to" -> n.trim,
+          "version" -> r.version))
+      case _ => textError(ex, 400, "Missing rename_to")
+    }
+  }
+
   private def deleteRows(ex: HttpExchange, table: String): Unit = {
     if (!log.tableExists(table))
       return textError(ex, 404, s"table $table does not exist")

@@ -41,12 +41,21 @@ final case class Field(name: String, `type`: String, nullable: Boolean = true,
   * would reuse such a physical name gets a fresh unique one instead —
   * otherwise the new logical column would silently read the dropped
   * column's stale values out of pre-drop files. */
+/** `generated_columns`: Delta-style GENERATED ALWAYS AS — column → SQL
+  * expression over the row's OTHER columns. Writers may omit the column
+  * (it is computed at write time) or supply it (every row is validated
+  * against the expression and a mismatch rejects the batch). The flagship
+  * use is a generated PARTITION column (e.g. a day derived from an event
+  * timestamp): readers filter on the generated column and prune
+  * partitions without the writer ever materializing it upstream. */
 final case class TableSchema(fields: Seq[Field],
                              partition_columns: Option[Seq[String]] = None,
                              check_constraints: Option[Map[String, String]] =
                                None,
                              bloom_columns: Option[Seq[String]] = None,
-                             retired_columns: Option[Seq[String]] = None) {
+                             retired_columns: Option[Seq[String]] = None,
+                             generated_columns: Option[Map[String, String]] =
+                               None) {
   def partCols: Seq[String] = partition_columns.getOrElse(Nil)
   def checks: Map[String, String] = check_constraints.getOrElse(Map.empty)
   /** Columns with a DECLARED per-file bloom index: every write path —
@@ -55,6 +64,7 @@ final case class TableSchema(fields: Seq[Field],
     * degrades as the table's files get rewritten. */
   def bloomCols: Seq[String] = bloom_columns.getOrElse(Nil)
   def retired: Seq[String] = retired_columns.getOrElse(Nil)
+  def generated: Map[String, String] = generated_columns.getOrElse(Map.empty)
   /** logical → physical column name (identity unless renamed). */
   def physFor(c: String): String =
     fields.find(_.name == c).map(_.phys).getOrElse(c)
@@ -226,6 +236,19 @@ final class LakeLog(val root: Path, val checkpointInterval: Int = 10) {
       if (!AllowedTypes.contains(f.`type`))
         throw new LakeValidationException(
           s"unsupported type '${f.`type`}' for field ${f.name}")
+    }
+    schema.generated.foreach { case (c, e) =>
+      if (!schema.fields.exists(_.name == c))
+        throw new LakeValidationException(
+          s"generated column $c is not a schema field")
+      schema.generated.keys.foreach { other =>
+        if (other != c &&
+            ("\\b" + java.util.regex.Pattern.quote(other) + "\\b").r
+              .findFirstIn(e).isDefined)
+          throw new LakeValidationException(
+            s"generated column $c references generated column $other " +
+              "(generation expressions cannot chain)")
+      }
     }
     val pc = schema.partCols
     if (pc.distinct.size != pc.size)
@@ -586,10 +609,16 @@ final class LakeLog(val root: Path, val checkpointInterval: Int = 10) {
           // every later write (the pruning regression is invisible until
           // point lookups slow down) — previously each API caller had to
           // re-thread them by hand
-          val newSchema =
+          val newSchema2 =
             if (newSchema1.bloom_columns.isEmpty)
               newSchema1.copy(bloom_columns = current.bloom_columns)
             else newSchema1
+          val newSchema =
+            if (newSchema2.generated_columns.isEmpty)
+              newSchema2.copy(generated_columns = current.generated_columns)
+            else if (newSchema2.generated == current.generated) newSchema2
+            else throw new LakeValidationException(
+              "schema evolution cannot add, drop or change generated columns")
           validateSchema(newSchema)
           if (newSchema.partCols != current.partCols)
             throw new LakeValidationException(
@@ -684,6 +713,16 @@ final class LakeLog(val root: Path, val checkpointInterval: Int = 10) {
     if (sch.partCols.contains(name))
       throw new LakeValidationException(
         s"cannot rename or drop partition column $name")
+    if (sch.generated.contains(name))
+      throw new LakeValidationException(
+        s"cannot rename or drop generated column $name")
+    sch.generated.foreach { case (gc, e) =>
+      if (("\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+          .findFirstIn(e).isDefined)
+        throw new LakeValidationException(
+          s"column $name is referenced by generated column $gc's " +
+            "expression; drop that column first")
+    }
     sch.checks.foreach { case (cn, pred) =>
       if (("""\b""" + java.util.regex.Pattern.quote(name) + """\b""").r
           .findFirstIn(pred).isDefined)

@@ -60,14 +60,52 @@ object LakeTable {
   def createTable(log: LakeLog, table: String, schema: StructType,
                   partitionBy: Seq[String] = Nil,
                   constraints: Map[String, String] = Map.empty,
-                  bloomFilterCols: Seq[String] = Nil): Unit = {
+                  bloomFilterCols: Seq[String] = Nil,
+                  generatedColumns: Map[String, String] = Map.empty): Unit = {
     val sch = fromStructType(schema).copy(
       partition_columns = if (partitionBy.isEmpty) None else Some(partitionBy),
       check_constraints = if (constraints.isEmpty) None else Some(constraints),
       bloom_columns =
-        if (bloomFilterCols.isEmpty) None else Some(bloomFilterCols))
+        if (bloomFilterCols.isEmpty) None else Some(bloomFilterCols),
+      generated_columns =
+        if (generatedColumns.isEmpty) None else Some(generatedColumns))
     validateBloomCols(sch, sch.bloomCols)
     log.createTable(table, sch)
+  }
+
+  /** GENERATED ALWAYS AS enforcement for a batch of NEW rows: absent
+    * generated columns are computed from their expressions; provided ones
+    * are validated row-by-row against the expression in one aggregate
+    * (any mismatch rejects the whole batch before staging — Delta
+    * semantics: a generated column cannot be forged). Returns the frame
+    * with every generated column materialized (declared type enforced by
+    * the caller's shaping select). */
+  private def applyGenerated(table: String, sch: TableSchema,
+                             df: DataFrame): DataFrame = {
+    val gens = sch.generated
+    if (gens.isEmpty) return df
+    val st = toStructType(sch)
+    val present = df.columns.toSet
+    val provided = gens.filter { case (c, _) => present.contains(c) }.toSeq
+    if (provided.nonEmpty) {
+      val aggs = provided.map { case (c, e) =>
+        val dt = st(c).dataType
+        sum(when(!(col(c).cast(dt) <=> expr(e).cast(dt)), 1L)
+          .otherwise(0L)).as(c)
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      val bad = provided.map(_._1).sorted.flatMap { c =>
+        val n = row.getAs[Long](c)
+        if (n > 0) Some(s"$c (GENERATED ALWAYS AS ${gens(c)}): $n rows")
+        else None
+      }
+      if (bad.nonEmpty) throw new LakeValidationException(
+        s"generated-column mismatch on $table - ${bad.mkString("; ")}")
+    }
+    gens.foldLeft(df) { case (d, (c, e)) =>
+      if (present.contains(c)) d
+      else d.withColumn(c, expr(e).cast(st(c).dataType))
+    }
   }
 
   /** Enforce the table's CHECK constraints on a batch of NEW rows: one
@@ -349,8 +387,8 @@ object LakeTable {
     val st = toStructType(sch)
     val partCols = sch.partCols
     val tmp = log.tmpDir(table, txnId)
-    val shaped = df.select(st.fields.toSeq.map(f =>
-      col(f.name).cast(f.dataType)): _*)
+    val shaped = applyGenerated(table, sch, df).select(st.fields.toSeq
+      .map(f => col(f.name).cast(f.dataType)): _*)
     // persist whenever ANOTHER job will consume `shaped` before the
     // staged write: the CHECK-violation aggregate and the z-order range
     // aggregate each execute the caller's (possibly expensive) upstream
@@ -425,8 +463,8 @@ object LakeTable {
     val st = toStructType(sch)
     val partCols = sch.partCols
     val tmp = log.tmpDir(table, txnId)
-    val shaped = df.select(st.fields.toSeq.map(f =>
-      col(f.name).cast(f.dataType)): _*)
+    val shaped = applyGenerated(table, sch, df).select(st.fields.toSeq
+      .map(f => col(f.name).cast(f.dataType)): _*)
     val checksOn = sch.checks.nonEmpty
     if (checksOn) shaped.persist()
     try enforceChecks(table, sch, shaped)
@@ -909,6 +947,15 @@ object LakeTable {
       if (partCols.contains(c)) throw new LakeValidationException(
         s"cannot UPDATE partition column $c (a partition move is a " +
           "DELETE + INSERT)")
+      if (sch.generated.contains(c)) throw new LakeValidationException(
+        s"cannot UPDATE generated column $c (GENERATED ALWAYS AS)")
+      sch.generated.foreach { case (gc, e) =>
+        if (("\\b" + java.util.regex.Pattern.quote(c) + "\\b").r
+            .findFirstIn(e).isDefined)
+          throw new LakeValidationException(
+            s"cannot UPDATE $c - generated column $gc derives from it " +
+              "(delete + insert expresses the recompute honestly)")
+      }
     }
     val candidates = FilePruning.prune(snap.files,
       physExpr(predicate, sch), physStruct(st, sch))
@@ -1024,8 +1071,8 @@ object LakeTable {
     val pred = QueryEngine.parsePredicate(predicate)
     // persisted: the violation count, checks and the staged write must
     // execute the caller's upstream query once, not three times
-    val shaped = df.select(st.fields.toSeq.map(f =>
-      col(f.name).cast(f.dataType)): _*).persist()
+    val shaped = applyGenerated(table, sch, df).select(st.fields.toSeq
+      .map(f => col(f.name).cast(f.dataType)): _*).persist()
     val keepDir = log.tmpDir(table, s"$txnId-keep")
     val newDir = log.tmpDir(table, s"$txnId-new")
     try {
@@ -1248,8 +1295,8 @@ object LakeTable {
     val sch = snap.schema.get
     val st = toStructType(sch)
     val partCols = sch.partCols
-    val shaped0 = updates.select(st.fields.toSeq.map(f =>
-      col(f.name).cast(f.dataType)): _*)
+    val shaped0 = applyGenerated(table, sch, updates).select(st.fields
+      .toSeq.map(f => col(f.name).cast(f.dataType)): _*)
     // the update set is read by the checks aggregate, the key projection,
     // the key-range aggregate AND the staged write — materialize once
     val shaped = shaped0.persist()

@@ -118,6 +118,41 @@ class RestServerSpec extends SparkSpec with BeforeAndAfterAll {
     assert(get("/tables/nope/changes").status == 404)
   }
 
+  test("row updates and column rename/drop over HTTP") {
+    val create = post("/tables", """{
+      "name": "updt",
+      "schema": {"fields": [
+        {"name": "id", "type": "int64", "nullable": false},
+        {"name": "v", "type": "float64", "nullable": true},
+        {"name": "tag", "type": "string", "nullable": true}]}}""")
+    assert(create.status == 200 || create.status == 201)
+    val rows = (1 to 10).map(i => s"""{"id": $i, "v": $i.5, "tag": "x"}""")
+      .mkString("[", ",", "]")
+    assert(post("/tables/updt/insert", s"""{"data": $rows}""").status == 200)
+    // PATCH rows = UPDATE ... SET ... WHERE
+    val upd = patch("/tables/updt/rows",
+      """{"predicate": "id > 8", "set": {"v": "v * 2", "tag": "'hot'"}}""")
+    assert(upd.status == 200 && upd.json("rows_updated") == 2)
+    // column rename is metadata-only and visible to the query path
+    val ren = patch("/tables/updt/columns/v", """{"rename_to": "score"}""")
+    assert(ren.status == 200 && ren.json("to") == "score")
+    val q = post("/query",
+      """{"sql": "SELECT round(sum(score), 1) AS s FROM updt"}""")
+    // Σ(1.5..10.5) = 60, minus 9.5+10.5, plus their doubles 19+21 → 80
+    assert(q.status == 200 && q.body.contains("80.0"))
+    // drop removes the column without touching files
+    val drop = delete("/tables/updt/columns/tag")
+    assert(drop.status == 200)
+    val shape = get("/tables/updt")
+    assert(!shape.body.contains("tag"))
+    // validation conventions
+    assert(patch("/tables/updt/rows", "{}").status == 400)
+    assert(patch("/tables/nope/rows",
+      """{"predicate": "id > 1", "set": {"id": "1"}}""").status == 404)
+    assert(patch("/tables/updt/columns/nope",
+      """{"rename_to": "x"}""").status == 400)
+  }
+
   test("GET /health reports a healthy coordinator") {
     val r = get("/health")
     assert(r.status == 200)
