@@ -3131,6 +3131,62 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ALTER TABLE ADD/DROP CONSTRAINT with Delta's existing-row
+    // validation: the ADD scans the table once and rejects if any live
+    // row violates (asserted by adding a constraint the data breaks);
+    // once installed it gates writes exactly like CREATE-time checks,
+    // and DROP re-opens the gate. The final aggregate's hash covers
+    // which inserts landed.
+    "q_lake_constraint" -> ((s, d) => {
+      import graft.api.LakeSql
+      import graft.lake.{LakeLog, LakeTable, LakeValidationException}
+      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftck"))
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_quantity")
+      LakeTable.createTable(log, "li", li.schema)
+      LakeTable.insert(s, log, "li", li.filter(col("l_quantity") <= 30))
+      // a constraint the existing rows satisfy installs...
+      LakeSql.execute(s, log,
+        "ALTER TABLE li ADD CONSTRAINT qty_cap CHECK (l_quantity <= 30)")
+      // ...one they violate must be rejected with the violation count
+      val rejected = try {
+        LakeSql.execute(s, log,
+          "ALTER TABLE li ADD CONSTRAINT impossible CHECK (l_quantity < 5)")
+        false
+      } catch { case _: LakeValidationException => true }
+      require(rejected, "ADD CONSTRAINT accepted over violating rows")
+      // the installed constraint gates writes
+      val writeRejected = try {
+        LakeTable.insert(s, log, "li", li.filter(col("l_quantity") > 30))
+        false
+      } catch { case _: LakeValidationException => true }
+      require(writeRejected, "installed constraint did not gate the write")
+      // DROP re-opens the gate; the big rows land
+      LakeSql.execute(s, log, "ALTER TABLE li DROP CONSTRAINT qty_cap")
+      LakeTable.insert(s, log, "li", li.filter(col("l_quantity") > 30))
+      LakeTable.read(s, log, "li").agg(
+        count(lit(1)).as("n_rows"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+    }),
+
+    // ANALYZE TABLE + DESCRIBE STATS: one aggregate pass persists exact
+    // per-column ndv / nulls / min / max and the row count as advisory
+    // schema metadata; DuckDB recomputes the identical statistics from
+    // the raw table.
+    "q_lake_analyze" -> ((s, d) => {
+      import graft.api.LakeSql
+      import graft.lake.{LakeLog, LakeTable}
+      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftan"))
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+      LakeTable.createTable(log, "li", li.schema)
+      LakeTable.insert(s, log, "li", li, numFiles = 4)
+      LakeSql.execute(s, log, "ANALYZE TABLE li COMPUTE STATISTICS " +
+        "FOR COLUMNS (l_orderkey, l_quantity, l_returnflag)")
+      LakeSql.execute(s, log, "DESCRIBE STATS li")
+        .select("column", "ndv_or_rows", "nulls", "min", "max")
+        .orderBy("column")
+    }),
+
     // Deterministic training order: curriculum rank within each source
     // (longest docs first) + stride-scheduling interleave across sources
     // with integer virtual time, so any prefix matches the weight mixture
@@ -6077,6 +6133,38 @@ object SparkEntry {
              round(sum(l_quantity), 2) AS sum_qty,
              round(sum(l_extendedprice), 2) AS sum_price
       FROM upd GROUP BY 1 ORDER BY 1""",
+
+    "q_lake_constraint" -> """
+      SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem""",
+
+    "q_lake_analyze" -> """
+      SELECT * FROM (
+        SELECT '__table' AS "column", count(*) AS ndv_or_rows,
+               CAST(NULL AS VARCHAR) AS nulls, CAST(NULL AS VARCHAR) AS min,
+               CAST(NULL AS VARCHAR) AS max
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_orderkey', count(DISTINCT l_orderkey),
+               CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                 AS VARCHAR),
+               CAST(min(l_orderkey) AS VARCHAR),
+               CAST(max(l_orderkey) AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', count(DISTINCT l_quantity),
+               CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                 AS VARCHAR),
+               CAST(min(l_quantity) AS VARCHAR),
+               CAST(max(l_quantity) AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag', count(DISTINCT l_returnflag),
+               CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+                 AS VARCHAR),
+               min(l_returnflag), max(l_returnflag)
+        FROM lineitem)
+      ORDER BY "column"""",
 
     "q_curriculum" -> """
       WITH ranked AS (

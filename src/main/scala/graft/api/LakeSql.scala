@@ -134,6 +134,14 @@ object LakeSql {
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+(\w+)\s*;?\s*""".r
   private val AlterRename =
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  private val AddConstraint =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+  private val DropConstraint =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+  private val Analyze =
+    """(?is)\s*ANALYZE\s+TABLE\s+(\w+)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+COLUMNS\s*\(([^)]*)\))?\s*;?\s*""".r
+  private val DescStats =
+    """(?is)\s*DESCRIBE\s+STATS\s+(\w+)\s*;?\s*""".r
   private val AlterDrop =
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*""".r
 
@@ -212,6 +220,24 @@ object LakeSql {
           txnId = s"altadd-$table-$colName")
         status(spark, "table" -> table, "added" -> colName,
           "version" -> r.version)
+      case AddConstraint(table, name, pred) =>
+        val r = LakeTable.addConstraint(spark, log, table, name, pred.trim,
+          txnId = s"altck-$table-$name")
+        status(spark, "table" -> table, "constraint" -> name,
+          "version" -> r.version)
+      case DropConstraint(table, name) =>
+        val r = LakeTable.dropConstraint(log, table, name,
+          txnId = s"dropck-$table-$name")
+        status(spark, "table" -> table, "dropped_constraint" -> name,
+          "version" -> r.version)
+      case Analyze(table, colSpec) =>
+        val cols = Option(colSpec).toSeq.flatMap(_.split(","))
+          .map(_.trim).filter(_.nonEmpty)
+        val r = LakeTable.analyze(spark, log, table, cols,
+          txnId = s"analyze-$table-${java.util.UUID.randomUUID()}")
+        status(spark, "table" -> table, "analyzed" -> true,
+          "version" -> r.version)
+      case DescStats(table) => LakeTable.statsTable(spark, log, table)
       case AlterRename(table, oldName, newName) =>
         val r = log.renameColumn(table, oldName, newName,
           txnId = s"altren-$table-$oldName-$newName")

@@ -55,7 +55,9 @@ final case class TableSchema(fields: Seq[Field],
                              bloom_columns: Option[Seq[String]] = None,
                              retired_columns: Option[Seq[String]] = None,
                              generated_columns: Option[Map[String, String]] =
-                               None) {
+                               None,
+                             table_stats: Option[Map[String,
+                               Map[String, String]]] = None) {
   def partCols: Seq[String] = partition_columns.getOrElse(Nil)
   def checks: Map[String, String] = check_constraints.getOrElse(Map.empty)
   /** Columns with a DECLARED per-file bloom index: every write path —
@@ -65,6 +67,11 @@ final case class TableSchema(fields: Seq[Field],
   def bloomCols: Seq[String] = bloom_columns.getOrElse(Nil)
   def retired: Seq[String] = retired_columns.getOrElse(Nil)
   def generated: Map[String, String] = generated_columns.getOrElse(Map.empty)
+  /** ANALYZE TABLE output: column → {ndv, nulls, min, max} plus the
+    * "__table" row {row_count, as_of_version}. Advisory metadata — rides
+    * the schema so it versions and time-travels with the log. */
+  def tableStats: Map[String, Map[String, String]] =
+    table_stats.getOrElse(Map.empty)
   /** logical → physical column name (identity unless renamed). */
   def physFor(c: String): String =
     fields.find(_.name == c).map(_.phys).getOrElse(c)
@@ -699,6 +706,48 @@ final class LakeLog(val root: Path, val checkpointInterval: Int = 10) {
       }
     }
   }
+
+  /** Persist ANALYZE results (advisory; stringified like file stats). */
+  def setTableStats(table: String,
+                    stats: Map[String, Map[String, String]],
+                    txnId: String): CommitResult =
+    lockFor(table).synchronized {
+      txnVersions(table).get(txnId) match {
+        case Some(v) => CommitResult(v, duplicate = true)
+        case None =>
+          val latest = latestVersion(table)
+          val sch = snapshot(table, latest).schema.getOrElse(
+            throw new LakeValidationException(s"table $table has no schema"))
+          val v = latest + 1
+          writeEntry(table, LogEntry(v, System.currentTimeMillis(), txnId,
+            Some(sch.copy(table_stats = Some(stats)))))
+          CommitResult(v, duplicate = false)
+      }
+    }
+
+  /** Replace the CHECK-constraint set — the commit half of ADD/DROP
+    * CONSTRAINT. Callers are responsible for validating a NEW constraint
+    * against existing rows first ([[LakeTable.addConstraint]] does the
+    * scan); this method only refuses references to missing columns.
+    * evolveSchema still refuses constraint edits — this explicit path is
+    * how they change, so a field-evolution call can never smuggle one. */
+  def setConstraints(table: String, checks: Map[String, String],
+                     txnId: String): CommitResult =
+    lockFor(table).synchronized {
+      txnVersions(table).get(txnId) match {
+        case Some(v) => CommitResult(v, duplicate = true)
+        case None =>
+          val latest = latestVersion(table)
+          val sch = snapshot(table, latest).schema.getOrElse(
+            throw new LakeValidationException(s"table $table has no schema"))
+          val updated = sch.copy(check_constraints =
+            if (checks.isEmpty) None else Some(checks))
+          val v = latest + 1
+          writeEntry(table, LogEntry(v, System.currentTimeMillis(), txnId,
+            Some(updated)))
+          CommitResult(v, duplicate = false)
+      }
+    }
 
   /** Shared guard for rename/drop: the column must exist, must not be a
     * partition column (its name keys the log's partition maps and the

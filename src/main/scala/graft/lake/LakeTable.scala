@@ -1011,6 +1011,101 @@ object LakeTable {
     } finally deleteRecursively(staged)
   }
 
+  /** ALTER TABLE ... ADD CONSTRAINT name CHECK (pred) — Delta semantics:
+    * the new predicate is validated against EVERY existing row first (one
+    * aggregate scan; any violation rejects the statement with the count),
+    * then a metadata commit installs it; all later writes enforce it like
+    * a CREATE-time constraint. */
+  def addConstraint(spark: SparkSession, log: LakeLog, table: String,
+                    name: String, predicate: String,
+                    txnId: String = UUID.randomUUID().toString)
+      : CommitResult = {
+    val sch = log.snapshot(table).schema.getOrElse(
+      throw new LakeValidationException(s"table $table has no schema"))
+    if (sch.checks.contains(name))
+      throw new LakeValidationException(
+        s"table $table already has a constraint $name")
+    val existing = read(spark, log, table)
+    val bad = existing.agg(coalesce(sum(
+        when(!coalesce(expr(predicate), lit(true)), 1L).otherwise(0L)),
+      lit(0L))).head.getLong(0)
+    if (bad > 0) throw new LakeValidationException(
+      s"cannot add constraint $name ($predicate) to $table: " +
+        s"$bad existing rows violate it")
+    log.setConstraints(table, sch.checks + (name -> predicate), txnId)
+  }
+
+  /** ALTER TABLE ... DROP CONSTRAINT — metadata-only. */
+  def dropConstraint(log: LakeLog, table: String, name: String,
+                     txnId: String = UUID.randomUUID().toString)
+      : CommitResult = {
+    val sch = log.snapshot(table).schema.getOrElse(
+      throw new LakeValidationException(s"table $table has no schema"))
+    if (!sch.checks.contains(name))
+      throw new LakeValidationException(
+        s"table $table has no constraint $name")
+    log.setConstraints(table, sch.checks - name, txnId)
+  }
+
+  /** ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS ...]: one
+    * aggregate pass computing row count and per-column EXACT ndv / null
+    * count / min / max, persisted on the schema (advisory metadata for
+    * planners and DESCRIBE STATS; it versions and time-travels with the
+    * log). Exact ndv is the honest oracle-checkable choice — at open
+    * vocabulary scale a deployment swaps in approx_count_distinct, same
+    * storage shape. Columns default to every stat-eligible scalar. */
+  def analyze(spark: SparkSession, log: LakeLog, table: String,
+              columns: Seq[String] = Nil,
+              txnId: String = UUID.randomUUID().toString): CommitResult = {
+    val snap = log.snapshot(table)
+    val sch = snap.schema.getOrElse(
+      throw new LakeValidationException(s"table $table has no schema"))
+    val st = toStructType(sch)
+    val cols =
+      if (columns.nonEmpty) columns
+      else statCols(st).map(_.name)
+    cols.foreach(c => if (!st.fieldNames.contains(c))
+      throw new LakeValidationException(s"table $table has no column $c"))
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
+      countDistinct(col(c)).as(s"__ndv_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")))
+    val row = read(spark, log, table).agg(aggs.head, aggs.tail: _*).head()
+    val stats: Map[String, Map[String, String]] =
+      Map("__table" -> Map(
+        "row_count" -> row.getAs[Long]("__n").toString,
+        "as_of_version" -> snap.version.toString)) ++
+      cols.map { c =>
+        c -> Map(
+          "ndv" -> row.getAs[Long](s"__ndv_$c").toString,
+          "nulls" -> String.valueOf(row.getAs[Any](s"__nulls_$c")),
+          "min" -> String.valueOf(row.getAs[String](s"__min_$c")),
+          "max" -> String.valueOf(row.getAs[String](s"__max_$c")))
+      }
+    log.setTableStats(table, stats, txnId)
+  }
+
+  /** DESCRIBE STATS — the ANALYZE output as a DataFrame: one row per
+    * analyzed column plus the `__table` row. */
+  def statsTable(spark: SparkSession, log: LakeLog,
+                 table: String): DataFrame = {
+    val sch = log.snapshot(table).schema.getOrElse(
+      throw new LakeValidationException(s"table $table has no schema"))
+    val rows = sch.tableStats.toSeq.sortBy(_._1).map { case (c, m) =>
+      Row(c, m.get("row_count").orElse(m.get("ndv")).map(_.toLong)
+          .getOrElse(0L),
+        m.getOrElse("nulls", null), m.getOrElse("min", null),
+        m.getOrElse("max", null), m.getOrElse("as_of_version", null))
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("column", StringType, nullable = false),
+      StructField("ndv_or_rows", LongType, nullable = false),
+      StructField("nulls", StringType), StructField("min", StringType),
+      StructField("max", StringType),
+      StructField("as_of_version", StringType))))
+  }
+
   final case class ReplaceReport(filesReplaced: Int, filesUntouched: Int,
                                  rowsRemoved: Long, rowsAdded: Long,
                                  version: Long)

@@ -29,18 +29,22 @@ class LakeFuzzSpec extends SparkSpec {
     // GetSnapshot semantics), so it is not an addressable history point
     var historyModels = Map.empty[Long, Map[Long, Double]]
     var nextId = 0L
+    // the value column's CURRENT logical name — the rename arm flips it,
+    // so every later arm (and every later read of pre-rename files)
+    // exercises live column mapping
+    var valCol = "v"
 
     def tableRows(): Map[Long, Double] =
       LakeTable.read(spark, log, "t").collect()
         .map(r => r.getLong(0) -> r.getDouble(1)).toMap
 
-    (1 to 12).foreach { step =>
-      rnd.nextInt(4) match {
+    (1 to 14).foreach { step =>
+      rnd.nextInt(6) match {
         case 0 | 1 => // insert a fresh batch
           val n = 1 + rnd.nextInt(50)
           val rows = (0 until n).map { _ =>
             nextId += 1; (nextId, math.round(rnd.nextDouble() * 1e4) / 100.0) }
-          LakeTable.insert(spark, log, "t", rows.toDF("id", "v"),
+          LakeTable.insert(spark, log, "t", rows.toDF("id", valCol),
             numFiles = 1 + rnd.nextInt(3))
           model = model ++ rows.toMap
         case 2 if model.nonEmpty => // delete a random id range
@@ -52,8 +56,19 @@ class LakeFuzzSpec extends SparkSpec {
           val picks = model.keys.take(1 + rnd.nextInt(3)).toSeq
           nextId += 1
           val ups = picks.map(id => (id, -1.0)) :+ ((nextId, -2.0))
-          LakeTable.upsert(spark, log, "t", ups.toDF("id", "v"), "id")
+          LakeTable.upsert(spark, log, "t", ups.toDF("id", valCol), "id")
           model = model ++ ups.toMap
+        case 4 if model.nonEmpty => // UPDATE a random id range
+          val ids = model.keys.toSeq.sorted
+          val cut = ids(rnd.nextInt(ids.size))
+          LakeTable.updateWhere(spark, log, "t", s"id <= $cut",
+            Seq(valCol -> s"$valCol + 1000"))
+          model = model.map { case (id, v) =>
+            id -> (if (id <= cut) v + 1000 else v) }
+        case 5 => // metadata-only rename of the value column
+          val next = if (valCol == "v") "w" else "v"
+          log.renameColumn("t", valCol, next, s"fuzz-ren-$step")
+          valCol = next
         case _ => // compact (no logical change)
           LakeTable.compact(spark, log, "t", force = true)
       }
