@@ -217,17 +217,17 @@ object LakeSql {
         val r = log.evolveSchema(table,
           cur.copy(fields = cur.fields :+
             Field(colName, colType.toLowerCase, nullable = true)),
-          txnId = s"altadd-$table-$colName")
+          txnId = s"altadd-$table-$colName-${java.util.UUID.randomUUID()}")
         status(spark, "table" -> table, "added" -> colName,
           "version" -> r.version)
       case AddConstraint(table, name, pred) =>
         val r = LakeTable.addConstraint(spark, log, table, name, pred.trim,
-          txnId = s"altck-$table-$name")
+          txnId = s"altck-$table-$name-${java.util.UUID.randomUUID()}")
         status(spark, "table" -> table, "constraint" -> name,
           "version" -> r.version)
       case DropConstraint(table, name) =>
         val r = LakeTable.dropConstraint(log, table, name,
-          txnId = s"dropck-$table-$name")
+          txnId = s"dropck-$table-$name-${java.util.UUID.randomUUID()}")
         status(spark, "table" -> table, "dropped_constraint" -> name,
           "version" -> r.version)
       case Analyze(table, colSpec) =>
@@ -240,12 +240,12 @@ object LakeSql {
       case DescStats(table) => LakeTable.statsTable(spark, log, table)
       case AlterRename(table, oldName, newName) =>
         val r = log.renameColumn(table, oldName, newName,
-          txnId = s"altren-$table-$oldName-$newName")
+          txnId = s"altren-$table-$oldName-$newName-${java.util.UUID.randomUUID()}")
         status(spark, "table" -> table, "renamed" -> oldName,
           "to" -> newName, "version" -> r.version)
       case AlterDrop(table, colName) =>
         val r = log.dropColumn(table, colName,
-          txnId = s"altdrop-$table-$colName")
+          txnId = s"altdrop-$table-$colName-${java.util.UUID.randomUUID()}")
         status(spark, "table" -> table, "dropped" -> colName,
           "version" -> r.version)
       case Optimize(table, where, zorder) =>

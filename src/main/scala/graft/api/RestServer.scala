@@ -102,7 +102,7 @@ final class RestServer(spark: SparkSession, log: LakeLog,
         case ("PATCH", List("tables", t, "columns", c)) =>
           alterColumn(ex, t, c)
         case ("DELETE", List("tables", t, "columns", c)) =>
-          val r = log.dropColumn(t, c, s"rest-drop-$t-$c")
+          val r = log.dropColumn(t, c, s"rest-drop-$t-$c-${UUID.randomUUID()}")
           respondJson(ex, 200, Map("dropped" -> c, "version" -> r.version))
         case ("GET", List("tables", t, "changes"))   => tableChanges(ex, t)
         case ("GET", List("tables", t, "files"))     => tableFiles(ex, t)
@@ -442,7 +442,7 @@ final class RestServer(spark: SparkSession, log: LakeLog,
     readMap(ex).get("rename_to") match {
       case Some(n: String) if n.trim.nonEmpty =>
         val r = log.renameColumn(table, column, n.trim,
-          s"rest-ren-$table-$column-$n")
+          s"rest-ren-$table-$column-$n-${UUID.randomUUID()}")
         respondJson(ex, 200, Map("renamed" -> column, "to" -> n.trim,
           "version" -> r.version))
       case _ => textError(ex, 400, "Missing rename_to")

@@ -151,30 +151,21 @@ object LakeTable {
         col(c).as(m.getOrElse(c, c))): _*)
     }
 
-  /** Rewrite logical identifiers to physical in a predicate/expression
-    * STRING (single-quote aware, so literals like 'price' survive). Only
-    * used to consult PHYSICAL file stats; the residual filter always runs
-    * with the original expression on the logical frame. */
+  /** Rewrite the logical column name to physical in a stats-consultation
+    * predicate. Every consumer is [[FilePruning.prune]], whose grammar is
+    * exactly `<col> <op> <literal>` — so ONLY the first token can be a
+    * column; everything after the operator is literal position. Rewriting
+    * by word anywhere (the old behavior) turned bare-word or double-quoted
+    * string literals that collide with a renamed column's logical name
+    * into that column's physical name, unsoundly pruning files. Predicates
+    * that don't parse as the 3-token shape prune nothing downstream, so
+    * they pass through unchanged. */
   private[lake] def physExpr(e: String, sch: TableSchema): String = {
     if (!sch.hasMapping) return e
-    val m = sch.physMap
-    val out = new StringBuilder
-    var i = 0
-    while (i < e.length) {
-      val c = e.charAt(i)
-      if (c == '\'') { // copy the quoted literal verbatim
-        val end = e.indexOf('\'', i + 1)
-        val stop = if (end < 0) e.length else end + 1
-        out.append(e.substring(i, stop)); i = stop
-      } else if (c.isLetter || c == '_') {
-        val start = i
-        while (i < e.length &&
-          (e.charAt(i).isLetterOrDigit || e.charAt(i) == '_')) i += 1
-        val word = e.substring(start, i)
-        out.append(m.getOrElse(word, word))
-      } else { out.append(c); i += 1 }
-    }
-    out.result()
+    val parts = e.trim.split("\\s+", 3)
+    if (parts.length != 3) return e
+    val phys = sch.physMap.getOrElse(parts(0), parts(0))
+    if (phys == parts(0)) e else s"$phys ${parts(1)} ${parts(2)}"
   }
 
   /** The schema physically stored in data files: declared schema minus
@@ -989,8 +980,12 @@ object LakeTable {
         .parquet(staged.toString)
     }
     try {
+      // .filter(_.rows > 0): if every live row of a candidate file was
+      // already DV-deleted, the staged rewrite is schema-only — promoting
+      // it would fail commit validation for an UPDATE that is a no-op.
       val adds = statAndPromote(spark, log, table, staged, sch, st, rewrite = true,
         partCols = partCols, bloomCols = sch.bloomCols)
+        .filter(_.rows > 0)
       val inputPaths = candidates.map(_.path)
       val expectDv = candidates.map(f => f.path -> f.dv).toMap
       val resultOpt =

@@ -141,4 +141,42 @@ class LakeSqlSpec extends SparkSpec {
     assert(back.filter(_._1 <= 7).forall(_._2 == "old"))
     assert(back.filter(_._1 >= 8).forall(_._2 == "new"))
   }
+
+  test("repeated DDL is not swallowed by the idempotency txn map") {
+    // Deterministic DDL txn ids made ADD-after-DROP (and rename cycles)
+    // replay as duplicate transactions: success status, no schema change.
+    val log = new LakeLog(tmpDir("lakesql"))
+    def sql(s: String) = LakeSql.execute(spark, log, s)
+    sql("CREATE TABLE d (id int64, a string)")
+    LakeTable.insert(spark, log, "d",
+      (1 to 5).map(i => (i.toLong, s"v$i")).toDF("id", "a"))
+
+    // constraint drop → re-add with a DIFFERENT predicate must enforce
+    // the new predicate, not replay the old txn
+    sql("ALTER TABLE d ADD CONSTRAINT ck CHECK (id > 0)")
+    sql("ALTER TABLE d DROP CONSTRAINT ck")
+    sql("ALTER TABLE d ADD CONSTRAINT ck CHECK (id < 100)")
+    val checks = log.snapshot("d").schema.get.checks
+    assert(checks.get("ck").exists(_.contains("id < 100")),
+      s"re-added constraint lost to txn replay: $checks")
+    intercept[graft.lake.LakeValidationException] {
+      LakeTable.insert(spark, log, "d",
+        Seq((500L, "big")).toDF("id", "a"))
+    }
+
+    // column add → drop → re-add must land (fresh physical name)
+    sql("ALTER TABLE d ADD COLUMN extra string")
+    sql("ALTER TABLE d DROP COLUMN extra")
+    sql("ALTER TABLE d ADD COLUMN extra string")
+    assert(log.snapshot("d").schema.get.fields.map(_.name)
+      .contains("extra"), "ADD COLUMN after DROP swallowed by txn replay")
+
+    // rename cycle a -> b -> a -> b must end at b
+    sql("ALTER TABLE d RENAME COLUMN a TO b")
+    sql("ALTER TABLE d RENAME COLUMN b TO a")
+    sql("ALTER TABLE d RENAME COLUMN a TO b")
+    val names = log.snapshot("d").schema.get.fields.map(_.name)
+    assert(names.contains("b") && !names.contains("a"),
+      s"rename cycle swallowed by txn replay: $names")
+  }
 }

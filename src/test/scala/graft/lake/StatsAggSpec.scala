@@ -137,4 +137,26 @@ class StatsAggSpec extends SparkSpec {
       .get.collect().head
     assert(r.getAs[Long]("n_rows") == 81L && r.getAs[Long]("max_id") == 80L)
   }
+
+  test("file with min but no max witness falls back (asymmetry guard)") {
+    val log = new LakeLog(tmpDir("statsagg"))
+    mkTable(log, "t")
+    val snap = log.snapshot("t")
+    // strip ONLY the max stat for v from one file that has non-null rows:
+    // its contribution would silently vanish from the MAX answer
+    val crippled = snap.copy(files = snap.files.zipWithIndex.map {
+      case (f, 0) => f.copy(stats = f.stats.map(st =>
+        st.copy(max_values = st.max_values - "v")))
+      case (f, _) => f
+    })
+    assert(StatsAgg.fromStats(spark, crippled, Seq("v")).isEmpty,
+      "min-present/max-absent must fall back, not drop the file's max")
+    // symmetric case: max present, min absent (already guarded)
+    val crippled2 = snap.copy(files = snap.files.zipWithIndex.map {
+      case (f, 0) => f.copy(stats = f.stats.map(st =>
+        st.copy(min_values = st.min_values - "v")))
+      case (f, _) => f
+    })
+    assert(StatsAgg.fromStats(spark, crippled2, Seq("v")).isEmpty)
+  }
 }

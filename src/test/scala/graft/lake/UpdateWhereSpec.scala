@@ -172,4 +172,21 @@ class UpdateWhereSpec extends SparkSpec {
         s"SELECT count(*) AS n FROM tt x TIMESTAMP AS OF '$tsLit'")
     }
   }
+
+  test("update over a fully-DV-deleted candidate file is a clean no-op") {
+    // All live rows of a stat-pruned candidate file may already be gone
+    // via deletion vectors; the rewrite then stages a schema-only parquet
+    // file, and promoting it would fail commit validation. updateWhere
+    // must drop empty adds like its sibling rewrite paths do.
+    val (log, t) = freshTable()
+    // MOR-delete every row of the file(s) holding id > 75
+    val d = LakeTable.deleteWhereMor(spark, log, t, "id > 75")
+    assert(d.rowsDeleted == 25L)
+    val r = LakeTable.updateWhere(spark, log, t, "id > 80",
+      Seq("price" -> "0.0"))
+    assert(r.rowsUpdated == 0L)
+    assert(LakeTable.read(spark, log, t).count() == 75L)
+    assert(LakeTable.read(spark, log, t)
+      .filter(col("price") === 0.0).count() == 0L)
+  }
 }
