@@ -2923,16 +2923,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q_bpe" -> ((s, d) => {
-      // real learned BPE (rows-only: the merge table comes from the
-      // driver-side Sennrich loop; BpeSpec pins the classic merge
-      // sequence, greedy-rank encoding, losslessness and determinism).
-      // One distributed word-frequency pass trains; encoding is a
-      // broadcast-ranks map, no shuffle.
+      // BPE encoding under the EXACT oracle via the frozen merge table
+      // (production shape: tokenizer trained offline once — Bpe.train, the
+      // real Sennrich loop, stays pinned by BpeSpec — then shipped and
+      // applied everywhere). Greedy lowest-rank encoding equals in-rank-
+      // order replay for learned tables (BpeSpec pins the equivalence), so
+      // DuckDB replays the encoder as a 64-deep replace() chain over
+      // boundary-wrapped symbols and recomputes every subword of every
+      // doc. Encoding is a broadcast-ranks map over one projection — no
+      // shuffle, no training pass at query time.
       val docs = docsSpread(s, d)
-      val model = graft.operators.Bpe.train(docs, nMerges = 64)
-      graft.operators.Bpe.encode(docs, model)
-        .select(col("doc_id"), size(col("bpe_tokens")).as("n_subwords"),
-          size(tokens(col("text"))).as("n_words"))
+      graft.operators.Bpe.encode(docs, graft.operators.Bpe.frozenModel)
+        .select(col("doc_id"),
+          size(col("bpe_tokens")).cast("long").as("n_subwords"),
+          array_join(col("bpe_tokens"), "|").as("subwords"))
         .orderBy("doc_id")
     }),
     "q_embed_pca" -> ((s, d) => {
@@ -2989,13 +2993,21 @@ object SparkEntry {
         .withColumn("mmr_score", round(col("mmr_score"), 6))
         .orderBy("query_id", "mmr_rank")
     }),
+    // Plain IVF under the EXACT oracle via frozen Hadamard coarse
+    // centroids (the q_ann_ivfpq trick, PQ-less): DuckDB replays coarse
+    // assignment (ties → lower list id, the assignNearest rule), the
+    // nProbe=2 probe set and the exact cosine rescoring + top-k. The
+    // Spark side writes the real partition-pruned disk index and the
+    // probe opens only the 2 probed list directories. The LEARNED
+    // k-means coarse quantizer stays pinned by SimilaritySpec.
     "q_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      // one Lloyd sweep: at bench scale the quantizer quality gain from a
-      // second sweep doesn't pay for another round of jobs
-      Similarity.ivfTopK(emb, q, k = 5, kmeansIters = 1)
+      val dir = java.nio.file.Files.createTempDirectory("graftivf").toString
+      Similarity.writeIvfIndex(emb, dir, nCentroids = 8,
+        coarse = graft.operators.Pq.hadamardCentroids(64, 8))
+      Similarity.ivfTopKIndexed(s, dir, q, k = 5, nProbe = 2)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("query_id", "rank")
     }),
@@ -3424,6 +3436,16 @@ object SparkEntry {
     * results depend on Spark-internal hashes like xxhash64, or on ANN
     * approximation — those are property-tested in ScalaTest instead).
     */
+  /** The q_bpe oracle's encoder: the frozen merge table applied in rank
+    * order as nested left-to-right replace()s over boundary-wrapped
+    * symbols ("~a~~b~" → "~ab~"; '~' never occurs in corpus tokens, and
+    * the wrapping makes matches symbol-exact). Generated by a fold so the
+    * SQL stays in lockstep with [[graft.operators.Bpe.frozenMerges]]. */
+  private val bpeReplayExpr: String =
+    graft.operators.Bpe.frozenMerges.foldLeft("wrapped") {
+      case (e, (a, b)) => s"replace($e, '~$a~~$b~', '~$a$b~')"
+    }
+
   def oracleSql: Map[String, String] = Map(
     "q_source_cap" -> """
       SELECT source, doc_id, n_chars, rank_in_group FROM (
@@ -4030,6 +4052,36 @@ object SparkEntry {
           AND r.ts <= l.ts + INTERVAL 1 HOUR
         ORDER BY r.ts LIMIT 1) rr ON TRUE
       ORDER BY l.event_id""",
+    // BPE greedy rank-encode, replayed exactly: each word becomes
+    // boundary-wrapped symbols (~c~ per code point + ~</w>~), then the
+    // frozen merge table applies IN RANK ORDER as a nested replace()
+    // chain (replace is left-to-right non-overlapping — precisely the
+    // paper's merge step; equivalence to greedy-by-rank is the learned-
+    // table property BpeSpec pins). Distinct words encode once, then
+    // join back to positions.
+    "q_bpe" -> s"""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+        FROM documents),
+      w AS (
+        SELECT doc_id, pos, ws[pos] AS word
+        FROM toks, unnest(range(1, len(ws) + 1)) AS t(pos)
+        WHERE ws[pos] <> ''),
+      dw AS (SELECT DISTINCT word FROM w),
+      wrapped_t AS (
+        SELECT word,
+               regexp_replace(word, '(.)', '~\\1~', 'g') || '~</w>~'
+                 AS wrapped
+        FROM dw),
+      enc AS (
+        SELECT word, string_split(trim($bpeReplayExpr, '~'), '~~') AS parts
+        FROM wrapped_t)
+      SELECT w.doc_id,
+             CAST(sum(len(e.parts)) AS BIGINT) AS n_subwords,
+             string_agg(array_to_string(e.parts, '|'), '|'
+                        ORDER BY w.pos) AS subwords
+      FROM w JOIN enc e ON w.word = e.word
+      GROUP BY w.doc_id ORDER BY w.doc_id""",
     "q_scalar_dates" -> """
       SELECT o_orderkey,
              datediff('day', o_orderdate, DATE '1998-12-31') AS days_to_end,
@@ -5670,6 +5722,41 @@ object SparkEntry {
     // (unit ±1/8 rows), coarse assignment ties → lower list id
     // (assignNearest), PQ encode ties → higher code id (array_max), probes
     // = top-2 lists per query, ADC only over candidates in probed lists.
+    // Plain IVF, frozen Hadamard coarse centroids: assignment → probe →
+    // exact cosine rescore → top-k, replayed end-to-end (the PQ-less
+    // sibling of q_ann_ivfpq below; same hc/assign/probes CTE shapes).
+    "q_ann_ivf" -> """
+      WITH hc AS (
+        SELECT g, list_transform(range(0, 64), j ->
+          (CASE WHEN bit_count((g+1) & j) % 2 = 0
+                THEN 1.0 ELSE -1.0 END) / 8.0) AS hv
+        FROM range(0, 8) t(g)),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw
+            FROM embeddings),
+      n AS (SELECT vec_id,
+              list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw)))
+                AS cv
+            FROM e),
+      assign AS (SELECT vec_id, g FROM (
+          SELECT n.vec_id, hc.g, row_number() OVER (PARTITION BY n.vec_id
+            ORDER BY list_dot_product(n.cv, hc.hv) DESC, hc.g ASC) AS rk
+          FROM n CROSS JOIN hc) WHERE rk = 1),
+      qn AS (SELECT vec_id AS query_id, cv AS qv FROM n WHERE vec_id < 10),
+      probes AS (SELECT query_id, g FROM (
+          SELECT qn.query_id, hc.g, row_number() OVER (
+            PARTITION BY qn.query_id
+            ORDER BY list_dot_product(qn.qv, hc.hv) DESC, hc.g ASC) AS rk
+          FROM qn CROSS JOIN hc) WHERE rk <= 2),
+      scored AS (SELECT p.query_id, a.vec_id,
+                   list_dot_product(n.cv, qn.qv) AS cos
+                 FROM probes p JOIN assign a USING (g)
+                 JOIN n ON n.vec_id = a.vec_id
+                 JOIN qn ON qn.query_id = p.query_id),
+      ranked AS (SELECT query_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, vec_id) AS rank FROM scored)
+      SELECT query_id, vec_id, round(cos, 6) AS cos, rank
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     "q_ann_ivfpq" -> """
       WITH hc AS (
         SELECT g, list_transform(range(0, 64), j ->

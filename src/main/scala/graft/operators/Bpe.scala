@@ -129,6 +129,49 @@ object Bpe {
     syms.toSeq
   }
 
+  /** A merge table trained ONCE (by [[train]], nMerges=64, on the sf0.001
+    * fixture corpus) and frozen as literals — the production tokenizer
+    * shape: train offline, ship the merge file, encode everywhere. Frozen
+    * so the ENCODER is checkable under an exact external oracle.
+    *
+    * Key property (holds for every genuinely learned table, asserted by
+    * BpeSpec): any pair containing a merge's RESULT symbol has a strictly
+    * higher rank than that merge — during training the result symbol only
+    * exists after its merge applied. Under it, greedy lowest-rank-first
+    * encoding ([[encodeWord]]) equals applying the merges once each in
+    * rank order, left-to-right non-overlapping ([[replayEncode]]) — which
+    * is a fixed chain of string replaces an external SQL engine can run.
+    */
+  val frozenMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("o", "r"), ("t", "</w>"),
+    ("er", "</w>"), ("o", "w"), ("ow", "</w>"), ("l", "u"), ("i", "n"),
+    ("y", "</w>"), ("a", "r"), ("p", "ar"), ("g", "</w>"), ("a", "s"),
+    ("h", "</w>"), ("a", "</w>"), ("s", "t"), ("a", "t"), ("a", "n</w>"),
+    ("c", "an</w>"), ("s", "can</w>"), ("c", "o"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n</w>"), ("d", "ow</w>"), ("in", "dow</w>"),
+    ("w", "indow</w>"), ("d", "er</w>"), ("or", "der</w>"), ("or", "t</w>"),
+    ("s", "ort</w>"), ("p", "</w>"), ("par", "t</w>"), ("u", "p</w>"),
+    ("a", "g"), ("ag", "g</w>"), ("a", "lu"), ("alu", "e</w>"),
+    ("v", "alue</w>"), ("in", "e</w>"), ("l", "ine</w>"), ("e", "y</w>"),
+    ("k", "ey</w>"), ("i", "n</w>"), ("j", "o"), ("jo", "in</w>"),
+    ("er", "g"), ("erg", "e</w>"), ("m", "erge</w>"), ("er", "y</w>"),
+    ("g", "r"), ("gr", "o"), ("gro", "up</w>"), ("q", "u"),
+    ("qu", "ery</w>"), ("c", "t"), ("ct", "or"), ("ctor", "</w>"),
+    ("e", "ctor</w>"), ("v", "ector</w>"), ("as", "h</w>"),
+    ("h", "ash</w>"))
+
+  val frozenModel: BpeModel = BpeModel(frozenMerges)
+
+  /** In-rank-order replay encoding: apply each merge once, left-to-right
+    * non-overlapping. Equals [[encodeWord]] under the learned-table rank
+    * property above; exists so the spec can PIN that equivalence (it is
+    * what the external oracle replays as a replace() chain).
+    */
+  private[operators] def replayEncode(word: String,
+                                      merges: Seq[(String, String)])
+      : Seq[String] =
+    merges.foldLeft(symbols(word) :+ EndOfWord)(mergeOnce).toSeq
+
   /** Subword tokens of a text column under `model` (array<string>). The
     * merge-rank map broadcasts once per plan; per-row work is bounded by
     * word length × merges applied.

@@ -173,14 +173,23 @@ object Similarity {
     */
   def writeIvfIndex(corpus: DataFrame, path: String,
                     nCentroids: Int = 16, kmeansIters: Int = 2,
+                    coarse: Array[Array[Double]] = null,
                     corpusId: String = "vec_id",
                     corpusVec: String = "embedding"): Unit = {
-    VectorExpressions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    VectorExpressions.register(spark)
+    import spark.implicits._
     val c = spread(corpus.select(col(corpusId).as("vec_id"),
         col(corpusVec).as("__v")))
       .select(col("vec_id"), normalize(col("__v")).as("cv"))
       .localCheckpoint()
-    val centroids = kmeansCentroids(c, nCentroids, kmeansIters)
+    // `coarse` freezes the quantizer (e.g. Pq.hadamardCentroids) — the
+    // externally-replayable sibling of the learned k-means default
+    val centroids =
+      if (coarse != null)
+        coarse.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+          .toDF("centroid_id", "centroid")
+      else kmeansCentroids(c, nCentroids, kmeansIters)
     assignNearest(c, centroids, "cv", 1)
       .drop("__ccos") // assignment-time score: no index reader uses it
       .write.mode("overwrite").partitionBy("centroid_id")

@@ -76,4 +76,39 @@ class BpeSpec extends SparkSpec {
     assert(enc.contains("aaa</w>")) // learned whole-word merge
     assert(enc.count(_ == "z") == 2 || enc.exists(_.startsWith("z")))
   }
+
+  test("frozenMerges IS the table train() learns on the fixture corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = Bpe.train(docs, nMerges = 64)
+    assert(model.merges == Bpe.frozenMerges,
+      "frozen table drifted from a genuine training run")
+  }
+
+  test("frozen table satisfies the learned-rank property") {
+    // any pair containing a merge's result symbol ranks strictly later —
+    // the property that makes greedy-by-rank == in-order replay (and thus
+    // makes the q_bpe oracle's replace() chain an exact encoder replay)
+    val results = Bpe.frozenMerges.zipWithIndex.map {
+      case ((a, b), r) => (a + b) -> r
+    }.toMap
+    Bpe.frozenMerges.zipWithIndex.foreach { case ((a, b), r) =>
+      Seq(a, b).foreach { comp =>
+        results.get(comp).foreach(rc =>
+          assert(rc < r, s"pair ($a,$b)@$r uses result symbol '$comp'@$rc"))
+      }
+    }
+  }
+
+  test("greedy encodeWord == in-rank-order replay (oracle equivalence)") {
+    val ranks = Bpe.frozenModel.ranks
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcdefgkrstuvwxyz"
+    val words = Seq("scan", "column", "windowing", "sorter", "aaa", "x") ++
+      (0 until 2000).map(_ => (0 to rnd.nextInt(11)).map(_ =>
+        alpha(rnd.nextInt(alpha.length))).mkString)
+    words.foreach { w =>
+      assert(Bpe.encodeWord(w, ranks) == Bpe.replayEncode(w, Bpe.frozenMerges),
+        s"greedy != replay for '$w'")
+    }
+  }
 }
