@@ -442,7 +442,31 @@ final class LakeLog(val root: Path, val checkpointInterval: Int = 10) {
         s"version ${entry.version} already committed for $table")
     val staged = Files.createTempFile(logDir(table), ".staged", ".json")
     Files.writeString(staged, mapper.writeValueAsString(entry))
-    Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
+    // The COMMIT POINT must be atomic create-if-absent ACROSS PROCESSES.
+    // rename(2) (Files.move + ATOMIC_MOVE) silently REPLACES an existing
+    // target on POSIX, so the exists() pre-check above is only a fast
+    // path — two processes racing the same version could overwrite a
+    // committed entry. link(2) fails with EEXIST atomically: the first
+    // linker wins the version, every loser gets a clean conflict (the
+    // Raft-less analog of the reference's single-sequencer exclusion,
+    // pkg/metadata/state.go:162-164; CrossProcessCommitSpec races a
+    // second JVM to pin it).
+    try
+      try Files.createLink(target, staged)
+      catch {
+        case _: UnsupportedOperationException =>
+          // filesystem without hard links: keep the single-process-safe
+          // rename path (in-JVM exclusion still holds via the table lock)
+          if (Files.exists(target))
+            throw new java.nio.file.FileAlreadyExistsException(target.toString)
+          Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
+      }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflictException(
+          s"version ${entry.version} already committed for $table " +
+            "(lost the cross-process commit race)")
+    } finally Files.deleteIfExists(staged)
     // checkpoint cadence: every Nth commit materializes the replay state.
     // Best-effort by design — the entry above IS committed, and a reader
     // finding no checkpoint just replays more entries
