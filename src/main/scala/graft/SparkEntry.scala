@@ -3430,6 +3430,62 @@ object SparkEntry {
       WHERE core_deg >= $k ORDER BY id"""
   }
 
+  /** Build/probe phase split for the queries that bundle a ONE-TIME
+    * persisted-index build with the recurring probe. The `queries` entries
+    * stay bundled (the correctness gate replays the whole lifecycle);
+    * Bench uses these instead when present, so the headline per-query
+    * number is the steady-state PROBE cost and the build rides in a
+    * `builds` sidecar — at scale the build runs once per crawl cycle
+    * while the probe runs per batch, and a bundled number overstates
+    * steady state 3-5×. Each call returns fresh (build, probe) thunks
+    * sharing one index location.
+    */
+  def benchPhases: Map[String, (SparkSession, String) =>
+      (() => Unit, () => DataFrame)] = Map(
+    "q_dedup_minhash_index" -> ((s, d) => {
+      import graft.lake.LakeLog
+      import graft.operators.DedupIndex
+      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftlsh"))
+      val docs = t(s, d, "documents")
+      (() => DedupIndex.buildIndex(s, log, "lsh",
+         docs.filter(col("doc_id") % 3 =!= 0)),
+       () => DedupIndex.probeIndex(s, log, "lsh",
+           docs.filter(col("doc_id") % 3 === 0), threshold = 0.5)
+         .orderBy("new_id", "hist_id"))
+    }),
+    "q_search_index" -> ((s, d) => {
+      import graft.lake.LakeLog
+      import graft.operators.InvertedIndex
+      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftidx"))
+      (() => InvertedIndex.buildIndex(s, log, "idx", t(s, d, "documents"),
+         numFiles = 8),
+       () => InvertedIndex.searchIndex(s, log, "idx",
+           Seq("spark", "window", "hash"))
+         .orderBy("doc_id"))
+    }),
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val dir = java.nio.file.Files.createTempDirectory("graftivf").toString
+      (() => Similarity.writeIvfIndex(emb, dir, nCentroids = 8,
+         coarse = graft.operators.Pq.hadamardCentroids(64, 8)),
+       () => Similarity.ivfTopKIndexed(s, dir, q, k = 5, nProbe = 2)
+         .withColumn("cos", round(col("cos"), 6))
+         .orderBy("query_id", "rank"))
+    }),
+    "q_ann_ivfpq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val dir = java.nio.file.Files.createTempDirectory("graftivfpq").toString
+      (() => graft.operators.Pq.writeIvfPqIndex(emb, dir, nLists = 8,
+         coarse = graft.operators.Pq.hadamardCentroids(64, 8)),
+       () => graft.operators.Pq.ivfPqTopK(s, dir, q, k = 5, nProbe = 2)
+         .withColumn("adc", round(col("adc"), 6))
+         .orderBy("query_id", "rank"))
+    }))
+
   /** DuckDB-runnable oracle for each hash-checkable query. Column aliases and
     * ORDER BY match the Spark side exactly (driver sorts columns by name then
     * hashes values). Queries without an entry get a rows-only check (their

@@ -30,12 +30,14 @@ import org.apache.spark.sql.functions._
   *  - Each iteration ends in `localCheckpoint` — without it the lineage
   *    doubles per round and planning cost explodes (same guard as
   *    [[Dedup.connectedComponents]] and IVF's Lloyd loop).
-  *  - Dangling nodes (no out-edges) leak their damped mass instead of
-  *    redistributing it — the standard "PageRank without dangling
-  *    redistribution" variant. Redistribution would need a global scalar
-  *    per iteration (one extra tiny aggregate); the leak variant keeps
-  *    the loop to exactly two exchanges and preserves ranking order for
-  *    curation purposes.
+  *  - Dangling nodes (no out-edges) LEAK their damped mass by default —
+  *    the "PageRank without dangling redistribution" variant: two
+  *    exchanges per round, order-preserving for curation, and the
+  *    variant the oracle replays. `redistributeDangling = true` restores
+  *    textbook semantics (dangling mass re-enters through the teleport
+  *    distribution) for one extra metadata-sized scalar aggregate per
+  *    iteration; LinkGraphSpec pins hand-computed standard values on a
+  *    dangling chain.
   */
 object LinkGraph {
 
@@ -131,11 +133,12 @@ object LinkGraph {
     * Nodes = src ∪ dst of the edge set.
     */
   def pageRank(edges: DataFrame, iters: Int, scale: Long = 1000000000000L,
-               dampPct: Int = 85, checkpointInterval: Int = 2): DataFrame =
+               dampPct: Int = 85, checkpointInterval: Int = 2,
+               redistributeDangling: Boolean = false): DataFrame =
     pageRankPersonalized(edges,
       edges.select(col("src").as("id"))
         .union(edges.select(col("dst").as("id"))).distinct(),
-      iters, scale, dampPct, checkpointInterval)
+      iters, scale, dampPct, checkpointInterval, redistributeDangling)
 
   /** Warm-start PageRank for GROWING graphs — the continuous-crawl shape:
     * yesterday's converged ranks seed today's iterations over the
@@ -194,7 +197,9 @@ object LinkGraph {
     */
   def pageRankPersonalized(edges: DataFrame, seeds: DataFrame, iters: Int,
                            scale: Long = 1000000000000L, dampPct: Int = 85,
-                           checkpointInterval: Int = 2): DataFrame = {
+                           checkpointInterval: Int = 2,
+                           redistributeDangling: Boolean = false)
+      : DataFrame = {
     require(iters >= 1 && scale > 0 && dampPct >= 0 && dampPct <= 100)
     require(checkpointInterval >= 1)
     val teleport = scale * (100L - dampPct) / 100L
@@ -216,17 +221,41 @@ object LinkGraph {
     val edgesWithDeg = edges.join(outdeg, "src")
       .select(col("src"), col("dst"), col("__od"))
       .localCheckpoint()
+    // standard-semantics option: dangling (no-out-edge) nodes hand their
+    // damped mass to the teleport distribution instead of leaking it.
+    // Costs ONE scalar aggregate (a metadata-sized job) per iteration —
+    // the ids and the seed count are computed once, outside the loop.
+    val dangling =
+      if (!redistributeDangling) null
+      else nodes.select(col("id"))
+        .join(outdeg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
+        .localCheckpoint()
+    val nSeeds =
+      if (!redistributeDangling) 0L
+      else nodes.filter(col("__t") > 0).count()
     var ranks = nodes.select(col("id"), col("__r0").as("rank_fp"))
     (1 to iters).foreach { i =>
       val contrib = edgesWithDeg
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst"), expr("rank_fp div __od").as("__c"))
         .groupBy("dst").agg(sum("__c").as("__in"))
+      // per-seed dangling share, same integer quantization as the edge
+      // contributions: (D div |seeds|), damped by the update rule below
+      val dangShare =
+        if (!redistributeDangling) 0L
+        else {
+          val d = ranks.join(dangling, "id")
+            .agg(coalesce(sum("rank_fp"), lit(0L))).first().getLong(0)
+          d / nSeeds
+        }
+      val incExpr =
+        if (redistributeDangling)
+          s"$dampPct * (coalesce(__in, 0L) + " +
+            s"(CASE WHEN __t > 0 THEN ${dangShare}L ELSE 0L END)) div 100"
+        else s"$dampPct * coalesce(__in, 0L) div 100"
       ranks = nodes.join(contrib.withColumnRenamed("dst", "id"),
           Seq("id"), "left")
-        .select(col("id"),
-          (col("__t") +
-            expr(s"$dampPct * coalesce(__in, 0L) div 100")).as("rank_fp"))
+        .select(col("id"), (col("__t") + expr(incExpr)).as("rank_fp"))
       // checkpoint every Nth round (and always the last): lineage growth
       // is geometric in the round count, but each eager materialization
       // is a full job — the interval trades the two (same lever as the

@@ -164,4 +164,27 @@ class LinkGraphSpec extends SparkSpec {
     assert(planted.count() == 50)
     assert(planted.filter(col("id") % 10 =!= 0).count() == 0)
   }
+
+  test("redistributeDangling restores textbook semantics on a chain") {
+    // 0 -> 1 -> 2; node 2 dangles. Hand-computed with the integer
+    // recurrence (teleport 150e9, damp 85, share = D div 3):
+    //   iter1: D = 1e12, share = 333333333333
+    //     r(0) = t + 85*share div 100                 = 433333333333
+    //     r(1) = t + 85*(1e12 + share) div 100        = 1283333333333
+    //     r(2) = r(1)
+    //   iter2: D = 1283333333333, share = 427777777777
+    //     r(0) = 513611111110, r(1) = 881944444443, r(2) = 1604444444443
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val r2 = LinkGraph.pageRank(edges, iters = 2,
+        redistributeDangling = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(0L -> 513611111110L, 1L -> 881944444443L,
+      2L -> 1604444444443L))
+    // textbook invariant the leak variant loses: total mass is conserved
+    // (up to integer-div truncation, < 4 units here vs 1.57e12 leaked)
+    assert(math.abs(r2.values.sum - 3000000000000L) < 8)
+    val leak = LinkGraph.pageRank(edges, iters = 2).collect()
+      .map(_.getLong(1)).sum
+    assert(leak == 1427500000000L, "leak variant (the oracle face) moved")
+  }
 }
