@@ -391,4 +391,28 @@ class RestServerSpec extends SparkSpec with BeforeAndAfterAll {
     assert(post("/query", "{}").status == 400)
     assert(post("/tables", """{"name": "noschema"}""").status == 400)
   }
+
+  test("every metric the monitoring stack consumes is served by /metrics") {
+    // monitoring/grafana/dashboards/graft-dashboard.json panels and
+    // monitoring/lakehouse_alerts.yml rules must only reference series
+    // GET /metrics actually exposes — a dashboard over unserved series
+    // is a lie (the reference's dashboard does exactly that for roles
+    // Spark subsumes; ours is restricted to the live surface).
+    val served = get("/metrics").body
+    val metricRe = "lakehouse_[a-z_]+".r
+    Seq("monitoring/grafana/dashboards/graft-dashboard.json",
+        "monitoring/lakehouse_alerts.yml").foreach { f =>
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(f)), StandardCharsets.UTF_8)
+      val wanted = metricRe.findAllIn(text).toSet
+        // histogram child series: the scrape exposes _bucket/_sum/_count
+        .map((m: String) => m.stripSuffix("_bucket"))
+        // the rules FILE's own name, matched in header comments
+        .filterNot(_ == "lakehouse_alerts")
+      assert(wanted.nonEmpty, s"$f references no metrics — wrong file?")
+      val missing = wanted.filterNot(served.contains)
+      assert(missing.isEmpty,
+        s"$f references series /metrics does not serve: $missing")
+    }
+  }
 }
