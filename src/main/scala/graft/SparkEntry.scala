@@ -3074,6 +3074,23 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(20)
     }),
+    // The PRODUCTION BM25 path under the same exact oracle: the impact
+    // index and its (n_docs, avgdl) row are PERSISTED lake tables built
+    // once; the query reads bloom-pruned postings + the one stats row and
+    // never touches the corpus (plan pinned corpus-free in
+    // InvertedIndexSpec; Bench splits build from probe).
+    "q_search_bm25_indexed" -> ((s, d) => {
+      import graft.lake.LakeLog
+      import graft.operators.InvertedIndex
+      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftbm"))
+      InvertedIndex.buildBm25Index(s, log, "bm", t(s, d, "documents"),
+        numFiles = 8)
+      InvertedIndex.bm25SearchIndex(s, log, "bm",
+          Seq("spark", "window", "hash"))
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+    }),
 
     // Count-min sketch frequency estimation: the fixed-grid sketch whose
     // shuffle is ≤ depth×width cells REGARDLESS of vocabulary size (the
@@ -3462,6 +3479,18 @@ object SparkEntry {
        () => InvertedIndex.searchIndex(s, log, "idx",
            Seq("spark", "window", "hash"))
          .orderBy("doc_id"))
+    }),
+    "q_search_bm25_indexed" -> ((s, d) => {
+      import graft.lake.LakeLog
+      import graft.operators.InvertedIndex
+      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftbm"))
+      (() => InvertedIndex.buildBm25Index(s, log, "bm",
+         t(s, d, "documents"), numFiles = 8),
+       () => InvertedIndex.bm25SearchIndex(s, log, "bm",
+           Seq("spark", "window", "hash"))
+         .withColumn("score", round(col("score"), 6))
+         .orderBy(col("score").desc, col("doc_id").asc)
+         .limit(20))
     }),
     "q_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -6190,6 +6219,31 @@ object SparkEntry {
     "q_kcore" -> kCoreOracleSql(6, 6),
 
     "q_search_bm25" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+          x -> x <> '')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      st AS (SELECT count(*) AS n_docs,
+                    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      df_ AS (SELECT term, count(*) AS df FROM tf
+              WHERE term IN ('spark', 'window', 'hash') GROUP BY 1),
+      sc AS (SELECT t.doc_id,
+               ln(1.0 + (st.n_docs - df_.df + 0.5) / (df_.df + 0.5)) *
+                 (t.tf * (1.2 + 1)) /
+                 (t.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / st.avgdl)) AS s
+             FROM tf t
+             JOIN df_ ON df_.term = t.term
+             JOIN dl ON dl.doc_id = t.doc_id
+             CROSS JOIN st)
+      SELECT doc_id, round(sum(s), 6) AS score
+      FROM sc GROUP BY 1
+      ORDER BY score DESC, doc_id ASC LIMIT 20""",
+    // identical arithmetic: the persisted stats/postings hold the same
+    // values the in-plan branch computes, so one oracle serves both faces
+    "q_search_bm25_indexed" -> """
       WITH toks AS (
         SELECT doc_id, unnest(list_filter(string_split_regex(
           regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),

@@ -111,6 +111,38 @@ object InvertedIndex {
     * doc_id is the only exchange — the corpus itself never moves.
     * Returns (doc_id, score) unrounded/unordered; callers round before
     * ranking so ties break identically on every engine. */
+  /** Persist the BM25 impact index: [[postingsWithLen]] as a lake table
+    * hash-clustered by term with a term bloom, PLUS the one-row corpus
+    * stats table `<table>_stats` (n_docs, avgdl) written at build time.
+    * Query time then touches the CORPUS never and the stats table for
+    * one metadata-sized row — the production split [[bm25Stats]]'s
+    * scaladoc promises, pinned by InvertedIndexSpec (probe plan reads
+    * only index tables) and oracle-checked end-to-end by
+    * q_search_bm25_indexed. */
+  def buildBm25Index(spark: SparkSession, log: LakeLog, table: String,
+                     docs: DataFrame, numFiles: Int = 16,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): Unit = {
+    val p = postingsWithLen(docs, idCol, textCol)
+    LakeTable.createTable(log, table, p.schema, bloomFilterCols = Seq("term"))
+    LakeTable.insert(spark, log, table, p, numFiles = numFiles,
+      clusterBy = Seq("term"))
+    // stats computed from the postings just written (one aggregate at
+    // build time), persisted beside the index
+    val st = bm25Stats(LakeTable.read(spark, log, table))
+    LakeTable.createTable(log, s"${table}_stats", st.schema)
+    LakeTable.insert(spark, log, s"${table}_stats", st, numFiles = 1)
+  }
+
+  /** BM25 over a [[buildBm25Index]] table: candidates come through the
+    * bloom/stat-pruned lake read, (n_docs, avgdl) from the persisted
+    * stats row — zero corpus access at query time. */
+  def bm25SearchIndex(spark: SparkSession, log: LakeLog, table: String,
+                      terms: Seq[String], k1: Double = 1.2,
+                      b: Double = 0.75): DataFrame =
+    bm25Search(LakeTable.readIndexed(spark, log, table),
+      LakeTable.read(spark, log, s"${table}_stats"), terms, k1, b)
+
   def bm25Search(postings: DataFrame, stats: DataFrame, terms: Seq[String],
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "empty query")

@@ -97,4 +97,39 @@ class InvertedIndexSpec extends SparkSpec {
       Seq("term13")).collect().map(_.getLong(0)).toSet
     assert(q.collect().map(_.getLong(0)).toSet == brute)
   }
+
+  test("bm25 persisted path: same scores, corpus-free probe, pruned files") {
+    val log = new LakeLog(tmpDir("bm25idx"))
+    val corpusDir = tmpDir("bm25corpus").toString
+    (0L until 400L).map(i => (i, s"term${i % 97} term${(i * 7) % 97} common"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(corpusDir)
+    val corpus = spark.read.parquet(corpusDir)
+    InvertedIndex.buildBm25Index(spark, log, "bm", corpus, numFiles = 8)
+
+    val q = Seq("term13", "common")
+    val probe = InvertedIndex.bm25SearchIndex(spark, log, "bm", q)
+    // the no-corpus-scan claim, pinned on the PLAN: every input file of
+    // the probe belongs to the lake (index + stats), none to the corpus
+    val corpusBase = java.nio.file.Paths.get(corpusDir).getFileName.toString
+    val lakeBase = log.root.getFileName.toString
+    val files = probe.inputFiles
+    assert(files.nonEmpty && files.forall(f =>
+      f.contains(lakeBase) && !f.contains(corpusBase)),
+      s"probe plan reads outside the index: ${files.toSeq}")
+
+    // identical scores to the in-plan corpus-stats branch (exact doubles:
+    // persisted avgdl/dl/tf round-trip parquet losslessly)
+    val posts = InvertedIndex.postingsWithLen(corpus)
+    val raw = InvertedIndex.bm25Search(posts,
+        InvertedIndex.bm25Stats(posts), q)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = probe.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == raw)
+
+    // bloom/stat pruning fires for a selective term probe
+    val m = graft.Metrics.measure("bm-probe",
+      InvertedIndex.bm25SearchIndex(spark, log, "bm", Seq("term13")))
+    assert(m.filesPruned > 0,
+      s"expected pruned postings files, scanned=${m.filesScanned}")
+  }
 }
