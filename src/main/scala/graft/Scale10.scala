@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× headroom smoke for the most shuffle-intensive operators — the
+  * cheapest honest evidence for the 100 TB design claims short of a real
+  * cluster: inflate sf0.1 N× with a crossJoin-free generator (replicas
+  * are NOT near-duplicates: token rotation breaks shingles, embedding
+  * rotation decorrelates vectors — so dedup ops face realistic uniques,
+  * not a pathological all-dup corpus), run minhash-index probe /
+  * semantic dedup / pagerank / curriculum / heavy hitters, and assert
+  *
+  *  - completion with the default 8g driver heap;
+  *  - NO single-task funnel: for every stage moving real shuffle volume,
+  *    the largest task's shuffle read stays a bounded share of the
+  *    stage's total (a global-window funnel would put ~100% through one
+  *    task; balanced hash/range partitioning sits near 1/partitions).
+  *
+  * Run by hand (results committed as BENCH_SCALE10.json):
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  *     sbt -batch "runMain graft.Scale10"
+  * `SPARK_GRAFT_SCALE` overrides the 10× factor.
+  */
+object Scale10 {
+
+  /** Per-stage (shuffle-read bytes, tasks, max single-task bytes). */
+  private final class FunnelListener extends SparkListener {
+    val stages = new java.util.concurrent.ConcurrentHashMap[
+      Int, (Long, Long, Int)]()
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        val read = m.shuffleReadMetrics.totalBytesRead
+        stages.merge(e.stageId, (read, read, 1),
+          (a, b) => (a._1 + b._1, math.max(a._2, b._2), a._3 + b._3))
+      }
+    }
+    /** Worst max-task share over stages with ≥ minTasks tasks and ≥
+      * minBytes total shuffle read. */
+    def worstShare(minTasks: Int, minBytes: Long): (Double, Int) = {
+      var worst = 0.0; var worstStage = -1
+      stages.forEach { (sid: Int, v: (Long, Long, Int)) =>
+        val (total, maxTask, tasks) = v
+        if (tasks >= minTasks && total >= minBytes) {
+          val share = maxTask.toDouble / total
+          if (share > worst) { worst = share; worstStage = sid }
+        }
+      }
+      (worst, worstStage)
+    }
+    def reset(): Unit = stages.clear()
+  }
+
+  /** Crossjoin-free N× corpus: replica k shifts ids by k·10⁷ and ROTATES
+    * the token sequence by k·7 positions — same token multiset (heavy
+    * hitters see 10× counts), almost disjoint shingles (minhash sees
+    * mostly-unique docs plus the k=0 originals). */
+  def inflateDocs(docs: DataFrame, times: Int): DataFrame =
+    docs.withColumn("__k",
+        explode(sequence(lit(0), lit(times - 1))))
+      .withColumn("__toks", split(col("text"), "\\s+"))
+      .withColumn("__r",
+        pmod(col("__k") * 7, greatest(size(col("__toks")), lit(1))))
+      .select(
+        (col("doc_id") + col("__k").cast("long") * 10000000L).as("doc_id"),
+        array_join(concat(
+            slice(col("__toks"), col("__r") + 1,
+              size(col("__toks")) - col("__r")),
+            slice(col("__toks"), lit(1), col("__r"))), " ").as("text"),
+        col("source"), col("n_chars"))
+
+  /** N× embeddings: replica k rotates the vector k positions — unit norm
+    * preserved, directions decorrelated across replicas. */
+  def inflateEmbeddings(embs: DataFrame, times: Int): DataFrame =
+    embs.withColumn("__k",
+        explode(sequence(lit(0), lit(times - 1))))
+      .withColumn("__r", pmod(col("__k"), size(col("embedding"))))
+      .select(
+        (col("vec_id") + col("__k").cast("long") * 10000000L).as("vec_id"),
+        concat(
+          slice(col("embedding"), col("__r") + 1,
+            size(col("embedding")) - col("__r")),
+          slice(col("embedding"), lit(1), col("__r"))).as("embedding"))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val times = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = new FunnelListener
+    spark.sparkContext.addSparkListener(listener)
+
+    val docs0 = graft.sources.Tables.load(spark, sfDir, "documents")
+    val origN = docs0.count()
+    val docs = inflateDocs(docs0, times)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    val embs = inflateEmbeddings(
+      graft.sources.Tables.load(spark, sfDir, "embeddings"), times)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    val nDocs = docs.count()
+    val nEmbs = embs.count()
+
+    def timed(name: String)(body: => Long): (String, Double, Long, Double) = {
+      listener.reset()
+      val t0 = System.nanoTime()
+      val rows = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      // funnel gate: stages with ≥ 8 tasks moving ≥ 256 KiB must not put
+      // more than 60% of the stage's shuffle read through one task
+      val (share, stage) = listener.worstShare(8, 256L << 10)
+      require(share <= 0.6,
+        s"$name: single-task funnel — stage $stage max share $share")
+      (name, sec, rows, share)
+    }
+
+    val results = Seq(
+      timed("minhash_index_probe") {
+        val log = new graft.lake.LakeLog(
+          java.nio.file.Files.createTempDirectory("s10lsh"))
+        graft.operators.DedupIndex.buildIndex(spark, log, "lsh",
+          docs.filter(col("doc_id") % 10000000L % 3 =!= 0))
+        graft.operators.DedupIndex.probeIndex(spark, log, "lsh",
+          docs.filter(col("doc_id") % 10000000L % 3 === 0),
+          threshold = 0.5).count()
+      },
+      timed("semantic_dedup") {
+        graft.operators.Dedup.semanticDupPairs(embs, threshold = 0.3,
+          k = 0, kmeansIters = 2, nProbe = 2).count()
+      },
+      timed("pagerank") {
+        // syntheticLinks wants contiguous 0..n-1 ids: densify the
+        // replica-shifted ids (replica k, original i -> k*origN + i)
+        val dense = docs.select(
+          (expr("doc_id div 10000000") * origN +
+            col("doc_id") % 10000000L).as("doc_id"))
+        graft.operators.LinkGraph.pageRank(
+          graft.operators.LinkGraph.syntheticLinks(dense, k = 3),
+          iters = 5).count()
+      },
+      timed("curriculum") {
+        graft.operators.Curriculum.interleave(
+          docs.select("doc_id", "source", "n_chars"), "source",
+          Seq(col("n_chars").desc, col("doc_id").asc),
+          lit(1) + substring(col("source"), 4, 10).cast("long") % 4).count()
+      },
+      timed("heavy_hitters") {
+        graft.operators.HeavyHitters.exactHeavy(
+          docs.select(explode(split(col("text"), "\\s+")).as("item")),
+          denom = 40).count()
+      })
+
+    val rt = Runtime.getRuntime
+    System.gc()
+    val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val ops = results.map { case (n, sec, rows, share) =>
+      s""""$n":{"sec":${num(sec)},"rows":$rows,"max_task_share":${num(share)}}"""
+    }.mkString(",")
+    println(s"""{"metric":"scale10","sf":"$sfDir","times":$times,""" +
+      s""""n_docs":$nDocs,"n_embeddings":$nEmbs,"heap_mb":$heapMb,""" +
+      s""""funnel_gate":0.6,"ops":{$ops}}""")
+    spark.stop()
+  }
+}
