@@ -2918,7 +2918,7 @@ object SparkEntry {
       docsSpread(s, d)
         .select(col("doc_id"),
           cleanText(concat(col("text"),
-            lit("  café   fin "))).as("clean"))
+            lit("  café \u0007  fin "))).as("clean"))
         .withColumn("clean_len", length(col("clean")))
         .orderBy("doc_id")
     }),

@@ -38,8 +38,8 @@ class LakeFuzzSpec extends SparkSpec {
       LakeTable.read(spark, log, "t").collect()
         .map(r => r.getLong(0) -> r.getDouble(1)).toMap
 
-    (1 to 14).foreach { step =>
-      rnd.nextInt(6) match {
+    (1 to 16).foreach { step =>
+      rnd.nextInt(7) match {
         case 0 | 1 => // insert a fresh batch
           val n = 1 + rnd.nextInt(50)
           val rows = (0 until n).map { _ =>
@@ -51,6 +51,14 @@ class LakeFuzzSpec extends SparkSpec {
           val ids = model.keys.toSeq.sorted
           val cut = ids(rnd.nextInt(ids.size))
           LakeTable.deleteWhere(spark, log, "t", s"id > $cut")
+          model = model.filter(_._1 <= cut)
+        case 6 if model.nonEmpty => // merge-on-read delete (DV, no rewrite)
+          // interleaving DVs with the UPDATE/upsert/compact arms is the
+          // interaction class where the updateWhere empty-rewrite bug
+          // lived — a fully-DV-deleted file hit by a later rewrite arm
+          val ids = model.keys.toSeq.sorted
+          val cut = ids(rnd.nextInt(ids.size))
+          LakeTable.deleteWhereMor(spark, log, "t", s"id > $cut")
           model = model.filter(_._1 <= cut)
         case 3 if model.nonEmpty => // upsert: mutate some ids + add one new
           val picks = model.keys.take(1 + rnd.nextInt(3)).toSeq

@@ -8,7 +8,7 @@ class ZOrderSpec extends SparkSpec {
 
   test("string rank is monotonic in unsigned byte order of the prefix") {
     // first bytes 0x01, 0x41 ('A'), 0x7A ('z'), 0xC3 ('é' in UTF-8): with a
-    // rank that drops the top 2 prefix bits (ADVICE r01), "x" and "Ax"
+    // rank that drops the top 2 prefix bits (ADVICE r01), "\u0001x" and "Ax"
     // alias — they differ only in bit 6 of the first byte
     val strs = Seq("\u0001x", "Ax", "zx", "éx")
     val docs = strs.toDF("s")
