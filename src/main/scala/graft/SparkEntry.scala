@@ -1800,6 +1800,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("split", "source")),
 
+    // LEAKAGE-FREE split: duplicate clusters (exact-dup graph → connected
+    // components) land whole on one side of the train/val/test boundary —
+    // every member splits by its component representative, so a near-dup
+    // of a training doc can never sit in eval (the Lee et al. 2022
+    // train-test contamination). Dup cliques give CC a closed-form
+    // oracle: rep = min(doc_id) per fingerprint group.
+    "q_split_leakfree" -> ((s, d) => {
+      val docs = docsSpread(s, d)
+      val fp = docs.select(col("doc_id"), fingerprint(col("text")).as("f"))
+      val pairs = fp.select(col("doc_id").as("a_id"), col("f"))
+        .join(fp.select(col("doc_id").as("b_id"), col("f")), Seq("f"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id")
+      operators.Sharding.assignSplitsLeakFree(docs, pairs)
+        .select("doc_id", "rep", "split")
+        .orderBy("doc_id")
+    }),
+
     // ---- SQL surface (un-mocked /query endpoint) -------------------------
     // The reference mocks this endpoint (rest_api.go:709-734); here the same
     // golden-test SQL text runs for real through spark.sql AND through DuckDB
@@ -2965,6 +2983,19 @@ object SparkEntry {
           k = 4, kmeansIters = 2, nProbe = 2)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("a_id", "b_id")),
+    // Hard-negative mining for contrastive training: per anchor, the k
+    // closest corpus vectors with a DIFFERENT label (the most confusable
+    // wrong answers). Label filter runs before the bounded top-k
+    // aggregate, so the exchange stays anchors × k whatever the corpus.
+    "q_mine_negatives" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      Similarity.hardNegatives(emb, q, k = 5)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("query_id", "rank")
+    }),
     "q_ann_brute" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
@@ -5691,6 +5722,41 @@ object SparkEntry {
                  FROM fp GROUP BY f)
       SELECT fp.doc_id AS id, g.m AS component
       FROM fp JOIN g USING (f) WHERE g.c > 1 ORDER BY id""",
+    // hard negatives: brute cosine with the label-mismatch filter, same
+    // arithmetic as q_ann_brute
+    "q_mine_negatives" -> """
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qvec,
+                        label AS qlabel
+                 FROM embeddings WHERE vec_id < 10),
+      scored AS (
+        SELECT q.query_id, e.vec_id, e.label,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.qvec AS DOUBLE[])) AS cos
+        FROM embeddings e CROSS JOIN q WHERE e.label <> q.qlabel),
+      ranked AS (
+        SELECT query_id, vec_id, label, cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, vec_id) AS rank
+        FROM scored)
+      SELECT query_id, vec_id, label, round(cos, 6) AS cos, rank
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    // leak-free split: closed-form CC rep (min doc_id per dup-fingerprint
+    // group; singletons are their own rep) + the q_split bucket formula
+    // keyed on the rep
+    "q_split_leakfree" -> """
+      WITH fp AS (SELECT doc_id,
+                    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                      AS f
+                  FROM documents),
+           g AS (SELECT f, min(doc_id) AS m FROM fp GROUP BY f),
+           r AS (SELECT fp.doc_id, g.m AS rep FROM fp JOIN g USING (f))
+      SELECT doc_id, rep,
+             CASE WHEN ((rep % 1000000007) * 2654435761) % 1000000007
+                       % 10000 < 9000 THEN 'train'
+                  WHEN ((rep % 1000000007) * 2654435761) % 1000000007
+                       % 10000 < 9500 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM r ORDER BY doc_id""",
     "q_ann_brute" -> """
       WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
                  FROM embeddings WHERE vec_id < 10),

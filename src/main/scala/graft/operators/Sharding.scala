@@ -64,19 +64,54 @@ object Sharding {
   def assignSplits(docs: DataFrame,
                    splits: Seq[(String, Double)] = Seq(
                      "train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
-                   idCol: String = "doc_id"): DataFrame = {
+                   idCol: String = "doc_id"): DataFrame =
+    docs.withColumn("split", splitColumn(col(idCol), splits))
+
+  /** The split assignment as a pure Column over an arbitrary integer
+    * key — shared by [[assignSplits]] (key = the id) and
+    * [[assignSplitsLeakFree]] (key = the duplicate-cluster
+    * representative). */
+  private def splitColumn(key: Column,
+                          splits: Seq[(String, Double)]): Column = {
     require(splits.nonEmpty && splits.forall(_._2 > 0))
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       "split fractions must sum to 1")
     val bounds = splits.scanLeft(0L) { case (acc, (_, f)) =>
       acc + math.round(f * 10000)
     }.tail
-    val bucket = pmod(mixed(col(idCol)), lit(10000L))
-    val splitCol = splits.init.zip(bounds.init)
+    val bucket = pmod(mixed(key), lit(10000L))
+    splits.init.zip(bounds.init)
       .foldRight(lit(splits.last._1)) { case (((name, _), b), other) =>
         when(bucket < b, name).otherwise(other)
       }
-    docs.withColumn("split", splitCol)
+  }
+
+  /** LEAKAGE-FREE split: near-duplicate clusters land whole on one side.
+    * A near-dup of a training document inside val/test IS train-test
+    * contamination (the leakage Lee et al. 2022, arXiv:2107.06499,
+    * measure); a per-id hash split scatters every dup cluster across the
+    * boundary. Here `pairs` — ANY dedup family's (a_id, b_id) output —
+    * closes into connected components and every member splits by its
+    * component REPRESENTATIVE (min reachable id; singletons by their own
+    * id), making split membership constant on each cluster by
+    * construction.
+    *
+    * Scale shape: CC is the bounded label-prop/driver-solve hybrid
+    * ([[Dedup.connectedComponents]]); the rest is one left join of the
+    * corpus against the (tiny, dup-graph-sized) component table and a
+    * per-row projection. Returns the corpus plus `rep` and `split`.
+    */
+  def assignSplitsLeakFree(docs: DataFrame, pairs: DataFrame,
+                           splits: Seq[(String, Double)] = Seq(
+                             "train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+                           idCol: String = "doc_id"): DataFrame = {
+    val comps = Dedup.connectedComponents(pairs)
+      .select(col("id").as(idCol), col("component"))
+    docs.join(comps, Seq(idCol), "left")
+      .withColumn("rep",
+        coalesce(col("component"), col(idCol).cast("long")))
+      .drop("component")
+      .withColumn("split", splitColumn(col("rep"), splits))
   }
 
   /** Per-shard balance/volume stats — the manifest's content as a

@@ -49,6 +49,45 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor, the
+    * k CLOSEST corpus vectors with a DIFFERENT label — the standard
+    * "hard negatives" construction for embedding-model batches (the most
+    * confusable wrong answers teach the sharpest margins). Same scale
+    * shape as [[bruteForceTopK]]: anchors broadcast, the label-mismatch
+    * filter rides the scored stream BEFORE the bounded top-k aggregate,
+    * so the exchange carries ≤ anchors × k rows however large the
+    * corpus; at index scale the scorer swaps for the IVF probe exactly
+    * as in [[ivfTopKIndexed]]. Returns (query_id, vec_id, label, cos,
+    * rank).
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
+                    corpusId: String = "vec_id",
+                    corpusVec: String = "embedding",
+                    corpusLabel: String = "label",
+                    queryId: String = "query_id",
+                    queryVec: String = "qvec",
+                    queryLabel: String = "qlabel"): DataFrame = {
+    VectorExpressions.register(corpus.sparkSession)
+    val c = spread(corpus.select(col(corpusId).as("vec_id"),
+        col(corpusVec).as("__v"), col(corpusLabel).as("label")))
+      .select(col("vec_id"), normalize(col("__v")).as("cv"), col("label"))
+    val q = anchors.select(col(queryId).as("query_id"),
+      normalize(col(queryVec)).as("qv"), col(queryLabel).as("qlabel"))
+    val scored = c.join(broadcast(q))
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        VectorExpressions.dotNative(col("cv"), col("qv")).as("cos"))
+    TopKAggregate.register(scored.sparkSession)
+    scored
+      .groupBy("query_id")
+      .agg(TopKAggregate.topK(
+        struct(col("cos"), col("vec_id"), col("label")), lit(k)).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.vec_id").as("vec_id"),
+        col("col.label").as("label"), col("col.cos").as("cos"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** LSH: match on SRP bucket, multi-probe by flipping each single bit. */
   def srpTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 8,
               corpusId: String = "vec_id", corpusVec: String = "embedding",

@@ -77,4 +77,36 @@ class ShardingSpec extends SparkSpec {
     assert(manifest.map(_._3).sum ==
       Sharding.shardStats(docs, 8).agg(sum("n_tokens")).head().getLong(0))
   }
+
+  test("leak-free split: clusters whole on one side, chains included") {
+    // dup graph with a TRANSITIVE chain across two "fingerprint" pairs:
+    // 1-2, 2-3 => {1,2,3} one component; 10-11 another; 20 singleton
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val got = Sharding.assignSplitsLeakFree(docs, pairs,
+        splits = Seq("train" -> 0.5, "val" -> 0.5))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("rep"), r.getAs[String]("split")))).toMap
+    // every cluster member shares the representative AND the split
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+    assert(got(1L)._1 == 1L)
+    assert(got(10L) == got(11L) && got(10L)._1 == 10L)
+    // singleton reps are their own id -> identical to the plain split
+    val plain = Sharding.assignSplits(docs.filter(col("doc_id") === 20L),
+        splits = Seq("train" -> 0.5, "val" -> 0.5))
+      .head().getAs[String]("split")
+    assert(got(20L) == ((20L, plain)))
+    // property: no pair ever straddles the boundary, whatever the seed
+    val rnd = new scala.util.Random(11)
+    val ids = (0L until 200L)
+    val rpairs = (0 until 120).map(_ =>
+      (ids(rnd.nextInt(200)), ids(rnd.nextInt(200))))
+      .filter(p => p._1 != p._2).toDF("a_id", "b_id")
+    val big = Sharding.assignSplitsLeakFree(ids.toDF("doc_id"), rpairs)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    rpairs.collect().foreach { r =>
+      assert(big(r.getLong(0)) == big(r.getLong(1)),
+        s"pair ${r.getLong(0)}-${r.getLong(1)} straddles the split")
+    }
+  }
 }

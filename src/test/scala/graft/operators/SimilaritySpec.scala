@@ -91,4 +91,31 @@ class SimilaritySpec extends SparkSpec {
     assert(rMany >= rFew)
     assert(rMany == 1.0) // probing every list = exact
   }
+
+  test("hardNegatives: never the anchor's label, matches naive recompute") {
+    val rnd = new scala.util.Random(5)
+    val corpus = (0L until 120L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val anchors = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    val got = Similarity.hardNegatives(corpus, anchors, k = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getInt(4)))
+    assert(got.length == 4 * 7)
+    // no negative shares its anchor's label
+    got.foreach { case (qid, _, lbl, _, _) =>
+      assert(lbl != (qid % 3).toInt, s"anchor $qid mined its own label") }
+    // equals the brute top-k over the label-filtered corpus per anchor
+    (0L until 4L).foreach { qid =>
+      val one = corpus.filter(col("vec_id") === qid)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val naive = Similarity.bruteForceTopK(
+          corpus.filter(col("label") =!= (qid % 3).toInt), one, k = 7)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+      val mine = got.filter(_._1 == qid).map(t => (t._2, t._4)).toSet
+      assert(mine == naive, s"anchor $qid differs from naive")
+    }
+  }
 }
