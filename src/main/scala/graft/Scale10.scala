@@ -37,18 +37,21 @@ object Scale10 {
           (a, b) => (a._1 + b._1, math.max(a._2, b._2), a._3 + b._3))
       }
     }
-    /** Worst max-task share over stages with ≥ minTasks tasks and ≥
-      * minBytes total shuffle read. */
-    def worstShare(minTasks: Int, minBytes: Long): (Double, Int) = {
-      var worst = 0.0; var worstStage = -1
+    /** (worst max-task share, its stage id, #qualifying stages) over
+      * stages with ≥ minTasks tasks and ≥ minBytes total shuffle read —
+      * the count makes a 0.0 reading interpretable (no qualifying stage
+      * vs genuinely balanced). */
+    def worstShare(minTasks: Int, minBytes: Long): (Double, Int, Int) = {
+      var worst = 0.0; var worstStage = -1; var n = 0
       stages.forEach { (sid: Int, v: (Long, Long, Int)) =>
         val (total, maxTask, tasks) = v
         if (tasks >= minTasks && total >= minBytes) {
+          n += 1
           val share = maxTask.toDouble / total
           if (share > worst) { worst = share; worstStage = sid }
         }
       }
-      (worst, worstStage)
+      (worst, worstStage, n)
     }
     def reset(): Unit = stages.clear()
   }
@@ -109,17 +112,20 @@ object Scale10 {
     val nDocs = docs.count()
     val nEmbs = embs.count()
 
-    def timed(name: String)(body: => Long): (String, Double, Long, Double) = {
+    def timed(name: String)(body: => Long)
+        : (String, Double, Long, Double, Int) = {
       listener.reset()
       val t0 = System.nanoTime()
       val rows = body
       val sec = (System.nanoTime() - t0) / 1e9
-      // funnel gate: stages with ≥ 8 tasks moving ≥ 256 KiB must not put
-      // more than 60% of the stage's shuffle read through one task
-      val (share, stage) = listener.worstShare(8, 256L << 10)
+      // funnel gate: stages with ≥ 8 tasks fetching ≥ 64 KiB (compressed)
+      // must not put more than 60% of the stage's shuffle read through
+      // one task — fixed-width long-pair exchanges compress hard, so the
+      // floor sits low enough that the iterative ops' stages qualify
+      val (share, stage, n) = listener.worstShare(8, 64L << 10)
       require(share <= 0.6,
         s"$name: single-task funnel — stage $stage max share $share")
-      (name, sec, rows, share)
+      (name, sec, rows, share, n)
     }
 
     val results = Seq(
@@ -163,8 +169,9 @@ object Scale10 {
     val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val ops = results.map { case (n, sec, rows, share) =>
-      s""""$n":{"sec":${num(sec)},"rows":$rows,"max_task_share":${num(share)}}"""
+    val ops = results.map { case (n, sec, rows, share, nq) =>
+      s""""$n":{"sec":${num(sec)},"rows":$rows,""" +
+        s""""max_task_share":${num(share)},"gated_stages":$nq}"""
     }.mkString(",")
     println(s"""{"metric":"scale10","sf":"$sfDir","times":$times,""" +
       s""""n_docs":$nDocs,"n_embeddings":$nEmbs,"heap_mb":$heapMb,""" +

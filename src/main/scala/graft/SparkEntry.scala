@@ -1729,10 +1729,16 @@ object SparkEntry {
     // integer-scaled at training time so per-doc sums are order-independent
     // and the oracle is exact.
     "q_lm_score" -> ((s, d) => {
+      // avg log-prob in FLOOR-MICRO units: the per-bigram terms are exact
+      // integers, and floor(ssum/n) is the same integer on every engine —
+      // round(double, 6) was one-ulp-fragile (decimal-tie disagreement
+      // surfaced at sf0.1)
       val docs = t(s, d, "documents")
       val lm = operators.LangModel.trainBigram(docs, k = 1.0)
       operators.LangModel.score(docs, lm)
-        .withColumn("avg_logp", round(col("avg_logp"), 6))
+        .select(col("doc_id"), col("n_bigrams"),
+          floor(col("ssum_micro").cast("double") / col("n_bigrams"))
+            .cast("long").as("avg_logp_u"))
         .orderBy("doc_id")
     }),
     // Declarative data-quality validation (the Deequ shape): six checks
@@ -1770,15 +1776,19 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, d, "documents")
       val lm = operators.LangModel.trainBigram(docs, k = 1.0)
+      // floor-micro average (exact integer on every engine) keys the
+      // tercile order — same hardening as q_lm_score
       val scored = operators.LangModel.score(docs, lm)
-        .withColumn("avg_logp", round(col("avg_logp"), 6))
+        .withColumn("avg_logp_u",
+          floor(col("ssum_micro").cast("double") / col("n_bigrams"))
+            .cast("long"))
         .join(docs.select("doc_id", "lang"), "doc_id")
       val w = Window.partitionBy("lang")
-        .orderBy(col("avg_logp").desc, col("doc_id").asc)
+        .orderBy(col("avg_logp_u").desc, col("doc_id").asc)
       scored.withColumn("bucket", ntile(3).over(w))
         .groupBy("lang", "bucket")
         .agg(count(lit(1)).as("n_docs"),
-          max("avg_logp").as("best"), min("avg_logp").as("worst"))
+          max("avg_logp_u").as("best"), min("avg_logp_u").as("worst"))
         .orderBy("lang", "bucket")
     }),
 
@@ -4902,7 +4912,8 @@ object SparkEntry {
         LEFT JOIN uni u ON s.w1 = u.w1
         CROSS JOIN ctx)
       SELECT doc_id, count(*) AS n_bigrams,
-             round(CAST(sum(slp) AS DOUBLE) / 1e6 / count(*), 6) AS avg_logp
+             CAST(floor(CAST(sum(slp) AS DOUBLE) / count(*)) AS BIGINT)
+               AS avg_logp_u
       FROM scored GROUP BY doc_id ORDER BY doc_id""",
 
     "q_validate" -> """
@@ -4993,20 +5004,20 @@ object SparkEntry {
       ctx AS (SELECT CAST(round(ln(1.0 / v) * 1e6) AS BIGINT) AS lp0 FROM vv),
       perdoc AS (
         SELECT s.doc_id,
-               round(CAST(sum(coalesce(p.lp, u.lp_unseen, ctx.lp0))
-                 AS DOUBLE) / 1e6 / count(*), 6) AS avg_logp
+               CAST(floor(CAST(sum(coalesce(p.lp, u.lp_unseen, ctx.lp0))
+                 AS DOUBLE) / count(*)) AS BIGINT) AS avg_logp_u
         FROM sp s
         LEFT JOIN pairs p ON s.w1 = p.w1 AND s.w2 = p.w2
         LEFT JOIN uni u ON s.w1 = u.w1
         CROSS JOIN ctx
         GROUP BY s.doc_id),
       bk AS (
-        SELECT d.lang, pd.doc_id, pd.avg_logp,
+        SELECT d.lang, pd.doc_id, pd.avg_logp_u,
                ntile(3) OVER (PARTITION BY d.lang
-                 ORDER BY pd.avg_logp DESC, pd.doc_id ASC) AS bucket
+                 ORDER BY pd.avg_logp_u DESC, pd.doc_id ASC) AS bucket
         FROM perdoc pd JOIN documents d USING (doc_id))
       SELECT lang, bucket, count(*) AS n_docs,
-             max(avg_logp) AS best, min(avg_logp) AS worst
+             max(avg_logp_u) AS best, min(avg_logp_u) AS worst
       FROM bk GROUP BY lang, bucket ORDER BY lang, bucket""",
     // Shard stats re-derived: identical modular multiplicative mix
     // ((id mod p)·2654435761 mod p, p = 1e9+7 — overflow-free in BIGINT),

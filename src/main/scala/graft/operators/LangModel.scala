@@ -92,7 +92,13 @@ object LangModel {
       .agg(count(lit(1)).as("n_bigrams"), sum("slp").as("ssum"))
       .select(col("id").as(idCol), col("n_bigrams"),
         (col("ssum").cast("double") / 1e6 / col("n_bigrams"))
-          .as("avg_logp"))
+          .as("avg_logp"),
+        // the EXACT integer the average derives from — consumers that
+        // need engine-portable values (oracle faces, deterministic
+        // bucketing) should derive them from this rather than rounding
+        // the double (decimal round-half ties broke at sf0.1: two
+        // engines' round(x, 6) can disagree by one ulp of the 6th place)
+        col("ssum").as("ssum_micro"))
   }
 
   /** Gate: docs whose mean log-prob lies within [minAvgLogp, maxAvgLogp]
