@@ -94,6 +94,11 @@ object Scale10 {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // keep every exchange at `cpus` tasks: AQE would coalesce these
+      // (deliberately small) smoke shuffles to 1-4 tasks, excluding them
+      // from the ≥8-task funnel gate and making its 0.0 reading vacuous —
+      // with fixed fan-out the max-task share is meaningful evidence
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -46,7 +46,12 @@ object Entropy {
       .agg(max("n").as("n_chars"),
         count(lit(1)).as("distinct_chars"),
         (-(sum("term").cast("double") / 1e6) / max("n"))
-          .as("entropy_nats"))
+          .as("entropy_nats"),
+        // exact micro-nats integer (floor of the integer-term ratio) —
+        // the engine-portable face; rounding the double ratio is
+        // one-ulp fragile on decimal ties (see CLAUDE.md / avg_logp_u)
+        floor(-sum("term").cast("double") / max("n")).cast("long")
+          .as("entropy_micro"))
       .withColumnRenamed("id", idCol)
   }
 }
