@@ -1184,8 +1184,10 @@ object SparkEntry {
     // (integer-scaled log-prob terms make the float-free reduction replay
     // bit-for-bit; see Entropy.scala's determinism contract)
     "q_entropy" -> ((s, d) =>
+      // exact integer micro-nats output (same decimal-tie hardening as
+      // q_lm_score's avg_logp_u)
       graft.operators.Entropy.charEntropy(t(s, d, "documents"))
-        .withColumn("entropy_nats", round(col("entropy_nats"), 6))
+        .select("doc_id", "n_chars", "distinct_chars", "entropy_micro")
         .orderBy("doc_id")),
 
     // Budgeted selection: best documents by quality until a token budget.
@@ -1925,6 +1927,53 @@ object SparkEntry {
         .select(col("hour"), col("event_type"), col("n"),
           round(col("total_value"), 4).as("total_value"))
         .orderBy("hour", "event_type")
+    }),
+
+    // Streaming distinct-cardinality: the HLL register file maintained as
+    // a running update-mode aggregate, upserted per micro-batch into an
+    // exactly-once lake table keyed by register index. Register max-merge
+    // is ORDER-INVARIANT, so the stream's final state equals the batch
+    // register file bit-for-bit regardless of micro-batch boundaries —
+    // which is exactly what makes a streaming sketch exactly-oracle-
+    // checkable (DuckDB replays the batch build). At crawl scale this is
+    // the shape of "distinct urls seen so far, per day": state ≤ m rows,
+    // each micro-batch's exchange ≤ m rows, history never re-read.
+    "q_stream_hll" -> ((s, d) => withShufflePartitions(s, 4) {
+      import graft.lake.{LakeLog, LakeTable}
+      import graft.streaming.Streams
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val tmp = java.nio.file.Files.createTempDirectory("graftshll")
+      val srcDir = tmp.resolve("src").toString
+      docs.repartition(6, col("doc_id")).write.parquet(srcDir)
+      val log = new LakeLog(tmp.resolve("lake"))
+      val sinkDf = s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("idx",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("rho",
+            org.apache.spark.sql.types.IntegerType))))
+      LakeTable.createTable(log, "hll_regs", sinkDf.schema)
+      val regStream = graft.operators.Hll.registers(
+          s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "2").parquet(srcDir)
+            .select(explode(tokens(normalizeText(col("text")))).as("term")),
+          "term", b = 6)
+        .withColumn("k", col("idx").cast("string"))
+        .select("k", "idx", "rho")
+      val q = Streams.sinkAggToLake(regStream, log, "hll_regs", "k",
+        tmp.resolve("ckpt").toString)
+      q.processAllAvailable(); q.stop()
+      val exact = docs
+        .select(explode(tokens(normalizeText(col("text")))).as("term"))
+        .agg(countDistinct("term").as("exact_distinct"))
+      graft.operators.Hll.estimate(
+          LakeTable.read(s, log, "hll_regs").select("idx", "rho"), b = 6)
+        .crossJoin(exact)
+        .select(col("exact_distinct"), col("s_scaled"), col("zero_regs"),
+          col("est"))
     }),
 
     // flatMapGroupsWithState under the exact oracle: gap sessionization is
@@ -2809,6 +2858,27 @@ object SparkEntry {
           round(sum("l_extendedprice"), 2).as("sum_price"))
     }),
 
+    "q_lake_hilbert" -> ((s, d) => {
+      // Hilbert-clustered insert: the same write path as z-order but the
+      // curve value is the native codegen'd HilbertIndex2D — no diagonal
+      // jumps, so per-file bounding boxes are tighter and a 2-D box query
+      // reads fewer files (HilbertSpec pins hilbert <= morton across a
+      // box sweep; here the RESULT is hash-checked against plain SQL)
+      import graft.lake.{LakeLog, LakeTable}
+      val log = new LakeLog(java.nio.file.Files.createTempDirectory("grafthb"))
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+      LakeTable.createTable(log, "li", li.schema)
+      LakeTable.insert(s, log, "li", li, numFiles = 16,
+        zOrderBy = Seq("l_orderkey", "l_partkey"), curve = "hilbert")
+      LakeTable.readIndexed(s, log, "li")
+        .filter(col("l_orderkey").between(100, 600) &&
+          col("l_partkey").between(50, 400))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+    }),
+
     "q_lake_partitioned" -> ((s, d) => {
       // hive-style partitioned table: partition values live in the log only
       // (flat data files), a partition-predicate DELETE touches no data
@@ -3022,6 +3092,21 @@ object SparkEntry {
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("query_id", "rank")
     }),
+    // Retrieval-quality evaluation: recall@5 of the SRP-LSH index against
+    // brute-force ground truth, per query — the in-engine metric a
+    // pipeline watches after swapping exact search for an index. Both
+    // inputs are already-reduced top-k sets, so every join here is
+    // queries×k-sized; outputs are pure integers (hit counts, ranks,
+    // floor percentages) — no float crosses the engine boundary.
+    "q_ann_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      graft.operators.RankMetrics.topKOverlap(
+          Similarity.bruteForceTopK(emb, q, k = 5),
+          Similarity.srpTopK(emb, q, k = 5), k = 5)
+        .orderBy("query_id")
+    }),
     // MMR diversified retrieval under the EXACT oracle: DuckDB regenerates
     // the top-10 candidate sets, the pairwise candidate cosines, and
     // replays the greedy λ=0.5 selection unrolled three stages deep —
@@ -3156,6 +3241,28 @@ object SparkEntry {
           coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"),
           col("est_cnt"))
         .orderBy("term")
+    }),
+
+    // HyperLogLog distinct-cardinality sketch, per language: the exchange
+    // carries ≤ m=64 (idx, rho) registers per group REGARDLESS of
+    // vocabulary (map-side partial max), vs the vocabulary-sized shuffle
+    // of exact countDistinct shown alongside for calibration. Portable
+    // 60-bit md5 key → DuckDB rebuilds the identical register file; the
+    // harmonic sum crosses the engine boundary as an EXACT integer
+    // (s_scaled = Σ 2^(55−ρ_j) ≤ 2^61), and both engines take the same
+    // small-range branch on the same integer inputs.
+    "q_hll" -> ((s, d) => {
+      val occ = t(s, d, "documents").repartition(16)
+        .select(col("lang"),
+          explode(tokens(normalizeText(col("text")))).as("term"))
+      val exact = occ.groupBy("lang")
+        .agg(countDistinct("term").as("exact_distinct"))
+      graft.operators.Hll.distinctEstimate(occ, "term", b = 6,
+          groupCols = Seq("lang"))
+        .join(exact, Seq("lang"))
+        .select(col("lang"), col("exact_distinct"), col("s_scaled"),
+          col("zero_regs"), col("est"))
+        .orderBy("lang")
     }),
 
     // Edit-distance fuzzy matching on short linkage keys (40-char
@@ -4354,8 +4461,8 @@ object SparkEntry {
         FROM wn)
       SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
              CAST(count(*) AS BIGINT) AS distinct_chars,
-             round(-(CAST(sum(term) AS DOUBLE) / 1000000.0) / max(n), 6)
-               AS entropy_nats
+             CAST(floor(-CAST(sum(term) AS DOUBLE) / max(n)) AS BIGINT)
+               AS entropy_micro
       FROM t GROUP BY doc_id ORDER BY doc_id""",
     "q_token_budget" -> """
       WITH norm AS (
@@ -5382,6 +5489,12 @@ object SparkEntry {
       SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty,
              round(sum(l_extendedprice), 2) AS sum_price
       FROM lineitem WHERE l_orderkey < 100 AND l_partkey < 200""",
+    "q_lake_hilbert" -> """
+      SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem
+      WHERE l_orderkey BETWEEN 100 AND 600
+        AND l_partkey BETWEEN 50 AND 400""",
     "q_lake_bloom" -> """
       SELECT o_orderkey, o_custkey, o_orderstatus,
              round(o_totalprice, 2) AS price
@@ -5820,6 +5933,65 @@ object SparkEntry {
         FROM scored)
       SELECT query_id, vec_id, round(cos, 6) AS cos, rank
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    // q_ann_recall: replay BOTH retrieval sides (the q_ann_brute scan and
+    // the q_ann_srp frozen-hyperplane index, verbatim CTE shapes), then
+    // set-compare ids per query — every output is an integer, so nothing
+    // float-sensitive crosses the engine boundary.
+    "q_ann_recall" -> s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                 FROM embeddings WHERE vec_id < 10),
+      bscored AS (
+        SELECT q.query_id, e.vec_id,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.qvec AS DOUBLE[])) AS cos
+        FROM embeddings e CROSS JOIN q),
+      brute AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, vec_id) AS rank
+        FROM bscored QUALIFY rank <= 5),
+      planes(i, p) AS (VALUES $srpPlaneLiterals),
+      ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+      b AS (
+        SELECT ev.vec_id,
+               CAST(sum(CASE WHEN list_dot_product(ev.v, pl.p) >= 0
+                             THEN (1::BIGINT << pl.i) ELSE 0 END) AS BIGINT)
+                 AS bucket
+        FROM ev CROSS JOIN planes pl GROUP BY ev.vec_id),
+      qb AS (SELECT vec_id AS query_id, bucket AS qbucket
+             FROM b WHERE vec_id < 10),
+      probes AS (
+        SELECT query_id,
+               CASE WHEN g < 0 THEN qbucket
+                    ELSE xor(qbucket, (1::BIGINT << g)) END AS bucket
+        FROM qb, UNNEST(range(-1, 8)) t(g)),
+      cand AS (SELECT DISTINCT p.query_id, c.vec_id
+               FROM probes p JOIN b c USING (bucket)),
+      ascored AS (
+        SELECT cand.query_id, cand.vec_id,
+               list_cosine_similarity(CAST(ce.embedding AS DOUBLE[]),
+                                      CAST(qe.embedding AS DOUBLE[])) AS cos
+        FROM cand JOIN embeddings ce ON ce.vec_id = cand.vec_id
+                  JOIN embeddings qe ON qe.vec_id = cand.query_id),
+      approx AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, vec_id) AS rank
+        FROM ascored QUALIFY rank <= 5),
+      hit AS (
+        SELECT a.query_id, count(*) AS hits,
+               min(a.rank) AS first_hit_rank
+        FROM approx a JOIN brute USING (query_id, vec_id)
+        GROUP BY 1)
+      SELECT q.query_id,
+             CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+             CAST(coalesce(h.hits, 0) * 100 // 5 AS BIGINT) AS recall_pct,
+             CAST(coalesce(h.first_hit_rank, -1) AS BIGINT)
+               AS first_hit_rank
+      FROM q LEFT JOIN hit h ON h.query_id = q.query_id
+      ORDER BY q.query_id""",
+
     // q_multimodal_audio: rebuild the 16-bit LE PCM samples from the UTF-8
     // text bytes (the synthetic WAV's data chunk) via hex-pair extraction,
     // and recompute the exact integer invariants the Spark decoder reports
@@ -6382,6 +6554,83 @@ object SparkEntry {
              e.est_cnt
       FROM est e LEFT JOIN ex ON ex.term = e.term
       ORDER BY e.term""",
+
+    // q_hll: rebuild the identical 64-register file from the 60-bit md5
+    // key (idx = key mod 64, w = key div 64, rho = 55 - len(bin(w)));
+    // integer harmonic sum, same IEEE estimate + small-range branch.
+    "q_hll" -> """
+      WITH toks AS (
+        SELECT lang, unnest(list_filter(string_split_regex(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+          x -> x <> '')) AS term
+        FROM documents),
+      d AS (SELECT DISTINCT lang, term FROM toks),
+      k AS (SELECT lang,
+          CAST(('0x' || substring(md5(term), 1, 15)) AS BIGINT) AS key
+        FROM d),
+      r AS (SELECT lang, key % 64 AS idx,
+                   max(CASE WHEN key // 64 = 0 THEN 55
+                            ELSE 55 - length(bin(key // 64)) END) AS rho
+            FROM k GROUP BY 1, 2),
+      g AS (SELECT lang,
+                   CAST(sum(1::BIGINT << (55 - rho)) AS BIGINT)
+                     AS s_present,
+                   count(*) AS n_present
+            FROM r GROUP BY 1),
+      e AS (SELECT lang,
+                   CAST(s_present + (64 - n_present) * (1::BIGINT << 55)
+                     AS BIGINT) AS s_scaled,
+                   CAST(64 - n_present AS BIGINT) AS zero_regs
+            FROM g),
+      est AS (SELECT lang, s_scaled, zero_regs,
+          round(CASE WHEN 0.709 * 64.0 * 64.0 * power(2.0, 55.0)
+                          / CAST(s_scaled AS DOUBLE) <= 160.0
+                      AND zero_regs > 0
+                     THEN 64.0 * ln(64.0 / CAST(zero_regs AS DOUBLE))
+                     ELSE 0.709 * 64.0 * 64.0 * power(2.0, 55.0)
+                          / CAST(s_scaled AS DOUBLE) END, 6) AS est
+        FROM e),
+      ex AS (SELECT lang, count(DISTINCT term) AS exact_distinct
+             FROM toks GROUP BY 1)
+      SELECT est.lang, CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+             est.s_scaled, est.zero_regs, est.est
+      FROM est JOIN ex ON ex.lang = est.lang
+      ORDER BY est.lang""",
+
+    // q_stream_hll: register max-merge is order-invariant, so the
+    // streaming upsert state == the batch register file — replay the
+    // batch build (global, no groups).
+    "q_stream_hll" -> """
+      WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+          x -> x <> '')) AS term
+        FROM documents),
+      d AS (SELECT DISTINCT term FROM toks),
+      k AS (SELECT CAST(('0x' || substring(md5(term), 1, 15)) AS BIGINT)
+              AS key FROM d),
+      r AS (SELECT key % 64 AS idx,
+                   max(CASE WHEN key // 64 = 0 THEN 55
+                            ELSE 55 - length(bin(key // 64)) END) AS rho
+            FROM k GROUP BY 1),
+      g AS (SELECT CAST(sum(1::BIGINT << (55 - rho)) AS BIGINT)
+                     AS s_present,
+                   count(*) AS n_present
+            FROM r),
+      e AS (SELECT CAST(s_present + (64 - n_present) * (1::BIGINT << 55)
+                     AS BIGINT) AS s_scaled,
+                   CAST(64 - n_present AS BIGINT) AS zero_regs
+            FROM g)
+      SELECT (SELECT CAST(count(DISTINCT term) AS BIGINT) FROM toks)
+               AS exact_distinct,
+             s_scaled, zero_regs,
+             round(CASE WHEN 0.709 * 64.0 * 64.0 * power(2.0, 55.0)
+                             / CAST(s_scaled AS DOUBLE) <= 160.0
+                         AND zero_regs > 0
+                        THEN 64.0 * ln(64.0 / CAST(zero_regs AS DOUBLE))
+                        ELSE 0.709 * 64.0 * 64.0 * power(2.0, 55.0)
+                             / CAST(s_scaled AS DOUBLE) END, 6) AS est
+      FROM e""",
 
     "q_dedup_editdist" -> """
       WITH k AS (

@@ -369,7 +369,8 @@ object LakeTable {
              clusterBy: Seq[String] = Nil,
              zOrderBy: Seq[String] = Nil,
              maxAttempts: Int = 3,
-             bloomCols: Seq[String] = Nil): CommitResult = {
+             bloomCols: Seq[String] = Nil,
+             curve: String = "morton"): CommitResult = {
     // early idempotency check: a redelivered transaction (streaming batch
     // replay, client retry) must not re-stage data files
     log.committedVersion(table, txnId).foreach(v =>
@@ -398,7 +399,7 @@ object LakeTable {
     // per-file min/max ranges and [[LakeFileIndex]] prunes on any of them.
     val arranged =
       if (zOrderBy.nonEmpty) {
-        val z = ZOrder.zValue(spark, shaped, zOrderBy)
+        val z = ZOrder.curveValue(spark, shaped, zOrderBy, curve)
         shaped.withColumn("__z", z)
           .repartitionByRange(math.max(1, numFiles), col("__z"))
           .sortWithinPartitions("__z")
@@ -693,7 +694,8 @@ object LakeTable {
                                     minFilesCount: Int = 3,
                                     smallBytesTriggerRatio: Double = 0.10,
                                     zOrderBy: Seq[String] = Nil,
-                                    dvRewriteFraction: Double = 0.10)
+                                    dvRewriteFraction: Double = 0.10,
+                                    curve: String = "morton")
 
   final case class CompactionReport(groupsPlanned: Int, groupsCommitted: Int,
                                     filesRemoved: Int, filesAdded: Int,
@@ -794,7 +796,8 @@ object LakeTable {
       val zCols = cfg.zOrderBy.filterNot(partCols.contains)
       val rewritten =
         if (zCols.nonEmpty)
-          merged.withColumn("__z", ZOrder.zValue(spark, merged, zCols))
+          merged.withColumn("__z",
+              ZOrder.curveValue(spark, merged, zCols, cfg.curve))
             .coalesce(1).sortWithinPartitions("__z").drop("__z")
         else merged.coalesce(1)
       withStatFriendlyWrites(spark) {

@@ -24,10 +24,53 @@ object ZOrder {
   /** Bits per dimension, bounded so the interleaved value fits in a long. */
   private def bitsFor(n: Int): Int = math.min(16, 62 / math.max(1, n))
 
+  /** Curve dispatch: `morton` (any arity) or `hilbert` (2 columns — the
+    * curve transform is defined pairwise; see
+    * [[graft.functions.HilbertIndex2D]] for why its locality is strictly
+    * better than Morton's for 2-D range predicates). */
+  def curveValue(spark: SparkSession, df: DataFrame, cols: Seq[String],
+                 curve: String): Column = curve match {
+    case "morton" => zValue(spark, df, cols)
+    case "hilbert" => hilbertValue(spark, df, cols)
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown clustering curve '$other' (morton | hilbert)")
+  }
+
+  /** Hilbert-curve clustering value for exactly two columns: the same
+    * rank bucketing as [[zValue]] (16 bits/dim at n=2), fed through the
+    * native codegen'd curve transform instead of bit interleave. */
+  def hilbertValue(spark: SparkSession, df: DataFrame,
+                   cols: Seq[String]): Column = {
+    require(cols.length == 2,
+      s"hilbert clustering is pairwise; got ${cols.length} columns " +
+        "(use morton for other arities)")
+    graft.functions.HilbertExpressions.register(spark)
+    val bits = bitsFor(2)
+    val Seq(rx, ry) = rankColumns(df, cols, bits)
+    graft.functions.HilbertExpressions.hilbert2d(rx, ry, bits)
+  }
+
   def zValue(spark: SparkSession, df: DataFrame, cols: Seq[String]): Column = {
     require(cols.nonEmpty, "zOrderBy needs at least one column")
     val n = cols.length
     val bits = bitsFor(n)
+
+    // interleave: bit j of column i lands at position j*n + i
+    val ranks = rankColumns(df, cols, bits)
+    val terms = for {
+      j <- 0 until bits
+      (r, i) <- ranks.zipWithIndex
+    } yield shiftleft(
+      shiftright(r.cast("long"), j).bitwiseAND(lit(1L)), j * n + i)
+    terms.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Per-column bucketed ranks in [0, 2^bits): numeric/date columns by
+    * linear min/max bucketing (one driver agg), strings by byte-prefix
+    * order, anything else by hash. */
+  private def rankColumns(df: DataFrame, cols: Seq[String],
+                          bits: Int): Seq[Column] = {
     val maxRank = (1 << bits) - 1
 
     // one pass: min/max per z-column (numeric-ish only)
@@ -67,13 +110,6 @@ object ZOrder {
         pmod(xxhash64(col(c)), lit(maxRank + 1)).cast("int")
     }
 
-    // interleave: bit j of column i lands at position j*n + i
-    val ranks = cols.map(rank)
-    val terms = for {
-      j <- 0 until bits
-      (r, i) <- ranks.zipWithIndex
-    } yield shiftleft(
-      shiftright(r.cast("long"), j).bitwiseAND(lit(1L)), j * n + i)
-    terms.reduce((a, b) => a.bitwiseOR(b))
+    cols.map(rank)
   }
 }
