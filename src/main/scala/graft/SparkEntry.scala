@@ -1973,7 +1973,7 @@ object SparkEntry {
           LakeTable.read(s, log, "hll_regs").select("idx", "rho"), b = 6)
         .crossJoin(exact)
         .select(col("exact_distinct"), col("s_scaled"), col("zero_regs"),
-          col("est"))
+          col("est_milli"))
     }),
 
     // flatMapGroupsWithState under the exact oracle: gap sessionization is
@@ -3247,10 +3247,12 @@ object SparkEntry {
     // carries ≤ m=64 (idx, rho) registers per group REGARDLESS of
     // vocabulary (map-side partial max), vs the vocabulary-sized shuffle
     // of exact countDistinct shown alongside for calibration. Portable
-    // 60-bit md5 key → DuckDB rebuilds the identical register file; the
-    // harmonic sum crosses the engine boundary as an EXACT integer
-    // (s_scaled = Σ 2^(55−ρ_j) ≤ 2^61), and both engines take the same
-    // small-range branch on the same integer inputs.
+    // 60-bit md5 key → DuckDB rebuilds the identical register file; every
+    // hashed output is an INTEGER (s_scaled = Σ 2^(55−ρ_j) ≤ 2^61 exact
+    // in a long; est_milli = floor-scaled raw formula — deterministic
+    // IEEE divide, no ln()); the ln-corrected user estimate stays out of
+    // the hash (Java vs DuckDB libm differ by 1 ulp on some inputs) and
+    // is pinned by HllSpec instead.
     "q_hll" -> ((s, d) => {
       val occ = t(s, d, "documents").repartition(16)
         .select(col("lang"),
@@ -3261,7 +3263,7 @@ object SparkEntry {
           groupCols = Seq("lang"))
         .join(exact, Seq("lang"))
         .select(col("lang"), col("exact_distinct"), col("s_scaled"),
-          col("zero_regs"), col("est"))
+          col("zero_regs"), col("est_milli"))
         .orderBy("lang")
     }),
 
@@ -6583,17 +6585,14 @@ object SparkEntry {
                    CAST(64 - n_present AS BIGINT) AS zero_regs
             FROM g),
       est AS (SELECT lang, s_scaled, zero_regs,
-          round(CASE WHEN 0.709 * 64.0 * 64.0 * power(2.0, 55.0)
-                          / CAST(s_scaled AS DOUBLE) <= 160.0
-                      AND zero_regs > 0
-                     THEN 64.0 * ln(64.0 / CAST(zero_regs AS DOUBLE))
-                     ELSE 0.709 * 64.0 * 64.0 * power(2.0, 55.0)
-                          / CAST(s_scaled AS DOUBLE) END, 6) AS est
+          CAST(floor(0.709 * 64.0 * 64.0 * power(2.0, 55.0)
+                     / CAST(s_scaled AS DOUBLE) * 1000.0) AS BIGINT)
+            AS est_milli
         FROM e),
       ex AS (SELECT lang, count(DISTINCT term) AS exact_distinct
              FROM toks GROUP BY 1)
       SELECT est.lang, CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
-             est.s_scaled, est.zero_regs, est.est
+             est.s_scaled, est.zero_regs, est.est_milli
       FROM est JOIN ex ON ex.lang = est.lang
       ORDER BY est.lang""",
 
@@ -6624,12 +6623,9 @@ object SparkEntry {
       SELECT (SELECT CAST(count(DISTINCT term) AS BIGINT) FROM toks)
                AS exact_distinct,
              s_scaled, zero_regs,
-             round(CASE WHEN 0.709 * 64.0 * 64.0 * power(2.0, 55.0)
-                             / CAST(s_scaled AS DOUBLE) <= 160.0
-                         AND zero_regs > 0
-                        THEN 64.0 * ln(64.0 / CAST(zero_regs AS DOUBLE))
-                        ELSE 0.709 * 64.0 * 64.0 * power(2.0, 55.0)
-                             / CAST(s_scaled AS DOUBLE) END, 6) AS est
+             CAST(floor(0.709 * 64.0 * 64.0 * power(2.0, 55.0)
+                        / CAST(s_scaled AS DOUBLE) * 1000.0) AS BIGINT)
+               AS est_milli
       FROM e""",
 
     "q_dedup_editdist" -> """

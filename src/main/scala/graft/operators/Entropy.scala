@@ -24,10 +24,14 @@ import org.apache.spark.sql.functions._
   */
 object Entropy {
 
-  /** (idCol, n_chars, distinct_chars, entropy_nats) per document.
-    * `entropy_nats = -Σ (c/n)·ln(c/n)` over the document's character
-    * histogram; NULL-safe (empty docs yield no row — length gates own
-    * them).
+  /** (idCol, n_chars, distinct_chars, entropy_nats, entropy_micro) per
+    * document. `entropy_nats = -Σ (c/n)·ln(c/n)` over the document's
+    * character histogram — the user-facing double; `entropy_micro` is
+    * the same quantity in floor-scaled integer micro-nats (⌊−Σterm/n⌋
+    * over the integer-scaled log terms), the engine-portable face an
+    * oracle should hash (rounding the double ratio is one-ulp fragile
+    * on decimal ties — see CLAUDE.md). NULL-safe (empty docs yield no
+    * row — length gates own them).
     */
   def charEntropy(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
