@@ -3267,6 +3267,16 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Corpus-overlap estimation: pairwise Jaccard between SOURCES from
+    // per-source minhash signatures — corpora are never joined, text
+    // never moves, the exchange is ≤ sources×k rows (map-side min), and
+    // every output is an integer. Same portable md5+affine family as
+    // q_dedup_minhash_fixed, grouped by source instead of doc id.
+    "q_corpus_overlap" -> ((s, d) =>
+      graft.operators.CorpusOverlap.signatureOverlap(
+          t(s, d, "documents").repartition(16), groupCol = "source", k = 16)
+        .orderBy("src_a", "src_b")),
+
     // Edit-distance fuzzy matching on short linkage keys (40-char
     // normalized prefixes): positional q-gram count filter + position and
     // length windows generate candidates, exact levenshtein verifies —
@@ -6627,6 +6637,43 @@ object SparkEntry {
                         / CAST(s_scaled AS DOUBLE) * 1000.0) AS BIGINT)
                AS est_milli
       FROM e""",
+
+    // q_corpus_overlap: rebuild per-source signatures with the same
+    // md5+affine family (min over the source's shingles), pairwise
+    // position-match count — all integer.
+    "q_corpus_overlap" -> """
+      WITH norm AS (
+        SELECT source, list_filter(string_split_regex(
+                 regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+               x -> x <> '') AS t
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT source, sh FROM (
+          SELECT source,
+                 CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+                      ELSE array_to_string(t[i:i+2], ' ') END AS sh
+          FROM norm, UNNEST(CASE WHEN len(t) < 3 THEN [CAST(1 AS BIGINT)]
+                                 ELSE range(1, len(t) - 1) END) AS u(i))),
+      hb AS (
+        SELECT source,
+               CAST(('0x' || substring(md5(sh), 1, 7)) AS BIGINT) AS h
+        FROM sh),
+      sig AS (
+        SELECT source, i,
+               min((((1103515245 * (2 * i + 1)) % 2147483647) * h
+                    + ((12345 + 1013904223 * i) % 2147483647))
+                   % 2147483647) AS h
+        FROM hb, UNNEST(range(16)) AS s(i)
+        GROUP BY source, i),
+      pair AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT)
+                 AS matches
+        FROM sig a JOIN sig b ON a.i = b.i AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT src_a, src_b, matches,
+             CAST(matches * 100 // 16 AS BIGINT) AS jaccard_pct
+      FROM pair ORDER BY src_a, src_b""",
 
     "q_dedup_editdist" -> """
       WITH k AS (

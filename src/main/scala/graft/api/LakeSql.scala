@@ -40,12 +40,14 @@ import graft.lake.{Field, LakeLog, LakeTable, TableSchema}
   *                                            then "FROM" — forces the
   *                                            copy-on-write rewrite)
   *   ALTER TABLE t ADD COLUMN c type         (nullable schema evolution)
-  *   OPTIMIZE t [WHERE <pred>] [ZORDER BY (c, ...)]
+  *   OPTIMIZE t [WHERE <pred>] [ZORDER BY (c, ...)] [CURVE hilbert]
   *                                           (forced compaction; WHERE
   *                                            scopes it to the files the
   *                                            predicate can touch — the
   *                                            "optimize one partition"
-  *                                            form)
+  *                                            form; CURVE picks the
+  *                                            clustering curve — morton
+  *                                            default, hilbert for 2-D)
   *   VACUUM t [RETAIN n VERSIONS]
   *   RESTORE TABLE t TO VERSION AS OF v
   *   DESCRIBE HISTORY t  /  DESCRIBE DETAIL t
@@ -63,7 +65,7 @@ object LakeSql {
   private val Delete =
     """(?is)\s*DELETE\s+(/\*\+\s*COW\s*\*/\s+)?FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+(\w+)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+(\w+)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?(?:\s+CURVE\s+(\w+))?\s*;?\s*""".r
   private val Vacuum =
     """(?is)\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val Restore =
@@ -248,11 +250,13 @@ object LakeSql {
           txnId = s"altdrop-$table-$colName-${java.util.UUID.randomUUID()}")
         status(spark, "table" -> table, "dropped" -> colName,
           "version" -> r.version)
-      case Optimize(table, where, zorder) =>
+      case Optimize(table, where, zorder, curve) =>
         val zCols = Option(zorder).toSeq
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
         val r = LakeTable.compact(spark, log, table,
-          LakeTable.CompactionConfig(zOrderBy = zCols), force = true,
+          LakeTable.CompactionConfig(zOrderBy = zCols,
+            curve = Option(curve).map(_.toLowerCase).getOrElse("morton")),
+          force = true,
           where = Option(where).map(_.trim).filter(_.nonEmpty))
         status(spark, "table" -> table,
           "files_removed" -> r.filesRemoved.toLong,

@@ -67,6 +67,28 @@ class LakeSqlSpec extends SparkSpec {
     sql("OPTIMIZE p ZORDER BY (id, v)")
     assert(sql("SELECT count(*) AS n FROM p WHERE region = 'eu'")
       .as[Long].head() == 20L)
+    // curve choice flows through the SQL face: land 3 more small files
+    // per partition so compaction actually plans groups, then hilbert
+    // re-sorts them (files_removed > 0 proves the rewrite ran)
+    (0 until 3).foreach { i =>
+      LakeTable.insert(spark, log, "p",
+        (1 to 10).map(j => ((100 + i * 10 + j).toLong,
+          if (j % 2 == 0) "eu" else "us", j * 1.0)).toDF("id", "region", "v"))
+    }
+    val hop = sql("OPTIMIZE p ZORDER BY (id, v) CURVE hilbert").head
+    assert(hop.getAs[Long]("files_removed") >= 3L)
+    assert(sql("SELECT count(*) AS n FROM p").as[Long].head() == 70L)
+    // and the pairwise-arity degrade path: after dropping the constant
+    // partition column (region), (id, region) leaves ONE z-col — hilbert
+    // must not abort mid-OPTIMIZE (falls back to morton inside compaction)
+    (0 until 3).foreach { i =>
+      LakeTable.insert(spark, log, "p",
+        (1 to 10).map(j => ((200 + i * 10 + j).toLong,
+          if (j % 2 == 0) "eu" else "us", j * 1.0)).toDF("id", "region", "v"))
+    }
+    val fop = sql("OPTIMIZE p ZORDER BY (id, region) CURVE hilbert").head
+    assert(fop.getAs[Long]("files_removed") >= 3L)
+    assert(sql("SELECT count(*) AS n FROM p").as[Long].head() == 100L)
   }
 
   test("OPTIMIZE WHERE: compacts only the scoped partition's files") {
