@@ -1635,6 +1635,18 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), threshold = 0.6, n = 3)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("a_id", "b_id")),
+    // Dedup-candidate evaluation: precision/recall of the LSH pair
+    // generator against exact 3-gram-Jaccard ground truth — the metric a
+    // pipeline watches when tuning bands/rows. Both inputs are
+    // already-reduced pair sets; one full-outer join + one aggregate,
+    // all-integer outputs. The oracle replays BOTH generators (the
+    // portable-hash LSH face and the exact Jaccard) and set-compares.
+    "q_dedup_eval" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.RankMetrics.pairSetMetrics(
+        Dedup.minhashLshPairsFixed(docs, threshold = 0.5),
+        Dedup.ngramJaccardPairs(docs, threshold = 0.5, n = 3))
+    }),
     // Incremental (cross-batch) dedup via the Bloom fingerprint index:
     // src1 plays the newly crawled batch, every third doc of the existing
     // corpus is re-crawled under a fresh id (a guaranteed exact dup). The
@@ -6637,6 +6649,82 @@ object SparkEntry {
                         / CAST(s_scaled AS DOUBLE) * 1000.0) AS BIGINT)
                AS est_milli
       FROM e""",
+
+    // q_dedup_eval: replay BOTH generators — the portable-hash LSH face
+    // (q_dedup_minhash_fixed's CTEs) and exact 3-gram Jaccard
+    // (q_dedup_jaccard's shape at threshold 0.5) — then full-join the
+    // pair sets and count tp/fp/fn. The `sh` CTE feeds both sides.
+    "q_dedup_eval" -> """
+      WITH norm AS (
+        SELECT doc_id, list_filter(string_split_regex(
+                 regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+               x -> x <> '') AS t
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id,
+                 CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+                      ELSE array_to_string(t[i:i+2], ' ') END AS sh
+          FROM norm, UNNEST(CASE WHEN len(t) < 3 THEN [CAST(1 AS BIGINT)]
+                                 ELSE range(1, len(t) - 1) END) AS u(i))),
+      hb AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(sh), 1, 7)) AS BIGINT) AS h
+        FROM sh),
+      sig AS (
+        SELECT doc_id, i,
+               min((((1103515245 * (2 * i + 1)) % 2147483647) * h
+                    + ((12345 + 1013904223 * i) % 2147483647))
+                   % 2147483647) AS h
+        FROM hb, UNNEST(range(16)) AS s(i)
+        GROUP BY doc_id, i),
+      band AS (
+        SELECT doc_id, i // 2 AS band,
+               string_agg(h::VARCHAR, ',' ORDER BY i) AS key
+        FROM sig GROUP BY doc_id, i // 2),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM band a JOIN band b ON a.band = b.band AND a.key = b.key
+                                AND a.doc_id < b.doc_id),
+      pred AS (
+        SELECT c.a_id, c.b_id
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.a_id
+        JOIN sig sb ON sb.doc_id = c.b_id AND sb.i = sa.i
+        GROUP BY c.a_id, c.b_id
+        HAVING sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / 16.0 >= 0.5),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      truth AS (
+        SELECT i.a_id, i.b_id
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.a_id
+        JOIN sizes sb ON sb.doc_id = i.b_id
+        WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5),
+      m AS (
+        SELECT
+          CAST(coalesce(sum(CASE WHEN p.a_id IS NOT NULL
+                                  AND t.a_id IS NOT NULL
+                                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+          CAST(coalesce(sum(CASE WHEN p.a_id IS NOT NULL
+                                  AND t.a_id IS NULL
+                                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
+          CAST(coalesce(sum(CASE WHEN p.a_id IS NULL
+                                  AND t.a_id IS NOT NULL
+                                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn
+        FROM pred p FULL JOIN truth t
+          ON p.a_id = t.a_id AND p.b_id = t.b_id)
+      SELECT tp, fp, fn,
+             CASE WHEN tp + fp > 0
+                  THEN CAST(tp * 100 // (tp + fp) AS BIGINT)
+                  ELSE CAST(-1 AS BIGINT) END AS precision_pct,
+             CASE WHEN tp + fn > 0
+                  THEN CAST(tp * 100 // (tp + fn) AS BIGINT)
+                  ELSE CAST(-1 AS BIGINT) END AS recall_pct
+      FROM m""",
 
     // q_corpus_overlap: rebuild per-source signatures with the same
     // md5+affine family (min over the source's shingles), pairwise

@@ -47,7 +47,7 @@ import graft.lake.{Field, LakeLog, LakeTable, TableSchema}
   *                                            "optimize one partition"
   *                                            form; CURVE picks the
   *                                            clustering curve — morton
-  *                                            default, hilbert for 2-D)
+  *                                            default, hilbert any arity)
   *   VACUUM t [RETAIN n VERSIONS]
   *   RESTORE TABLE t TO VERSION AS OF v
   *   DESCRIBE HISTORY t  /  DESCRIBE DETAIL t

@@ -519,7 +519,16 @@ final class RestServer(spark: SparkSession, log: LakeLog,
   private def triggerCompaction(ex: HttpExchange, table: String): Unit = {
     if (!log.tableExists(table))
       return textError(ex, 404, s"table $table does not exist")
-    val force = readMap(ex).get("force").contains(true)
+    val reqBody = readMap(ex)
+    val force = reqBody.get("force").contains(true)
+    // optional clustering re-sort, mirroring the SQL face's
+    // `OPTIMIZE .. ZORDER BY (..) CURVE ..`
+    val zCols = reqBody.get("zorder_by") match {
+      case Some(l: Seq[_]) => l.map(_.toString)
+      case _ => Nil
+    }
+    val curveName = reqBody.get("curve")
+      .map(_.toString.toLowerCase).getOrElse("morton")
     val txnId = s"compaction-${UUID.randomUUID()}"
     val before = log.snapshot(table)
     val prev = activeCompactions.putIfAbsent(table,
@@ -531,7 +540,9 @@ final class RestServer(spark: SparkSession, log: LakeLog,
       spark.sparkContext.setJobGroup(txnId, s"compaction $table",
         interruptOnCancel = true)
       val t0 = System.nanoTime()
-      val report = LakeTable.compact(spark, log, table, force = force)
+      val report = LakeTable.compact(spark, log, table,
+        LakeTable.CompactionConfig(zOrderBy = zCols, curve = curveName),
+        force = force)
       val durationMs = (System.nanoTime() - t0) / 1000000L
       compactionsTotal.incrementAndGet()
       val after = log.snapshot(table, report.finalVersion)

@@ -794,17 +794,10 @@ object LakeTable {
       // partition columns are constant within a group — drop them from the
       // z-order key (they're not in the data files either)
       val zCols = cfg.zOrderBy.filterNot(partCols.contains)
-      // hilbert is pairwise; when dropping constant partition columns
-      // leaves a different arity (a config insert validated as fine),
-      // degrade to morton rather than abort mid-OPTIMIZE — same stats
-      // tightening, slightly looser boxes
-      val curve =
-        if (cfg.curve == "hilbert" && zCols.length != 2) "morton"
-        else cfg.curve
       val rewritten =
         if (zCols.nonEmpty)
           merged.withColumn("__z",
-              ZOrder.curveValue(spark, merged, zCols, curve))
+              ZOrder.curveValue(spark, merged, zCols, cfg.curve))
             .coalesce(1).sortWithinPartitions("__z").drop("__z")
         else merged.coalesce(1)
       withStatFriendlyWrites(spark) {

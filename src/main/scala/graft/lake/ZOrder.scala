@@ -24,10 +24,11 @@ object ZOrder {
   /** Bits per dimension, bounded so the interleaved value fits in a long. */
   private def bitsFor(n: Int): Int = math.min(16, 62 / math.max(1, n))
 
-  /** Curve dispatch: `morton` (any arity) or `hilbert` (2 columns — the
-    * curve transform is defined pairwise; see
-    * [[graft.functions.HilbertIndex2D]] for why its locality is strictly
-    * better than Morton's for 2-D range predicates). */
+  /** Curve dispatch: `morton` (bit interleave) or `hilbert` (no diagonal
+    * jumps — tighter per-file boxes; see
+    * [[graft.functions.HilbertIndex2D]] / [[graft.functions.HilbertIndexN]]).
+    * Both take any arity: a single column degenerates to its rank order
+    * under either curve. */
   def curveValue(spark: SparkSession, df: DataFrame, cols: Seq[String],
                  curve: String): Column = curve match {
     case "morton" => zValue(spark, df, cols)
@@ -37,18 +38,23 @@ object ZOrder {
         s"unknown clustering curve '$other' (morton | hilbert)")
   }
 
-  /** Hilbert-curve clustering value for exactly two columns: the same
-    * rank bucketing as [[zValue]] (16 bits/dim at n=2), fed through the
-    * native codegen'd curve transform instead of bit interleave. */
+  /** Hilbert-curve clustering value: the same rank bucketing as
+    * [[zValue]], fed through the native codegen'd curve transform instead
+    * of bit interleave — the specialized 2-D expression for pairs,
+    * Skilling's n-D transform above that, plain rank order for one
+    * column (both curves degenerate to it). */
   def hilbertValue(spark: SparkSession, df: DataFrame,
                    cols: Seq[String]): Column = {
-    require(cols.length == 2,
-      s"hilbert clustering is pairwise; got ${cols.length} columns " +
-        "(use morton for other arities)")
+    require(cols.nonEmpty, "hilbert clustering needs at least one column")
     graft.functions.HilbertExpressions.register(spark)
-    val bits = bitsFor(2)
-    val Seq(rx, ry) = rankColumns(df, cols, bits)
-    graft.functions.HilbertExpressions.hilbert2d(rx, ry, bits)
+    val bits = bitsFor(cols.length)
+    val ranks = rankColumns(df, cols, bits)
+    cols.length match {
+      case 1 => ranks.head.cast("long")
+      case 2 => graft.functions.HilbertExpressions
+        .hilbert2d(ranks.head, ranks(1), bits)
+      case _ => graft.functions.HilbertExpressions.hilbertNd(ranks, bits)
+    }
   }
 
   def zValue(spark: SparkSession, df: DataFrame, cols: Seq[String]): Column = {

@@ -24,6 +24,36 @@ import org.apache.spark.sql.functions._
   */
 object RankMetrics {
 
+  /** Pair-set precision/recall of a candidate generator against exact
+    * ground truth — the dedup-family evaluation: how many of the LSH
+    * candidate pairs are real near-dups (precision), and how many real
+    * near-dups the bucketing caught (recall). Both inputs are
+    * (a_id, b_id) pair sets (already reduced by their generators); one
+    * full-outer hash join + one aggregate, all-integer outputs, −1
+    * sentinel when a denominator is empty (ANSI-safe: no division by
+    * zero is ever evaluated). */
+  def pairSetMetrics(predicted: DataFrame, truth: DataFrame): DataFrame = {
+    val p = predicted.select(col("a_id"), col("b_id"))
+      .distinct().withColumn("__p", lit(1))
+    val t = truth.select(col("a_id"), col("b_id"))
+      .distinct().withColumn("__t", lit(1))
+    p.join(t, Seq("a_id", "b_id"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("__p").isNotNull && col("__t").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("tp"),
+        coalesce(sum(when(col("__p").isNotNull && col("__t").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("fp"),
+        coalesce(sum(when(col("__p").isNull && col("__t").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("fn"))
+      .select(col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          expr("tp * 100L div (tp + fp)")).otherwise(lit(-1L))
+          .as("precision_pct"),
+        when(col("tp") + col("fn") > 0,
+          expr("tp * 100L div (tp + fn)")).otherwise(lit(-1L))
+          .as("recall_pct"))
+  }
+
   /** Per-query overlap of `approx` against ground-truth `exact` — both
     * shaped (query_id, vec_id, rank) with rank 1..k as produced by the
     * retrieval operators. Emits per query:

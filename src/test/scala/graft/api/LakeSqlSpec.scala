@@ -78,9 +78,9 @@ class LakeSqlSpec extends SparkSpec {
     val hop = sql("OPTIMIZE p ZORDER BY (id, v) CURVE hilbert").head
     assert(hop.getAs[Long]("files_removed") >= 3L)
     assert(sql("SELECT count(*) AS n FROM p").as[Long].head() == 70L)
-    // and the pairwise-arity degrade path: after dropping the constant
-    // partition column (region), (id, region) leaves ONE z-col — hilbert
-    // must not abort mid-OPTIMIZE (falls back to morton inside compaction)
+    // and the arity-1 path: after dropping the constant partition column
+    // (region), (id, region) leaves ONE z-col — the curve degenerates to
+    // rank order and the OPTIMIZE still completes
     (0 until 3).foreach { i =>
       LakeTable.insert(spark, log, "p",
         (1 to 10).map(j => ((200 + i * 10 + j).toLong,

@@ -339,6 +339,20 @@ class RestServerSpec extends SparkSpec with BeforeAndAfterAll {
     // cancel with nothing running is the reference's 400
     assert(delete("/tables/compactme/compaction").status == 400)
     assert(get("/tables/missing/compaction/metrics").status == 404)
+
+    // clustering re-sort through the route (SQL OPTIMIZE .. CURVE parity):
+    // land fresh small files, then compact with a hilbert-sorted rewrite
+    (1 to 4).foreach { i =>
+      post("/tables/compactme/insert",
+        s"""{"data": [{"id": ${200 + i}}, {"id": ${300 + i}}]}""")
+    }
+    val zrun = post("/tables/compactme/compaction",
+      """{"force": true, "zorder_by": ["id"], "curve": "hilbert"}""")
+    assert(zrun.status == 200, zrun.body)
+    assert(zrun.json("success") == true, zrun.body)
+    assert(zrun.json("input_files").asInstanceOf[Int] >= 4)
+    val q2 = post("/query", """{"sql": "SELECT count(*) AS n FROM compactme"}""")
+    assert(q2.json("results") == Seq(Map("n" -> 16)))
   }
 
   test("DELETE /tables/{t} is a real drop (reference placeholder)") {

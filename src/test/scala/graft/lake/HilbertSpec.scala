@@ -57,6 +57,55 @@ class HilbertSpec extends SparkSpec {
     assert(!mortonAdjacent)
   }
 
+  test("n-D (Skilling) transform: bijective and unit-step adjacent") {
+    HilbertExpressions.register(spark)
+    for ((n, bits) <- Seq((3, 3), (4, 2))) {
+      val side = 1 << bits
+      val total = 1L << (n * bits)
+      val coords = (0 until n).map(i => col(s"x$i"))
+      val grid = (0L until total).map { v =>
+        (0 until n).map(i => (v >> (i * bits)) & (side - 1))
+      }.map(xs => org.apache.spark.sql.Row.fromSeq(xs))
+      val schema = org.apache.spark.sql.types.StructType(
+        (0 until n).map(i => org.apache.spark.sql.types.StructField(
+          s"x$i", org.apache.spark.sql.types.LongType)))
+      val df = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(grid).asJava), schema)
+      val cells = df.select((coords :+
+          HilbertExpressions.hilbertNd(coords, bits).as("d")): _*)
+        .collect()
+        .map(r => (0 until n).map(r.getLong).toVector -> r.getLong(n))
+      // bijection onto [0, side^n)
+      assert(cells.map(_._2).sorted.toSeq == (0L until total).toSeq,
+        s"n=$n bits=$bits not bijective")
+      // unit-step adjacency — fails for ANY mis-wired bit
+      val byD = cells.map(_.swap).toMap
+      (0L until total - 1).foreach { d =>
+        val dist = byD(d).zip(byD(d + 1))
+          .map { case (a, b) => math.abs(a - b) }.sum
+        assert(dist == 1, s"n=$n jump at d=$d: ${byD(d)} -> ${byD(d + 1)}")
+      }
+    }
+  }
+
+  test("doGenCode compiles: no silent interpreted fallback") {
+    // with fallback disabled a codegen bug throws instead of silently
+    // degrading to eval(); covers both the 2-D and the n-D expression
+    HilbertExpressions.register(spark)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = spark.range(64).select(
+        (col("id") % 8).as("x"), (col("id") / 8).cast("long").as("y"),
+        (col("id") % 4).as("z"))
+      assert(df.select(HilbertExpressions.hilbert2d(col("x"), col("y"), 3))
+        .collect().length == 64)
+      assert(df.select(HilbertExpressions.hilbertNd(
+          Seq(col("x"), col("y"), col("z")), 3))
+        .collect().length == 64)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("hilbert lake clustering prunes on both columns; box reads <= morton") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {

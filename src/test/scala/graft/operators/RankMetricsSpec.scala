@@ -32,6 +32,27 @@ class RankMetricsSpec extends SparkSpec {
     assert((out.getLong(1), out.getLong(2), out.getLong(3)) == (2L, 100L, 1L))
   }
 
+  test("pairSetMetrics: hand-computed tp/fp/fn and empty-side sentinels") {
+    def pairs(rows: (Long, Long)*) = rows.toDF("a_id", "b_id")
+    // predicted {12,13,14}, truth {12,14,15,16} -> tp=2 fp=1 fn=2
+    val out = RankMetrics.pairSetMetrics(
+      pairs((1L, 2L), (1L, 3L), (1L, 4L)),
+      pairs((1L, 2L), (1L, 4L), (1L, 5L), (1L, 6L))).head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getLong(3), out.getLong(4)) == (2L, 1L, 2L, 66L, 50L))
+    // duplicates in an input collapse before counting
+    val dup = RankMetrics.pairSetMetrics(
+      pairs((1L, 2L), (1L, 2L)), pairs((1L, 2L))).head
+    assert((dup.getLong(0), dup.getLong(1), dup.getLong(2)) == (1L, 0L, 0L))
+    // empty predicted: precision undefined -> -1, recall 0
+    val ep = RankMetrics.pairSetMetrics(pairs(), pairs((1L, 2L))).head
+    assert((ep.getLong(0), ep.getLong(2), ep.getLong(3), ep.getLong(4)) ==
+      (0L, 1L, -1L, 0L))
+    // both empty: all sentinels
+    val bb = RankMetrics.pairSetMetrics(pairs(), pairs()).head
+    assert((bb.getLong(0), bb.getLong(3), bb.getLong(4)) == (0L, -1L, -1L))
+  }
+
   test("SRP recall against brute force on a synthetic corpus is high") {
     val rnd = new scala.util.Random(7)
     // clustered corpus (the regime ANN indexes exist for): 10 well-
