@@ -522,13 +522,20 @@ final class RestServer(spark: SparkSession, log: LakeLog,
     val reqBody = readMap(ex)
     val force = reqBody.get("force").contains(true)
     // optional clustering re-sort, mirroring the SQL face's
-    // `OPTIMIZE .. ZORDER BY (..) CURVE ..`
+    // `OPTIMIZE .. ZORDER BY (..) CURVE ..` — client-input mistakes are
+    // 400s BEFORE any compaction state is taken (a swallowed bad
+    // zorder_by would report success while never clustering anything)
     val zCols = reqBody.get("zorder_by") match {
       case Some(l: Seq[_]) => l.map(_.toString)
-      case _ => Nil
+      case Some(other) => return textError(ex, 400,
+        s"zorder_by must be a JSON array of column names, got: $other")
+      case None => Nil
     }
     val curveName = reqBody.get("curve")
       .map(_.toString.toLowerCase).getOrElse("morton")
+    if (curveName != "morton" && curveName != "hilbert")
+      return textError(ex, 400,
+        s"unknown clustering curve '$curveName' (morton | hilbert)")
     val txnId = s"compaction-${UUID.randomUUID()}"
     val before = log.snapshot(table)
     val prev = activeCompactions.putIfAbsent(table,

@@ -103,12 +103,14 @@ case class HilbertIndex2D(left: Expression, right: Expression, bits: Int)
   * plane, Gray-encode across axes, then interleave the transposed bits.
   * A plain static-forwardable object so generated Java can call it
   * directly (`HilbertCurveKernel.encode(xs, bits)`) — one call per row,
-  * no boxing, scalar-replaceable array. */
+  * no boxing, one scalar-replaceable array. CLOBBERS `xs` in place:
+  * both call sites build a fresh throwaway array per row, so a
+  * defensive copy would just double the per-row allocation on the
+  * clustering write path. */
 object HilbertCurveKernel {
   def encode(xs: Array[Long], bits: Int): Long = {
     val n = xs.length
-    val X = new Array[Long](n)
-    System.arraycopy(xs, 0, X, 0, n)
+    val X = xs
     var q = 1L << (bits - 1)
     while (q > 1) {
       val p = q - 1

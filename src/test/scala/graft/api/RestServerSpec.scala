@@ -346,6 +346,18 @@ class RestServerSpec extends SparkSpec with BeforeAndAfterAll {
       post("/tables/compactme/insert",
         s"""{"data": [{"id": ${200 + i}}, {"id": ${300 + i}}]}""")
     }
+    // client-input mistakes are 400s BEFORE any compaction state moves:
+    // a non-array zorder_by (easy free-form-JSON mistake) must not
+    // silently compact unclustered while reporting success, and a curve
+    // typo must not masquerade as a runtime compaction failure
+    assert(post("/tables/compactme/compaction",
+      """{"force": true, "zorder_by": "id", "curve": "hilbert"}""")
+      .status == 400)
+    assert(post("/tables/compactme/compaction",
+      """{"force": true, "zorder_by": ["id"], "curve": "hilbrt"}""")
+      .status == 400)
+    assert(get("/tables/compactme/compaction/status").json("running") == false)
+
     val zrun = post("/tables/compactme/compaction",
       """{"force": true, "zorder_by": ["id"], "curve": "hilbert"}""")
     assert(zrun.status == 200, zrun.body)
