@@ -41,20 +41,35 @@ object Bench {
     val builds = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val split = SparkEntry.benchPhases.get(name)
+      // a failed run must publish a LOUD -1, never a plausible near-zero
+      // elapsed (a broken index build would otherwise report a ~0 s
+      // "steady-state probe" for a query that never ran); min() keeps the
+      // sentinel: any failed rep flags the query in the headline JSON
       val times = (1 to math.max(1, runs)).map { _ =>
         split match {
           case Some(mk) =>
             val (build, probe) = mk(spark, sfDir)
             val b0 = System.nanoTime()
-            try build() catch { case _: Throwable => }
-            val bSec = (System.nanoTime() - b0) / 1e9
+            val bOk = try { build(); true } catch { case e: Throwable =>
+              System.err.println(s"[bench] $name build failed: ${e.getMessage}")
+              false
+            }
+            val bSec = if (bOk) (System.nanoTime() - b0) / 1e9 else -1.0
             val t0 = System.nanoTime()
-            try probe().count() catch { case _: Throwable => -1L }
-            (bSec, (System.nanoTime() - t0) / 1e9)
+            val pOk = bOk && (try { probe().count(); true }
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] $name probe failed: ${e.getMessage}")
+                false
+              })
+            (bSec, if (pOk) (System.nanoTime() - t0) / 1e9 else -1.0)
           case None =>
             val t0 = System.nanoTime()
-            try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-            (0.0, (System.nanoTime() - t0) / 1e9)
+            val ok = try { fn(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              false
+            }
+            (0.0, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
         }
       }
       // drop this query's persisted intermediates before the next query:

@@ -25,15 +25,18 @@ import org.apache.spark.sql.functions._
   */
 object Scale10 {
 
-  /** Per-stage (shuffle-read bytes, tasks, max single-task bytes). */
+  /** Per-(stage, attempt) (shuffle-read bytes, tasks, max single-task
+    * bytes). Keyed by attempt too: a retried stage merged into one entry
+    * would double-count total bytes and deflate the max-task share. */
   private final class FunnelListener extends SparkListener {
     val stages = new java.util.concurrent.ConcurrentHashMap[
-      Int, (Long, Long, Int)]()
+      Long, (Long, Long, Int)]()
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
       if (m != null) {
         val read = m.shuffleReadMetrics.totalBytesRead
-        stages.merge(e.stageId, (read, read, 1),
+        val key = (e.stageId.toLong << 16) | (e.stageAttemptId & 0xffffL)
+        stages.merge(key, (read, read, 1),
           (a, b) => (a._1 + b._1, math.max(a._2, b._2), a._3 + b._3))
       }
     }
@@ -43,15 +46,37 @@ object Scale10 {
       * vs genuinely balanced). */
     def worstShare(minTasks: Int, minBytes: Long): (Double, Int, Int) = {
       var worst = 0.0; var worstStage = -1; var n = 0
-      stages.forEach { (sid: Int, v: (Long, Long, Int)) =>
+      stages.forEach { (key: Long, v: (Long, Long, Int)) =>
         val (total, maxTask, tasks) = v
         if (tasks >= minTasks && total >= minBytes) {
           n += 1
           val share = maxTask.toDouble / total
-          if (share > worst) { worst = share; worstStage = sid }
+          if (share > worst) { worst = share; worstStage = (key >> 16).toInt }
         }
       }
       (worst, worstStage, n)
+    }
+    /** Task-end events are delivered asynchronously on the listener-bus
+      * thread — reading right after an action returns can miss the final
+      * stage's stragglers (exactly the tasks the funnel gate exists to
+      * police). Wait until the map stops changing (two consecutive
+      * identical fingerprints), bounded. */
+    def quiesce(maxWaitMs: Long = 5000L): Unit = {
+      def fp(): Long = {
+        var h = 0L
+        stages.forEach { (k: Long, v: (Long, Long, Int)) =>
+          h += k * 31L + v._1 + v._2 * 7L + v._3
+        }
+        h
+      }
+      val deadline = System.currentTimeMillis() + maxWaitMs
+      var prev = fp()
+      while (System.currentTimeMillis() < deadline) {
+        Thread.sleep(150)
+        val cur = fp()
+        if (cur == prev) return
+        prev = cur
+      }
     }
     def reset(): Unit = stages.clear()
   }
@@ -123,6 +148,7 @@ object Scale10 {
       val t0 = System.nanoTime()
       val rows = body
       val sec = (System.nanoTime() - t0) / 1e9
+      listener.quiesce() // drain async task-end events before reading
       // funnel gate: stages with ≥ 8 tasks fetching ≥ 64 KiB (compressed)
       // must not put more than 60% of the stage's shuffle read through
       // one task — fixed-width long-pair exchanges compress hard, so the

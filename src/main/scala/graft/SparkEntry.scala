@@ -1611,15 +1611,10 @@ object SparkEntry {
     // q_dedup_minhash_fixed, so DuckDB replays index build + probe
     // end-to-end (candidates restricted to cross hist×batch pairs).
     "q_dedup_minhash_index" -> ((s, d) => {
-      import graft.lake.LakeLog
-      import graft.operators.DedupIndex
-      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftlsh"))
-      val docs = t(s, d, "documents")
-      DedupIndex.buildIndex(s, log, "lsh",
-        docs.filter(col("doc_id") % 3 =!= 0))
-      DedupIndex.probeIndex(s, log, "lsh",
-          docs.filter(col("doc_id") % 3 === 0), threshold = 0.5)
-        .orderBy("new_id", "hist_id")
+      // build+probe bodies live ONCE in benchPhases (Bench times them
+      // apart); the correctness gate replays the bundled lifecycle
+      val (build, probe) = benchPhases("q_dedup_minhash_index")(s, d)
+      build(); probe()
     }),
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 8)
@@ -2804,13 +2799,9 @@ object SparkEntry {
     // InvertedIndexSpec) and DuckDB replays tokenize → postings →
     // AND-intersection over the raw text.
     "q_search_index" -> ((s, d) => {
-      import graft.lake.LakeLog
-      import graft.operators.InvertedIndex
-      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftidx"))
-      InvertedIndex.buildIndex(s, log, "idx", t(s, d, "documents"),
-        numFiles = 8)
-      InvertedIndex.searchIndex(s, log, "idx", Seq("spark", "window", "hash"))
-        .orderBy("doc_id")
+      // derived from benchPhases — see q_dedup_minhash_index
+      val (build, probe) = benchPhases("q_search_index")(s, d)
+      build(); probe()
     }),
 
     // Incremental materialized-view maintenance, end-to-end under the
@@ -3139,15 +3130,9 @@ object SparkEntry {
     // probe opens only the 2 probed list directories. The LEARNED
     // k-means coarse quantizer stays pinned by SimilaritySpec.
     "q_ann_ivf" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val q = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      val dir = java.nio.file.Files.createTempDirectory("graftivf").toString
-      Similarity.writeIvfIndex(emb, dir, nCentroids = 8,
-        coarse = graft.operators.Pq.hadamardCentroids(64, 8))
-      Similarity.ivfTopKIndexed(s, dir, q, k = 5, nProbe = 2)
-        .withColumn("cos", round(col("cos"), 6))
-        .orderBy("query_id", "rank")
+      // derived from benchPhases — see q_dedup_minhash_index
+      val (build, probe) = benchPhases("q_ann_ivf")(s, d)
+      build(); probe()
     }),
     // Product quantization + ADC under the EXACT oracle: codebooks are
     // frozen closed-form dyadic constants (Pq.codebook scaladoc), so DuckDB
@@ -3168,16 +3153,9 @@ object SparkEntry {
     // encoding AND ADC scoring — while the Spark side actually writes the
     // partition-pruned index to disk and reads back only probed lists.
     "q_ann_ivfpq" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val q = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      val dir = java.nio.file.Files.createTempDirectory("graftivfpq")
-        .toString
-      graft.operators.Pq.writeIvfPqIndex(emb, dir, nLists = 8,
-        coarse = graft.operators.Pq.hadamardCentroids(64, 8))
-      graft.operators.Pq.ivfPqTopK(s, dir, q, k = 5, nProbe = 2)
-        .withColumn("adc", round(col("adc"), 6))
-        .orderBy("query_id", "rank")
+      // derived from benchPhases — see q_dedup_minhash_index
+      val (build, probe) = benchPhases("q_ann_ivfpq")(s, d)
+      build(); probe()
     }),
 
     // k-core decomposition — the dense-subgraph extractor (link farms,
@@ -3218,16 +3196,9 @@ object SparkEntry {
     // never touches the corpus (plan pinned corpus-free in
     // InvertedIndexSpec; Bench splits build from probe).
     "q_search_bm25_indexed" -> ((s, d) => {
-      import graft.lake.LakeLog
-      import graft.operators.InvertedIndex
-      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftbm"))
-      InvertedIndex.buildBm25Index(s, log, "bm", t(s, d, "documents"),
-        numFiles = 8)
-      InvertedIndex.bm25SearchIndex(s, log, "bm",
-          Seq("spark", "window", "hash"))
-        .withColumn("score", round(col("score"), 6))
-        .orderBy(col("score").desc, col("doc_id").asc)
-        .limit(20)
+      // derived from benchPhases — see q_dedup_minhash_index
+      val (build, probe) = benchPhases("q_search_bm25_indexed")(s, d)
+      build(); probe()
     }),
 
     // Count-min sketch frequency estimation: the fixed-grid sketch whose
@@ -3620,14 +3591,16 @@ object SparkEntry {
   }
 
   /** Build/probe phase split for the queries that bundle a ONE-TIME
-    * persisted-index build with the recurring probe. The `queries` entries
-    * stay bundled (the correctness gate replays the whole lifecycle);
-    * Bench uses these instead when present, so the headline per-query
-    * number is the steady-state PROBE cost and the build rides in a
-    * `builds` sidecar — at scale the build runs once per crawl cycle
-    * while the probe runs per batch, and a bundled number overstates
-    * steady state 3-5×. Each call returns fresh (build, probe) thunks
-    * sharing one index location.
+    * persisted-index build with the recurring probe — the SINGLE source
+    * of truth: the corresponding `queries` entries are derived as
+    * `build(); probe()` (so the correctness gate replays the whole
+    * lifecycle and drift between the faces is impossible by
+    * construction). Bench uses the split directly, so the headline
+    * per-query number is the steady-state PROBE cost and the build rides
+    * in a `builds` sidecar — at scale the build runs once per crawl
+    * cycle while the probe runs per batch, and a bundled number
+    * overstates steady state 3-5×. Each call returns fresh
+    * (build, probe) thunks sharing one index location.
     */
   def benchPhases: Map[String, (SparkSession, String) =>
       (() => Unit, () => DataFrame)] = Map(

@@ -454,9 +454,17 @@ final class LakeLog(val root: Path, val checkpointInterval: Int = 10) {
     try
       try Files.createLink(target, staged)
       catch {
-        case _: UnsupportedOperationException =>
-          // filesystem without hard links: keep the single-process-safe
-          // rename path (in-JVM exclusion still holds via the table lock)
+        // EEXIST is the commit race being won by someone else — it must
+        // reach the conflict handler below, never the fallback (it is a
+        // FileSystemException subclass, so it must be matched first)
+        case e: java.nio.file.FileAlreadyExistsException => throw e
+        case _: UnsupportedOperationException
+             | _: java.nio.file.FileSystemException =>
+          // filesystem without hard links (UOE from the provider, or
+          // EPERM/EACCES surfacing as FileSystemException on e.g.
+          // FAT/exFAT and some network mounts): keep the
+          // single-process-safe rename path (in-JVM exclusion still
+          // holds via the table lock)
           if (Files.exists(target))
             throw new java.nio.file.FileAlreadyExistsException(target.toString)
           Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)

@@ -983,9 +983,11 @@ object LakeTable {
         .parquet(staged.toString)
     }
     try {
-      // .filter(_.rows > 0): if every live row of a candidate file was
-      // already DV-deleted, the staged rewrite is schema-only — promoting
-      // it would fail commit validation for an UPDATE that is a no-op.
+      // .filter(_.rows > 0) is DEFENSIVE parity with the sibling rewrite
+      // paths, not load-bearing: statAndPromote itself already skips
+      // zero-row staged files (the `if (rows == 0L) None` branch), which
+      // is what actually makes an UPDATE over fully-DV-deleted
+      // candidates a clean no-op.
       val adds = statAndPromote(spark, log, table, staged, sch, st, rewrite = true,
         partCols = partCols, bloomCols = sch.bloomCols)
         .filter(_.rows > 0)

@@ -240,9 +240,14 @@ object LinkGraph {
         .select(col("dst"), expr("rank_fp div __od").as("__c"))
         .groupBy("dst").agg(sum("__c").as("__in"))
       // per-seed dangling share, same integer quantization as the edge
-      // contributions: (D div |seeds|), damped by the update rule below
+      // contributions: (D div |seeds|), damped by the update rule below.
+      // nSeeds can legally be 0 (dampPct=100 zeroes every teleport mass;
+      // a personalized seed set can be disjoint from the graph) — the
+      // teleport distribution is then empty, so the mass has nowhere to
+      // go and falls back to the documented leak instead of dividing by
+      // zero
       val dangShare =
-        if (!redistributeDangling) 0L
+        if (!redistributeDangling || nSeeds == 0) 0L
         else {
           val d = ranks.join(dangling, "id")
             .agg(coalesce(sum("rank_fp"), lit(0L))).first().getLong(0)

@@ -1,12 +1,10 @@
 package graft
 
-import org.apache.spark.sql.functions._
-
-/** SparkEntry.benchPhases duplicates each split query's build/probe logic
-  * so Bench can time the phases apart — which creates drift risk: an edit
-  * to the bundled `queries` entry that forgets the phases twin would make
-  * the bench silently time something else. This pins build();probe() ==
-  * the bundled query, row for row, on the smallest fixture.
+/** Consistency pins around SparkEntry's query/oracle/benchPhases maps.
+  * The bundled `queries` entries for split queries are now DERIVED from
+  * benchPhases (`build(); probe()`), so face drift is impossible by
+  * construction — what remains worth pinning is that every split entry
+  * has a query twin, actually runs standalone, and returns rows.
   */
 class BenchPhasesSpec extends SparkSpec {
 
@@ -19,18 +17,13 @@ class BenchPhasesSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles with no query: $orphans")
   }
 
-  test("every benchPhases entry reproduces its bundled query exactly") {
+  test("every benchPhases entry has a query twin and probes non-empty") {
     val phases = SparkEntry.benchPhases
     assert(phases.keySet.subsetOf(SparkEntry.queries.keySet))
     phases.foreach { case (name, mk) =>
       val (build, probe) = mk(spark, sfDir)
       build()
-      val split = probe().collect().map(_.toString).sorted
-      val bundled = SparkEntry.queries(name)(spark, sfDir)
-        .collect().map(_.toString).sorted
-      assert(split.sameElements(bundled),
-        s"$name: phase-split result drifted from the bundled query " +
-          s"(${split.length} vs ${bundled.length} rows)")
+      assert(probe().count() > 0, s"$name: probe returned no rows")
     }
   }
 }

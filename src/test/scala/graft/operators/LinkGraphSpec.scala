@@ -187,4 +187,19 @@ class LinkGraphSpec extends SparkSpec {
       .map(_.getLong(1)).sum
     assert(leak == 1427500000000L, "leak variant (the oracle face) moved")
   }
+
+  test("redistributeDangling with an empty teleport set does not divide by zero") {
+    // dampPct = 100 zeroes every node's teleport mass, so nSeeds = 0 and
+    // the dangling share has no distribution to land in — must fall back
+    // to the documented leak, not throw ArithmeticException
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val out = LinkGraph.pageRank(edges, iters = 2, dampPct = 100,
+      redistributeDangling = true).collect()
+    assert(out.length == 3)
+    // and a personalized seed set disjoint from the graph's nodes
+    val seeds = Seq(99L).toDF("id")
+    val p = LinkGraph.pageRankPersonalized(edges, seeds, iters = 1,
+      redistributeDangling = true).collect()
+    assert(p.nonEmpty)
+  }
 }
