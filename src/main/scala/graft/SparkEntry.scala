@@ -1264,6 +1264,47 @@ object SparkEntry {
         .orderBy(col("rank_fp").desc, col("id").asc).limit(20)
     }),
 
+    // HITS hubs & authorities over the same link graph (Kleinberg
+    // JACM'99) — the hub/authority role split PageRank conflates.
+    // Integer fixed-point with DIVISION-ONLY L1 renormalization (divisor
+    // = max(total div scale, 1), so no multiply can overflow at any
+    // graph size); two edge-sized (long,long) exchanges per round, the
+    // scalar totals ride in-plan as broadcast one-row joins. DuckDB
+    // unrolls the same 3 integer rounds to bit-equality.
+    "q_hits" -> ((s, d) => withShufflePartitions(s, 8) {
+      val edges = graft.operators.LinkGraph.syntheticLinks(
+        t(s, d, "documents"), k = 3, mult = 17L)
+      graft.operators.LinkGraph.hits(edges, iters = 3)
+        .orderBy(col("auth_fp").desc, col("id").asc).limit(20)
+    }),
+
+    // URL canonicalization — the address-normalization step before any
+    // per-domain cap/blocklist/dedup keying: mixed-case scheme+host,
+    // default ports, www., fragments and tracking params (utm_*/fbclid/
+    // gclid/ref) all erased by a pure RE2-compatible regex chain (zero
+    // shuffles, one codegen projection); registrable domain = longest
+    // known public suffix + 1. Deterministic raw URLs are synthesized
+    // from doc_id in BOTH engines; DuckDB replays the whole chain
+    // byte-for-byte.
+    "q_url_canon" -> ((s, d) =>
+      graft.operators.Urls.normalize(
+          graft.operators.Urls.synthesize(docsSpread(s, d)))
+        .orderBy("doc_id")),
+
+    // Per-registrable-domain rollup over the canonicalized URLs with a
+    // broadcast blocklist anti-join (the blocklist is KB-sized — it
+    // never justifies shuffling the corpus side): docs, distinct hosts,
+    // total path depth per domain — what a crawl-budget allocator or
+    // per-domain cap consumes.
+    "q_url_domain_stats" -> ((s, d) => {
+      import s.implicits._
+      val norm = graft.operators.Urls.normalize(
+        graft.operators.Urls.synthesize(docsSpread(s, d)))
+      graft.operators.Urls.domainStats(norm,
+          Seq("sample.net").toDF("domain"))
+        .orderBy("domain")
+    }),
+
     // Per-label embedding centroids (mean pooling) in the long form —
     // (label, dim, mean): fixed-width rows with map-side partial sums,
     // arrays never cross an exchange.
@@ -3548,6 +3589,122 @@ object SparkEntry {
       ORDER BY rank_fp DESC, id ASC LIMIT 20"""
   }
 
+  /** Unrolled integer HITS over the synthetic link graph: `iters` rounds
+    * of auth-from-hub / hub-from-auth sums, each L1-renormalized by the
+    * division-only `max(total div scale, 1)` rule — exactly
+    * [[graft.operators.LinkGraph.hits]]'s recurrence. Sum CTEs are
+    * MATERIALIZED for the same reason as the k-core oracle's (multi-ref
+    * CTE re-expansion). DuckDB's integer SUM widens to HUGEINT, so every
+    * reduction is CAST back to BIGINT before it feeds the next round.
+    */
+  private def hitsOracleSql(iters: Int, scale: Long): String = {
+    val base = s"""
+      WITH nodes AS (SELECT doc_id AS id FROM documents),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      edges AS MATERIALIZED (
+        SELECT id AS src, (id * 17 + c.c) % nn.n AS dst
+        FROM nodes CROSS JOIN nn
+        CROSS JOIN (SELECT unnest([1, 2, 3]) AS c) c),
+      h0 AS (SELECT id, CAST($scale AS BIGINT) AS v FROM nodes)"""
+    val iterCtes = (1 to iters).map { i =>
+      s""",
+      ra$i AS MATERIALIZED (
+        SELECT n.id, CAST(COALESCE(s.s, 0) AS BIGINT) AS v
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS id, CAST(SUM(h.v) AS BIGINT) AS s
+          FROM edges e JOIN h${i - 1} h ON e.src = h.id
+          GROUP BY 1) s ON s.id = n.id),
+      ta$i AS (SELECT greatest(CAST(SUM(v) AS BIGINT) // $scale, 1) AS d
+               FROM ra$i),
+      a$i AS MATERIALIZED (
+        SELECT id, CAST(v // t.d AS BIGINT) AS v
+        FROM ra$i CROSS JOIN ta$i t),
+      rh$i AS MATERIALIZED (
+        SELECT n.id, CAST(COALESCE(s.s, 0) AS BIGINT) AS v
+        FROM nodes n LEFT JOIN (
+          SELECT e.src AS id, CAST(SUM(a.v) AS BIGINT) AS s
+          FROM edges e JOIN a$i a ON e.dst = a.id
+          GROUP BY 1) s ON s.id = n.id),
+      th$i AS (SELECT greatest(CAST(SUM(v) AS BIGINT) // $scale, 1) AS d
+               FROM rh$i),
+      h$i AS MATERIALIZED (
+        SELECT id, CAST(v // t.d AS BIGINT) AS v
+        FROM rh$i CROSS JOIN th$i t)"""
+    }.mkString
+    base + iterCtes + s"""
+      SELECT a.id, a.v AS auth_fp, h.v AS hub_fp
+      FROM a$iters a JOIN h$iters h ON a.id = h.id
+      ORDER BY auth_fp DESC, a.id ASC LIMIT 20"""
+  }
+
+  /** Shared CTE chain replaying [[graft.operators.Urls]] end-to-end:
+    * deterministic raw-URL synthesis from doc_id, then the exact
+    * canonicalization regex chain (same RE2 patterns, DuckDB needs the
+    * explicit 'g' flag where Spark replaces globally), host/registrable-
+    * domain extraction and path depth. Ends with a `norm` CTE of
+    * (doc_id, url_canon, host, domain, depth).
+    */
+  private val urlNormOracleCtes: String = """
+      WITH raw AS (
+        SELECT doc_id,
+          (CASE doc_id % 4 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'http'
+                WHEN 2 THEN 'https' ELSE 'HTTPS' END) || '://' ||
+          (CASE doc_id % 6 WHEN 0 THEN 'News.Example.COM'
+                WHEN 1 THEN 'blog.sample.co.uk'
+                WHEN 2 THEN 'www.shop.example.com'
+                WHEN 3 THEN 'archive.example.org'
+                WHEN 4 THEN 'a.b.example.com.au'
+                ELSE 'Cdn.Assets.sample.net' END) ||
+          (CASE WHEN doc_id % 5 = 0 THEN
+                (CASE WHEN doc_id % 4 >= 2 THEN ':443' ELSE ':80' END)
+                ELSE '' END) ||
+          '/Articles/item' || CAST(doc_id AS VARCHAR) ||
+          (CASE doc_id % 4
+             WHEN 0 THEN '?utm_source=feed&id=' ||
+                         CAST(doc_id AS VARCHAR) || '&utm_campaign=x'
+             WHEN 1 THEN '?id=' || CAST(doc_id AS VARCHAR) ||
+                         '&fbclid=ZZtrack'
+             WHEN 2 THEN '?gclid=abc123' ELSE '' END) ||
+          (CASE WHEN doc_id % 3 = 0 THEN '#section2' ELSE '' END) AS url
+        FROM documents),
+      pre AS (
+        SELECT doc_id,
+          lower(regexp_extract(url, '^[A-Za-z]+://[^/?#]+', 0)) AS p0,
+          regexp_replace(url, '^[A-Za-z]+://[^/?#]+', '') AS r0
+        FROM raw),
+      canon AS (
+        SELECT doc_id,
+          regexp_replace(
+            CASE WHEN p0 LIKE 'http://%'
+                   THEN regexp_replace(p0, ':80$', '')
+                 WHEN p0 LIKE 'https://%'
+                   THEN regexp_replace(p0, ':443$', '')
+                 ELSE p0 END,
+            '://www\.', '://') ||
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(r0, '#.*$', ''),
+                  '&(utm_[a-z]+|fbclid|gclid|ref)=[^&]*', '', 'g'),
+                '\?(utm_[a-z]+|fbclid|gclid|ref)=[^&]*&', '?', 'g'),
+              '\?(utm_[a-z]+|fbclid|gclid|ref)=[^&]*$', ''),
+            '\?$', '') AS url_canon
+        FROM pre),
+      parts AS (
+        SELECT doc_id, url_canon,
+          regexp_extract(url_canon, '^[a-z]+://([^/:?#]+)', 1) AS host,
+          regexp_extract(url_canon,
+                         '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path
+        FROM canon),
+      norm AS (
+        SELECT doc_id, url_canon, host,
+          regexp_extract(host,
+            '([^.]+\.(co\.uk|org\.uk|ac\.uk|com\.au|net\.au|org\.au|co\.jp|co\.nz|com\.br|co\.in|co\.za|com\.sg|com\.mx|com\.cn|com\.tr|[^.]+))$',
+            1) AS domain,
+          len(regexp_extract_all(path, '/[^/]+')) AS depth
+        FROM parts)"""
+
   /** Unrolled k-core peel over the synthetic link graph plus the planted
     * circulant block: `rounds` fixed rounds of "drop nodes with degree
     * < k", exactly the Spark loop's recurrence (rounds past convergence
@@ -3689,6 +3846,19 @@ object SparkEntry {
     "q_pagerank" -> pageRankOracleSql(5),
 
     "q_trustrank" -> pageRankOracleSql(5, id => s"$id % 10 = 0"),
+
+    "q_hits" -> hitsOracleSql(3, 1000000000L),
+
+    "q_url_canon" -> (urlNormOracleCtes + """
+      SELECT doc_id, url_canon, host, domain, depth
+      FROM norm ORDER BY doc_id"""),
+
+    "q_url_domain_stats" -> (urlNormOracleCtes + """
+      SELECT domain, count(*) AS n_docs,
+             count(DISTINCT host) AS n_hosts,
+             CAST(sum(depth) AS BIGINT) AS sum_depth
+      FROM norm WHERE domain <> 'sample.net'
+      GROUP BY domain ORDER BY domain"""),
 
     "q_pagerank_warm" -> {
       def iter(out: String, prev: String, edges: String,

@@ -272,6 +272,67 @@ object LinkGraph {
     ranks
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM'99) — the second classic
+    * link-centrality pair crawl curation uses beside PageRank: an
+    * AUTHORITY is a page good hubs point to, a HUB points to good
+    * authorities (directory/portal pages rank as hubs, canonical content
+    * as authorities — PageRank conflates the two roles).
+    *
+    * Integer fixed-point like [[pageRank]]: auth₀ = hub₀ = `scale`; each
+    * round computes authᵢ(v) = Σ_{u→v} hubᵢ₋₁(u), L1-normalizes back to
+    * Σ ≈ `scale`, then hubᵢ(u) = Σ_{u→v} authᵢ(v) over the NORMALIZED
+    * auths, normalized likewise. Normalization divides by
+    * `max(total div scale, 1)` — division only, no multiply, so nothing
+    * can overflow however large the graph (raw totals stay ≤ m·scale;
+    * at scale 10⁹ that holds to m ≈ 9·10⁹ edges, web-graph-sized), and
+    * the quantization is deterministic — the DuckDB oracle unrolls the
+    * same integer rounds to bit-equality. Per round: two edge-sized
+    * (long, long) exchanges plus two metadata-sized scalar totals, both
+    * kept IN-PLAN as broadcast one-row joins (no driver action inside
+    * the loop). Each raw sum is `localCheckpoint`ed BEFORE its total is
+    * taken — the renorm reads every raw value twice (once for Σ, once
+    * for the division), so an unmaterialized raw would recompute the
+    * whole round-plan per read and compound lineage ×2 per round.
+    * Returns (id, auth_fp, hub_fp).
+    */
+  def hits(edges: DataFrame, iters: Int,
+           scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1 && scale > 0)
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint()
+    val e = edges.select("src", "dst").localCheckpoint()
+    def normalized(raw: DataFrame, valCol: String): DataFrame = {
+      // L1 renorm: divisor = max(Σ div scale, 1); division-only, exact
+      val tot = raw.agg(
+        greatest(expr(s"sum($valCol) div ${scale}L"), lit(1L)).as("__div"))
+      raw.crossJoin(broadcast(tot))
+        .select(col("id"), expr(s"$valCol div __div").as(valCol))
+    }
+    var auth = nodes.select(col("id"), lit(scale).as("auth_fp"))
+    var hub = nodes.select(col("id"), lit(scale).as("hub_fp"))
+    (1 to iters).foreach { _ =>
+      val rawAuth = nodes.join(
+          e.join(hub.withColumnRenamed("id", "src"), "src")
+            .groupBy(col("dst").as("id"))
+            .agg(sum("hub_fp").as("__s")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("__s"), lit(0L)).as("auth_fp"))
+        .localCheckpoint()
+      auth = normalized(rawAuth, "auth_fp")
+      val rawHub = nodes.join(
+          e.join(auth.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(col("src").as("id"))
+            .agg(sum("auth_fp").as("__s")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("__s"), lit(0L)).as("hub_fp"))
+        .localCheckpoint()
+      hub = normalized(rawHub, "hub_fp")
+    }
+    auth.join(hub, "id").select("id", "auth_fp", "hub_fp")
+  }
+
   /** k-core decomposition (membership for a fixed `k`): iteratively peel
     * every node whose degree in the surviving subgraph is < k until no
     * node is removable — the standard dense-subgraph extractor for link

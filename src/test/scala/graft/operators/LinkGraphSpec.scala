@@ -202,4 +202,46 @@ class LinkGraphSpec extends SparkSpec {
       redistributeDangling = true).collect()
     assert(p.nonEmpty)
   }
+
+  test("hits: star graph separates the hub and authority roles exactly") {
+    // 1,2,3 all point to 0: 0 is the pure authority, 1-3 pure hubs.
+    // Hand-replay of the integer recurrence (scale S = 1e9):
+    //   iter1: rawAuth(0)=3S, div=3 → auth(0)=S; rawHub(1..3)=S, div=3
+    //          → hub=S/3=333333333
+    //   iter2: rawAuth(0)=3*333333333=999999999, div=max(0,1)=1;
+    //          rawHub(1..3)=999999999 each, total=2999999997, div=2
+    //          → hub=499999999
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("src", "dst")
+    val r = LinkGraph.hits(edges, iters = 2).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(0L) == (999999999L, 0L))
+    assert(Seq(1L, 2L, 3L).forall(i => r(i) == (0L, 499999999L)))
+  }
+
+  test("hits: symmetric bipartite graph gives equal scores per side") {
+    val edges = Seq((0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L))
+      .toDF("src", "dst")
+    val r = LinkGraph.hits(edges, iters = 3).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(0L) == r(1L) && r(2L) == r(3L))
+    assert(r(2L)._1 > 0 && r(2L)._2 == 0) // right side: authorities only
+    assert(r(0L)._2 > 0 && r(0L)._1 == 0) // left side: hubs only
+  }
+
+  test("hits: deterministic under repartitioning, scores non-negative, " +
+       "L1 mass inside the 2x renorm band") {
+    val docs = (0L until 64L).toDF("doc_id")
+    val edges = LinkGraph.syntheticLinks(docs, k = 3, mult = 17L)
+    val a = LinkGraph.hits(edges, iters = 3).orderBy("id").collect()
+    val b = LinkGraph.hits(edges.repartition(7), iters = 3)
+      .orderBy("id").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.forall(r => r.getLong(1) >= 0 && r.getLong(2) >= 0))
+    // renorm divides by q = max(total div scale, 1): post-norm L1 total
+    // ≤ total/q = scale + r/q < 2·scale (division-only renorm trades a
+    // ≤2× mass band for overflow-freedom at any graph size)
+    val authSum = a.map(_.getLong(1)).sum
+    val hubSum = a.map(_.getLong(2)).sum
+    assert(authSum < 2000000000L && hubSum < 2000000000L)
+  }
 }
