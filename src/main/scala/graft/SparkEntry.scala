@@ -1422,6 +1422,60 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Threshold-sweep evaluation of the frozen quality classifier:
+    // confusion counts + precision/recall per cutoff — the curve read
+    // before picking a filter threshold. Thresholds cut the raw MARGIN
+    // (IEEE +,-,*,/ only — bit-reproducible cross-engine) never the
+    // sigmoid (libm exp is the 1-ulp hazard q_hll measured). One corpus
+    // pass: rows fan out to #thresholds via a literal-array explode, the
+    // exchange carries #thresholds×4 counters.
+    "q_model_eval" -> ((s, d) => {
+      import graft.operators.QualityClassifier
+      val m = QualityClassifier.Model(
+        Seq("n_tokens_d", "mean_token_len", "symbol_ratio", "digit_ratio"),
+        Seq(0.75, -0.5, -1.25, -0.75), 0.25,
+        Seq(64.0, 5.0, 0.03125, 0.0625), Seq(32.0, 2.0, 0.03125, 0.0625))
+      val f = t(s, d, "documents").select(col("doc_id"),
+          graft.functions.TextFunctions.qualityFeatures(col("text")).as("f"))
+        .select(col("doc_id"),
+          col("f.n_tokens").cast("double").as("n_tokens_d"),
+          col("f.mean_token_len").as("mean_token_len"),
+          col("f.symbol_ratio").as("symbol_ratio"),
+          col("f.digit_ratio").as("digit_ratio"))
+      // ground-truth proxy on dyadic constants — IEEE-exact both engines
+      val scored = f
+        .withColumn("margin", QualityClassifier.marginColumn(m))
+        .withColumn("label",
+          col("n_tokens_d") >= 64.0 && col("symbol_ratio") <= 0.03125)
+      graft.operators.ModelEval.confusionSweep(scored, "label", "margin",
+          Seq(-1.0, -0.5, 0.0, 0.5, 1.0))
+        .orderBy("threshold")
+    }),
+
+    // Collocation mining: top adjacent word pairs by CONFIDENCE
+    // P(w2|w1) in exact ppm (PMI would need cross-engine ln or an
+    // overflowing triple product). Bigrams form ARRAY-SIDE (slice +
+    // zip_with in one projection — no posexplode/self-join); only
+    // word-count-shaped exchanges, text never moves.
+    "q_collocations" -> ((s, d) =>
+      graft.operators.Collocations.topByConfidence(
+        docsSpread(s, d), minCount = 5L, k = 20)),
+
+    // Count-series anomaly detection: hourly event-type buckets more
+    // than 3σ from their type's mean, decided ENTIRELY in integer
+    // arithmetic — (n·x − s)² > k²·(n·q − s²) — no sqrt, no doubles,
+    // replays bit-for-bit. The moments join back as a broadcast
+    // (one row per event type); the flag pass prices as metadata.
+    "q_anomaly" -> ((s, d) => {
+      val series = t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Anomaly.countSpikes(series, "event_type", "hour",
+          "n", k = 3)
+        .orderBy("event_type", "hour")
+    }),
+
     "q_profile" -> ((s, d) =>
       graft.operators.Profile.numericProfile(
           t(s, d, "lineitem").select("l_quantity", "l_extendedprice",
@@ -5823,6 +5877,96 @@ object SparkEntry {
       SELECT doc_id, round(1.0 / (1.0 + exp(-margin)), 6) AS quality_prob,
              1.0 / (1.0 + exp(-margin)) >= 0.5 AS keep
       FROM m ORDER BY doc_id""",
+    "q_model_eval" -> """
+      WITH norm AS (
+        SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+        FROM documents),
+      f AS (
+        SELECT doc_id,
+               CAST(length(nt) AS DOUBLE) AS n_chars,
+               CAST(len(list_filter(string_split_regex(nt, '\s+'),
+                 x -> x <> '')) AS DOUBLE) AS n_tok,
+               CAST(length(regexp_replace(nt, '[\p{L}\p{N}\s]', '', 'g'))
+                 AS DOUBLE) AS n_sym,
+               CAST(length(regexp_replace(nt, '[^0-9]', '', 'g'))
+                 AS DOUBLE) AS n_dig
+        FROM norm),
+      feats AS (
+        SELECT doc_id, n_tok,
+               CASE WHEN n_tok > 0 THEN (n_chars - (n_tok - 1)) / n_tok
+                    ELSE 0.0 END AS mtl,
+               CASE WHEN n_chars > 0 THEN n_sym / n_chars ELSE 0.0 END AS sym,
+               CASE WHEN n_chars > 0 THEN n_dig / n_chars ELSE 0.0 END AS dig
+        FROM f),
+      m AS (
+        SELECT doc_id,
+               0.25 + (n_tok - 64.0) / 32.0 * 0.75
+                    + (mtl - 5.0) / 2.0 * (-0.5)
+                    + (sym - 0.03125) / 0.03125 * (-1.25)
+                    + (dig - 0.0625) / 0.0625 * (-0.75) AS margin,
+               (n_tok >= 64.0 AND sym <= 0.03125) AS label
+        FROM feats),
+      c AS (
+        SELECT t.threshold,
+               CAST(sum(CASE WHEN label AND margin >= t.threshold
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN NOT label AND margin >= t.threshold
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN label AND margin < t.threshold
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN NOT label AND margin < t.threshold
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM m CROSS JOIN (
+          SELECT CAST(unnest([-1.0, -0.5, 0.0, 0.5, 1.0]) AS DOUBLE)
+            AS threshold) t
+        GROUP BY 1)
+      SELECT threshold, tp, fp, fn, tn,
+             CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp)
+                  ELSE -1 END AS precision_ppm,
+             CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn)
+                  ELSE -1 END AS recall_ppm
+      FROM c ORDER BY threshold""",
+
+    "q_collocations" -> """
+      WITH toks AS (
+        SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS t
+        FROM documents),
+      uni AS (
+        SELECT w, count(*) AS w1_n FROM (
+          SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+      pairs AS (
+        SELECT t[i + 1] AS w1, t[i + 2] AS w2
+        FROM toks, UNNEST(range(len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2),
+      bi AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_n
+        FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5)
+      SELECT b.w1, b.w2, b.pair_n, CAST(u.w1_n AS BIGINT) AS w1_n,
+             CAST((b.pair_n * 1000000) // u.w1_n AS BIGINT) AS conf_ppm
+      FROM bi b JOIN uni u ON u.w = b.w1
+      ORDER BY conf_ppm DESC, b.w1 ASC, b.w2 ASC LIMIT 20""",
+
+    "q_anomaly" -> """
+      WITH series AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      mo AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(n) AS BIGINT) AS sum_n,
+               CAST(sum(n * n) AS BIGINT) AS sum_sq
+        FROM series GROUP BY 1),
+      j AS (
+        SELECT s.event_type, s.hour, s.n, m.n_buckets, m.sum_n,
+               (m.n_buckets * s.n - m.sum_n) *
+                 (m.n_buckets * s.n - m.sum_n) AS lhs,
+               9 * (m.n_buckets * m.sum_sq - m.sum_n * m.sum_n) AS rhs
+        FROM series s JOIN mo m USING (event_type))
+      SELECT event_type, hour, n, n_buckets, sum_n, lhs, rhs
+      FROM j WHERE lhs > rhs ORDER BY event_type, hour""",
+
     "q_quality" -> """
       WITH norm AS (
         SELECT doc_id,

@@ -77,11 +77,17 @@ object QualityClassifier {
     } finally base.unpersist()
   }
 
-  /** The scoring expression — pure codegen projection over literals. */
-  def scoreColumn(m: Model): Column = {
-    val margin = m.featureCols.zipWithIndex.map { case (c, i) =>
+  /** The raw decision margin — the affine standardized-feature map in
+    * IEEE +,-,*,/ only (no libm), so thresholding IT is cross-engine
+    * exact where thresholding the sigmoid is not ([[ModelEval]]). */
+  def marginColumn(m: Model): Column =
+    m.featureCols.zipWithIndex.map { case (c, i) =>
       (col(c) - lit(m.means(i))) / lit(m.stds(i)) * lit(m.weights(i))
     }.foldLeft(lit(m.bias): Column)(_ + _)
+
+  /** The scoring expression — pure codegen projection over literals. */
+  def scoreColumn(m: Model): Column = {
+    val margin = marginColumn(m)
     lit(1.0) / (lit(1.0) + exp(-margin))
   }
 
