@@ -1476,6 +1476,65 @@ object SparkEntry {
         .orderBy("event_type", "hour")
     }),
 
+    // Bucket-spine gap filling: the step a monitor runs BEFORE
+    // statistics — a groupBy emits rows only for buckets that HAVE
+    // events, so absence must become an explicit zero first. Every
+    // event type gets the GLOBAL hourly spine (broadcast one-row bounds
+    // exploded per group, one left join); everything metadata-priced.
+    "q_gapfill" -> ((s, d) => {
+      val series = t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.GapFill.fillHourly(series, "event_type", "hour",
+          "n")
+        .orderBy("event_type", "hour")
+    }),
+
+    // The anomaly monitor on a CONTINUOUS ingest: the hourly count
+    // series is maintained as a streaming update-mode aggregate
+    // upserted exactly-once into a lake table (the q_stream_hourly
+    // machinery), and the spike pass runs over the table's final
+    // state. Stream state ≡ batch aggregate, so the flags replay
+    // bit-for-bit against the same batch oracle as q_anomaly.
+    "q_stream_anomaly" -> ((s, d) => withShufflePartitions(s, 4) {
+      import graft.lake.{LakeLog, LakeTable}
+      import graft.streaming.Streams
+      val ev = t(s, d, "events").select("ts", "event_id", "event_type")
+      val tmp = java.nio.file.Files.createTempDirectory("graftstream")
+      val srcDir = tmp.resolve("src").toString
+      ev.repartition(6, col("event_id")).write.parquet(srcDir)
+      val log = new LakeLog(tmp.resolve("lake"))
+      val sinkDf = ev.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("hour",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType))))
+      LakeTable.createTable(log, "hourly_n", sinkDf.schema)
+      val agg = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "2").parquet(srcDir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("k",
+          concat(col("hour").cast("string"), lit("|"), col("event_type")))
+        .select("k", "hour", "event_type", "n")
+      val q = Streams.sinkAggToLake(agg, log, "hourly_n", "k",
+        tmp.resolve("ckpt").toString)
+      q.processAllAvailable(); q.stop()
+      val series = LakeTable.read(s, log, "hourly_n")
+        .select("event_type", "hour", "n")
+      graft.operators.Anomaly.countSpikes(series, "event_type", "hour",
+          "n", k = 3)
+        .orderBy("event_type", "hour")
+    }),
+
     "q_profile" -> ((s, d) =>
       graft.operators.Profile.numericProfile(
           t(s, d, "lineitem").select("l_quantity", "l_extendedprice",
@@ -5949,6 +6008,40 @@ object SparkEntry {
       ORDER BY conf_ppm DESC, b.w1 ASC, b.w2 ASC LIMIT 20""",
 
     "q_anomaly" -> """
+      WITH series AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      mo AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(n) AS BIGINT) AS sum_n,
+               CAST(sum(n * n) AS BIGINT) AS sum_sq
+        FROM series GROUP BY 1),
+      j AS (
+        SELECT s.event_type, s.hour, s.n, m.n_buckets, m.sum_n,
+               (m.n_buckets * s.n - m.sum_n) *
+                 (m.n_buckets * s.n - m.sum_n) AS lhs,
+               9 * (m.n_buckets * m.sum_sq - m.sum_n * m.sum_n) AS rhs
+        FROM series s JOIN mo m USING (event_type))
+      SELECT event_type, hour, n, n_buckets, sum_n, lhs, rhs
+      FROM j WHERE lhs > rhs ORDER BY event_type, hour""",
+
+    "q_gapfill" -> """
+      WITH series AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM series),
+      g AS (SELECT DISTINCT event_type FROM series),
+      spine AS (
+        SELECT g.event_type, CAST(u.h AS TIMESTAMP) AS hour
+        FROM g CROSS JOIN b,
+             UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS u(h))
+      SELECT s.event_type, s.hour, COALESCE(se.n, 0) AS n
+      FROM spine s LEFT JOIN series se USING (event_type, hour)
+      ORDER BY event_type, hour""",
+
+    "q_stream_anomaly" -> """
       WITH series AS (
         SELECT event_type, date_trunc('hour', ts) AS hour,
                CAST(count(*) AS BIGINT) AS n
