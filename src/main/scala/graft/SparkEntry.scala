@@ -2958,6 +2958,18 @@ object SparkEntry {
       build(); probe()
     }),
 
+    // Exact-phrase retrieval over a persisted POSITIONAL index: each
+    // occurrence of term i rebased to its implied anchor (pos − i), a
+    // match = an anchor surviving every rebase join — work is
+    // O(occurrences of the phrase's terms) off bloom-pruned clustered
+    // postings runs, the corpus never moves. DuckDB replays positional
+    // postings and the rebase joins end-to-end.
+    "q_search_phrase" -> ((s, d) => {
+      // derived from benchPhases — see q_dedup_minhash_index
+      val (build, probe) = benchPhases("q_search_phrase")(s, d)
+      build(); probe()
+    }),
+
     // Incremental materialized-view maintenance, end-to-end under the
     // oracle: two appended slices fold in via INCREMENTAL refreshes, a
     // DELETE forces the full-recompute fallback, then a third slice folds
@@ -3893,6 +3905,16 @@ object SparkEntry {
          numFiles = 8),
        () => InvertedIndex.searchIndex(s, log, "idx",
            Seq("spark", "window", "hash"))
+         .orderBy("doc_id"))
+    }),
+    "q_search_phrase" -> ((s, d) => {
+      import graft.lake.LakeLog
+      import graft.operators.InvertedIndex
+      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftph"))
+      (() => InvertedIndex.buildPhraseIndex(s, log, "ph",
+         t(s, d, "documents"), numFiles = 8),
+       () => InvertedIndex.phraseSearchIndex(s, log, "ph",
+           Seq("table", "scan"))
          .orderBy("doc_id"))
     }),
     "q_search_bm25_indexed" -> ((s, d) => {
@@ -6025,6 +6047,21 @@ object SparkEntry {
         FROM series s JOIN mo m USING (event_type))
       SELECT event_type, hour, n, n_buckets, sum_n, lhs, rhs
       FROM j WHERE lhs > rhs ORDER BY event_type, hour""",
+
+    "q_search_phrase" -> """
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+          x -> x <> '') AS t
+        FROM documents),
+      pp AS (
+        SELECT doc_id, i AS pos, t[i + 1] AS term
+        FROM toks, UNNEST(range(len(t))) AS u(i)),
+      a0 AS (SELECT doc_id, pos AS p0 FROM pp WHERE term = 'table'),
+      a1 AS (SELECT doc_id, pos - 1 AS p0 FROM pp WHERE term = 'scan'),
+      m AS (SELECT a0.doc_id, a0.p0 FROM a0 JOIN a1 USING (doc_id, p0))
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+      FROM m GROUP BY 1 ORDER BY doc_id""",
 
     "q_gapfill" -> """
       WITH series AS (

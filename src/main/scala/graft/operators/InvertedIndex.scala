@@ -73,6 +73,68 @@ object InvertedIndex {
                   terms: Seq[String]): DataFrame =
     searchAll(LakeTable.readIndexed(spark, log, table), terms)
 
+  /** POSITIONAL postings `(term, doc_id, pos)` — the phrase-query index
+    * shape: one row per token OCCURRENCE with its 0-based position (the
+    * same 8-extra-bytes-per-posting trade [[postingsWithLen]] makes for
+    * BM25's dl, spent here on adjacency instead of length). */
+  def positionalPostings(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame =
+    Dedup.spread(docs.select(col(idCol).as("doc_id"),
+        col(textCol).as("__text")))
+      .select(col("doc_id"),
+        posexplode(tokens(normalizeText(col("__text"))))
+          .as(Seq("pos", "term")))
+      .select("term", "doc_id", "pos")
+
+  /** Persist a positional index: [[positionalPostings]] hash-clustered
+    * by term with a term bloom — probes prune to the phrase's terms'
+    * files exactly like [[buildIndex]]'s. */
+  def buildPhraseIndex(spark: SparkSession, log: LakeLog, table: String,
+                       docs: DataFrame, numFiles: Int = 16,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): Unit = {
+    val p = positionalPostings(docs, idCol, textCol)
+    LakeTable.createTable(log, table, p.schema, bloomFilterCols = Seq("term"))
+    LakeTable.insert(spark, log, table, p, numFiles = numFiles,
+      clusterBy = Seq("term"))
+  }
+
+  /** Exact-phrase search: documents containing the terms ADJACENTLY in
+    * order. Each occurrence of term i is rebased to its implied anchor
+    * position (pos − i); a phrase match is an anchor surviving every
+    * rebase join. Returns (doc_id, n_matches) with the occurrence count.
+    *
+    * Scale shape: the postings frame is filtered to the phrase's terms
+    * BEFORE any join (≤ |phrase| clustered runs off a [[buildPhraseIndex]]
+    * table — bloom/min-max pruned), and the |phrase|−1 joins are keyed
+    * on (doc_id, anchor) over those occurrence runs only: work is
+    * O(occurrences of the phrase's terms), the corpus never moves.
+    * Repeated terms in the phrase are handled by the rebase itself
+    * ("the the" anchors only where positions differ by exactly 1).
+    */
+  def phraseSearch(postingsDf: DataFrame,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val runs = postingsDf
+      .filter(col("term").isin(phrase.distinct.map(_.asInstanceOf[Any]): _*))
+      .select("term", "doc_id", "pos")
+    val anchor = runs.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos").as("p0"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(anchor) {
+      case (acc, (t, i)) =>
+        acc.join(runs.filter(col("term") === t)
+            .select(col("doc_id"), (col("pos") - i).as("p0")),
+          Seq("doc_id", "p0"))
+    }
+    matched.groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
+  }
+
+  /** Phrase search over a persisted positional index: the term In-filter
+    * reaches the lake scan and file-prunes before the rebase joins. */
+  def phraseSearchIndex(spark: SparkSession, log: LakeLog, table: String,
+                        phrase: Seq[String]): DataFrame =
+    phraseSearch(LakeTable.readIndexed(spark, log, table), phrase)
+
   /** Postings with the document length DENORMALIZED onto every row:
     * (term, doc_id, tf, dl). Impact-ordered search indexes store exactly
     * this — 8 extra bytes per posting buys BM25 scoring without joining

@@ -132,4 +132,54 @@ class InvertedIndexSpec extends SparkSpec {
     assert(m.filesPruned > 0,
       s"expected pruned postings files, scanned=${m.filesScanned}")
   }
+
+  test("phrase search: adjacency in order, hand-counted") {
+    val docs = Seq(
+      (0L, "big table scan on a table scan node"), // 2 matches
+      (1L, "scan table"),                          // reversed: no match
+      (2L, "table full scan"),                     // gap: no match
+      (3L, "the table scan")).toDF("doc_id", "text")
+    val got = InvertedIndex
+      .phraseSearch(InvertedIndex.positionalPostings(docs),
+        Seq("table", "scan"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 3L -> 1L))
+  }
+
+  test("phrase search: repeated terms anchor only at true adjacency, " +
+       "overlapping matches all counted") {
+    val docs = Seq(
+      (0L, "batch batch batch run"),  // "batch batch" overlaps: 2 matches
+      (1L, "batch run batch")).toDF("doc_id", "text")
+    val got = InvertedIndex
+      .phraseSearch(InvertedIndex.positionalPostings(docs),
+        Seq("batch", "batch"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L))
+    // three-term phrase with a repeat
+    val tri = InvertedIndex
+      .phraseSearch(InvertedIndex.positionalPostings(docs),
+        Seq("batch", "batch", "batch"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri == Map(0L -> 1L))
+  }
+
+  test("persisted phrase index: pruned probe equals the raw recompute") {
+    val log = new LakeLog(tmpDir("phidx"))
+    val corpus = (0L until 400L).map(i =>
+      (i, s"term${i % 97} term${(i * 7) % 97} common tail"))
+      .toDF("doc_id", "text")
+    InvertedIndex.buildPhraseIndex(spark, log, "ph", corpus, numFiles = 8)
+    val probe = InvertedIndex.phraseSearchIndex(spark, log, "ph",
+      Seq("term13", "term91"))
+    val m = graft.Metrics.measure("ph-probe", probe)
+    assert(m.filesPruned > 0,
+      s"expected pruned postings files, scanned=${m.filesScanned}")
+    val brute = InvertedIndex
+      .phraseSearch(InvertedIndex.positionalPostings(corpus),
+        Seq("term13", "term91"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == brute && brute.nonEmpty)
+  }
 }
