@@ -1481,6 +1481,17 @@ object SparkEntry {
     // events, so absence must become an explicit zero first. Every
     // event type gets the GLOBAL hourly spine (broadcast one-row bounds
     // exploded per group, one left join); everything metadata-priced.
+    // Length-bucketed batch assembly: similar-length docs batch
+    // together so padding-to-longest stops burning slots. Bucket =
+    // (len−1) div width; batches cut longest-first within bucket;
+    // per-batch padding waste emitted as integer evidence. Window
+    // partitions by BUCKET (parallelism = #buckets) over (id, len)
+    // scalars only — text never shuffles.
+    "q_length_batches" -> ((s, d) =>
+      graft.operators.Packing.lengthBucketedBatches(
+          t(s, d, "documents"), bucketWidth = 16, batchSize = 8)
+        .orderBy("bucket", "batch_id")),
+
     "q_gapfill" -> ((s, d) => {
       val series = t(s, d, "events")
         .groupBy(col("event_type"),
@@ -6062,6 +6073,23 @@ object SparkEntry {
       m AS (SELECT a0.doc_id, a0.p0 FROM a0 JOIN a1 USING (doc_id, p0))
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
       FROM m GROUP BY 1 ORDER BY doc_id""",
+
+    "q_length_batches" -> """
+      WITH base AS (
+        SELECT doc_id, CAST(len(list_filter(string_split_regex(text,
+          '\s+'), x -> x <> '')) AS BIGINT) AS len
+        FROM documents),
+      b AS (SELECT doc_id, len, (len - 1) // 16 AS bucket
+            FROM base WHERE len > 0),
+      r AS (SELECT bucket, len,
+              (row_number() OVER (PARTITION BY bucket
+                 ORDER BY len DESC, doc_id ASC) - 1) // 8 AS batch_id
+            FROM b)
+      SELECT bucket, batch_id, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(max(len) AS BIGINT) AS max_len,
+             CAST(sum(len) AS BIGINT) AS sum_len,
+             CAST(count(*) * max(len) - sum(len) AS BIGINT) AS padding
+      FROM r GROUP BY 1, 2 ORDER BY bucket, batch_id""",
 
     "q_gapfill" -> """
       WITH series AS (

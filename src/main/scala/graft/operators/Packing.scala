@@ -26,6 +26,42 @@ import graft.functions.TextFunctions.tokens
   */
 object Packing {
 
+  /** Length-bucketed batch assembly — the padding-efficiency step of
+    * batched inference / sequence-parallel training: a batch is padded
+    * to its LONGEST member, so batching a 10-token doc with a
+    * 1000-token doc wastes 990 slots. Documents land in buckets of
+    * similar length (`bucket = (len − 1) div bucketWidth`), each bucket
+    * is cut into fixed-size batches in a declared deterministic order
+    * (length desc, id asc — longest first, so a batch's pad target is
+    * its FIRST member), and per-batch padding waste comes out as
+    * integer evidence: `padding = n·max_len − Σlen`.
+    *
+    * Scale shape: the window partitions by BUCKET — parallelism =
+    * #buckets, each task ranking only its bucket's (id, len) scalars;
+    * text never enters the shuffle ([[packByTokenBudget]]'s discipline).
+    * Returns one row per batch: (bucket, batch_id, n_docs, max_len,
+    * sum_len, padding) — all integers, bit-replayable.
+    */
+  def lengthBucketedBatches(docs: DataFrame, bucketWidth: Int,
+                            batchSize: Int, idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0)
+    val base = Dedup.spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        size(tokens(col(textCol))).cast("long").as("len"))
+      .filter(col("len") > 0)
+      .withColumn("bucket", expr(s"(len - 1) div $bucketWidth"))
+    base
+      .withColumn("batch_id",
+        expr(s"(row_number() OVER (PARTITION BY bucket ORDER BY " +
+          s"len DESC, $idCol ASC) - 1) div $batchSize").cast("long"))
+      .groupBy("bucket", "batch_id")
+      .agg(count(lit(1)).as("n_docs"), max("len").as("max_len"),
+        sum("len").as("sum_len"))
+      .withColumn("padding",
+        col("n_docs") * col("max_len") - col("sum_len"))
+  }
+
   def packByTokenBudget(docs: DataFrame, budget: Long, nShards: Int = 8,
                         idCol: String = "doc_id", textCol: String = "text",
                         partCol: String = "source"): DataFrame = {

@@ -44,4 +44,41 @@ class PackingSpec extends SparkSpec {
     assert(out.agg(org.apache.spark.sql.functions.sum("n_tok"))
       .head().getLong(0) == 12L)
   }
+
+  test("length-bucketed batches: hand-computed buckets and padding") {
+    // lens 5,10,16 → bucket 0; 17,20 → bucket 1 (width 16)
+    val d = Seq((0L, 5), (1L, 10), (2L, 16), (3L, 17), (4L, 20))
+      .map { case (i, n) => (i, Seq.fill(n)("w").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val out = Packing
+      .lengthBucketedBatches(d, bucketWidth = 16, batchSize = 2)
+      .orderBy("bucket", "batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 2L, 16L, 26L, 6L),  // [16,10] padded to 16
+      (0L, 1L, 1L, 5L, 5L, 0L),    // [5] alone pads nothing
+      (1L, 0L, 2L, 20L, 37L, 3L))) // [20,17] padded to 20
+  }
+
+  test("length-bucketed batches: size cap, within-bucket spread bound, " +
+       "determinism") {
+    val d = (0L until 300L).map(i =>
+      (i, Seq.fill((i % 53 + 1).toInt)("t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Packing
+      .lengthBucketedBatches(d, bucketWidth = 8, batchSize = 4)
+    val rows = out.collect()
+    // every batch ≤ batchSize docs; padding < n_docs × bucketWidth
+    // (members of one bucket differ by < width)
+    assert(rows.forall(_.getLong(2) <= 4L))
+    assert(rows.forall(r => r.getLong(5) < r.getLong(2) * 8L))
+    // doc conservation + determinism under repartition
+    assert(rows.map(_.getLong(2)).sum == 300L)
+    val again = Packing.lengthBucketedBatches(d.repartition(7),
+      bucketWidth = 8, batchSize = 4)
+      .orderBy("bucket", "batch_id").collect().map(_.toSeq).toSeq
+    assert(out.orderBy("bucket", "batch_id").collect()
+      .map(_.toSeq).toSeq == again)
+  }
 }
