@@ -1452,6 +1452,35 @@ object SparkEntry {
         .orderBy("threshold")
     }),
 
+    // Cross-source score calibration: raw quality scores are not
+    // comparable across sources, so a global cutoff silently keeps
+    // whole sources and drops others. Rank-normalize within source
+    // (integer pct_ppm from a declared total order), then keep each
+    // source's top 40% — the same FRACTION of every source. One
+    // source-partitioned window over (id, score) scalars + a broadcast
+    // per-source count join; thresholds cut the IEEE-exact margin rank,
+    // never a libm value.
+    "q_calibrate" -> ((s, d) => {
+      import graft.operators.{Calibrate, QualityClassifier}
+      val m = QualityClassifier.Model(
+        Seq("n_tokens_d", "mean_token_len", "symbol_ratio", "digit_ratio"),
+        Seq(0.75, -0.5, -1.25, -0.75), 0.25,
+        Seq(64.0, 5.0, 0.03125, 0.0625), Seq(32.0, 2.0, 0.03125, 0.0625))
+      val scored = t(s, d, "documents").select(col("doc_id"), col("source"),
+          graft.functions.TextFunctions.qualityFeatures(col("text")).as("f"))
+        .select(col("doc_id"), col("source"),
+          col("f.n_tokens").cast("double").as("n_tokens_d"),
+          col("f.mean_token_len").as("mean_token_len"),
+          col("f.symbol_ratio").as("symbol_ratio"),
+          col("f.digit_ratio").as("digit_ratio"))
+        .withColumn("margin", QualityClassifier.marginColumn(m))
+        .select("doc_id", "source", "margin")
+      Calibrate.keepTopPerSource(scored, "source", "doc_id", "margin",
+          keepPpm = 400000L)
+        .select(col("doc_id"), col("source"), col("pct_ppm"))
+        .orderBy("source", "pct_ppm", "doc_id")
+    }),
+
     // Collocation mining: top adjacent word pairs by CONFIDENCE
     // P(w2|w1) in exact ppm (PMI would need cross-engine ln or an
     // overflowing triple product). Bigrams form ARRAY-SIDE (slice +
@@ -6019,6 +6048,49 @@ object SparkEntry {
              CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn)
                   ELSE -1 END AS recall_ppm
       FROM c ORDER BY threshold""",
+
+    "q_calibrate" -> """
+      WITH norm AS (
+        SELECT doc_id, source,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+        FROM documents),
+      f AS (
+        SELECT doc_id, source,
+               CAST(length(nt) AS DOUBLE) AS n_chars,
+               CAST(len(list_filter(string_split_regex(nt, '\s+'),
+                 x -> x <> '')) AS DOUBLE) AS n_tok,
+               CAST(length(regexp_replace(nt, '[\p{L}\p{N}\s]', '', 'g'))
+                 AS DOUBLE) AS n_sym,
+               CAST(length(regexp_replace(nt, '[^0-9]', '', 'g'))
+                 AS DOUBLE) AS n_dig
+        FROM norm),
+      feats AS (
+        SELECT doc_id, source, n_tok,
+               CASE WHEN n_tok > 0 THEN (n_chars - (n_tok - 1)) / n_tok
+                    ELSE 0.0 END AS mtl,
+               CASE WHEN n_chars > 0 THEN n_sym / n_chars ELSE 0.0 END AS sym,
+               CASE WHEN n_chars > 0 THEN n_dig / n_chars ELSE 0.0 END AS dig
+        FROM f),
+      m AS (
+        SELECT doc_id, source,
+               0.25 + (n_tok - 64.0) / 32.0 * 0.75
+                    + (mtl - 5.0) / 2.0 * (-0.5)
+                    + (sym - 0.03125) / 0.03125 * (-1.25)
+                    + (dig - 0.0625) / 0.0625 * (-0.75) AS margin
+        FROM feats),
+      r AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY margin DESC, doc_id ASC) AS rk,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM m)
+      SELECT doc_id, source,
+             CASE WHEN n > 1 THEN ((rk - 1) * 1000000) // (n - 1)
+                  ELSE 0 END AS pct_ppm
+      FROM r
+      WHERE (CASE WHEN n > 1 THEN ((rk - 1) * 1000000) // (n - 1)
+                  ELSE 0 END) < 400000
+      ORDER BY source, pct_ppm, doc_id""",
 
     "q_collocations" -> """
       WITH toks AS (
