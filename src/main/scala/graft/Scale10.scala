@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * are NOT near-duplicates: token rotation breaks shingles, embedding
   * rotation decorrelates vectors — so dedup ops face realistic uniques,
   * not a pathological all-dup corpus), run minhash-index probe /
-  * semantic dedup / pagerank / curriculum / heavy hitters, and assert
+  * semantic dedup / pagerank / curriculum / heavy hitters /
+  * collocations / length-bucketed batching, and assert
   *
   *  - completion with the default 8g driver heap;
   *  - NO single-task funnel: for every stage moving real shuffle volume,
@@ -193,6 +194,14 @@ object Scale10 {
         graft.operators.HeavyHitters.exactHeavy(
           docs.select(explode(split(col("text"), "\\s+")).as("item")),
           denom = 40).count()
+      },
+      timed("collocations") {
+        graft.operators.Collocations.topByConfidence(
+          docs, minCount = 5L, k = 20).count()
+      },
+      timed("length_batches") {
+        graft.operators.Packing.lengthBucketedBatches(
+          docs, bucketWidth = 16, batchSize = 8).count()
       })
 
     val rt = Runtime.getRuntime

@@ -3010,6 +3010,16 @@ object SparkEntry {
       build(); probe()
     }),
 
+    // Proximity (NEAR/3, any order) retrieval — the relevance signal
+    // between bag-of-words AND and the exact phrase: two bloom-pruned
+    // single-term postings runs equi-joined on doc_id with an |Δpos|
+    // filter; fan-out is per-doc occurrence products of two terms.
+    "q_search_near" -> ((s, d) => {
+      // derived from benchPhases — see q_dedup_minhash_index
+      val (build, probe) = benchPhases("q_search_near")(s, d)
+      build(); probe()
+    }),
+
     // Incremental materialized-view maintenance, end-to-end under the
     // oracle: two appended slices fold in via INCREMENTAL refreshes, a
     // DELETE forces the full-recompute fallback, then a third slice folds
@@ -3955,6 +3965,16 @@ object SparkEntry {
          t(s, d, "documents"), numFiles = 8),
        () => InvertedIndex.phraseSearchIndex(s, log, "ph",
            Seq("table", "scan"))
+         .orderBy("doc_id"))
+    }),
+    "q_search_near" -> ((s, d) => {
+      import graft.lake.LakeLog
+      import graft.operators.InvertedIndex
+      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftnr"))
+      (() => InvertedIndex.buildPhraseIndex(s, log, "nr",
+         t(s, d, "documents"), numFiles = 8),
+       () => InvertedIndex.proximitySearchIndex(s, log, "nr",
+           "sort", "merge", window = 3)
          .orderBy("doc_id"))
     }),
     "q_search_bm25_indexed" -> ((s, d) => {
@@ -6162,6 +6182,21 @@ object SparkEntry {
              CAST(sum(len) AS BIGINT) AS sum_len,
              CAST(count(*) * max(len) - sum(len) AS BIGINT) AS padding
       FROM r GROUP BY 1, 2 ORDER BY bucket, batch_id""",
+
+    "q_search_near" -> """
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+          x -> x <> '') AS t
+        FROM documents),
+      pp AS (
+        SELECT doc_id, i AS pos, t[i + 1] AS term
+        FROM toks, UNNEST(range(len(t))) AS u(i)),
+      a AS (SELECT doc_id, pos AS p1 FROM pp WHERE term = 'sort'),
+      b AS (SELECT doc_id, pos AS p2 FROM pp WHERE term = 'merge')
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM a JOIN b USING (doc_id) WHERE abs(p1 - p2) <= 3
+      GROUP BY 1 ORDER BY doc_id""",
 
     "q_gapfill" -> """
       WITH series AS (

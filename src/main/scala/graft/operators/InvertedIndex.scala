@@ -135,6 +135,41 @@ object InvertedIndex {
                         phrase: Seq[String]): DataFrame =
     phraseSearch(LakeTable.readIndexed(spark, log, table), phrase)
 
+  /** Proximity (NEAR/w) search: documents where `t1` and `t2` occur
+    * within `window` token positions of each other, ANY order — the
+    * relevance signal between bag-of-words AND (q_search_index) and the
+    * exact phrase ([[phraseSearch]]). Returns (doc_id, n_pairs) with the
+    * qualifying occurrence-pair count.
+    *
+    * Scale shape: two bloom-prunable single-term postings runs equi-join
+    * on doc_id and filter on |Δpos| — fan-out is per-doc occurrence
+    * products of TWO specific terms (bounded small), never a corpus
+    * structure. Same-term NEAR degenerates sensibly: pairs of distinct
+    * positions.
+    */
+  def proximitySearch(postingsDf: DataFrame, t1: String, t2: String,
+                      window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val runs = postingsDf
+      .filter(col("term").isin(Seq(t1, t2).distinct
+        .map(_.asInstanceOf[Any]): _*))
+    val a = runs.filter(col("term") === t1)
+      .select(col("doc_id"), col("pos").as("p1"))
+    val b = runs.filter(col("term") === t2)
+      .select(col("doc_id"), col("pos").as("p2"))
+    a.join(b, Seq("doc_id"))
+      .filter(abs(col("p1") - col("p2")) <= window &&
+        (lit(t1 != t2) || col("p1") < col("p2")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Proximity search over a persisted positional index (file-pruned). */
+  def proximitySearchIndex(spark: SparkSession, log: LakeLog,
+                           table: String, t1: String, t2: String,
+                           window: Int): DataFrame =
+    proximitySearch(LakeTable.readIndexed(spark, log, table), t1, t2,
+      window)
+
   /** Postings with the document length DENORMALIZED onto every row:
     * (term, doc_id, tf, dl). Impact-ordered search indexes store exactly
     * this — 8 extra bytes per posting buys BM25 scoring without joining

@@ -164,6 +164,24 @@ class InvertedIndexSpec extends SparkSpec {
     assert(tri == Map(0L -> 1L))
   }
 
+  test("proximity search: window honored any order, same-term pairs " +
+       "counted once") {
+    val docs = Seq(
+      (0L, "sort a b merge"),       // |Δ| = 3: in window
+      (1L, "merge x sort"),         // reversed, |Δ| = 2: in
+      (2L, "sort a b c d merge"),   // |Δ| = 5: out
+      (3L, "sort merge sort")).toDF("doc_id", "text")
+    val pp = InvertedIndex.positionalPostings(docs)
+    val got = InvertedIndex.proximitySearch(pp, "sort", "merge", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 3: two sorts × one merge = 2 qualifying pairs
+    assert(got == Map(0L -> 1L, 1L -> 1L, 3L -> 2L))
+    // same-term NEAR: distinct position pairs, each counted once
+    val same = InvertedIndex.proximitySearch(pp, "sort", "sort", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(same == Map(3L -> 1L))
+  }
+
   test("persisted phrase index: pruned probe equals the raw recompute") {
     val log = new LakeLog(tmpDir("phidx"))
     val corpus = (0L until 400L).map(i =>
