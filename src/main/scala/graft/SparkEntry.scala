@@ -1452,6 +1452,24 @@ object SparkEntry {
         .orderBy("threshold")
     }),
 
+    // RAG context assembly in ONE plan (fourth flagship composition):
+    // chunk → sparse INTEGER tf dot-product scoring (cosine's sqrt is
+    // libm; norms add nothing to a fixed query's ranking) → per-query
+    // token-budget cut under the Selection boundary rule. Query terms
+    // broadcast; candidates have inverted-index sparsity via the
+    // shared-term floor.
+    "q_rag_context" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq(
+        ("q1", "sort merge join"),
+        ("q2", "table scan filter"),
+        ("q3", "stream window state")).toDF("query_id", "qtext")
+      graft.operators.Rag.assembleContext(
+          t(s, d, "documents"), queries,
+          chunkSize = 32, overlap = 8, budgetTokens = 256L)
+        .orderBy("query_id", "cum_before", "doc_id", "chunk_idx")
+    }),
+
     // Cross-source score calibration: raw quality scores are not
     // comparable across sources, so a global cutoff silently keeps
     // whole sources and drops others. Rank-normalize within source
@@ -6068,6 +6086,55 @@ object SparkEntry {
              CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn)
                   ELSE -1 END AS recall_ppm
       FROM c ORDER BY threshold""",
+
+    "q_rag_context" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'),
+                 x -> x <> '') AS tk
+        FROM documents),
+      chunks AS (
+        SELECT doc_id,
+               CAST(start_tok / 24 AS BIGINT) AS chunk_idx,
+               CAST(len(tk[start_tok + 1 : start_tok + 32]) AS BIGINT)
+                 AS n_tok,
+               tk[start_tok + 1 : start_tok + 32] AS ctk
+        FROM (SELECT doc_id, tk,
+                     unnest(range(0, len(tk), 24)) AS start_tok
+              FROM toks WHERE len(tk) > 0)),
+      cterms AS (
+        SELECT doc_id, chunk_idx, n_tok, term,
+               CAST(count(*) AS BIGINT) AS tfc
+        FROM (SELECT doc_id, chunk_idx, n_tok, unnest(ctk) AS term
+              FROM chunks)
+        GROUP BY 1, 2, 3, 4),
+      q AS (SELECT * FROM (VALUES
+              ('q1', 'sort merge join'),
+              ('q2', 'table scan filter'),
+              ('q3', 'stream window state')) v(query_id, qtext)),
+      qterms AS (
+        SELECT query_id, term, CAST(count(*) AS BIGINT) AS tfq
+        FROM (SELECT query_id,
+                     unnest(list_filter(string_split_regex(qtext, '\s+'),
+                       x -> x <> '')) AS term
+              FROM q)
+        GROUP BY 1, 2),
+      dots AS (
+        SELECT query_id, doc_id, chunk_idx, n_tok,
+               CAST(sum(c.tfc * t.tfq) AS BIGINT) AS dot
+        FROM cterms c JOIN qterms t USING (term)
+        GROUP BY 1, 2, 3, 4
+        HAVING sum(c.tfc * t.tfq) >= 1),
+      sel AS (
+        SELECT query_id, doc_id, chunk_idx, n_tok, dot,
+               CAST(COALESCE(sum(n_tok) OVER (PARTITION BY query_id
+                 ORDER BY dot DESC, doc_id ASC, chunk_idx ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_before
+        FROM dots)
+      SELECT query_id, doc_id, chunk_idx, n_tok, dot, cum_before
+      FROM sel WHERE cum_before < 256
+      ORDER BY query_id, cum_before, doc_id, chunk_idx""",
 
     "q_calibrate" -> """
       WITH norm AS (
