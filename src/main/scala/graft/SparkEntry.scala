@@ -3028,6 +3028,15 @@ object SparkEntry {
       build(); probe()
     }),
 
+    // Keyword-in-context snippets: every occurrence of a term with its
+    // ±3-token window — the attribution/audit UX over positions. Token
+    // arrays join back ONLY for matched docs (left-semi before the
+    // arrays materialize); DuckDB replays the slice arithmetic.
+    "q_search_kwic" -> ((s, d) =>
+      graft.operators.InvertedIndex.keywordInContext(
+          t(s, d, "documents"), "dup", window = 3)
+        .orderBy("doc_id", "pos")),
+
     // Proximity (NEAR/3, any order) retrieval — the relevance signal
     // between bag-of-words AND and the exact phrase: two bloom-pruned
     // single-term postings runs equi-joined on doc_id with an |Δpos|
@@ -6249,6 +6258,23 @@ object SparkEntry {
              CAST(sum(len) AS BIGINT) AS sum_len,
              CAST(count(*) * max(len) - sum(len) AS BIGINT) AS padding
       FROM r GROUP BY 1, 2 ORDER BY bucket, batch_id""",
+
+    "q_search_kwic" -> """
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+          x -> x <> '') AS t
+        FROM documents),
+      pp AS (
+        SELECT doc_id, i AS pos, t[i + 1] AS term
+        FROM toks, UNNEST(range(len(t))) AS u(i)),
+      m AS (SELECT doc_id, pos FROM pp WHERE term = 'dup')
+      SELECT m.doc_id, CAST(m.pos AS BIGINT) AS pos,
+             array_to_string(
+               t.t[greatest(m.pos - 3, 0) + 1 : m.pos + 4], ' ')
+               AS snippet
+      FROM m JOIN toks t USING (doc_id)
+      ORDER BY doc_id, pos""",
 
     "q_search_near" -> """
       WITH toks AS (

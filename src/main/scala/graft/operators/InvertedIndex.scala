@@ -163,6 +163,37 @@ object InvertedIndex {
       .groupBy("doc_id").agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Keyword-in-context (KWIC) snippets — the attribution / audit UX
+    * over positions: every occurrence of `term` with its ±`window`
+    * surrounding tokens. Returns (doc_id, pos, snippet).
+    *
+    * Scale shape: occurrences come from the (prunable) positional
+    * postings; the token arrays joined back are ONLY the matched
+    * documents' (left-semi against the match set before the arrays
+    * materialize) — snippet assembly shuffles O(occurrences) rows plus
+    * the matched docs' arrays, never the corpus.
+    */
+  def keywordInContext(docs: DataFrame, term: String, window: Int,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(window >= 1)
+    val matches = positionalPostings(docs, idCol, textCol)
+      .filter(col("term") === term)
+      .select(col("doc_id"), col("pos"))
+    val toks = Dedup.spread(docs.select(col(idCol).as("doc_id"),
+        col(textCol).as("__text")))
+      .join(matches.select("doc_id").distinct(), Seq("doc_id"),
+        "left_semi")
+      .select(col("doc_id"),
+        tokens(normalizeText(col("__text"))).as("__tk"))
+    matches.join(toks, "doc_id")
+      .withColumn("__s0", greatest(col("pos") - window, lit(0)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        array_join(slice(col("__tk"), col("__s0") + 1,
+          col("pos") + lit(window + 1) - col("__s0")), " ")
+          .as("snippet"))
+  }
+
   /** Proximity search over a persisted positional index (file-pruned). */
   def proximitySearchIndex(spark: SparkSession, log: LakeLog,
                            table: String, t1: String, t2: String,

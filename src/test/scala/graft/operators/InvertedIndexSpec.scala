@@ -182,6 +182,43 @@ class InvertedIndexSpec extends SparkSpec {
     assert(same == Map(3L -> 1L))
   }
 
+  test("phrase search on the real corpus equals the regex recompute") {
+    // "table scan" cannot self-overlap, so non-overlapping regex counts
+    // over the normalized text are the same ground truth the positional
+    // join computes — on all 500 real documents
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.load(spark,
+      "/root/testdata/sf0.001", "documents")
+    val got = InvertedIndex
+      .phraseSearch(InvertedIndex.positionalPostings(docs),
+        Seq("table", "scan"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = docs.select(col("doc_id"),
+        size(regexp_extract_all(
+          concat(lit(" "), graft.functions.TextFunctions.normalizeText(
+            col("text")), lit(" ")),
+          lit("\\stable scan(?=\\s)"), lit(0))).as("n"))
+      .filter(col("n") > 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(got == brute && got.nonEmpty)
+  }
+
+  test("KWIC snippets: edge clamping, every occurrence, exact windows") {
+    val docs = Seq(
+      (0L, "hit a b c d"),          // occurrence at pos 0: left-clamped
+      (1L, "a b c hit"),            // at the end: right-clamped
+      (2L, "x hit y hit z"),        // two occurrences
+      (3L, "no match here")).toDF("doc_id", "text")
+    val got = InvertedIndex.keywordInContext(docs, "hit", window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2))
+      .toMap
+    assert(got == Map(
+      (0L, 0L) -> "hit a b",
+      (1L, 3L) -> "b c hit",
+      (2L, 1L) -> "x hit y hit",
+      (2L, 3L) -> "hit y hit z"))
+  }
+
   test("persisted phrase index: pruned probe equals the raw recompute") {
     val log = new LakeLog(tmpDir("phidx"))
     val corpus = (0L until 400L).map(i =>
