@@ -1264,6 +1264,21 @@ object SparkEntry {
         .orderBy(col("rank_fp").desc, col("id").asc).limit(20)
     }),
 
+    // BFS hop distance from a trusted seed frontier — the crawl-depth
+    // gate ("drop pages > k hops from curated seeds") as data: per-node
+    // shortest hop count over the synthetic link graph, unreached nodes
+    // absent. Set-valued BFS layers need no tie-breaking, so the DuckDB
+    // oracle replays the same unrolled rounds exactly.
+    "q_bfs_depth" -> ((s, d) => withShufflePartitions(s, 8) {
+      val docs = t(s, d, "documents")
+      val edges = graft.operators.LinkGraph.syntheticLinks(
+        docs, k = 3, mult = 17L)
+      val seeds = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select("doc_id")
+      graft.operators.LinkGraph.bfsDepth(edges, seeds, maxDepth = 3)
+        .orderBy("depth", "id")
+    }),
+
     // HITS hubs & authorities over the same link graph (Kleinberg
     // JACM'99) — the hub/authority role split PageRank conflates.
     // Integer fixed-point with DIVISION-ONLY L1 renormalization (divisor
@@ -4070,6 +4085,41 @@ object SparkEntry {
     "q_trustrank" -> pageRankOracleSql(5, id => s"$id % 10 = 0"),
 
     "q_hits" -> hitsOracleSql(3, 1000000000L),
+
+    "q_bfs_depth" -> """
+      WITH nodes AS (SELECT doc_id AS id FROM documents),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      edges AS MATERIALIZED (
+        SELECT id AS src, (id * 17 + c.c) % nn.n AS dst
+        FROM nodes CROSS JOIN nn
+        CROSS JOIN (SELECT unnest([1, 2, 3]) AS c) c),
+      c0 AS MATERIALIZED (
+        SELECT id, CAST(0 AS BIGINT) AS depth FROM nodes
+        WHERE id % 97 = 0),
+      r1 AS MATERIALIZED (
+        SELECT DISTINCT e.dst AS id FROM edges e
+        JOIN c0 f ON e.src = f.id WHERE f.depth = 0),
+      d1 AS MATERIALIZED (
+        SELECT id, CAST(1 AS BIGINT) AS depth FROM r1
+        WHERE id NOT IN (SELECT id FROM c0)),
+      c1 AS MATERIALIZED (
+        SELECT * FROM c0 UNION ALL SELECT * FROM d1),
+      r2 AS MATERIALIZED (
+        SELECT DISTINCT e.dst AS id FROM edges e
+        JOIN d1 f ON e.src = f.id),
+      d2 AS MATERIALIZED (
+        SELECT id, CAST(2 AS BIGINT) AS depth FROM r2
+        WHERE id NOT IN (SELECT id FROM c1)),
+      c2 AS MATERIALIZED (
+        SELECT * FROM c1 UNION ALL SELECT * FROM d2),
+      r3 AS MATERIALIZED (
+        SELECT DISTINCT e.dst AS id FROM edges e
+        JOIN d2 f ON e.src = f.id),
+      d3 AS MATERIALIZED (
+        SELECT id, CAST(3 AS BIGINT) AS depth FROM r3
+        WHERE id NOT IN (SELECT id FROM c2)),
+      c3 AS (SELECT * FROM c2 UNION ALL SELECT * FROM d3)
+      SELECT id, depth FROM c3 ORDER BY depth, id""",
 
     "q_url_canon" -> (urlNormOracleCtes + """
       SELECT doc_id, url_canon, host, domain, depth

@@ -333,6 +333,40 @@ object LinkGraph {
     auth.join(hub, "id").select("id", "auth_fp", "hub_fp")
   }
 
+  /** BFS hop distance from a seed set — the crawl-depth signal made
+    * explicit (TrustRank says trust DECAYS with link distance; this
+    * reports the distance itself, the "drop pages deeper than k hops
+    * from the curated frontier" gate). Returns (id, depth) for every
+    * node within `maxDepth` hops of a seed; unreached nodes are absent.
+    *
+    * Each round: one edge-sized (long, long) join from the previous
+    * frontier, a distinct, and an anti-join against the settled set —
+    * all hash exchanges on fixed-width rows; `localCheckpoint` per
+    * round (the settled set is re-read by every later round).
+    * Deterministic by construction: BFS layers are set-valued, so no
+    * tie-breaking is ever needed and the oracle replays the same
+    * unrolled rounds exactly.
+    */
+  def bfsDepth(edges: DataFrame, seeds: DataFrame,
+               maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0)
+    val e = edges.select("src", "dst").localCheckpoint()
+    var settled = seeds.select(col(seeds.columns.head).as("id"))
+      .distinct()
+      .select(col("id"), lit(0L).as("depth"))
+      .localCheckpoint()
+    var frontier = settled
+    (1 to maxDepth).foreach { d =>
+      val next = e.join(frontier.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id")).distinct()
+        .join(settled, Seq("id"), "left_anti")
+        .select(col("id"), lit(d.toLong).as("depth"))
+      settled = settled.union(next).localCheckpoint()
+      frontier = next
+    }
+    settled
+  }
+
   /** k-core decomposition (membership for a fixed `k`): iteratively peel
     * every node whose degree in the surviving subgraph is < k until no
     * node is removable — the standard dense-subgraph extractor for link

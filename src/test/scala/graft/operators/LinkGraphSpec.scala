@@ -203,6 +203,21 @@ class LinkGraphSpec extends SparkSpec {
     assert(p.nonEmpty)
   }
 
+  test("bfsDepth: layered chain, unreached absent, shortest wins") {
+    // 0→1→2→3→4 chain plus a shortcut 0→3; 9 isolated
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 3L),
+      (8L, 9L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("id")
+    val got = LinkGraph.bfsDepth(edges, seeds, maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 3 is depth 1 via the shortcut (not 3 via the chain); 4 is 2
+    assert(got == Map(0L -> 0L, 1L -> 1L, 3L -> 1L, 2L -> 2L, 4L -> 2L))
+    // maxDepth 0 = just the seeds
+    val d0 = LinkGraph.bfsDepth(edges, seeds, maxDepth = 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(d0 == Set(0L))
+  }
+
   test("hits: star graph separates the hub and authority roles exactly") {
     // 1,2,3 all point to 0: 0 is the pure authority, 1-3 pure hubs.
     // Hand-replay of the integer recurrence (scale S = 1e9):
