@@ -1564,6 +1564,47 @@ object SparkEntry {
         .orderBy("event_type", "hour")
     }),
 
+    // Streaming trending terms: the corpus word count maintained as an
+    // update-mode aggregate upserted exactly-once into a lake table
+    // keyed by term — counts are additive and order-invariant, so the
+    // stream's final state equals the batch word count bit-for-bit and
+    // the top-20 replays under the exact oracle. (Vocabulary-sized
+    // state is the documented cost; the sketch siblings — CMS, MG —
+    // are the bounded-state alternatives.)
+    "q_stream_trending" -> ((s, d) => withShufflePartitions(s, 4) {
+      import graft.lake.{LakeLog, LakeTable}
+      import graft.streaming.Streams
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val tmp = java.nio.file.Files.createTempDirectory("graftstream")
+      val srcDir = tmp.resolve("src").toString
+      docs.repartition(6, col("doc_id")).write.parquet(srcDir)
+      val log = new LakeLog(tmp.resolve("lake"))
+      val sinkDf = s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("term",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType))))
+      LakeTable.createTable(log, "trending", sinkDf.schema)
+      val agg = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "2").parquet(srcDir)
+        .select(explode(graft.functions.TextFunctions.tokens(
+          graft.functions.TextFunctions.normalizeText(col("text"))))
+          .as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .withColumn("k", col("term"))
+        .select("k", "term", "n")
+      val q = Streams.sinkAggToLake(agg, log, "trending", "k",
+        tmp.resolve("ckpt").toString)
+      q.processAllAvailable(); q.stop()
+      LakeTable.read(s, log, "trending")
+        .select("term", "n")
+        .orderBy(col("n").desc, col("term").asc).limit(20)
+    }),
+
     // The anomaly monitor on a CONTINUOUS ingest: the hourly count
     // series is maintained as a streaming update-mode aggregate
     // upserted exactly-once into a lake table (the q_stream_hourly
@@ -6355,6 +6396,16 @@ object SparkEntry {
       SELECT s.event_type, s.hour, COALESCE(se.n, 0) AS n
       FROM spine s LEFT JOIN series se USING (event_type, hour)
       ORDER BY event_type, hour""",
+
+    "q_stream_trending" -> """
+      SELECT term, CAST(n AS BIGINT) AS n FROM (
+        SELECT term, count(*) AS n FROM (
+          SELECT unnest(list_filter(string_split_regex(
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+            x -> x <> '')) AS term
+          FROM documents)
+        GROUP BY term)
+      ORDER BY n DESC, term LIMIT 20""",
 
     "q_stream_anomaly" -> """
       WITH series AS (

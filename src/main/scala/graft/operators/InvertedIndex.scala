@@ -51,6 +51,35 @@ object InvertedIndex {
       clusterBy = Seq("term"))
   }
 
+  /** Incremental APPEND of a new crawl batch's postings — the
+    * continuous-ingest face ([[graft.operators.DedupIndex.appendToIndex]]
+    * / IVF-PQ append set the pattern): only the BATCH is tokenized, its
+    * postings land as new term-clustered bloom-indexed files, committed
+    * files untouched. Probes see the union; per-(term, doc) rows from
+    * different batches coexist (a doc re-ingested across batches counts
+    * per batch — dedup the corpus before indexing it, not the index).
+    */
+  def appendToIndex(spark: SparkSession, log: LakeLog, table: String,
+                    docs: DataFrame, numFiles: Int = 16,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): Unit = {
+    LakeTable.insert(spark, log, table, postings(docs, idCol, textCol),
+      numFiles = numFiles, clusterBy = Seq("term"))
+    ()
+  }
+
+  /** Incremental APPEND for the positional index ([[buildPhraseIndex]]):
+    * the batch's positional postings land as new clustered files. */
+  def appendToPhraseIndex(spark: SparkSession, log: LakeLog,
+                          table: String, docs: DataFrame,
+                          numFiles: Int = 16, idCol: String = "doc_id",
+                          textCol: String = "text"): Unit = {
+    LakeTable.insert(spark, log, table,
+      positionalPostings(docs, idCol, textCol),
+      numFiles = numFiles, clusterBy = Seq("term"))
+    ()
+  }
+
   /** Conjunctive (AND) search: documents containing EVERY query term, with
     * `total_tf` (sum of the matched terms' frequencies) as the integer
     * ranking key. `postings` may be the raw [[postings]] frame or a

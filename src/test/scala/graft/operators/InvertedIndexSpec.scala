@@ -203,6 +203,39 @@ class InvertedIndexSpec extends SparkSpec {
     assert(got == brute && got.nonEmpty)
   }
 
+  test("incremental append: probe over batches equals one-shot rebuild") {
+    val corpus = (0L until 200L).map(i =>
+      (i, s"term${i % 31} term${(i * 3) % 31} shared"))
+      .toDF("doc_id", "text")
+    val (oldB, newB) = (corpus.filter($"doc_id" < 120),
+      corpus.filter($"doc_id" >= 120))
+    // keyword index: build on old, append new
+    val logA = new LakeLog(tmpDir("appidx"))
+    InvertedIndex.buildIndex(spark, logA, "idx", oldB, numFiles = 4)
+    InvertedIndex.appendToIndex(spark, logA, "idx", newB, numFiles = 4)
+    val logB = new LakeLog(tmpDir("oneidx"))
+    InvertedIndex.buildIndex(spark, logB, "idx", corpus, numFiles = 4)
+    val q = Seq("term13", "shared")
+    val a = InvertedIndex.searchIndex(spark, logA, "idx", q)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = InvertedIndex.searchIndex(spark, logB, "idx", q)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b && a.nonEmpty)
+    // positional index: same equivalence for a phrase probe
+    val logC = new LakeLog(tmpDir("appph"))
+    InvertedIndex.buildPhraseIndex(spark, logC, "ph", oldB, numFiles = 4)
+    InvertedIndex.appendToPhraseIndex(spark, logC, "ph", newB,
+      numFiles = 4)
+    val pa = InvertedIndex.phraseSearchIndex(spark, logC, "ph",
+        Seq("term13", "term8"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pb = InvertedIndex
+      .phraseSearch(InvertedIndex.positionalPostings(corpus),
+        Seq("term13", "term8"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pa == pb && pa.nonEmpty)
+  }
+
   test("KWIC snippets: edge clamping, every occurrence, exact windows") {
     val docs = Seq(
       (0L, "hit a b c d"),          // occurrence at pos 0: left-clamped
