@@ -42,6 +42,20 @@ class ModelEvalSpec extends SparkSpec {
     assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b })
   }
 
+  test("plan shape: one aggregation exchange carries the whole sweep") {
+    val big = (0L until 1000L).map(i => (i % 3 == 0, i.toDouble))
+      .toDF("label", "score")
+    val plan = ModelEval.confusionSweep(big, "label", "score",
+        Seq(0.1, 0.5, 0.9))
+      .queryExecution.executedPlan.toString
+    // the literal-array explode fans rows BEFORE one partial/final agg
+    // pair — no join, no second shuffle
+    assert(!plan.contains("Join"), s"sweep must not join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 aggregation exchange:\n$plan")
+  }
+
   test("boundary is inclusive: score == threshold predicts positive") {
     val df = Seq((true, 0.5)).toDF("label", "score")
     val r = ModelEval.confusionSweep(df, "label", "score", Seq(0.5))

@@ -85,6 +85,18 @@ class UrlsSpec extends SparkSpec {
         "example.com.au", "sample.net"))
   }
 
+  test("plan shapes: normalize is shuffle-free; the blocklist joins " +
+       "as a broadcast anti-join") {
+    val docs = (0L until 100L).toDF("doc_id")
+    val norm = Urls.normalize(Urls.synthesize(docs))
+    assert(!norm.queryExecution.executedPlan.toString.contains("Exchange"),
+      "canonicalization must stay a pure projection")
+    val stats = Urls.domainStats(norm, Seq("sample.net").toDF("domain"))
+    val plan = stats.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"blocklist must broadcast, got:\n$plan")
+  }
+
   test("domainStats: blocklist anti-join excludes, counts are exact") {
     val pages = Seq(
       (0L, "http://a.example.com/x/y"),
