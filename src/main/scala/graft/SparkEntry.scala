@@ -1467,6 +1467,29 @@ object SparkEntry {
         .orderBy("threshold")
     }),
 
+    // Dataset-card generation: the per-source release summary (docs,
+    // tokens, duplication, length and quality profile) in ONE
+    // aggregation pass — every column integer (ppm rates, ×100
+    // floor-scaled means, IEEE margin decisions, md5 dup keys).
+    "q_dataset_card" -> ((s, d) => {
+      import graft.operators.QualityClassifier
+      val m = QualityClassifier.Model(
+        Seq("n_tokens_d", "mean_token_len", "symbol_ratio", "digit_ratio"),
+        Seq(0.75, -0.5, -1.25, -0.75), 0.25,
+        Seq(64.0, 5.0, 0.03125, 0.0625), Seq(32.0, 2.0, 0.03125, 0.0625))
+      val withFeats = t(s, d, "documents")
+        .select(col("source"), col("text"),
+          graft.functions.TextFunctions.qualityFeatures(col("text")).as("f"))
+        .select(col("source"), col("text"),
+          col("f.n_tokens").cast("double").as("n_tokens_d"),
+          col("f.mean_token_len").as("mean_token_len"),
+          col("f.symbol_ratio").as("symbol_ratio"),
+          col("f.digit_ratio").as("digit_ratio"))
+      graft.operators.DatasetCard.perSource(withFeats,
+          QualityClassifier.marginColumn(m))
+        .orderBy("source")
+    }),
+
     // RAG context assembly in ONE plan (fourth flagship composition):
     // chunk → sparse INTEGER tf dot-product scoring (cosine's sqrt is
     // libm; norms add nothing to a fixed query's ranking) → per-query
@@ -6186,6 +6209,47 @@ object SparkEntry {
              CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn)
                   ELSE -1 END AS recall_ppm
       FROM c ORDER BY threshold""",
+
+    "q_dataset_card" -> """
+      WITH norm AS (
+        SELECT doc_id, source, text,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+        FROM documents),
+      f AS (
+        SELECT doc_id, source, text,
+               CAST(length(nt) AS DOUBLE) AS n_chars,
+               CAST(len(list_filter(string_split_regex(nt, '\s+'),
+                 x -> x <> '')) AS DOUBLE) AS n_tok,
+               CAST(length(regexp_replace(nt, '[\p{L}\p{N}\s]', '', 'g'))
+                 AS DOUBLE) AS n_sym,
+               CAST(length(regexp_replace(nt, '[^0-9]', '', 'g'))
+                 AS DOUBLE) AS n_dig
+        FROM norm),
+      feats AS (
+        SELECT doc_id, source, text, n_tok,
+               CASE WHEN n_tok > 0 THEN (n_chars - (n_tok - 1)) / n_tok
+                    ELSE 0.0 END AS mtl,
+               CASE WHEN n_chars > 0 THEN n_sym / n_chars ELSE 0.0 END AS sym,
+               CASE WHEN n_chars > 0 THEN n_dig / n_chars ELSE 0.0 END AS dig
+        FROM f),
+      base AS (
+        SELECT source, CAST(n_tok AS BIGINT) AS nt, md5(text) AS fp,
+               0.25 + (n_tok - 64.0) / 32.0 * 0.75
+                    + (mtl - 5.0) / 2.0 * (-0.5)
+                    + (sym - 0.03125) / 0.03125 * (-1.25)
+                    + (dig - 0.0625) / 0.0625 * (-0.75) AS margin
+        FROM feats)
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens,
+             CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dup_docs,
+             CAST((sum(nt) * 100) // count(*) AS BIGINT)
+               AS mean_tokens_x100,
+             CAST((sum(CASE WHEN nt >= 64 THEN 1 ELSE 0 END) * 1000000)
+               // count(*) AS BIGINT) AS long_doc_ppm,
+             CAST((sum(CASE WHEN margin >= 0.0 THEN 1 ELSE 0 END)
+               * 1000000) // count(*) AS BIGINT) AS quality_keep_ppm
+      FROM base GROUP BY source ORDER BY source""",
 
     "q_rag_context" -> """
       WITH toks AS (
