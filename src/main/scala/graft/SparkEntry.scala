@@ -1467,6 +1467,26 @@ object SparkEntry {
         .orderBy("threshold")
     }),
 
+    // Mixture planning: the pre-sampling arithmetic — each source's
+    // natural token supply vs its integer weight share of a total
+    // budget; epochs_ppm > 1e6 = up-sampling. Unlisted sources get
+    // weight 0 and stay VISIBLE as target 0 rows. Metadata-priced
+    // after one corpus aggregate.
+    "q_mixture_plan" -> ((s, d) => {
+      import s.implicits._
+      val tc = t(s, d, "documents")
+        .select(col("source"),
+          size(graft.functions.TextFunctions.tokens(
+            graft.functions.TextFunctions.normalizeText(col("text"))))
+            .cast("long").as("nt"))
+        .groupBy("source").agg(sum("nt").as("n_tokens"))
+      val weights = Seq(("src0", 5L), ("src1", 3L), ("src2", 1L))
+        .toDF("source", "weight")
+      graft.operators.MixturePlan.solve(tc, weights,
+          budgetTokens = 500000L)
+        .orderBy("source")
+    }),
+
     // Dataset-card generation: the per-source release summary (docs,
     // tokens, duplication, length and quality profile) in ONE
     // aggregation pass — every column integer (ppm rates, ×100
@@ -6209,6 +6229,31 @@ object SparkEntry {
              CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn)
                   ELSE -1 END AS recall_ppm
       FROM c ORDER BY threshold""",
+
+    "q_mixture_plan" -> """
+      WITH tc AS (
+        SELECT source,
+               CAST(sum(len(list_filter(string_split_regex(
+                 regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                 '\s+'), x -> x <> ''))) AS BIGINT) AS natural_tokens
+        FROM documents GROUP BY source),
+      w AS (SELECT * FROM (VALUES ('src0', 5), ('src1', 3), ('src2', 1))
+            v(source, weight)),
+      j AS (
+        SELECT tc.source, tc.natural_tokens,
+               CAST(COALESCE(w.weight, 0) AS BIGINT) AS weight
+        FROM tc LEFT JOIN w USING (source)),
+      t AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM j),
+      p AS (
+        SELECT j.source, j.natural_tokens, j.weight,
+               CAST(CASE WHEN t.tw > 0 THEN (500000 * j.weight) // t.tw
+                    ELSE 0 END AS BIGINT) AS target_tokens
+        FROM j CROSS JOIN t)
+      SELECT source, natural_tokens, weight, target_tokens,
+             CAST(CASE WHEN natural_tokens > 0
+                  THEN (target_tokens * 1000000) // natural_tokens
+                  ELSE 0 END AS BIGINT) AS epochs_ppm
+      FROM p ORDER BY source""",
 
     "q_dataset_card" -> """
       WITH norm AS (
