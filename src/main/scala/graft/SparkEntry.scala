@@ -3352,6 +3352,16 @@ object SparkEntry {
           graft.operators.HtmlExtract.synthesize(docsSpread(s, d)))
         .orderBy("doc_id")),
 
+    // Crawl-graph construction from real markup: pages synthesized with
+    // actual <a href="/doc/N"> links + robots noindex directives, edges
+    // extracted by a pure regexp projection (zero shuffles) — the step
+    // between WET generation and PageRank/BFS. DuckDB re-synthesizes
+    // and re-parses the same bytes.
+    "q_link_extract" -> ((s, d) =>
+      graft.operators.HtmlExtract.extractLinks(
+          graft.operators.HtmlExtract.synthesizeLinked(docsSpread(s, d)))
+        .orderBy("src", "dst")),
+
     "q_text_normalize" -> ((s, d) => {
       // Unicode cleaning under the exact oracle: a deterministic dirty
       // suffix (decomposed e + combining acute, a BEL control char, messy
@@ -7240,6 +7250,31 @@ object SparkEntry {
             '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
           '\s+', ' ', 'g')) AS text_clean
       FROM h ORDER BY doc_id""",
+
+    "q_link_extract" -> """
+      WITH nn AS (SELECT count(*) AS n FROM documents),
+      pages AS (
+        SELECT doc_id,
+          '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+          '</title>' ||
+          (CASE WHEN doc_id % 13 = 0
+                THEN '<meta name="robots" content="noindex">'
+                ELSE '' END) ||
+          '</head><body><p>page body</p><a href="/doc/' ||
+          CAST((doc_id * 7 + 1) % nn.n AS VARCHAR) ||
+          '">next</a> <a href="/doc/' ||
+          CAST((doc_id * 7 + 2) % nn.n AS VARCHAR) ||
+          '">more</a></body></html>' AS html
+        FROM documents CROSS JOIN nn)
+      SELECT doc_id AS src,
+             CAST(u.t AS BIGINT) AS dst,
+             regexp_extract(html,
+               '(?i)<meta name="robots" content="noindex">', 0) <> ''
+               AS src_noindex
+      FROM pages,
+           UNNEST(regexp_extract_all(html, 'href="/doc/([0-9]+)"', 1))
+             AS u(t)
+      ORDER BY src, dst""",
 
     "q_text_normalize" -> """
       SELECT doc_id,

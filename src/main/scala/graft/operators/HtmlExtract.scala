@@ -64,6 +64,50 @@ object HtmlExtract {
       lit("</p><footer>&copy; example</footer></body></html>")))
   }
 
+  /** Deterministic LINKED page synthesis: like [[synthesize]] but each
+    * page carries two internal links to other documents (targets
+    * `(id·7 + c) mod n` for c = 1, 2 — the [[LinkGraph.syntheticLinks]]
+    * wiring, now travelling as real `<a href>` markup) and every 13th
+    * page a `<meta name="robots" content="noindex">` directive — the
+    * two inputs a crawl-graph builder actually parses out of HTML.
+    */
+  def synthesizeLinked(docs: DataFrame, idCol: String = "doc_id")
+      : DataFrame = {
+    val id = col(idCol).cast("long")
+    val n = docs.select(count(lit(1)).as("__n"))
+    docs.crossJoin(broadcast(n)).withColumn("html", concat(
+      lit("<html><head><title>Doc "), id.cast("string"),
+      lit("</title>"),
+      when(pmod(id, lit(13)) === 0,
+        lit("<meta name=\"robots\" content=\"noindex\">"))
+        .otherwise(lit("")),
+      lit("</head><body><p>page body</p><a href=\"/doc/"),
+      pmod(id * 7 + 1, col("__n")).cast("string"),
+      lit("\">next</a> <a href=\"/doc/"),
+      pmod(id * 7 + 2, col("__n")).cast("string"),
+      lit("\">more</a></body></html>"))).drop("__n")
+  }
+
+  /** Out-link edge extraction — the crawl-graph construction step
+    * between WET generation and [[LinkGraph]]: every internal
+    * `href="/doc/N"` becomes an edge row (src, dst), with the source
+    * page's `noindex` directive surfaced so the graph builder can
+    * respect robots metadata. Pure regexp projection + one explode —
+    * zero shuffles; the edge table feeds pageRank/bfsDepth directly.
+    */
+  def extractLinks(pages: DataFrame, idCol: String = "doc_id",
+                   htmlCol: String = "html"): DataFrame =
+    pages.select(col(idCol).cast("long").as("src"),
+        regexp_extract_all(col(htmlCol),
+          lit("href=\"/doc/([0-9]+)\""), lit(1)).as("__t"),
+        regexp_extract(col(htmlCol),
+          "(?i)<meta name=\"robots\" content=\"noindex\">", 0)
+          .notEqual("").as("src_noindex"))
+      .select(col("src"), explode(col("__t")).as("__d"),
+        col("src_noindex"))
+      .select(col("src"), col("__d").cast("long").as("dst"),
+        col("src_noindex"))
+
   /** Full extraction: (idCol, title, n_links, text_clean). */
   def extract(pages: DataFrame, idCol: String = "doc_id",
               htmlCol: String = "html"): DataFrame =

@@ -57,4 +57,34 @@ class HtmlExtractSpec extends SparkSpec {
     assert(!t1.contains("color") && !t1.contains("var id"))
     assert(t1.contains("home | about")) // nav TEXT stays; tags go
   }
+
+  test("extractLinks: every internal href becomes an edge, noindex " +
+       "surfaces, external/malformed hrefs ignored") {
+    import spark.implicits._
+    val pages = Seq(
+      (0L, """<a href="/doc/5">x</a><a href="/doc/7">y</a>"""),
+      (13L, """<meta name="robots" content="noindex">""" +
+        """<a href="/doc/1">z</a>"""),
+      (2L, """<a href="http://ext.example.com/doc/9">e</a>""" +
+        """<a href="/doc/abc">bad</a>""")).toDF("doc_id", "html")
+    val got = HtmlExtract.extractLinks(pages)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    assert(got == Set((0L, 5L, false), (0L, 7L, false), (13L, 1L, true)))
+  }
+
+  test("synthesizeLinked wiring matches LinkGraph.syntheticLinks' " +
+       "k=2 mult=7 edge set") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = (0L until 40L).toDF("doc_id")
+    val viaHtml = HtmlExtract
+      .extractLinks(HtmlExtract.synthesizeLinked(docs))
+      .select("src", "dst")
+    val direct = LinkGraph.syntheticLinks(docs, k = 2, mult = 7L)
+    assert(viaHtml.except(direct).count() == 0 &&
+      direct.except(viaHtml).count() == 0)
+    // parsing real markup and the closed-form generator agree — the
+    // crawl-graph construction step is lossless
+  }
 }
