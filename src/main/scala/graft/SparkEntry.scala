@@ -1692,6 +1692,45 @@ object SparkEntry {
         .orderBy("event_type", "hour")
     }),
 
+    // Right-to-be-forgotten across the lake: one subject key erased
+    // from EVERY table carrying it — merge-on-read per table (erasure
+    // requests must not each rewrite terabytes; the physical purge is
+    // the compaction/VACUUM horizon), idempotent per (request, table)
+    // via derived txn ids so a replayed half-done request never
+    // double-deletes. In-query pins: rows actually deleted, replay is
+    // a no-op, the key is gone from both tables.
+    "q_lake_forget" -> ((s, d) => {
+      import graft.lake.{Forget, LakeLog, LakeTable}
+      val log = new LakeLog(
+        java.nio.file.Files.createTempDirectory("graftforget"))
+      val ev = t(s, d, "events").select("user_id", "event_type", "value")
+      LakeTable.createTable(log, "ev", ev.schema)
+      LakeTable.insert(s, log, "ev", ev, numFiles = 4)
+      val prof = ev.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"))
+      LakeTable.createTable(log, "prof", prof.schema)
+      LakeTable.insert(s, log, "prof", prof, numFiles = 4)
+      val r1 = Forget.forgetKey(s, log, Seq("ev", "prof"), "user_id",
+        "7", "req-1")
+      assert(r1.find(_.table == "ev").get.rowsDeleted > 0)
+      assert(r1.find(_.table == "prof").get.rowsDeleted == 1)
+      // replay of the same request: idempotent no-op on every table
+      val r2 = Forget.forgetKey(s, log, Seq("ev", "prof"), "user_id",
+        "7", "req-1")
+      assert(r2.forall(_.rowsDeleted == 0))
+      val evAfter = LakeTable.read(s, log, "ev")
+      val profAfter = LakeTable.read(s, log, "prof")
+      assert(evAfter.filter(col("user_id") === 7).count() == 0)
+      assert(profAfter.filter(col("user_id") === 7).count() == 0)
+      val a = evAfter.agg(count(lit(1)).as("n_rows"),
+          countDistinct("user_id").as("n_users"))
+        .withColumn("tbl", lit("ev"))
+      val b = profAfter.agg(count(lit(1)).as("n_rows"),
+          countDistinct("user_id").as("n_users"))
+        .withColumn("tbl", lit("prof"))
+      a.unionByName(b).select("tbl", "n_rows", "n_users").orderBy("tbl")
+    }),
+
     "q_profile" -> ((s, d) =>
       graft.operators.Profile.numericProfile(
           t(s, d, "lineitem").select("l_quantity", "l_extendedprice",
@@ -6500,6 +6539,19 @@ object SparkEntry {
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs
       FROM a JOIN b USING (doc_id) WHERE abs(p1 - p2) <= 3
       GROUP BY 1 ORDER BY doc_id""",
+
+    "q_lake_forget" -> """
+      WITH surv AS (SELECT * FROM events WHERE user_id <> 7)
+      SELECT * FROM (
+        SELECT 'ev' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM surv
+        UNION ALL
+        SELECT 'prof' AS tbl,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM surv)
+      ORDER BY tbl""",
 
     "q_gapfill" -> """
       WITH series AS (

@@ -1,0 +1,52 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ForgetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def setup(): LakeLog = {
+    val log = new LakeLog(tmpDir("forget"))
+    val rows = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"))
+      .toDF("user_id", "v")
+    LakeTable.createTable(log, "t1", rows.schema)
+    LakeTable.insert(spark, log, "t1", rows, numFiles = 2)
+    val prof = rows.groupBy("user_id").agg(count(lit(1)).as("n"))
+    LakeTable.createTable(log, "t2", prof.schema)
+    LakeTable.insert(spark, log, "t2", prof, numFiles = 2)
+    log
+  }
+
+  test("erases the key from every table; reports per-table evidence") {
+    val log = setup()
+    val r = Forget.forgetKey(spark, log, Seq("t1", "t2"), "user_id",
+      "1", "req-a")
+    assert(r.map(x => x.table -> x.rowsDeleted).toMap ==
+      Map("t1" -> 2L, "t2" -> 1L))
+    assert(LakeTable.read(spark, log, "t1")
+      .filter($"user_id" === 1).count() == 0)
+    assert(LakeTable.read(spark, log, "t2")
+      .filter($"user_id" === 1).count() == 0)
+    // untouched subjects intact
+    assert(LakeTable.read(spark, log, "t1").count() == 2)
+  }
+
+  test("a half-completed request resumes without double-deleting") {
+    val log = setup()
+    // crash after the first table: only t1 processed
+    val first = Forget.forgetKey(spark, log, Seq("t1"), "user_id",
+      "2", "req-b")
+    assert(first.head.rowsDeleted == 1)
+    // operator replays the FULL list under the same request id
+    val resumed = Forget.forgetKey(spark, log, Seq("t1", "t2"),
+      "user_id", "2", "req-b")
+    assert(resumed.find(_.table == "t1").get.rowsDeleted == 0) // skipped
+    assert(resumed.find(_.table == "t2").get.rowsDeleted == 1) // done now
+    // a DIFFERENT request for the same key is its own transaction
+    val again = Forget.forgetKey(spark, log, Seq("t1", "t2"), "user_id",
+      "2", "req-c")
+    assert(again.forall(_.rowsDeleted == 0)) // nothing left to erase
+  }
+}
