@@ -1419,17 +1419,8 @@ object SparkEntry {
     // spec-checked like BPE/k-means (QualityClassifierSpec).
     "q_quality_model" -> ((s, d) => {
       import graft.operators.QualityClassifier
-      val m = QualityClassifier.Model(
-        Seq("n_tokens_d", "mean_token_len", "symbol_ratio", "digit_ratio"),
-        Seq(0.75, -0.5, -1.25, -0.75), 0.25,
-        Seq(64.0, 5.0, 0.03125, 0.0625), Seq(32.0, 2.0, 0.03125, 0.0625))
-      val f = t(s, d, "documents").select(col("doc_id"),
-          graft.functions.TextFunctions.qualityFeatures(col("text")).as("f"))
-        .select(col("doc_id"),
-          col("f.n_tokens").cast("double").as("n_tokens_d"),
-          col("f.mean_token_len").as("mean_token_len"),
-          col("f.symbol_ratio").as("symbol_ratio"),
-          col("f.digit_ratio").as("digit_ratio"))
+      val m = frozenQualityModel
+      val f = withQualityFeatures(t(s, d, "documents"), Seq("doc_id"))
       QualityClassifier.score(f, m)
         .select(col("doc_id"), col("quality_prob"),
           (col("quality_prob") >= 0.5).as("keep"))
@@ -1446,17 +1437,8 @@ object SparkEntry {
     // exchange carries #thresholds×4 counters.
     "q_model_eval" -> ((s, d) => {
       import graft.operators.QualityClassifier
-      val m = QualityClassifier.Model(
-        Seq("n_tokens_d", "mean_token_len", "symbol_ratio", "digit_ratio"),
-        Seq(0.75, -0.5, -1.25, -0.75), 0.25,
-        Seq(64.0, 5.0, 0.03125, 0.0625), Seq(32.0, 2.0, 0.03125, 0.0625))
-      val f = t(s, d, "documents").select(col("doc_id"),
-          graft.functions.TextFunctions.qualityFeatures(col("text")).as("f"))
-        .select(col("doc_id"),
-          col("f.n_tokens").cast("double").as("n_tokens_d"),
-          col("f.mean_token_len").as("mean_token_len"),
-          col("f.symbol_ratio").as("symbol_ratio"),
-          col("f.digit_ratio").as("digit_ratio"))
+      val m = frozenQualityModel
+      val f = withQualityFeatures(t(s, d, "documents"), Seq("doc_id"))
       // ground-truth proxy on dyadic constants — IEEE-exact both engines
       val scored = f
         .withColumn("margin", QualityClassifier.marginColumn(m))
@@ -1493,20 +1475,10 @@ object SparkEntry {
     // floor-scaled means, IEEE margin decisions, md5 dup keys).
     "q_dataset_card" -> ((s, d) => {
       import graft.operators.QualityClassifier
-      val m = QualityClassifier.Model(
-        Seq("n_tokens_d", "mean_token_len", "symbol_ratio", "digit_ratio"),
-        Seq(0.75, -0.5, -1.25, -0.75), 0.25,
-        Seq(64.0, 5.0, 0.03125, 0.0625), Seq(32.0, 2.0, 0.03125, 0.0625))
-      val withFeats = t(s, d, "documents")
-        .select(col("source"), col("text"),
-          graft.functions.TextFunctions.qualityFeatures(col("text")).as("f"))
-        .select(col("source"), col("text"),
-          col("f.n_tokens").cast("double").as("n_tokens_d"),
-          col("f.mean_token_len").as("mean_token_len"),
-          col("f.symbol_ratio").as("symbol_ratio"),
-          col("f.digit_ratio").as("digit_ratio"))
+      val withFeats = withQualityFeatures(t(s, d, "documents"),
+        Seq("source", "text"))
       graft.operators.DatasetCard.perSource(withFeats,
-          QualityClassifier.marginColumn(m))
+          QualityClassifier.marginColumn(frozenQualityModel))
         .orderBy("source")
     }),
 
@@ -1538,18 +1510,10 @@ object SparkEntry {
     // never a libm value.
     "q_calibrate" -> ((s, d) => {
       import graft.operators.{Calibrate, QualityClassifier}
-      val m = QualityClassifier.Model(
-        Seq("n_tokens_d", "mean_token_len", "symbol_ratio", "digit_ratio"),
-        Seq(0.75, -0.5, -1.25, -0.75), 0.25,
-        Seq(64.0, 5.0, 0.03125, 0.0625), Seq(32.0, 2.0, 0.03125, 0.0625))
-      val scored = t(s, d, "documents").select(col("doc_id"), col("source"),
-          graft.functions.TextFunctions.qualityFeatures(col("text")).as("f"))
-        .select(col("doc_id"), col("source"),
-          col("f.n_tokens").cast("double").as("n_tokens_d"),
-          col("f.mean_token_len").as("mean_token_len"),
-          col("f.symbol_ratio").as("symbol_ratio"),
-          col("f.digit_ratio").as("digit_ratio"))
-        .withColumn("margin", QualityClassifier.marginColumn(m))
+      val scored = withQualityFeatures(t(s, d, "documents"),
+          Seq("doc_id", "source"))
+        .withColumn("margin",
+          QualityClassifier.marginColumn(frozenQualityModel))
         .select("doc_id", "source", "margin")
       Calibrate.keepTopPerSource(scored, "source", "doc_id", "margin",
           keepPpm = 400000L)
@@ -1581,11 +1545,6 @@ object SparkEntry {
         .orderBy("event_type", "hour")
     }),
 
-    // Bucket-spine gap filling: the step a monitor runs BEFORE
-    // statistics — a groupBy emits rows only for buckets that HAVE
-    // events, so absence must become an explicit zero first. Every
-    // event type gets the GLOBAL hourly spine (broadcast one-row bounds
-    // exploded per group, one left join); everything metadata-priced.
     // Length-bucketed batch assembly: similar-length docs batch
     // together so padding-to-longest stops burning slots. Bucket =
     // (len−1) div width; batches cut longest-first within bucket;
@@ -1597,6 +1556,11 @@ object SparkEntry {
           t(s, d, "documents"), bucketWidth = 16, batchSize = 8)
         .orderBy("bucket", "batch_id")),
 
+    // Bucket-spine gap filling: the step a monitor runs BEFORE
+    // statistics — a groupBy emits rows only for buckets that HAVE
+    // events, so absence must become an explicit zero first. Every
+    // event type gets the GLOBAL hourly spine (broadcast one-row bounds
+    // exploded per group, one left join); everything metadata-priced.
     "q_gapfill" -> ((s, d) => {
       val series = t(s, d, "events")
         .groupBy(col("event_type"),
@@ -3902,6 +3866,89 @@ object SparkEntry {
     * iteration. Integer `//` in DuckDB and `div` in Spark agree on
     * positives, which is what makes the oracle exact.
     */
+  /** Shared by q_anomaly and q_stream_anomaly — the stream face's final
+    * state equals the batch aggregate by construction, so BOTH queries
+    * replay against this one batch SQL (one definition, no drift). */
+  private val anomalyOracleSql: String = """
+      WITH series AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      mo AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(n) AS BIGINT) AS sum_n,
+               CAST(sum(n * n) AS BIGINT) AS sum_sq
+        FROM series GROUP BY 1),
+      j AS (
+        SELECT s.event_type, s.hour, s.n, m.n_buckets, m.sum_n,
+               (m.n_buckets * s.n - m.sum_n) *
+                 (m.n_buckets * s.n - m.sum_n) AS lhs,
+               9 * (m.n_buckets * m.sum_sq - m.sum_n * m.sum_n) AS rhs
+        FROM series s JOIN mo m USING (event_type))
+      SELECT event_type, hour, n, n_buckets, sum_n, lhs, rhs
+      FROM j WHERE lhs > rhs ORDER BY event_type, hour"""
+
+  /** THE frozen quality model — single source of truth for every query
+    * that scores with it (q_quality_model, q_model_eval, q_dataset_card,
+    * q_calibrate). Dyadic constants so standardization is IEEE-exact. */
+  private def frozenQualityModel: graft.operators.QualityClassifier.Model =
+    graft.operators.QualityClassifier.Model(
+      Seq("n_tokens_d", "mean_token_len", "symbol_ratio", "digit_ratio"),
+      Seq(0.75, -0.5, -1.25, -0.75), 0.25,
+      Seq(64.0, 5.0, 0.03125, 0.0625), Seq(32.0, 2.0, 0.03125, 0.0625))
+
+  /** documents → carry columns + the frozen model's four feature source
+    * columns (the one projection all frozen-model queries share). */
+  private def withQualityFeatures(df: DataFrame,
+                                  carry: Seq[String]): DataFrame = {
+    val c = carry.map(col)
+    df.select(c :+
+        graft.functions.TextFunctions.qualityFeatures(col("text")).as("f"): _*)
+      .select(c ++ Seq(
+        col("f.n_tokens").cast("double").as("n_tokens_d"),
+        col("f.mean_token_len").as("mean_token_len"),
+        col("f.symbol_ratio").as("symbol_ratio"),
+        col("f.digit_ratio").as("digit_ratio")): _*)
+  }
+
+  /** The DuckDB CTE chain every frozen-model oracle shares: features →
+    * standardized margin, with `carry` columns (never `text` — it is
+    * always carried) riding through to the final `m(carry, text, n_tok,
+    * sym, margin)`. One definition, or the gate silently diverges per
+    * query when the model moves. */
+  private def qualityMarginOracleCtes(carry: String): String = {
+    val c = if (carry.isEmpty) "" else carry + ", "
+    s"""
+      WITH norm AS (
+        SELECT ${c}text,
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+        FROM documents),
+      f AS (
+        SELECT ${c}text,
+               CAST(length(nt) AS DOUBLE) AS n_chars,
+               CAST(len(list_filter(string_split_regex(nt, '\\s+'),
+                 x -> x <> '')) AS DOUBLE) AS n_tok,
+               CAST(length(regexp_replace(nt, '[\\p{L}\\p{N}\\s]', '', 'g'))
+                 AS DOUBLE) AS n_sym,
+               CAST(length(regexp_replace(nt, '[^0-9]', '', 'g'))
+                 AS DOUBLE) AS n_dig
+        FROM norm),
+      feats AS (
+        SELECT ${c}text, n_tok,
+               CASE WHEN n_tok > 0 THEN (n_chars - (n_tok - 1)) / n_tok
+                    ELSE 0.0 END AS mtl,
+               CASE WHEN n_chars > 0 THEN n_sym / n_chars ELSE 0.0 END AS sym,
+               CASE WHEN n_chars > 0 THEN n_dig / n_chars ELSE 0.0 END AS dig
+        FROM f),
+      m AS (
+        SELECT ${c}text, n_tok, sym,
+               0.25 + (n_tok - 64.0) / 32.0 * 0.75
+                    + (mtl - 5.0) / 2.0 * (-0.5)
+                    + (sym - 0.03125) / 0.03125 * (-1.25)
+                    + (dig - 0.0625) / 0.0625 * (-0.75) AS margin
+        FROM feats)"""
+  }
+
   private def pageRankOracleSql(iters: Int,
                                 seedCond: String => String = _ => "TRUE")
       : String = {
@@ -6196,68 +6243,14 @@ object SparkEntry {
         FROM toks)
       SELECT doc_id, bucket, count(*) AS tf
       FROM b GROUP BY 1, 2 ORDER BY doc_id, bucket""",
-    "q_quality_model" -> """
-      WITH norm AS (
-        SELECT doc_id,
-               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
-        FROM documents),
-      f AS (
-        SELECT doc_id,
-               CAST(length(nt) AS DOUBLE) AS n_chars,
-               CAST(len(list_filter(string_split_regex(nt, '\s+'),
-                 x -> x <> '')) AS DOUBLE) AS n_tok,
-               CAST(length(regexp_replace(nt, '[\p{L}\p{N}\s]', '', 'g'))
-                 AS DOUBLE) AS n_sym,
-               CAST(length(regexp_replace(nt, '[^0-9]', '', 'g'))
-                 AS DOUBLE) AS n_dig
-        FROM norm),
-      feats AS (
-        SELECT doc_id, n_tok,
-               CASE WHEN n_tok > 0 THEN (n_chars - (n_tok - 1)) / n_tok
-                    ELSE 0.0 END AS mtl,
-               CASE WHEN n_chars > 0 THEN n_sym / n_chars ELSE 0.0 END AS sym,
-               CASE WHEN n_chars > 0 THEN n_dig / n_chars ELSE 0.0 END AS dig
-        FROM f),
-      m AS (
-        SELECT doc_id,
-               0.25 + (n_tok - 64.0) / 32.0 * 0.75
-                    + (mtl - 5.0) / 2.0 * (-0.5)
-                    + (sym - 0.03125) / 0.03125 * (-1.25)
-                    + (dig - 0.0625) / 0.0625 * (-0.75) AS margin
-        FROM feats)
+    "q_quality_model" -> (qualityMarginOracleCtes("doc_id") + """
       SELECT doc_id, round(1.0 / (1.0 + exp(-margin)), 6) AS quality_prob,
              1.0 / (1.0 + exp(-margin)) >= 0.5 AS keep
-      FROM m ORDER BY doc_id""",
-    "q_model_eval" -> """
-      WITH norm AS (
-        SELECT doc_id,
-               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
-        FROM documents),
-      f AS (
-        SELECT doc_id,
-               CAST(length(nt) AS DOUBLE) AS n_chars,
-               CAST(len(list_filter(string_split_regex(nt, '\s+'),
-                 x -> x <> '')) AS DOUBLE) AS n_tok,
-               CAST(length(regexp_replace(nt, '[\p{L}\p{N}\s]', '', 'g'))
-                 AS DOUBLE) AS n_sym,
-               CAST(length(regexp_replace(nt, '[^0-9]', '', 'g'))
-                 AS DOUBLE) AS n_dig
-        FROM norm),
-      feats AS (
-        SELECT doc_id, n_tok,
-               CASE WHEN n_tok > 0 THEN (n_chars - (n_tok - 1)) / n_tok
-                    ELSE 0.0 END AS mtl,
-               CASE WHEN n_chars > 0 THEN n_sym / n_chars ELSE 0.0 END AS sym,
-               CASE WHEN n_chars > 0 THEN n_dig / n_chars ELSE 0.0 END AS dig
-        FROM f),
-      m AS (
-        SELECT doc_id,
-               0.25 + (n_tok - 64.0) / 32.0 * 0.75
-                    + (mtl - 5.0) / 2.0 * (-0.5)
-                    + (sym - 0.03125) / 0.03125 * (-1.25)
-                    + (dig - 0.0625) / 0.0625 * (-0.75) AS margin,
-               (n_tok >= 64.0 AND sym <= 0.03125) AS label
-        FROM feats),
+      FROM m ORDER BY doc_id"""),
+    "q_model_eval" -> (qualityMarginOracleCtes("doc_id") + """,
+      lab AS (
+        SELECT margin, (n_tok >= 64.0 AND sym <= 0.03125) AS label
+        FROM m),
       c AS (
         SELECT t.threshold,
                CAST(sum(CASE WHEN label AND margin >= t.threshold
@@ -6268,7 +6261,7 @@ object SparkEntry {
                              THEN 1 ELSE 0 END) AS BIGINT) AS fn,
                CAST(sum(CASE WHEN NOT label AND margin < t.threshold
                              THEN 1 ELSE 0 END) AS BIGINT) AS tn
-        FROM m CROSS JOIN (
+        FROM lab CROSS JOIN (
           SELECT CAST(unnest([-1.0, -0.5, 0.0, 0.5, 1.0]) AS DOUBLE)
             AS threshold) t
         GROUP BY 1)
@@ -6277,7 +6270,7 @@ object SparkEntry {
                   ELSE -1 END AS precision_ppm,
              CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn)
                   ELSE -1 END AS recall_ppm
-      FROM c ORDER BY threshold""",
+      FROM c ORDER BY threshold"""),
 
     "q_mixture_plan" -> """
       WITH tc AS (
@@ -6295,44 +6288,25 @@ object SparkEntry {
       t AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM j),
       p AS (
         SELECT j.source, j.natural_tokens, j.weight,
-               CAST(CASE WHEN t.tw > 0 THEN (500000 * j.weight) // t.tw
+               CAST(CASE WHEN t.tw > 0
+                    THEN j.weight * (500000 // t.tw) +
+                         (j.weight * (500000 % t.tw)) // t.tw
                     ELSE 0 END AS BIGINT) AS target_tokens
         FROM j CROSS JOIN t)
       SELECT source, natural_tokens, weight, target_tokens,
-             CAST(CASE WHEN natural_tokens > 0
+             CAST(CASE WHEN natural_tokens = 0 THEN 0
+                  WHEN target_tokens <= 9000000000000
                   THEN (target_tokens * 1000000) // natural_tokens
-                  ELSE 0 END AS BIGINT) AS epochs_ppm
+                  ELSE target_tokens //
+                       greatest(natural_tokens // 1000000, 1)
+                  END AS BIGINT) AS epochs_ppm
       FROM p ORDER BY source""",
 
-    "q_dataset_card" -> """
-      WITH norm AS (
-        SELECT doc_id, source, text,
-               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
-        FROM documents),
-      f AS (
-        SELECT doc_id, source, text,
-               CAST(length(nt) AS DOUBLE) AS n_chars,
-               CAST(len(list_filter(string_split_regex(nt, '\s+'),
-                 x -> x <> '')) AS DOUBLE) AS n_tok,
-               CAST(length(regexp_replace(nt, '[\p{L}\p{N}\s]', '', 'g'))
-                 AS DOUBLE) AS n_sym,
-               CAST(length(regexp_replace(nt, '[^0-9]', '', 'g'))
-                 AS DOUBLE) AS n_dig
-        FROM norm),
-      feats AS (
-        SELECT doc_id, source, text, n_tok,
-               CASE WHEN n_tok > 0 THEN (n_chars - (n_tok - 1)) / n_tok
-                    ELSE 0.0 END AS mtl,
-               CASE WHEN n_chars > 0 THEN n_sym / n_chars ELSE 0.0 END AS sym,
-               CASE WHEN n_chars > 0 THEN n_dig / n_chars ELSE 0.0 END AS dig
-        FROM f),
+    "q_dataset_card" -> (qualityMarginOracleCtes("source") + """,
       base AS (
         SELECT source, CAST(n_tok AS BIGINT) AS nt, md5(text) AS fp,
-               0.25 + (n_tok - 64.0) / 32.0 * 0.75
-                    + (mtl - 5.0) / 2.0 * (-0.5)
-                    + (sym - 0.03125) / 0.03125 * (-1.25)
-                    + (dig - 0.0625) / 0.0625 * (-0.75) AS margin
-        FROM feats)
+               margin
+        FROM m)
       SELECT source,
              CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(nt) AS BIGINT) AS n_tokens,
@@ -6343,7 +6317,7 @@ object SparkEntry {
                // count(*) AS BIGINT) AS long_doc_ppm,
              CAST((sum(CASE WHEN margin >= 0.0 THEN 1 ELSE 0 END)
                * 1000000) // count(*) AS BIGINT) AS quality_keep_ppm
-      FROM base GROUP BY source ORDER BY source""",
+      FROM base GROUP BY source ORDER BY source"""),
 
     "q_rag_context" -> """
       WITH toks AS (
@@ -6394,35 +6368,7 @@ object SparkEntry {
       FROM sel WHERE cum_before < 256
       ORDER BY query_id, cum_before, doc_id, chunk_idx""",
 
-    "q_calibrate" -> """
-      WITH norm AS (
-        SELECT doc_id, source,
-               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
-        FROM documents),
-      f AS (
-        SELECT doc_id, source,
-               CAST(length(nt) AS DOUBLE) AS n_chars,
-               CAST(len(list_filter(string_split_regex(nt, '\s+'),
-                 x -> x <> '')) AS DOUBLE) AS n_tok,
-               CAST(length(regexp_replace(nt, '[\p{L}\p{N}\s]', '', 'g'))
-                 AS DOUBLE) AS n_sym,
-               CAST(length(regexp_replace(nt, '[^0-9]', '', 'g'))
-                 AS DOUBLE) AS n_dig
-        FROM norm),
-      feats AS (
-        SELECT doc_id, source, n_tok,
-               CASE WHEN n_tok > 0 THEN (n_chars - (n_tok - 1)) / n_tok
-                    ELSE 0.0 END AS mtl,
-               CASE WHEN n_chars > 0 THEN n_sym / n_chars ELSE 0.0 END AS sym,
-               CASE WHEN n_chars > 0 THEN n_dig / n_chars ELSE 0.0 END AS dig
-        FROM f),
-      m AS (
-        SELECT doc_id, source,
-               0.25 + (n_tok - 64.0) / 32.0 * 0.75
-                    + (mtl - 5.0) / 2.0 * (-0.5)
-                    + (sym - 0.03125) / 0.03125 * (-1.25)
-                    + (dig - 0.0625) / 0.0625 * (-0.75) AS margin
-        FROM feats),
+    "q_calibrate" -> (qualityMarginOracleCtes("doc_id, source") + """,
       r AS (
         SELECT doc_id, source,
                row_number() OVER (PARTITION BY source
@@ -6435,7 +6381,7 @@ object SparkEntry {
       FROM r
       WHERE (CASE WHEN n > 1 THEN ((rk - 1) * 1000000) // (n - 1)
                   ELSE 0 END) < 400000
-      ORDER BY source, pct_ppm, doc_id""",
+      ORDER BY source, pct_ppm, doc_id"""),
 
     "q_collocations" -> """
       WITH toks AS (
@@ -6457,24 +6403,7 @@ object SparkEntry {
       FROM bi b JOIN uni u ON u.w = b.w1
       ORDER BY conf_ppm DESC, b.w1 ASC, b.w2 ASC LIMIT 20""",
 
-    "q_anomaly" -> """
-      WITH series AS (
-        SELECT event_type, date_trunc('hour', ts) AS hour,
-               CAST(count(*) AS BIGINT) AS n
-        FROM events GROUP BY 1, 2),
-      mo AS (
-        SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
-               CAST(sum(n) AS BIGINT) AS sum_n,
-               CAST(sum(n * n) AS BIGINT) AS sum_sq
-        FROM series GROUP BY 1),
-      j AS (
-        SELECT s.event_type, s.hour, s.n, m.n_buckets, m.sum_n,
-               (m.n_buckets * s.n - m.sum_n) *
-                 (m.n_buckets * s.n - m.sum_n) AS lhs,
-               9 * (m.n_buckets * m.sum_sq - m.sum_n * m.sum_n) AS rhs
-        FROM series s JOIN mo m USING (event_type))
-      SELECT event_type, hour, n, n_buckets, sum_n, lhs, rhs
-      FROM j WHERE lhs > rhs ORDER BY event_type, hour""",
+    "q_anomaly" -> anomalyOracleSql,
 
     "q_search_phrase" -> """
       WITH toks AS (
@@ -6578,24 +6507,7 @@ object SparkEntry {
         GROUP BY term)
       ORDER BY n DESC, term LIMIT 20""",
 
-    "q_stream_anomaly" -> """
-      WITH series AS (
-        SELECT event_type, date_trunc('hour', ts) AS hour,
-               CAST(count(*) AS BIGINT) AS n
-        FROM events GROUP BY 1, 2),
-      mo AS (
-        SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
-               CAST(sum(n) AS BIGINT) AS sum_n,
-               CAST(sum(n * n) AS BIGINT) AS sum_sq
-        FROM series GROUP BY 1),
-      j AS (
-        SELECT s.event_type, s.hour, s.n, m.n_buckets, m.sum_n,
-               (m.n_buckets * s.n - m.sum_n) *
-                 (m.n_buckets * s.n - m.sum_n) AS lhs,
-               9 * (m.n_buckets * m.sum_sq - m.sum_n * m.sum_n) AS rhs
-        FROM series s JOIN mo m USING (event_type))
-      SELECT event_type, hour, n, n_buckets, sum_n, lhs, rhs
-      FROM j WHERE lhs > rhs ORDER BY event_type, hour""",
+    "q_stream_anomaly" -> anomalyOracleSql,
 
     "q_quality" -> """
       WITH norm AS (

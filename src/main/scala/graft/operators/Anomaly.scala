@@ -12,10 +12,17 @@ import org.apache.spark.sql.functions._
   * |x − s/n| > k·σ with σ² = (q − s²/n)/n is equivalent (for k, n > 0)
   * to (n·x − s)² > k²·(n·q − s²), where n, s = Σx, q = Σx² are exact
   * integer aggregates of the counts. No sqrt, no division, no doubles:
-  * the decision replays bit-for-bit on any engine. Overflow headroom:
-  * with per-bucket counts ≤ 10⁶ and ≤ 10⁵ buckets per group, both
-  * sides stay ≤ ~10¹⁷ < 2⁶³ (the operator is per-GROUP statistics —
-  * groups are bounded series like hours × event types, not the corpus).
+  * the decision replays bit-for-bit on any engine.
+  *
+  * Overflow envelope (64-bit, ANSI mode throws on breach rather than
+  * silently wrapping): both sides are bounded by (k·n·xmax)², so the
+  * operator is exact while `k · n_buckets · max_count ≤ 3·10⁹` — e.g.
+  * k = 3 with 10⁴ hourly buckets (≈ 14 months) and ≤ 10⁵ events per
+  * bucket. That covers per-(group, hour) monitor series by a wide
+  * margin; a series beyond it should pre-aggregate to coarser buckets,
+  * or swap the four arithmetic columns to DECIMAL(38,0) (drop-in: the
+  * identity and the DuckDB replay are unchanged, HUGEINT on the oracle
+  * side) at ~2× the comparison cost.
   *
   * Scale shape: one groupBy over the (already metadata-sized) count
   * series for the moments, broadcast back onto the series (group-count

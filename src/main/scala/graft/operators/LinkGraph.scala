@@ -357,10 +357,14 @@ object LinkGraph {
       .localCheckpoint()
     var frontier = settled
     (1 to maxDepth).foreach { d =>
+      // the frontier is re-read next round AND inside settled's union —
+      // checkpoint it, or round i re-derives every earlier frontier's
+      // plan (the O(maxDepth²) lineage trap this file's loops all dodge)
       val next = e.join(frontier.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id")).distinct()
         .join(settled, Seq("id"), "left_anti")
         .select(col("id"), lit(d.toLong).as("depth"))
+        .localCheckpoint()
       settled = settled.union(next).localCheckpoint()
       frontier = next
     }

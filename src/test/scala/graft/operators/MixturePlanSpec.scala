@@ -31,6 +31,22 @@ class MixturePlanSpec extends SparkSpec {
     assert(total <= 99999L && total >= 99999L - 7L)
   }
 
+  test("frontier-scale budgets do not overflow: 15T tokens plans " +
+       "exactly via the split identity") {
+    val tc = Seq(("web", 10000000000000L), ("code", 2000000000000L))
+      .toDF("source", "n")
+    val w = Seq(("web", 3L), ("code", 1L)).toDF("source", "w")
+    val out = MixturePlan.solve(tc, w, budgetTokens = 15000000000000L)
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    // web: 3/4 of 15T = 11.25T of 10T natural → 1.125 epochs; the
+    // quantized-divisor branch (target > 9e12) is within 1 ppm
+    assert(out("web")._1 == 11250000000000L)
+    assert(math.abs(out("web")._2 - 1125000L) <= 1L)
+    // code: 3.75T of 2T natural → exact branch, 1.875 epochs
+    assert(out("code") == (3750000000000L, 1875000L))
+  }
+
   test("all-zero weights plan to zero targets, not a division error") {
     val tc = Seq(("a", 10L)).toDF("source", "n")
     val w = Seq(("zzz", 1L)).toDF("source", "w")
