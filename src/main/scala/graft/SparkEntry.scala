@@ -1293,6 +1293,23 @@ object SparkEntry {
         .orderBy(col("auth_fp").desc, col("id").asc).limit(20)
     }),
 
+    // Label-propagation community detection (Raghavan 2007) over a
+    // block-structured synthetic graph with planted communities — the
+    // topical-cluster / mirror-family grouper for crawl curation.
+    // Synchronous rounds with min-label tie-breaking make the result a
+    // pure function of the graph; DuckDB unrolls the same 4 integer
+    // rounds to bit-equality. Output: per-label community size + id span.
+    "q_communities" -> ((s, d) => withShufflePartitions(s, 8) {
+      val docs = t(s, d, "documents")
+      val edges = graft.operators.LinkGraph.syntheticBlockLinks(
+        docs, block = 50, k = 2)
+      graft.operators.LinkGraph.labelPropagation(edges, iters = 4)
+        .groupBy("label")
+        .agg(count(lit(1)).as("size"), min("id").as("min_id"),
+          max("id").as("max_id"))
+        .orderBy("label")
+    }),
+
     // URL canonicalization — the address-normalization step before any
     // per-domain cap/blocklist/dedup keying: mixed-case scheme+host,
     // default ports, www., fragments and tracking params (utm_*/fbclid/
@@ -4034,6 +4051,49 @@ object SparkEntry {
       ORDER BY auth_fp DESC, a.id ASC LIMIT 20"""
   }
 
+  /** Unrolled synchronous label propagation over the block-structured
+    * synthetic graph — exactly
+    * [[graft.operators.LinkGraph.labelPropagation]]'s recurrence: per
+    * round every node adopts its neighbors' most frequent label, count
+    * ties broken by SMALLEST label (row_number over cnt DESC, label ASC —
+    * the same total order the Spark side encodes as
+    * `max(struct(cnt, -label))`). All-integer, so the replay is exact.
+    */
+  private def labelPropOracleSql(iters: Int, block: Int, k: Int): String = {
+    val cs = (1 to k).mkString("[", ", ", "]")
+    val base = s"""
+      WITH nodes0 AS (SELECT doc_id AS id FROM documents),
+      e AS MATERIALIZED (
+        SELECT id AS src,
+               (id // $block) * $block + ((id % $block + c.c) % $block) AS dst
+        FROM nodes0 CROSS JOIN (SELECT unnest($cs) AS c) c),
+      u0 AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e WHERE src <> dst),
+      und AS MATERIALIZED (
+        SELECT a AS v, b AS nbr FROM u0
+        UNION ALL SELECT b AS v, a AS nbr FROM u0),
+      nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+      l0 AS (SELECT id, id AS label FROM nodes)"""
+    val iterCtes = (1 to iters).map { i =>
+      s""",
+      c$i AS MATERIALIZED (
+        SELECT v, label FROM (
+          SELECT u.v, l.label, count(*) AS cnt
+          FROM und u JOIN l${i - 1} l ON u.nbr = l.id
+          GROUP BY u.v, l.label)
+        QUALIFY row_number() OVER (
+          PARTITION BY v ORDER BY cnt DESC, label ASC) = 1),
+      l$i AS MATERIALIZED (
+        SELECT p.id, COALESCE(c.label, p.label) AS label
+        FROM l${i - 1} p LEFT JOIN c$i c ON c.v = p.id)"""
+    }.mkString
+    base + iterCtes + s"""
+      SELECT label, CAST(count(*) AS BIGINT) AS size,
+             min(id) AS min_id, max(id) AS max_id
+      FROM l$iters GROUP BY label ORDER BY label"""
+  }
+
   /** Shared CTE chain replaying [[graft.operators.Urls]] end-to-end:
     * deterministic raw-URL synthesis from doc_id, then the exact
     * canonicalization regex chain (same RE2 patterns, DuckDB needs the
@@ -4300,6 +4360,8 @@ object SparkEntry {
         WHERE id NOT IN (SELECT id FROM c2)),
       c3 AS (SELECT * FROM c2 UNION ALL SELECT * FROM d3)
       SELECT id, depth FROM c3 ORDER BY depth, id""",
+
+    "q_communities" -> labelPropOracleSql(4, 50, 2),
 
     "q_url_canon" -> (urlNormOracleCtes + """
       SELECT doc_id, url_canon, host, domain, depth

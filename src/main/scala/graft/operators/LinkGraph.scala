@@ -78,6 +78,81 @@ object LinkGraph {
           .as("dst"))
   }
 
+  /** Deterministic block-structured link graph: node `i` belongs to block
+    * `i div block` and links to the next `k` nodes around its block's ring
+    * (`dst = blockStart + ((i mod block + c) mod block)` for `c = 1..k`).
+    * Blocks are disconnected from each other — a planted ground-truth
+    * community structure (what topical clusters / mirrored site families
+    * look like in a crawl graph), reproducible in SQL like
+    * [[syntheticLinks]] so community oracles replay exactly. */
+  def syntheticBlockLinks(docs: DataFrame, block: Int = 50, k: Int = 2,
+                          idCol: String = "doc_id"): DataFrame = {
+    require(block >= 2 && k >= 1 && k < block)
+    docs.select(col(idCol).cast("long").as("src"))
+      .select(col("src"), explode(sequence(lit(1), lit(k))).as("__c"))
+      .select(col("src"),
+        (expr(s"src div $block") * block +
+          pmod(pmod(col("src"), lit(block.toLong)) + col("__c"),
+            lit(block.toLong))).as("dst"))
+  }
+
+  /** Label-propagation community detection (Raghavan et al., 2007) over
+    * the undirected version of the edge set — the near-linear-time
+    * community extractor crawl curation uses to group topically-linked
+    * page clusters (per-community source caps, mirror-family collapsing,
+    * diversity accounting across a crawl snapshot).
+    *
+    * SYNCHRONOUS variant with a total tie order, so the result is a pure
+    * function of the graph: label₀(v) = v; each round every node adopts
+    * the label most frequent among its neighbors, ties broken by SMALLEST
+    * label (the classic async coin-flip variant is not replayable — this
+    * is, and the DuckDB oracle unrolls the same rounds to bit-equality).
+    * A fixed `iters` replays exactly in both engines; nodes with no
+    * neighbors keep their own label.
+    *
+    * Scale shape: neighbor lists are fixed-width (long, long) rows built
+    * once; each round is one edge-sized join + a (v, label) count + a
+    * per-v argmax — all hash exchanges on scalars, text never enters;
+    * `localCheckpoint` per round caps lineage like every loop here. The
+    * per-v argmax is an AGGREGATE (`max(struct(cnt, -label))`), not a
+    * window — no per-node row_number funnel.
+    *
+    * Returns (id, label) for every node of the edge set.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int,
+                       checkpointInterval: Int = 1): DataFrame = {
+    require(iters >= 1 && checkpointInterval >= 1)
+    val und0 = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val und = und0.select(col("a").as("v"), col("b").as("nbr"))
+      .union(und0.select(col("b").as("v"), col("a").as("nbr")))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("label"))
+    (1 to iters).foreach { i =>
+      // most-frequent neighbor label, min label on count ties: lift to
+      // max(struct(cnt, -label)) — lexicographic struct max picks highest
+      // count then highest -label = lowest label, one aggregate, no window
+      val best = und
+        .join(labels.withColumnRenamed("id", "nbr"), "nbr")
+        .groupBy(col("v"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("v")
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("v").as("id"), (-col("m.nl")).as("__new"))
+      labels = labels.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("__new"), col("label")).as("label"))
+      if (i % checkpointInterval == 0 || i == iters)
+        labels = labels.localCheckpoint()
+    }
+    labels
+  }
+
   /** Triangle count over the undirected version of the edge set — the
     * clustering/link-spam structure signal (spam farms are triangle-dense,
     * organic link neighborhoods sparse). Classic two-join shape with the

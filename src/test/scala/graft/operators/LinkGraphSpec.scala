@@ -259,4 +259,56 @@ class LinkGraphSpec extends SparkSpec {
     val hubSum = a.map(_.getLong(2)).sum
     assert(authSum < 2000000000L && hubSum < 2000000000L)
   }
+
+  private def lpaMap(edges: org.apache.spark.sql.DataFrame, iters: Int) =
+    LinkGraph.labelPropagation(edges, iters).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("labelPropagation: two bridged triangles, hand-simulated rounds") {
+    // triangles {0,1,2} and {3,4,5}, bridge 2-3 (undirected semantics)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (3L, 4L), (4L, 5L), (5L, 3L), (2L, 3L)).toDF("src", "dst")
+    // round 1 from labels=id: every neighbor label is distinct (cnt ties),
+    // so each node adopts its MIN neighbor label
+    assert(lpaMap(edges, 1) ==
+      Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 2L, 4L -> 3L, 5L -> 3L))
+    // by round 4 the left triangle settles on 0 and the right on 2 (the
+    // bridge pulls label 2, not 3 — min-label tie-breaking)
+    assert(lpaMap(edges, 4) ==
+      Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 2L, 4L -> 2L, 5L -> 2L))
+  }
+
+  test("labelPropagation: synchronous two-node oscillation is pinned") {
+    // a single undirected edge swaps labels every synchronous round —
+    // the documented determinism contract (fixed iters, not convergence)
+    val edges = Seq((7L, 9L)).toDF("src", "dst")
+    assert(lpaMap(edges, 1) == Map(7L -> 9L, 9L -> 7L))
+    assert(lpaMap(edges, 2) == Map(7L -> 7L, 9L -> 9L))
+  }
+
+  test("labelPropagation: planted blocks recovered exactly") {
+    // block=5, k=2 makes each block a clique on 5 nodes (ring distance
+    // ≤2 covers all pairs): one round converges every block to its min id
+    val docs = (0L until 15L).toDF("doc_id")
+    val edges = LinkGraph.syntheticBlockLinks(docs, block = 5, k = 2)
+    val r = lpaMap(edges, 2)
+    assert(r == (0L until 15L).map(i => i -> (i / 5) * 5).toMap)
+  }
+
+  test("labelPropagation: deterministic under repartitioning") {
+    val docs = (0L until 100L).toDF("doc_id")
+    val edges = LinkGraph.syntheticBlockLinks(docs, block = 10, k = 2)
+    val a = LinkGraph.labelPropagation(edges, 3).orderBy("id").collect()
+    val b = LinkGraph.labelPropagation(edges.repartition(7), 3)
+      .orderBy("id").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
+  test("syntheticBlockLinks: k out-edges per node, block-local targets") {
+    val docs = (0L until 23L).toDF("doc_id") // deliberately partial block
+    val e = LinkGraph.syntheticBlockLinks(docs, block = 10, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(e.length == 23 * 3)
+    assert(e.forall { case (s, d) => s / 10 == d / 10 && s != d })
+  }
 }
