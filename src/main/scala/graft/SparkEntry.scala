@@ -1293,6 +1293,19 @@ object SparkEntry {
         .orderBy(col("auth_fp").desc, col("id").asc).limit(20)
     }),
 
+    // Span corruption (T5 denoising objective, Raffel JMLR'20): every
+    // document becomes an (input, target) training pair — maximal runs of
+    // masked tokens collapse to <extra_id_k> sentinels in the input, the
+    // target lists each sentinel with its masked tokens. Mask decisions
+    // are a portable md5 hash of (doc, pos) — reproducible across runs,
+    // retries and engines; DuckDB replays tokenize → mask → run-grouping
+    // → both assemblies byte-for-byte. One exchange keyed by doc id (the
+    // run window and the final aggregate share hash partitioning).
+    "q_span_corrupt" -> ((s, d) => withShufflePartitions(s, 8) {
+      graft.operators.Augment.spanCorrupt(docsSpread(s, d), every = 5)
+        .orderBy("doc_id")
+    }),
+
     // Label-propagation community detection (Raghavan 2007) over a
     // block-structured synthetic graph with planted communities — the
     // topical-cluster / mirror-family grouper for crawl curation.
@@ -4362,6 +4375,49 @@ object SparkEntry {
       SELECT id, depth FROM c3 ORDER BY depth, id""",
 
     "q_communities" -> labelPropOracleSql(4, 50, 2),
+
+    // Span corruption replayed exactly: same \s+ tokenization as q_bpe,
+    // the portable 60-bit md5 mask hash, lag-based run starts, running
+    // run ids, and both string_agg assemblies (COALESCE '' so a document
+    // with no masked token matches Spark's empty-array join).
+    "q_span_corrupt" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS ws
+        FROM documents),
+      w AS (
+        SELECT doc_id, pos, ws[pos] AS tok
+        FROM toks, unnest(range(1, len(ws) + 1)) AS t(pos)
+        WHERE ws[pos] <> ''),
+      m AS (
+        SELECT doc_id, pos, tok,
+               (CAST(('0x' || substring(
+                  md5('mask:' || doc_id || ':' || pos), 1, 15)) AS BIGINT)
+                % 5 = 0) AS mk
+        FROM w),
+      r AS (
+        SELECT doc_id, pos, tok, mk,
+               CASE WHEN mk AND NOT COALESCE(
+                   lag(mk) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+                 THEN 1 ELSE 0 END AS st
+        FROM m),
+      s AS (
+        SELECT doc_id, pos, tok, mk, st,
+               CAST(sum(st) OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS BIGINT) AS rid
+        FROM r)
+      SELECT doc_id,
+        COALESCE(string_agg(
+          CASE WHEN NOT mk THEN tok
+               WHEN st = 1 THEN '<extra_id_' || (rid - 1) || '>' END,
+          ' ' ORDER BY pos), '') AS input,
+        COALESCE(string_agg(
+          CASE WHEN mk THEN (CASE WHEN st = 1
+            THEN '<extra_id_' || (rid - 1) || '> ' || tok
+            ELSE tok END) END,
+          ' ' ORDER BY pos), '') AS target,
+        CAST(sum(CASE WHEN mk THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+        CAST(sum(st) AS BIGINT) AS n_spans
+      FROM s GROUP BY doc_id ORDER BY doc_id""",
 
     "q_url_canon" -> (urlNormOracleCtes + """
       SELECT doc_id, url_canon, host, domain, depth
