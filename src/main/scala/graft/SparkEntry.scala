@@ -1293,6 +1293,21 @@ object SparkEntry {
         .orderBy(col("auth_fp").desc, col("id").asc).limit(20)
     }),
 
+    // Boilerplate line removal (CCNet/RefinedWeb cleaning): lines
+    // recurring in ≥2 distinct documents (nav headers, promos, footers —
+    // synthesized deterministically onto each page in BOTH engines) are
+    // template chrome and get dropped; unique content survives. The
+    // decision is exact string document-frequency; the 64-bit line-hash
+    // pass is a collision-proof prefilter (superset, re-counted by
+    // string). DuckDB rebuilds the same pages and replays the df gate
+    // and reassembly byte-for-byte.
+    "q_boilerplate" -> ((s, d) => withShufflePartitions(s, 8) {
+      graft.operators.Boilerplate.removeBoilerplate(
+          graft.operators.Boilerplate.synthesize(docsSpread(s, d)),
+          minDf = 2)
+        .orderBy("doc_id")
+    }),
+
     // Span corruption (T5 denoising objective, Raffel JMLR'20): every
     // document becomes an (input, target) training pair — maximal runs of
     // masked tokens collapse to <extra_id_k> sentinels in the input, the
@@ -4375,6 +4390,38 @@ object SparkEntry {
       SELECT id, depth FROM c3 ORDER BY depth, id""",
 
     "q_communities" -> labelPropOracleSql(4, 50, 2),
+
+    // Boilerplate removal replayed exactly: rebuild the same synthesized
+    // pages (concat_ws skips the NULL promo on non-%3 docs in both
+    // engines), split to lines, df = count(DISTINCT doc) per exact line
+    // string, drop df≥2 lines, reassemble ordered by position (COALESCE
+    // '' so a fully-boilerplate page matches Spark's empty-array join).
+    "q_boilerplate" -> """
+      WITH pages AS (
+        SELECT doc_id, concat_ws(chr(10),
+          'NAV ' || source || ' home about contact',
+          text,
+          CASE WHEN doc_id % 3 = 0
+               THEN 'PROMO subscribe to our newsletter today' END,
+          'FOOTER copyright sample site') AS page
+        FROM documents),
+      ls AS (SELECT doc_id, string_split(page, chr(10)) AS a FROM pages),
+      lines AS (
+        SELECT doc_id, pos, a[pos] AS line
+        FROM ls, unnest(range(1, len(a) + 1)) AS t(pos)),
+      freq AS (
+        SELECT line FROM (
+          SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY 1)
+        WHERE df >= 2),
+      flags AS (
+        SELECT l.doc_id, l.pos, l.line, (f.line IS NULL) AS keep
+        FROM lines l LEFT JOIN freq f ON l.line = f.line)
+      SELECT doc_id,
+        COALESCE(string_agg(CASE WHEN keep THEN line END,
+          chr(10) ORDER BY pos), '') AS clean,
+        CAST(count(*) AS BIGINT) AS n_lines,
+        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM flags GROUP BY doc_id ORDER BY doc_id""",
 
     // Span corruption replayed exactly: same \s+ tokenization as q_bpe,
     // the portable 60-bit md5 mask hash, lag-based run starts, running
