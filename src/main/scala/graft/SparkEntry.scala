@@ -1293,6 +1293,19 @@ object SparkEntry {
         .orderBy(col("auth_fp").desc, col("id").asc).limit(20)
     }),
 
+    // Conversation assembly for SFT data: sessionized event logs render
+    // as role-tagged chat transcripts, consecutive same-role events
+    // coalesced into single turns (the run-grouping real chat corpora
+    // need). Deterministic string assembly over the (ts, event_id) total
+    // order — DuckDB replays sessionization, turn grouping and both
+    // string_agg levels byte-for-byte. One user-keyed exchange feeds all
+    // four window/aggregate steps.
+    "q_dialog_sft" -> ((s, d) => withShufflePartitions(s, 8) {
+      graft.operators.Dialog.assembleTranscripts(
+          t(s, d, "events"), userTypes = Seq("click", "view"))
+        .orderBy("user_id", "session_id")
+    }),
+
     // Boilerplate line removal (CCNet/RefinedWeb cleaning): lines
     // recurring in ≥2 distinct documents (nav headers, promos, footers —
     // synthesized deterministically onto each page in BOTH engines) are
@@ -4390,6 +4403,54 @@ object SparkEntry {
       SELECT id, depth FROM c3 ORDER BY depth, id""",
 
     "q_communities" -> labelPropOracleSql(4, 50, 2),
+
+    // SFT transcript assembly replayed exactly: q_sessions'
+    // sessionization CTEs, the role CASE, IS-DISTINCT-FROM turn starts,
+    // running turn ids, then two ordered string_agg levels (turn text by
+    // (ts, event_id), transcript by turn_id).
+    "q_dialog_sft" -> """
+      WITH lagged AS (
+        SELECT user_id, event_id, ts, event_type, props,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_ts
+        FROM events),
+      numbered AS (
+        SELECT user_id, event_id, ts, event_type, props,
+               CAST(sum(CASE WHEN prev_ts IS NULL
+                         OR epoch(ts) - epoch(prev_ts) > 1800
+                    THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_id
+        FROM lagged),
+      roled AS (
+        SELECT *, CASE WHEN event_type IN ('click', 'view')
+                       THEN 'user' ELSE 'assistant' END AS role
+        FROM numbered),
+      starts AS (
+        SELECT *, CASE WHEN lag(role) OVER (
+                 PARTITION BY user_id, session_id ORDER BY ts, event_id)
+               IS DISTINCT FROM role THEN 1 ELSE 0 END AS st
+        FROM roled),
+      turns AS (
+        SELECT *, CAST(sum(st) OVER (PARTITION BY user_id, session_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS turn_id
+        FROM starts),
+      turntext AS (
+        SELECT user_id, session_id, turn_id, role,
+               count(*) AS ne,
+               string_agg(event_type || ' ' || props, '; '
+                          ORDER BY ts, event_id) AS txt
+        FROM turns GROUP BY user_id, session_id, turn_id, role)
+      SELECT user_id, session_id,
+             CAST(count(*) AS BIGINT) AS n_turns,
+             CAST(sum(ne) AS BIGINT) AS n_events,
+             string_agg('<|' || role || '|> ' || txt, chr(10)
+                        ORDER BY turn_id) AS transcript
+      FROM turntext GROUP BY user_id, session_id
+      ORDER BY user_id, session_id""",
 
     // Boilerplate removal replayed exactly: rebuild the same synthesized
     // pages (concat_ws skips the NULL promo on non-%3 docs in both
