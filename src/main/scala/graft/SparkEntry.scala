@@ -1293,6 +1293,23 @@ object SparkEntry {
         .orderBy(col("auth_fp").desc, col("id").asc).limit(20)
     }),
 
+    // Grid-blocked DBSCAN over a planted integer 2-D layout (8 dense
+    // blobs + uniform noise, synthesized from vec_id via the portable
+    // hash in BOTH engines): density clusters discovered (not declared),
+    // border points deterministically assigned (min adjacent core), noise
+    // = -1. The eps-neighbor join is an equi-join on grid cells — no
+    // cross join at any scale. DuckDB replays synthesis → pairs → cores
+    // → min-label flooding → border/noise verdicts exactly.
+    "q_cluster_dbscan" -> ((s, d) => withShufflePartitions(s, 8) {
+      val pts = graft.operators.Dbscan.synthesizePoints(
+        t(s, d, "embeddings"))
+      graft.operators.Dbscan.cluster(pts, eps = 60L, minPts = 4, rounds = 5)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_points"), sum("is_core").as("n_core"),
+          min("id").as("min_id"), max("id").as("max_id"))
+        .orderBy("cluster")
+    }),
+
     // Conversation assembly for SFT data: sessionized event logs render
     // as role-tagged chat transcripts, consecutive same-role events
     // coalesced into single turns (the run-grouping real chat corpora
@@ -4135,6 +4152,73 @@ object SparkEntry {
       FROM l$iters GROUP BY label ORDER BY label"""
   }
 
+  /** Unrolled grid-blocked DBSCAN over the planted point layout —
+    * exactly [[graft.operators.Dbscan]]'s semantics: eps-cell candidate
+    * join, core gate (count+self ≥ minPts), `rounds` min-label flooding
+    * rounds over the core-core graph, min-adjacent-core border
+    * assignment, noise = -1. All integer arithmetic.
+    */
+  private def dbscanOracleSql(eps: Long, minPts: Int, rounds: Int): String = {
+    val base = s"""
+      WITH pts AS (
+        SELECT vec_id AS id,
+          CASE WHEN vec_id % 17 = 0
+            THEN CAST(('0x' || substring(md5('dbnx:' || vec_id), 1, 15))
+                   AS BIGINT) % 4100
+            ELSE ((vec_id % 8) % 4) * 1000 +
+                 CAST(('0x' || substring(md5('dbx:' || vec_id), 1, 15))
+                   AS BIGINT) % 81 END AS x,
+          CASE WHEN vec_id % 17 = 0
+            THEN CAST(('0x' || substring(md5('dbny:' || vec_id), 1, 15))
+                   AS BIGINT) % 1100
+            ELSE ((vec_id % 8) // 4) * 1000 +
+                 CAST(('0x' || substring(md5('dby:' || vec_id), 1, 15))
+                   AS BIGINT) % 81 END AS y
+        FROM embeddings),
+      cells AS (
+        SELECT id, x, y, x // $eps AS cx, y // $eps AS cy FROM pts),
+      pairs AS MATERIALIZED (
+        SELECT a.id AS ai, b.id AS bi
+        FROM cells a JOIN cells b
+          ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+         AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+         AND a.id <> b.id
+        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+              <= ${eps * eps}),
+      core AS MATERIALIZED (
+        SELECT ai AS id FROM pairs GROUP BY ai
+        HAVING count(*) + 1 >= $minPts),
+      ce AS MATERIALIZED (
+        SELECT p.ai, p.bi FROM pairs p
+        JOIN core c1 ON c1.id = p.ai
+        JOIN core c2 ON c2.id = p.bi),
+      l0 AS (SELECT id, id AS lbl FROM core)"""
+    val iterCtes = (1 to rounds).map { i =>
+      s""",
+      l$i AS MATERIALIZED (
+        SELECT l.id, least(l.lbl, COALESCE(min(n.lbl), l.lbl)) AS lbl
+        FROM l${i - 1} l
+        LEFT JOIN ce e ON e.ai = l.id
+        LEFT JOIN l${i - 1} n ON n.id = e.bi
+        GROUP BY l.id, l.lbl)"""
+    }.mkString
+    base + iterCtes + s""",
+      border AS (
+        SELECT p.ai AS id, min(l.lbl) AS lbl
+        FROM pairs p JOIN l$rounds l ON l.id = p.bi
+        WHERE p.ai NOT IN (SELECT id FROM core)
+        GROUP BY p.ai),
+      asg AS (
+        SELECT pts.id, COALESCE(cl.lbl, b.lbl, -1) AS cluster,
+               CASE WHEN cl.lbl IS NOT NULL THEN 1 ELSE 0 END AS is_core
+        FROM pts LEFT JOIN l$rounds cl ON cl.id = pts.id
+        LEFT JOIN border b ON b.id = pts.id)
+      SELECT cluster, CAST(count(*) AS BIGINT) AS n_points,
+             CAST(sum(is_core) AS BIGINT) AS n_core,
+             min(id) AS min_id, max(id) AS max_id
+      FROM asg GROUP BY cluster ORDER BY cluster"""
+  }
+
   /** Shared CTE chain replaying [[graft.operators.Urls]] end-to-end:
     * deterministic raw-URL synthesis from doc_id, then the exact
     * canonicalization regex chain (same RE2 patterns, DuckDB needs the
@@ -4403,6 +4487,8 @@ object SparkEntry {
       SELECT id, depth FROM c3 ORDER BY depth, id""",
 
     "q_communities" -> labelPropOracleSql(4, 50, 2),
+
+    "q_cluster_dbscan" -> dbscanOracleSql(60L, 4, 5),
 
     // SFT transcript assembly replayed exactly: q_sessions'
     // sessionization CTEs, the role CASE, IS-DISTINCT-FROM turn starts,
