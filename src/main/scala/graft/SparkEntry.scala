@@ -1293,6 +1293,36 @@ object SparkEntry {
         .orderBy(col("auth_fp").desc, col("id").asc).limit(20)
     }),
 
+    // N-gram containment (Broder's asymmetric near-dup metric): pairs
+    // where ≥30% of doc A's distinct 3-grams occur in doc B — the quote/
+    // embedded-document signal Jaccard structurally misses. Every 5th
+    // page carries a planted 20-word quote with known source (synthesized
+    // in BOTH engines); stop-grams with df > 50 are excluded (the
+    // informativeness AND join-fan-out gate). Integer ppm; DuckDB
+    // replays grams → df gate → pair counts → ppm exactly.
+    "q_dedup_containment" -> ((s, d) => withShufflePartitions(s, 8) {
+      graft.operators.Containment.containmentPairs(
+          graft.operators.Containment.synthesizeQuoted(docsSpread(s, d)),
+          n = 3, maxDf = 50, minPpm = 300000)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Winnowing fingerprint overlap (Schleimer SIGMOD'03, the MOSS core):
+    // each w=4 window of word-3-gram hashes keeps its rightmost minimum,
+    // storing ~2/(w+1) of all positions while guaranteeing any shared run
+    // of ≥ w+k-1 = 6 tokens yields a shared fingerprint — the planted
+    // 20-word quotes surface with ≥2 shared prints. Selection is a fixed
+    // OR over w lag/lead conjunctions on ONE doc-keyed window; hub hashes
+    // with df > 50 are excluded (join fan-out gate). DuckDB replays
+    // grams → 60-bit md5 → rightmost-min selection → df gate → pair
+    // counts → coverage ppm exactly.
+    "q_dedup_winnow" -> ((s, d) => withShufflePartitions(s, 8) {
+      graft.operators.Winnowing.overlapPairs(
+          graft.operators.Containment.synthesizeQuoted(docsSpread(s, d)),
+          k = 3, w = 4, maxDf = 50, minShared = 2)
+        .orderBy("a_id", "b_id")
+    }),
+
     // Grid-blocked DBSCAN over a planted integer 2-D layout (8 dense
     // blobs + uniform noise, synthesized from vec_id via the portable
     // hash in BOTH engines): density clusters discovered (not declared),
@@ -4489,6 +4519,106 @@ object SparkEntry {
     "q_communities" -> labelPropOracleSql(4, 50, 2),
 
     "q_cluster_dbscan" -> dbscanOracleSql(60L, 4, 5),
+
+    // Containment replayed exactly: same quoted-page synthesis (left
+    // join against the source doc, 20-word slice), filtered tokens,
+    // distinct 3-grams, df ≤ 50 stop-gram gate, pair counts and the
+    // integer ppm floor.
+    "q_dedup_containment" -> """
+      WITH nn AS (SELECT count(*) AS n FROM documents),
+      pages AS (
+        SELECT d.doc_id,
+          CASE WHEN d.doc_id % 5 = 0
+            THEN d.text || ' ' || array_to_string(list_slice(
+                   list_filter(string_split_regex(s.text, '\s+'),
+                     x -> x <> ''), 1, 20), ' ')
+            ELSE d.text END AS page
+        FROM documents d CROSS JOIN nn
+        LEFT JOIN documents s
+          ON d.doc_id % 5 = 0 AND s.doc_id = (d.doc_id + 13) % nn.n),
+      toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(page, '\s+'), x -> x <> '')
+                 AS ws
+        FROM pages),
+      grams AS (
+        SELECT DISTINCT doc_id,
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        FROM toks, unnest(range(1, len(ws) - 1)) t(i)),
+      rare AS (
+        SELECT g FROM (SELECT g, count(*) AS c FROM grams GROUP BY 1)
+        WHERE c <= 50),
+      fg AS (SELECT gr.doc_id, gr.g FROM grams gr JOIN rare ON rare.g = gr.g),
+      sz AS (SELECT doc_id, count(*) AS na FROM fg GROUP BY 1),
+      shared AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+        FROM fg a JOIN fg b ON a.g = b.g AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2)
+      SELECT s.a_id, s.b_id, CAST(s.shared AS BIGINT) AS shared,
+             CAST(z.na AS BIGINT) AS n_grams,
+             CAST(s.shared * 1000000 // z.na AS BIGINT) AS c_ppm
+      FROM shared s JOIN sz z ON z.doc_id = s.a_id
+      WHERE CAST(s.shared * 1000000 // z.na AS BIGINT) >= 300000
+      ORDER BY a_id, b_id""",
+
+    // Winnowing replayed exactly: the containment quoted-page synthesis,
+    // 3-gram 60-bit md5 hashes in token order, then the stateless
+    // selection rule — position j is kept iff for SOME split a+b = w-1
+    // the a hashes left are all >= h and the b hashes right are all > h
+    // (rightmost-minimum of some full window; NULL comparisons fail the
+    // conjunction, enforcing fully-inside-document windows exactly like
+    // the Spark isNotNull guards) — then df gate, pair counts, ppm.
+    "q_dedup_winnow" -> """
+      WITH nn AS (SELECT count(*) AS n FROM documents),
+      pages AS (
+        SELECT d.doc_id,
+          CASE WHEN d.doc_id % 5 = 0
+            THEN d.text || ' ' || array_to_string(list_slice(
+                   list_filter(string_split_regex(s.text, '\s+'),
+                     x -> x <> ''), 1, 20), ' ')
+            ELSE d.text END AS page
+        FROM documents d CROSS JOIN nn
+        LEFT JOIN documents s
+          ON d.doc_id % 5 = 0 AND s.doc_id = (d.doc_id + 13) % nn.n),
+      toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(page, '\s+'), x -> x <> '')
+                 AS ws
+        FROM pages),
+      grams AS (
+        SELECT doc_id, i,
+               CAST(('0x' || substring(md5('wf:' ||
+                 ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))
+                 AS BIGINT) AS h
+        FROM toks, unnest(range(1, len(ws) - 1)) t(i)),
+      lagged AS (
+        SELECT doc_id, h,
+               lag(h, 1)  OVER w AS l1, lag(h, 2)  OVER w AS l2,
+               lag(h, 3)  OVER w AS l3,
+               lead(h, 1) OVER w AS r1, lead(h, 2) OVER w AS r2,
+               lead(h, 3) OVER w AS r3
+        FROM grams WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+      fp AS (
+        SELECT DISTINCT doc_id, h FROM lagged
+        WHERE (r1 > h AND r2 > h AND r3 > h)
+           OR (l1 >= h AND r1 > h AND r2 > h)
+           OR (l1 >= h AND l2 >= h AND r1 > h)
+           OR (l1 >= h AND l2 >= h AND l3 >= h)),
+      rare AS (
+        SELECT h FROM (SELECT h, count(*) AS c FROM fp GROUP BY 1)
+        WHERE c <= 50),
+      fg AS (SELECT f.doc_id, f.h FROM fp f JOIN rare ON rare.h = f.h),
+      sz AS (SELECT doc_id, count(*) AS nfp FROM fg GROUP BY 1),
+      shared AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+        FROM fg a JOIN fg b ON a.h = b.h AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2)
+      SELECT s.a_id, s.b_id, CAST(s.shared AS BIGINT) AS shared,
+             CAST(z.nfp AS BIGINT) AS nfp,
+             CAST(s.shared * 1000000 // z.nfp AS BIGINT) AS cov_ppm
+      FROM shared s JOIN sz z ON z.doc_id = s.a_id
+      WHERE s.shared >= 2
+      ORDER BY a_id, b_id""",
 
     // SFT transcript assembly replayed exactly: q_sessions'
     // sessionization CTEs, the role CASE, IS-DISTINCT-FROM turn starts,
