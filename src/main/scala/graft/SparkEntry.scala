@@ -1871,6 +1871,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(avg("k"), 6).as("avg_k"))
         .orderBy("event_type")),
 
+    // Best-of-n rejection sampling (RLHF data prep): events are the
+    // sampler's layout — contiguous fans of 8 reward-scored completions
+    // per prompt — and the argmax completion per prompt is selected by a
+    // struct-ordered AGGREGATE (map-side combine, no per-prompt window
+    // funnel). Rewards in integer cents (IEEE-exact round of 2-decimal
+    // doubles); ties break to min candidate id.
+    "q_best_of_n" -> ((s, d) =>
+      graft.operators.Preference.bestOfN(
+          graft.operators.Preference.candidates(t(s, d, "events"), fan = 8))
+        .orderBy("prompt_id")),
+
+    // DPO preference pairs: (chosen, rejected, margin) per prompt from
+    // the same candidate fans — chosen = max reward (min id tie),
+    // rejected = min reward (min id tie), kept when the margin clears
+    // 500 cents. ONE exchange on prompt_id; output is corpus/fan rows.
+    "q_pref_pairs" -> ((s, d) =>
+      graft.operators.Preference.preferencePairs(
+          graft.operators.Preference.candidates(t(s, d, "events"), fan = 8),
+          minMarginCents = 500)
+        .orderBy("prompt_id")),
+
     // Strictly-ordered behavioral funnel (view → click → purchase): each
     // stage is "first qualifying event AFTER the previous stage's time",
     // not mere event existence. Every stage aggregates and joins on
@@ -5714,6 +5735,52 @@ object SparkEntry {
              round(avg(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)), 6)
                AS avg_k
       FROM events GROUP BY event_type ORDER BY event_type""",
+    // Best-of-n replayed exactly: contiguous fans of 8 by integer div,
+    // rewards to integer cents, argmax via max + min-id-among-max join.
+    "q_best_of_n" -> """
+      WITH cand AS (
+        SELECT event_id // 8 AS prompt_id, event_id AS cand_id,
+               CAST(round(value * 100) AS BIGINT) AS reward_c
+        FROM events),
+      agg AS (
+        SELECT prompt_id, max(reward_c) AS mx, min(reward_c) AS mn,
+               count(*) AS n
+        FROM cand GROUP BY 1)
+      SELECT a.prompt_id, min(c.cand_id) AS chosen_id,
+             a.mx AS reward_c, a.n AS n_cands, a.mn AS min_reward_c
+      FROM agg a
+      JOIN cand c ON c.prompt_id = a.prompt_id AND c.reward_c = a.mx
+      GROUP BY a.prompt_id, a.mx, a.n, a.mn
+      ORDER BY a.prompt_id""",
+
+    // DPO pairs replayed exactly: both extreme-reward candidates with
+    // min-id tie-breaks, integer-cent margin, n >= 2 and margin >= 500.
+    "q_pref_pairs" -> """
+      WITH cand AS (
+        SELECT event_id // 8 AS prompt_id, event_id AS cand_id,
+               CAST(round(value * 100) AS BIGINT) AS reward_c
+        FROM events),
+      agg AS (
+        SELECT prompt_id, max(reward_c) AS mx, min(reward_c) AS mn,
+               count(*) AS n
+        FROM cand GROUP BY 1),
+      ch AS (
+        SELECT a.prompt_id, min(c.cand_id) AS chosen_id
+        FROM agg a
+        JOIN cand c ON c.prompt_id = a.prompt_id AND c.reward_c = a.mx
+        GROUP BY 1),
+      rj AS (
+        SELECT a.prompt_id, min(c.cand_id) AS rejected_id
+        FROM agg a
+        JOIN cand c ON c.prompt_id = a.prompt_id AND c.reward_c = a.mn
+        GROUP BY 1)
+      SELECT a.prompt_id, ch.chosen_id, rj.rejected_id,
+             a.mx - a.mn AS margin_c, a.n AS n_cands
+      FROM agg a
+      JOIN ch USING (prompt_id) JOIN rj USING (prompt_id)
+      WHERE a.n >= 2 AND a.mx - a.mn >= 500
+      ORDER BY prompt_id""",
+
     "q_funnel" -> """
       WITH v AS (
         SELECT user_id, min(ts) AS t_view FROM events
