@@ -1323,6 +1323,19 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     }),
 
+    // Lloyd's k-means over the embeddings table in INTEGER arithmetic
+    // (floor(e·1000)+4000 quantization, integer squared L2, min-cid
+    // ties, per-dim sum-div-count centroid updates, first-k-by-id
+    // init): 3 rounds, k=8. Per round one k×d broadcast onto the
+    // points, a struct-ordered argmin AGGREGATE, one (cid, dim)
+    // exchange for the update — LinkGraph's fixed-width iteration
+    // discipline. DuckDB unrolls all 3 rounds to bit-equality.
+    "q_cluster_kmeans" -> ((s, d) => withShufflePartitions(s, 8) {
+      graft.operators.Kmeans.clusterSummary(s, t(s, d, "embeddings"),
+          k = 8, iters = 3)
+        .orderBy("cid")
+    }),
+
     // Grid-blocked DBSCAN over a planted integer 2-D layout (8 dense
     // blobs + uniform noise, synthesized from vec_id via the portable
     // hash in BOTH engines): density clusters discovered (not declared),
@@ -3684,6 +3697,29 @@ object SparkEntry {
 
     // Count-min sketch frequency estimation: the fixed-grid sketch whose
     // shuffle is ≤ depth×width cells REGARDLESS of vocabulary size (the
+    // Hybrid retrieval with reciprocal-rank fusion (Cormack SIGIR'09):
+    // the RAG stack's standard two-arm retrieval — BM25 lexical + dense
+    // cosine over the same corpus, fused by Σ 10⁹ div (60 + rank) so
+    // neither score scale needs calibration. Each arm ranks on its
+    // round-6 score (the cross-engine-stable face) with min-id ties;
+    // fusion is a (query, id) full-outer join over ≤ 2·topN rows per
+    // query. Production swap for the dense arm is the IVF probe feeding
+    // the same rankArm contract.
+    "q_search_hybrid" -> ((s, d) => withShufflePartitions(s, 8) {
+      import graft.operators.{HybridSearch, InvertedIndex}
+      val posts = InvertedIndex.postingsWithLen(t(s, d, "documents"))
+      val stats = InvertedIndex.bm25Stats(posts)
+      val lex = HybridSearch.lexicalArm(posts, stats,
+        Seq(0 -> Seq("spark", "window", "hash"),
+          1 -> Seq("join", "sort", "merge")), topN = 50)
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 2)
+        .select(col("vec_id").cast("int").as("query_id"),
+          col("embedding").as("qvec"))
+      HybridSearch.rrfFuse(lex, HybridSearch.cosineArm(emb, q, topN = 50))
+        .orderBy(col("query_id"), col("rrf").desc, col("id"))
+    }),
+
     // map-side partial aggregate collapses occurrences into the grid
     // before the exchange — contrast the vocabulary-sized word-count
     // exchange). Portable affine hashes over the 60-bit md5 key, so
@@ -4540,6 +4576,96 @@ object SparkEntry {
     "q_communities" -> labelPropOracleSql(4, 50, 2),
 
     "q_cluster_dbscan" -> dbscanOracleSql(60L, 4, 5),
+
+    // K-means replayed exactly: quantization, 3 unrolled Lloyd rounds
+    // (distances, min-dist + min-cid assignment, floor-division centroid
+    // updates with empty-cluster carryover), final sizes/inertia/
+    // centroid checksums. MATERIALIZED throughout — a1/s1/c1 are each
+    // referenced twice and un-hinted CTEs re-expand exponentially.
+    "q_cluster_kmeans" -> """
+      WITH pts AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding, e ->
+                 CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT) + 4000)
+                 AS q
+        FROM embeddings),
+      c0 AS MATERIALIZED (
+        SELECT CAST(vec_id AS INTEGER) AS cid, q AS c
+        FROM pts WHERE vec_id < 8),
+      d1 AS MATERIALIZED (
+        SELECT p.vec_id, c.cid,
+               list_sum(list_transform(range(1, 65), j ->
+                 (p.q[j] - c.c[j]) * (p.q[j] - c.c[j]))) AS dist
+        FROM pts p CROSS JOIN c0 c),
+      m1 AS MATERIALIZED (
+        SELECT vec_id, min(dist) AS bd FROM d1 GROUP BY 1),
+      a1 AS MATERIALIZED (
+        SELECT d.vec_id, min(d.cid) AS cid, m.bd AS dist
+        FROM d1 d JOIN m1 m ON m.vec_id = d.vec_id AND d.dist = m.bd
+        GROUP BY d.vec_id, m.bd),
+      s1 AS MATERIALIZED (
+        SELECT a.cid, j,
+               CAST(sum(p.q[j]) AS BIGINT) // count(*) AS cv
+        FROM a1 a JOIN pts p ON p.vec_id = a.vec_id
+        CROSS JOIN unnest(range(1, 65)) t(j)
+        GROUP BY 1, 2),
+      c1 AS MATERIALIZED (
+        SELECT cid, list(cv ORDER BY j) AS c FROM s1 GROUP BY 1
+        UNION ALL
+        SELECT c0.cid, c0.c FROM c0
+        WHERE c0.cid NOT IN (SELECT cid FROM s1)),
+      d2 AS MATERIALIZED (
+        SELECT p.vec_id, c.cid,
+               list_sum(list_transform(range(1, 65), j ->
+                 (p.q[j] - c.c[j]) * (p.q[j] - c.c[j]))) AS dist
+        FROM pts p CROSS JOIN c1 c),
+      m2 AS MATERIALIZED (
+        SELECT vec_id, min(dist) AS bd FROM d2 GROUP BY 1),
+      a2 AS MATERIALIZED (
+        SELECT d.vec_id, min(d.cid) AS cid, m.bd AS dist
+        FROM d2 d JOIN m2 m ON m.vec_id = d.vec_id AND d.dist = m.bd
+        GROUP BY d.vec_id, m.bd),
+      s2 AS MATERIALIZED (
+        SELECT a.cid, j,
+               CAST(sum(p.q[j]) AS BIGINT) // count(*) AS cv
+        FROM a2 a JOIN pts p ON p.vec_id = a.vec_id
+        CROSS JOIN unnest(range(1, 65)) t(j)
+        GROUP BY 1, 2),
+      c2 AS MATERIALIZED (
+        SELECT cid, list(cv ORDER BY j) AS c FROM s2 GROUP BY 1
+        UNION ALL
+        SELECT c1.cid, c1.c FROM c1
+        WHERE c1.cid NOT IN (SELECT cid FROM s2)),
+      d3 AS MATERIALIZED (
+        SELECT p.vec_id, c.cid,
+               list_sum(list_transform(range(1, 65), j ->
+                 (p.q[j] - c.c[j]) * (p.q[j] - c.c[j]))) AS dist
+        FROM pts p CROSS JOIN c2 c),
+      m3 AS MATERIALIZED (
+        SELECT vec_id, min(dist) AS bd FROM d3 GROUP BY 1),
+      a3 AS MATERIALIZED (
+        SELECT d.vec_id, min(d.cid) AS cid, m.bd AS dist
+        FROM d3 d JOIN m3 m ON m.vec_id = d.vec_id AND d.dist = m.bd
+        GROUP BY d.vec_id, m.bd),
+      s3 AS MATERIALIZED (
+        SELECT a.cid, j,
+               CAST(sum(p.q[j]) AS BIGINT) // count(*) AS cv
+        FROM a3 a JOIN pts p ON p.vec_id = a.vec_id
+        CROSS JOIN unnest(range(1, 65)) t(j)
+        GROUP BY 1, 2),
+      c3 AS MATERIALIZED (
+        SELECT cid, list(cv ORDER BY j) AS c FROM s3 GROUP BY 1
+        UNION ALL
+        SELECT c2.cid, c2.c FROM c2
+        WHERE c2.cid NOT IN (SELECT cid FROM s3)),
+      res AS MATERIALIZED (
+        SELECT cid, count(*) AS n, CAST(sum(dist) AS BIGINT) AS inertia
+        FROM a3 GROUP BY 1)
+      SELECT c.cid, COALESCE(r.n, 0) AS n,
+             COALESCE(r.inertia, 0) AS inertia,
+             CAST(list_sum(c.c) AS BIGINT) AS centroid_sum
+      FROM c3 c LEFT JOIN res r ON r.cid = c.cid
+      ORDER BY c.cid""",
 
     // Containment replayed exactly: same quoted-page synthesis (left
     // join against the source doc, 20-word slice), filtered tokens,
@@ -7902,6 +8028,63 @@ object SparkEntry {
       SELECT doc_id, round(sum(s), 6) AS score
       FROM sc GROUP BY 1
       ORDER BY score DESC, doc_id ASC LIMIT 20""",
+
+    // Hybrid RRF replayed exactly: the BM25 CTEs per query term-set,
+    // the dense cosine arm, round-6-then-rank with min-id ties in both
+    // arms, integer reciprocal-rank contributions over the full-outer
+    // fused set.
+    "q_search_hybrid" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+          x -> x <> '')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      st AS (SELECT count(*) AS n_docs,
+                    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      qt AS (SELECT * FROM (VALUES
+               (0, 'spark'), (0, 'window'), (0, 'hash'),
+               (1, 'join'), (1, 'sort'), (1, 'merge')) v(qid, term)),
+      df_ AS (SELECT term, count(*) AS df FROM tf
+              WHERE term IN ('spark', 'window', 'hash',
+                             'join', 'sort', 'merge') GROUP BY 1),
+      sc AS (SELECT q.qid, t.doc_id,
+               ln(1.0 + (st.n_docs - df_.df + 0.5) / (df_.df + 0.5)) *
+                 (t.tf * (1.2 + 1)) /
+                 (t.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / st.avgdl)) AS s
+             FROM tf t
+             JOIN qt q ON q.term = t.term
+             JOIN df_ ON df_.term = t.term
+             JOIN dl ON dl.doc_id = t.doc_id
+             CROSS JOIN st),
+      lexsc AS (SELECT qid, doc_id, round(sum(s), 6) AS rs
+                FROM sc GROUP BY 1, 2),
+      lex AS (SELECT qid, id, lex_rank FROM (
+                SELECT CAST(qid AS INTEGER) AS qid, doc_id AS id,
+                       CAST(row_number() OVER (PARTITION BY qid
+                         ORDER BY rs DESC, doc_id) AS BIGINT) AS lex_rank
+                FROM lexsc) t WHERE lex_rank <= 50),
+      qv AS (SELECT CAST(vec_id AS INTEGER) AS qid, embedding
+             FROM embeddings WHERE vec_id < 2),
+      semsc AS (SELECT q.qid, e.vec_id AS id,
+                  round(list_cosine_similarity(
+                    CAST(e.embedding AS DOUBLE[]),
+                    CAST(q.embedding AS DOUBLE[])), 6) AS rs
+                FROM embeddings e CROSS JOIN qv q),
+      sem AS (SELECT qid, id, sem_rank FROM (
+                SELECT qid, id,
+                       CAST(row_number() OVER (PARTITION BY qid
+                         ORDER BY rs DESC, id) AS BIGINT) AS sem_rank
+                FROM semsc) t WHERE sem_rank <= 50)
+      SELECT COALESCE(l.qid, s.qid) AS query_id,
+             COALESCE(l.id, s.id) AS id,
+             COALESCE(l.lex_rank, 0) AS lex_rank,
+             COALESCE(s.sem_rank, 0) AS sem_rank,
+             COALESCE(1000000000 // (60 + l.lex_rank), 0) +
+               COALESCE(1000000000 // (60 + s.sem_rank), 0) AS rrf
+      FROM lex l FULL OUTER JOIN sem s ON s.qid = l.qid AND s.id = l.id
+      ORDER BY query_id, rrf DESC, id""",
 
     "q_cms" -> """
       WITH toks AS (
