@@ -1279,6 +1279,51 @@ object SparkEntry {
         .orderBy("depth", "id")
     }),
 
+    // Bounded-hop weighted single-source shortest paths (Bellman–Ford
+    // rounds): after 6 relaxations, dist(v) is the exact min weight over
+    // ≤6-edge paths from node 0 — the "within k clicks, cheapest route"
+    // crawl query. Integer weights 1..9 from the portable md5 of the
+    // edge, so DuckDB rebuilds the identical weighted graph and unrolls
+    // all 6 rounds; per round one edge-sized (long,long,long) join, a
+    // min aggregate and an explicit-CASE full-outer merge (NULL
+    // semantics pinned identically in both engines).
+    "q_sssp" -> ((s, d) => withShufflePartitions(s, 8) {
+      val docs = t(s, d, "documents")
+      val edges = graft.operators.LinkGraph.syntheticLinks(
+        docs, k = 3, mult = 17L)
+      graft.operators.LinkGraph.sssp(
+          graft.operators.LinkGraph.hashWeights(edges, maxW = 9),
+          docs.filter(col("doc_id") === 0).select("doc_id"),
+          rounds = 6)
+        .orderBy("id")
+    }),
+
+    // Cross-source quantile normalization (the calibration step before
+    // mixed-corpus score thresholds mean anything): each doc's score →
+    // its source-conditional CDF position in integer ppm, computed in
+    // histogram-CDF form — scores aggregate to (source, score, count)
+    // FIRST (map-side combine, cardinality = value domain), the running
+    // CDF windows over those bounded rows, and docs get their ppm back
+    // by one hash join. No per-source global sort of the corpus.
+    "q_score_qnorm" -> ((s, d) => withShufflePartitions(s, 8) {
+      graft.operators.Qnorm.quantileNormalize(
+          t(s, d, "documents").select("doc_id", "source", "n_chars"),
+          "source", "n_chars")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("q_ppm"))
+        .orderBy("doc_id")
+    }),
+
+    // Contrastive pair construction (ICT/DPR-style in-batch negatives):
+    // each ≥8-token doc splits at ⌊n/2⌋ into (anchor, positive), lands
+    // in a portable-md5 batch, and carries n_negatives = batch−1 (the
+    // loss math's constant). Zero-shuffle projection + a 16-row batch-
+    // size broadcast; the lossless split is spec-pinned corpus-wide.
+    "q_contrastive" -> ((s, d) => withShufflePartitions(s, 8) {
+      graft.operators.Contrastive.spanPairs(
+          t(s, d, "documents"), minToks = 8, batches = 16)
+        .orderBy("doc_id")
+    }),
+
     // HITS hubs & authorities over the same link graph (Kleinberg
     // JACM'99) — the hub/authority role split PageRank conflates.
     // Integer fixed-point with DIVISION-ONLY L1 renormalization (divisor
@@ -2722,6 +2767,22 @@ object SparkEntry {
           max("width").as("w"), max("height").as("h"),
           sum("channel_sum").as("sum_channel_bytes"))
         .orderBy("doc_id")
+    }),
+
+    // Perceptual near-dup detection (dHash): REAL PNG decode → 9×8
+    // floor-boundary block-mean luma grid → 64 row-gradient bits in two
+    // 32-bit halves → Manku 4×16-bit block candidates (pigeonhole-
+    // complete for hamming ≤ 3) → exact popcount verify. Every 7th doc
+    // plants a brightness-shifted variant (same dims, pixel seed + 1)
+    // through the real encoder; DuckDB replays decode via the closed
+    // pixel formula and pins the FULL hamming ≤ 3 pair set — which also
+    // independently proves banding completeness.
+    "q_multimodal_phash" -> ((s, d) => withShufflePartitions(s, 8) {
+      import graft.operators.Phash
+      Phash.nearDupPairs(
+          Phash.dHash(Phash.variantCorpus(t(s, d, "documents"))).toDF(),
+          maxHamming = 3)
+        .orderBy("a_id", "b_id")
     }),
 
     "q_multimodal_pixels" -> ((s, d) => {
@@ -4572,6 +4633,129 @@ object SparkEntry {
         WHERE id NOT IN (SELECT id FROM c2)),
       c3 AS (SELECT * FROM c2 UNION ALL SELECT * FROM d3)
       SELECT id, depth FROM c3 ORDER BY depth, id""",
+
+    // SSSP replayed exactly: identical synthetic edges, identical md5
+    // weights, 6 unrolled Bellman-Ford rounds with the same explicit
+    // CASE merge.
+    "q_sssp" -> """
+      WITH nodes AS (SELECT doc_id AS id FROM documents),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      e AS MATERIALIZED (
+        SELECT src, dst,
+               CAST(('0x' || substring(md5('w:' || CAST(src AS VARCHAR)
+                 || ':' || CAST(dst AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % 9 + 1 AS w
+        FROM (SELECT id AS src, (id * 17 + c.c) % nn.n AS dst
+              FROM nodes CROSS JOIN nn
+              CROSS JOIN (SELECT unnest([1, 2, 3]) AS c) c) t),
+      d0 AS MATERIALIZED (
+        SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist)
+      ,r1 AS MATERIALIZED (
+        SELECT e.dst AS id, min(d.dist + e.w) AS nd
+        FROM d0 d JOIN e ON e.src = d.id GROUP BY 1),
+      d1 AS MATERIALIZED (
+        SELECT COALESCE(d.id, r.id) AS id,
+               CASE WHEN d.dist IS NULL THEN r.nd
+                    WHEN r.nd IS NULL THEN d.dist
+                    WHEN r.nd < d.dist THEN r.nd
+                    ELSE d.dist END AS dist
+        FROM d0 d FULL OUTER JOIN r1 r ON r.id = d.id)
+      ,r2 AS MATERIALIZED (
+        SELECT e.dst AS id, min(d.dist + e.w) AS nd
+        FROM d1 d JOIN e ON e.src = d.id GROUP BY 1),
+      d2 AS MATERIALIZED (
+        SELECT COALESCE(d.id, r.id) AS id,
+               CASE WHEN d.dist IS NULL THEN r.nd
+                    WHEN r.nd IS NULL THEN d.dist
+                    WHEN r.nd < d.dist THEN r.nd
+                    ELSE d.dist END AS dist
+        FROM d1 d FULL OUTER JOIN r2 r ON r.id = d.id)
+      ,r3 AS MATERIALIZED (
+        SELECT e.dst AS id, min(d.dist + e.w) AS nd
+        FROM d2 d JOIN e ON e.src = d.id GROUP BY 1),
+      d3 AS MATERIALIZED (
+        SELECT COALESCE(d.id, r.id) AS id,
+               CASE WHEN d.dist IS NULL THEN r.nd
+                    WHEN r.nd IS NULL THEN d.dist
+                    WHEN r.nd < d.dist THEN r.nd
+                    ELSE d.dist END AS dist
+        FROM d2 d FULL OUTER JOIN r3 r ON r.id = d.id)
+      ,r4 AS MATERIALIZED (
+        SELECT e.dst AS id, min(d.dist + e.w) AS nd
+        FROM d3 d JOIN e ON e.src = d.id GROUP BY 1),
+      d4 AS MATERIALIZED (
+        SELECT COALESCE(d.id, r.id) AS id,
+               CASE WHEN d.dist IS NULL THEN r.nd
+                    WHEN r.nd IS NULL THEN d.dist
+                    WHEN r.nd < d.dist THEN r.nd
+                    ELSE d.dist END AS dist
+        FROM d3 d FULL OUTER JOIN r4 r ON r.id = d.id)
+      ,r5 AS MATERIALIZED (
+        SELECT e.dst AS id, min(d.dist + e.w) AS nd
+        FROM d4 d JOIN e ON e.src = d.id GROUP BY 1),
+      d5 AS MATERIALIZED (
+        SELECT COALESCE(d.id, r.id) AS id,
+               CASE WHEN d.dist IS NULL THEN r.nd
+                    WHEN r.nd IS NULL THEN d.dist
+                    WHEN r.nd < d.dist THEN r.nd
+                    ELSE d.dist END AS dist
+        FROM d4 d FULL OUTER JOIN r5 r ON r.id = d.id)
+      ,r6 AS MATERIALIZED (
+        SELECT e.dst AS id, min(d.dist + e.w) AS nd
+        FROM d5 d JOIN e ON e.src = d.id GROUP BY 1),
+      d6 AS MATERIALIZED (
+        SELECT COALESCE(d.id, r.id) AS id,
+               CASE WHEN d.dist IS NULL THEN r.nd
+                    WHEN r.nd IS NULL THEN d.dist
+                    WHEN r.nd < d.dist THEN r.nd
+                    ELSE d.dist END AS dist
+        FROM d5 d FULL OUTER JOIN r6 r ON r.id = d.id)
+      SELECT id, dist FROM d6 ORDER BY id""",
+
+    // Quantile normalization replayed exactly: histogram counts, the
+    // per-source cumulative CDF over aggregated (source, score) rows,
+    // the ppm floor and the join back to documents.
+    "q_score_qnorm" -> """
+      WITH sc AS (SELECT doc_id, source, n_chars FROM documents),
+      agg AS (SELECT source, n_chars, count(*) AS c FROM sc GROUP BY 1, 2),
+      cum AS (SELECT source, n_chars,
+                     sum(c) OVER (PARTITION BY source ORDER BY n_chars)
+                       AS cle
+              FROM agg),
+      ns AS (SELECT source, count(*) AS n FROM sc GROUP BY 1)
+      SELECT s.doc_id, s.source, s.n_chars,
+             CAST(c.cle * 1000000 // ns.n AS BIGINT) AS q_ppm
+      FROM sc s
+      JOIN cum c ON c.source = s.source AND c.n_chars = s.n_chars
+      JOIN ns ON ns.source = s.source
+      ORDER BY s.doc_id""",
+
+    // Contrastive pairs replayed exactly: same tokenizer, floor-half
+    // list slices, md5 batch assignment, batch-size negatives.
+    "q_contrastive" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+                 AS ws
+        FROM documents),
+      sp AS (
+        SELECT doc_id, len(ws) AS n, len(ws) // 2 AS half, ws
+        FROM toks WHERE len(ws) >= 8),
+      pairs AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5('b:' ||
+                 CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 16
+                 AS batch_id,
+               array_to_string(list_slice(ws, 1, half), ' ') AS anchor,
+               array_to_string(list_slice(ws, half + 1, n), ' ')
+                 AS positive
+        FROM sp),
+      bs AS (SELECT batch_id, count(*) AS c FROM pairs GROUP BY 1)
+      SELECT p.doc_id, p.batch_id, p.anchor, p.positive,
+             CAST(bs.c - 1 AS BIGINT) AS n_negatives
+      FROM pairs p JOIN bs ON bs.batch_id = p.batch_id
+      ORDER BY p.doc_id""",
+
 
     "q_communities" -> labelPropOracleSql(4, 50, 2),
 
@@ -6539,6 +6723,53 @@ object SparkEntry {
              CAST(w AS INT) AS w, CAST(h AS INT) AS h,
              CAST(ps AS BIGINT) AS sum_channel_bytes
       FROM d ORDER BY doc_id""",
+    // dHash near-dups replayed exactly from the closed pixel formula:
+    // block means with NULL empty columns (w < 9), gradient bits, two
+    // 32-bit halves, and the FULL all-pairs popcount <= 3 set (the
+    // banded Spark path must recover exactly this — pigeonhole).
+    "q_multimodal_phash" -> """
+      WITH imgs AS (
+        SELECT doc_id, doc_id AS seed,
+               8*(1+doc_id%16) AS w, 8*(1+doc_id%9) AS h
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, doc_id + 1,
+               8*(1+doc_id%16), 8*(1+doc_id%9)
+        FROM documents WHERE doc_id % 7 = 0),
+      cells AS MATERIALIZED (
+        SELECT i.doc_id, cy, cx,
+          CASE WHEN (cx+1)*w//9 = cx*w//9 THEN NULL ELSE
+            list_sum(list_transform(range(cy*h//8, (cy+1)*h//8), y ->
+              list_sum(list_transform(range(cx*w//9, (cx+1)*w//9), x ->
+                299*((i.seed + 7*y + 13*x) % 256) +
+                587*((i.seed + 7*y + 13*x + 101) % 256) +
+                114*((i.seed + 7*y + 13*x + 202) % 256)))))
+            // (((cy+1)*h//8 - cy*h//8) * ((cx+1)*w//9 - cx*w//9))
+          END AS cell
+        FROM imgs i CROSS JOIN unnest(range(0,8)) t1(cy)
+        CROSS JOIN unnest(range(0,9)) t2(cx)),
+      bits AS (
+        SELECT g1.doc_id, g1.cy*8 + g1.cx AS k,
+               CASE WHEN g2.cell > g1.cell THEN 1 ELSE 0 END AS bit
+        FROM cells g1 JOIN cells g2 ON g2.doc_id = g1.doc_id
+          AND g2.cy = g1.cy AND g2.cx = g1.cx + 1),
+      halves AS MATERIALIZED (
+        SELECT doc_id,
+          CAST(sum(CASE WHEN k < 32
+            THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT)
+            AS h_lo,
+          CAST(sum(CASE WHEN k >= 32
+            THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END)
+            AS BIGINT) AS h_hi
+        FROM bits GROUP BY 1)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(bit_count(xor(a.h_lo, b.h_lo)) +
+                  bit_count(xor(a.h_hi, b.h_hi)) AS BIGINT) AS hamming
+      FROM halves a JOIN halves b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.h_lo, b.h_lo)) +
+            bit_count(xor(a.h_hi, b.h_hi)) <= 3
+      ORDER BY a_id, b_id""",
+
     "q_multimodal_pixels" -> """
       WITH d AS (
         SELECT doc_id, 8*(1+doc_id%16) AS w, 8*(1+doc_id%9) AS h,

@@ -487,4 +487,53 @@ object LinkGraph {
       .groupBy("id").agg(count(lit(1)).as("core_deg"))
       .filter(col("core_deg") >= k)
   }
+
+  /** Deterministic integer edge weights for the synthetic graphs: the
+    * portable 60-bit md5 of "w:src:dst", folded to 1..`maxW` — the same
+    * hash family every LSH oracle face replays, so weighted-path
+    * oracles rebuild identical weights in SQL. */
+  def hashWeights(edges: DataFrame, maxW: Int = 9): DataFrame = {
+    require(maxW >= 1)
+    edges.select(col("src"), col("dst"),
+      (conv(substring(md5(concat(lit("w:"), col("src").cast("string"),
+        lit(":"), col("dst").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % maxW + 1).as("w"))
+  }
+
+  /** Bounded-hop single-source shortest paths (Bellman–Ford rounds):
+    * after `rounds` relaxations, `dist(v)` is the exact minimum weight
+    * over paths of ≤ `rounds` edges from any seed — the honest
+    * distributed SSSP contract (full convergence = diameter rounds; a
+    * crawl-graph "within k clicks" query wants the bound anyway).
+    * Unreached nodes are absent.
+    *
+    * Scale shape per round: ONE edge-sized (long, long, long) hash join
+    * against the current distance table, a min aggregate on dst, and a
+    * full-outer merge — the [[bfsDepth]] discipline with weights; every
+    * per-round frame is localCheckpoint'd (re-read next round). The
+    * explicit CASE merge (not `least`) keeps NULL semantics identical
+    * in every engine.
+    */
+  def sssp(weighted: DataFrame, seeds: DataFrame, rounds: Int)
+      : DataFrame = {
+    require(rounds >= 1)
+    val e = weighted.select("src", "dst", "w").localCheckpoint()
+    var dist = seeds.select(col(seeds.columns.head).as("id"))
+      .distinct()
+      .select(col("id"), lit(0L).as("dist"))
+      .localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val relaxed = e.join(dist.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("nd"))
+        .groupBy("id").agg(min("nd").as("nd"))
+      dist = dist.join(relaxed, Seq("id"), "full_outer")
+        .select(col("id"),
+          when(col("dist").isNull, col("nd"))
+            .when(col("nd").isNull, col("dist"))
+            .when(col("nd") < col("dist"), col("nd"))
+            .otherwise(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
 }
