@@ -41,7 +41,7 @@ object Contrastive {
         (conv(substring(md5(concat(lit("b:"),
           col("doc_id").cast("string"))), 1, 15), 16, 10)
           .cast("long") % batches).as("batch_id"),
-        array_join(slice(col("ws"), 1, col("half").cast("int")), " ")
+        array_join(slice(col("ws"), lit(1), col("half").cast("int")), " ")
           .as("anchor"),
         array_join(slice(col("ws"), col("half").cast("int") + 1,
           (col("n") - col("half")).cast("int")), " ").as("positive"))
