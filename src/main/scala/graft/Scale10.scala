@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   * rotation decorrelates vectors — so dedup ops face realistic uniques,
   * not a pathological all-dup corpus), run minhash-index probe /
   * semantic dedup / pagerank / curriculum / heavy hitters /
-  * collocations / length-bucketed batching, and assert
+  * collocations / length-bucketed batching / winnowing / containment /
+  * DBSCAN (replicas tile space — constant density) / hybrid BM25+dense
+  * search / phash near-dup, and assert
   *
   *  - completion with the default 8g driver heap;
   *  - NO single-task funnel: for every stage moving real shuffle volume,
@@ -202,6 +204,52 @@ object Scale10 {
       timed("length_batches") {
         graft.operators.Packing.lengthBucketedBatches(
           docs, bucketWidth = 16, batchSize = 8).count()
+      },
+      timed("winnowing") {
+        // df ≤ 50 stop-hash gate bounds the fingerprint self-join's
+        // per-hash fan-out at df² regardless of corpus size; selection
+        // density stays 2/(w+1) of gram positions at any N
+        graft.operators.Winnowing.overlapPairs(
+          docs.select(col("doc_id"), col("text").as("page")),
+          k = 3, w = 4, maxDf = 50, minShared = 2).count()
+      },
+      timed("containment") {
+        graft.operators.Containment.containmentPairs(
+          docs.select(col("doc_id"), col("text").as("page")),
+          n = 3, maxDf = 50, minPpm = 300000).count()
+      },
+      timed("dbscan") {
+        // replicas tile SPACE, not density: constant per-cell occupancy
+        // is the honest 100 TB shape (more data covers more domain) and
+        // keeps the eps-cell equi-join's Σ occupancy² envelope linear
+        // in N — densifying one fixed box would square it instead
+        val pts = graft.operators.Dbscan.synthesizePoints(embs)
+          .withColumn("x", col("x") + expr("id div 10000000") * 5000L)
+        graft.operators.Dbscan.cluster(pts, eps = 60L, minPts = 4,
+          rounds = 5).count()
+      },
+      timed("hybrid_search") {
+        import graft.operators.{HybridSearch, InvertedIndex}
+        val posts = InvertedIndex.postingsWithLen(docs)
+        val lex = HybridSearch.lexicalArm(posts,
+          InvertedIndex.bm25Stats(posts),
+          Seq(0 -> Seq("spark", "window", "hash"),
+            1 -> Seq("join", "sort", "merge")), topN = 50)
+        val q = embs.filter(col("vec_id") < 2)
+          .select(col("vec_id").cast("int").as("query_id"),
+            col("embedding").as("qvec"))
+        // dense arm = bounded graft_topk aggregate: the 10× corpus's
+        // scored stream truncates to topN per query on the map side
+        HybridSearch.rrfFuse(lex,
+          HybridSearch.cosineArm(embs, q, topN = 50)).count()
+      },
+      timed("phash") {
+        // decode cost ∝ images (linear); pairing never sees pixels —
+        // Manku 16-bit block buckets bound the candidate join's fan-out
+        graft.operators.Phash.nearDupPairs(
+          graft.operators.Phash.dHash(
+            graft.operators.Phash.variantCorpus(docs)).toDF(),
+          maxHamming = 3).count()
       })
 
     val rt = Runtime.getRuntime

@@ -27,11 +27,15 @@ object FilePruning {
     files.filter(f => mightMatch(f, colName, parts(1), lit, field.dataType))
   }
 
+  // Mirrors QueryEngine.inferLiteral's quoting (incl. the doubled-
+  // delimiter escape) — pruning and row-matching must agree on the
+  // literal or a mis-parsed prune could drop files the matcher wants.
   private def stripQuotes(raw: String): String = {
     val t = raw.trim
     if (t.length >= 2 &&
         ((t.head == '\'' && t.last == '\'') || (t.head == '"' && t.last == '"')))
       t.substring(1, t.length - 1)
+        .replace(s"${t.head}${t.head}", s"${t.head}")
     else t
   }
 

@@ -24,16 +24,43 @@ object Forget {
   final case class TableReport(table: String, rowsDeleted: Long,
                                filesTouched: Long, version: Long)
 
-  /** Erase `keyCol = value` (3-token predicate grammar) from every
-    * listed table. `requestId` keys idempotency: the same request
-    * replayed never double-deletes or diverges. */
+  /** Erase `keyCol = value` from every listed table. `requestId` keys
+    * idempotency: the same request replayed never double-deletes or
+    * diverges.
+    *
+    * The predicate literal is rendered from the key column's DECLARED
+    * type in each table's schema — string keys are quoted (embedded
+    * quotes doubled, the grammar's escape), numeric/boolean keys must
+    * parse and are emitted canonically. An erasure API must never let
+    * a value like `O'Brien` fall through to the SQL-expression parser
+    * as a column reference, or a string key `"07"` silently
+    * integer-cast into matching `7`. */
   def forgetKey(spark: SparkSession, log: LakeLog, tables: Seq[String],
                 keyCol: String, value: String,
                 requestId: String): Seq[TableReport] = {
     require(tables.nonEmpty)
     tables.map { t =>
+      val sch = log.snapshot(t).schema.getOrElse(
+        throw new LakeValidationException(s"table $t has no schema"))
+      val field = sch.fields.find(_.name == keyCol).getOrElse(
+        throw new LakeValidationException(
+          s"forget: table $t has no column $keyCol"))
+      def invalid(kind: String) = throw new LakeValidationException(
+        s"forget: value '$value' is not a valid $kind for $t.$keyCol")
+      val litTok = field.`type` match {
+        case "string" | "date" | "timestamp" =>
+          "'" + value.replace("'", "''") + "'"
+        case "int32" | "int64" =>
+          value.trim.toLongOption.getOrElse(invalid("integer")).toString
+        case "float32" | "float64" =>
+          value.trim.toDoubleOption.getOrElse(invalid("number")).toString
+        case "boolean" =>
+          value.trim.toBooleanOption.getOrElse(invalid("boolean")).toString
+        case other => throw new LakeValidationException(
+          s"forget: unsupported key type $other for $t.$keyCol")
+      }
       val r = LakeTable.deleteWhereMor(spark, log, t,
-        s"$keyCol = $value", txnId = s"forget-$requestId-$t")
+        s"$keyCol = $litTok", txnId = s"forget-$requestId-$t")
       TableReport(t, r.rowsDeleted,
         (r.filesWithDv + r.filesRemoved).toLong, r.version)
     }

@@ -30,7 +30,10 @@ object Entropy {
     * the same quantity in floor-scaled integer micro-nats (⌊−Σterm/n⌋
     * over the integer-scaled log terms), the engine-portable face an
     * oracle should hash (rounding the double ratio is one-ulp fragile
-    * on decimal ties — see CLAUDE.md). NULL-safe (empty docs yield no
+    * on decimal ties: Spark's BigDecimal HALF_UP and DuckDB's scaled
+    * round disagree when the value sits exactly on a decimal
+    * representation boundary, so floor-scaled integers are the only
+    * cross-engine-stable face). NULL-safe (empty docs yield no
     * row — length gates own them).
     */
   def charEntropy(docs: DataFrame, idCol: String = "doc_id",
@@ -53,7 +56,9 @@ object Entropy {
           .as("entropy_nats"),
         // exact micro-nats integer (floor of the integer-term ratio) —
         // the engine-portable face; rounding the double ratio is
-        // one-ulp fragile on decimal ties (see CLAUDE.md / avg_logp_u)
+        // one-ulp fragile on decimal ties (Spark BigDecimal HALF_UP vs
+        // DuckDB scaled round — same invariant as avg_logp_u in
+        // SparkEntry's language-model scoring query)
         floor(-sum("term").cast("double") / max("n")).cast("long")
           .as("entropy_micro"))
       .withColumnRenamed("id", idCol)

@@ -77,12 +77,17 @@ object QueryEngine {
   private val Ops = Set("=", "==", ">", "<", ">=", "<=", "!=", "<>")
 
   /** Literal inference per `worker/src/task_executor.rs:488-501`:
-    * quoted → string; else i64; else f64; else bool; else raw string. */
+    * quoted → string; else i64; else f64; else bool; else raw string.
+    * Extension over the reference grammar: inside a quoted literal a
+    * doubled delimiter decodes to one (`'O''Brien'` → `O'Brien`, SQL's
+    * escape) — what lets callers like [[graft.lake.Forget]] render any
+    * string value safely. */
   private[operators] def inferLiteral(raw: String): Column = {
     val t = raw.trim
     if (t.length >= 2 &&
         ((t.head == '\'' && t.last == '\'') || (t.head == '"' && t.last == '"')))
-      lit(t.substring(1, t.length - 1))
+      lit(t.substring(1, t.length - 1)
+        .replace(s"${t.head}${t.head}", s"${t.head}"))
     else t.toLongOption.map(lit)
       .orElse(t.toDoubleOption.map(lit))
       .orElse(t.toBooleanOption.map(lit))

@@ -33,6 +33,36 @@ class ForgetSpec extends SparkSpec {
     assert(LakeTable.read(spark, log, "t1").count() == 2)
   }
 
+  test("string keys are typed: quoting, escaping, no numeric cast") {
+    val log = new LakeLog(tmpDir("forget-str"))
+    val rows = Seq(("O'Brien", 1L), ("07", 2L), ("7", 3L), ("x y", 4L))
+      .toDF("subject", "v")
+    LakeTable.createTable(log, "t", rows.schema)
+    LakeTable.insert(spark, log, "t", rows, numFiles = 1)
+    // embedded quote must not reach the SQL-expression parser
+    val r1 = Forget.forgetKey(spark, log, Seq("t"), "subject",
+      "O'Brien", "req-q")
+    assert(r1.head.rowsDeleted == 1)
+    // "07" must match ONLY the string "07", never integer-cast onto "7"
+    val r2 = Forget.forgetKey(spark, log, Seq("t"), "subject",
+      "07", "req-07")
+    assert(r2.head.rowsDeleted == 1)
+    assert(LakeTable.read(spark, log, "t").select("subject")
+      .as[String].collect().sorted.toSeq == Seq("7", "x y"))
+    // whitespace value stays one literal through the 3-token grammar
+    val r3 = Forget.forgetKey(spark, log, Seq("t"), "subject",
+      "x y", "req-ws")
+    assert(r3.head.rowsDeleted == 1)
+    // numeric key column rejects a non-numeric value loudly
+    val logN = setup()
+    intercept[LakeValidationException] {
+      Forget.forgetKey(spark, logN, Seq("t1"), "user_id", "abc", "req-x")
+    }
+    intercept[LakeValidationException] {
+      Forget.forgetKey(spark, logN, Seq("t1"), "no_such_col", "1", "req-y")
+    }
+  }
+
   test("a half-completed request resumes without double-deleting") {
     val log = setup()
     // crash after the first table: only t1 processed

@@ -32,6 +32,25 @@ class HybridSearchSpec extends SparkSpec {
       (12L, 0L, 2L, 16129032L)))
   }
 
+  test("boundedRankArm matches rankArm's contract with no Window node") {
+    val scored = Seq(
+      (0, 9L, 0.5000000009), (0, 2L, 0.5000000001),
+      (0, 5L, 0.9), (0, 7L, 0.1),
+      (1, 3L, 0.2), (1, 4L, 0.8))
+      .toDF("query_id", "id", "score")
+    val bounded = HybridSearch.boundedRankArm(scored, topN = 3)
+    // same (query_id, id, rank) rows as the window form
+    assert(bounded.orderBy("query_id", "rank").collect().toSeq ===
+      HybridSearch.rankArm(scored, topN = 3)
+        .orderBy("query_id", "rank").collect().toSeq)
+    // the dense arm's plan must carry NO per-query window funnel:
+    // top-N lives in a map-side-combinable ObjectHashAggregate
+    val plan = bounded.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("graft_topk"), plan)
+  }
+
   test("end-to-end fusion deterministic under repartition") {
     val docs = spark.range(0, 120).select(col("id").as("doc_id"),
       concat_ws(" ",
