@@ -82,44 +82,57 @@ object DedupIndex {
     * estimated Jaccard ≥ threshold. History text is never touched — only
     * its band rows, and only the files the batch's keys can't rule out.
     *
-    * `maxProbeKeys` bounds the driver-side key list for scan pruning
-    * (batch_docs × bands keys); a bigger batch degrades gracefully to a
-    * full index-scan equi-join — correct either way. */
+    * Key-list scan pruning is COST-GATED on the history's file count
+    * (a one-row metadata read from the log): collecting the batch's
+    * distinct bucket keys costs a full extra pass over the batch's band
+    * rows, which only repays itself when the isin filter can drop many
+    * history files via their bucket blooms/stats. Below `minPruneFiles`
+    * the probe is a single pass — batch signatures flow straight into
+    * the equi-join, no persist, no key collect. At crawl scale the
+    * history holds thousands of files and the prune path engages;
+    * `maxProbeKeys` bounds the driver-side key list (batch_docs × bands
+    * keys) and a bigger batch degrades gracefully to the full
+    * index-scan equi-join — correct either way. */
   def probeIndex(spark: SparkSession, log: LakeLog, table: String,
                  newDocs: DataFrame, threshold: Double = 0.5,
                  bands: Int = 8, rowsPerBand: Int = 2,
                  idCol: String = "doc_id", textCol: String = "text",
                  shingleSize: Int = 3,
-                 maxProbeKeys: Int = 10000): DataFrame = {
+                 maxProbeKeys: Int = 10000,
+                 minPruneFiles: Int = 32): DataFrame = {
     val k = bands * rowsPerBand
-    val batch = bandRows(newDocs, bands, rowsPerBand, idCol, textCol,
+    val batch0 = bandRows(newDocs, bands, rowsPerBand, idCol, textCol,
       shingleSize)
       .select(col("doc_id").as("new_id"), col("band"), col("bucket"),
         col("sig").as("new_sig"))
-      // both the key-collect and the join consume the batch rows — one
-      // signature pass, not two
-      .persist()
-    try {
-      val keys = batch.select("bucket").distinct().limit(maxProbeKeys + 1)
-        .collect().map(_.getString(0))
-      val index0 = LakeTable.readIndexed(spark, log, table)
-      // within budget: the isin filter reaches the LakeFileIndex and the
-      // bucket blooms/stats drop every file with no colliding key
-      val index = if (keys.length <= maxProbeKeys)
-        index0.filter(col("bucket").isin(keys.toSeq: _*)) else index0
-      val hist = index.select(col("doc_id").as("hist_id"), col("band"),
-        col("bucket"), col("sig").as("hist_sig"))
-      batch.join(hist, Seq("band", "bucket"))
-        .filter(col("new_id") =!= col("hist_id"))
-        .select(col("new_id"), col("hist_id"),
-          (size(filter(zip_with(
-            split(col("new_sig"), ","), split(col("hist_sig"), ","),
-            (x, y) => x === y), m => m)).cast("double") / k)
-            .as("est_jaccard"))
-        .filter(col("est_jaccard") >= threshold)
-        .groupBy("new_id", "hist_id")
-        .agg(max("est_jaccard").as("est_jaccard"))
-    } finally batch.unpersist()
+    val index0 = LakeTable.readIndexed(spark, log, table)
+    val (batch, index) =
+      if (log.snapshot(table).files.size < minPruneFiles) (batch0, index0)
+      else {
+        // both the key-collect and the join consume the batch rows —
+        // localCheckpoint (not persist) so the materialized blocks
+        // outlive this call and the caller's execution never recomputes
+        // the signature pass
+        val b = batch0.localCheckpoint()
+        val keys = b.select("bucket").distinct().limit(maxProbeKeys + 1)
+          .collect().map(_.getString(0))
+        // within budget: the isin filter reaches the LakeFileIndex and
+        // the bucket blooms/stats drop every file with no colliding key
+        (b, if (keys.length <= maxProbeKeys)
+          index0.filter(col("bucket").isin(keys.toSeq: _*)) else index0)
+      }
+    val hist = index.select(col("doc_id").as("hist_id"), col("band"),
+      col("bucket"), col("sig").as("hist_sig"))
+    batch.join(hist, Seq("band", "bucket"))
+      .filter(col("new_id") =!= col("hist_id"))
+      .select(col("new_id"), col("hist_id"),
+        (size(filter(zip_with(
+          split(col("new_sig"), ","), split(col("hist_sig"), ","),
+          (x, y) => x === y), m => m)).cast("double") / k)
+          .as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy("new_id", "hist_id")
+      .agg(max("est_jaccard").as("est_jaccard"))
   }
 
   /** One incremental-dedup step: probe, keep batch docs with NO history

@@ -80,8 +80,10 @@ class DedupIndexSpec extends SparkSpec {
     val log = new LakeLog(tmpDir("lshprune"))
     DedupIndex.buildIndex(spark, log, "idx", corpus(0 until 400),
       numFiles = 8)
+    // minPruneFiles = 1: force the prune path despite the small fixture
+    // (the default cost gate skips key pruning below 32 history files)
     val probe = DedupIndex.probeIndex(spark, log, "idx",
-      corpus(0 until 2), threshold = 0.5)
+      corpus(0 until 2), threshold = 0.5, minPruneFiles = 1)
     val m = graft.Metrics.measure("probe", probe)
     assert(m.filesPruned > 0,
       s"expected pruned files, scanned=${m.filesScanned} pruned=${m.filesPruned}")
