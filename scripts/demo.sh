@@ -1,0 +1,147 @@
+#!/bin/bash
+# End-to-end REST walkthrough of the graft control plane — the analog of
+# the reference's demo/demo.sh + demo/fault-tolerance-demo.sh, driven
+# against the real engine (graft.Serve boots Spark + the lake log + the
+# REST transport in one process; no docker compose needed).
+#
+#   scripts/demo.sh            # starts its own server, runs, cleans up
+#   GRAFT_DEMO_PORT=9090 scripts/demo.sh
+#
+# Walkthrough: create table -> insert two batches -> SQL queries (scan,
+# filter, aggregate) -> table metadata + version history -> time-travel
+# reads (VERSION AS OF) -> merge-on-read DELETE -> OPTIMIZE compaction ->
+# an idempotent commit retry (the single-process analog of the reference's
+# kill-the-leader-and-retry demo: replaying a txn_id must not double-
+# commit) -> RESTORE. Exits non-zero on the first failed step.
+
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+PORT="${GRAFT_DEMO_PORT:-8081}"
+BASE="http://127.0.0.1:$PORT"
+TABLE="sales_data"
+LAKE_DIR="$(mktemp -d /tmp/graft-demo-XXXX)"
+SERVER_LOG="$LAKE_DIR/server.log"
+
+for tool in curl jq; do
+  command -v "$tool" >/dev/null || { echo "ERROR: $tool required"; exit 1; }
+done
+
+echo "=== graft demo ==="
+echo "server: $BASE   lake: $LAKE_DIR"
+
+SPARK_GRAFT_PORT="$PORT" SPARK_GRAFT_LAKE_DIR="$LAKE_DIR" \
+  SPARK_GRAFT_CPUS=8 \
+  sbt -batch "runMain graft.Serve" >"$SERVER_LOG" 2>&1 &
+SBT_PID=$!
+cleanup() {
+  # kill the whole process group sbt forked (sbt -> forked JVM)
+  kill "$SBT_PID" 2>/dev/null || true
+  pkill -f "graft.Serve" 2>/dev/null || true
+  wait "$SBT_PID" 2>/dev/null || true
+}
+trap cleanup EXIT
+
+echo "waiting for the server..."
+for i in $(seq 1 60); do
+  if curl -sf "$BASE/health" >/dev/null 2>&1; then break; fi
+  if ! kill -0 "$SBT_PID" 2>/dev/null; then
+    echo "ERROR: server process died; tail of $SERVER_LOG:"
+    tail -20 "$SERVER_LOG"; exit 1
+  fi
+  sleep 3
+  [ "$i" = 60 ] && { echo "ERROR: server not ready after 180s"; exit 1; }
+done
+curl -s "$BASE/health" | jq .
+
+step() { echo; echo "=== $1 ==="; }
+# POST json, pretty-print, and return the body for assertions
+post() { curl -sf -X POST "$BASE$1" -H 'Content-Type: application/json' -d "$2"; }
+
+step "Step 1: create table '$TABLE'"
+post /tables '{
+  "name": "'$TABLE'",
+  "schema": {"fields": [
+    {"name": "id", "type": "int64"},
+    {"name": "product", "type": "string"},
+    {"name": "category", "type": "string"},
+    {"name": "amount", "type": "float64"},
+    {"name": "quantity", "type": "int64"},
+    {"name": "sale_date", "type": "string"}
+  ]}}' | jq .
+
+step "Step 2: insert two batches"
+post "/tables/$TABLE/insert" '{
+  "txn_id": "demo-batch-1",
+  "data": [
+    {"id": 1, "product": "Laptop",   "category": "Electronics", "amount": 999.99, "quantity": 2, "sale_date": "2024-01-15"},
+    {"id": 2, "product": "Mouse",    "category": "Electronics", "amount": 29.99,  "quantity": 5, "sale_date": "2024-01-15"},
+    {"id": 3, "product": "Keyboard", "category": "Electronics", "amount": 79.99,  "quantity": 3, "sale_date": "2024-01-16"},
+    {"id": 4, "product": "Monitor",  "category": "Electronics", "amount": 299.99, "quantity": 1, "sale_date": "2024-01-16"},
+    {"id": 5, "product": "Chair",    "category": "Furniture",   "amount": 199.99, "quantity": 2, "sale_date": "2024-01-17"}
+  ]}' | jq .
+B2=$(post "/tables/$TABLE/insert" '{
+  "txn_id": "demo-batch-2",
+  "data": [
+    {"id": 6,  "product": "Desk",       "category": "Furniture",   "amount": 399.99, "quantity": 1, "sale_date": "2024-01-17"},
+    {"id": 7,  "product": "Phone",      "category": "Electronics", "amount": 699.99, "quantity": 1, "sale_date": "2024-01-18"},
+    {"id": 8,  "product": "Tablet",     "category": "Electronics", "amount": 499.99, "quantity": 2, "sale_date": "2024-01-18"},
+    {"id": 9,  "product": "Lamp",       "category": "Furniture",   "amount": 89.99,  "quantity": 3, "sale_date": "2024-01-19"},
+    {"id": 10, "product": "Headphones", "category": "Electronics", "amount": 149.99, "quantity": 4, "sale_date": "2024-01-19"}
+  ]}')
+echo "$B2" | jq .
+V2=$(echo "$B2" | jq .new_version)
+
+step "Step 3: queries (scan / filter / aggregate)"
+post /query '{"sql": "SELECT * FROM '$TABLE' ORDER BY id"}' | jq '.results | length' | {
+  read n; [ "$n" = 10 ] || { echo "ERROR: expected 10 rows, got $n"; exit 1; }
+  echo "scan: 10 rows ✓"; }
+post /query '{"sql": "SELECT product, amount, quantity FROM '$TABLE' WHERE category = '\''Electronics'\'' ORDER BY id"}' | jq .results
+post /query '{"sql": "SELECT category, COUNT(*) AS item_count, ROUND(SUM(amount * quantity), 2) AS total_revenue FROM '$TABLE' GROUP BY category ORDER BY category"}' | jq .results
+
+step "Step 4: table metadata + version history"
+curl -sf "$BASE/tables/$TABLE" | jq .
+curl -sf "$BASE/tables/$TABLE/versions" | jq .
+
+step "Step 5: time travel"
+N1=$(post /query '{"sql": "SELECT COUNT(*) AS n FROM '$TABLE' VERSION AS OF 1"}' | jq '.results[0].n')
+[ "$N1" = 5 ] || { echo "ERROR: VERSION AS OF 1 should see 5 rows, got $N1"; exit 1; }
+echo "VERSION AS OF 1 sees the 5 batch-1 rows ✓"
+curl -sf "$BASE/tables/$TABLE/versions/1/snapshot" | jq '{version, file_count}'
+
+step "Step 6: merge-on-read DELETE"
+post /query '{"sql": "DELETE FROM '$TABLE' WHERE category = '\''Furniture'\''"}' | jq .results
+N=$(post /query '{"sql": "SELECT COUNT(*) AS n FROM '$TABLE'"}' | jq '.results[0].n')
+[ "$N" = 7 ] || { echo "ERROR: expected 7 rows after delete, got $N"; exit 1; }
+echo "7 rows remain ✓ (3 Furniture rows masked by deletion vectors)"
+
+step "Step 7: OPTIMIZE compaction"
+post /query '{"sql": "OPTIMIZE '$TABLE'"}' | jq .results
+curl -sf "$BASE/tables/$TABLE/compaction/metrics" | jq .
+
+step "Step 8: fault tolerance — idempotent commit retry"
+# The reference kills the metadata leader mid-commit and retries; in a
+# single-process lake the equivalent client contract is txn_id replay:
+# a retried commit (same txn_id) must return the ORIGINAL version and
+# write nothing new.
+RETRY=$(post "/tables/$TABLE/insert" '{
+  "txn_id": "demo-batch-2",
+  "data": [{"id": 6, "product": "Desk", "category": "Furniture", "amount": 399.99, "quantity": 1, "sale_date": "2024-01-17"}]}')
+echo "$RETRY" | jq .
+RV=$(echo "$RETRY" | jq .new_version)
+[ "$RV" = "$V2" ] || { echo "ERROR: txn replay minted version $RV != $V2"; exit 1; }
+N=$(post /query '{"sql": "SELECT COUNT(*) AS n FROM '$TABLE'"}' | jq '.results[0].n')
+[ "$N" = 7 ] || { echo "ERROR: txn replay duplicated rows: $N"; exit 1; }
+echo "replaying txn 'demo-batch-2' returned version $RV unchanged, no rows duplicated ✓"
+
+step "Step 9: RESTORE to the pre-delete version"
+post /query '{"sql": "RESTORE TABLE '$TABLE' TO VERSION AS OF '$V2'"}' | jq .results
+N=$(post /query '{"sql": "SELECT COUNT(*) AS n FROM '$TABLE'"}' | jq '.results[0].n')
+[ "$N" = 10 ] || { echo "ERROR: expected 10 rows after restore, got $N"; exit 1; }
+echo "all 10 rows back ✓"
+post /query '{"sql": "DESCRIBE HISTORY '$TABLE'"}' | jq '.results | length' | {
+  read n; echo "history: $n versions recorded"; }
+
+echo
+echo "=== demo completed successfully ==="
+echo "metrics: curl $BASE/metrics | grep lakehouse_"

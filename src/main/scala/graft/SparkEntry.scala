@@ -3158,6 +3158,88 @@ object SparkEntry {
         "FROM work GROUP BY bucket ORDER BY bucket")
     }),
 
+    // Iceberg-style TAGS (graft.lake.Refs): immutable named refs over
+    // versions — "what data trained this model" becomes a name. Three
+    // slice inserts mint v1..v3; tags pin v1/v2; the SELECT face
+    // resolves `VERSION AS OF 'tag'` through the refs; DESCRIBE REFS
+    // supplies the (tag, version) binding the output carries. The
+    // oracle recomputes each tagged snapshot's content from the same
+    // slices — hash-checking ref resolution end-to-end.
+    "q_lake_tag" -> ((s, d) => {
+      import graft.api.LakeSql
+      import graft.lake.{LakeLog, LakeTable}
+      val log = new LakeLog(
+        java.nio.file.Files.createTempDirectory("grafttag"))
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+      LakeTable.createTable(log, "li", li.schema)
+      (0 to 2).foreach(m => LakeTable.insert(s, log, "li",
+        li.filter(col("l_orderkey") % 3 === m), txnId = s"slice-$m"))
+      def sql(q: String) = LakeSql.execute(s, log, q)
+      sql("ALTER TABLE li CREATE TAG rel-1 AS OF VERSION 1")
+      sql("ALTER TABLE li CREATE TAG rel-2 AS OF VERSION 2")
+      val per = Seq("rel-1", "rel-2").map { tag =>
+        sql(s"SELECT count(*) AS n_rows, " +
+            s"round(sum(l_extendedprice), 2) AS sum_price " +
+            s"FROM li VERSION AS OF '$tag'")
+          .select(lit(tag).as("tag"), col("n_rows"), col("sum_price"))
+      }.reduce(_ unionAll _)
+      sql("DESCRIBE REFS li")
+        .select(col("name").as("tag"), col("version"))
+        .join(per, "tag")
+        .orderBy("tag")
+    }),
+
+    // Write-audit-publish (graft.lake.Wap — Iceberg's WAP pattern): a
+    // staged batch is real files main readers cannot see; the audit
+    // reads the overlay; publish is one OCC commit adopting the staged
+    // files; a failing audit aborts with zero versions minted. The
+    // lifecycle emits one row per phase (counts + the version the main
+    // line showed at that moment) and DuckDB replays every number from
+    // the same slices — including the planted-duplicate audit failure.
+    "q_lake_wap" -> ((s, d) => {
+      import graft.lake.{LakeLog, LakeTable, Wap}
+      val log = new LakeLog(
+        java.nio.file.Files.createTempDirectory("graftwap"))
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      LakeTable.createTable(log, "li", li.schema)
+      LakeTable.insert(s, log, "li",
+        li.filter(col("l_orderkey") % 3 === 0), txnId = "base")
+      def phase(name: String, n: Long, extra: Long) = {
+        import s.implicits._
+        Seq((name, log.latestVersion("li"), n, extra))
+          .toDF("phase", "version", "n_rows", "audit_dups")
+      }
+      val base = phase("1-base",
+        LakeTable.read(s, log, "li").count(), 0L)
+      // good batch: a DISJOINT slice — the audit records the overlay's
+      // duplicate-key count (the synthetic lineitem has internal key
+      // dups, so this is each slice's own baseline, not zero)
+      Wap.stage(s, log, "li", li.filter(col("l_orderkey") % 3 === 1),
+        wapId = "crawl-good")
+      val overlayGood = Wap.readStaged(s, log, "li", "crawl-good")
+      val auditGood = phase("2-audit-good", overlayGood.count(),
+        overlayGood.groupBy("l_orderkey", "l_linenumber")
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1).count())
+      Wap.publish(s, log, "li", "crawl-good")
+      val published = phase("3-published",
+        LakeTable.read(s, log, "li").count(), 0L)
+      // bad batch: REPLAYS the base slice — every key duplicates; the
+      // audit gate fails and the abort leaves no trace
+      Wap.stage(s, log, "li", li.filter(col("l_orderkey") % 3 === 0),
+        wapId = "crawl-bad")
+      val overlayBad = Wap.readStaged(s, log, "li", "crawl-bad")
+      val auditBad = phase("4-audit-bad", overlayBad.count(),
+        overlayBad.groupBy("l_orderkey", "l_linenumber")
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1).count())
+      Wap.abort(log, "li", "crawl-bad")
+      val fin = phase("5-final",
+        LakeTable.read(s, log, "li").count(), 0L)
+      Seq(base, auditGood, published, auditBad, fin)
+        .reduce(_ unionAll _).orderBy("phase")
+    }),
+
     "q_lake_vacuum" -> ((s, d) => {
       // VACUUM under the exact oracle: a multi-commit lifecycle (3 inserts
       // → copy-on-write DELETE → forced compaction) strands every
@@ -6966,6 +7048,51 @@ object SparkEntry {
              round(sum(l_extendedprice), 2) AS sum_price
       FROM lineitem WHERE l_quantity <= 40
       GROUP BY bucket ORDER BY bucket""",
+    // Tag resolution replayed: rel-1 pins v1 (slice 0), rel-2 pins v2
+    // (slices 0-1); content recomputed from the same slices.
+    "q_lake_tag" -> """
+      SELECT 'rel-1' AS tag, CAST(1 AS BIGINT) AS version,
+             count(*) AS n_rows,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem WHERE l_orderkey % 3 = 0
+      UNION ALL
+      SELECT 'rel-2' AS tag, CAST(2 AS BIGINT) AS version,
+             count(*) AS n_rows,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem WHERE l_orderkey % 3 <= 1
+      ORDER BY tag""",
+    // WAP lifecycle replayed: staged batches never touch the main
+    // line's counts or versions. The synthetic lineitem's (okey, lineno)
+    // keys are NOT unique, so the audit gate's duplicate-key counts are
+    // real key math: the good overlay carries each slice's internal
+    // dups; restaging slice 0 makes EVERY slice-0 key a duplicate.
+    "q_lake_wap" -> """
+      WITH k0 AS (SELECT l_orderkey, l_linenumber, count(*) AS c
+                  FROM lineitem WHERE l_orderkey % 3 = 0 GROUP BY 1, 2),
+           k1 AS (SELECT l_orderkey, l_linenumber, count(*) AS c
+                  FROM lineitem WHERE l_orderkey % 3 = 1 GROUP BY 1, 2),
+           s0 AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                         CAST(count(*) AS BIGINT) AS dk,
+                         CAST(count(*) FILTER (WHERE c > 1) AS BIGINT) AS dup
+                  FROM k0),
+           s1 AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                         CAST(count(*) FILTER (WHERE c > 1) AS BIGINT) AS dup
+                  FROM k1)
+      SELECT '1-base' AS phase, CAST(1 AS BIGINT) AS version,
+             s0.n AS n_rows, CAST(0 AS BIGINT) AS audit_dups FROM s0
+      UNION ALL
+      SELECT '2-audit-good', CAST(1 AS BIGINT),
+             s0.n + s1.n, s0.dup + s1.dup FROM s0, s1
+      UNION ALL
+      SELECT '3-published', CAST(2 AS BIGINT),
+             s0.n + s1.n, CAST(0 AS BIGINT) FROM s0, s1
+      UNION ALL
+      SELECT '4-audit-bad', CAST(2 AS BIGINT),
+             2 * s0.n + s1.n, s0.dk + s1.dup FROM s0, s1
+      UNION ALL
+      SELECT '5-final', CAST(2 AS BIGINT),
+             s0.n + s1.n, CAST(0 AS BIGINT) FROM s0, s1
+      ORDER BY phase""",
     "q_lake_vacuum" -> """
       SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty,
              round(sum(l_extendedprice), 2) AS sum_price

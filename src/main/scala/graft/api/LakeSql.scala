@@ -51,6 +51,15 @@ import graft.lake.{Field, LakeLog, LakeTable, TableSchema}
   *   VACUUM t [RETAIN n VERSIONS]
   *   RESTORE TABLE t TO VERSION AS OF v
   *   DESCRIBE HISTORY t  /  DESCRIBE DETAIL t
+  *   ALTER TABLE t CREATE TAG name AS OF VERSION v
+  *                                           (immutable named ref —
+  *                                            graft.lake.Refs; tagged
+  *                                            versions survive VACUUM)
+  *   ALTER TABLE t DROP TAG name
+  *   DESCRIBE REFS t                         ((name, version) per tag)
+  *   SELECT ... FROM t VERSION AS OF 'name'  (time travel by TAG — the
+  *                                            quoted ref resolves to its
+  *                                            pinned version)
   *   anything else → [[SqlApi.queryLake]] (SELECT etc.)
   *
   * The type names in DDL are the lake's declared types (int32, int64,
@@ -146,6 +155,18 @@ object LakeSql {
     """(?is)\s*DESCRIBE\s+STATS\s+(\w+)\s*;?\s*""".r
   private val AlterDrop =
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*""".r
+  // Iceberg-style refs: immutable tags over versions (graft.lake.Refs)
+  private val CreateTag =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+CREATE\s+TAG\s+([\w.-]+)\s+AS\s+OF\s+VERSION\s+(\d+)\s*;?\s*""".r
+  private val DropTag =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+TAG\s+([\w.-]+)\s*;?\s*""".r
+  private val DescRefs =
+    """(?is)\s*DESCRIBE\s+REFS\s+(\w+)\s*;?\s*""".r
+  // `FROM t VERSION AS OF 'tag-name'` — a quoted ref resolves through
+  // the table's tags to its pinned version, then routes like a numeric
+  // VERSION AS OF
+  private val TagRef =
+    """(?i)\b(\w+)\s+VERSION\s+AS\s+OF\s+'([^']+)'""".r
 
   private def status(spark: SparkSession,
                      fields: (String, Any)*): DataFrame = {
@@ -286,6 +307,20 @@ object LakeSql {
           "version" -> r.version)
       case History(table) => LakeTable.history(spark, log, table)
       case Detail(table) => LakeTable.filesTable(spark, log, table)
+      case CreateTag(table, name, v) =>
+        val r = graft.lake.Refs.createTag(log, table, name, v.toLong)
+        status(spark, "table" -> table, "tag" -> name,
+          "version" -> r.version)
+      case DropTag(table, name) =>
+        graft.lake.Refs.dropTag(log, table, name)
+        status(spark, "table" -> table, "tag" -> name, "dropped" -> true)
+      case DescRefs(table) =>
+        val refs = graft.lake.Refs.list(log, table)
+        val st = StructType(Seq(StructField("name", StringType),
+          StructField("version", LongType)))
+        spark.createDataFrame(
+          java.util.List.of[Row](refs.map(r =>
+            Row(r.name, r.version)): _*), st)
       case other =>
         // TIMESTAMP AS OF resolves to a concrete version first (failing
         // loudly on non-tables / pre-history timestamps), then shares
@@ -301,11 +336,28 @@ object LakeSql {
         val resolved = tsRefs.map { case (t, ts) =>
           t -> log.versionAtTimestamp(t, parseTsMs(ts))
         }
-        val stripped =
+        val stripped0 =
           if (tsRefs.isEmpty) other
           else TimestampRef.replaceAllIn(other,
             m => s"${m.group(1)} VERSION AS OF ${
               resolved.find(_._1 == m.group(1)).get._2}")
+        // quoted VERSION AS OF = a tag name: resolve through the
+        // table's refs (loudly — an unknown tag must never fall back to
+        // a latest read), then route as the pinned numeric version
+        val tagRefs = TagRef.findAllMatchIn(stripped0)
+          .map(m => m.group(1) -> m.group(2)).toList
+        tagRefs.foreach { case (t, _) =>
+          if (!log.listTables().contains(t))
+            throw new graft.lake.LakeValidationException(
+              s"VERSION AS OF must directly follow a lake table name; " +
+                s"'$t' is not a table (alias it after the clause)")
+        }
+        val stripped =
+          if (tagRefs.isEmpty) stripped0
+          else TagRef.replaceAllIn(stripped0, m =>
+            s"${m.group(1)} VERSION AS OF ${
+              graft.lake.Refs.resolveOrThrow(log, m.group(1),
+                m.group(2)).version}")
         val refs = VersionRef.findAllMatchIn(stripped)
           .map(m => m.group(1) -> m.group(2).toLong).toList
         if (refs.isEmpty) SqlApi.queryLake(spark, log, stripped)

@@ -343,7 +343,10 @@ final class RestServer(spark: SparkSession, log: LakeLog,
   }
 
   /** POST /query (`rest_api.go:714-739`, mocked there): `{sql}` → REAL
-    * spark.sql over the lake's snapshot views; rows inline (capped). */
+    * SQL over the lake via [[LakeSql.execute]] — SELECT (with
+    * `VERSION/TIMESTAMP AS OF` time travel) plus the Delta-style DML/
+    * utility face (INSERT INTO/MERGE/UPDATE/DELETE/OPTIMIZE/VACUUM/
+    * RESTORE/DESCRIBE HISTORY...); rows inline (capped). */
   private def queryDirect(ex: HttpExchange): Unit = {
     val req = readMap(ex)
     val sql = req.get("sql") match {
@@ -351,7 +354,7 @@ final class RestServer(spark: SparkSession, log: LakeLog,
       case _ => return textError(ex, 400, "Missing sql")
     }
     val jobId = s"job-${UUID.randomUUID()}"
-    val df = SqlApi.queryLake(spark, log, sql)
+    val df = LakeSql.execute(spark, log, sql)
     val rows = df.toJSON.take(maxInlineRows)
       .map(r => mapper.readValue[Map[String, Any]](r)).toSeq
     respondJson(ex, 200, Map(

@@ -202,7 +202,7 @@ object LakeTable {
     * files scan as-is; DV'd files scan with the parquet row index exposed
     * (`_metadata.row_index`) and anti-join their positions-only sidecars —
     * broadcast while small, so the data side never shuffles. */
-  private def readFlat(spark: SparkSession, sch: TableSchema,
+  private[lake] def readFlat(spark: SparkSession, sch: TableSchema,
                        dataSt: StructType,
                        files: Seq[FileAdd]): DataFrame = {
     // files carry PHYSICAL column names; alias back to logical on exit
@@ -246,7 +246,7 @@ object LakeTable {
     * interactive reads should use [[readIndexed]], which exposes the
     * partition columns through the `FileIndex` instead of a union.
     */
-  private def readWithPartitions(spark: SparkSession, sch: TableSchema,
+  private[lake] def readWithPartitions(spark: SparkSession, sch: TableSchema,
                                  st: StructType,
                                  partCols: Seq[String],
                                  files: Seq[FileAdd]): DataFrame = {
@@ -375,6 +375,30 @@ object LakeTable {
     // replay, client retry) must not re-stage data files
     log.committedVersion(table, txnId).foreach(v =>
       return CommitResult(v, duplicate = true))
+    val adds = stageFiles(spark, log, table, df, txnId, numFiles,
+      clusterBy, zOrderBy, bloomCols, curve)
+    val res =
+      try log.commitWithRetry(table, txnId, maxAttempts)(
+        _ => Some((adds, Nil))).get
+      catch { case e: Throwable => discardAdds(adds); throw e }
+    // a concurrent writer won this txnId: its files are the committed
+    // ones, ours are orphans
+    if (res.duplicate) discardAdds(adds)
+    res
+  }
+
+  /** Stage `df` as promoted, stat'd data files — everything [[insert]]
+    * does SHORT of the commit. The returned [[FileAdd]]s sit in the
+    * table's data dir but are invisible to every reader until a commit
+    * adopts them (that separation is what [[Wap]] builds write-audit-
+    * publish on); discard unadopted files with [[discardAdds]]. */
+  private[lake] def stageFiles(spark: SparkSession, log: LakeLog,
+             table: String, df: DataFrame, txnId: String,
+             numFiles: Int = 1,
+             clusterBy: Seq[String] = Nil,
+             zOrderBy: Seq[String] = Nil,
+             bloomCols: Seq[String] = Nil,
+             curve: String = "morton"): Seq[FileAdd] = {
     val sch = log.snapshot(table).schema.get
     val st = toStructType(sch)
     val partCols = sch.partCols
@@ -420,19 +444,10 @@ object LakeTable {
       }
     } finally if (reused) shaped.unpersist()
 
-    try {
-      val adds = statAndPromote(spark, log, table, tmp, sch, st,
-        partCols = partCols, bloomCols =
-          validateBloomCols(sch, (sch.bloomCols ++ bloomCols).distinct))
-      val res =
-        try log.commitWithRetry(table, txnId, maxAttempts)(
-          _ => Some((adds, Nil))).get
-        catch { case e: Throwable => discardAdds(adds); throw e }
-      // a concurrent writer won this txnId: its files are the committed
-      // ones, ours are orphans
-      if (res.duplicate) discardAdds(adds)
-      res
-    } finally deleteRecursively(tmp)
+    try statAndPromote(spark, log, table, tmp, sch, st,
+      partCols = partCols, bloomCols =
+        validateBloomCols(sch, (sch.bloomCols ++ bloomCols).distinct))
+    finally deleteRecursively(tmp)
   }
 
   /** Atomically REPLACE the table's contents with `df`: stage the new
@@ -632,7 +647,7 @@ object LakeTable {
   /** Delete promoted-but-never-committed data files (commit threw, aborted,
     * or lost an idempotency race): without this they are referenced by no
     * log entry, invisible to vacuum, and leak forever. */
-  private def discardAdds(adds: Seq[FileAdd]): Unit =
+  private[lake] def discardAdds(adds: Seq[FileAdd]): Unit =
     adds.foreach { a =>
       try {
         Files.deleteIfExists(java.nio.file.Paths.get(a.path))
@@ -1842,8 +1857,13 @@ object LakeTable {
     val latest = log.latestVersion(table)
     val floor = math.max(0L, latest - math.max(0, retainVersions - 1))
     // union of files visible in any retained snapshot — a DV sidecar is
-    // live exactly while some retained FileAdd references it
-    val live = (floor to latest)
+    // live exactly while some retained FileAdd references it. TAGGED
+    // versions are pinned regardless of the retention window: a tag is a
+    // promise that its snapshot stays readable (Refs), so its files are
+    // live until the tag is dropped.
+    val retained = (floor to latest) ++
+      Refs.taggedVersions(log, table).filter(_ < floor)
+    val live = retained
       .flatMap(v => log.snapshot(table, v).files
         .flatMap(f => f.path +: f.dv.map(_.path).toSeq)).toSet
     // every file (and dv sidecar) ever added

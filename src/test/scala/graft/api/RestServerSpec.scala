@@ -441,4 +441,28 @@ class RestServerSpec extends SparkSpec with BeforeAndAfterAll {
         s"$f references series /metrics does not serve: $missing")
     }
   }
+
+  test("grafana datasource provisioning matches the dashboard's source") {
+    def read(f: String) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f)), StandardCharsets.UTF_8)
+    // the provisioned datasource: named, prometheus-typed, the default
+    // (the dashboard's panels carry no explicit datasource field, so
+    // they bind to whatever is default — that binding must exist)
+    val ds = read("monitoring/grafana/datasources/prometheus.yml")
+    assert(ds.contains("name: Prometheus"), "datasource must be named")
+    assert(ds.contains("type: prometheus"))
+    assert(ds.contains("isDefault: true"),
+      "dashboard panels have no explicit datasource — the provisioned " +
+        "one must be the default or every panel dangles")
+    // any explicit datasource reference in the dashboard must name the
+    // provisioned one (guards a future panel edit that hardcodes a uid)
+    val dash = read("monitoring/grafana/dashboards/graft-dashboard.json")
+    "\"datasource\"\\s*:\\s*\"([^\"]+)\"".r.findAllMatchIn(dash)
+      .foreach(m => assert(m.group(1) == "Prometheus",
+        s"dashboard names unprovisioned datasource ${m.group(1)}"))
+    // the scrape config must load the SAME alert rules file the
+    // in-process sidecar evaluates
+    val prom = read("monitoring/prometheus.yml")
+    assert(prom.contains("lakehouse_alerts.yml"))
+  }
 }
