@@ -142,6 +142,14 @@ echo "all 10 rows back ✓"
 post /query '{"sql": "DESCRIBE HISTORY '$TABLE'"}' | jq '.results | length' | {
   read n; echo "history: $n versions recorded"; }
 
+step "Step 10: tags and branches (named refs)"
+post /query '{"sql": "ALTER TABLE '$TABLE' CREATE TAG audited AS OF VERSION 2"}' | jq .results
+post /query '{"sql": "ALTER TABLE '$TABLE' CREATE BRANCH prod AS OF VERSION 2"}' | jq .results
+N=$(post /query '{"sql": "SELECT COUNT(*) AS n FROM '$TABLE' VERSION AS OF '\''prod'\''"}' | jq '.results[0].n')
+[ "$N" = 10 ] || { echo "ERROR: branch read expected 10 rows, got $N"; exit 1; }
+echo "reading through branch 'prod' (v2): $N rows ✓"
+post /query '{"sql": "DESCRIBE REFS '$TABLE'"}' | jq .results
+
 echo
 echo "=== demo completed successfully ==="
 echo "metrics: curl $BASE/metrics | grep lakehouse_"

@@ -3178,16 +3178,21 @@ object SparkEntry {
       def sql(q: String) = LakeSql.execute(s, log, q)
       sql("ALTER TABLE li CREATE TAG rel-1 AS OF VERSION 1")
       sql("ALTER TABLE li CREATE TAG rel-2 AS OF VERSION 2")
-      val per = Seq("rel-1", "rel-2").map { tag =>
+      // branch = the movable promotion pointer: created at v2 and
+      // MOVED to v3 after "validation" — consumers of 'prod' ride the
+      // move, which the oracle checks via the final binding + content
+      sql("ALTER TABLE li CREATE BRANCH prod AS OF VERSION 2")
+      sql("ALTER TABLE li MOVE BRANCH prod TO VERSION 3")
+      val per = Seq("prod", "rel-1", "rel-2").map { ref =>
         sql(s"SELECT count(*) AS n_rows, " +
             s"round(sum(l_extendedprice), 2) AS sum_price " +
-            s"FROM li VERSION AS OF '$tag'")
-          .select(lit(tag).as("tag"), col("n_rows"), col("sum_price"))
+            s"FROM li VERSION AS OF '$ref'")
+          .select(lit(ref).as("ref"), col("n_rows"), col("sum_price"))
       }.reduce(_ unionAll _)
       sql("DESCRIBE REFS li")
-        .select(col("name").as("tag"), col("version"))
-        .join(per, "tag")
-        .orderBy("tag")
+        .select(col("name").as("ref"), col("kind"), col("version"))
+        .join(per, "ref")
+        .orderBy("ref")
     }),
 
     // Write-audit-publish (graft.lake.Wap — Iceberg's WAP pattern): a
@@ -7048,19 +7053,26 @@ object SparkEntry {
              round(sum(l_extendedprice), 2) AS sum_price
       FROM lineitem WHERE l_quantity <= 40
       GROUP BY bucket ORDER BY bucket""",
-    // Tag resolution replayed: rel-1 pins v1 (slice 0), rel-2 pins v2
-    // (slices 0-1); content recomputed from the same slices.
+    // Ref resolution replayed: tags rel-1/rel-2 pin v1/v2 (slices 0 /
+    // 0-1); the prod BRANCH was created at v2 then moved to v3, so its
+    // binding is v3 with the full corpus — content recomputed from the
+    // same slices.
     "q_lake_tag" -> """
-      SELECT 'rel-1' AS tag, CAST(1 AS BIGINT) AS version,
+      SELECT 'prod' AS ref, 'branch' AS kind, CAST(3 AS BIGINT) AS version,
+             count(*) AS n_rows,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem
+      UNION ALL
+      SELECT 'rel-1' AS ref, 'tag' AS kind, CAST(1 AS BIGINT) AS version,
              count(*) AS n_rows,
              round(sum(l_extendedprice), 2) AS sum_price
       FROM lineitem WHERE l_orderkey % 3 = 0
       UNION ALL
-      SELECT 'rel-2' AS tag, CAST(2 AS BIGINT) AS version,
+      SELECT 'rel-2' AS ref, 'tag' AS kind, CAST(2 AS BIGINT) AS version,
              count(*) AS n_rows,
              round(sum(l_extendedprice), 2) AS sum_price
       FROM lineitem WHERE l_orderkey % 3 <= 1
-      ORDER BY tag""",
+      ORDER BY ref""",
     // WAP lifecycle replayed: staged batches never touch the main
     // line's counts or versions. The synthetic lineitem's (okey, lineno)
     // keys are NOT unique, so the audit gate's duplicate-key counts are

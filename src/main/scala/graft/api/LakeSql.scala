@@ -53,13 +53,18 @@ import graft.lake.{Field, LakeLog, LakeTable, TableSchema}
   *   DESCRIBE HISTORY t  /  DESCRIBE DETAIL t
   *   ALTER TABLE t CREATE TAG name AS OF VERSION v
   *                                           (immutable named ref —
-  *                                            graft.lake.Refs; tagged
+  *                                            graft.lake.Refs; pinned
   *                                            versions survive VACUUM)
-  *   ALTER TABLE t DROP TAG name
-  *   DESCRIBE REFS t                         ((name, version) per tag)
-  *   SELECT ... FROM t VERSION AS OF 'name'  (time travel by TAG — the
-  *                                            quoted ref resolves to its
-  *                                            pinned version)
+  *   ALTER TABLE t CREATE BRANCH name AS OF VERSION v
+  *   ALTER TABLE t MOVE BRANCH name TO VERSION v
+  *                                           (movable promotion pointer —
+  *                                            `prod` rides validated
+  *                                            versions, never raw head)
+  *   ALTER TABLE t DROP TAG|BRANCH name
+  *   DESCRIBE REFS t                         ((name, kind, version))
+  *   SELECT ... FROM t VERSION AS OF 'name'  (time travel by REF — the
+  *                                            quoted name resolves to
+  *                                            its pinned version)
   *   anything else → [[SqlApi.queryLake]] (SELECT etc.)
   *
   * The type names in DDL are the lake's declared types (int32, int64,
@@ -155,11 +160,16 @@ object LakeSql {
     """(?is)\s*DESCRIBE\s+STATS\s+(\w+)\s*;?\s*""".r
   private val AlterDrop =
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*""".r
-  // Iceberg-style refs: immutable tags over versions (graft.lake.Refs)
+  // Iceberg-style refs: immutable tags + movable branches over
+  // versions (graft.lake.Refs)
   private val CreateTag =
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+CREATE\s+TAG\s+([\w.-]+)\s+AS\s+OF\s+VERSION\s+(\d+)\s*;?\s*""".r
+  private val CreateBranch =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+CREATE\s+BRANCH\s+([\w.-]+)\s+AS\s+OF\s+VERSION\s+(\d+)\s*;?\s*""".r
+  private val MoveBranch =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+MOVE\s+BRANCH\s+([\w.-]+)\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
   private val DropTag =
-    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+TAG\s+([\w.-]+)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+(?:TAG|BRANCH)\s+([\w.-]+)\s*;?\s*""".r
   private val DescRefs =
     """(?is)\s*DESCRIBE\s+REFS\s+(\w+)\s*;?\s*""".r
   // `FROM t VERSION AS OF 'tag-name'` — a quoted ref resolves through
@@ -311,16 +321,25 @@ object LakeSql {
         val r = graft.lake.Refs.createTag(log, table, name, v.toLong)
         status(spark, "table" -> table, "tag" -> name,
           "version" -> r.version)
+      case CreateBranch(table, name, v) =>
+        val r = graft.lake.Refs.createBranch(log, table, name, v.toLong)
+        status(spark, "table" -> table, "branch" -> name,
+          "version" -> r.version)
+      case MoveBranch(table, name, v) =>
+        val r = graft.lake.Refs.moveBranch(log, table, name, v.toLong)
+        status(spark, "table" -> table, "branch" -> name,
+          "version" -> r.version)
       case DropTag(table, name) =>
-        graft.lake.Refs.dropTag(log, table, name)
-        status(spark, "table" -> table, "tag" -> name, "dropped" -> true)
+        graft.lake.Refs.drop(log, table, name)
+        status(spark, "table" -> table, "ref" -> name, "dropped" -> true)
       case DescRefs(table) =>
         val refs = graft.lake.Refs.list(log, table)
         val st = StructType(Seq(StructField("name", StringType),
+          StructField("kind", StringType),
           StructField("version", LongType)))
         spark.createDataFrame(
           java.util.List.of[Row](refs.map(r =>
-            Row(r.name, r.version)): _*), st)
+            Row(r.name, r.kind, r.version)): _*), st)
       case other =>
         // TIMESTAMP AS OF resolves to a concrete version first (failing
         // loudly on non-tables / pre-history timestamps), then shares

@@ -1857,12 +1857,12 @@ object LakeTable {
     val latest = log.latestVersion(table)
     val floor = math.max(0L, latest - math.max(0, retainVersions - 1))
     // union of files visible in any retained snapshot — a DV sidecar is
-    // live exactly while some retained FileAdd references it. TAGGED
-    // versions are pinned regardless of the retention window: a tag is a
-    // promise that its snapshot stays readable (Refs), so its files are
-    // live until the tag is dropped.
+    // live exactly while some retained FileAdd references it. REF-pinned
+    // versions (tags AND branches) stay live regardless of the retention
+    // window: a ref is a promise that its snapshot stays readable
+    // (Refs), so its files survive until the ref drops or moves on.
     val retained = (floor to latest) ++
-      Refs.taggedVersions(log, table).filter(_ < floor)
+      Refs.pinnedVersions(log, table).filter(_ < floor)
     val live = retained
       .flatMap(v => log.snapshot(table, v).files
         .flatMap(f => f.path +: f.dv.map(_.path).toSeq)).toSet

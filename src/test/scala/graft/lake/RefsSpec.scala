@@ -75,6 +75,41 @@ class RefsSpec extends SparkSpec {
     assert(LakeTable.read(spark, log, "t").count() == 4)
   }
 
+  test("branches are movable pointers; tags refuse moves") {
+    val log = setup()
+    Refs.createBranch(log, "t", "prod", 1L)
+    assert(Refs.resolveOrThrow(log, "t", "prod").version == 1L)
+    assert(Refs.resolveOrThrow(log, "t", "prod").kind == Refs.Branch)
+    // promotion: the pointer advances only when the operator says so
+    Refs.moveBranch(log, "t", "prod", 2L)
+    assert(Refs.resolveOrThrow(log, "t", "prod").version == 2L)
+    // a tag cannot move
+    Refs.createTag(log, "t", "rel", 1L)
+    intercept[LakeValidationException] { Refs.moveBranch(log, "t", "rel", 2L) }
+    // a branch cannot be re-created over itself
+    intercept[LakeValidationException] { Refs.createBranch(log, "t", "prod", 1L) }
+    // moves validate the target version like creation does
+    intercept[LakeValidationException] { Refs.moveBranch(log, "t", "prod", 99L) }
+    // both kinds pin vacuum
+    assert(Refs.pinnedVersions(log, "t") == Set(1L, 2L))
+  }
+
+  test("SQL face: branches — CREATE / MOVE / read-through / DROP") {
+    val log = setup()
+    def sql(q: String) = graft.api.LakeSql.execute(spark, log, q)
+    sql("ALTER TABLE t CREATE BRANCH prod AS OF VERSION 1")
+    assert(sql("SELECT count(*) AS n FROM t VERSION AS OF 'prod'")
+      .collect().head.getLong(0) == 2L)
+    sql("ALTER TABLE t MOVE BRANCH prod TO VERSION 2")
+    assert(sql("SELECT count(*) AS n FROM t VERSION AS OF 'prod'")
+      .collect().head.getLong(0) == 3L)
+    val refs = sql("DESCRIBE REFS t").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(refs.toSeq == Seq(("prod", "branch", 2L)))
+    sql("ALTER TABLE t DROP BRANCH prod")
+    assert(Refs.list(log, "t").isEmpty)
+  }
+
   test("SQL face: CREATE TAG / tag time travel / DESCRIBE REFS / DROP") {
     val log = setup()
     val spark2 = spark
@@ -85,8 +120,8 @@ class RefsSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(n == 2L)
     val refs = graft.api.LakeSql.execute(spark2, log, "DESCRIBE REFS t")
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    assert(refs.toSeq == Seq(("rel-1", 1L)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(refs.toSeq == Seq(("rel-1", "tag", 1L)))
     intercept[LakeValidationException] { // unknown tag fails loudly
       graft.api.LakeSql.execute(spark2, log,
         "SELECT count(*) FROM t VERSION AS OF 'nope'").collect()
