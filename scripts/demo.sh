@@ -150,6 +150,22 @@ N=$(post /query '{"sql": "SELECT COUNT(*) AS n FROM '$TABLE' VERSION AS OF '\''p
 echo "reading through branch 'prod' (v2): $N rows ✓"
 post /query '{"sql": "DESCRIBE REFS '$TABLE'"}' | jq .results
 
+step "Step 11: write-audit-publish (staged batch)"
+post "/tables/$TABLE/wap/restock-1" '{
+  "data": [
+    {"id": 11, "product": "Webcam", "category": "Electronics", "amount": 59.99, "quantity": 2, "sale_date": "2024-01-20"},
+    {"id": 12, "product": "Stool",  "category": "Furniture",   "amount": 49.99, "quantity": 1, "sale_date": "2024-01-20"}
+  ]}' | jq .
+AUDIT=$(curl -sf "$BASE/tables/$TABLE/wap/restock-1")
+echo "$AUDIT" | jq .
+MAIN=$(echo "$AUDIT" | jq .main_rows); OVER=$(echo "$AUDIT" | jq .overlay_rows)
+[ "$MAIN" = 10 ] && [ "$OVER" = 12 ] || { echo "ERROR: audit saw main=$MAIN overlay=$OVER"; exit 1; }
+echo "staged batch invisible to main (10 rows), audit overlay sees 12 ✓"
+post "/tables/$TABLE/wap/restock-1/publish" '{}' | jq .
+N=$(post /query '{"sql": "SELECT COUNT(*) AS n FROM '$TABLE'"}' | jq '.results[0].n')
+[ "$N" = 12 ] || { echo "ERROR: expected 12 rows after publish, got $N"; exit 1; }
+echo "published atomically: 12 rows ✓"
+
 echo
 echo "=== demo completed successfully ==="
 echo "metrics: curl $BASE/metrics | grep lakehouse_"

@@ -11,7 +11,7 @@ import com.fasterxml.jackson.module.scala.{ClassTagExtensions, DefaultScalaModul
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.SparkSession
 
-import graft.lake.{Field, LakeLog, LakeTable, TableSchema}
+import graft.lake.{Field, LakeLog, LakeTable, TableSchema, Wap}
 
 /** The reference coordinator's REST transport as an actual in-process HTTP
   * listener — route-for-route the table of `pkg/coordinator/rest_api.go:45-68`
@@ -35,7 +35,14 @@ import graft.lake.{Field, LakeLog, LakeTable, TableSchema}
   *     (`rest_api.go:714-739`); here real `spark.sql` over the lake's
   *     snapshot views, rows returned inline (capped at `maxInlineRows` —
   *     the async `POST /queries` path is the one that scales, results as a
-  *     location not a stream, matching `rest_api.go:404-410`).
+  *     location not a stream, matching `rest_api.go:404-410`). `POST /query`
+  *     additionally serves the full lake-SQL face ([[LakeSql.execute]]):
+  *     DML, OPTIMIZE/VACUUM/RESTORE, refs, and `VERSION AS OF` time travel.
+  *
+  * Beyond the reference's table: write-audit-publish routes over
+  * [[graft.lake.Wap]] — `POST /tables/{t}/wap/{id}` stages a batch,
+  * `GET .../wap[/{id}]` lists/audits, `POST .../wap/{id}/publish` adopts it
+  * atomically, `DELETE .../wap/{id}` aborts.
   *
   * Single-driver scope: the listener binds one port on the Spark driver (the
   * reference's coordinator process). `port = 0` binds an ephemeral port
@@ -106,6 +113,13 @@ final class RestServer(spark: SparkSession, log: LakeLog,
           respondJson(ex, 200, Map("dropped" -> c, "version" -> r.version))
         case ("GET", List("tables", t, "changes"))   => tableChanges(ex, t)
         case ("GET", List("tables", t, "files"))     => tableFiles(ex, t)
+        case ("POST", List("tables", t, "wap", id))  => wapStage(ex, t, id)
+        case ("GET", List("tables", t, "wap"))       => wapList(ex, t)
+        case ("GET", List("tables", t, "wap", id))   => wapAudit(ex, t, id)
+        case ("POST", List("tables", t, "wap", id, "publish")) =>
+          wapPublish(ex, t, id)
+        case ("DELETE", List("tables", t, "wap", id)) =>
+          wapAbort(ex, t, id)
         case ("GET", List("tables", t, "compaction", "status")) =>
           compactionStatus(ex, t)
         case ("GET", List("tables", t, "compaction", "metrics")) =>
@@ -340,6 +354,58 @@ final class RestServer(spark: SparkSession, log: LakeLog,
       "txn_id" -> txnId,
       "new_version" -> result.version,
       "message" -> s"Data inserted into table $table"))
+  }
+
+  /** POST /tables/{t}/wap/{id}: `{data: [...]}` — stage a write-audit-
+    * publish batch ([[graft.lake.Wap]]): real stat'd files, invisible
+    * to main readers until `/publish`. */
+  private def wapStage(ex: HttpExchange, table: String, id: String): Unit = {
+    if (!log.tableExists(table))
+      return textError(ex, 404, s"table $table does not exist")
+    val req = readMap(ex)
+    val rows = req.get("data") match {
+      case Some(rs: Seq[Any] @unchecked) =>
+        rs.map(r => mapper.writeValueAsString(r))
+      case _ => return textError(ex, 400, "Missing data rows")
+    }
+    val st = LakeTable.toStructType(log.snapshot(table).schema.get)
+    val df = spark.read.schema(st).option("mode", "FAILFAST")
+      .json(spark.createDataset(rows)(org.apache.spark.sql.Encoders.STRING))
+    val b = Wap.stage(spark, log, table, df, id)
+    respondJson(ex, 200, Map(
+      "staged" -> id, "base_version" -> b.base_version,
+      "files" -> b.adds.size, "rows" -> b.adds.map(_.rows).sum))
+  }
+
+  private def wapList(ex: HttpExchange, table: String): Unit = {
+    if (!log.tableExists(table))
+      return textError(ex, 404, s"table $table does not exist")
+    respondJson(ex, 200, Map("staged" -> Wap.listStaged(log, table).map(b =>
+      Map("wap_id" -> b.wap_id, "base_version" -> b.base_version,
+        "files" -> b.adds.size, "rows" -> b.adds.map(_.rows).sum))))
+  }
+
+  /** GET /tables/{t}/wap/{id}: the audit view — overlay vs main-line
+    * row counts (gate queries beyond counts go through POST /query on
+    * the published data, or the Scala API for staged overlays). */
+  private def wapAudit(ex: HttpExchange, table: String, id: String): Unit = {
+    if (!log.tableExists(table))
+      return textError(ex, 404, s"table $table does not exist")
+    val overlay = Wap.readStaged(spark, log, table, id).count()
+    val main = LakeTable.read(spark, log, table).count()
+    respondJson(ex, 200, Map("wap_id" -> id, "overlay_rows" -> overlay,
+      "main_rows" -> main, "main_version" -> log.latestVersion(table)))
+  }
+
+  private def wapPublish(ex: HttpExchange, table: String, id: String): Unit = {
+    val r = Wap.publish(spark, log, table, id)
+    respondJson(ex, 200, Map("published" -> id, "new_version" -> r.version,
+      "duplicate" -> r.duplicate))
+  }
+
+  private def wapAbort(ex: HttpExchange, table: String, id: String): Unit = {
+    Wap.abort(log, table, id)
+    respondJson(ex, 200, Map("aborted" -> id))
   }
 
   /** POST /query (`rest_api.go:714-739`, mocked there): `{sql}` → REAL

@@ -153,6 +153,47 @@ class RestServerSpec extends SparkSpec with BeforeAndAfterAll {
       """{"rename_to": "x"}""").status == 400)
   }
 
+  test("WAP over HTTP: stage → audit → publish; abort leaves no trace") {
+    val create = post("/tables", """{
+      "name": "wapt",
+      "schema": {"fields": [
+        {"name": "id", "type": "int64", "nullable": false},
+        {"name": "v", "type": "string", "nullable": true}]}}""")
+    assert(create.status == 200 || create.status == 201)
+    assert(post("/tables/wapt/insert",
+      """{"data": [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]}""").status == 200)
+    // stage: main stays at v1 / 2 rows, overlay sees 4
+    val st = post("/tables/wapt/wap/b1",
+      """{"data": [{"id": 3, "v": "c"}, {"id": 4, "v": "d"}]}""")
+    assert(st.status == 200)
+    assert(st.json("base_version").asInstanceOf[Number].longValue == 1L)
+    val audit = get("/tables/wapt/wap/b1").json
+    assert(audit("overlay_rows").asInstanceOf[Number].longValue == 4L)
+    assert(audit("main_rows").asInstanceOf[Number].longValue == 2L)
+    assert(audit("main_version").asInstanceOf[Number].longValue == 1L)
+    val listed = get("/tables/wapt/wap").json("staged")
+      .asInstanceOf[Seq[Map[String, Any]]]
+    assert(listed.map(_("wap_id")) == Seq("b1"))
+    // publish; replay is the idempotent duplicate
+    val pub = post("/tables/wapt/wap/b1/publish", "{}").json
+    assert(pub("new_version").asInstanceOf[Number].longValue == 2L)
+    assert(get("/tables/wapt/wap/b1").status == 404 ||
+      get("/tables/wapt/wap").json("staged")
+        .asInstanceOf[Seq[_]].isEmpty)
+    val pub2 = post("/tables/wapt/wap/b1/publish", "{}").json
+    assert(pub2("new_version").asInstanceOf[Number].longValue == 2L)
+    assert(pub2("duplicate") == true)
+    // abort path: staged rows never surface, no version minted
+    assert(post("/tables/wapt/wap/bad",
+      """{"data": [{"id": 9, "v": "x"}]}""").status == 200)
+    assert(delete("/tables/wapt/wap/bad").status == 200)
+    val q = post("/query",
+      """{"sql": "SELECT count(*) AS n FROM wapt"}""").json
+    val n = q("results").asInstanceOf[Seq[Map[String, Any]]]
+      .head("n").asInstanceOf[Number].longValue
+    assert(n == 4L)
+  }
+
   test("GET /health reports a healthy coordinator") {
     val r = get("/health")
     assert(r.status == 200)
