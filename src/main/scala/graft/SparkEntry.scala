@@ -3041,32 +3041,11 @@ object SparkEntry {
     // come from bucket alignment). DuckDB recomputes the join from the raw
     // sources: layout must never change answers.
     "q_join_bucketed" -> ((s, d) => {
-      import graft.operators.Bucketing
-      val dir = java.nio.file.Files.createTempDirectory("graftbkt")
-      val li = t(s, d, "lineitem")
-        .select("l_orderkey", "l_quantity", "l_extendedprice")
-      val ord = t(s, d, "orders")
-        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
-      Bucketing.writeBucketed(s, li, "graft_bkt_li", "l_orderkey", 8,
-        Some(dir.resolve("li").toString))
-      Bucketing.writeBucketed(s, ord, "graft_bkt_ord", "l_orderkey", 8,
-        Some(dir.resolve("ord").toString))
-      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      try {
-        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        val joined = Bucketing.bucketedJoin(s, "graft_bkt_li",
-            "graft_bkt_ord", "l_orderkey")
-          .groupBy("l_orderkey", "o_custkey")
-          .agg(count(lit(1)).as("n_items"),
-            round(sum("l_extendedprice"), 2).as("sum_price"))
-        require(Bucketing.hashExchanges(joined) == 0,
-          "co-bucketed join planned a hash exchange")
-        // the top-N sort is a range exchange over ALREADY-AGGREGATED rows
-        joined.orderBy(col("sum_price").desc, col("l_orderkey"))
-          .limit(10)
-          .select(col("l_orderkey").as("o_orderkey"), col("o_custkey"),
-            col("n_items"), col("sum_price"))
-      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // build+probe bodies live ONCE in benchPhases: the bucketed
+      // LAYOUT is a one-time write (Bench's `builds` sidecar); the
+      // headline is the recurring zero-exchange join it buys
+      val (build, probe) = benchPhases("q_join_bucketed")(s, d)
+      build(); probe()
     }),
 
     // Change feed with row-level deletes (Delta CDF analog): inserts from
@@ -4618,6 +4597,40 @@ object SparkEntry {
        () => InvertedIndex.proximitySearchIndex(s, log, "nr",
            "sort", "merge", window = 3)
          .orderBy("doc_id"))
+    }),
+    "q_join_bucketed" -> ((s, d) => {
+      import graft.operators.Bucketing
+      val dir = java.nio.file.Files.createTempDirectory("graftbkt")
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+      val ord = t(s, d, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      (() => {
+         Bucketing.writeBucketed(s, li, "graft_bkt_li", "l_orderkey", 8,
+           Some(dir.resolve("li").toString))
+         Bucketing.writeBucketed(s, ord, "graft_bkt_ord", "l_orderkey", 8,
+           Some(dir.resolve("ord").toString))
+         ()
+       },
+       () => {
+         val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+         try {
+           s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+           val joined = Bucketing.bucketedJoin(s, "graft_bkt_li",
+               "graft_bkt_ord", "l_orderkey")
+             .groupBy("l_orderkey", "o_custkey")
+             .agg(count(lit(1)).as("n_items"),
+               round(sum("l_extendedprice"), 2).as("sum_price"))
+           require(Bucketing.hashExchanges(joined) == 0,
+             "co-bucketed join planned a hash exchange")
+           // the top-N sort is a range exchange over ALREADY-AGGREGATED
+           // rows
+           joined.orderBy(col("sum_price").desc, col("l_orderkey"))
+             .limit(10)
+             .select(col("l_orderkey").as("o_orderkey"), col("o_custkey"),
+               col("n_items"), col("sum_price"))
+         } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+       })
     }),
     "q_search_bm25_indexed" -> ((s, d) => {
       import graft.lake.LakeLog
