@@ -2652,6 +2652,59 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Streaming QUARANTINE: WAP-gated exactly-once ingestion. Four
+    // key-sliced micro-batches stage invisibly through the lake's
+    // write-audit-publish; the audit gate rejects any batch carrying a
+    // blocklisted key bucket (slice 2), which therefore aborts with
+    // ZERO versions minted — a bad crawl chunk is never listable, even
+    // transiently. DuckDB recomputes the published union (slices 0,1,3)
+    // exactly; the in-query requires pin the version math (create +
+    // exactly 3 publishes) and that no staged leftovers remain.
+    "q_stream_wap" -> ((s, d) => withShufflePartitions(s, 4) {
+      import graft.lake.{LakeLog, LakeTable, Wap}
+      import scala.jdk.CollectionConverters._
+      val log = new LakeLog(
+        java.nio.file.Files.createTempDirectory("graftswap"))
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity",
+          "l_extendedprice")
+      LakeTable.createTable(log, "dst", li.schema)
+      val tmp = java.nio.file.Files.createTempDirectory("graftswap_src")
+      val srcDir = tmp.resolve("src")
+      java.nio.file.Files.createDirectories(srcDir)
+      val stage = tmp.resolve("stage")
+      li.withColumn("__chunk", (col("l_orderkey") % 4).cast("int"))
+        .repartition(1)
+        .write.partitionBy("__chunk").parquet(stage.toString)
+      (0 until 4).foreach { i =>
+        val dir = stage.resolve(s"__chunk=$i")
+        val part = java.nio.file.Files.list(dir).iterator().asScala
+          .find(_.toString.endsWith(".parquet")).get
+        val dst = srcDir.resolve(f"chunk$i%02d.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + i * 60000L))
+      }
+      val stream = s.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val q = graft.streaming.Streams.wapSinkToLake(stream, log, "dst",
+        tmp.resolve("ckpt").toString) { (batch, _) =>
+        // the audit: no rows from the blocklisted key bucket
+        batch.filter(col("l_orderkey") % 4 === 2).limit(1).count() == 0L
+      }
+      q.processAllAvailable(); q.stop()
+      require(log.latestVersion("dst") == 3L,
+        s"expected create + 3 publishes, got ${log.latestVersion("dst")}")
+      require(Wap.listStaged(log, "dst").isEmpty, "staged leftovers")
+      LakeTable.read(s, log, "dst")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // Stream-stream interval join under the exact oracle (the
     // impression⋈click shape): two streams of the same corpus joined on
     // user_id with r.ts ∈ [l.ts, l.ts+1h]. Inner joins emit as rows arrive
@@ -6098,6 +6151,14 @@ object SparkEntry {
       SELECT l_returnflag, count(*) AS n,
              round(sum(l_quantity * l_extendedprice), 2) AS sum_rev
       FROM lineitem WHERE l_quantity > 10
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // the quarantined slice (blocklisted bucket 2) aborted before any
+    // commit — the published table is exactly the other three slices
+    "q_stream_wap" -> """
+      SELECT l_returnflag, count(*) AS n,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem WHERE l_orderkey % 4 <> 2
       GROUP BY l_returnflag ORDER BY l_returnflag""",
     // nothing is late under the 7-day horizon, so the stream-stream join
     // must emit exactly the batch interval join

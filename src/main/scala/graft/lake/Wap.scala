@@ -130,6 +130,24 @@ object Wap {
     else LakeTable.readFlat(spark, sch, st, files)
   }
 
+  /** Just the staged batch's rows (no main-line data) — the face an
+    * audit gate uses to score the NEW data alone (rate-of-junk checks,
+    * schema drift) while [[readStaged]] supplies the overlay for
+    * history-relative checks (duplicates against accepted data). */
+  def readBatch(spark: SparkSession, log: LakeLog, table: String,
+                wapId: String): DataFrame = {
+    val b = staged(log, table, wapId).getOrElse(
+      throw new LakeValidationException(
+        s"no staged wap batch '$wapId' on $table"))
+    val snap = log.snapshot(table)
+    val sch = snap.schema.getOrElse(
+      throw new LakeValidationException(s"table $table has no schema"))
+    val st = LakeTable.toStructType(sch)
+    if (sch.partCols.nonEmpty)
+      LakeTable.readWithPartitions(spark, sch, st, sch.partCols, b.adds)
+    else LakeTable.readFlat(spark, sch, st, b.adds)
+  }
+
   /** Publish the staged batch: one OCC commit adopting the staged files.
     * Idempotent — a replay (crash between commit and record removal,
     * client retry) returns the originally committed version. */

@@ -209,6 +209,44 @@ object Streams {
       .start()
   }
 
+  /** WAP-gated exactly-once streaming ingestion — the streaming
+    * QUARANTINE: every micro-batch stages invisibly through
+    * [[graft.lake.Wap]] (real stat'd files main readers cannot see), an
+    * audit `gate` inspects the staged batch and the base+staged overlay,
+    * and only a passing batch publishes (one OCC commit adopting the
+    * staged files); a failing batch aborts with zero versions minted —
+    * a bad crawl chunk can never be listed by a training job, even
+    * transiently. Crash/replay semantics compose from Wap's invariants:
+    * an already-published batch id short-circuits (txn map), an
+    * already-staged one re-audits (gates must be deterministic — they
+    * see only the batch + table state, both frozen by the stage), and a
+    * previously-aborted one restages from the replayed source and
+    * re-audits to the same verdict.
+    */
+  def wapSinkToLake(stream: DataFrame, log: graft.lake.LakeLog,
+                    table: String, checkpointDir: String)
+                   (gate: (DataFrame, DataFrame) => Boolean)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val appId = appIdFor(checkpointDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val wapId = s"$appId-$batchId"
+        if (log.committedVersion(table, s"wap-$wapId").isEmpty) {
+          if (graft.lake.Wap.staged(log, table, wapId).isEmpty)
+            graft.lake.Wap.stage(s, log, table, batch, wapId)
+          val pass = gate(
+            graft.lake.Wap.readBatch(s, log, table, wapId),
+            graft.lake.Wap.readStaged(s, log, table, wapId))
+          if (pass) graft.lake.Wap.publish(s, log, table, wapId)
+          else graft.lake.Wap.abort(log, table, wapId)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming SEMANTIC dedup into a lake table: each micro-batch of
     * (id, embedding) rows is assigned against a FROZEN codebook
     * ([[graft.operators.Dedup.semanticDupPairsWithCentroids]] machinery),

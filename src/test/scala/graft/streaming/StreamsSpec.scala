@@ -120,6 +120,41 @@ class StreamsSpec extends SparkSpec {
     } finally query2.stop()
   }
 
+  test("wapSinkToLake: failing batches abort unseen, passing ones publish") {
+    import graft.lake.{LakeLog, LakeTable, Wap}
+    import org.apache.spark.sql.types._
+    implicit val sq = spark.sqlContext
+    val log = new LakeLog(tmpDir("wapstream"))
+    LakeTable.createTable(log, "ev", StructType(Seq(
+      StructField("event_id", LongType), StructField("value", DoubleType))))
+    val input = MemoryStream[(Long, Double)]
+    var audits = 0
+    val query = Streams.wapSinkToLake(
+      input.toDF().toDF("event_id", "value"), log, "ev",
+      tmpDir("wapckpt").toString) { (batch, overlay) =>
+      audits += 1
+      // gate: reject any batch carrying a negative value; the overlay
+      // face must see base + staged
+      assert(overlay.count() >= batch.count())
+      batch.filter(col("value") < 0).limit(1).count() == 0L
+    }
+    try {
+      input.addData((1L, 1.0), (2L, 2.0)) // passes → v1
+      query.processAllAvailable()
+      input.addData((3L, -3.0))           // REJECTED → aborted
+      query.processAllAvailable()
+      input.addData((4L, 4.0))            // passes → v2
+      query.processAllAvailable()
+      assert(audits == 3)
+      assert(log.latestVersion("ev") == 2,
+        "the rejected batch must mint NO version")
+      val ids = LakeTable.read(spark, log, "ev").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 4L))
+      assert(Wap.listStaged(log, "ev").isEmpty, "staged leftovers")
+    } finally query.stop()
+  }
+
   test("lakeStream: maxVersionsPerBatch bounds backfill batches") {
     import graft.lake.{LakeLog, LakeTable}
     import org.apache.spark.sql.types._
