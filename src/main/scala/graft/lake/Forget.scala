@@ -18,11 +18,19 @@ import org.apache.spark.sql.SparkSession
   * done — crash-safe without a cross-table transaction (which a
   * per-table OCC log cannot offer; the report makes partial progress
   * visible instead of hiding it).
+  *
+  * STAGED write-audit-publish batches ([[Wap]]) are part of the
+  * erasure surface: a staged batch carrying the subject would
+  * re-surface the data at its later publish. Any staged batch
+  * containing the key is ABORTED (reported per table) — the
+  * conservative compliance move; the pipeline re-stages the batch
+  * minus the subject.
   */
 object Forget {
 
   final case class TableReport(table: String, rowsDeleted: Long,
-                               filesTouched: Long, version: Long)
+                               filesTouched: Long, version: Long,
+                               stagedAborted: Long = 0L)
 
   /** Erase `keyCol = value` from every listed table. `requestId` keys
     * idempotency: the same request replayed never double-deletes or
@@ -59,10 +67,25 @@ object Forget {
         case other => throw new LakeValidationException(
           s"forget: unsupported key type $other for $t.$keyCol")
       }
+      // STAGED write-audit-publish batches are part of the erasure
+      // surface: a staged batch carrying the subject would re-surface
+      // the data at its later publish, silently undoing the request.
+      // The conservative compliance move is to ABORT any staged batch
+      // containing the key (the pipeline re-stages the batch minus the
+      // subject); batches without the key are untouched.
+      val pred = graft.operators.QueryEngine
+        .parsePredicate(s"$keyCol = $litTok")
+      val aborted = Wap.listStaged(log, t).count { b =>
+        val hit = Wap.readBatch(spark, log, t, b.wap_id)
+          .filter(pred).limit(1).count() > 0
+        if (hit) Wap.abort(log, t, b.wap_id)
+        hit
+      }
       val r = LakeTable.deleteWhereMor(spark, log, t,
         s"$keyCol = $litTok", txnId = s"forget-$requestId-$t")
       TableReport(t, r.rowsDeleted,
-        (r.filesWithDv + r.filesRemoved).toLong, r.version)
+        (r.filesWithDv + r.filesRemoved).toLong, r.version,
+        stagedAborted = aborted.toLong)
     }
   }
 }

@@ -63,6 +63,25 @@ class ForgetSpec extends SparkSpec {
     }
   }
 
+  test("staged WAP batches carrying the subject are aborted, not missed") {
+    val log = setup()
+    // two staged batches: one carries subject 2, one does not
+    Wap.stage(spark, log, "t1",
+      Seq((2L, "staged-of-2"), (9L, "x")).toDF("user_id", "v"), "w-dirty")
+    Wap.stage(spark, log, "t1",
+      Seq((8L, "y")).toDF("user_id", "v"), "w-clean")
+    val r = Forget.forgetKey(spark, log, Seq("t1"), "user_id", "2", "req-w")
+    assert(r.head.stagedAborted == 1L)
+    assert(Wap.staged(log, "t1", "w-dirty").isEmpty,
+      "the dirty staged batch must be aborted")
+    assert(Wap.staged(log, "t1", "w-clean").nonEmpty,
+      "the clean staged batch must survive")
+    // publishing the survivor must not resurrect the subject
+    Wap.publish(spark, log, "t1", "w-clean")
+    assert(LakeTable.read(spark, log, "t1")
+      .filter($"user_id" === 2).count() == 0)
+  }
+
   test("a half-completed request resumes without double-deleting") {
     val log = setup()
     // crash after the first table: only t1 processed
