@@ -3761,6 +3761,29 @@ object SparkEntry {
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("query_id", "rank")
     }),
+
+    // Margin-based bitext mining (Artetxe & Schwenk ACL'19 — the
+    // LASER/CCMatrix parallel-pair recipe): mutual-top-1 pairs scored
+    // by cosine over the mean of each side's k-NN cosines, the margin
+    // that cancels hubness. Planted translations = exact vector copies
+    // under offset ids (synthesized in BOTH engines); decoys = a
+    // disjoint embedding slice. Integer-quantized cosines rank and the
+    // margin is pure integer arithmetic, so DuckDB replays both
+    // directions' neighborhoods, the mutual join and every margin
+    // exactly. Neighbor summaries are bounded graft_topk AGGREGATES —
+    // no per-anchor window funnel even in this brute/oracle face.
+    "q_bitext_mine" -> ((s, d) => withShufflePartitions(s, 8) {
+      val emb = t(s, d, "embeddings")
+      val src = emb.filter(col("vec_id") % 3 === 0)
+      val tgt = emb.filter(col("vec_id") % 3 === 1)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(emb.filter(col("vec_id") % 6 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            col("embedding")))
+      graft.operators.Bitext.minePairs(src, tgt, k = 4,
+          minMarginPpm = 1050000L)
+        .orderBy("src_id", "tgt_id")
+    }),
     "q_ann_srp" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
@@ -7813,6 +7836,51 @@ object SparkEntry {
                        % 10000 < 9500 THEN 'val'
                   ELSE 'test' END AS split
       FROM r ORDER BY doc_id""",
+    // Bitext mining replayed: both directions' integer-quantized
+    // cosine neighborhoods, the mutual-top-1 join, and the integer
+    // mean-of-means margin (CASE mirrors the engine's non-positive-
+    // denominator guard).
+    "q_bitext_mine" -> """
+      WITH src AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id % 3 = 0),
+      tgt AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 3 = 1
+        UNION ALL
+        SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+        FROM embeddings WHERE vec_id % 6 = 0),
+      p AS MATERIALIZED (
+        SELECT s.id AS src_id, t.id AS tgt_id,
+               CAST(round(list_cosine_similarity(s.v, t.v) * 1000000)
+                 AS BIGINT) AS cos_u
+        FROM src s CROSS JOIN tgt t),
+      sr AS MATERIALIZED (
+        SELECT src_id, tgt_id, cos_u, row_number() OVER (
+          PARTITION BY src_id ORDER BY cos_u DESC, tgt_id) AS rk FROM p),
+      ss AS (SELECT src_id, CAST(sum(cos_u) AS BIGINT) AS sum_s,
+                    CAST(count(*) AS BIGINT) AS n_s
+             FROM sr WHERE rk <= 4 GROUP BY 1),
+      sb AS (SELECT src_id, tgt_id, cos_u FROM sr WHERE rk = 1),
+      tr AS MATERIALIZED (
+        SELECT src_id, tgt_id, cos_u, row_number() OVER (
+          PARTITION BY tgt_id ORDER BY cos_u DESC, src_id) AS rk FROM p),
+      ts AS (SELECT tgt_id, CAST(sum(cos_u) AS BIGINT) AS sum_t,
+                    CAST(count(*) AS BIGINT) AS n_t
+             FROM tr WHERE rk <= 4 GROUP BY 1),
+      tb AS (SELECT tgt_id, src_id AS best_s FROM tr WHERE rk = 1),
+      mined AS (
+        SELECT sb.src_id, sb.tgt_id, sb.cos_u,
+               CASE WHEN ss.sum_s * ts.n_t + ts.sum_t * ss.n_s > 0
+                 THEN CAST((2000000 * sb.cos_u * ss.n_s * ts.n_t) //
+                   (ss.sum_s * ts.n_t + ts.sum_t * ss.n_s) AS BIGINT)
+                 ELSE CAST(0 AS BIGINT) END AS margin_ppm
+        FROM sb
+        JOIN tb ON tb.tgt_id = sb.tgt_id AND tb.best_s = sb.src_id
+        JOIN ss ON ss.src_id = sb.src_id
+        JOIN ts ON ts.tgt_id = sb.tgt_id)
+      SELECT src_id, tgt_id, cos_u, margin_ppm FROM mined
+      WHERE margin_ppm >= 1050000
+      ORDER BY src_id, tgt_id""",
     "q_ann_brute" -> """
       WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
                  FROM embeddings WHERE vec_id < 10),
