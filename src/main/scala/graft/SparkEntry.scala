@@ -4213,6 +4213,24 @@ object SparkEntry {
       asOf.unionAll(latest).select("which", "n_rows", "sum_qty")
         .orderBy("which")
     }),
+
+    // Pareto frontier (skyline): suppliers not strictly beaten on BOTH
+    // total spend (minimized) and line volume (maximized, negated into
+    // the minimized frame). The engine runs the band-partitioned skyline
+    // (Skyline.frontier — per-bucket windows + a P-row prefix-min
+    // broadcast, no all-pairs pass and no global window); the oracle is
+    // the textbook NOT EXISTS dominance test, valid because the band
+    // formulation is exact, not approximate.
+    "q_pareto" -> ((s, d) => {
+      val per = t(s, d, "lineitem")
+        .groupBy(col("l_suppkey").as("suppkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("cost_cents"), count(lit(1)).as("n_lines"))
+        .withColumn("neg_lines", -col("n_lines"))
+      graft.operators.Skyline.frontier(per, "cost_cents", "neg_lines")
+        .select("suppkey", "cost_cents", "n_lines")
+        .orderBy("suppkey")
+    }),
   )
 
   /** The SRP hyperplanes q_ann_srp uses, as DuckDB VALUES literals: the
@@ -8935,5 +8953,24 @@ object SparkEntry {
                round(sum(l_quantity), 2) AS sum_qty
         FROM lineitem WHERE l_orderkey % 3 IN (0, 1))
       ORDER BY which""",
+
+    // Skyline re-derived as the textbook NOT EXISTS dominance predicate —
+    // exact-value oracle is valid for the engine's band-partitioned
+    // formulation because banding never changes the answer, only the
+    // parallel decomposition.
+    "q_pareto" -> """
+      WITH per AS (
+        SELECT l_suppkey AS suppkey,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) AS cost_cents,
+               COUNT(*) AS n_lines
+        FROM lineitem GROUP BY 1)
+      SELECT p.suppkey, p.cost_cents, p.n_lines
+      FROM per p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM per q
+        WHERE q.cost_cents <= p.cost_cents AND q.n_lines >= p.n_lines
+          AND (q.cost_cents < p.cost_cents OR q.n_lines > p.n_lines))
+      ORDER BY suppkey""",
   )
 }
