@@ -4214,6 +4214,29 @@ object SparkEntry {
         .orderBy("which")
     }),
 
+    // k-anonymity by stepped global recoding: generalize the customer
+    // quasi-identifiers (nation, segment, balance band) up a fixed
+    // ladder until the under-k residue fits the suppression budget,
+    // then emit the chosen step's ≥k equivalence classes. The step
+    // search is metadata-priced (one aggregate per ladder step, two
+    // longs to the driver); the oracle replays the whole search —
+    // per-step residue counts, budget comparison, fallback — not just
+    // the final class table.
+    "q_kanon" -> ((s, d) =>
+      graft.operators.Anonymize.kAnonymize(t(s, d, "customer"), k = 3,
+        ladders = Seq(
+          graft.operators.Anonymize.Ladder("g_nat", Seq(
+            "CAST(c_nationkey AS STRING)",
+            "CAST(c_nationkey div 5 AS STRING)", "'*'")),
+          graft.operators.Anonymize.Ladder("g_seg", Seq(
+            "c_mktsegment", "c_mktsegment", "'*'")),
+          graft.operators.Anonymize.Ladder("g_bal", Seq(
+            "CAST(CAST(round(c_acctbal * 100) AS BIGINT) div 100000 AS STRING)",
+            "CAST(CAST(round(c_acctbal * 100) AS BIGINT) div 500000 AS STRING)",
+            "'*'"))),
+        maxSuppressedPpm = 200000L)
+        .orderBy("g_nat", "g_seg", "g_bal")),
+
     // Pareto frontier (skyline): suppliers not strictly beaten on BOTH
     // total spend (minimized) and line volume (maximized, negated into
     // the minimized frame). The engine runs the band-partitioned skyline
@@ -8953,6 +8976,43 @@ object SparkEntry {
                round(sum(l_quantity), 2) AS sum_qty
         FROM lineitem WHERE l_orderkey % 3 IN (0, 1))
       ORDER BY which""",
+
+    // k-anonymity re-derived: the oracle replays the STEP SEARCH (per-step
+    // under-k residues vs the 20% suppression budget, coarsest-step
+    // fallback), then emits the chosen step's ≥k classes. DuckDB `//`
+    // truncates toward zero exactly like Spark's `div` (verified on
+    // negatives — acctbal bands cross zero).
+    "q_kanon" -> """
+      WITH base AS (
+        SELECT c_nationkey AS nat, c_mktsegment AS seg,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+        FROM customer),
+      gen AS (
+        SELECT s,
+          CASE WHEN s = 0 THEN CAST(nat AS VARCHAR)
+               WHEN s = 1 THEN CAST(nat // 5 AS VARCHAR)
+               ELSE '*' END AS g_nat,
+          CASE WHEN s <= 1 THEN seg ELSE '*' END AS g_seg,
+          CASE WHEN s = 0 THEN CAST(bal // 100000 AS VARCHAR)
+               WHEN s = 1 THEN CAST(bal // 500000 AS VARCHAR)
+               ELSE '*' END AS g_bal
+        FROM base CROSS JOIN (SELECT unnest([0, 1, 2]) AS s)),
+      classes AS (
+        SELECT s, g_nat, g_seg, g_bal, COUNT(*) AS n
+        FROM gen GROUP BY 1, 2, 3, 4),
+      residue AS (
+        SELECT s, COALESCE(SUM(CASE WHEN n < 3 THEN n END), 0) AS viol,
+               SUM(n) AS tot
+        FROM classes GROUP BY 1),
+      chosen AS (
+        SELECT COALESCE(
+          (SELECT min(s) FROM residue WHERE viol * 1000000 <= tot * 200000),
+          2) AS s)
+      SELECT CAST(c.s AS INT) AS step, g_nat, g_seg, g_bal,
+             CAST(n AS BIGINT) AS n
+      FROM classes c JOIN chosen ch ON c.s = ch.s
+      WHERE n >= 3
+      ORDER BY g_nat, g_seg, g_bal""",
 
     // Skyline re-derived as the textbook NOT EXISTS dominance predicate —
     // exact-value oracle is valid for the engine's band-partitioned
