@@ -4214,6 +4214,25 @@ object SparkEntry {
         .orderBy("which")
     }),
 
+    // CUSUM changepoint detection (Page 1954) with planted ground truth:
+    // hourly event counts gain a +3/hour level shift from Jan 21 (the
+    // planted-structure pattern q_kcore uses), and the integer CUSUM
+    // fold must alarm shortly after — detection delay shrinks as the
+    // data (and so the signal-to-noise) grows, visible across the SFs.
+    // Per-key folds run inside one row each; the raw stream reduces to
+    // (type, hour) counts first, so nothing corpus-sized shuffles.
+    "q_changepoint" -> ((s, d) => {
+      val series = t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n", col("n") +
+          when(col("hour") >= lit("2024-01-21").cast("timestamp"), 3L)
+            .otherwise(0L))
+      graft.operators.Changepoint.cusum(series, "event_type", "hour", "n",
+          baseline = 48, slackTimesB = 48L, thresholdTimesB = 960L)
+        .orderBy("event_type")
+    }),
+
     // k-anonymity by stepped global recoding: generalize the customer
     // quasi-identifiers (nation, segment, balance band) up a fixed
     // ladder until the under-k residue fits the suppression budget,
@@ -8976,6 +8995,44 @@ object SparkEntry {
                round(sum(l_quantity), 2) AS sum_qty
         FROM lineitem WHERE l_orderkey % 3 IN (0, 1))
       ORDER BY which""",
+
+    // CUSUM re-derived as a recursive CTE: the max(0, S + B·v − bs −
+    // slackB) recurrence unrolls one series step per iteration (~700
+    // steps × 5 keys — bounded by the calendar). Pure integer state, so
+    // every S, max-S and alarm instant matches the Spark fold exactly.
+    "q_changepoint" -> """
+      WITH RECURSIVE series AS (
+        SELECT event_type AS k, date_trunc('hour', ts) AS t,
+               CAST(COUNT(*) AS BIGINT) +
+                 CASE WHEN date_trunc('hour', ts) >= TIMESTAMP '2024-01-21'
+                      THEN 3 ELSE 0 END AS v
+        FROM events GROUP BY event_type, date_trunc('hour', ts)),
+      idx AS (
+        SELECT k, t, v, ROW_NUMBER() OVER (PARTITION BY k ORDER BY t) AS i,
+               COUNT(*) OVER (PARTITION BY k) AS np FROM series),
+      base AS (
+        SELECT k, CAST(SUM(v) AS BIGINT) AS bs
+        FROM idx WHERE i <= 48 GROUP BY 1),
+      rec AS (
+        SELECT b.k, CAST(48 AS BIGINT) AS i, CAST(0 AS BIGINT) AS s,
+               CAST(0 AS BIGINT) AS mx, CAST(NULL AS TIMESTAMP) AS at
+        FROM base b
+        UNION ALL
+        SELECT r.k, r.i + 1,
+               greatest(r.s + 48 * x.v - b.bs - 48, 0),
+               greatest(r.mx, greatest(r.s + 48 * x.v - b.bs - 48, 0)),
+               COALESCE(r.at,
+                 CASE WHEN greatest(r.s + 48 * x.v - b.bs - 48, 0) > 960
+                      THEN x.t END)
+        FROM rec r JOIN idx x ON x.k = r.k AND x.i = r.i + 1
+        JOIN base b ON b.k = r.k)
+      SELECT r.k AS event_type, CAST(max(i.np) AS BIGINT) AS n_points,
+             CAST(max(b.bs) AS BIGINT) AS base_sum,
+             CAST(max(r.mx) FILTER (r.i = i.np) AS BIGINT) AS max_s,
+             max(r.at) FILTER (r.i = i.np) AS alarm_time
+      FROM rec r JOIN idx i ON i.k = r.k AND i.i = 1
+      JOIN base b ON b.k = r.k
+      GROUP BY 1 ORDER BY 1""",
 
     // k-anonymity re-derived: the oracle replays the STEP SEARCH (per-step
     // under-k residues vs the 20% suppression budget, coarsest-step
