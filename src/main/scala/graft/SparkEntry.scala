@@ -4214,6 +4214,50 @@ object SparkEntry {
         .orderBy("which")
     }),
 
+    // Cross-table atomic transaction: documents and their per-source
+    // stats move TOGETHER — one decided txn publishes both (src0+src1),
+    // an aborted txn (src2) leaves a trace in neither, and a later
+    // main-line insert into only the doc table (src3) shows what the
+    // txn's pinned snapshot protects against: the `main` face sees the
+    // now-inconsistent pair (src3 docs with no stats row) while the
+    // `txn_snapshot` face (readAt = version-pinned participants) stays
+    // consistent on every source. The oracle recomputes both faces from
+    // the base table.
+    "q_lake_multitxn" -> ((s, d) => {
+      import graft.lake.{LakeLog, LakeTable, MultiTxn}
+      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftmt"))
+      val docs = t(s, d, "documents").select("doc_id", "source", "n_chars")
+      def stats(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      LakeTable.createTable(log, "meta", docs.schema)
+      LakeTable.createTable(log, "stats", stats(docs).schema)
+      val committed = docs.filter(col("source").isin("src0", "src1"))
+      MultiTxn.stage(s, log, "t1", "meta", committed)
+      MultiTxn.stage(s, log, "t1", "stats", stats(committed))
+      MultiTxn.commit(s, log, "t1", Seq("meta", "stats"))
+      val aborted = docs.filter(col("source") === "src2")
+      MultiTxn.stage(s, log, "t2", "meta", aborted)
+      MultiTxn.stage(s, log, "t2", "stats", stats(aborted))
+      MultiTxn.abort(log, "t2", Seq("meta", "stats"))
+      LakeTable.insert(s, log, "meta",
+        docs.filter(col("source") === "src3"), txnId = "late-main")
+      def face(name: String, meta: org.apache.spark.sql.DataFrame,
+               st: org.apache.spark.sql.DataFrame) =
+        meta.groupBy("source").agg(count(lit(1)).as("n_meta"))
+          .join(st.withColumnRenamed("n_docs", "n_stats"),
+            Seq("source"), "full_outer")
+          .select(lit(name).as("face"), col("source"),
+            coalesce(col("n_meta"), lit(0L)).as("n_meta"),
+            coalesce(col("n_stats"), lit(0L)).as("n_stats"))
+      val snap = MultiTxn.readAt(s, log, "t1")
+      face("main", LakeTable.read(s, log, "meta"),
+          LakeTable.read(s, log, "stats"))
+        .unionByName(face("txn_snapshot", snap("meta"), snap("stats")))
+        .withColumn("consistent",
+          (col("n_meta") === col("n_stats")).cast("int"))
+        .orderBy("face", "source")
+    }),
+
     // CUSUM changepoint detection (Page 1954) with planted ground truth:
     // hourly event counts gain a +3/hour level shift from Jan 21 (the
     // planted-structure pattern q_kcore uses), and the integer CUSUM
@@ -8995,6 +9039,35 @@ object SparkEntry {
                round(sum(l_quantity), 2) AS sum_qty
         FROM lineitem WHERE l_orderkey % 3 IN (0, 1))
       ORDER BY which""",
+
+    // Multi-table txn re-derived: the committed txn's sources appear in
+    // both faces, the aborted one in neither, the late main-line-only
+    // insert (src3) only in the main face — where its stats row is the
+    // empty COALESCE and consistency flips to 0.
+    "q_lake_multitxn" -> """
+      WITH meta_main AS (
+        SELECT source, COUNT(*) AS n_meta FROM documents
+        WHERE source IN ('src0', 'src1', 'src3') GROUP BY 1),
+      stats_main AS (
+        SELECT source, COUNT(*) AS n_stats FROM documents
+        WHERE source IN ('src0', 'src1') GROUP BY 1),
+      meta_snap AS (
+        SELECT source, COUNT(*) AS n_meta FROM documents
+        WHERE source IN ('src0', 'src1') GROUP BY 1),
+      faces AS (
+        SELECT 'main' AS face, COALESCE(m.source, s.source) AS source,
+               COALESCE(m.n_meta, 0) AS n_meta,
+               COALESCE(s.n_stats, 0) AS n_stats
+        FROM meta_main m FULL OUTER JOIN stats_main s USING (source)
+        UNION ALL
+        SELECT 'txn_snapshot', m.source, m.n_meta,
+               COALESCE(s.n_stats, 0)
+        FROM meta_snap m FULL OUTER JOIN stats_main s USING (source))
+      SELECT face, source, CAST(n_meta AS BIGINT) AS n_meta,
+             CAST(n_stats AS BIGINT) AS n_stats,
+             CAST(CASE WHEN n_meta = n_stats THEN 1 ELSE 0 END AS INT)
+               AS consistent
+      FROM faces ORDER BY face, source""",
 
     // CUSUM re-derived as a recursive CTE: the max(0, S + B·v − bs −
     // slackB) recurrence unrolls one series step per iteration (~700
