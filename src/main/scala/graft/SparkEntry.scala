@@ -4214,6 +4214,48 @@ object SparkEntry {
         .orderBy("which")
     }),
 
+    // SCD Type 2 over the lake: three change batches against a customer
+    // dimension — initial load at t=0, a segment move (+balance bump on
+    // a subset) at t=1, a second move at t=2 whose keys chain
+    // close→reopen, plus a no-op CDC echo that must mint NO versions.
+    // Every version row carries integer (eff_from, eff_to, is_current),
+    // so the oracle derives the exact final dimension analytically from
+    // the base table. Sort key coalesces eff_to: Spark orders NULLS
+    // FIRST, DuckDB NULLS LAST — never sort oracle output on a nullable.
+    "q_lake_scd2" -> ((s, d) => {
+      import graft.lake.{LakeLog, LakeTable, Scd}
+      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftscd2"))
+      val base = t(s, d, "customer").select(
+        col("c_custkey").as("key"), col("c_mktsegment").as("seg"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal"))
+      Scd.create(log, "dim", base.schema)
+      Scd.applyBatch(s, log, "dim", base, "key", Seq("seg", "bal"), 0L, "b0")
+      val bump = when(col("key") % 10 === 0, 1000L).otherwise(0L)
+      val b1 = base.filter(col("key") % 4 === 0)
+        .select(col("key"), lit("MOVED").as("seg"),
+          (col("bal") + bump).as("bal"))
+        .unionByName(base.filter(col("key") % 50 === 0)
+          .select((col("key") + 1000000L).as("key"), col("seg"), col("bal")))
+      Scd.applyBatch(s, log, "dim", b1, "key", Seq("seg", "bal"), 1L, "b1")
+      val b2 = base.filter(col("key") % 8 === 0)
+        .select(col("key"), lit("MOVED2").as("seg"),
+          (col("bal") + bump).as("bal"))
+        .unionByName(base
+          .filter(col("key") % 7 === 0 && col("key") % 8 =!= 0)
+          .select(col("key"),
+            when(col("key") % 4 === 0, "MOVED").otherwise(col("seg"))
+              .as("seg"),
+            (col("bal") + when(col("key") % 4 === 0 &&
+              col("key") % 10 === 0, 1000L).otherwise(0L)).as("bal")))
+      Scd.applyBatch(s, log, "dim", b2, "key", Seq("seg", "bal"), 2L, "b2")
+      LakeTable.read(s, log, "dim")
+        .groupBy("eff_from", "eff_to", "is_current")
+        .agg(count(lit(1)).as("n"), sum("key").as("sum_key"),
+          sum("bal").as("sum_bal"))
+        .orderBy(col("eff_from"), coalesce(col("eff_to"), lit(-1L)),
+          col("is_current"))
+    }),
+
     // Cross-table atomic transaction: documents and their per-source
     // stats move TOGETHER — one decided txn publishes both (src0+src1),
     // an aborted txn (src2) leaves a trace in neither, and a later
@@ -9039,6 +9081,38 @@ object SparkEntry {
                round(sum(l_quantity), 2) AS sum_qty
         FROM lineitem WHERE l_orderkey % 3 IN (0, 1))
       ORDER BY which""",
+
+    // SCD2 re-derived analytically: each (eff_from, eff_to, is_current)
+    // stratum's membership is a pure function of the key's residues —
+    // %4 keys closed at 1, %8 keys re-closed at 2, %50 synthetics opened
+    // at 1, the %7 echo contributing nothing.
+    "q_lake_scd2" -> """
+      WITH base AS (
+        SELECT c_custkey AS key, c_mktsegment AS seg,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+        FROM customer),
+      vers AS (
+        SELECT key, bal, CAST(0 AS BIGINT) AS eff_from,
+               CASE WHEN key % 4 = 0 THEN CAST(1 AS BIGINT) END AS eff_to,
+               CASE WHEN key % 4 = 0 THEN 0 ELSE 1 END AS is_current
+        FROM base
+        UNION ALL
+        SELECT key, bal + CASE WHEN key % 10 = 0 THEN 1000 ELSE 0 END, 1,
+               CASE WHEN key % 8 = 0 THEN CAST(2 AS BIGINT) END,
+               CASE WHEN key % 8 = 0 THEN 0 ELSE 1 END
+        FROM base WHERE key % 4 = 0
+        UNION ALL
+        SELECT key + 1000000, bal, 1, NULL, 1
+        FROM base WHERE key % 50 = 0
+        UNION ALL
+        SELECT key, bal + CASE WHEN key % 10 = 0 THEN 1000 ELSE 0 END,
+               2, NULL, 1
+        FROM base WHERE key % 8 = 0)
+      SELECT eff_from, eff_to, is_current, COUNT(*) AS n,
+             CAST(SUM(key) AS BIGINT) AS sum_key,
+             CAST(SUM(bal) AS BIGINT) AS sum_bal
+      FROM vers GROUP BY 1, 2, 3
+      ORDER BY eff_from, coalesce(eff_to, -1), is_current""",
 
     // Multi-table txn re-derived: the committed txn's sources appear in
     // both faces, the aborted one in neither, the late main-line-only
