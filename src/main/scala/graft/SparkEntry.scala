@@ -4214,6 +4214,91 @@ object SparkEntry {
         .orderBy("which")
     }),
 
+    // Entity resolution: planted dirty re-crawls of customer (case-folded
+    // copies with drifted balances, "inc"-suffixed copies) resolve back
+    // to their source entity through multi-pass blocking (normalized
+    // name; (nation, $100-balance-band)), integer field-agreement
+    // scoring, and connected components over the match graph. Every
+    // edge requires name agreement (50 of the 80 threshold), so realized
+    // components are same-name cliques — the oracle's 2-hop min replay
+    // is exact. Output = entity-size histogram with id checksums: any
+    // mis-clustering anywhere moves it.
+    "q_entity_resolution" -> ((s, d) => {
+      import graft.operators.EntityResolution
+      val base = t(s, d, "customer").select(col("c_custkey").as("id"),
+        col("c_name").as("name"), col("c_mktsegment").as("seg"),
+        col("c_nationkey").as("nat"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal"))
+      val v1 = base.filter(col("id") % 3 === 0).select(
+        (col("id") + 1000000L).as("id"), upper(col("name")).as("name"),
+        col("seg"), col("nat"), (col("bal") + 37L).as("bal"))
+      val v2 = base.filter(col("id") % 9 === 0).select(
+        (col("id") + 2000000L).as("id"),
+        concat(col("name"), lit(" inc")).as("name"),
+        col("seg"), col("nat"), (col("bal") - 25L).as("bal"))
+      val records = base.unionByName(v1).unionByName(v2)
+        .withColumn("name_norm", regexp_replace(regexp_replace(
+          lower(col("name")), "\\b(inc|llc|ltd)\\b", ""),
+          "[^a-z0-9]", ""))
+      val matches = EntityResolution.matchPairs(records, "id",
+        blockExprs = Seq("name_norm",
+          "concat(cast(nat as string), '|', cast(bal div 10000 as string))"),
+        rules = Seq(("name_norm_a = name_norm_b", 50L),
+          ("abs(bal_a - bal_b) <= 100", 30L), ("seg_a = seg_b", 20L)),
+        threshold = 80L)
+      EntityResolution.entities(records, "id", matches)
+        .groupBy("entity").agg(count(lit(1)).as("n_records"),
+          sum("record_id").as("sum_id"))
+        .groupBy("n_records").agg(count(lit(1)).as("n_entities"),
+          sum("sum_id").as("checksum"))
+        .orderBy("n_records")
+    }),
+
+    // Partition-spec evolution (Iceberg UpdatePartitionSpec): half of
+    // lineitem lands flat, the spec flips to PARTITIONED BY
+    // (l_returnflag) in one metadata-only commit, the other half lands
+    // partitioned — nothing rewrites, the snapshot mixes layouts, and
+    // BOTH read paths reconstruct every row (legacy files reattach their
+    // own logged maps; current-spec files ride the FileIndex, where the
+    // probe's partition filter must actually prune). The `all` face
+    // aggregates the full mixed table; the `probe` face reads one
+    // partition through readIndexed with a pruning assert.
+    "q_lake_partition_evolution" -> ((s, d) => {
+      import graft.lake.{LakeLog, LakeTable}
+      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftpe"))
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+      LakeTable.createTable(log, "li", li.schema)
+      LakeTable.insert(s, log, "li",
+        li.filter(col("l_orderkey") % 2 === 0), txnId = "flat-half",
+        numFiles = 2)
+      log.alterPartitioning("li", Seq("l_returnflag"), "adopt-rf")
+      LakeTable.insert(s, log, "li",
+        li.filter(col("l_orderkey") % 2 =!= 0), txnId = "part-half",
+        numFiles = 2)
+      val specs = log.snapshot("li").files.map(_.partition.keySet).toSet
+      require(specs == Set(Set.empty[String], Set("l_returnflag")),
+        s"expected mixed layouts after spec evolution, got $specs")
+      val all = LakeTable.read(s, log, "li")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+        .withColumn("face", lit("all"))
+      val probe = LakeTable.readIndexed(s, log, "li")
+        .filter(col("l_returnflag") === "R")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+        .withColumn("face", lit("probe"))
+      val m = graft.Metrics.measure("pevo-probe", probe)
+      require(m.filesPruned > 0,
+        s"partition filter did not prune current-spec files " +
+          s"(scanned=${m.filesScanned})")
+      all.unionByName(probe)
+        .select("face", "l_returnflag", "n_rows", "sum_qty")
+        .orderBy("face", "l_returnflag")
+    }),
+
     // SCD Type 2 over the lake: three change batches against a customer
     // dimension — initial load at t=0, a segment move (+balance bump on
     // a subset) at t=1, a second move at t=2 whose keys chain
@@ -9081,6 +9166,75 @@ object SparkEntry {
                round(sum(l_quantity), 2) AS sum_qty
         FROM lineitem WHERE l_orderkey % 3 IN (0, 1))
       ORDER BY which""",
+
+    // Entity resolution re-derived: same planted variants, both blocking
+    // passes unioned DISTINCT, identical integer scoring, and the match
+    // graph collapsed by a 2-hop minimum — exact here because every edge
+    // requires name agreement, making components same-name cliques.
+    "q_entity_resolution" -> """
+      WITH base AS (
+        SELECT c_custkey AS id, c_name AS name, c_mktsegment AS seg,
+               c_nationkey AS nat,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+        FROM customer),
+      records AS (
+        SELECT id, name, seg, nat, bal FROM base
+        UNION ALL
+        SELECT id + 1000000, upper(name), seg, nat, bal + 37
+        FROM base WHERE id % 3 = 0
+        UNION ALL
+        SELECT id + 2000000, name || ' inc', seg, nat, bal - 25
+        FROM base WHERE id % 9 = 0),
+      recn AS (
+        SELECT *, regexp_replace(regexp_replace(lower(name),
+          '\b(inc|llc|ltd)\b', '', 'g'), '[^a-z0-9]', '', 'g') AS nn
+        FROM records),
+      cand AS (
+        SELECT DISTINCT a_id, b_id, na, nb, ba, bb, sa, sb FROM (
+          SELECT a.id AS a_id, b.id AS b_id, a.nn AS na, b.nn AS nb,
+                 a.bal AS ba, b.bal AS bb, a.seg AS sa, b.seg AS sb
+          FROM recn a JOIN recn b ON a.nn = b.nn AND a.id < b.id
+          UNION ALL
+          SELECT a.id, b.id, a.nn, b.nn, a.bal, b.bal, a.seg, b.seg
+          FROM recn a JOIN recn b
+            ON a.nat = b.nat AND a.bal // 10000 = b.bal // 10000
+               AND a.id < b.id)),
+      matches AS (
+        SELECT a_id, b_id FROM cand
+        WHERE (CASE WHEN na = nb THEN 50 ELSE 0 END) +
+              (CASE WHEN abs(ba - bb) <= 100 THEN 30 ELSE 0 END) +
+              (CASE WHEN sa = sb THEN 20 ELSE 0 END) >= 80),
+      edges AS (
+        SELECT a_id AS u, b_id AS v FROM matches
+        UNION SELECT b_id, a_id FROM matches),
+      nbr1 AS (
+        SELECT r.id, least(r.id, coalesce(min(e.v), r.id)) AS m1
+        FROM recn r LEFT JOIN edges e ON e.u = r.id GROUP BY r.id),
+      comp AS (
+        SELECT n.id, least(n.m1, coalesce(min(n2.m1), n.m1)) AS entity
+        FROM nbr1 n LEFT JOIN edges e ON e.u = n.id
+        LEFT JOIN nbr1 n2 ON n2.id = e.v
+        GROUP BY n.id, n.m1),
+      per AS (
+        SELECT entity, COUNT(*) AS n_records,
+               CAST(SUM(id) AS BIGINT) AS sum_id
+        FROM comp GROUP BY 1)
+      SELECT n_records, COUNT(*) AS n_entities,
+             CAST(SUM(sum_id) AS BIGINT) AS checksum
+      FROM per GROUP BY 1 ORDER BY 1""",
+
+    // Partition evolution re-derived: layouts are an engine-side detail —
+    // the oracle just aggregates the base table (both faces), proving the
+    // mixed-layout reconstruction loses and duplicates nothing.
+    "q_lake_partition_evolution" -> """
+      SELECT * FROM (
+        SELECT 'all' AS face, l_returnflag, count(*) AS n_rows,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY 2
+        UNION ALL
+        SELECT 'probe', l_returnflag, count(*), round(sum(l_quantity), 2)
+        FROM lineitem WHERE l_returnflag = 'R' GROUP BY 2)
+      ORDER BY face, l_returnflag""",
 
     // SCD2 re-derived analytically: each (eff_from, eff_to, is_current)
     // stratum's membership is a pure function of the key's residues —

@@ -40,6 +40,11 @@ import graft.lake.{Field, LakeLog, LakeTable, TableSchema}
   *                                            then "FROM" — forces the
   *                                            copy-on-write rewrite)
   *   ALTER TABLE t ADD COLUMN c type         (nullable schema evolution)
+  *   ALTER TABLE t SET PARTITIONED BY (c, ...)
+  *                                           (partition-spec evolution —
+  *                                            metadata-only; empty parens
+  *                                            return future writes to a
+  *                                            flat layout)
   *   OPTIMIZE t [WHERE <pred>] [ZORDER BY (c, ...)] [CURVE hilbert]
   *                                           (forced compaction; WHERE
   *                                            scopes it to the files the
@@ -160,6 +165,10 @@ object LakeSql {
     """(?is)\s*DESCRIBE\s+STATS\s+(\w+)\s*;?\s*""".r
   private val AlterDrop =
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*""".r
+  // partition-spec evolution (LakeLog.alterPartitioning): empty parens
+  // drop the spec (future writes land flat)
+  private val AlterPart =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+PARTITIONED\s+BY\s*\(([^)]*)\)\s*;?\s*""".r
   // Iceberg-style refs: immutable tags + movable branches over
   // versions (graft.lake.Refs)
   private val CreateTag =
@@ -253,6 +262,12 @@ object LakeSql {
           txnId = s"altadd-$table-$colName-${java.util.UUID.randomUUID()}")
         status(spark, "table" -> table, "added" -> colName,
           "version" -> r.version)
+      case AlterPart(table, colSpec) =>
+        val cols = colSpec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val r = log.alterPartitioning(table, cols,
+          txnId = s"altpart-$table-${java.util.UUID.randomUUID()}")
+        status(spark, "table" -> table,
+          "partitioned_by" -> cols.mkString(","), "version" -> r.version)
       case AddConstraint(table, name, pred) =>
         val r = LakeTable.addConstraint(spark, log, table, name, pred.trim,
           txnId = s"altck-$table-$name-${java.util.UUID.randomUUID()}")

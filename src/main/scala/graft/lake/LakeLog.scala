@@ -739,6 +739,42 @@ final class LakeLog(val root: Path, val checkpointInterval: Int = 10) {
     }
   }
 
+  /** Partition-spec evolution (Iceberg `UpdatePartitionSpec`): change the
+    * partition columns for FUTURE writes in one metadata-only commit.
+    * Existing files keep the layout (and the log-carried partition map)
+    * they were written under — readers reattach each file's OWN values,
+    * so a snapshot may mix layouts indefinitely; nothing rewrites. This
+    * is the whole point of spec evolution at 100 TB: repartitioning
+    * yesterday's petabyte to adopt a better layout for tomorrow's
+    * writes would be the scale failure, not the feature.
+    * [[evolveSchema]] deliberately refuses partition edits — field and
+    * layout evolution stay separate verbs with separate validation. */
+  def alterPartitioning(table: String, newPartCols: Seq[String],
+                        txnId: String): CommitResult =
+    lockFor(table).synchronized {
+      txnVersions(table).get(txnId) match {
+        case Some(v) =>
+          commitDuplicates.incrementAndGet()
+          CommitResult(v, duplicate = true)
+        case None =>
+          commitAttempts.incrementAndGet()
+          val latest = latestVersion(table)
+          val current = snapshot(table, latest).schema.getOrElse(
+            throw new LakeValidationException(s"table $table has no schema"))
+          if (current.partCols == newPartCols)
+            throw new LakeValidationException(
+              s"table $table is already partitioned by " +
+                s"(${newPartCols.mkString(", ")})")
+          val newSchema = current.copy(partition_columns =
+            if (newPartCols.isEmpty) None else Some(newPartCols))
+          validateSchema(newSchema)
+          val newVersion = latest + 1
+          writeEntry(table, LogEntry(newVersion, System.currentTimeMillis(),
+            txnId, Some(newSchema), Nil, Nil))
+          CommitResult(newVersion, duplicate = false)
+      }
+    }
+
   /** Persist ANALYZE results (advisory; stringified like file stats). */
   def setTableStats(table: String,
                     stats: Map[String, Map[String, String]],

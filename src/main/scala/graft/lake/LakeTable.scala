@@ -245,18 +245,24 @@ object LakeTable {
     * then unioned. Fine for maintenance paths; high-partition-count
     * interactive reads should use [[readIndexed]], which exposes the
     * partition columns through the `FileIndex` instead of a union.
+    *
+    * SPEC-AWARE: each file reattaches its OWN logged partition map, not
+    * the table's current spec — under partition evolution
+    * ([[LakeLog.alterPartitioning]]) one snapshot legitimately mixes
+    * layouts, and a file's physical columns are exactly (schema minus
+    * ITS OWN partition keys). The `partCols` parameter is gone for that
+    * reason: the truth is per-file.
     */
   private[lake] def readWithPartitions(spark: SparkSession, sch: TableSchema,
                                  st: StructType,
-                                 partCols: Seq[String],
                                  files: Seq[FileAdd]): DataFrame = {
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
-    val dataSt = dataStruct(st, partCols)
-    files.groupBy(f => partCols.map(f.partition(_))).map { case (vals, group) =>
-      val base = readFlat(spark, sch, dataSt, group)
-      val withParts = partCols.zip(vals).foldLeft(base) { case (df, (c, v)) =>
-        df.withColumn(c, partLit(v, st(c).dataType)) }
+    files.groupBy(_.partition).map { case (pmap, group) =>
+      val gCols = st.fieldNames.toSeq.filter(pmap.contains)
+      val base = readFlat(spark, sch, dataStruct(st, gCols), group)
+      val withParts = gCols.foldLeft(base) { case (df, c) =>
+        df.withColumn(c, partLit(pmap(c), st(c).dataType)) }
       withParts.select(st.fieldNames.toSeq.map(col): _*)
     }.reduce(_ unionAll _)
   }
@@ -274,7 +280,7 @@ object LakeTable {
     if (snap.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
     else if (sch.partCols.nonEmpty)
-      readWithPartitions(spark, sch, st, sch.partCols, snap.files)
+      readWithPartitions(spark, sch, st, snap.files)
     else readFlat(spark, sch, st, snap.files)
   }
 
@@ -300,9 +306,18 @@ object LakeTable {
     // a scan): they union in via the maintenance read path and rejoin the
     // stat-pruned fast path when compaction materializes their DVs. The
     // untouched majority of a big table keeps full planning-time pruning.
-    val (dvd, plain) = snap.files.partition(_.dvRows > 0)
+    // LEGACY-SPEC files (written before an alterPartitioning) take the
+    // same detour: the FileIndex speaks one partition schema — the
+    // current spec — and a legacy file's physical columns differ; its
+    // partition values reattach as per-group literals instead (filters
+    // on them still constant-fold group-wise at planning time).
+    val curSpec = partCols.toSet
+    val (specFiles, legacy) = snap.files.partition(
+      _.partition.keySet == curSpec)
+    val (dvd0, plain) = specFiles.partition(_.dvRows > 0)
+    val dvd = dvd0 ++ legacy
     if (plain.isEmpty)
-      return readWithPartitions(spark, sch, st, partCols, dvd)
+      return readWithPartitions(spark, sch, st, dvd)
     // the scan speaks PHYSICAL column names (what the files and the
     // log's stats contain); filters pushed through the alias projection
     // below arrive already rewritten to physical attributes, so the
@@ -322,7 +337,7 @@ object LakeTable {
       .baseRelationToDataFrame(relation)
       .select(st.fieldNames.toSeq.map(n => col(sch.physFor(n)).as(n)): _*)
     if (dvd.isEmpty) indexed
-    else indexed.unionAll(readWithPartitions(spark, sch, st, partCols, dvd))
+    else indexed.unionAll(readWithPartitions(spark, sch, st, dvd))
   }
 
   /** Stat-pruned read: drop files whose [min,max] range for the predicate
@@ -342,7 +357,7 @@ object LakeTable {
     // predicates prune here exactly like data predicates
     val kept = FilePruning.prune(snap.files, physExpr(predicate, sch),
       physStruct(st, sch))
-    readWithPartitions(spark, sch, st, sch.partCols, kept)
+    readWithPartitions(spark, sch, st, kept)
       .filter(QueryEngine.parsePredicate(predicate))
   }
 
@@ -771,8 +786,6 @@ object LakeTable {
       return CompactionReport(0, 0, 0, 0, snap.version)
     val sch = snap.schema.get
     val st = toStructType(sch)
-    val partCols = sch.partCols
-    val dataSt = dataStruct(st, partCols)
     // OPTIMIZE ... WHERE: restrict the candidate set to files the
     // predicate can touch (log stats / partition values — zero data I/O).
     // At 100 TB "optimize yesterday's partition" must price as that
@@ -785,8 +798,12 @@ object LakeTable {
       case None => snap.files
     }
     // a compaction group never crosses partition boundaries — merging files
-    // of different partition values would break partition placement
-    val sizeGroups = scopedFiles.groupBy(f => partCols.map(f.partition(_)))
+    // of different partition values would break partition placement. The
+    // key is each file's OWN partition map (not the current spec): under
+    // partition evolution a snapshot mixes layouts, and compaction
+    // preserves each file's spec (Iceberg rewrites within a spec too) —
+    // a legacy group's output keeps the legacy map
+    val sizeGroups = scopedFiles.groupBy(_.partition)
       .values.toSeq.sortBy(_.head.path)
       .flatMap(fs => planCompaction(snap.copy(files = fs), cfg))
     // DV materialization: files over the deleted-fraction threshold (or any
@@ -804,11 +821,14 @@ object LakeTable {
       val staged = log.tmpDir(table, txnId)
       // the group shares one partition value vector: merge the flat data
       // files (minus any DV'd positions — a compacted file materializes its
-      // deletes) and carry the partition map through to the new FileAdd
-      val merged = readFlat(spark, sch, dataSt, group)
+      // deletes) and carry the partition map through to the new FileAdd.
+      // Physical layout follows the GROUP's spec, not the current one
+      val gPartCols = st.fieldNames.toSeq
+        .filter(group.head.partition.contains)
+      val merged = readFlat(spark, sch, dataStruct(st, gPartCols), group)
       // partition columns are constant within a group — drop them from the
       // z-order key (they're not in the data files either)
-      val zCols = cfg.zOrderBy.filterNot(partCols.contains)
+      val zCols = cfg.zOrderBy.filterNot(gPartCols.contains)
       val rewritten =
         if (zCols.nonEmpty)
           merged.withColumn("__z",
@@ -822,7 +842,7 @@ object LakeTable {
       }
       try {
         val adds = statAndPromote(spark, log, table, staged, sch, st, rewrite = true,
-          partCols = partCols, partition = group.head.partition,
+          partCols = gPartCols, partition = group.head.partition,
           bloomCols = sch.bloomCols)
         val inputPaths = group.map(_.path)
         // inputs must be unchanged INCLUDING their dv refs — a concurrent
@@ -884,7 +904,7 @@ object LakeTable {
     // predicate keeps the row, so retain !coalesce(pred, false), not !pred.
     // Partitioned tables reconstruct partition columns before evaluating
     // (the predicate may reference them) and re-split on write.
-    val retained = readWithPartitions(spark, sch, st, partCols, candidates)
+    val retained = readWithPartitions(spark, sch, st, candidates)
       .filter(!coalesce(pred, lit(false)))
     withStatFriendlyWrites(spark) {
       toPhys(retained.coalesce(math.max(1, candidates.size)), sch)
@@ -976,7 +996,7 @@ object LakeTable {
     val hit = coalesce(pred, lit(false))
     val setFor = sets.toMap
     val staged = log.tmpDir(table, txnId)
-    val src = readWithPartitions(spark, sch, st, partCols, candidates)
+    val src = readWithPartitions(spark, sch, st, candidates)
     val updated = src.select(st.fields.map { f =>
       setFor.get(f.name) match {
         case Some(e) =>
@@ -1199,7 +1219,7 @@ object LakeTable {
         else {
           // NULL predicate keeps the row (same rule as SQL DELETE):
           // replaced = pred IS TRUE, survivors = everything else
-          val retained = readWithPartitions(spark, sch, st, partCols, candidates)
+          val retained = readWithPartitions(spark, sch, st, candidates)
             .filter(!coalesce(pred, lit(false)))
           withStatFriendlyWrites(spark) {
             toPhys(retained.coalesce(math.max(1, candidates.size)), sch)
@@ -1445,7 +1465,7 @@ object LakeTable {
     // upserted rows without replaying the rewritten survivors
     withStatFriendlyWrites(spark) {
       if (candidates.nonEmpty)
-        toPhys(readWithPartitions(spark, sch, st, partCols, candidates)
+        toPhys(readWithPartitions(spark, sch, st, candidates)
             .join(keys, Seq(keyCol), "left_anti")
             .coalesce(candidates.size), sch)
           .write.mode("overwrite").option("compression", "snappy")
@@ -1508,7 +1528,7 @@ object LakeTable {
       .filter(v => v > fromVersion && v <= to)
       .map(v => log.readEntry(table, v))
       .flatMap(_.adds.filterNot(_.rewrite))
-    readWithPartitions(spark, sch, st, sch.partCols, addedFiles)
+    readWithPartitions(spark, sch, st, addedFiles)
   }
 
   /** Rows DELETED via deletion-vector growth across `(fromVersion,
@@ -1680,7 +1700,7 @@ object LakeTable {
       val base =
         if (files.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
-        else readWithPartitions(spark, sch, st, sch.partCols, files)
+        else readWithPartitions(spark, sch, st, files)
       base.select(keyCols.map(col) ++
         valCols.map(c => col(c).as(s"${tag}_$c")): _*)
     }

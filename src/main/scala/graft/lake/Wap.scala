@@ -126,7 +126,7 @@ object Wap {
     val st = LakeTable.toStructType(sch)
     val files = snap.files ++ b.adds
     if (sch.partCols.nonEmpty)
-      LakeTable.readWithPartitions(spark, sch, st, sch.partCols, files)
+      LakeTable.readWithPartitions(spark, sch, st, files)
     else LakeTable.readFlat(spark, sch, st, files)
   }
 
@@ -144,7 +144,7 @@ object Wap {
       throw new LakeValidationException(s"table $table has no schema"))
     val st = LakeTable.toStructType(sch)
     if (sch.partCols.nonEmpty)
-      LakeTable.readWithPartitions(spark, sch, st, sch.partCols, b.adds)
+      LakeTable.readWithPartitions(spark, sch, st, b.adds)
     else LakeTable.readFlat(spark, sch, st, b.adds)
   }
 
