@@ -4214,6 +4214,51 @@ object SparkEntry {
         .orderBy("which")
     }),
 
+    // Late-data dead-letter routing: where a watermark silently DROPS
+    // stragglers, this sink quarantines them. Three deterministic
+    // micro-batches (lake-source versions: two date windows, then the
+    // window-2 remainder plus id%13 stragglers of ANY age); each batch
+    // splits against the durable watermark of the PREVIOUS batches only
+    // (max ts so far − 1h), so the old stragglers land in the `late`
+    // table and everything else flows on-time — all three appends per
+    // batch txn-idempotent. The oracle replays batch assignment,
+    // cumulative-max watermarks and the split.
+    "q_stream_late" -> ((s, d) => withShufflePartitions(s, 4) {
+      import graft.lake.{LakeLog, LakeTable}
+      import graft.streaming.Streams
+      val ev = t(s, d, "events").select("ts", "event_id", "event_type")
+      val tmp = java.nio.file.Files.createTempDirectory("graftlate")
+      val log = new LakeLog(tmp.resolve("lake"))
+      val batchOf =
+        when(col("event_id") % 13 === 0, 2)
+          .when(col("ts") < lit("2024-01-11").cast("timestamp"), 0)
+          .when(col("ts") < lit("2024-01-21").cast("timestamp"), 1)
+          .otherwise(2)
+      LakeTable.createTable(log, "src", ev.schema)
+      for (t0 <- Seq("ontime", "late"))
+        LakeTable.createTable(log, t0, ev.schema)
+      LakeTable.createTable(log, "wm",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("batch_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("max_ts",
+            org.apache.spark.sql.types.TimestampType))))
+      (0 to 2).foreach(b => LakeTable.insert(s, log, "src",
+        ev.filter(batchOf === b), txnId = s"slice-$b"))
+      val q = Streams.lateRoutingSinkToLake(
+        Streams.lakeStream(s, log, "src", maxVersionsPerBatch = Some(1L)),
+        log, "ontime", "late", "wm", "ts", latenessMs = 3600L * 1000L,
+        tmp.resolve("ckpt").toString)
+      q.processAllAvailable(); q.stop()
+      def face(name: String, table: String) =
+        LakeTable.read(s, log, table).groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("event_id").as("checksum"))
+          .withColumn("face", lit(name))
+      face("ontime", "ontime").unionByName(face("late", "late"))
+        .select("face", "event_type", "n", "checksum")
+        .orderBy("face", "event_type")
+    }),
+
     // Entity resolution: planted dirty re-crawls of customer (case-folded
     // copies with drifted balances, "inc"-suffixed copies) resolve back
     // to their source entity through multi-pass blocking (normalized
@@ -9166,6 +9211,32 @@ object SparkEntry {
                round(sum(l_quantity), 2) AS sum_qty
         FROM lineitem WHERE l_orderkey % 3 IN (0, 1))
       ORDER BY which""",
+
+    // Late routing re-derived: batch assignment is a pure row function,
+    // the watermark a strictly-earlier-batch cumulative max minus the
+    // lateness, the split a comparison — all on microsecond-exact
+    // timestamps.
+    "q_stream_late" -> """
+      WITH b AS (
+        SELECT ts, event_id, event_type,
+               CASE WHEN event_id % 13 = 0 THEN 2
+                    WHEN ts < TIMESTAMP '2024-01-11' THEN 0
+                    WHEN ts < TIMESTAMP '2024-01-21' THEN 1
+                    ELSE 2 END AS batch
+        FROM events),
+      m AS (SELECT batch, max(ts) AS mx FROM b GROUP BY 1),
+      wm AS (
+        SELECT b0.batch, max(m.mx) - INTERVAL 1 HOUR AS w
+        FROM (SELECT DISTINCT batch FROM b) b0
+        JOIN m ON m.batch < b0.batch GROUP BY 1),
+      lab AS (
+        SELECT b.event_type, b.event_id,
+               CASE WHEN w.w IS NOT NULL AND b.ts < w.w
+                    THEN 'late' ELSE 'ontime' END AS face
+        FROM b LEFT JOIN wm w ON w.batch = b.batch)
+      SELECT face, event_type, COUNT(*) AS n,
+             CAST(SUM(event_id) AS BIGINT) AS checksum
+      FROM lab GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // Entity resolution re-derived: same planted variants, both blocking
     // passes unioned DISTINCT, identical integer scoring, and the match

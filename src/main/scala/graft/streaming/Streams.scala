@@ -247,6 +247,59 @@ object Streams {
       .start()
   }
 
+  /** Late-data DEAD-LETTER routing — the accountability face of the
+    * watermark: where a built-in watermarked aggregation silently DROPS
+    * rows older than the watermark, this sink routes them to a
+    * quarantine table for backfill/monitoring and sends only on-time
+    * rows onward. Each micro-batch evaluates against the watermark of
+    * the PREVIOUS batches only (max event time seen so far − lateness),
+    * read from a durable one-row-per-batch state table — so a replayed
+    * batch recomputes the identical split (its own row is excluded by
+    * `batch_id < current`), and every write is txn-idempotent: the
+    * three appends (on-time, late, watermark row) each carry a
+    * batch-scoped txn id. State is ONE (batch_id, max_ts) row per
+    * batch — bounded by batch count, never by data.
+    */
+  def lateRoutingSinkToLake(stream: DataFrame, log: graft.lake.LakeLog,
+                            onTimeTable: String, lateTable: String,
+                            wmTable: String, tsCol: String,
+                            latenessMs: Long, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val appId = appIdFor(checkpointDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val s = batch0.sparkSession
+        val batch = batch0.localCheckpoint() // read 3× below: split + max
+        // watermark from EARLIER batches only — replay-deterministic even
+        // when this batch's own wm row already landed before a crash
+        val prevMax = graft.lake.LakeTable.read(s, log, wmTable)
+          .filter(col("batch_id") < batchId)
+          .agg(max("max_ts")).head.getTimestamp(0)
+        val isLate =
+          if (prevMax == null) lit(false)
+          else col(tsCol) < lit(new java.sql.Timestamp(
+            prevMax.getTime - latenessMs))
+        graft.lake.LakeTable.insert(s, log, onTimeTable,
+          batch.filter(!isLate), txnId = s"on-$appId-$batchId")
+        graft.lake.LakeTable.insert(s, log, lateTable,
+          batch.filter(isLate), txnId = s"late-$appId-$batchId")
+        val batchMax = batch.agg(max(col(tsCol))).head.getTimestamp(0)
+        val newMax =
+          if (batchMax == null) prevMax
+          else if (prevMax == null || batchMax.after(prevMax)) batchMax
+          else prevMax
+        if (newMax != null) {
+          import s.implicits._
+          graft.lake.LakeTable.insert(s, log, wmTable,
+            Seq((batchId, newMax)).toDF("batch_id", "max_ts"),
+            txnId = s"wm-$appId-$batchId")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming SEMANTIC dedup into a lake table: each micro-batch of
     * (id, embedding) rows is assigned against a FROZEN codebook
     * ([[graft.operators.Dedup.semanticDupPairsWithCentroids]] machinery),
