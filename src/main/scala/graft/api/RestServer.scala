@@ -43,6 +43,11 @@ import graft.lake.{Field, LakeLog, LakeTable, TableSchema, Wap}
   * [[graft.lake.Wap]] — `POST /tables/{t}/wap/{id}` stages a batch,
   * `GET .../wap[/{id}]` lists/audits, `POST .../wap/{id}/publish` adopts it
   * atomically, `DELETE .../wap/{id}` aborts.
+  * [[graft.lake.MultiTxn]] — `POST /txns/{id}/stage/{t}` stages a
+  * participant, `POST /txns/{id}/commit` decides + rolls forward,
+  * `POST /txns/{id}/abort` discards an undecided txn,
+  * `POST /txns/recover` is the crash-recovery sweep,
+  * `GET /txns/{id}` reports undecided|decided|done.
   *
   * Single-driver scope: the listener binds one port on the Spark driver (the
   * reference's coordinator process). `port = 0` binds an ephemeral port
@@ -120,6 +125,11 @@ final class RestServer(spark: SparkSession, log: LakeLog,
           wapPublish(ex, t, id)
         case ("DELETE", List("tables", t, "wap", id)) =>
           wapAbort(ex, t, id)
+        case ("POST", List("txns", id, "stage", t))  => txnStage(ex, id, t)
+        case ("POST", List("txns", id, "commit"))    => txnCommit(ex, id)
+        case ("POST", List("txns", id, "abort"))     => txnAbort(ex, id)
+        case ("POST", List("txns", "recover"))       => txnRecover(ex)
+        case ("GET", List("txns", id))               => txnStatus(ex, id)
         case ("GET", List("tables", t, "compaction", "status")) =>
           compactionStatus(ex, t)
         case ("GET", List("tables", t, "compaction", "metrics")) =>
@@ -406,6 +416,72 @@ final class RestServer(spark: SparkSession, log: LakeLog,
   private def wapAbort(ex: HttpExchange, table: String, id: String): Unit = {
     Wap.abort(log, table, id)
     respondJson(ex, 200, Map("aborted" -> id))
+  }
+
+  /** POST /txns/{id}/stage/{t}: `{data: [...]}` — stage one participant
+    * of a cross-table transaction ([[graft.lake.MultiTxn]]). */
+  private def txnStage(ex: HttpExchange, id: String, table: String): Unit = {
+    if (!log.tableExists(table))
+      return textError(ex, 404, s"table $table does not exist")
+    val req = readMap(ex)
+    val rows = req.get("data") match {
+      case Some(rs: Seq[Any] @unchecked) =>
+        rs.map(r => mapper.writeValueAsString(r))
+      case _ => return textError(ex, 400, "Missing data rows")
+    }
+    val st = LakeTable.toStructType(log.snapshot(table).schema.get)
+    val df = spark.read.schema(st).option("mode", "FAILFAST")
+      .json(spark.createDataset(rows)(org.apache.spark.sql.Encoders.STRING))
+    graft.lake.MultiTxn.stage(spark, log, id, table, df)
+    respondJson(ex, 200, Map("txn" -> id, "staged" -> table))
+  }
+
+  /** POST /txns/{id}/commit: `{tables: [...]}` — decide + roll forward;
+    * idempotent (a replay returns the recorded versions). */
+  private def txnCommit(ex: HttpExchange, id: String): Unit = {
+    val req = readMap(ex)
+    val tables = req.get("tables") match {
+      case Some(ts: Seq[Any] @unchecked) => ts.map(_.toString)
+      case _ => return textError(ex, 400, "Missing tables")
+    }
+    val versions = graft.lake.MultiTxn.commit(spark, log, id, tables)
+    respondJson(ex, 200, Map("txn" -> id, "committed" -> true,
+      "versions" -> versions))
+  }
+
+  /** POST /txns/{id}/abort: `{tables: [...]}` — discard an UNDECIDED
+    * txn's stages (a decided txn refuses: it can only roll forward). */
+  private def txnAbort(ex: HttpExchange, id: String): Unit = {
+    val req = readMap(ex)
+    val tables = req.get("tables") match {
+      case Some(ts: Seq[Any] @unchecked) => ts.map(_.toString)
+      case _ => return textError(ex, 400, "Missing tables")
+    }
+    graft.lake.MultiTxn.abort(log, id, tables)
+    respondJson(ex, 200, Map("txn" -> id, "aborted" -> true))
+  }
+
+  /** POST /txns/recover: drive every decided-but-unfinished txn to done
+    * (crash recovery — the startup sweep as an endpoint). */
+  private def txnRecover(ex: HttpExchange): Unit = {
+    val driven = graft.lake.MultiTxn.recover(spark, log)
+    respondJson(ex, 200, Map("recovered" -> driven))
+  }
+
+  /** GET /txns/{id}: undecided | decided | done (+ recorded versions). */
+  private def txnStatus(ex: HttpExchange, id: String): Unit = {
+    graft.lake.MultiTxn.done(log, id) match {
+      case Some(r) =>
+        respondJson(ex, 200, Map("txn" -> id, "state" -> "done",
+          "tables" -> r.tables, "versions" -> r.versionMap))
+      case None => graft.lake.MultiTxn.intent(log, id) match {
+        case Some(r) =>
+          respondJson(ex, 200, Map("txn" -> id, "state" -> "decided",
+            "tables" -> r.tables))
+        case None =>
+          respondJson(ex, 200, Map("txn" -> id, "state" -> "undecided"))
+      }
+    }
   }
 
   /** POST /query (`rest_api.go:714-739`, mocked there): `{sql}` → REAL

@@ -483,6 +483,42 @@ class RestServerSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("cross-table txn over REST: stage both, commit once, abort path") {
+    for (t <- Seq("mta", "mtb"))
+      assert(post("/tables", s"""{
+        "name": "$t",
+        "schema": {"fields": [
+          {"name": "id", "type": "int64", "nullable": false}]}}""")
+        .status == 200)
+    assert(get("/txns/rt1").json("state") == "undecided")
+    assert(post("/txns/rt1/stage/mta",
+      """{"data": [{"id": 1}]}""").status == 200)
+    assert(post("/txns/rt1/stage/mtb",
+      """{"data": [{"id": 2}]}""").status == 200)
+    // neither participant visible before the decision
+    def count(t: String) = post("/query",
+      s"""{"sql": "SELECT count(*) AS n FROM $t"}""").json("results")
+      .asInstanceOf[Seq[Map[String, Any]]].head("n")
+      .asInstanceOf[Number].longValue
+    assert(count("mta") == 0L && count("mtb") == 0L)
+    val c = post("/txns/rt1/commit", """{"tables": ["mta", "mtb"]}""").json
+    assert(c("committed") == true)
+    assert(count("mta") == 1L && count("mtb") == 1L)
+    assert(get("/txns/rt1").json("state") == "done")
+    // replayed commit returns the same versions
+    val c2 = post("/txns/rt1/commit", """{"tables": ["mta", "mtb"]}""").json
+    assert(c2("versions") == c("versions"))
+    // a decided txn refuses abort; an undecided one discards its stages
+    assert(post("/txns/rt1/abort",
+      """{"tables": ["mta", "mtb"]}""").status == 400)
+    assert(post("/txns/rt2/stage/mta",
+      """{"data": [{"id": 9}]}""").status == 200)
+    assert(post("/txns/rt2/abort", """{"tables": ["mta"]}""").status == 200)
+    assert(count("mta") == 1L)
+    assert(post("/txns/recover", "{}").json("recovered")
+      .asInstanceOf[Seq[_]].isEmpty)
+  }
+
   test("grafana datasource provisioning matches the dashboard's source") {
     def read(f: String) = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(f)), StandardCharsets.UTF_8)
