@@ -4214,6 +4214,20 @@ object SparkEntry {
         .orderBy("which")
     }),
 
+    // WordPiece tokenization: deterministic piece inventory (all ≤4-char
+    // word substrings clearing the count floor; single chars always, the
+    // coverage rule that makes [UNK] unreachable on corpus words), then
+    // greedy longest-match-first encoding per DISTINCT word, weighted
+    // back by corpus counts. The oracle rebuilds the inventory and
+    // replays maximal munch as a recursive CTE over word positions.
+    "q_tokenize_wordpiece" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = graft.operators.WordPiece.train(docs, maxPieceLen = 4,
+        minCount = 20L)
+      graft.operators.WordPiece.pieceCounts(docs, model)
+        .orderBy(col("n").desc, col("piece")).limit(40)
+    }),
+
     // Late-data dead-letter routing: where a watermark silently DROPS
     // stragglers, this sink quarantines them. Three deterministic
     // micro-batches (lake-source versions: two date windows, then the
@@ -9211,6 +9225,50 @@ object SparkEntry {
                round(sum(l_quantity), 2) AS sum_qty
         FROM lineitem WHERE l_orderkey % 3 IN (0, 1))
       ORDER BY which""",
+
+    // WordPiece re-derived: inventory from the same substring counts,
+    // maximal munch as a recursive CTE — (word, pos) advances by the MAX
+    // matching piece length; coverage makes the recursion total.
+    "q_tokenize_wordpiece" -> """
+      WITH RECURSIVE words AS (
+        SELECT w, COUNT(*) AS c FROM (
+          SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '')) AS w
+          FROM documents) GROUP BY 1),
+      cand AS (
+        SELECT CASE WHEN p = 1 THEN substr(w, p, l)
+                    ELSE '##' || substr(w, p, l) END AS piece,
+               SUM(c) AS n
+        FROM words,
+             UNNEST(range(1, len(w) + 1)) AS t(p),
+             UNNEST(range(1, least(4, len(w) - p + 1) + 1)) AS u(l)
+        GROUP BY 1),
+      vocab AS (
+        SELECT piece FROM cand
+        WHERE n >= 20 OR length(piece) = 1
+           OR (length(piece) = 3 AND substr(piece, 1, 2) = '##')),
+      matches AS (
+        SELECT w, p AS pos, max(l) AS best
+        FROM (SELECT w.w, t.p, u.l
+              FROM words w,
+                   UNNEST(range(1, len(w.w) + 1)) AS t(p),
+                   UNNEST(range(1, least(4, len(w.w) - t.p + 1) + 1)) AS u(l)
+              WHERE (CASE WHEN t.p = 1 THEN substr(w.w, t.p, u.l)
+                          ELSE '##' || substr(w.w, t.p, u.l) END)
+                    IN (SELECT piece FROM vocab))
+        GROUP BY 1, 2),
+      rec AS (
+        SELECT w, CAST(1 AS BIGINT) AS pos FROM words
+        UNION ALL
+        SELECT r.w, r.pos + m.best
+        FROM rec r JOIN matches m ON m.w = r.w AND m.pos = r.pos),
+      emitted AS (
+        SELECT r.w, CASE WHEN r.pos = 1 THEN substr(r.w, 1, m.best)
+                         ELSE '##' || substr(r.w, r.pos, m.best) END AS piece
+        FROM rec r JOIN matches m ON m.w = r.w AND m.pos = r.pos)
+      SELECT e.piece, CAST(SUM(wd.c) AS BIGINT) AS n
+      FROM emitted e JOIN words wd ON wd.w = e.w
+      GROUP BY 1 ORDER BY n DESC, piece LIMIT 40""",
 
     // Late routing re-derived: batch assignment is a pure row function,
     // the watermark a strictly-earlier-batch cumulative max minus the
