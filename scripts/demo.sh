@@ -38,6 +38,12 @@ cleanup() {
   # kill the whole process group sbt forked (sbt -> forked JVM)
   kill "$SBT_PID" 2>/dev/null || true
   pkill -f "graft.Serve" 2>/dev/null || true
+  # the forked JVM's argv is `java @argfile` — pkill -f misses it; an
+  # orphan keeps the port (and its stale tables) for the NEXT demo run,
+  # which then fails on CREATE TABLE. Kill whoever still holds the port.
+  SRV=$(ss -ltnp 2>/dev/null | grep ":$PORT " | grep -oE 'pid=[0-9]+' \
+    | head -1 | cut -d= -f2)
+  [ -n "${SRV:-}" ] && kill "$SRV" 2>/dev/null || true
   wait "$SBT_PID" 2>/dev/null || true
 }
 trap cleanup EXIT
@@ -165,6 +171,25 @@ post "/tables/$TABLE/wap/restock-1/publish" '{}' | jq .
 N=$(post /query '{"sql": "SELECT COUNT(*) AS n FROM '$TABLE'"}' | jq '.results[0].n')
 [ "$N" = 12 ] || { echo "ERROR: expected 12 rows after publish, got $N"; exit 1; }
 echo "published atomically: 12 rows ✓"
+
+step "Step 12: cross-table atomic transaction"
+post /query '{"sql": "CREATE TABLE sales_audit (id int64, note string)"}' | jq .results
+post "/txns/q1-close/stage/$TABLE" '{
+  "data": [{"id": 13, "product": "Desk", "category": "Furniture", "amount": 199.99, "quantity": 1, "sale_date": "2024-01-21"}]}' | jq .
+post "/txns/q1-close/stage/sales_audit" '{
+  "data": [{"id": 13, "note": "q1 close batch"}]}' | jq .
+STATE=$(curl -sf "$BASE/txns/q1-close" | jq -r .state)
+[ "$STATE" = "undecided" ] || { echo "ERROR: expected undecided, got $STATE"; exit 1; }
+N=$(post /query '{"sql": "SELECT COUNT(*) AS n FROM '$TABLE'"}' | jq '.results[0].n')
+[ "$N" = 12 ] || { echo "ERROR: staged rows leaked before commit (n=$N)"; exit 1; }
+echo "both participants staged, nothing visible ✓"
+post "/txns/q1-close/commit" '{"tables": ["'$TABLE'", "sales_audit"]}' | jq .
+N=$(post /query '{"sql": "SELECT COUNT(*) AS n FROM '$TABLE'"}' | jq '.results[0].n')
+M=$(post /query '{"sql": "SELECT COUNT(*) AS n FROM sales_audit"}' | jq '.results[0].n')
+[ "$N" = 13 ] && [ "$M" = 1 ] || { echo "ERROR: after commit n=$N m=$M"; exit 1; }
+STATE=$(curl -sf "$BASE/txns/q1-close" | jq -r .state)
+[ "$STATE" = "done" ] || { echo "ERROR: expected done, got $STATE"; exit 1; }
+echo "one decision published both tables atomically ✓"
 
 echo
 echo "=== demo completed successfully ==="
