@@ -243,6 +243,29 @@ object Scale10 {
         HybridSearch.rrfFuse(lex,
           HybridSearch.cosineArm(embs, q, topN = 50)).count()
       },
+      timed("entity_resolution") {
+        // blocking keys bound the candidate join: name blocks are ≤ 2
+        // records (planted variant pairs), the (nat, length-band)
+        // second pass ~ N / (25 × ~50 bands) per block — occupancy
+        // stays constant as replicas widen the id domain
+        val base = docs.select(col("doc_id").as("id"),
+          concat(lit("entity-"), col("doc_id")).as("name"),
+          col("source").as("seg"), (col("doc_id") % 25).as("nat"),
+          col("n_chars").as("bal"))
+        val recs = base.unionByName(
+          base.filter(col("id") % 3 === 0).select(
+            (col("id") + 1000000000L).as("id"),
+            upper(col("name")).as("name"), col("seg"), col("nat"),
+            (col("bal") + 3L).as("bal")))
+          .withColumn("name_norm", lower(col("name")))
+        val m = graft.operators.EntityResolution.matchPairs(recs, "id",
+          Seq("name_norm",
+            "concat(cast(nat as string), '|', cast(bal div 10 as string))"),
+          Seq(("name_norm_a = name_norm_b", 50L),
+            ("abs(bal_a - bal_b) <= 5", 30L), ("seg_a = seg_b", 20L)),
+          threshold = 80L)
+        graft.operators.EntityResolution.entities(recs, "id", m).count()
+      },
       timed("phash") {
         // decode cost ∝ images (linear); pairing never sees pixels —
         // Manku 16-bit block buckets bound the candidate join's fan-out
