@@ -4214,6 +4214,33 @@ object SparkEntry {
         .orderBy("which")
     }),
 
+    // A/B experiment readout in exact arithmetic: two faces — the null
+    // test (purchase conversion on random user halves, expected
+    // insignificant) and a planted lift (arm 1 gains deterministic
+    // extra conversions). The two-proportion z-test's squared
+    // inequality cross-multiplies into one DECIMAL(38) comparison — no
+    // sqrt, no libm; DuckDB replays it in HUGEINT. Per-user reduction
+    // is the only data-sized aggregate; the verdict runs on two rows.
+    "q_abtest" -> ((s, d) => {
+      import graft.operators.AbTest
+      val ev = t(s, d, "events")
+        .withColumn("variant", pmod(col("user_id"), lit(2)))
+      def face(name: String, conv: org.apache.spark.sql.Column) =
+        AbTest.twoProportion(ev.withColumn("conv", conv.cast("int")),
+            "user_id", "variant", "conv")
+          .withColumn("face", lit(name))
+      // conversion = a HIGH-VALUE purchase: the raw event stream touches
+      // every user with every event type (small synthetic user domain),
+      // so an unthresholded conversion saturates both arms at 100%
+      val converts = col("event_type") === "purchase" && col("value") > 150
+      face("null_test", converts)
+        .unionByName(face("lifted", converts ||
+          (col("variant") === 1 && col("event_type") === "click")))
+        .select("face", "n_a", "x_a", "n_b", "x_b", "lift_ppm",
+          "significant")
+        .orderBy("face")
+    }),
+
     // WordPiece tokenization: deterministic piece inventory (all ≤4-char
     // word substrings clearing the count floor; single chars always, the
     // coverage rule that makes [UNK] unreachable on corpus words), then
@@ -9225,6 +9252,43 @@ object SparkEntry {
                round(sum(l_quantity), 2) AS sum_qty
         FROM lineitem WHERE l_orderkey % 3 IN (0, 1))
       ORDER BY which""",
+
+    // A/B readout re-derived: per-user max-conversion, per-arm counts,
+    // and the cross-multiplied z² inequality in HUGEINT — int128 covers
+    // the DECIMAL(38) envelope exactly.
+    "q_abtest" -> """
+      WITH per_user AS (
+        SELECT user_id % 2 AS variant, user_id,
+               max(CASE WHEN event_type = 'purchase' AND value > 150
+                   THEN 1 ELSE 0 END) AS conv0,
+               max(CASE WHEN (event_type = 'purchase' AND value > 150)
+                     OR (user_id % 2 = 1 AND event_type = 'click')
+                   THEN 1 ELSE 0 END) AS conv1
+        FROM events GROUP BY 1, 2),
+      faces AS (
+        SELECT 'null_test' AS face, variant, COUNT(*) AS n,
+               CAST(SUM(conv0) AS BIGINT) AS x
+        FROM per_user GROUP BY 1, 2
+        UNION ALL
+        SELECT 'lifted', variant, COUNT(*), CAST(SUM(conv1) AS BIGINT)
+        FROM per_user GROUP BY 1, 2),
+      ab AS (
+        SELECT face,
+               CAST(max(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n_a,
+               CAST(max(CASE WHEN variant = 0 THEN x END) AS BIGINT) AS x_a,
+               CAST(max(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n_b,
+               CAST(max(CASE WHEN variant = 1 THEN x END) AS BIGINT) AS x_b
+        FROM faces GROUP BY 1)
+      SELECT face, n_a, x_a, n_b, x_b,
+             x_b * 1000000 // n_b - x_a * 1000000 // n_a AS lift_ppm,
+             CAST(CASE WHEN
+               CAST(2500 AS HUGEINT) * (n_a + n_b) *
+               (CAST(x_a AS HUGEINT) * n_b - CAST(x_b AS HUGEINT) * n_a) *
+               (CAST(x_a AS HUGEINT) * n_b - CAST(x_b AS HUGEINT) * n_a)
+               > CAST(9604 AS HUGEINT) * (x_a + x_b) *
+                 (n_a + n_b - x_a - x_b) * n_a * n_b
+             THEN 1 ELSE 0 END AS INT) AS significant
+      FROM ab ORDER BY face""",
 
     // WordPiece re-derived: inventory from the same substring counts,
     // maximal munch as a recursive CTE — (word, pos) advances by the MAX

@@ -40,6 +40,11 @@ import graft.lake.{Field, LakeLog, LakeTable, TableSchema}
   *                                            then "FROM" — forces the
   *                                            copy-on-write rewrite)
   *   ALTER TABLE t ADD COLUMN c type         (nullable schema evolution)
+  *   APPLY CHANGES INTO dim FROM (SELECT ...) KEY k TRACK (a, b) AT n
+  *                                           (SCD Type 2 batch — changed
+  *                                            keys close + reopen at the
+  *                                            integer effective time n;
+  *                                            graft.lake.Scd)
   *   ALTER TABLE t SET PARTITIONED BY (c, ...)
   *                                           (partition-spec evolution —
   *                                            metadata-only; empty parens
@@ -165,6 +170,11 @@ object LakeSql {
     """(?is)\s*DESCRIBE\s+STATS\s+(\w+)\s*;?\s*""".r
   private val AlterDrop =
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*""".r
+  // SCD Type 2 maintenance (graft.lake.Scd) — the APPLY CHANGES INTO
+  // verb (Databricks DLT's shape): batch rows close+reopen changed keys
+  // at the integer effective time
+  private val ApplyChanges =
+    """(?is)\s*APPLY\s+CHANGES\s+INTO\s+(\w+)\s+FROM\s*\((.+)\)\s+KEY\s+(\w+)\s+TRACK\s*\(([^)]*)\)\s+AT\s+(\d+)\s*;?\s*""".r
   // partition-spec evolution (LakeLog.alterPartitioning): empty parens
   // drop the spec (future writes land flat)
   private val AlterPart =
@@ -261,6 +271,14 @@ object LakeSql {
             Field(colName, colType.toLowerCase, nullable = true)),
           txnId = s"altadd-$table-$colName-${java.util.UUID.randomUUID()}")
         status(spark, "table" -> table, "added" -> colName,
+          "version" -> r.version)
+      case ApplyChanges(table, select, key, trackSpec, at) =>
+        val rows = SqlApi.queryLake(spark, log, select)
+        val tracked = trackSpec.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        val r = graft.lake.Scd.applyBatch(spark, log, table, rows, key,
+          tracked, at.toLong)
+        status(spark, "table" -> table, "eff_at" -> at.toLong,
           "version" -> r.version)
       case AlterPart(table, colSpec) =>
         val cols = colSpec.split(",").map(_.trim).filter(_.nonEmpty).toSeq

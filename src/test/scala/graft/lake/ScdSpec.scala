@@ -86,6 +86,24 @@ class ScdSpec extends SparkSpec {
     }
   }
 
+  test("SQL face: APPLY CHANGES INTO closes and reopens through Scd") {
+    val log = setup()
+    // seed a source table the FROM subquery can select from
+    val src = Seq((1L, "platinum", 100L), (3L, "bronze", 50L))
+      .toDF("key", "tier", "score")
+    LakeTable.createTable(log, "changes", src.schema)
+    LakeTable.insert(spark, log, "changes", src)
+    val st = graft.api.LakeSql.execute(spark, log,
+      "APPLY CHANGES INTO dim FROM (SELECT key, tier, score FROM changes) " +
+        "KEY key TRACK (tier, score) AT 7").collect().head
+    assert(st.getAs[Long]("eff_at") === 7L)
+    assert(dim(log) === Set(
+      (1L, "gold", 100L, 0L, Some(7L), 0),
+      (1L, "platinum", 100L, 7L, None, 1),
+      (2L, "silver", 200L, 0L, None, 1),
+      (3L, "bronze", 50L, 7L, None, 1)))
+  }
+
   test("replaying a txn id applies once") {
     val log = setup()
     val b = Seq((1L, "platinum", 100L)).toDF("key", "tier", "score")

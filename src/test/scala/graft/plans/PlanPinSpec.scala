@@ -67,4 +67,39 @@ class PlanPinSpec extends SparkSpec {
     assert(!p.contains("Window"), s"window funnel in exact dedup:\n$p")
     assert(p.contains("partial_"), s"no partial aggregate:\n$p")
   }
+
+  test("entity-resolution candidates come from equi-joins, never a scan") {
+    val recs = (1L to 60L).map(i => (i, s"name${i % 8}", i % 4, i % 50))
+      .toDF("id", "name", "city", "v")
+    val p = plan(graft.operators.EntityResolution.matchPairs(recs, "id",
+      Seq("name", "concat(cast(city as string), '|', cast(v div 10 as string))"),
+      Seq(("name_a = name_b", 50L), ("abs(v_a - v_b) <= 5", 30L)),
+      threshold = 80L))
+    assert(!p.contains("CartesianProduct"),
+      s"blocking degraded to all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"blocking degraded to a nested-loop join:\n$p")
+  }
+
+  test("CUSUM folds per key — no window, no per-point shuffle") {
+    val series = (1L to 60L).map(i =>
+      (s"k${i % 3}", new java.sql.Timestamp(i * 3600000L), i % 7))
+      .toDF("k", "t", "v")
+    val p = plan(graft.operators.Changepoint.cusum(series, "k", "t", "v",
+      baseline = 4, slackTimesB = 0L, thresholdTimesB = 100L))
+    assert(!p.contains("Window"), s"window in the CUSUM fold:\n$p")
+    assert(p.contains("partial_"),
+      s"series assembly not map-side combined:\n$p")
+  }
+
+  test("k-anonymity classes aggregate partially before the exchange") {
+    val df = (1L to 90L).map(i => (i % 9, s"s${i % 3}")).toDF("a", "b")
+    val p = plan(graft.operators.Anonymize.kAnonymize(df, k = 3,
+      Seq(graft.operators.Anonymize.Ladder("g_a",
+        Seq("CAST(a AS STRING)", "'*'")),
+        graft.operators.Anonymize.Ladder("g_b", Seq("b", "'*'"))),
+      maxSuppressedPpm = 1000000L))
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+    assert(!p.contains("Window"), s"window in the class table:\n$p")
+  }
 }
