@@ -4214,6 +4214,36 @@ object SparkEntry {
         .orderBy("which")
     }),
 
+    // Point-in-time fact enrichment through SCD2 history: orders join
+    // the customer-dimension version valid AT THE ORDER'S OWN integer
+    // time — %4 customers move segment at t=1, so their t=0 orders
+    // credit the ORIGINAL segment and their t=1 orders the new one
+    // (today's-dimension joins get exactly this wrong). Equi-join on
+    // the key + interval filter; no range-join machinery (few versions
+    // per key). The oracle derives both dimension states analytically.
+    "q_scd2_fact_join" -> ((s, d) => {
+      import graft.lake.{LakeLog, Scd}
+      val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftsj"))
+      val base = t(s, d, "customer").select(
+        col("c_custkey").as("key"), col("c_mktsegment").as("seg"))
+      Scd.create(log, "dim", base.schema)
+      Scd.applyBatch(s, log, "dim", base, "key", Seq("seg"), 0L, "b0")
+      Scd.applyBatch(s, log, "dim",
+        base.filter(col("key") % 4 === 0)
+          .select(col("key"), lit("MOVED").as("seg")),
+        "key", Seq("seg"), 1L, "b1")
+      val facts = t(s, d, "orders").select(
+        col("o_custkey").as("custkey"),
+        (col("o_orderkey") % 2).as("t_fact"),
+        col("o_totalprice"))
+      Scd.joinAsOf(facts, graft.lake.LakeTable.read(s, log, "dim"),
+          "key", "custkey", "t_fact")
+        .groupBy(col("t_fact"), col("seg"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("t_fact", "seg")
+    }),
+
     // A/B experiment readout in exact arithmetic: two faces — the null
     // test (purchase conversion on random user halves, expected
     // insignificant) and a planted lift (arm 1 gains deterministic
@@ -9252,6 +9282,25 @@ object SparkEntry {
                round(sum(l_quantity), 2) AS sum_qty
         FROM lineitem WHERE l_orderkey % 3 IN (0, 1))
       ORDER BY which""",
+
+    // Point-in-time join re-derived: the dimension state at integer time
+    // t is analytic (%4 keys read MOVED from t=1), so the oracle joins
+    // facts to a CASE, not to history rows. Every order key resolves
+    // (verified: orders ⊆ customer), so no NULL group risks the
+    // cross-engine null-ordering trap.
+    "q_scd2_fact_join" -> """
+      WITH facts AS (
+        SELECT o_custkey AS custkey, o_orderkey % 2 AS t_fact,
+               o_totalprice
+        FROM orders),
+      dim AS (SELECT c_custkey AS key, c_mktsegment AS seg FROM customer)
+      SELECT f.t_fact,
+             CASE WHEN f.t_fact >= 1 AND d.key % 4 = 0 THEN 'MOVED'
+                  ELSE d.seg END AS seg,
+             COUNT(*) AS n_orders,
+             round(SUM(f.o_totalprice), 2) AS sum_price
+      FROM facts f LEFT JOIN dim d ON d.key = f.custkey
+      GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // A/B readout re-derived: per-user max-conversion, per-arm counts,
     // and the cross-multiplied z² inequality in HUGEINT — int128 covers

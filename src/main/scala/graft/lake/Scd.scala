@@ -107,4 +107,21 @@ object Scd {
     LakeTable.read(spark, log, table)
       .filter(col("eff_from") <= t &&
         (col("eff_to").isNull || col("eff_to") > t))
+
+  /** Point-in-time fact enrichment: each fact joins the dimension
+    * version VALID AT ITS OWN TIME — the join every history-aware
+    * pipeline needs ("credit the order to the segment the customer was
+    * in WHEN they ordered", not today's). Plan shape: an EQUI-join on
+    * the business key with the validity interval as a post-join filter
+    * — per key the dimension holds few versions (bounded by change
+    * count), so the filter discards a handful of rows per fact and no
+    * range-join machinery is warranted; the shuffle is the key
+    * equi-join's, same as a non-temporal enrichment. */
+  def joinAsOf(facts: DataFrame, dim: DataFrame, keyCol: String,
+               factKeyCol: String, factTimeCol: String): DataFrame =
+    facts.join(dim,
+      facts(factKeyCol) === dim(keyCol) &&
+        dim("eff_from") <= facts(factTimeCol) &&
+        (dim("eff_to").isNull || dim("eff_to") > facts(factTimeCol)),
+      "left")
 }

@@ -77,6 +77,23 @@ class ScdSpec extends SparkSpec {
       .filter(col("key") === 2L).count() === 5) // 1 open + 4 history
   }
 
+  test("joinAsOf enriches each fact with ITS time's dimension version") {
+    val log = setup()
+    Scd.applyBatch(spark, log, "dim",
+      Seq((1L, "platinum", 100L)).toDF("key", "tier", "score"),
+      "key", Seq("tier", "score"), 5L)
+    val facts = Seq((1L, 0L, "early"), (1L, 4L, "pre"), (1L, 5L, "at"),
+      (2L, 9L, "other"), (99L, 3L, "orphan"))
+      .toDF("custkey", "t_fact", "tag")
+    val out = Scd.joinAsOf(facts, LakeTable.read(spark, log, "dim"),
+        "key", "custkey", "t_fact")
+      .select("tag", "tier").as[(String, Option[String])]
+      .collect().toMap
+    assert(out === Map("early" -> Some("gold"), "pre" -> Some("gold"),
+      "at" -> Some("platinum"), "other" -> Some("silver"),
+      "orphan" -> None)) // left join keeps dimension-less facts
+  }
+
   test("duplicate keys within a batch are rejected") {
     val log = setup()
     intercept[LakeValidationException] {
