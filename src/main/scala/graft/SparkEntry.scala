@@ -4520,6 +4520,26 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // l-diversity on top of the k-anonymity search: the sensitive column
+    // (market segment) must show ≥ 3 DISTINCT values per class — k alone
+    // leaves the homogeneity attack open. The two gate SFs choose
+    // DIFFERENT ladder steps (the 1% corpus clears the budget at the
+    // finest step, the 0.1% corpus must coarsen once), so the oracle
+    // replays a search that actually branches on data.
+    "q_kanon_ldiv" -> ((s, d) =>
+      graft.operators.Anonymize.lDiversify(t(s, d, "customer"),
+        k = 3, l = 3,
+        ladders = Seq(
+          graft.operators.Anonymize.Ladder("g_nat", Seq(
+            "CAST(c_nationkey AS STRING)",
+            "CAST(c_nationkey div 5 AS STRING)", "'*'")),
+          graft.operators.Anonymize.Ladder("g_bal", Seq(
+            "CAST(CAST(round(c_acctbal * 100) AS BIGINT) div 100000 AS STRING)",
+            "CAST(CAST(round(c_acctbal * 100) AS BIGINT) div 500000 AS STRING)",
+            "'*'"))),
+        sensitiveCol = "c_mktsegment", maxSuppressedPpm = 200000L)
+        .orderBy("g_nat", "g_bal")),
+
     // k-anonymity by stepped global recoding: generalize the customer
     // quasi-identifiers (nation, segment, balance band) up a fixed
     // ladder until the under-k residue fits the suppression budget,
@@ -9576,6 +9596,43 @@ object SparkEntry {
       FROM rec r JOIN idx i ON i.k = r.k AND i.i = 1
       JOIN base b ON b.k = r.k
       GROUP BY 1 ORDER BY 1""",
+
+    // l-diversity re-derived: the same stepped search with the dual bar
+    // (class size ≥ k AND distinct sensitive ≥ l) in the residue.
+    "q_kanon_ldiv" -> """
+      WITH base AS (
+        SELECT c_nationkey AS nat, c_mktsegment AS seg,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+        FROM customer),
+      gen AS (
+        SELECT s,
+          CASE WHEN s = 0 THEN CAST(nat AS VARCHAR)
+               WHEN s = 1 THEN CAST(nat // 5 AS VARCHAR)
+               ELSE '*' END AS g_nat,
+          CASE WHEN s = 0 THEN CAST(bal // 100000 AS VARCHAR)
+               WHEN s = 1 THEN CAST(bal // 500000 AS VARCHAR)
+               ELSE '*' END AS g_bal,
+          seg
+        FROM base CROSS JOIN (SELECT unnest([0, 1, 2]) AS s)),
+      classes AS (
+        SELECT s, g_nat, g_bal, COUNT(*) AS n,
+               COUNT(DISTINCT seg) AS n_sens
+        FROM gen GROUP BY 1, 2, 3),
+      residue AS (
+        SELECT s,
+               COALESCE(SUM(CASE WHEN n < 3 OR n_sens < 3 THEN n END), 0)
+                 AS viol,
+               SUM(n) AS tot
+        FROM classes GROUP BY 1),
+      chosen AS (
+        SELECT COALESCE(
+          (SELECT min(s) FROM residue WHERE viol * 1000000 <= tot * 200000),
+          2) AS s)
+      SELECT CAST(c.s AS INT) AS step, g_nat, g_bal,
+             CAST(n AS BIGINT) AS n, CAST(n_sens AS BIGINT) AS n_sens
+      FROM classes c JOIN chosen ch ON c.s = ch.s
+      WHERE n >= 3 AND n_sens >= 3
+      ORDER BY g_nat, g_bal""",
 
     // k-anonymity re-derived: the oracle replays the STEP SEARCH (per-step
     // under-k residues vs the 20% suppression budget, coarsest-step

@@ -59,4 +59,40 @@ object Anonymize {
       .withColumn("step", lit(chosen))
       .select((col("step") +: names.map(col)) :+ col("n"): _*)
   }
+
+  /** k-anonymity AND distinct l-diversity (Machanavajjhala et al.,
+    * ICDE'06): a class additionally needs ≥ l DISTINCT values of the
+    * sensitive column — k alone leaves the homogeneity attack open (a
+    * class of 50 rows that all share one diagnosis identifies nothing
+    * and discloses everything). Same stepped search, same budget; the
+    * residue now counts rows failing EITHER bar. Output adds the
+    * class's distinct-sensitive count. Scale shape unchanged: the
+    * distinct count rides the same QI-domain aggregate
+    * (count_distinct is map-side partial too). */
+  def lDiversify(df: DataFrame, k: Long, l: Long, ladders: Seq[Ladder],
+                 sensitiveCol: String,
+                 maxSuppressedPpm: Long = 10000L): DataFrame = {
+    require(ladders.nonEmpty && k >= 1 && l >= 1)
+    val steps = ladders.map(_.levels.length).max
+    def qiAt(s: Int) = ladders.map(ld =>
+      expr(ld.levels(math.min(s, ld.levels.length - 1)))
+        .cast("string").as(ld.name))
+    val names = ladders.map(_.name)
+    def classesAt(s: Int) =
+      df.select(qiAt(s) :+ col(sensitiveCol).as("__sens"): _*)
+        .groupBy(names.map(col): _*)
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("__sens")).as("n_sens"))
+    def ok = col("n") >= k && col("n_sens") >= l
+    val chosen = (0 until steps).find { s =>
+      val Array(r) = classesAt(s).agg(
+        coalesce(sum(when(!ok, col("n"))), lit(0L)).as("viol"),
+        coalesce(sum(col("n")), lit(0L)).as("tot")).collect()
+      r.getLong(0) * 1000000L <= r.getLong(1) * maxSuppressedPpm
+    }.getOrElse(steps - 1)
+    classesAt(chosen).where(ok)
+      .withColumn("step", lit(chosen))
+      .select((col("step") +: names.map(col)) ++
+        Seq(col("n"), col("n_sens")): _*)
+  }
 }

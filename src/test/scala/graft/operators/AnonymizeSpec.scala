@@ -60,4 +60,25 @@ class AnonymizeSpec extends SparkSpec {
     assert(Anonymize.kAnonymize(people.limit(0), k = 3, ladders)
       .count() === 0)
   }
+
+  test("l-diversity: a k-satisfying but homogeneous class forces a step") {
+    // (decade 2, ely) has 4 rows but diagnoses are ALL 'flu' — k=3 holds,
+    // l=2 fails, so step 1 is not enough and the search coarsens to 2
+    val withSens = Seq(
+      (21, "ely", "flu"), (22, "ely", "flu"), (23, "ely", "flu"),
+      (24, "ely", "flu"),
+      (31, "ely", "flu"), (32, "ely", "cold"), (33, "ely", "ache")
+    ).toDF("age", "city", "dx")
+    val out = Anonymize.lDiversify(withSens, k = 3, l = 2, ladders,
+      "dx", maxSuppressedPpm = 300000L).collect()
+    // step 1: (2,ely)=4 rows l-violating, (3,ely)=3 rows diverse →
+    // residue 4/7 = 571k ppm > 300k → step 2 (everything one class)
+    assert(out.length === 1)
+    assert(out.head.getInt(0) === 2 && out.head.getLong(4) === 3L)
+    // relaxing the budget accepts step 1 and keeps only the diverse class
+    val out1 = Anonymize.lDiversify(withSens, k = 3, l = 2, ladders,
+      "dx", maxSuppressedPpm = 600000L).collect()
+    assert(out1.length === 1 && out1.head.getInt(0) === 1)
+    assert(out1.head.getString(1) === "3" && out1.head.getLong(4) === 3L)
+  }
 }
