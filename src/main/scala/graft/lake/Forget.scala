@@ -73,13 +73,26 @@ object Forget {
       // The conservative compliance move is to ABORT any staged batch
       // containing the key (the pipeline re-stages the batch minus the
       // subject); batches without the key are untouched.
+      //
+      // EXCEPT a participant of a DECIDED cross-table transaction
+      // (wap id = txn id, intent/done record in _txns): MultiTxn
+      // guarantees decided txns always roll forward, and aborting one
+      // participant would wedge recovery and tear cross-table atomicity
+      // (a sibling may already be published). Those roll FORWARD here
+      // instead — the rows land in the main line, where the
+      // deleteWhereMor below erases them in the same request.
       val pred = graft.operators.QueryEngine
         .parsePredicate(s"$keyCol = $litTok")
       val aborted = Wap.listStaged(log, t).count { b =>
         val hit = Wap.readBatch(spark, log, t, b.wap_id)
           .filter(pred).limit(1).count() > 0
-        if (hit) Wap.abort(log, t, b.wap_id)
-        hit
+        if (hit) {
+          val decided = MultiTxn.intent(log, b.wap_id).isDefined ||
+            MultiTxn.done(log, b.wap_id).isDefined
+          if (decided) MultiTxn.rollForward(spark, log, b.wap_id)
+          else Wap.abort(log, t, b.wap_id)
+        }
+        hit // counted either way: the staged copy no longer survives
       }
       val r = LakeTable.deleteWhereMor(spark, log, t,
         s"$keyCol = $litTok", txnId = s"forget-$requestId-$t")

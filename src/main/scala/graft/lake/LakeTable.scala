@@ -279,7 +279,12 @@ object LakeTable {
     val st = toStructType(sch)
     if (snap.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
-    else if (sch.partCols.nonEmpty)
+    // Dispatch on the FILES, not just the current spec: after partition
+    // evolution back to flat (SET PARTITIONED BY ()), legacy files still
+    // carry log-side partition values their physical bytes lack — readFlat
+    // would fill those columns with NULL. readWithPartitions reattaches
+    // each file's OWN partition map, so it is correct for any mix.
+    else if (sch.partCols.nonEmpty || snap.files.exists(_.partition.nonEmpty))
       readWithPartitions(spark, sch, st, snap.files)
     else readFlat(spark, sch, st, snap.files)
   }

@@ -95,6 +95,18 @@ object MultiTxn {
       if (missing.nonEmpty)
         throw new LakeValidationException(
           s"txn '$txnId' has no staged batch on: ${missing.mkString(", ")}")
+      // ... and the converse: a participant staged under this txn id but
+      // OMITTED from the commit list would be silently orphaned (once the
+      // intent exists, stage refuses re-staging and abort refuses
+      // entirely). Deciding over a partial list is a caller bug — fail
+      // loudly before the point of no return.
+      val omitted = log.listTables().filterNot(tables.contains)
+        .filter(t => Wap.staged(log, t, txnId).isDefined)
+      if (omitted.nonEmpty)
+        throw new LakeValidationException(
+          s"txn '$txnId' has staged batches on tables missing from the " +
+            s"commit list: ${omitted.mkString(", ")} — include them or " +
+            "abort the txn")
       val rec = TxnRecord(txnId, tables.sorted, System.currentTimeMillis())
       writeCreateIfAbsent(intentPath(log, txnId), rec) match {
         case Some(existing) =>

@@ -95,8 +95,12 @@ object Scd {
     if (delta.isEmpty)
       // an all-echo batch (the steady-state CDC case) must not pay
       // upsert's rewrite: with no keys, its range prune can't hold and
-      // the whole table would rewrite for nothing
-      CommitResult(log.latestVersion(table), duplicate = false)
+      // the whole table would rewrite for nothing. It still REGISTERS
+      // under its txnId (an empty commit entry) so idempotency is a
+      // durable fact, not a bet that a replay recomputes the same echo
+      // — reusing the id later with different data short-circuits as a
+      // duplicate like every other lake write.
+      log.commitWithRetry(table, txnId)(_ => Some((Nil, Nil))).get
     else LakeTable.upsert(spark, log, table, delta, "scd_id", txnId)
   }
 

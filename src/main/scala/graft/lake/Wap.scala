@@ -125,7 +125,10 @@ object Wap {
       throw new LakeValidationException(s"table $table has no schema"))
     val st = LakeTable.toStructType(sch)
     val files = snap.files ++ b.adds
-    if (sch.partCols.nonEmpty)
+    // per-file partition reattachment whenever ANY file carries logged
+    // partition values — legacy files after spec evolution back to flat
+    // would otherwise lose them (readFlat fills missing columns as NULL)
+    if (sch.partCols.nonEmpty || files.exists(_.partition.nonEmpty))
       LakeTable.readWithPartitions(spark, sch, st, files)
     else LakeTable.readFlat(spark, sch, st, files)
   }
@@ -143,7 +146,7 @@ object Wap {
     val sch = snap.schema.getOrElse(
       throw new LakeValidationException(s"table $table has no schema"))
     val st = LakeTable.toStructType(sch)
-    if (sch.partCols.nonEmpty)
+    if (sch.partCols.nonEmpty || b.adds.exists(_.partition.nonEmpty))
       LakeTable.readWithPartitions(spark, sch, st, b.adds)
     else LakeTable.readFlat(spark, sch, st, b.adds)
   }

@@ -82,6 +82,51 @@ class ForgetSpec extends SparkSpec {
       .filter($"user_id" === 2).count() == 0)
   }
 
+  test("an UNDECIDED MultiTxn stage aborts; its commit then fails loudly") {
+    val log = setup()
+    MultiTxn.stage(spark, log, "txn-g", "t1",
+      Seq((3L, "staged-of-3")).toDF("user_id", "v"))
+    Forget.forgetKey(spark, log, Seq("t1"), "user_id", "3", "req-g")
+    assert(Wap.staged(log, "t1", "txn-g").isEmpty)
+    // presumed abort: the coordinator's later commit fails loudly
+    // instead of resurrecting the subject
+    intercept[LakeValidationException] {
+      MultiTxn.commit(spark, log, "txn-g", Seq("t1"))
+    }
+    assert(LakeTable.read(spark, log, "t1")
+      .filter($"user_id" === 3).count() == 0)
+  }
+
+  test("forget drives a decided-but-unfinished txn to done, not abort") {
+    val log = setup()
+    // the real mid-crash state: both participants staged, the DECISION
+    // record written (what commit creates before publishing), no roll-
+    // forward yet — a coordinator crash between decide and publish.
+    // forget must roll the txn forward (then erase), never abort it.
+    MultiTxn.stage(spark, log, "txn-h", "t1",
+      Seq((2L, "decided-of-2")).toDF("user_id", "v"))
+    MultiTxn.stage(spark, log, "txn-h", "t2",
+      Seq((2L, 7L)).toDF("user_id", "n"))
+    val txns = log.root.resolve("_txns")
+    java.nio.file.Files.createDirectories(txns)
+    java.nio.file.Files.writeString(txns.resolve("txn-h.json"),
+      """{"txn_id":"txn-h","tables":["t1","t2"],"created_ms":1}""")
+    val r = Forget.forgetKey(spark, log, Seq("t1", "t2"), "user_id",
+      "2", "req-h")
+    // the staged copy was resolved (rolled forward) and counted
+    assert(r.find(_.table == "t1").get.stagedAborted == 1L)
+    assert(MultiTxn.done(log, "txn-h").nonEmpty,
+      "decided txn must roll forward to done, not wedge")
+    assert(MultiTxn.recover(spark, log).isEmpty) // nothing left pending
+    // the subject is erased from BOTH tables' main lines…
+    assert(LakeTable.read(spark, log, "t1")
+      .filter($"user_id" === 2).count() == 0)
+    assert(LakeTable.read(spark, log, "t2")
+      .filter($"user_id" === 2).count() == 0)
+    // …and non-subject rows survive: seed (1,a),(1,b),(3,d)
+    assert(LakeTable.read(spark, log, "t1").count() == 3)
+  }
+
   test("a half-completed request resumes without double-deleting") {
     val log = setup()
     // crash after the first table: only t1 processed

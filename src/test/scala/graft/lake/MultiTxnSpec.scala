@@ -64,6 +64,22 @@ class MultiTxnSpec extends SparkSpec {
     MultiTxn.abort(log, "tx3", Seq("a"))
   }
 
+  test("commit refuses a participant staged under the txn but omitted") {
+    val log = setup()
+    MultiTxn.stage(spark, log, "tx7", "a", Seq((2L, "x")).toDF("id", "v"))
+    MultiTxn.stage(spark, log, "tx7", "b", Seq((2L, "y")).toDF("id", "v"))
+    // deciding over only {a} would orphan b's stage forever (post-
+    // decision it can neither re-stage nor abort) — must fail loudly
+    intercept[LakeValidationException] {
+      MultiTxn.commit(spark, log, "tx7", Seq("a"))
+    }
+    assert(MultiTxn.intent(log, "tx7").isEmpty, "no decision was taken")
+    assert(counts(log) === ((1L, 1L)))
+    // the full list still commits fine afterwards
+    assert(MultiTxn.commit(spark, log, "tx7", Seq("a", "b"))
+      === Map("a" -> 2L, "b" -> 2L))
+  }
+
   test("crash after the decision rolls forward, never back") {
     val log = setup()
     MultiTxn.stage(spark, log, "tx4", "a", Seq((2L, "x")).toDF("id", "v"))

@@ -54,6 +54,22 @@ class PartitionEvolutionSpec extends SparkSpec {
     val df = LakeTable.read(spark, log, "t")
     assert(df.count() === 6)
     assert(df.filter(col("seg") === "b").count() === 2)
+    // the legacy partitioned files' log-carried seg values must survive
+    // the spec drop (they are absent from the physical bytes): a flat
+    // read that forgot them would surface seg=NULL here
+    assert(df.filter(col("seg") === "a").select("id").as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(df.filter(col("seg").isNull).count() === 0)
+    // WAP staged reads route the same way under mixed specs
+    val wapDf = rows(7 to 8, "c")
+    Wap.stage(spark, log, "t", wapDf, "wap-flat")
+    val staged = Wap.readStaged(spark, log, "t", "wap-flat")
+    assert(staged.count() === 8)
+    assert(staged.filter(col("seg") === "a").count() === 4)
+    assert(staged.filter(col("seg").isNull).count() === 0)
+    val batch = Wap.readBatch(spark, log, "t", "wap-flat")
+    assert(batch.count() === 2 &&
+      batch.filter(col("seg") === "c").count() === 2)
   }
 
   test("compaction groups never cross specs and preserve each file's map") {

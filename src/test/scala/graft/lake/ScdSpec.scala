@@ -131,4 +131,24 @@ class ScdSpec extends SparkSpec {
     assert(again.duplicate && again.version === first.version)
     assert(LakeTable.read(spark, log, "dim").count() === 3)
   }
+
+  test("all-echo batches register their txn id like every lake write") {
+    val log = setup()
+    // pure echo of the seeded current rows → no delta, but the txn must
+    // still record: a later reuse of the id with DIFFERENT data has to
+    // short-circuit as a duplicate, not re-apply
+    val echo = Seq((1L, "gold", 100L), (2L, "silver", 200L))
+      .toDF("key", "tier", "score")
+    val r = Scd.applyBatch(spark, log, "dim", echo, "key",
+      Seq("tier", "score"), 5L, txnId = "batch-echo")
+    assert(!r.duplicate)
+    assert(log.committedVersion("dim", "batch-echo") === Some(r.version))
+    val reuse = Scd.applyBatch(spark, log, "dim",
+      Seq((1L, "platinum", 100L)).toDF("key", "tier", "score"),
+      "key", Seq("tier", "score"), 9L, txnId = "batch-echo")
+    assert(reuse.duplicate && reuse.version === r.version)
+    // the divergent payload did NOT apply
+    assert(LakeTable.read(spark, log, "dim")
+      .filter(col("tier") === "platinum").count() === 0)
+  }
 }
