@@ -12,7 +12,11 @@
 # reads (VERSION AS OF) -> merge-on-read DELETE -> OPTIMIZE compaction ->
 # an idempotent commit retry (the single-process analog of the reference's
 # kill-the-leader-and-retry demo: replaying a txn_id must not double-
-# commit) -> RESTORE. Exits non-zero on the first failed step.
+# commit) -> RESTORE -> tags/branches -> write-audit-publish -> a
+# cross-table 2PC transaction -> REAL fault injection (SIGKILL the
+# server with a staged batch + in-flight query, restart on the same lake
+# dir, verify data intact / txn replay exactly-once across process death
+# / orphaned staging vacuumed). Exits non-zero on the first failed step.
 
 set -euo pipefail
 cd "$(dirname "$0")/.."
@@ -190,6 +194,64 @@ M=$(post /query '{"sql": "SELECT COUNT(*) AS n FROM sales_audit"}' | jq '.result
 STATE=$(curl -sf "$BASE/txns/q1-close" | jq -r .state)
 [ "$STATE" = "done" ] || { echo "ERROR: expected done, got $STATE"; exit 1; }
 echo "one decision published both tables atomically ✓"
+
+step "Step 13: fault injection — kill -9 the server, restart, recover"
+# The reference's fault-tolerance-demo.sh kills a worker mid-query and
+# watches the job complete; the single-process analog kills the SERVER
+# with work in flight and shows the durable log carries everything:
+# committed data intact, txn-id replay still exactly-once ACROSS process
+# death, and the crash-orphaned staging visible and vacuumable.
+post "/tables/$TABLE/wap/crash-orphan" '{
+  "data": [{"id": 99, "product": "Ghost", "category": "Crash", "amount": 1.0, "quantity": 1, "sale_date": "2024-01-22"}]}' | jq .
+# a query in flight when the axe falls (fire-and-forget; its failure IS
+# the injected fault)
+curl -s -X POST "$BASE/query" -H 'Content-Type: application/json' \
+  -d '{"sql": "SELECT COUNT(*) AS n FROM '$TABLE'"}' >/dev/null 2>&1 &
+SRV_PID=$(ss -ltnp 2>/dev/null | grep ":$PORT " | grep -oE 'pid=[0-9]+' \
+  | head -1 | cut -d= -f2)
+[ -n "${SRV_PID:-}" ] || { echo "ERROR: no server pid on port $PORT"; exit 1; }
+kill -9 "$SRV_PID"
+echo "server pid $SRV_PID killed with SIGKILL (staged batch + in-flight query orphaned)"
+wait "$SBT_PID" 2>/dev/null || true
+
+echo "restarting against the same lake dir..."
+SPARK_GRAFT_PORT="$PORT" SPARK_GRAFT_LAKE_DIR="$LAKE_DIR" \
+  SPARK_GRAFT_CPUS=8 \
+  sbt -batch "runMain graft.Serve" >>"$SERVER_LOG" 2>&1 &
+SBT_PID=$!
+for i in $(seq 1 60); do
+  if curl -sf "$BASE/health" >/dev/null 2>&1; then break; fi
+  if ! kill -0 "$SBT_PID" 2>/dev/null; then
+    echo "ERROR: restarted server died; tail of $SERVER_LOG:"
+    tail -20 "$SERVER_LOG"; exit 1
+  fi
+  sleep 3
+  [ "$i" = 60 ] && { echo "ERROR: server not ready after 180s"; exit 1; }
+done
+# committed data survived the kill bit-for-bit
+N=$(post /query '{"sql": "SELECT COUNT(*) AS n FROM '$TABLE'"}' | jq '.results[0].n')
+M=$(post /query '{"sql": "SELECT COUNT(*) AS n FROM sales_audit"}' | jq '.results[0].n')
+[ "$N" = 13 ] && [ "$M" = 1 ] || { echo "ERROR: after crash n=$N m=$M"; exit 1; }
+echo "committed data intact after SIGKILL: $N + $M rows ✓"
+# txn-id retry is exactly-once ACROSS process death (txn map replays
+# from the durable log, not memory)
+RETRY=$(post "/tables/$TABLE/insert" '{
+  "txn_id": "demo-batch-2",
+  "data": [{"id": 6, "product": "Desk", "category": "Furniture", "amount": 399.99, "quantity": 1, "sale_date": "2024-01-17"}]}')
+RV=$(echo "$RETRY" | jq .new_version)
+[ "$RV" = "$V2" ] || { echo "ERROR: post-crash replay minted $RV != $V2"; exit 1; }
+echo "txn 'demo-batch-2' replay after restart: version $RV unchanged ✓"
+# the decided-txn sweep finds nothing pending (q1-close already done)
+post /txns/recover '{}' | jq .
+# the crash-orphaned staged batch is still visible — and vacuumable
+ORPHANS=$(curl -sf "$BASE/tables/$TABLE/wap" | jq 'length')
+[ "$ORPHANS" = 1 ] || { echo "ERROR: expected 1 orphaned staging, got $ORPHANS"; exit 1; }
+curl -sf -X DELETE "$BASE/tables/$TABLE/wap/crash-orphan" | jq .
+ORPHANS=$(curl -sf "$BASE/tables/$TABLE/wap" | jq 'length')
+[ "$ORPHANS" = 0 ] || { echo "ERROR: orphan survived vacuum: $ORPHANS"; exit 1; }
+N=$(post /query '{"sql": "SELECT COUNT(*) AS n FROM '$TABLE'"}' | jq '.results[0].n')
+[ "$N" = 13 ] || { echo "ERROR: vacuum touched committed rows (n=$N)"; exit 1; }
+echo "orphaned staging vacuumed; main line untouched ✓"
 
 echo
 echo "=== demo completed successfully ==="

@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   * semantic dedup / pagerank / curriculum / heavy hitters /
   * collocations / length-bucketed batching / winnowing / containment /
   * DBSCAN (replicas tile space — constant density) / hybrid BM25+dense
-  * search / phash near-dup, and assert
+  * search / phash near-dup / SCD2 point-in-time join / cross-table
+  * 2PC over WAP, and assert
   *
   *  - completion with the default 8g driver heap;
   *  - NO single-task funnel: for every stage moving real shuffle volume,
@@ -273,6 +274,50 @@ object Scale10 {
           graft.operators.Phash.dHash(
             graft.operators.Phash.variantCorpus(docs)).toDF(),
           maxHamming = 3).count()
+      },
+      timed("scd2_asof_join") {
+        // N×-sized dimension AND fact side through the point-in-time
+        // join: change detection is one key equi-join vs the CURRENT
+        // slice, the as-of join one key equi-join + interval filter —
+        // both hash-partition on the business key, so the funnel gate
+        // polices exactly the exchanges that grow with N
+        import graft.lake.{LakeLog, LakeTable, Scd}
+        val log = new LakeLog(
+          java.nio.file.Files.createTempDirectory("s10scd"))
+        val dim0 = docs.select(col("doc_id").as("key"),
+          col("source").as("seg"))
+        Scd.create(log, "dim", dim0.schema)
+        Scd.applyBatch(spark, log, "dim", dim0, "key", Seq("seg"), 0L, "b0")
+        Scd.applyBatch(spark, log, "dim",
+          dim0.filter(col("key") % 4 === 0)
+            .select(col("key"), lit("MOVED").as("seg")),
+          "key", Seq("seg"), 1L, "b1")
+        val facts = docs.select(col("doc_id").as("fkey"),
+          (col("doc_id") % 2).as("t_fact"), col("n_chars"))
+        Scd.joinAsOf(facts, LakeTable.read(spark, log, "dim"),
+            "key", "fkey", "t_fact")
+          .groupBy("seg").agg(count(lit(1))).count()
+      },
+      timed("multitxn_wap") {
+        // cross-table 2PC at N×: stage two N×-sized participants through
+        // the WAP path, one decision publishes both; the readback
+        // aggregate shuffles the adopted files. Commit cost is decision-
+        // file + per-table OCC entries — metadata-priced at any N
+        import graft.lake.{LakeLog, LakeTable, MultiTxn}
+        val log = new LakeLog(
+          java.nio.file.Files.createTempDirectory("s10txn"))
+        val a = docs.select(col("doc_id").as("id"), col("source"),
+          col("n_chars"))
+        val b = embs.select(col("vec_id").as("id"),
+          element_at(col("embedding"), 1).as("e0"))
+        LakeTable.createTable(log, "ta", a.schema)
+        LakeTable.createTable(log, "tb", b.schema)
+        MultiTxn.stage(spark, log, "s10", "ta", a, numFiles = 8)
+        MultiTxn.stage(spark, log, "s10", "tb", b, numFiles = 8)
+        MultiTxn.commit(spark, log, "s10", Seq("ta", "tb"))
+        LakeTable.read(spark, log, "ta")
+          .groupBy("source").agg(count(lit(1))).count() +
+          LakeTable.read(spark, log, "tb").count()
       })
 
     val rt = Runtime.getRuntime
