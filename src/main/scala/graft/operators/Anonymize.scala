@@ -60,6 +60,85 @@ object Anonymize {
       .select((col("step") +: names.map(col)) :+ col("n"): _*)
   }
 
+  /** k-anonymity AND t-closeness (Li, Li, Venkatasubramanian ICDE'07):
+    * a class's sensitive-value DISTRIBUTION must sit within Earth
+    * Mover's Distance `t` of the global one — l-diversity's fix for the
+    * homogeneity attack still leaks by skew (a class that is 95% one
+    * diagnosis "has 3 distinct values"); t-closeness bounds how far any
+    * class's distribution drifts from the corpus.
+    *
+    * The sensitive attribute is ORDERED (an integer expression), where
+    * EMD has the closed form (1/(m−1))·Σᵢ|Σ_{j≤i}(cⱼ/n − gⱼ/N)| over the
+    * m ordered values. Everything stays EXACT integer arithmetic by
+    * cross-multiplication: class passes ⟺
+    * `Σᵢ|N·Cᵢ − n·Gᵢ| · 10⁶ ≤ t_ppm · n · N · (m−1)` with C/G cumulative
+    * counts — products run in DECIMAL(38) (N·C ≤ N², safe past 10⁹
+    * rows), the reported `emd_ppm` is the exact integral `div`.
+    *
+    * Scale shape: the global distribution is ONE m-row aggregate; each
+    * step's check is one (QI-domain × m) grid — classes cross-joined
+    * with the BROADCAST m-row distribution, cumulative windows
+    * partitioned per class (m rows each; the only unpartitioned window
+    * runs over the m global rows) — and two longs per step reach the
+    * driver. Domain-priced throughout, never a row funnel.
+    */
+  def tCloseness(df: DataFrame, k: Long, tPpm: Long, ladders: Seq[Ladder],
+                 sensitiveExpr: String,
+                 maxSuppressedPpm: Long = 10000L): DataFrame = {
+    require(ladders.nonEmpty && k >= 1 && tPpm >= 0)
+    import org.apache.spark.sql.expressions.Window
+    val steps = ladders.map(_.levels.length).max
+    val names = ladders.map(_.name)
+    def qiAt(s: Int) = ladders.map(ld =>
+      expr(ld.levels(math.min(s, ld.levels.length - 1)))
+        .cast("string").as(ld.name))
+    val sens = expr(sensitiveExpr).cast("long").as("__sens")
+    val glob = df.select(sens).groupBy("__sens")
+      .agg(count(lit(1)).as("__g"))
+      // NB: "__G" would silently REPLACE "__g" — Spark resolves column
+      // names case-insensitively, so withColumn("__G") overwrites the
+      // per-value count and sum("__g") then reads the cumulative
+      .withColumn("__cg", sum("__g").over(Window.orderBy("__sens")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint() // m rows, read once per ladder step
+    val mRow = glob.agg(count(lit(1)), sum("__g")).collect()(0)
+    val m = mRow.getLong(0)
+    val bigN = mRow.getLong(1)
+    require(m >= 2, "t-closeness needs ≥ 2 distinct sensitive values")
+    def classesAt(s: Int): DataFrame = {
+      val cs = df.select(qiAt(s) :+ sens: _*)
+        .groupBy((names :+ "__sens").map(col): _*)
+        .agg(count(lit(1)).as("__cnt"))
+      val sizes = cs.groupBy(names.map(col): _*).agg(sum("__cnt").as("n"))
+      val grid = sizes.crossJoin(broadcast(glob))
+        .join(cs, names :+ "__sens", "left")
+        .na.fill(0L, Seq("__cnt"))
+        .withColumn("__C", sum("__cnt").over(
+          Window.partitionBy(names.map(col): _*).orderBy("__sens")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val term = abs(col("__C").cast("decimal(38,0)") * bigN -
+        col("n").cast("decimal(38,0)") * col("__cg"))
+      grid.groupBy(names.map(col) :+ col("n"): _*)
+        .agg(sum(term).as("__D"))
+        // exact integral division — decimal `/` rounds at its result
+        // scale and a HALF_UP tick across an integer boundary would
+        // corrupt floor(); `div` never rounds
+        .withColumn("emd_ppm", expr(
+          s"(__D * 1000000) div (CAST(n AS DECIMAL(38,0)) * $bigN * ${m - 1})"))
+    }
+    def ok = col("n") >= k && col("emd_ppm") <= tPpm
+    val chosen = (0 until steps).find { s =>
+      val Array(r) = classesAt(s).agg(
+        coalesce(sum(when(!ok, col("n"))), lit(0L)).as("viol"),
+        coalesce(sum(col("n")), lit(0L)).as("tot")).collect()
+      r.getLong(0) * 1000000L <= r.getLong(1) * maxSuppressedPpm
+    }.getOrElse(steps - 1)
+    classesAt(chosen).where(ok)
+      .withColumn("step", lit(chosen))
+      .select((col("step") +: names.map(col)) ++
+        Seq(col("n"), col("emd_ppm")): _*)
+  }
+
   /** k-anonymity AND distinct l-diversity (Machanavajjhala et al.,
     * ICDE'06): a class additionally needs ≥ l DISTINCT values of the
     * sensitive column — k alone leaves the homogeneity attack open (a

@@ -330,6 +330,28 @@ object Dedup {
       .groupBy("a_id", "b_id").agg(min("hamming").as("hamming"))
   }
 
+  /** Brute-force all-pairs Hamming over the PRODUCTION (xxhash64)
+    * fingerprints — the recall-truth face of [[simhashPairs]]: the Manku
+    * banding's pigeonhole guarantee says its candidate set contains every
+    * pair within the radius, and this computes that pair set directly so
+    * the guarantee is checkable on real data at gate scale (the gate-SF
+    * analog of the DuckDB brute-force that checks the PORTABLE face).
+    * Broadcast nested-loop + codegen'd popcount, same shape as the
+    * mask-Jaccard exact face above — reserved for recall gates, never
+    * the production path.
+    */
+  def simhashPairsBrute(docs: DataFrame, maxHamming: Int = 3,
+                        idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val fp = simhashFingerprints(docs, idCol, textCol)
+    val a = fp.select(col("id").as("a_id"), col("fp").as("a_fp"))
+    val b = fp.select(col("id").as("b_id"), col("fp").as("b_fp"))
+    a.join(broadcast(b), col("a_id") < col("b_id"), "inner")
+      .select(col("a_id"), col("b_id"),
+        hamming64(col("a_fp"), col("b_fp")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Portable-hash SimHash pairs — the exact-oracle face of
     * [[simhashPairs]]: shingle hashes are 60-bit md5-derived values both
     * engines compute identically (fingerprint bits 60-63 are then

@@ -61,6 +61,44 @@ class AnonymizeSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("t-closeness: EMD is exact on hand distributions; skew forces a step") {
+    // global salary bands: 6×1 and 6×2 → G = (6, 12), N = 12, m = 2.
+    // (decade 2, ely): 4 rows all band 1 → C=(4,4):
+    //   D = |12·4 − 4·6| + |12·4 − 4·12| = 24 + 0 = 24
+    //   emd_ppm = 24·10⁶ div (4·12·1) = 500000 — half the mass must move
+    // (decade 3, ely): bands (1,2,2) → C=(1,3):
+    //   D = |12·1 − 3·6| + 0 = 6 → emd_ppm = 6·10⁶ div 36 = 166666
+    val withSal = Seq(
+      (21, "ely", 1), (22, "ely", 1), (23, "ely", 1), (24, "ely", 1),
+      (31, "ely", 1), (32, "ely", 2), (33, "ely", 2),
+      (25, "ripon", 2), (26, "ripon", 2), (27, "ripon", 2),
+      (34, "ripon", 2), (39, "wells", 1)
+    ).toDF("age", "city", "band")
+    // tight t (200000): step 1's (2, ely) class is k-fine but skew-far →
+    // 4 + ripon(1)+wells(1) residue... step search coarsens to 2 where
+    // the single global class has EMD 0 by construction
+    val tight = Anonymize.tCloseness(withSal, k = 3, tPpm = 200000L,
+      ladders, "band", maxSuppressedPpm = 300000L).collect()
+    assert(tight.length === 1)
+    assert(tight.head.getInt(0) === 2 && tight.head.getLong(4) === 0L)
+    // loose t (600000) accepts step 1; the hand-computed EMDs come back
+    // exactly
+    val loose = Anonymize.tCloseness(withSal, k = 3, tPpm = 600000L,
+      ladders, "band", maxSuppressedPpm = 300000L)
+      .collect().map(r => (r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(loose === Set(("2", "ely", 4L, 500000L),
+      ("3", "ely", 3L, 166666L), ("2", "ripon", 3L, 500000L)))
+  }
+
+  test("t-closeness: the whole corpus as one class has EMD exactly 0") {
+    val withSal = people.withColumn("band",
+      org.apache.spark.sql.functions.expr("age div 10"))
+    val out = Anonymize.tCloseness(withSal, k = 1, tPpm = 0L,
+      Seq(Ladder("g", Seq("'*'"))), "band").collect()
+    assert(out.length === 1 && out.head.getLong(3) === 0L)
+  }
+
   test("l-diversity: a k-satisfying but homogeneous class forces a step") {
     // (decade 2, ely) has 4 rows but diagnoses are ALL 'flu' — k=3 holds,
     // l=2 fails, so step 1 is not enough and the search coarsens to 2
