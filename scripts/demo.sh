@@ -244,10 +244,10 @@ echo "txn 'demo-batch-2' replay after restart: version $RV unchanged ✓"
 # the decided-txn sweep finds nothing pending (q1-close already done)
 post /txns/recover '{}' | jq .
 # the crash-orphaned staged batch is still visible — and vacuumable
-ORPHANS=$(curl -sf "$BASE/tables/$TABLE/wap" | jq 'length')
+ORPHANS=$(curl -sf "$BASE/tables/$TABLE/wap" | jq '.staged | length')
 [ "$ORPHANS" = 1 ] || { echo "ERROR: expected 1 orphaned staging, got $ORPHANS"; exit 1; }
 curl -sf -X DELETE "$BASE/tables/$TABLE/wap/crash-orphan" | jq .
-ORPHANS=$(curl -sf "$BASE/tables/$TABLE/wap" | jq 'length')
+ORPHANS=$(curl -sf "$BASE/tables/$TABLE/wap" | jq '.staged | length')
 [ "$ORPHANS" = 0 ] || { echo "ERROR: orphan survived vacuum: $ORPHANS"; exit 1; }
 N=$(post /query '{"sql": "SELECT COUNT(*) AS n FROM '$TABLE'"}' | jq '.results[0].n')
 [ "$N" = 13 ] || { echo "ERROR: vacuum touched committed rows (n=$N)"; exit 1; }
