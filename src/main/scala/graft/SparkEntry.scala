@@ -3571,6 +3571,62 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Transparent MV answering: the caller writes the naive aggregate
+    // over the BASE table; the injected Catalyst optimizer rule
+    // (MvRewriteRule via spark.experimental.extraOptimizations) swaps in
+    // the materialized view's O(groups) scan — verified in-query by
+    // asserting the optimized plan's only file scan IS the MV table
+    // before materializing. Freshness-gated: a stale MV never answers
+    // (MvRewriteSpec pins that plus every disqualifier). The oracle is
+    // the plain aggregate — the rewrite must be result-identical.
+    "q_lake_mv_rewrite" -> ((s, d) => {
+      import graft.lake.{LakeFileIndex, LakeLog, LakeTable,
+        MaterializedView, MvRewrite}
+      import org.apache.spark.sql.execution.datasources.{
+        HadoopFsRelation, LogicalRelation}
+      val log = new LakeLog(
+        java.nio.file.Files.createTempDirectory("graftmvr"))
+      val li = t(s, d, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+      LakeTable.createTable(log, "li", li.schema)
+      LakeTable.insert(s, log, "li", li, numFiles = 4)
+      val mv = MaterializedView.MvDef("li_mv", "li", "l_returnflag",
+        sumCols = Seq("l_quantity"), minCols = Seq("l_extendedprice"),
+        maxCols = Seq("l_extendedprice"))
+      MaterializedView.create(log, mv)
+      MaterializedView.refresh(s, log, mv)
+      MvRewrite.register(s, log, Seq(mv))
+      try {
+        val q = LakeTable.readIndexed(s, log, "li")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            sum("l_quantity").as("sum_qty"),
+            min("l_extendedprice").as("min_price"),
+            max("l_extendedprice").as("max_price"))
+        val scanned = q.queryExecution.optimizedPlan.collectLeaves()
+          .flatMap {
+            case lr: LogicalRelation => lr.relation match {
+              case h: HadoopFsRelation => h.location match {
+                case i: LakeFileIndex => Some(i.tableName)
+                case _ => None
+              }
+              case _ => None
+            }
+            case _ => None
+          }
+        require(scanned == Seq("li_mv"),
+          s"MV rewrite did not fire (scanned: ${scanned.mkString(",")})")
+        // localCheckpoint materializes WHILE the rule is registered —
+        // the hash-checked rows really come off the MV scan
+        q.select(col("l_returnflag"), col("n_rows"),
+            round(col("sum_qty"), 2).as("sum_qty"),
+            round(col("min_price"), 2).as("min_price"),
+            round(col("max_price"), 2).as("max_price"))
+          .orderBy("l_returnflag")
+          .localCheckpoint()
+      } finally MvRewrite.clear(s)
+    }),
+
     "q_lake_zorder" -> ((s, d) => {
       // z-order-clustered insert: multi-dimensional clustering gives BOTH
       // curve columns tight per-file ranges, so this two-column range
@@ -7578,6 +7634,15 @@ object SparkEntry {
       SELECT l_returnflag, count(*) AS cnt,
              round(sum(l_quantity), 2) AS sum_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // q_lake_mv_rewrite: the rewrite must be result-identical to the
+    // naive aggregate, so the oracle IS the naive aggregate.
+    "q_lake_mv_rewrite" -> """
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             round(SUM(l_quantity), 2) AS sum_qty,
+             round(MIN(l_extendedprice), 2) AS min_price,
+             round(MAX(l_extendedprice), 2) AS max_price
+      FROM lineitem GROUP BY 1 ORDER BY 1""",
+
     "q_lake_mv" -> """
       SELECT l_returnflag, count(*) AS n_rows,
              round(sum(l_quantity), 2) AS sum_qty,

@@ -26,6 +26,12 @@ final class LakeFileIndex(spark: SparkSession, snap: Snapshot,
     (f, new FileStatus(f.size, false, 1, 128L * 1024 * 1024, 0L, p))
   }
 
+  /** Identity of the scanned snapshot — lets plan-level rewrites
+    * ([[MvRewriteRule]]) recognize WHICH table at WHICH version a
+    * LogicalRelation reads. */
+  def tableName: String = snap.table
+  def tableVersion: Long = snap.version
+
   override def rootPaths: Seq[HPath] = statuses.map(_._2.getPath)
 
   /** Partitioned tables: one [[PartitionDirectory]] per distinct partition
