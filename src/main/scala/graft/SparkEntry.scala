@@ -3571,6 +3571,37 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // The MV lifecycle through the SQL face alone: CREATE MATERIALIZED
+    // VIEW persists the definition beside the MV table, REFRESH by name
+    // folds each appended slice (incremental after the first build),
+    // and the final MV contents hash-check against the plain aggregate
+    // over everything inserted.
+    "q_lake_mv_sql" -> ((s, d) => {
+      import graft.lake.{LakeLog, LakeTable}
+      import graft.api.LakeSql
+      val log = new LakeLog(
+        java.nio.file.Files.createTempDirectory("graftmvs"))
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+      LakeTable.createTable(log, "li3", li.schema)
+      LakeTable.insert(s, log, "li3",
+        li.filter(col("l_orderkey") % 2 === 0), txnId = "half-0")
+      LakeSql.execute(s, log, "CREATE MATERIALIZED VIEW li3_mv ON li3 " +
+        "KEY l_returnflag SUM (l_quantity)")
+      val r1 = LakeSql.execute(s, log,
+        "REFRESH MATERIALIZED VIEW li3_mv").collect().head
+      require(r1.getAs[String]("mode") == "incremental", "first fold")
+      LakeTable.insert(s, log, "li3",
+        li.filter(col("l_orderkey") % 2 === 1), txnId = "half-1")
+      val r2 = LakeSql.execute(s, log,
+        "REFRESH MATERIALIZED VIEW li3_mv").collect().head
+      require(r2.getAs[String]("mode") == "incremental", "second fold")
+      LakeTable.read(s, log, "li3_mv")
+        .select(col("l_returnflag"), col("n_rows"),
+          round(col("sum_l_quantity"), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // Transparent MV answering: the caller writes the naive aggregate
     // over the BASE table; the injected Catalyst optimizer rule
     // (MvRewriteRule via spark.experimental.extraOptimizations) swaps in
@@ -7634,6 +7665,13 @@ object SparkEntry {
       SELECT l_returnflag, count(*) AS cnt,
              round(sum(l_quantity), 2) AS sum_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // q_lake_mv_sql: both halves of lineitem fold in → the MV must equal
+    // the aggregate over the whole table.
+    "q_lake_mv_sql" -> """
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             round(SUM(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY 1 ORDER BY 1""",
+
     // q_lake_mv_rewrite: the rewrite must be result-identical to the
     // naive aggregate, so the oracle IS the naive aggregate.
     "q_lake_mv_rewrite" -> """

@@ -72,6 +72,16 @@ import graft.lake.{Field, LakeLog, LakeTable, TableSchema}
   *                                            versions, never raw head)
   *   ALTER TABLE t DROP TAG|BRANCH name
   *   DESCRIBE REFS t                         ((name, kind, version))
+  *   CREATE MATERIALIZED VIEW m ON t KEY k [SUM (a,..)] [MIN (b,..)]
+  *     [MAX (c,..)]                          (incremental MV: count(*)
+  *                                            implicit; definition
+  *                                            persists beside the MV
+  *                                            table — graft.lake
+  *                                            .MaterializedView)
+  *   REFRESH MATERIALIZED VIEW m             (incremental where the log
+  *                                            allows, full otherwise;
+  *                                            returns the mode + the
+  *                                            folded version window)
   *   SELECT ... FROM t VERSION AS OF 'name'  (time travel by REF — the
   *                                            quoted name resolves to
   *                                            its pinned version)
@@ -109,6 +119,16 @@ object LakeSql {
     """(?is)\s*MERGE\s+INTO\s+(\w+)\s+USING\s+\((.+)\)\s+ON\s+(\w+)\s*;?\s*""".r
   private val InsertInto =
     """(?is)\s*INSERT\s+INTO\s+(\w+)\s+(SELECT\s.+)""".r
+  // Incremental materialized views by name: the definition persists as
+  // `_mvdef.json` beside the MV's backing table, so REFRESH needs only
+  // the name. Aggregate vocabulary mirrors MvDef: count(*) is implicit,
+  // SUM/MIN/MAX clauses list covered columns.
+  private val CreateMv =
+    ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+ON\s+(\w+)\s+""" +
+      """KEY\s+(\w+)(?:\s+SUM\s*\(([^)]*)\))?(?:\s+MIN\s*\(([^)]*)\))?""" +
+      """(?:\s+MAX\s*\(([^)]*)\))?\s*;?\s*""").r
+  private val RefreshMv =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*;?\s*""".r
   // SELECT-side time travel: `FROM t VERSION AS OF v` (any table
   // reference position). The clause is stripped and the version is
   // routed to [[SqlApi.queryLake]]'s per-table version map; one version
@@ -236,6 +256,23 @@ object LakeSql {
           generated_columns = if (gens.isEmpty) None else Some(gens)))
         status(spark, "table" -> table, "created" -> true,
           "version" -> 0L)
+      case CreateMv(name, base, key, sums, mins, maxs) =>
+        def cols(s: String) = Option(s).toSeq.flatMap(_.split(","))
+          .map(_.trim).filter(_.nonEmpty)
+        val d = graft.lake.MaterializedView.MvDef(name, base, key,
+          cols(sums), cols(mins), cols(maxs))
+        graft.lake.MaterializedView.create(log, d)
+        graft.lake.MaterializedView.saveDef(log, d)
+        status(spark, "mv" -> name, "base" -> base, "key" -> key,
+          "created" -> true)
+      case RefreshMv(name) =>
+        val d = graft.lake.MaterializedView.loadDef(log, name).getOrElse(
+          throw new graft.lake.LakeValidationException(
+            s"no materialized view '$name' (create it with CREATE " +
+              "MATERIALIZED VIEW)"))
+        val r = graft.lake.MaterializedView.refresh(spark, log, d)
+        status(spark, "mv" -> name, "mode" -> r.mode,
+          "from_version" -> r.fromVersion, "to_version" -> r.toVersion)
       case MergeInto(table, select, key) =>
         val rows = SqlApi.queryLake(spark, log, select)
         val r = LakeTable.upsert(spark, log, table, rows, key)

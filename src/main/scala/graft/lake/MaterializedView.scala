@@ -85,6 +85,29 @@ object MaterializedView {
     LakeTable.createTable(log, d.name, st)
   }
 
+  private val mapper = {
+    import com.fasterxml.jackson.databind.json.JsonMapper
+    import com.fasterxml.jackson.module.scala.{ClassTagExtensions, DefaultScalaModule}
+    JsonMapper.builder().addModule(DefaultScalaModule).build() ::
+      ClassTagExtensions
+  }
+
+  /** Persist the view definition beside its backing table so the
+    * SQL/REST faces can refresh by NAME (`_mvdef.json` in the MV's
+    * table dir — versionless metadata like `_wap`, not snapshot
+    * state). */
+  def saveDef(log: LakeLog, d: MvDef): Unit = {
+    val p = log.tableDir(d.name).resolve("_mvdef.json")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, mapper.writeValueAsString(d))
+  }
+
+  def loadDef(log: LakeLog, name: String): Option[MvDef] = {
+    val p = log.tableDir(name).resolve("_mvdef.json")
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(mapper.readValue[MvDef](java.nio.file.Files.readString(p)))
+  }
+
   /** The highest base version already folded into the MV, parsed from the
     * MV log's refresh txn ids (0 = never refreshed). */
   def lastRefreshed(log: LakeLog, d: MvDef): Long =

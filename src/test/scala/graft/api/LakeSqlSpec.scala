@@ -164,6 +164,38 @@ class LakeSqlSpec extends SparkSpec {
     assert(back.filter(_._1 >= 8).forall(_._2 == "new"))
   }
 
+  test("materialized views by name: CREATE persists the def, REFRESH folds") {
+    val log = new LakeLog(tmpDir("lakesqlmv"))
+    def sql(s: String) = LakeSql.execute(spark, log, s)
+    sql("CREATE TABLE src (k string, v float64, w int64)")
+    LakeTable.insert(spark, log, "src",
+      Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("b", 3.0, 3L))
+        .toDF("k", "v", "w"))
+    val created = sql("CREATE MATERIALIZED VIEW src_mv ON src KEY k " +
+      "SUM (v) MIN (w) MAX (w)").head()
+    assert(created.getAs[Boolean]("created"))
+    assert(graft.lake.MaterializedView.loadDef(log, "src_mv")
+      .exists(d => d.base == "src" && d.sumCols == Seq("v") &&
+        d.minCols == Seq("w")))
+    val r1 = sql("REFRESH MATERIALIZED VIEW src_mv").head()
+    assert(r1.getAs[String]("mode") == "incremental")
+    assert(LakeTable.read(spark, log, "src_mv")
+      .filter($"k" === "a").select("sum_v").as[Double].head() == 3.0)
+    // a second slice folds incrementally on a by-name refresh
+    LakeTable.insert(spark, log, "src",
+      Seq(("a", 4.0, 0L)).toDF("k", "v", "w"))
+    val r2 = sql("REFRESH MATERIALIZED VIEW src_mv").head()
+    assert(r2.getAs[String]("mode") == "incremental")
+    val row = LakeTable.read(spark, log, "src_mv")
+      .filter($"k" === "a").select("n_rows", "sum_v", "min_w")
+      .as[(Long, Double, Long)].head()
+    assert(row == ((3L, 7.0, 0L)))
+    // refreshing an unknown name fails loudly
+    intercept[graft.lake.LakeValidationException] {
+      sql("REFRESH MATERIALIZED VIEW nope")
+    }
+  }
+
   test("repeated DDL is not swallowed by the idempotency txn map") {
     // Deterministic DDL txn ids made ADD-after-DROP (and rename cycles)
     // replay as duplicate transactions: success status, no schema change.
