@@ -4691,6 +4691,24 @@ object SparkEntry {
         sensitiveCol = "c_mktsegment", maxSuppressedPpm = 200000L)
         .orderBy("g_nat", "g_bal")),
 
+    // Local differential privacy via randomized response (Warner 1965):
+    // each event's conversion bit flips with p=1/4 (ε = ln 3) under a
+    // seeded deterministic md5 coin, then the per-type rate debiases
+    // exactly in integer ppm — the coin's determinism is what lets the
+    // oracle replay every flip and makes pipeline retries idempotent
+    // (documented: a deployment wanting adversarial unpredictability
+    // swaps in a keyed hash; estimator unchanged).
+    "q_dp_rr" -> ((s, d) => {
+      import graft.operators.Privacy
+      val ev = t(s, d, "events").select(col("event_id"), col("event_type"),
+        (col("value") > 150).cast("int").as("sig"))
+      Privacy.debiasedRate(
+          Privacy.randomizedResponse(ev, "event_id", "sig",
+            pPpm = 250000L, seed = "rr-r8"),
+          "event_type", pPpm = 250000L)
+        .orderBy("event_type")
+    }),
+
     // k-anonymity AND t-closeness: each class's balance-band
     // distribution must sit within EMD t of the corpus's — the
     // skew leak l-diversity misses. EMD over the ordered bands is
@@ -9941,6 +9959,30 @@ object SparkEntry {
       FROM classes c JOIN chosen ch ON c.s = ch.s
       WHERE n >= 3 AND n_sens >= 3
       ORDER BY g_nat, g_bal""",
+
+    // q_dp_rr: replay the seeded md5 coin per event, the flips, and the
+    // integer-ppm debiasing — the mechanism is exactly auditable, which
+    // is the point of the deterministic coin.
+    "q_dp_rr" -> """
+      WITH base AS (
+        SELECT event_id, event_type,
+               CASE WHEN value > 150 THEN 1 ELSE 0 END AS sig
+        FROM events),
+      coin AS (
+        SELECT event_type,
+               CASE WHEN CAST(('0x' || substring(md5('rr-r8|' ||
+                        CAST(event_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                        % 1000000 < 250000
+                    THEN 1 - sig ELSE sig END AS rr
+        FROM base),
+      g AS (SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(rr) AS BIGINT) AS n_reported
+            FROM coin GROUP BY 1)
+      SELECT event_type, CAST(n AS BIGINT) AS n, n_reported,
+             CAST(least(1000000, greatest(0,
+               ((n_reported * 1000000 // n) - 250000) * 1000000
+                 // (1000000 - 500000))) AS BIGINT) AS est_true_ppm
+      FROM g ORDER BY event_type""",
 
     // t-closeness re-derived: the stepped search again, now with each
     // class's ordered-EMD vs the global balance-band distribution in the
