@@ -3571,6 +3571,43 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Snapshot-keyed result cache lifecycle: identical SELECT → hit with
+    // the SAME rows; any commit changes the fingerprint → miss with the
+    // new data. The hit/miss flags are computed from the REAL cache and
+    // hash-checked (a stale-serving cache would ship phase-3 rows equal
+    // to phase 1's and fail the oracle).
+    "q_result_cache" -> ((s, d) => {
+      import s.implicits._
+      import graft.api.ResultCache
+      import graft.lake.{LakeLog, LakeTable}
+      val log = new LakeLog(
+        java.nio.file.Files.createTempDirectory("graftrc"))
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+      LakeTable.createTable(log, "li5", li.schema)
+      LakeTable.insert(s, log, "li5", li.filter(col("l_orderkey") % 2 === 0))
+      val cache = new ResultCache[Array[org.apache.spark.sql.Row]]()
+      val sqlTxt = "SELECT l_returnflag, count(*) AS n, " +
+        "round(sum(l_quantity), 2) AS sum_qty FROM li5 GROUP BY 1"
+      def run() = cache.getOrCompute(sqlTxt, cache.fingerprint(log))(
+        graft.api.SqlApi.queryLake(s, log, sqlTxt).collect())
+      val (r1, h1) = run()
+      val (r2, h2) = run()
+      require(!h1 && h2, "second identical read must serve from cache")
+      require(r2 eq r1, "a hit returns the cached rows, not a recompute")
+      LakeTable.insert(s, log, "li5", li.filter(col("l_orderkey") % 2 === 1))
+      val (r3, h3) = run()
+      require(!h3, "a commit must invalidate the fingerprint")
+      def phaseDf(phase: Int, hit: Boolean,
+                  rows: Array[org.apache.spark.sql.Row]) =
+        rows.toSeq.map(r => (phase, if (hit) 1 else 0,
+            r.getString(0), r.getLong(1), r.getDouble(2)))
+          .toDF("phase", "hit", "l_returnflag", "n", "sum_qty")
+      phaseDf(1, h1, r1).unionAll(phaseDf(2, h2, r2))
+        .unionAll(phaseDf(3, h3, r3))
+        .orderBy("phase", "l_returnflag")
+    }),
+
     // The MV lifecycle through the SQL face alone: CREATE MATERIALIZED
     // VIEW persists the definition beside the MV table, REFRESH by name
     // folds each appended slice (incremental after the first build),
@@ -7683,6 +7720,24 @@ object SparkEntry {
       SELECT l_returnflag, count(*) AS cnt,
              round(sum(l_quantity), 2) AS sum_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // q_result_cache: phase 1 = the even-orderkey half (miss), phase 2 =
+    // the identical cached rows (hit), phase 3 = the whole table after
+    // the invalidating commit (miss).
+    "q_result_cache" -> """
+      WITH half AS (
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+               round(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1),
+      full_t AS (
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+               round(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY 1)
+      SELECT * FROM (
+        SELECT 1 AS phase, 0 AS hit, * FROM half
+        UNION ALL SELECT 2 AS phase, 1 AS hit, * FROM half
+        UNION ALL SELECT 3 AS phase, 0 AS hit, * FROM full_t)
+      ORDER BY phase, l_returnflag""",
+
     // q_lake_mv_sql: both halves of lineitem fold in → the MV must equal
     // the aggregate over the whole table.
     "q_lake_mv_sql" -> """

@@ -61,6 +61,9 @@ final class RestServer(spark: SparkSession, log: LakeLog,
     .addModule(DefaultScalaModule).build() :: ClassTagExtensions
 
   private val jobs = new Jobs.JobManager(spark, resultRoot)
+  // snapshot-keyed SELECT result cache: any commit anywhere changes the
+  // fingerprint, so entries can be reused but never stale
+  private val resultCache = new ResultCache[Seq[Map[String, Any]]]()
 
   // every query materialized through this server lands in the live series
   // the /metrics scrape target renders
@@ -496,12 +499,21 @@ final class RestServer(spark: SparkSession, log: LakeLog,
       case _ => return textError(ex, 400, "Missing sql")
     }
     val jobId = s"job-${UUID.randomUUID()}"
-    val df = LakeSql.execute(spark, log, sql)
-    val rows = df.toJSON.take(maxInlineRows)
-      .map(r => mapper.readValue[Map[String, Any]](r)).toSeq
+    def compute(): Seq[Map[String, Any]] =
+      LakeSql.execute(spark, log, sql).toJSON.take(maxInlineRows)
+        .map(r => mapper.readValue[Map[String, Any]](r)).toSeq
+    // pure reads go through the snapshot-keyed cache; anything that can
+    // mutate (DML, DDL, OPTIMIZE, ...) bypasses it — its own commit
+    // would immediately invalidate what it just cached anyway
+    val head = sql.trim.split("\\s+", 2)(0).toUpperCase
+    val (rows, hit) =
+      if (head == "SELECT" || head == "WITH" || head == "DESCRIBE")
+        resultCache.getOrCompute(sql, resultCache.fingerprint(log))(compute())
+      else (compute(), false)
     respondJson(ex, 200, Map(
       "job_id" -> jobId,
       "results" -> rows,
+      "cache" -> (if (hit) "hit" else "miss"),
       "status" -> "completed"))
   }
 
@@ -831,6 +843,11 @@ final class RestServer(spark: SparkSession, log: LakeLog,
       log.commitDuplicates.get())
     counter("lakehouse_compactions_total",
       "Total number of compactions", compactionsTotal.get())
+    counter("lakehouse_result_cache_hits_total",
+      "SELECT results served from the snapshot-keyed cache",
+      resultCache.hits)
+    counter("lakehouse_result_cache_misses_total",
+      "SELECT results computed (cache miss)", resultCache.misses)
     val bytes = sb.result().getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type",
       "text/plain; version=0.0.4; charset=utf-8")

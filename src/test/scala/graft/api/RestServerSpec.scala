@@ -519,6 +519,32 @@ class RestServerSpec extends SparkSpec with BeforeAndAfterAll {
       .asInstanceOf[Seq[_]].isEmpty)
   }
 
+  test("result cache over HTTP: hit on repeat, invalidated by a commit") {
+    assert(post("/tables", """{
+      "name": "rct",
+      "schema": {"fields": [{"name": "id", "type": "int64"},
+                            {"name": "v", "type": "int64"}]}}""").status == 200)
+    assert(post("/tables/rct/insert",
+      """{"data": [{"id": 1, "v": 10}, {"id": 2, "v": 20}]}""").status == 200)
+    val q = """{"sql": "SELECT sum(v) AS s FROM rct"}"""
+    val r1 = post("/query", q).json
+    assert(r1("cache") == "miss")
+    val r2 = post("/query", q).json
+    assert(r2("cache") == "hit")
+    assert(r2("results") == r1("results"))
+    // DML bypasses the cache and its commit invalidates the entry
+    val ins = post("/query",
+      """{"sql": "INSERT INTO rct SELECT 3 AS id, 30 AS v"}""").json
+    assert(ins("cache") == "miss")
+    val r3 = post("/query", q).json
+    assert(r3("cache") == "miss", "a commit must change the fingerprint")
+    assert(r3("results").asInstanceOf[Seq[Map[String, Any]]]
+      .head("s").toString.toLong == 60L)
+    // metrics expose the counters
+    val m = get("/metrics").body
+    assert(m.contains("lakehouse_result_cache_hits_total"))
+  }
+
   test("grafana datasource provisioning matches the dashboard's source") {
     def read(f: String) = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(f)), StandardCharsets.UTF_8)
