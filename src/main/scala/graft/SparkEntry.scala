@@ -3571,6 +3571,33 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Column masking policies: one physical table serves the analyst
+    // (segment truncated to its initial, balance coarsened to $1000
+    // bands) and the admin (raw) — masks are read-time projections, so
+    // pruning and skipping on other columns are untouched. Policies set
+    // through the SQL verbs; both role views hash-checked.
+    "q_lake_mask" -> ((s, d) => {
+      import graft.lake.{LakeLog, LakeTable, Masking}
+      val log = new LakeLog(
+        java.nio.file.Files.createTempDirectory("graftmask"))
+      val cust = t(s, d, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      LakeTable.createTable(log, "cust", cust.schema)
+      LakeTable.insert(s, log, "cust", cust)
+      graft.api.LakeSql.execute(s, log, "ALTER TABLE cust SET MASK " +
+        "c_mktsegment AS (concat(substring(c_mktsegment, 1, 1), '***')) " +
+        "EXEMPT (admin)")
+      graft.api.LakeSql.execute(s, log, "ALTER TABLE cust SET MASK " +
+        "c_acctbal AS (CAST((CAST(round(c_acctbal * 100) AS BIGINT) " +
+        "div 100000) * 1000 AS DOUBLE)) EXEMPT (admin)")
+      def view(role: String) =
+        Masking.readMasked(s, log, "cust", role)
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+          .withColumn("role", lit(role))
+      view("analyst").unionAll(view("admin"))
+        .orderBy("role", "c_custkey")
+    }),
+
     // Snapshot-keyed result cache lifecycle: identical SELECT → hit with
     // the SAME rows; any commit changes the fingerprint → miss with the
     // new data. The hit/miss flags are computed from the REAL cache and
@@ -7720,6 +7747,22 @@ object SparkEntry {
       SELECT l_returnflag, count(*) AS cnt,
              round(sum(l_quantity), 2) AS sum_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // q_lake_mask: replay both role views — the analyst's mask
+    // expressions applied verbatim, the admin's raw columns.
+    "q_lake_mask" -> """
+      WITH masked AS (
+        SELECT c_custkey,
+               substring(c_mktsegment, 1, 1) || '***' AS c_mktsegment,
+               CAST((CAST(round(c_acctbal * 100) AS BIGINT) // 100000)
+                 * 1000 AS DOUBLE) AS c_acctbal,
+               'analyst' AS role
+        FROM customer),
+      raw AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal, 'admin' AS role
+        FROM customer)
+      SELECT * FROM (SELECT * FROM masked UNION ALL SELECT * FROM raw)
+      ORDER BY role, c_custkey""",
+
     // q_result_cache: phase 1 = the even-orderkey half (miss), phase 2 =
     // the identical cached rows (hit), phase 3 = the whole table after
     // the invalidating commit (miss).

@@ -82,6 +82,12 @@ import graft.lake.{Field, LakeLog, LakeTable, TableSchema}
   *                                            allows, full otherwise;
   *                                            returns the mode + the
   *                                            folded version window)
+  *   ALTER TABLE t SET MASK c AS (expr) [EXEMPT (role, ...)]
+  *                                           (column masking policy —
+  *                                            graft.lake.Masking; reads
+  *                                            through readMasked rewrite
+  *                                            c per caller role)
+  *   ALTER TABLE t DROP MASK c
   *   SELECT ... FROM t VERSION AS OF 'name'  (time travel by REF — the
   *                                            quoted name resolves to
   *                                            its pinned version)
@@ -129,6 +135,16 @@ object LakeSql {
       """(?:\s+MAX\s*\(([^)]*)\))?\s*;?\s*""").r
   private val RefreshMv =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*;?\s*""".r
+  // column masking policies: the EXEMPT form must be tried FIRST — the
+  // greedy expr group in the plain form would otherwise swallow an
+  // EXEMPT clause into the mask expression
+  private val SetMaskExempt =
+    ("""(?is)\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+MASK\s+(\w+)\s+AS\s*""" +
+      """\((.+)\)\s+EXEMPT\s*\(([^)]*)\)\s*;?\s*""").r
+  private val SetMask =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+MASK\s+(\w+)\s+AS\s*\((.+)\)\s*;?\s*""".r
+  private val DropMask =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+MASK\s+(\w+)\s*;?\s*""".r
   // SELECT-side time travel: `FROM t VERSION AS OF v` (any table
   // reference position). The clause is stripped and the version is
   // routed to [[SqlApi.queryLake]]'s per-table version map; one version
@@ -256,6 +272,17 @@ object LakeSql {
           generated_columns = if (gens.isEmpty) None else Some(gens)))
         status(spark, "table" -> table, "created" -> true,
           "version" -> 0L)
+      case SetMaskExempt(table, column, maskExpr, roles) =>
+        graft.lake.Masking.setMask(spark, log, table, column, maskExpr.trim,
+          roles.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        status(spark, "table" -> table, "masked" -> column,
+          "exempt" -> roles.trim)
+      case SetMask(table, column, maskExpr) =>
+        graft.lake.Masking.setMask(spark, log, table, column, maskExpr.trim)
+        status(spark, "table" -> table, "masked" -> column, "exempt" -> "")
+      case DropMask(table, column) =>
+        graft.lake.Masking.dropMask(log, table, column)
+        status(spark, "table" -> table, "unmasked" -> column)
       case CreateMv(name, base, key, sums, mins, maxs) =>
         def cols(s: String) = Option(s).toSeq.flatMap(_.split(","))
           .map(_.trim).filter(_.nonEmpty)
