@@ -126,7 +126,14 @@ object MultiTxn {
     * intent. Safe to call repeatedly and from crash recovery. */
   def rollForward(spark: SparkSession, log: LakeLog, txnId: String)
       : Map[String, Long] = done(log, txnId) match {
-    case Some(r) => r.versionMap
+    case Some(r) =>
+      // sweep any lingering intent: a coordinator that lost the decision
+      // race can RE-CREATE the intent file after the winner already
+      // retired it (its create-if-absent races the winner's delete) —
+      // harmless for data, but without this sweep recover() would list
+      // the finished txn as pending forever
+      Files.deleteIfExists(intentPath(log, txnId))
+      r.versionMap
     case None => intent(log, txnId) match {
       case None =>
         // a concurrent driver may have finished (intent already retired)
