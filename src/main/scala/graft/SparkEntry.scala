@@ -3571,6 +3571,25 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Column-level lineage from the analyzed plan — "which physical
+    // columns can influence this output": a revenue-style join+aggregate
+    // resolves through alias, arithmetic, join and aggregate down to the
+    // scanned parquet columns. The oracle pins the expected dependency
+    // set; any extraction regression (a dropped alias hop, a join side
+    // mixed up) changes rows and fails the hash. Plan-sized driver work —
+    // prices like EXPLAIN at any corpus size.
+    "q_lineage" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val ord = t(s, d, "orders")
+      val q = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+      graft.operators.Lineage.columnLineage(s, q)
+        .orderBy("out_col", "src_table", "src_col")
+    }),
+
     // Column masking policies: one physical table serves the analyst
     // (segment truncated to its initial, balance coarsened to $1000
     // bands) and the admin (raw) — masks are read-time projections, so
@@ -7747,6 +7766,18 @@ object SparkEntry {
       SELECT l_returnflag, count(*) AS cnt,
              round(sum(l_quantity), 2) AS sum_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // q_lineage: the dependency set is a plan-derived FACT the oracle
+    // states — golden in form, falsifiable in substance (any extraction
+    // bug changes the rows).
+    "q_lineage" -> """
+      SELECT * FROM (VALUES
+        ('n_parts', 'lineitem', 'l_partkey'),
+        ('o_custkey', 'orders', 'o_custkey'),
+        ('revenue', 'lineitem', 'l_discount'),
+        ('revenue', 'lineitem', 'l_extendedprice'))
+        AS t(out_col, src_table, src_col)
+      ORDER BY out_col, src_table, src_col""",
+
     // q_lake_mask: replay both role views — the analyst's mask
     // expressions applied verbatim, the admin's raw columns.
     "q_lake_mask" -> """
