@@ -3571,6 +3571,22 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // LTTB downsampling (Steinarsson 2013): each event type's 2000-point
+    // series reduces to 22 visually-faithful points — first/last pinned,
+    // interior buckets keep their largest-triangle point vs the next
+    // bucket's centroid. Integer microsecond × cent-scaled arithmetic
+    // makes every area comparison exact; the oracle replays the full
+    // prev-dependent selection via a precomputed transition table + a
+    // recursive walk.
+    "q_ts_downsample" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_type"),
+        unix_micros(col("ts")).as("t_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_cents"))
+      graft.operators.Downsample.lttb(ev, "event_type", "t_us", "v_cents",
+          buckets = 22)
+        .orderBy("event_type", "t_us", "v_cents")
+    }),
+
     // Column-level lineage from the analyzed plan — "which physical
     // columns can influence this output": a revenue-style join+aggregate
     // resolves through alias, arithmetic, join and aggregate down to the
@@ -7766,6 +7782,76 @@ object SparkEntry {
       SELECT l_returnflag, count(*) AS cnt,
              round(sum(l_quantity), 2) AS sum_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // q_ts_downsample: LTTB's selection depends on the PREVIOUSLY kept
+    // point, so the oracle precomputes a (bucket, prev-candidate) →
+    // best-candidate transition table (windows allowed there) and a
+    // recursive CTE walks it — the same static-transition + linear-walk
+    // split as the WordPiece/CUSUM oracles. All HUGEINT cross-products.
+    "q_ts_downsample" -> """
+      WITH RECURSIVE pts AS (
+        SELECT event_type AS k2, epoch_us(ts) AS t,
+               CAST(round(value * 100) AS BIGINT) AS v,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY epoch_us(ts), CAST(round(value * 100) AS BIGINT))
+                 - 1 AS pos
+        FROM events),
+      n_t AS (SELECT k2, COUNT(*) AS n FROM pts GROUP BY 1),
+      b AS (
+        SELECT k2, i, 1 + (i * (n - 2)) // 20 AS lo,
+               1 + ((i + 1) * (n - 2)) // 20 AS hi
+        FROM n_t, UNNEST(range(20)) AS u(i)),
+      bagg AS (
+        SELECT b.k2, b.i, SUM(p.t) AS sx, SUM(p.v) AS sy, COUNT(*) AS m
+        FROM b JOIN pts p ON p.k2 = b.k2 AND p.pos >= b.lo AND p.pos < b.hi
+        GROUP BY 1, 2),
+      lastp AS (
+        SELECT p.k2, CAST(p.t AS HUGEINT) AS sx, CAST(p.v AS HUGEINT) AS sy,
+               CAST(1 AS HUGEINT) AS m
+        FROM pts p JOIN n_t nt ON nt.k2 = p.k2 WHERE p.pos = nt.n - 1),
+      anchor AS (
+        SELECT k2, i - 1 AS i, CAST(sx AS HUGEINT) AS sx,
+               CAST(sy AS HUGEINT) AS sy, CAST(m AS HUGEINT) AS m
+        FROM bagg WHERE i >= 1
+        UNION ALL
+        SELECT k2, 19, sx, sy, m FROM lastp),
+      prevdom AS (
+        SELECT k2, 0 AS i, CAST(0 AS BIGINT) AS ppos FROM n_t
+        UNION ALL
+        SELECT b.k2, b.i + 1 AS i, p.pos AS ppos
+        FROM b JOIN pts p ON p.k2 = b.k2 AND p.pos >= b.lo AND p.pos < b.hi
+        WHERE b.i + 1 <= 19),
+      scored AS (
+        SELECT pd.k2, pd.i, pd.ppos, c.pos AS cpos, c.t AS ct, c.v AS cv,
+               abs((a.m * CAST(pp.t AS HUGEINT) - a.sx)
+                     * (CAST(c.v AS HUGEINT) - pp.v)
+                   - (CAST(pp.t AS HUGEINT) - c.t)
+                     * (a.sy - a.m * CAST(pp.v AS HUGEINT))) AS score
+        FROM prevdom pd
+        JOIN pts pp ON pp.k2 = pd.k2 AND pp.pos = pd.ppos
+        JOIN b ON b.k2 = pd.k2 AND b.i = pd.i
+        JOIN pts c ON c.k2 = pd.k2 AND c.pos >= b.lo AND c.pos < b.hi
+        JOIN anchor a ON a.k2 = pd.k2 AND a.i = pd.i),
+      trans AS (
+        SELECT k2, i, ppos, cpos,
+               row_number() OVER (PARTITION BY k2, i, ppos
+                 ORDER BY score DESC, cpos ASC) AS rn
+        FROM scored),
+      walk AS (
+        SELECT k2, CAST(-1 AS BIGINT) AS i, CAST(0 AS BIGINT) AS pos
+        FROM n_t
+        UNION ALL
+        SELECT w.k2, w.i + 1, t2.cpos
+        FROM walk w JOIN trans t2 ON t2.k2 = w.k2 AND t2.i = w.i + 1
+                                 AND t2.ppos = w.pos AND t2.rn = 1
+        WHERE w.i + 1 <= 19),
+      selpos AS (
+        SELECT k2, pos FROM walk
+        UNION
+        SELECT nt.k2, nt.n - 1 FROM n_t nt)
+      SELECT p.k2 AS event_type, p.t AS t_us, p.v AS v_cents
+      FROM selpos s JOIN pts p ON p.k2 = s.k2 AND p.pos = s.pos
+      ORDER BY event_type, t_us, v_cents""",
+
     // q_lineage: the dependency set is a plan-derived FACT the oracle
     // states — golden in form, falsifiable in substance (any extraction
     // bug changes the rows).
