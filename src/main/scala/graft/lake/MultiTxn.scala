@@ -207,8 +207,14 @@ object MultiTxn {
   }
 
   private def readRec(p: Path): Option[TxnRecord] =
-    if (!Files.exists(p)) None
-    else Some(mapper.readValue[TxnRecord](Files.readString(p)))
+    try {
+      if (!Files.exists(p)) None
+      else Some(mapper.readValue[TxnRecord](Files.readString(p)))
+    } catch {
+      // a racing driver can retire the intent between the exists check
+      // and the read — rollForward's done-record fallback covers it
+      case _: java.nio.file.NoSuchFileException => None
+    }
 
   /** Atomic create-if-absent (link(2), rename fallback): returns None if
     * this call created the file, Some(existing record) if it lost the

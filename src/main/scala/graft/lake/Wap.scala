@@ -97,8 +97,15 @@ object Wap {
 
   def staged(log: LakeLog, table: String, wapId: String): Option[StagedBatch] = {
     val p = wapPath(log, table, wapId)
-    if (!Files.exists(p)) None
-    else Some(mapper.readValue[StagedBatch](Files.readString(p)))
+    try {
+      if (!Files.exists(p)) None
+      else Some(mapper.readValue[StagedBatch](Files.readString(p)))
+    } catch {
+      // a concurrent publish/abort can retire the record between the
+      // exists check and the read — same answer as "not staged"; the
+      // caller's txn-map fallback resolves what happened to it
+      case _: java.nio.file.NoSuchFileException => None
+    }
   }
 
   def listStaged(log: LakeLog, table: String): Seq[StagedBatch] = {
