@@ -128,6 +128,8 @@ final class RestServer(spark: SparkSession, log: LakeLog,
           wapPublish(ex, t, id)
         case ("DELETE", List("tables", t, "wap", id)) =>
           wapAbort(ex, t, id)
+        case ("GET", List("tables", t, "masked"))    => maskedRead(ex, t)
+        case ("POST", List("lineage"))               => lineageOf(ex)
         case ("POST", List("txns", id, "stage", t))  => txnStage(ex, id, t)
         case ("POST", List("txns", id, "commit"))    => txnCommit(ex, id)
         case ("POST", List("txns", id, "abort"))     => txnAbort(ex, id)
@@ -515,6 +517,37 @@ final class RestServer(spark: SparkSession, log: LakeLog,
       "results" -> rows,
       "cache" -> (if (hit) "hit" else "miss"),
       "status" -> "completed"))
+  }
+
+  /** GET /tables/{t}/masked?role=r — the role-gated read through the
+    * table's masking policy ([[graft.lake.Masking]]); no role param
+    * reads as the unprivileged default (every mask applies). */
+  private def maskedRead(ex: HttpExchange, table: String): Unit = {
+    if (!log.tableExists(table))
+      return textError(ex, 404, s"table $table does not exist")
+    val role = queryParams(ex).getOrElse("role", "")
+    val rows = graft.lake.Masking.readMasked(spark, log, table, role)
+      .toJSON.take(maxInlineRows)
+      .map(r => mapper.readValue[Map[String, Any]](r)).toSeq
+    respondJson(ex, 200, Map("table" -> table, "role" -> role,
+      "masked_columns" -> graft.lake.Masking.policy(log, table).masks
+        .filterNot(_.exempt_roles.contains(role)).map(_.column),
+      "results" -> rows))
+  }
+
+  /** POST /lineage `{sql: ...}` — column-level lineage of a SELECT over
+    * lake tables: (out_col, src_table, src_col) dependency rows. */
+  private def lineageOf(ex: HttpExchange): Unit = {
+    val req = readMap(ex)
+    val sql = req.get("sql") match {
+      case Some(s: String) if s.trim.nonEmpty => s
+      case _ => return textError(ex, 400, "Missing sql")
+    }
+    val df = SqlApi.queryLake(spark, log, sql)
+    val rows = graft.operators.Lineage.columnLineage(spark, df)
+      .collect().map(r => Map("out_col" -> r.getString(0),
+        "src_table" -> r.getString(1), "src_col" -> r.getString(2))).toSeq
+    respondJson(ex, 200, Map("sql" -> sql, "lineage" -> rows))
   }
 
   /** POST /queries (`rest_api.go:328-367`): the structured QueryAPIRequest

@@ -545,6 +545,30 @@ class RestServerSpec extends SparkSpec with BeforeAndAfterAll {
     assert(m.contains("lakehouse_result_cache_hits_total"))
   }
 
+  test("masked reads and lineage over HTTP") {
+    assert(post("/tables", """{
+      "name": "gvt",
+      "schema": {"fields": [{"name": "id", "type": "int64"},
+                            {"name": "seg", "type": "string"}]}}""").status == 200)
+    assert(post("/tables/gvt/insert",
+      """{"data": [{"id": 1, "seg": "BUILDING"}]}""").status == 200)
+    post("/query", """{"sql": "ALTER TABLE gvt SET MASK seg AS (concat(substring(seg, 1, 1), '***')) EXEMPT (admin)"}""")
+    val analyst = get("/tables/gvt/masked?role=analyst").json
+    assert(analyst("masked_columns") == Seq("seg"))
+    assert(analyst("results").asInstanceOf[Seq[Map[String, Any]]]
+      .head("seg") == "B***")
+    val admin = get("/tables/gvt/masked?role=admin").json
+    assert(admin("masked_columns") == Seq())
+    assert(admin("results").asInstanceOf[Seq[Map[String, Any]]]
+      .head("seg") == "BUILDING")
+    assert(get("/tables/nope/masked").status == 404)
+    val lin = post("/lineage",
+      """{"sql": "SELECT upper(seg) AS s, id + 1 AS i FROM gvt"}""").json
+    assert(lin("lineage") == Seq(
+      Map("out_col" -> "i", "src_table" -> "gvt", "src_col" -> "id"),
+      Map("out_col" -> "s", "src_table" -> "gvt", "src_col" -> "seg")))
+  }
+
   test("grafana datasource provisioning matches the dashboard's source") {
     def read(f: String) = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(f)), StandardCharsets.UTF_8)
