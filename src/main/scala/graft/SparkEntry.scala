@@ -3571,6 +3571,21 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Mann–Kendall monotone-trend test: S = Σ sign(v_j − v_i) over each
+    // type's time-ordered values — pure integer, outlier-robust,
+    // distribution-free. The engine counts inversions in O(n log n) per
+    // series (merge sort); the oracle brute-forces the textbook
+    // all-pairs sum — their equality checks the counting identity on
+    // real data.
+    "q_trend_mk" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_type"),
+        unix_micros(col("ts")).as("t_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_cents"))
+      graft.operators.Trend.mannKendall(ev, "event_type", "t_us",
+          "v_cents")
+        .orderBy("event_type")
+    }),
+
     // LTTB downsampling (Steinarsson 2013): each event type's 2000-point
     // series reduces to 22 visually-faithful points — first/last pinned,
     // interior buckets keep their largest-triangle point vs the next
@@ -7782,6 +7797,30 @@ object SparkEntry {
       SELECT l_returnflag, count(*) AS cnt,
              round(sum(l_quantity), 2) AS sum_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // q_trend_mk: the textbook all-pairs sign sum — equality with the
+    // engine's merge-sort inversion count IS the identity under test.
+    "q_trend_mk" -> """
+      WITH pts AS (
+        SELECT event_type AS k2,
+               CAST(round(value * 100) AS BIGINT) AS v,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY epoch_us(ts), CAST(round(value * 100) AS BIGINT))
+                 AS pos
+        FROM events),
+      n_t AS (SELECT k2, COUNT(*) AS n FROM pts GROUP BY 1),
+      sgn AS (
+        SELECT a.k2,
+               CAST(SUM(CASE WHEN b.v > a.v THEN 1
+                             WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT)
+                 AS s
+        FROM pts a JOIN pts b ON b.k2 = a.k2 AND b.pos > a.pos
+        GROUP BY 1)
+      SELECT sgn.k2 AS event_type, CAST(n_t.n AS BIGINT) AS n, sgn.s,
+             CAST(sgn.s * 1000000 // (n_t.n * (n_t.n - 1) // 2)
+               AS BIGINT) AS tau_ppm
+      FROM sgn JOIN n_t ON n_t.k2 = sgn.k2
+      ORDER BY event_type""",
+
     // q_ts_downsample: LTTB's selection depends on the PREVIOUSLY kept
     // point, so the oracle precomputes a (bucket, prev-candidate) →
     // best-candidate transition table (windows allowed there) and a
