@@ -1,6 +1,6 @@
 package graft.api
 
-import graft.lake.LakeLog
+import graft.lake.{LakeLog, Refs}
 
 /** Snapshot-keyed query result cache — the control-plane feature every
   * serving lakehouse front-end carries (Databricks/Snowflake result
@@ -9,20 +9,27 @@ import graft.lake.LakeLog
   * than by TTL guesswork.
   *
   * The key is (normalized SQL, snapshot fingerprint), where the
-  * fingerprint is every table's latest version — so a cached result can
-  * NEVER be stale: any commit to any table changes the fingerprint and
-  * the next read recomputes. That is deliberately over-invalidating
-  * (a commit to an unrelated table also misses); exact per-statement
-  * table-reference tracking would narrow it, but staleness is a
-  * correctness bug while over-invalidation is only a missed
-  * optimization — the conservative key is the right default. Snapshot
-  * reads being pure functions of (SQL, versions) is exactly the
-  * property the lake's OCC log guarantees.
+  * fingerprint is every table's latest version PLUS its refs state
+  * (name→version→kind for every tag/branch) — so a cached result can
+  * NEVER be stale: any commit to any table changes the version part,
+  * and any ref mutation (MOVE BRANCH, CREATE/DROP TAG — which change
+  * what `VERSION AS OF '<name>'` and `DESCRIBE REFS` answer WITHOUT a
+  * commit) changes the refs part. That is deliberately over-
+  * invalidating (a commit to an unrelated table also misses); exact
+  * per-statement table-reference tracking would narrow it, but
+  * staleness is a correctness bug while over-invalidation is only a
+  * missed optimization — the conservative key is the right default.
+  * Snapshot reads being pure functions of (SQL, versions, refs) is
+  * exactly the property the lake's OCC log + atomic ref files
+  * guarantee.
   *
   * Only statements the caller declares CACHEABLE should go through
   * [[getOrCompute]] (the REST face routes SELECT/WITH here and sends
   * DML around it). Entries are LRU-bounded; hit/miss counters feed the
-  * metrics endpoint. Scale note: this caches RESULT rows (dashboards,
+  * metrics endpoint. Single-flight is PER KEY: concurrent identical
+  * queries compute once, but an unrelated slow miss never blocks other
+  * statements' hits (the global lock guards only map operations, never
+  * a Spark job). Scale note: this caches RESULT rows (dashboards,
   * top-k, aggregates — the maxInlineRows-bounded REST shape), never
   * scan-sized data; the engine-side analog for big intermediates is
   * the lake itself (materialized views + snapshot reads).
@@ -35,29 +42,58 @@ final class ResultCache[V](maxEntries: Int = 256) {
           e: java.util.Map.Entry[(String, String), V]): Boolean =
         size() > maxEntries
     }
+  private val inFlight = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), java.util.concurrent.CompletableFuture[V]]()
   private var hitCount = 0L
   private var missCount = 0L
 
-  /** The invalidation key: every table's latest version. One log replay
-    * of the version listings, no data read. */
+  /** The invalidation key: every table's latest version and its full
+    * refs state. One log replay of the version listings plus one
+    * ref-file listing per table — metadata-sized, no data read. Refs
+    * are fingerprinted by (name, version, kind, created_ms): created_ms
+    * makes even drop-and-recreate-at-the-same-version distinguishable,
+    * so a cached DESCRIBE REFS can never serve a predecessor's row. */
   def fingerprint(log: LakeLog): String =
-    log.listTables().sorted
-      .map(t => s"$t=${log.latestVersion(t)}").mkString(",")
+    log.listTables().sorted.map { t =>
+      val refs = Refs.list(log, t)
+        .map(r => s"${r.name}@${r.version}:${r.kind}:${r.created_ms}")
+        .mkString("[", ";", "]")
+      s"$t=${log.latestVersion(t)}$refs"
+    }.mkString(",")
 
   /** Returns (value, hit). `compute` runs at most once per (sql,
-    * fingerprint); the whole call is synchronized — result rows are
-    * small by contract, and single-flight beats stampeding the engine
-    * with duplicate dashboard queries. */
+    * fingerprint) — concurrent callers of the SAME key wait for the one
+    * computation (and count as hits); callers of OTHER keys proceed
+    * independently. A failed compute propagates to every waiter and
+    * caches nothing. */
   def getOrCompute(sql: String, fingerprint: String)(compute: => V)
-      : (V, Boolean) = synchronized {
+      : (V, Boolean) = {
     val k = (sql.trim, fingerprint)
-    val cached = lru.get(k)
-    if (cached != null) { hitCount += 1; (cached, true) }
-    else {
-      missCount += 1
-      val v = compute
-      lru.put(k, v)
-      (v, false)
+    val cached = synchronized {
+      val c = lru.get(k)
+      if (c != null) hitCount += 1
+      c
+    }
+    if (cached != null) return (cached, true)
+    val mine = new java.util.concurrent.CompletableFuture[V]()
+    val theirs = inFlight.putIfAbsent(k, mine)
+    if (theirs != null) {
+      // another caller is computing this exact key: wait on THEIR job
+      val v = try theirs.join()
+      catch { case e: java.util.concurrent.CompletionException =>
+        throw Option(e.getCause).getOrElse(e)
+      }
+      synchronized { hitCount += 1 }
+      (v, true)
+    } else {
+      try {
+        val v = compute
+        synchronized { missCount += 1; lru.put(k, v) }
+        mine.complete(v)
+        (v, false)
+      } catch {
+        case e: Throwable => mine.completeExceptionally(e); throw e
+      } finally inFlight.remove(k)
     }
   }
 

@@ -56,6 +56,96 @@ class MaskingSpec extends SparkSpec {
     }
   }
 
+  test("a mask referencing another masked column sees the RAW value") {
+    val log = setup()
+    // bal's mask references seg; seg itself is masked. One-select
+    // semantics: bal's mask must see the RAW seg ("BUILDING"), not the
+    // masked "B***" — regardless of install order.
+    Masking.setMask(spark, log, "t", "seg", "'***'")
+    Masking.setMask(spark, log, "t", "bal",
+      "CAST(length(seg) AS DOUBLE)")
+    val got = Masking.readMasked(spark, log, "t", "analyst")
+      .orderBy("id").select("bal").as[Double].collect().toSeq
+    assert(got === Seq(8.0, 4.0)) // length(BUILDING), length(AUTO)
+    // and the reverse install order gives the same answer
+    val log2 = setup()
+    Masking.setMask(spark, log2, "t", "bal",
+      "CAST(length(seg) AS DOUBLE)")
+    Masking.setMask(spark, log2, "t", "seg", "'***'")
+    assert(Masking.readMasked(spark, log2, "t", "analyst")
+      .orderBy("id").select("bal").as[Double].collect().toSeq
+      === Seq(8.0, 4.0))
+  }
+
+  test("concurrent SET MASK on different columns: neither is lost") {
+    val log = setup()
+    val threads = (0 until 2).map { i =>
+      val colName = if (i == 0) "seg" else "bal"
+      val ex = if (i == 0) "'***'" else "CAST(0.0 AS DOUBLE)"
+      new Thread(() => (0 until 25).foreach { _ =>
+        Masking.setMask(spark, log, "t", colName, ex)
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val cols = Masking.policy(log, "t").masks.map(_.column).sorted
+    assert(cols === Seq("bal", "seg"),
+      s"a concurrent mask update was lost: surviving policy = $cols")
+  }
+
+  test("torn newest policy entry fails CLOSED, not with a JSON crash") {
+    val log = setup()
+    Masking.setMask(spark, log, "t", "seg", "'***'")
+    // simulate a corrupted newest entry (e.g. bit rot / manual edit)
+    val dir = log.tableDir("t").resolve("_masks")
+    val newest = java.nio.file.Files.list(dir).toArray.map(_.toString)
+      .filter(_.endsWith(".json")).sorted.last
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(newest),
+      "{\"masks\": [ TRUNC")
+    val e = intercept[LakeValidationException] {
+      Masking.readMasked(spark, log, "t", "analyst").count()
+    }
+    assert(e.getMessage.contains("fail-closed"))
+    // mutation on a torn policy also refuses (can't read-modify-write
+    // what it can't read) instead of silently resetting the policy
+    intercept[LakeValidationException] {
+      Masking.setMask(spark, log, "t", "bal", "CAST(0.0 AS DOUBLE)")
+    }
+    // repair: rewrite the torn entry → reads resume with the policy
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(newest),
+      "{\"masks\": [{\"column\": \"seg\", \"expr\": \"'***'\", " +
+        "\"exempt_roles\": []}]}")
+    assert(Masking.readMasked(spark, log, "t", "analyst")
+      .select("seg").distinct().as[String].collect().toSeq === Seq("***"))
+  }
+
+  test("a crash mid-write (stale staged temp) never becomes the policy") {
+    val log = setup()
+    Masking.setMask(spark, log, "t", "seg", "'***'")
+    // a killed writer leaves only a temp file; policy reads ignore it
+    val dir = log.tableDir("t").resolve("_masks")
+    java.nio.file.Files.writeString(
+      java.nio.file.Files.createTempFile(dir, ".staged", ".json"),
+      "{\"masks\": [ half-writ")
+    assert(Masking.policy(log, "t").masks.map(_.expr) === Seq("'***'"))
+    // and later mutations still commit cleanly past the orphan
+    Masking.setMask(spark, log, "t", "bal", "CAST(0.0 AS DOUBLE)")
+    assert(Masking.policy(log, "t").masks.size === 2)
+  }
+
+  test("legacy single-file _masks.json still governs reads") {
+    val log = setup()
+    java.nio.file.Files.writeString(
+      log.tableDir("t").resolve("_masks.json"),
+      "{\"masks\": [{\"column\": \"seg\", \"expr\": \"'L'\", " +
+        "\"exempt_roles\": []}]}")
+    assert(Masking.readMasked(spark, log, "t", "x")
+      .select("seg").distinct().as[String].collect().toSeq === Seq("L"))
+    // first mini-log commit supersedes the legacy file
+    Masking.setMask(spark, log, "t", "seg", "'N'")
+    assert(Masking.readMasked(spark, log, "t", "x")
+      .select("seg").distinct().as[String].collect().toSeq === Seq("N"))
+  }
+
   test("SQL verbs: SET MASK with nested parens + EXEMPT, DROP MASK") {
     val log = setup()
     graft.api.LakeSql.execute(spark, log,
