@@ -133,6 +133,25 @@ object SparkEntry {
     nTruth
   }
 
+  /** Which lake tables a query's OPTIMIZED plan scans — the in-query
+    * plan pin the MV-rewrite queries `require` on (a rewrite that
+    * silently stopped firing would still hash-match, so the pin is what
+    * makes the plan claim falsifiable). */
+  private def lakeScans(q: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    q.queryExecution.optimizedPlan.collectLeaves().flatMap {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location match {
+          case i: graft.lake.LakeFileIndex => Some(i.tableName)
+          case _ => None
+        }
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
   /** NOTE on the trailing `.orderBy(...)` in every query: the driver's
     * correctness gate hashes sorted rows, so outputs are made deterministic
     * here. The sorts are gate artifacts, not operator cost — a production
@@ -3769,6 +3788,70 @@ object SparkEntry {
             round(col("max_price"), 2).as("max_price"))
           .orderBy("l_returnflag")
           .localCheckpoint()
+      } finally MvRewrite.clear(s)
+    }),
+
+    // MV rewrite, extended provable envelope #1: avg(c) answered as
+    // stored sum_c / n_rows. l_quantity is integer-valued, so the double
+    // sum is EXACT in IEEE regardless of accumulation order and the
+    // final division is bit-identical in Spark's Average, the MV's
+    // Divide(sum, n) and DuckDB's AVG — no rounding needed. The in-query
+    // require pins the optimized plan's only scan to the MV table.
+    "q_lake_mv_rewrite_avg" -> ((s, d) => {
+      import graft.lake.{LakeLog, LakeTable, MaterializedView, MvRewrite}
+      val log = new LakeLog(
+        java.nio.file.Files.createTempDirectory("graftmva"))
+      val li = t(s, d, "lineitem").select("l_returnflag", "l_quantity")
+      LakeTable.createTable(log, "li", li.schema)
+      LakeTable.insert(s, log, "li", li, numFiles = 4)
+      val mv = MaterializedView.MvDef("li_avg_mv", "li", "l_returnflag",
+        sumCols = Seq("l_quantity"))
+      MaterializedView.create(log, mv)
+      MaterializedView.refresh(s, log, mv)
+      MvRewrite.register(s, log, Seq(mv))
+      try {
+        val q = LakeTable.readIndexed(s, log, "li")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            avg("l_quantity").as("avg_qty"),
+            sum("l_quantity").as("sum_qty"))
+        val scanned = lakeScans(q)
+        require(scanned == Seq("li_avg_mv"),
+          s"MV avg rewrite did not fire (scanned: ${scanned.mkString(",")})")
+        q.orderBy("l_returnflag").localCheckpoint()
+      } finally MvRewrite.clear(s)
+    }),
+
+    // MV rewrite, extended provable envelope #2: COMPOSITE group key
+    // (l_returnflag, l_linestatus) plus a KEY-ONLY filter — a predicate
+    // over group-key columns partitions whole groups, so it commutes
+    // with the aggregation and re-anchors onto the MV's stored key
+    // columns as a filtered MV scan. The require pins the plan to the
+    // MV; the oracle replays filter + aggregate over the base rows.
+    "q_lake_mv_rewrite_filter" -> ((s, d) => {
+      import graft.lake.{LakeLog, LakeTable, MaterializedView, MvRewrite}
+      val log = new LakeLog(
+        java.nio.file.Files.createTempDirectory("graftmvf"))
+      val li = t(s, d, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+      LakeTable.createTable(log, "li", li.schema)
+      LakeTable.insert(s, log, "li", li, numFiles = 4)
+      val mv = MaterializedView.MvDef("li_fs_mv", "li", "l_returnflag",
+        sumCols = Seq("l_quantity"), extraKeyCols = Seq("l_linestatus"))
+      MaterializedView.create(log, mv)
+      MaterializedView.refresh(s, log, mv)
+      MvRewrite.register(s, log, Seq(mv))
+      try {
+        val q = LakeTable.readIndexed(s, log, "li")
+          .filter(col("l_returnflag") =!= "N")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n_rows"),
+            sum("l_quantity").as("sum_qty"))
+        val scanned = lakeScans(q)
+        require(scanned == Seq("li_fs_mv"),
+          s"filtered composite-key MV rewrite did not fire " +
+            s"(scanned: ${scanned.mkString(",")})")
+        q.orderBy("l_returnflag", "l_linestatus").localCheckpoint()
       } finally MvRewrite.clear(s)
     }),
 
@@ -7952,6 +8035,24 @@ object SparkEntry {
              round(MIN(l_extendedprice), 2) AS min_price,
              round(MAX(l_extendedprice), 2) AS max_price
       FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    // q_lake_mv_rewrite_avg: avg over integer-valued l_quantity — the
+    // double sum is exact, so sum/count is bit-identical across Spark's
+    // Average, the MV's Divide(sum_c, n_rows) and DuckDB's AVG.
+    "q_lake_mv_rewrite_avg" -> """
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             AVG(l_quantity) AS avg_qty,
+             SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    // q_lake_mv_rewrite_filter: key-only filter + composite group key —
+    // the rewrite must equal the naive filtered aggregate.
+    "q_lake_mv_rewrite_filter" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             SUM(l_quantity) AS sum_qty
+      FROM lineitem WHERE l_returnflag <> 'N'
+      GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_lake_mv" -> """
       SELECT l_returnflag, count(*) AS n_rows,

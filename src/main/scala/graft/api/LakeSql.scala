@@ -131,7 +131,7 @@ object LakeSql {
   // SUM/MIN/MAX clauses list covered columns.
   private val CreateMv =
     ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+ON\s+(\w+)\s+""" +
-      """KEY\s+(\w+)(?:\s+SUM\s*\(([^)]*)\))?(?:\s+MIN\s*\(([^)]*)\))?""" +
+      """KEY\s+([\w,\s]+?)(?:\s+SUM\s*\(([^)]*)\))?(?:\s+MIN\s*\(([^)]*)\))?""" +
       """(?:\s+MAX\s*\(([^)]*)\))?\s*;?\s*""").r
   private val RefreshMv =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*;?\s*""".r
@@ -286,8 +286,12 @@ object LakeSql {
       case CreateMv(name, base, key, sums, mins, maxs) =>
         def cols(s: String) = Option(s).toSeq.flatMap(_.split(","))
           .map(_.trim).filter(_.nonEmpty)
-        val d = graft.lake.MaterializedView.MvDef(name, base, key,
-          cols(sums), cols(mins), cols(maxs))
+        // KEY accepts a comma list: first column is the upsert anchor,
+        // the rest become the composite key's extra columns
+        val keys = key.split(",").map(_.trim).filter(_.nonEmpty)
+        val d = graft.lake.MaterializedView.MvDef(name, base, keys.head,
+          cols(sums), cols(mins), cols(maxs),
+          extraKeyCols = keys.tail.toSeq)
         graft.lake.MaterializedView.create(log, d)
         graft.lake.MaterializedView.saveDef(log, d)
         status(spark, "mv" -> name, "base" -> base, "key" -> key,

@@ -48,14 +48,35 @@ import org.apache.spark.sql.types._
   */
 object MaterializedView {
 
-  /** View definition: group-by key (single column — the lake upsert keys on
-    * one column), count(*) as `n_rows`, plus `sum_<c>` for each of
-    * `sumCols`, `min_<c>` / `max_<c>` for `minCols` / `maxCols` (kept at
-    * the base column's type). `name` is the MV's lake table name.
+  /** View definition: group-by key, count(*) as `n_rows`, plus `sum_<c>`
+    * for each of `sumCols`, `min_<c>` / `max_<c>` for `minCols` /
+    * `maxCols` (kept at the base column's type). `name` is the MV's lake
+    * table name.
+    *
+    * Composite group keys: `extraKeyCols` adds further key columns. The
+    * lake upsert keys on ONE column, so a composite-key MV stores a
+    * null-safe string surrogate `mv_key` (the [[Scd]] `scd_id` device)
+    * as its upsert key beside the real key columns; readers and the
+    * rewrite rule use the real columns, the surrogate exists only for
+    * the incremental merge.
     */
   final case class MvDef(name: String, base: String, keyCol: String,
                          sumCols: Seq[String], minCols: Seq[String] = Nil,
-                         maxCols: Seq[String] = Nil)
+                         maxCols: Seq[String] = Nil,
+                         extraKeyCols: Seq[String] = Nil) {
+    def keyCols: Seq[String] = keyCol +: extraKeyCols
+    /** The physical upsert key: the key column itself, or the surrogate
+      * for composite keys. */
+    def upsertKey: String = if (extraKeyCols.isEmpty) keyCol else "mv_key"
+  }
+
+  /** Null-safe injective string encoding of the key tuple: per-column
+    * `v<cast-to-string>` or a null marker, -joined — distinct
+    * tuples always get distinct surrogates, and the surrogate is never
+    * NULL (so composite-key deltas always ride the upsert merge). */
+  private def surrogate(d: MvDef) =
+    concat_ws("", d.keyCols.map(k =>
+      coalesce(concat(lit("v"), col(k).cast("string")), lit(""))): _*)
 
   final case class RefreshResult(mode: String, fromVersion: Long,
                                  toVersion: Long)
@@ -66,22 +87,26 @@ object MaterializedView {
   /** Create the MV's backing lake table (empty; call [[refresh]] to fill). */
   def create(log: LakeLog, d: MvDef): Unit = {
     val baseSt = LakeTable.toStructType(log.snapshot(d.base).schema.get)
-    val keyField = baseSt.fields.find(_.name == d.keyCol).getOrElse(
-      throw new IllegalArgumentException(
-        s"key column ${d.keyCol} not in ${d.base}"))
+    val keyFields = d.keyCols.map(k =>
+      baseSt.fields.find(_.name == k).getOrElse(
+        throw new IllegalArgumentException(
+          s"key column $k not in ${d.base}")))
     (d.sumCols ++ d.minCols ++ d.maxCols).foreach { c =>
       require(baseSt.fieldNames.contains(c), s"agg column $c not in ${d.base}")
     }
     def baseType(c: String) = baseSt.fields.find(_.name == c).get.dataType
+    val surrogateField =
+      if (d.extraKeyCols.isEmpty) Nil
+      else Seq(StructField("mv_key", StringType, nullable = false))
     val st = StructType(
-      keyField +:
-        StructField("n_rows", LongType) +:
+      keyFields ++ surrogateField ++
+        (StructField("n_rows", LongType) +:
         (d.sumCols.map(c => StructField(s"sum_$c", DoubleType,
            nullable = true)) ++
          d.minCols.map(c => StructField(s"min_$c", baseType(c),
            nullable = true)) ++
          d.maxCols.map(c => StructField(s"max_$c", baseType(c),
-           nullable = true))))
+           nullable = true)))))
     LakeTable.createTable(log, d.name, st)
   }
 
@@ -116,14 +141,35 @@ object MaterializedView {
       .collect { case TxnPattern(v) => v.toLong }
       .foldLeft(0L)(math.max)
 
+  /** The MV-log version whose refresh commit folded EXACTLY base version
+    * `baseVersion` — the snapshot a freshness-pinned reader (the rewrite
+    * rule) must read: reading the MV at "latest" instead would tear if a
+    * base commit plus refresh lands between the freshness check and the
+    * read, silently answering from a NEWER base version than the plan
+    * scanned. */
+  def refreshVersionAt(log: LakeLog, d: MvDef,
+                       baseVersion: Long): Option[Long] =
+    log.versions(d.name).find(v =>
+      log.readEntry(d.name, v).txn_id == txnFor(d, baseVersion))
+
   /** Aggregate a slice of the base into MV shape. */
   private def aggOf(df: DataFrame, d: MvDef): DataFrame = {
     val aggs =
       d.sumCols.map(c => sum(col(c).cast("double")).as(s"sum_$c")) ++
       d.minCols.map(c => min(col(c)).as(s"min_$c")) ++
       d.maxCols.map(c => max(col(c)).as(s"max_$c"))
-    df.groupBy(d.keyCol).agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val grouped = df.groupBy(d.keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    withSurrogate(grouped, d)
   }
+
+  /** Composite-key MVs carry the surrogate right after the key columns
+    * (matching [[create]]'s schema order). */
+  private def withSurrogate(grouped: DataFrame, d: MvDef): DataFrame =
+    if (d.extraKeyCols.isEmpty) grouped
+    else grouped.select(
+      (d.keyCols.map(col) :+ surrogate(d).as("mv_key")) ++
+        grouped.columns.filterNot(d.keyCols.contains).map(col): _*)
 
   /** True iff the entry only appends logical rows. Schema-evolution
     * entries (no adds, no removes) also qualify: their delta is empty. */
@@ -195,13 +241,13 @@ object MaterializedView {
           // empty update set defeats its key-range pruning)
           log.commitWithRetry(d.name, txnFor(d, cur))(_ => Some((Nil, Nil)))
           RefreshResult(mode, last, cur)
-        } else if (delta.filter(col(d.keyCol).isNull).isEmpty) {
+        } else if (delta.filter(col(d.upsertKey).isNull).isEmpty) {
           // merged totals for touched keys only: current MV rows for those
           // keys + the delta, re-aggregated. The MV-side read is
           // stats-pruned by upsert's own key-range pruning on write; the
           // semi-join keeps the merge O(|touched|), not O(|MV|).
           val touched = LakeTable.read(spark, log, d.name)
-            .join(delta.select(d.keyCol), Seq(d.keyCol), "left_semi")
+            .join(delta.select(d.upsertKey), Seq(d.upsertKey), "left_semi")
           val merged = aggRemerge(touched.unionByName(delta), d).persist()
           try {
             // a key whose every row died merges to n_rows = 0 — SQL GROUP
@@ -211,7 +257,7 @@ object MaterializedView {
                 !merged.filter(col("n_rows") === 0).isEmpty)
               fullRefresh(spark, log, d, last, cur)
             else {
-              LakeTable.upsert(spark, log, d.name, merged, d.keyCol,
+              LakeTable.upsert(spark, log, d.name, merged, d.upsertKey,
                 txnId = txnFor(d, cur))
               RefreshResult(mode, last, cur)
             }
@@ -241,8 +287,8 @@ object MaterializedView {
       d.sumCols.map(c => sum(s"sum_$c").as(s"sum_$c")) ++
       d.minCols.map(c => min(s"min_$c").as(s"min_$c")) ++
       d.maxCols.map(c => max(s"max_$c").as(s"max_$c"))
-    mvShaped.groupBy(d.keyCol)
-      .agg(sum("n_rows").cast("long").as("n_rows"), aggs: _*)
+    withSurrogate(mvShaped.groupBy(d.keyCols.map(col): _*)
+      .agg(sum("n_rows").cast("long").as("n_rows"), aggs: _*), d)
   }
 
   /** Keep the MV continuously fresh: tail the base table's CDC stream

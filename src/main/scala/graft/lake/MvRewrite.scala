@@ -6,27 +6,39 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.DoubleType
 
 /** Transparent materialized-view answering: a Catalyst optimizer rule
-  * that rewrites `SELECT key, count(*)/sum/min/max ... GROUP BY key`
-  * over a lake base table into a scan of its [[MaterializedView]] table
-  * — the query-rewrite half of IVM that warehouses (Oracle MV rewrite,
-  * BigQuery/Snowflake MV auto-routing) pair with incremental refresh,
-  * and the reference's full-rescan query plane
-  * (`query_planner.go:238-256`) has no analog of. The caller keeps
-  * writing the naive aggregate; the optimizer substitutes the
-  * O(|MV rows|) read when — and only when — it is PROVABLY the same
-  * result:
+  * that rewrites `SELECT keys, count(*)/sum/avg/min/max ... [WHERE
+  * <key-only predicate>] GROUP BY keys` over a lake base table into a
+  * scan of its [[MaterializedView]] table — the query-rewrite half of
+  * IVM that warehouses (Oracle MV rewrite, BigQuery/Snowflake MV
+  * auto-routing) pair with incremental refresh, and the reference's
+  * full-rescan query plane (`query_planner.go:238-256`) has no analog
+  * of. The caller keeps writing the naive aggregate; the optimizer
+  * substitutes the O(|MV rows|) read when — and only when — it is
+  * PROVABLY the same result:
   *
-  *  - the aggregate's child is a pure scan of the MV's base table (any
-  *    Filter/Join/expression in between disqualifies — conservative by
-  *    construction, through the column-mapping alias projection);
-  *  - grouping is exactly the MV's key; every output is the key,
-  *    `count(*)`, or sum/min/max of a covered column, with the result
-  *    type matching the MV's stored type EXACTLY (no silent casts —
-  *    sum-of-long stays unrewritten because the MV stores double sums);
+  *  - the aggregate's child is a scan of the MV's base table, possibly
+  *    under alias-only projections and deterministic Filters whose
+  *    every reference is a GROUP KEY column (a key-only predicate
+  *    partitions whole groups, so it commutes with the grouping: it is
+  *    re-applied over the MV's stored key columns). Any other operator
+  *    or any filter touching a non-key column disqualifies —
+  *    conservative by construction;
+  *  - grouping is exactly the MV's key set; every output is a key,
+  *    `count(*)`, sum/min/max of a covered column (result type matching
+  *    the MV's stored type EXACTLY — no silent casts; sum-of-long stays
+  *    unrewritten because the MV stores double sums), or `avg` of a
+  *    covered sum column when the query's avg is DoubleType — answered
+  *    as `sum_c / n_rows`, the same IEEE division Spark's Average
+  *    finalizes with over the same double partial sum;
   *  - the scanned snapshot IS the base's latest version AND the MV's
-  *    refresh high-water mark equals it (a stale MV never answers).
+  *    refresh high-water mark equals it (a stale MV never answers);
+  *    the MV is then read AT THE SNAPSHOT whose refresh commit folded
+  *    exactly that base version ([[MaterializedView.refreshVersionAt]])
+  *    — never "latest", which could tear if a base-commit + refresh
+  *    lands between the freshness check and the read.
   *
   * Output attribute exprIds are preserved (each MV column is aliased
   * under the original output's exprId), so operators above the
@@ -36,17 +48,23 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * Installation is session-local and code-driven:
   * `MvRewrite.register(spark, log, defs)` appends the rule to
   * `spark.experimental.extraOptimizations` once and records the
-  * session's MV registry (re-registering replaces it). At 100 TB this
-  * is the difference between an O(corpus) shuffle per dashboard query
-  * and an O(groups) scan the log keeps fresh incrementally.
+  * session's MV registry (re-registering replaces it; `clear` removes
+  * BOTH the registration and the installed rule). The registry holds
+  * sessions by WEAK reference, so a stopped-and-dropped session's
+  * Registration is collectable — no leak in a server reusing the JVM
+  * across many sessions. At 100 TB this rewrite is the difference
+  * between an O(corpus) shuffle per dashboard query and an O(groups)
+  * scan the log keeps fresh incrementally.
   */
 object MvRewrite {
 
   final case class Registration(log: LakeLog,
                                 defs: Seq[MaterializedView.MvDef])
 
-  private val registry =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, Registration]()
+  // weak keys: a session that is stopped and dropped by the caller must
+  // not pin its Registration (or the LakeLog it holds) forever
+  private val registry = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, Registration]())
 
   def register(spark: SparkSession, log: LakeLog,
                defs: Seq[MaterializedView.MvDef]): Unit = {
@@ -58,10 +76,20 @@ object MvRewrite {
         spark.experimental.extraOptimizations :+ MvRewriteRule(spark)
   }
 
-  def clear(spark: SparkSession): Unit = registry.remove(spark)
+  /** Remove the registration AND the installed rule (the rule is also
+    * no-op-cheap while unregistered, but a cleared session should not
+    * keep paying even the registry probe per plan). */
+  def clear(spark: SparkSession): Unit = {
+    registry.remove(spark)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_.isInstanceOf[MvRewriteRule])
+  }
 
   private[lake] def registered(spark: SparkSession): Option[Registration] =
     Option(registry.get(spark))
+
+  private[lake] def registrySize: Int = registry.size()
 }
 
 final case class MvRewriteRule(spark: SparkSession)
@@ -77,89 +105,129 @@ final case class MvRewriteRule(spark: SparkSession)
       }
     }
 
-  /** Walk the aggregate's child through alias-only projections down to
-    * a single lake scan: (table, scanned version, attr → physical
-    * column). Any other operator (Filter, Join, computed expression)
-    * returns None — the rewrite must be provably result-identical. */
+  /** Walk the aggregate's child through alias-only projections and
+    * deterministic Filters down to a single lake scan: (table, scanned
+    * version, attr → physical column, filter conditions). The attr map
+    * is the UNION across levels, so a filter's references resolve no
+    * matter which side of a projection it sits on. Any other operator
+    * (Join, Generate, computed projection) returns None — the rewrite
+    * must be provably result-identical. */
   private def scanInfo(p: LogicalPlan)
-      : Option[(String, Long, Map[ExprId, String])] = p match {
-    case SubqueryAlias(_, c) => scanInfo(c)
-    case Project(list, c) =>
-      scanInfo(c).flatMap { case (t, v, m) =>
-        val mapped = list.map {
-          case a: AttributeReference =>
-            m.get(a.exprId).map(n => a.exprId -> n)
-          case al @ Alias(ar: AttributeReference, _) =>
-            m.get(ar.exprId).map(n => al.exprId -> n)
+      : Option[(String, Long, Map[ExprId, String], Seq[Expression])] =
+    p match {
+      case SubqueryAlias(_, c) => scanInfo(c)
+      case Filter(cond, c) if cond.deterministic =>
+        scanInfo(c).map { case (t, v, m, fs) => (t, v, m, fs :+ cond) }
+      case Project(list, c) =>
+        scanInfo(c).flatMap { case (t, v, m, fs) =>
+          val mapped = list.map {
+            case a: AttributeReference =>
+              m.get(a.exprId).map(n => a.exprId -> n)
+            case al @ Alias(ar: AttributeReference, _) =>
+              m.get(ar.exprId).map(n => al.exprId -> n)
+            case _ => None
+          }
+          if (mapped.contains(None)) None
+          else Some((t, v, m ++ mapped.flatten.toMap, fs))
+        }
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location match {
+          case lfi: LakeFileIndex =>
+            Some((lfi.tableName, lfi.tableVersion,
+              lr.output.map(a => a.exprId -> a.name).toMap, Nil))
           case _ => None
         }
-        if (mapped.contains(None)) None
-        else Some((t, v, mapped.flatten.toMap))
-      }
-    case lr: LogicalRelation => lr.relation match {
-      case h: HadoopFsRelation => h.location match {
-        case lfi: LakeFileIndex =>
-          Some((lfi.tableName, lfi.tableVersion,
-            lr.output.map(a => a.exprId -> a.name).toMap))
         case _ => None
       }
       case _ => None
     }
-    case _ => None
-  }
 
   private def tryRewrite(agg: Aggregate, log: LakeLog,
                          d: MaterializedView.MvDef): Option[LogicalPlan] =
     for {
-      (table, version, attrPhys) <- scanInfo(agg.child)
+      (table, version, attrPhys, filters) <- scanInfo(agg.child)
       if table == d.base
       // freshness: the query scans the base's LATEST version and the
       // MV's refresh high-water mark equals it
       if version == log.latestVersion(d.base)
       if MaterializedView.lastRefreshed(log, d) == version
+      // pin the MV read to the refresh commit that folded `version` —
+      // NOT latest (a racing base-commit + refresh would tear)
+      mvVersion <- MaterializedView.refreshVersionAt(log, d, version)
       sch <- log.snapshot(d.base).schema
       physToLogical = sch.fields.map(f => sch.physFor(f.name) -> f.name).toMap
       colOf = (a: Attribute) =>
         attrPhys.get(a.exprId).flatMap(physToLogical.get)
-      groupAttr <- agg.groupingExpressions match {
-        case Seq(ga: Attribute) if colOf(ga).contains(d.keyCol) => Some(ga)
+      // grouping must be exactly the MV's key set (each grouping expr a
+      // bare attribute over one distinct key column, all keys covered)
+      groupCols = agg.groupingExpressions.map {
+        case ga: Attribute => colOf(ga).filter(d.keyCols.contains)
+          .map(k => ga.exprId -> k)
         case _ => None
       }
-      mvPlan = LakeTable.readIndexed(spark, log, d.name)
+      if !groupCols.contains(None)
+      keyByExprId = groupCols.flatten.toMap
+      if keyByExprId.values.toSet == d.keyCols.toSet
+      if keyByExprId.size == agg.groupingExpressions.size
+      // every filter must reference ONLY group-key columns (then it
+      // partitions whole groups and commutes with the aggregation)
+      if filters.forall(_.references.toSeq.forall(a =>
+        colOf(a).exists(d.keyCols.contains)))
+      mvPlan = LakeTable.readIndexed(spark, log, d.name, mvVersion)
         .queryExecution.analyzed
       mvAttr = mvPlan.output.map(a => a.name -> a).toMap
       outs <- traverse(agg.aggregateExpressions) {
-        case a: Attribute if a.exprId == groupAttr.exprId =>
-          Some(Alias(mvAttr(d.keyCol), a.name)(exprId = a.exprId))
+        case a: Attribute if keyByExprId.contains(a.exprId) =>
+          Some(Alias(mvAttr(keyByExprId(a.exprId)), a.name)(exprId = a.exprId))
         case al @ Alias(ar: Attribute, name)
-            if ar.exprId == groupAttr.exprId =>
-          Some(Alias(mvAttr(d.keyCol), name)(exprId = al.exprId))
+            if keyByExprId.contains(ar.exprId) =>
+          Some(Alias(mvAttr(keyByExprId(ar.exprId)), name)(exprId = al.exprId))
         case al @ Alias(AggregateExpression(f, _, false, None, _), name) =>
-          val target = f match {
-            case Count(Seq(Literal(_, _))) => Some("n_rows")
+          val replacement: Option[Expression] = f match {
+            case Count(Seq(Literal(_, _))) => mvAttr.get("n_rows")
             case s: Sum => s.child match {
               case c: Attribute =>
-                colOf(c).filter(d.sumCols.contains).map(n => s"sum_$n")
+                colOf(c).filter(d.sumCols.contains)
+                  .flatMap(n => mvAttr.get(s"sum_$n"))
+              case _ => None
+            }
+            case av: Average if al.dataType == DoubleType => av.child match {
+              // avg answered as stored sum / stored count: the MV's
+              // sum_<c> is the same double partial sum Spark's Average
+              // accumulates, and this division is Average's own
+              // finalization — exact-type-preserving (DoubleType only;
+              // decimal avgs carry scale rules this does not prove)
+              case c: Attribute =>
+                colOf(c).filter(d.sumCols.contains).flatMap(n =>
+                  for { s <- mvAttr.get(s"sum_$n"); cnt <- mvAttr.get("n_rows") }
+                    yield Divide(s, Cast(cnt, DoubleType)))
               case _ => None
             }
             case mn: Min => mn.child match {
               case c: Attribute =>
-                colOf(c).filter(d.minCols.contains).map(n => s"min_$n")
+                colOf(c).filter(d.minCols.contains)
+                  .flatMap(n => mvAttr.get(s"min_$n"))
               case _ => None
             }
             case mx: Max => mx.child match {
               case c: Attribute =>
-                colOf(c).filter(d.maxCols.contains).map(n => s"max_$n")
+                colOf(c).filter(d.maxCols.contains)
+                  .flatMap(n => mvAttr.get(s"max_$n"))
               case _ => None
             }
             case _ => None
           }
-          target.flatMap(mvAttr.get)
+          replacement
             .filter(_.dataType == al.dataType) // exact type or no rewrite
-            .map(attr => Alias(attr, name)(exprId = al.exprId))
+            .map(e => Alias(e, name)(exprId = al.exprId))
         case _ => None
       }
-    } yield Project(outs, mvPlan)
+      // re-anchor the key-only filters onto the MV's stored key columns
+      mvFilters = filters.map(_.transform {
+        case a: AttributeReference => mvAttr(colOf(a).get)
+      })
+    } yield Project(outs,
+      mvFilters.reduceOption(And).map(Filter(_, mvPlan)).getOrElse(mvPlan))
 
   private def traverse[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] = {
     val out = xs.map(f)

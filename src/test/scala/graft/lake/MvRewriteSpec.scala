@@ -76,14 +76,15 @@ class MvRewriteSpec extends SparkSpec {
     val (log, d) = setup()
     MvRewrite.register(spark, log, Seq(d))
     try {
-      // a filter changes the group contents — must hit the base
+      // a filter on a NON-KEY column changes the group contents — must
+      // hit the base (key-only filters DO rewrite; see the filter test)
       val f = LakeTable.readIndexed(spark, log, "base")
         .filter(col("q") > 1.0).groupBy("k")
         .agg(sum("q").as("sq"))
       assert(scannedTables(f) === Seq("base"))
-      // an uncovered aggregate (avg) — must hit the base
+      // avg of a column the MV has no SUM for — must hit the base
       val a = LakeTable.readIndexed(spark, log, "base")
-        .groupBy("k").agg(avg("q").as("aq"))
+        .groupBy("k").agg(avg("p").as("ap"))
       assert(scannedTables(a) === Seq("base"))
       // a computed agg input (sum(q*2)) — must hit the base
       val c = LakeTable.readIndexed(spark, log, "base")
@@ -94,6 +95,117 @@ class MvRewriteSpec extends SparkSpec {
         .groupBy("p").agg(count(lit(1)).as("n"))
       assert(scannedTables(g) === Seq("base"))
     } finally MvRewrite.clear(spark)
+  }
+
+  test("avg of a covered sum column answers as sum_c / n_rows") {
+    val (log, d) = setup()
+    val direct = LakeTable.readIndexed(spark, log, "base")
+      .groupBy("k").agg(avg("q").as("aq"), count(lit(1)).as("n"))
+      .orderBy("k").collect().toSeq
+    MvRewrite.register(spark, log, Seq(d))
+    try {
+      val q = LakeTable.readIndexed(spark, log, "base")
+        .groupBy("k").agg(avg("q").as("aq"), count(lit(1)).as("n"))
+      assert(scannedTables(q) === Seq("base_mv"))
+      assert(q.orderBy("k").collect().toSeq === direct)
+    } finally MvRewrite.clear(spark)
+  }
+
+  test("a key-only filter rewrites to a filtered MV scan") {
+    val (log, d) = setup()
+    def q() = LakeTable.readIndexed(spark, log, "base")
+      .filter(col("k") =!= "b").groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("q").as("sq"))
+    val direct = q().orderBy("k").collect().toSeq
+    MvRewrite.register(spark, log, Seq(d))
+    try {
+      assert(scannedTables(q()) === Seq("base_mv"))
+      assert(q().orderBy("k").collect().toSeq === direct)
+      // filter UNDER a projection resolves too
+      val proj = LakeTable.readIndexed(spark, log, "base")
+        .filter(col("k").isin("a", "c")).select(col("k").as("kk"), col("q"))
+        .groupBy("kk").agg(sum("q").as("sq"))
+      assert(scannedTables(proj) === Seq("base_mv"))
+      assert(proj.orderBy("kk").as[(String, Double)].collect().toSeq ===
+        Seq(("a", 3.0), ("c", 5.0)))
+    } finally MvRewrite.clear(spark)
+  }
+
+  test("composite group key: MV answers GROUP BY k1, k2") {
+    val log = new LakeLog(tmpDir("mvrw-mk"))
+    val rows = Seq(("a", 1, 1.0), ("a", 1, 2.0), ("a", 2, 3.0),
+      ("b", 1, 4.0), ("b", 2, 5.0), ("b", 2, 6.0)).toDF("k1", "k2", "v")
+    LakeTable.createTable(log, "mk", rows.schema)
+    LakeTable.insert(spark, log, "mk", rows)
+    val d = MaterializedView.MvDef("mk_mv", "mk", "k1", sumCols = Seq("v"),
+      extraKeyCols = Seq("k2"))
+    MaterializedView.create(log, d)
+    MaterializedView.refresh(spark, log, d)
+    def q() = LakeTable.readIndexed(spark, log, "mk")
+      .groupBy("k1", "k2").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    val direct = q().orderBy("k1", "k2").collect().toSeq
+    MvRewrite.register(spark, log, Seq(d))
+    try {
+      assert(scannedTables(q()) === Seq("mk_mv"))
+      assert(q().orderBy("k1", "k2").collect().toSeq === direct)
+      // incremental refresh keeps the composite key mergeable
+      LakeTable.insert(spark, log, "mk",
+        Seq(("a", 2, 10.0)).toDF("k1", "k2", "v"))
+      assert(MaterializedView.refresh(spark, log, d).mode == "incremental")
+      val q2 = q()
+      assert(scannedTables(q2) === Seq("mk_mv"))
+      assert(q2.filter(col("k1") === "a" && col("k2") === 2)
+        .select("sv").as[Double].head === 13.0)
+      // grouping by a strict SUBSET of the key set must NOT rewrite
+      val sub = LakeTable.readIndexed(spark, log, "mk")
+        .groupBy("k1").agg(sum("v").as("sv"))
+      assert(scannedTables(sub) === Seq("mk"))
+    } finally MvRewrite.clear(spark)
+  }
+
+  test("the MV read is PINNED to the refresh that folded the checked version") {
+    val (log, d) = setup()
+    MvRewrite.register(spark, log, Seq(d))
+    try {
+      val mvVer = MaterializedView.refreshVersionAt(log, d,
+        log.latestVersion("base"))
+      assert(mvVer.isDefined)
+      val q = agg(log)
+      assert(scannedTables(q) === Seq("base_mv"))
+      // the plan's MV scan must carry the pinned version, not latest
+      val pinned = q.queryExecution.optimizedPlan.collectLeaves().collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location match { case lfi: LakeFileIndex => lfi.tableVersion }
+          }
+      }
+      assert(pinned === Seq(mvVer.get))
+    } finally MvRewrite.clear(spark)
+  }
+
+  test("clear removes the rule; registry holds sessions weakly") {
+    val (log, d) = setup()
+    MvRewrite.register(spark, log, Seq(d))
+    assert(spark.experimental.extraOptimizations
+      .exists(_.isInstanceOf[MvRewriteRule]))
+    MvRewrite.clear(spark)
+    assert(!spark.experimental.extraOptimizations
+      .exists(_.isInstanceOf[MvRewriteRule]))
+    assert(MvRewrite.registered(spark).isEmpty)
+    // weak keys: a dropped session's Registration becomes collectable
+    val before = MvRewrite.registrySize
+    var child = spark.newSession()
+    MvRewrite.register(child, log, Seq(d))
+    assert(MvRewrite.registrySize == before + 1)
+    child = null
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (MvRewrite.registrySize > before && System.nanoTime() < deadline) {
+      System.gc()
+      Thread.sleep(50)
+    }
+    assert(MvRewrite.registrySize == before,
+      "stopped/dropped session's Registration was never collected")
   }
 
   test("type mismatch blocks the rewrite: MV stores double sums") {
