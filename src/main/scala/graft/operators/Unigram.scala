@@ -65,9 +65,25 @@ object Unigram {
       maxPieceLen)
   }
 
+  /** Words at or under this length take the enumerated search (≤ 2^11
+    * paths); longer words — a URL, a base64 blob, one unbroken CJK run —
+    * take the O(len·maxPieceLen) Viterbi DP below. Without the cutoff a
+    * single 200-char whitespace token costs ~1.93^200 enumerated paths:
+    * an effective hang on real crawl data. */
+  private val EnumMaxLen = 12
+
   /** Exact argmax segmentation under (score DESC, #pieces ASC, piece
-    * path ASC) — enumerated, which at these word lengths IS Viterbi. */
-  def encode(model: UgModel)(word: String): Seq[String] = {
+    * path ASC): enumerated for short words, Viterbi DP for long ones —
+    * bit-identical results (the order is prefix-monotone: score and
+    * piece count are additive, and of two distinct same-text prefixes
+    * neither is a string prefix of the other, so the comparison is
+    * stable under appending a common suffix — the single best prefix
+    * per position is safe to keep). */
+  def encode(model: UgModel)(word: String): Seq[String] =
+    if (word.length <= EnumMaxLen) encodeEnum(model)(word)
+    else encodeViterbi(model)(word)
+
+  private def encodeEnum(model: UgModel)(word: String): Seq[String] = {
     var best: (Long, Int, String, List[String]) = null
     def search(pos: Int, score: Long, k: Int, acc: List[String]): Unit =
       if (pos == word.length) {
@@ -88,6 +104,40 @@ object Unigram {
       }
     search(0, 0L, 0, Nil)
     if (best == null) Seq("[UNK]") else best._4
+  }
+
+  /** The long-word path: classic Viterbi over prefix lengths, carrying
+    * (score, #pieces, joined path, reversed pieces) per position and the
+    * SAME total order as the enumeration. O(len · maxPieceLen) states ×
+    * transitions — a 10k-char blob encodes in ~40k hash probes. */
+  private def encodeViterbi(model: UgModel)(word: String): Seq[String] = {
+    val n = word.length
+    val best = new Array[(Long, Int, String, List[String])](n + 1)
+    best(0) = (0L, 0, "", Nil)
+    var pos = 0
+    while (pos < n) {
+      val cur = best(pos)
+      if (cur != null) {
+        val maxL = math.min(model.maxPieceLen, n - pos)
+        var len = 1
+        while (len <= maxL) {
+          val piece = word.substring(pos, pos + len)
+          model.scores.get(piece).foreach { s =>
+            val cand = (cur._1 + s, cur._2 + 1,
+              if (cur._3.isEmpty) piece else cur._3 + "|" + piece,
+              piece :: cur._4)
+            val old = best(pos + len)
+            if (old == null || cand._1 > old._1 ||
+                (cand._1 == old._1 && (cand._2 < old._2 ||
+                  (cand._2 == old._2 && cand._3 < old._3))))
+              best(pos + len) = cand
+          }
+          len += 1
+        }
+      }
+      pos += 1
+    }
+    if (best(n) == null) Seq("[UNK]") else best(n)._4.reverse
   }
 
   /** Corpus piece frequencies: segment each DISTINCT word once, weight

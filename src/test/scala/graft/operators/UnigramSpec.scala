@@ -52,6 +52,58 @@ class UnigramSpec extends SparkSpec {
     assert(Unigram.encode(m2)("axb") === Seq("ax", "b"))
   }
 
+  test("Viterbi path (long words) is bit-identical to enumeration") {
+    // random model over a small alphabet; random words straddling the
+    // cutoff — force BOTH code paths on the SAME word and compare
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcd"
+    val pieces = (for {
+      len <- 1 to 4
+      _ <- 1 to 6
+    } yield (1 to len).map(_ => alphabet(rnd.nextInt(4))).mkString)
+      .distinct ++ alphabet.map(_.toString)
+    val lpT = Unigram.staircase(100000L)
+    val m = UgModel(pieces.map(p =>
+      p -> (Unigram.staircase(1L + rnd.nextInt(5000)) - lpT)).toMap, 4)
+    (1 to 200).foreach { _ =>
+      val len = 6 + rnd.nextInt(10) // 6..15: spans the EnumMaxLen cutoff
+      val w = (1 to len).map(_ => alphabet(rnd.nextInt(4))).mkString
+      assert(Unigram.encode(m)(w) === refBest(m, w), s"mismatch on '$w'")
+    }
+  }
+
+  test("a long unbroken token encodes fast (no exponential enumeration)") {
+    val lpT = Unigram.staircase(1000L)
+    val m = UgModel(Map("ab" -> 100L, "a" -> 50L, "b" -> 50L).map {
+      case (p, n) => p -> (Unigram.staircase(n) - lpT) }, 4)
+    val blob = "ab" * 5000 // a 10k-char base64-ish run
+    val t0 = System.nanoTime()
+    val enc = Unigram.encode(m)(blob)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(enc === Seq.fill(5000)("ab"))
+    assert(ms < 2000, s"long-token encode took ${ms}ms")
+  }
+
+  /** Reference: exhaustive search with the documented total order —
+    * independent of Unigram's internals, used to cross-check both the
+    * enumeration and Viterbi implementations. */
+  private def refBest(m: UgModel, word: String): Seq[String] = {
+    def all(pos: Int): Seq[List[String]] =
+      if (pos == word.length) Seq(Nil)
+      else (1 to math.min(m.maxPieceLen, word.length - pos)).flatMap { l =>
+        val p = word.substring(pos, pos + l)
+        if (m.scores.contains(p)) all(pos + l).map(p :: _) else Nil
+      }
+    val cands = all(0)
+    if (cands.isEmpty) Seq("[UNK]")
+    else cands.map { path =>
+      (path.map(m.scores).sum, path.length, path.mkString("|"), path)
+    }.reduceLeft { (a, b) =>
+      if (b._1 > a._1 || (b._1 == a._1 && (b._2 < a._2 ||
+        (b._2 == a._2 && b._3 < a._3)))) b else a
+    }._4
+  }
+
   test("trained inventory covers its corpus and reassembles losslessly") {
     val docs = Seq("table scan sort", "scan scan sort merge",
       "windowed table").toDF("text")
