@@ -253,6 +253,27 @@ N=$(post /query '{"sql": "SELECT COUNT(*) AS n FROM '$TABLE'"}' | jq '.results[0
 [ "$N" = 13 ] || { echo "ERROR: vacuum touched committed rows (n=$N)"; exit 1; }
 echo "orphaned staging vacuumed; main line untouched ✓"
 
+step "Step 14: governance chain — SET MASK -> masked read -> lineage"
+# install a mask: analysts see only the product's initial + ****
+post /query '{"sql": "ALTER TABLE '$TABLE' SET MASK product AS (concat(substring(product, 1, 1), '\''****'\'')) EXEMPT (admin)"}' | jq .
+MROW=$(curl -sf "$BASE/tables/$TABLE/masked?role=analyst" | jq -r '.results[0].product')
+case "$MROW" in
+  ?\*\*\*\*) echo "analyst sees masked product '$MROW' ✓" ;;
+  *) echo "ERROR: mask not applied (got '$MROW')"; exit 1 ;;
+esac
+AROW=$(curl -sf "$BASE/tables/$TABLE/masked?role=admin" | jq -r '.results[0].product')
+case "$AROW" in
+  ?\*\*\*\*) echo "ERROR: admin got masked value '$AROW'"; exit 1 ;;
+  *) echo "admin (exempt) reads raw product '$AROW' ✓" ;;
+esac
+# the audit question: what RAW columns influence the analyst's view?
+# the masked product column must trace back to the raw product source
+LIN=$(post /lineage '{"table": "'$TABLE'", "role": "analyst"}')
+HITS=$(echo "$LIN" | jq '[.lineage[] | select(.out_col == "product" and .src_col == "product" and .src_table == "'$TABLE'")] | length')
+[ "$HITS" = 1 ] || { echo "ERROR: masked product lineage lost its raw source:"; echo "$LIN" | jq .; exit 1; }
+echo "lineage over the masked read: product <- $TABLE.product (raw) ✓"
+post /query '{"sql": "ALTER TABLE '$TABLE' DROP MASK product"}' | jq -c .
+
 echo
 echo "=== demo completed successfully ==="
 echo "metrics: curl $BASE/metrics | grep lakehouse_"

@@ -536,12 +536,34 @@ final class RestServer(spark: SparkSession, log: LakeLog,
   }
 
   /** POST /lineage `{sql: ...}` — column-level lineage of a SELECT over
-    * lake tables: (out_col, src_table, src_col) dependency rows. */
+    * lake tables: (out_col, src_table, src_col) dependency rows.
+    * `{table: ..., role: ...}` instead audits a MASKED read: the lineage
+    * of [[graft.lake.Masking.readMasked]]'s projection, where a masked
+    * output column's dependencies are its mask expression's RAW source
+    * columns — the "what can still influence what the analyst sees"
+    * question (a constant mask correctly shows no dataflow; the policy
+    * listing, not lineage, records which columns are governed). */
   private def lineageOf(ex: HttpExchange): Unit = {
     val req = readMap(ex)
     val sql = req.get("sql") match {
       case Some(s: String) if s.trim.nonEmpty => s
-      case _ => return textError(ex, 400, "Missing sql")
+      case _ => req.get("table") match {
+        case Some(t: String) if log.tableExists(t) =>
+          val role = req.get("role") match {
+            case Some(r: String) => r
+            case _ => ""
+          }
+          val df = graft.lake.Masking.readMasked(spark, log, t, role)
+          val rows = graft.operators.Lineage.columnLineage(spark, df)
+            .collect().map(r => Map("out_col" -> r.getString(0),
+              "src_table" -> r.getString(1),
+              "src_col" -> r.getString(2))).toSeq
+          return respondJson(ex, 200, Map("table" -> t, "role" -> role,
+            "lineage" -> rows))
+        case Some(t: String) =>
+          return textError(ex, 404, s"table $t does not exist")
+        case _ => return textError(ex, 400, "Missing sql (or table+role)")
+      }
     }
     val df = SqlApi.queryLake(spark, log, sql)
     val rows = graft.operators.Lineage.columnLineage(spark, df)

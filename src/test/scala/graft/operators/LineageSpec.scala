@@ -70,6 +70,31 @@ class LineageSpec extends SparkSpec {
     assert(got.contains(("id", "ta", "id")))
   }
 
+  test("masked reads: a masked column's lineage is its mask's RAW sources") {
+    import graft.lake.Masking
+    val (log, _, _) = lake()
+    // mask referencing its own column: the analyst's view of `tag` is
+    // still influenced by — and only by — the raw ta.tag
+    Masking.setMask(spark, log, "ta", "tag",
+      "concat(substring(tag, 1, 1), '***')", exemptRoles = Seq("admin"))
+    // mask referencing ANOTHER column: the governance case lineage must
+    // surface — what the analyst sees as `v` actually flows from ta.id
+    Masking.setMask(spark, log, "ta", "v", "CAST(id AS DOUBLE)")
+    val masked = Masking.readMasked(spark, log, "ta", "analyst")
+    assert(lin(masked) === Set(
+      ("id", "ta", "id"),
+      ("tag", "ta", "tag"),          // masked, still sourced from raw tag
+      ("v", "ta", "id")))            // cross-column mask: flows from id!
+    // the exempt role reads raw — identity lineage
+    assert(lin(Masking.readMasked(spark, log, "ta", "admin"))
+      .contains(("tag", "ta", "tag")))
+    // a CONSTANT mask severs dataflow: correct lineage is empty for that
+    // column (the policy listing, not lineage, records governed columns)
+    Masking.setMask(spark, log, "ta", "tag", "'REDACTED'")
+    val sealed0 = Masking.readMasked(spark, log, "ta", "analyst")
+    assert(!lin(sealed0).exists(_._1 == "tag"))
+  }
+
   test("plain parquet scans name the file's base name") {
     val docs = graft.sources.Tables.load(spark,
       "/root/testdata/sf0.001", "documents")
