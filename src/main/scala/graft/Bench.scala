@@ -48,6 +48,12 @@ object Bench {
     // .benchPhases): the headline number for those queries is the
     // steady-state probe; build cost is reported in the `builds` sidecar
     val builds = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // per-query rep attribution: ALL rep times (not just the min) land in
+    // the full-file artifact, so a sustained slow number is
+    // distinguishable from a one-off spike without a local re-run —
+    // "every rep ≥ X" reads as real cost, "one rep of N" as ambient
+    val repTimes = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    var repFloorHits = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
       val split = SparkEntry.benchPhases.get(name)
       // a failed run must publish a LOUD -1, never a plausible near-zero
@@ -91,8 +97,11 @@ object Bench {
       // queries never pay extra, and a -1 failure sentinel stops the
       // loop (min < threshold) rather than retrying a broken query.
       val repFloor = if (name.startsWith("q_multimodal")) 3 else 2
+      val preFloor = times.size
       while (times.size < repFloor && times.map(_._2).min >= 1.5)
         times = times :+ runOnce()
+      if (times.size > preFloor) repFloorHits += 1
+      repTimes(name) = times.map(_._2)
       // drop this query's persisted intermediates before the next query:
       // repeated runs of the SAME query still share them (the cache
       // manager matches canonicalized plans within the loop above), but
@@ -140,10 +149,16 @@ object Bench {
       .mkString("{", ",", "}")
     val buildsJson = builds.map { case (k, v) => s"\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
+    // full rep attribution (full file only — the tail line carries just
+    // the reps_floor_hits count within its byte budget)
+    val repsJson = repTimes.map { case (k, ts) =>
+      s"\"" + k + "\":" + ts.map(num).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
       s""""n_queries":${results.size},"median":$median,"over_1s":$over1s,""" +
-      s""""builds":$buildsJson,"queries":$fullQs}"""
+      s""""reps_floor_hits":$repFloorHits,"builds":$buildsJson,""" +
+      s""""reps":$repsJson,"queries":$fullQs}"""
     val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "target/bench_full.json")
     Files.createDirectories(Paths.get(fullOut).toAbsolutePath.getParent)
@@ -162,6 +177,7 @@ object Bench {
       val omittedSec = total - kept.map(_._2).sum
       s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir",""" +
       s""""n_queries":${results.size},"median":${num(median)},"over_1s":$over1s,""" +
+      s""""reps_floor_hits":$repFloorHits,""" +
       s""""queries_omitted":$omitted,"omitted_sec":${num(omittedSec)},""" +
       s""""builds":$buildsJson,"full":"$fullOut","queries":""" +
       kept.map { case (k, v) => entry(k, v) }.mkString("{", ",", "}") + "}"
