@@ -318,6 +318,49 @@ object Scale10 {
         LakeTable.read(spark, log, "ta")
           .groupBy("source").agg(count(lit(1))).count() +
           LakeTable.read(spark, log, "tb").count()
+      },
+      timed("tcloseness") {
+        // step search = one aggregate per ladder step (two longs to the
+        // driver each); the per-class EMD joins a broadcast m-row global
+        // distribution — the only N-sized exchanges are the groupBys on
+        // the quasi-identifier, policed by the funnel gate
+        val recs = docs.select(col("source"),
+          (col("doc_id") % 25).as("region"),
+          (col("n_chars") % 64).as("bal"))
+        graft.operators.Anonymize.tCloseness(recs, k = 3, tPpm = 400000L,
+          ladders = Seq(
+            graft.operators.Anonymize.Ladder("g_reg", Seq(
+              "CAST(region AS STRING)",
+              "CAST(region div 5 AS STRING)", "'*'")),
+            graft.operators.Anonymize.Ladder("g_src", Seq(
+              "source", "source", "'*'"))),
+          sensitiveExpr = "bal div 16",
+          maxSuppressedPpm = 300000L).count()
+      },
+      timed("unigram_train") {
+        // one distributed substring-count pass; the collected model is
+        // inventory-sized (token rotation preserves the multiset, so the
+        // vocabulary — and the driver transfer — is N-invariant)
+        graft.operators.Unigram.train(docs, maxPieceLen = 4,
+          minCount = 20L * times).scores.size.toLong
+      },
+      timed("lttb") {
+        // 256 series × (N·docs/256) points: one key shuffle, then an
+        // O(n) sequential pass per series — series count, not corpus
+        // size, bounds the parallel width; funnel gate polices the
+        // key exchange
+        val series = docs.select((col("doc_id") % 256).as("series"),
+          col("doc_id").as("t_us"), col("n_chars").as("v"))
+        graft.operators.Downsample.lttb(series, "series", "t_us", "v",
+          buckets = 22).count()
+      },
+      timed("mann_kendall") {
+        // O(n log n) tie-aware inversion counting per series — the
+        // all-pairs S statistic without the all-pairs join
+        val series = docs.select((col("doc_id") % 256).as("series"),
+          col("doc_id").as("t_us"), col("n_chars").as("v"))
+        graft.operators.Trend.mannKendall(series, "series", "t_us", "v")
+          .count()
       })
 
     val rt = Runtime.getRuntime
