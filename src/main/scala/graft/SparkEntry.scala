@@ -3649,6 +3649,32 @@ object SparkEntry {
         .orderBy("role", "c_custkey")
     }),
 
+    // Row-level security + the combined governed read: the analyst sees
+    // only non-negative balances (row filter, judged on RAW values) with
+    // the segment masked (column policy); the auditor is row-filter
+    // exempt but still masked; the admin reads raw. All three role
+    // views hash-checked — policies installed through the SQL verbs,
+    // read through the one governed face the REST layer serves.
+    "q_lake_rowfilter" -> ((s, d) => {
+      import graft.lake.{LakeLog, LakeTable, RowFilter}
+      val log = new LakeLog(
+        java.nio.file.Files.createTempDirectory("graftrls"))
+      val cust = t(s, d, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      LakeTable.createTable(log, "cust", cust.schema)
+      LakeTable.insert(s, log, "cust", cust)
+      graft.api.LakeSql.execute(s, log, "ALTER TABLE cust SET ROW FILTER " +
+        "(c_acctbal >= 0) EXEMPT (auditor, admin)")
+      graft.api.LakeSql.execute(s, log, "ALTER TABLE cust SET MASK " +
+        "c_mktsegment AS (concat(substring(c_mktsegment, 1, 1), '***')) " +
+        "EXEMPT (admin)")
+      def view(role: String) =
+        RowFilter.readGoverned(s, log, "cust", role)
+          .withColumn("role", lit(role))
+      view("analyst").unionAll(view("auditor")).unionAll(view("admin"))
+        .orderBy("role", "c_custkey")
+    }),
+
     // Snapshot-keyed result cache lifecycle: identical SELECT → hit with
     // the SAME rows; any commit changes the fingerprint → miss with the
     // new data. The hit/miss flags are computed from the REAL cache and
@@ -8040,6 +8066,27 @@ object SparkEntry {
         SELECT c_custkey, c_mktsegment, c_acctbal, 'admin' AS role
         FROM customer)
       SELECT * FROM (SELECT * FROM masked UNION ALL SELECT * FROM raw)
+      ORDER BY role, c_custkey""",
+
+    // q_lake_rowfilter: analyst = row filter + mask; auditor =
+    // filter-exempt but masked; admin = raw. The oracle replays all
+    // three governed views over the base rows.
+    "q_lake_rowfilter" -> """
+      WITH analyst AS (
+        SELECT c_custkey,
+               substring(c_mktsegment, 1, 1) || '***' AS c_mktsegment,
+               c_acctbal, 'analyst' AS role
+        FROM customer WHERE c_acctbal >= 0),
+      auditor AS (
+        SELECT c_custkey,
+               substring(c_mktsegment, 1, 1) || '***' AS c_mktsegment,
+               c_acctbal, 'auditor' AS role
+        FROM customer),
+      admin AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal, 'admin' AS role
+        FROM customer)
+      SELECT * FROM (SELECT * FROM analyst UNION ALL
+                     SELECT * FROM auditor UNION ALL SELECT * FROM admin)
       ORDER BY role, c_custkey""",
 
     // q_result_cache: phase 1 = the even-orderkey half (miss), phase 2 =

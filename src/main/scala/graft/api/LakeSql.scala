@@ -145,6 +145,14 @@ object LakeSql {
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+MASK\s+(\w+)\s+AS\s*\((.+)\)\s*;?\s*""".r
   private val DropMask =
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+MASK\s+(\w+)\s*;?\s*""".r
+  // row-level security: same EXEMPT-first ordering rationale as masks
+  private val SetRowFilterExempt =
+    ("""(?is)\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+ROW\s+FILTER\s*""" +
+      """\((.+)\)\s+EXEMPT\s*\(([^)]*)\)\s*;?\s*""").r
+  private val SetRowFilter =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+ROW\s+FILTER\s*\((.+)\)\s*;?\s*""".r
+  private val DropRowFilter =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+ROW\s+FILTER\s*;?\s*""".r
   // SELECT-side time travel: `FROM t VERSION AS OF v` (any table
   // reference position). The clause is stripped and the version is
   // routed to [[SqlApi.queryLake]]'s per-table version map; one version
@@ -283,6 +291,18 @@ object LakeSql {
       case DropMask(table, column) =>
         graft.lake.Masking.dropMask(log, table, column)
         status(spark, "table" -> table, "unmasked" -> column)
+      case SetRowFilterExempt(table, filterExpr, roles) =>
+        graft.lake.RowFilter.setFilter(spark, log, table, filterExpr.trim,
+          roles.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        status(spark, "table" -> table, "row_filter" -> filterExpr.trim,
+          "exempt" -> roles.trim)
+      case SetRowFilter(table, filterExpr) =>
+        graft.lake.RowFilter.setFilter(spark, log, table, filterExpr.trim)
+        status(spark, "table" -> table, "row_filter" -> filterExpr.trim,
+          "exempt" -> "")
+      case DropRowFilter(table) =>
+        graft.lake.RowFilter.dropFilter(log, table)
+        status(spark, "table" -> table, "row_filter" -> "")
       case CreateMv(name, base, key, sums, mins, maxs) =>
         def cols(s: String) = Option(s).toSeq.flatMap(_.split(","))
           .map(_.trim).filter(_.nonEmpty)

@@ -519,19 +519,22 @@ final class RestServer(spark: SparkSession, log: LakeLog,
       "status" -> "completed"))
   }
 
-  /** GET /tables/{t}/masked?role=r — the role-gated read through the
-    * table's masking policy ([[graft.lake.Masking]]); no role param
-    * reads as the unprivileged default (every mask applies). */
+  /** GET /tables/{t}/masked?role=r — the role-gated GOVERNED read: the
+    * table's row filter first (judged on raw values), then its masking
+    * policy ([[graft.lake.RowFilter.readGoverned]]); no role param reads
+    * as the unprivileged default (every policy applies). */
   private def maskedRead(ex: HttpExchange, table: String): Unit = {
     if (!log.tableExists(table))
       return textError(ex, 404, s"table $table does not exist")
     val role = queryParams(ex).getOrElse("role", "")
-    val rows = graft.lake.Masking.readMasked(spark, log, table, role)
+    val rows = graft.lake.RowFilter.readGoverned(spark, log, table, role)
       .toJSON.take(maxInlineRows)
       .map(r => mapper.readValue[Map[String, Any]](r)).toSeq
     respondJson(ex, 200, Map("table" -> table, "role" -> role,
       "masked_columns" -> graft.lake.Masking.policy(log, table).masks
         .filterNot(_.exempt_roles.contains(role)).map(_.column),
+      "row_filter" -> graft.lake.RowFilter.policy(log, table)
+        .filterNot(_.exempt_roles.contains(role)).map(_.expr).getOrElse(""),
       "results" -> rows))
   }
 

@@ -46,6 +46,81 @@ import com.fasterxml.jackson.module.scala.{ClassTagExtensions, DefaultScalaModul
   * inlines the mask expressions into the scan's project, and column
   * pruning/file skipping on UNMASKED columns are untouched.
   */
+/** The shared versioned-policy commit device ([[Masking]] `_masks/`,
+  * [[RowFilter]] `_rowfilters/`): an OCC mini-log of JSON entries using
+  * the lake's own link(2) create-if-absent commit point. A visible
+  * entry is never torn (the temp is fully written before the link), a
+  * losing racer re-reads the winner's content and reapplies, and every
+  * mutation lands exactly once as one new version. */
+private[lake] object PolicyLog {
+
+  def entryPath(dir: Path, v: Long): Path = dir.resolve(f"$v%020d.json")
+
+  /** Newest committed version in `dir`, 0 when none. */
+  def currentVersion(dir: Path): Long = {
+    if (!Files.isDirectory(dir)) return 0L
+    val s = Files.list(dir)
+    try {
+      var max = 0L
+      s.iterator().forEachRemaining { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".json") && !n.startsWith("."))
+          try max = math.max(max, n.stripSuffix(".json").toLong)
+          catch { case _: NumberFormatException => }
+      }
+      max
+    } finally s.close()
+  }
+
+  /** OCC read-modify-write: `transform` sees nothing (it re-reads its
+    * own current state) and returns the next entry's content; EEXIST on
+    * the link means another mutator won version N+1 — loop so the
+    * transform reapplies over THEIR state and no update is ever lost
+    * (the [[LakeLog.commitWithRetry]] discipline, scoped to policy
+    * metadata). */
+  def commit(what: String, dir: Path)(transform: () => String): Unit = {
+    Files.createDirectories(dir)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val base = currentVersion(dir)
+      val content = transform()
+      val staged = Files.createTempFile(dir, ".staged", ".json")
+      try {
+        Files.writeString(staged, content)
+        try {
+          try Files.createLink(entryPath(dir, base + 1), staged)
+          catch {
+            case e: java.nio.file.FileAlreadyExistsException => throw e
+            case _: UnsupportedOperationException
+                 | _: java.nio.file.FileSystemException =>
+              // linkless filesystem fallback (single-process-safe there,
+              // same caveat as LakeLog.writeEntry)
+              val target = entryPath(dir, base + 1)
+              if (Files.exists(target))
+                throw new java.nio.file.FileAlreadyExistsException(
+                  target.toString)
+              Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
+          }
+          return
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            if (attempts >= 100)
+              throw new LakeValidationException(
+                s"$what: lost $attempts OCC races in a row — giving up")
+        }
+      } finally Files.deleteIfExists(staged)
+    }
+  }
+
+  /** Newest entry's content, None when the log is empty. Unreadable
+    * files surface as IO errors for the caller's fail-closed parse. */
+  def readNewest(dir: Path): Option[Path] = {
+    val v = currentVersion(dir)
+    if (v == 0L) None else Some(entryPath(dir, v))
+  }
+}
+
 object Masking {
 
   final case class Mask(column: String, expr: String,
@@ -58,32 +133,10 @@ object Masking {
   private def masksDir(log: LakeLog, table: String): Path =
     log.tableDir(table).resolve("_masks")
 
-  private def entryPath(log: LakeLog, table: String, v: Long): Path =
-    masksDir(log, table).resolve(f"$v%020d.json")
-
   /** Pre-mini-log location (single mutable file) — read-only fallback so
     * policies written by older builds keep governing reads. */
   private def legacyPath(log: LakeLog, table: String): Path =
     log.tableDir(table).resolve("_masks.json")
-
-  /** Newest committed policy version, 0 when none. */
-  private def currentVersion(log: LakeLog, table: String): Long = {
-    val dir = masksDir(log, table)
-    if (!Files.isDirectory(dir)) return 0L
-    val s = Files.list(dir)
-    val names = try s.iterator()
-    catch { case e: Throwable => s.close(); throw e }
-    try {
-      var max = 0L
-      names.forEachRemaining { p =>
-        val n = p.getFileName.toString
-        if (n.endsWith(".json") && !n.startsWith("."))
-          try max = math.max(max, n.stripSuffix(".json").toLong)
-          catch { case _: NumberFormatException => }
-      }
-      max
-    } finally s.close()
-  }
 
   private def parseOrFailClosed(table: String, p: Path): Policy =
     try mapper.readValue[Policy](Files.readString(p))
@@ -132,77 +185,44 @@ object Masking {
       Policy(cur.masks.filterNot(_.column == column))
     }
 
-  /** OCC read-modify-write: read the newest policy, transform, commit as
-    * version N+1 with link(2) create-if-absent. EEXIST means another
-    * mutator won version N+1 — re-read THEIR policy and reapply `f`, so
-    * no concurrent update is ever lost (the exact discipline of
-    * [[LakeLog.commitWithRetry]], scoped to the policy mini-log). */
+  /** OCC read-modify-write over the [[PolicyLog]]: the transform re-reads
+    * the current policy on every attempt, so a losing racer reapplies
+    * over the winner's state and no concurrent update is ever lost. */
   private def mutate(log: LakeLog, table: String)(f: Policy => Policy)
-      : Unit = {
-    val dir = masksDir(log, table)
-    Files.createDirectories(dir)
-    var attempts = 0
-    while (true) {
-      attempts += 1
-      val base = currentVersion(log, table)
-      val next = f(policy(log, table))
-      val staged = Files.createTempFile(dir, ".staged", ".json")
-      try {
-        Files.writeString(staged, mapper.writeValueAsString(next))
-        try {
-          try Files.createLink(entryPath(log, table, base + 1), staged)
-          catch {
-            case e: java.nio.file.FileAlreadyExistsException => throw e
-            case _: UnsupportedOperationException
-                 | _: java.nio.file.FileSystemException =>
-              // linkless filesystem fallback (single-process-safe there,
-              // same caveat as LakeLog.writeEntry)
-              val target = entryPath(log, table, base + 1)
-              if (Files.exists(target))
-                throw new java.nio.file.FileAlreadyExistsException(
-                  target.toString)
-              Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
-          }
-          return
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            if (attempts >= 100)
-              throw new LakeValidationException(
-                s"mask policy on $table: lost $attempts OCC races in a " +
-                  "row — giving up")
-            // lost the race: loop re-reads the winner's policy and
-            // reapplies f on top of it
-        }
-      } finally Files.deleteIfExists(staged)
+      : Unit =
+    PolicyLog.commit(s"mask policy on $table", masksDir(log, table)) { () =>
+      mapper.writeValueAsString(f(policy(log, table)))
     }
-  }
 
   /** The governing policy: newest mini-log entry, else the legacy
     * single-file location, else empty. Unparseable files fail closed. */
-  def policy(log: LakeLog, table: String): Policy = {
-    val v = currentVersion(log, table)
-    if (v > 0L) parseOrFailClosed(table, entryPath(log, table, v))
-    else {
-      val legacy = legacyPath(log, table)
-      if (Files.exists(legacy)) parseOrFailClosed(table, legacy)
-      else Policy(Nil)
+  def policy(log: LakeLog, table: String): Policy =
+    PolicyLog.readNewest(masksDir(log, table)) match {
+      case Some(p) => parseOrFailClosed(table, p)
+      case None =>
+        val legacy = legacyPath(log, table)
+        if (Files.exists(legacy)) parseOrFailClosed(table, legacy)
+        else Policy(Nil)
     }
+
+  /** Rewrite `df`'s columns under the policy for `role`, all masks built
+    * against `df`'s RAW columns in ONE projection (policy-order
+    * independence). Shared by [[readMasked]] and the combined
+    * [[RowFilter.readGoverned]] face. */
+  def applyMasks(df: DataFrame, pol: Policy, role: String): DataFrame = {
+    val active = pol.masks
+      .filterNot(_.exempt_roles.contains(role))
+      .map(m => m.column -> m.expr).toMap
+    if (active.isEmpty) df
+    else df.select(df.columns.map(c =>
+      active.get(c).map(e => expr(e).as(c)).getOrElse(col(c))).toSeq: _*)
   }
 
   /** The role-gated read: every mask whose exempt list does not carry
-    * `role` rewrites its column; exempt roles read raw. All masks are
-    * built against the RAW scan in ONE projection, so a mask expression
-    * referencing another masked column sees the raw value (policy-order
-    * independence). Projection only — pruning and stats skipping on
-    * other columns unchanged. */
+    * `role` rewrites its column; exempt roles read raw. Projection only —
+    * pruning and stats skipping on other columns unchanged. */
   def readMasked(spark: SparkSession, log: LakeLog, table: String,
-                 role: String, version: Long = 0L): DataFrame = {
-    val base = LakeTable.readIndexed(spark, log, table, version)
-    val active = policy(log, table).masks
-      .filterNot(_.exempt_roles.contains(role))
-      .map(m => m.column -> m.expr).toMap
-    if (active.isEmpty) base
-    else base.select(base.columns.map(c =>
-      active.get(c).map(e => expr(e).as(c)).getOrElse(col(c))).toSeq: _*)
-  }
+                 role: String, version: Long = 0L): DataFrame =
+    applyMasks(LakeTable.readIndexed(spark, log, table, version),
+      policy(log, table), role)
 }
