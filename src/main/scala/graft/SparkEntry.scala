@@ -3863,6 +3863,38 @@ object SparkEntry {
       } finally MvRewrite.clear(s)
     }),
 
+    // MV rewrite, extended provable envelope #3: ROLLUP — GROUP BY a
+    // strict subset of the MV's composite key answers by re-aggregating
+    // the MV (sum of sums, sum of counts, total-sum/total-count avg):
+    // O(|MV rows|) instead of O(corpus), the dashboard-hierarchy query
+    // every warehouse MV router handles. Integer-valued l_quantity
+    // keeps every derived number exact cross-engine.
+    "q_lake_mv_rewrite_rollup" -> ((s, d) => {
+      import graft.lake.{LakeLog, LakeTable, MaterializedView, MvRewrite}
+      val log = new LakeLog(
+        java.nio.file.Files.createTempDirectory("graftmvu"))
+      val li = t(s, d, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+      LakeTable.createTable(log, "li", li.schema)
+      LakeTable.insert(s, log, "li", li, numFiles = 4)
+      val mv = MaterializedView.MvDef("li_ru_mv", "li", "l_returnflag",
+        sumCols = Seq("l_quantity"), extraKeyCols = Seq("l_linestatus"))
+      MaterializedView.create(log, mv)
+      MaterializedView.refresh(s, log, mv)
+      MvRewrite.register(s, log, Seq(mv))
+      try {
+        val q = LakeTable.readIndexed(s, log, "li")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            sum("l_quantity").as("sum_qty"),
+            avg("l_quantity").as("avg_qty"))
+        val scanned = lakeScans(q)
+        require(scanned == Seq("li_ru_mv"),
+          s"rollup MV rewrite did not fire (scanned: ${scanned.mkString(",")})")
+        q.orderBy("l_returnflag").localCheckpoint()
+      } finally MvRewrite.clear(s)
+    }),
+
     "q_lake_zorder" -> ((s, d) => {
       // z-order-clustered insert: multi-dimensional clustering gives BOTH
       // curve columns tight per-file ranges, so this two-column range
@@ -8130,6 +8162,14 @@ object SparkEntry {
       SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
              AVG(l_quantity) AS avg_qty,
              SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    // q_lake_mv_rewrite_rollup: GROUP BY a subset of the MV key — the
+    // re-aggregated MV must equal the naive aggregate over the base.
+    "q_lake_mv_rewrite_rollup" -> """
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             SUM(l_quantity) AS sum_qty,
+             AVG(l_quantity) AS avg_qty
       FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     // q_lake_mv_rewrite_filter: key-only filter + composite group key —

@@ -26,13 +26,18 @@ import org.apache.spark.sql.types.DoubleType
   *    re-applied over the MV's stored key columns). Any other operator
   *    or any filter touching a non-key column disqualifies —
   *    conservative by construction;
-  *  - grouping is exactly the MV's key set; every output is a key,
-  *    `count(*)`, sum/min/max of a covered column (result type matching
-  *    the MV's stored type EXACTLY — no silent casts; sum-of-long stays
-  *    unrewritten because the MV stores double sums), or `avg` of a
-  *    covered sum column when the query's avg is DoubleType — answered
-  *    as `sum_c / n_rows`, the same IEEE division Spark's Average
-  *    finalizes with over the same double partial sum;
+  *  - grouping covers the MV's key set exactly (direct substitution: a
+  *    Project over the MV scan) or a STRICT SUBSET of it, including
+  *    none (ROLLUP: an Aggregate re-aggregating the MV — sum of sums,
+  *    sum of counts, min of mins, total-sum/total-count avg — the
+  *    dashboard-hierarchy query, O(|MV rows|) instead of O(corpus));
+  *    every output is a grouped key, `count(*)`, sum/min/max of a
+  *    covered column (result type matching the MV's stored type
+  *    EXACTLY — no silent casts; sum-of-long stays unrewritten because
+  *    the MV stores double sums), or `avg` of a covered sum column when
+  *    the query's avg is DoubleType — answered as `sum_c / n_rows`, the
+  *    same IEEE division Spark's Average finalizes with over the same
+  *    double partial sum;
   *  - the scanned snapshot IS the base's latest version AND the MV's
   *    refresh high-water mark equals it (a stale MV never answers);
   *    the MV is then read AT THE SNAPSHOT whose refresh commit folded
@@ -158,8 +163,9 @@ final case class MvRewriteRule(spark: SparkSession)
       physToLogical = sch.fields.map(f => sch.physFor(f.name) -> f.name).toMap
       colOf = (a: Attribute) =>
         attrPhys.get(a.exprId).flatMap(physToLogical.get)
-      // grouping must be exactly the MV's key set (each grouping expr a
-      // bare attribute over one distinct key column, all keys covered)
+      // every grouping expr must be a bare attribute over a distinct MV
+      // key column; the grouped SET may be all keys (direct scan) or a
+      // strict subset incl. none (rollup re-aggregation below)
       groupCols = agg.groupingExpressions.map {
         case ga: Attribute => colOf(ga).filter(d.keyCols.contains)
           .map(k => ga.exprId -> k)
@@ -167,12 +173,16 @@ final case class MvRewriteRule(spark: SparkSession)
       }
       if !groupCols.contains(None)
       keyByExprId = groupCols.flatten.toMap
-      if keyByExprId.values.toSet == d.keyCols.toSet
+      if keyByExprId.values.toSet.subsetOf(d.keyCols.toSet)
       if keyByExprId.size == agg.groupingExpressions.size
-      // every filter must reference ONLY group-key columns (then it
-      // partitions whole groups and commutes with the aggregation)
+      if keyByExprId.values.toSeq.distinct.size == keyByExprId.size
+      // every filter must reference ONLY MV key columns: each MV row's
+      // rows share one key tuple, so a key predicate keeps or drops
+      // WHOLE MV rows — it commutes with both the direct substitution
+      // and the rollup re-aggregation
       if filters.forall(_.references.toSeq.forall(a =>
         colOf(a).exists(d.keyCols.contains)))
+      exact = keyByExprId.values.toSet == d.keyCols.toSet
       mvPlan = LakeTable.readIndexed(spark, log, d.name, mvVersion)
         .queryExecution.analyzed
       mvAttr = mvPlan.output.map(a => a.name -> a).toMap
@@ -184,11 +194,20 @@ final case class MvRewriteRule(spark: SparkSession)
           Some(Alias(mvAttr(keyByExprId(ar.exprId)), name)(exprId = al.exprId))
         case al @ Alias(AggregateExpression(f, _, false, None, _), name) =>
           val replacement: Option[Expression] = f match {
-            case Count(Seq(Literal(_, _))) => mvAttr.get("n_rows")
+            // count(*) over a group = the stored count (exact match) or
+            // the sum of stored counts over the rolled-up MV rows; the
+            // coalesce covers the empty-input global aggregate, where
+            // base count(*) is 0 but sum-over-nothing is NULL
+            case Count(Seq(Literal(_, _))) =>
+              if (exact) mvAttr.get("n_rows")
+              else mvAttr.get("n_rows").map(n => Coalesce(Seq(
+                Sum(n).toAggregateExpression(), Literal(0L))))
             case s: Sum => s.child match {
               case c: Attribute =>
                 colOf(c).filter(d.sumCols.contains)
                   .flatMap(n => mvAttr.get(s"sum_$n"))
+                  .map(a => if (exact) a
+                    else Sum(a).toAggregateExpression())
               case _ => None
             }
             case av: Average if al.dataType == DoubleType => av.child match {
@@ -196,23 +215,30 @@ final case class MvRewriteRule(spark: SparkSession)
               // sum_<c> is the same double partial sum Spark's Average
               // accumulates, and this division is Average's own
               // finalization — exact-type-preserving (DoubleType only;
-              // decimal avgs carry scale rules this does not prove)
+              // decimal avgs carry scale rules this does not prove).
+              // Rollup: total sum / total count over the grouped MV rows.
               case c: Attribute =>
                 colOf(c).filter(d.sumCols.contains).flatMap(n =>
                   for { s <- mvAttr.get(s"sum_$n"); cnt <- mvAttr.get("n_rows") }
-                    yield Divide(s, Cast(cnt, DoubleType)))
+                    yield if (exact) Divide(s, Cast(cnt, DoubleType))
+                      else Divide(Sum(s).toAggregateExpression(),
+                        Cast(Sum(cnt).toAggregateExpression(), DoubleType)))
               case _ => None
             }
             case mn: Min => mn.child match {
               case c: Attribute =>
                 colOf(c).filter(d.minCols.contains)
                   .flatMap(n => mvAttr.get(s"min_$n"))
+                  .map(a => if (exact) a
+                    else Min(a).toAggregateExpression()) // min of mins
               case _ => None
             }
             case mx: Max => mx.child match {
               case c: Attribute =>
                 colOf(c).filter(d.maxCols.contains)
                   .flatMap(n => mvAttr.get(s"max_$n"))
+                  .map(a => if (exact) a
+                    else Max(a).toAggregateExpression())
               case _ => None
             }
             case _ => None
@@ -226,8 +252,16 @@ final case class MvRewriteRule(spark: SparkSession)
       mvFilters = filters.map(_.transform {
         case a: AttributeReference => mvAttr(colOf(a).get)
       })
-    } yield Project(outs,
-      mvFilters.reduceOption(And).map(Filter(_, mvPlan)).getOrElse(mvPlan))
+      scan = mvFilters.reduceOption(And)
+        .map(Filter(_, mvPlan)).getOrElse(mvPlan)
+    } yield
+      if (exact) Project(outs, scan)
+      // rollup: re-aggregate the (filtered) MV over the grouped key
+      // subset — still O(|MV rows|), never the base corpus
+      else Aggregate(
+        agg.groupingExpressions.map {
+          case ga: Attribute => mvAttr(keyByExprId(ga.exprId))
+        }, outs, scan)
 
   private def traverse[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] = {
     val out = xs.map(f)

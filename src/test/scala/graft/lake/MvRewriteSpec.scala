@@ -156,10 +156,43 @@ class MvRewriteSpec extends SparkSpec {
       assert(scannedTables(q2) === Seq("mk_mv"))
       assert(q2.filter(col("k1") === "a" && col("k2") === 2)
         .select("sv").as[Double].head === 13.0)
-      // grouping by a strict SUBSET of the key set must NOT rewrite
-      val sub = LakeTable.readIndexed(spark, log, "mk")
-        .groupBy("k1").agg(sum("v").as("sv"))
-      assert(scannedTables(sub) === Seq("mk"))
+      // grouping by a strict SUBSET of the key set ROLLS UP: the MV is
+      // re-aggregated (sum of sums / sum of counts) — still O(|MV|)
+      def sub() = LakeTable.readIndexed(spark, log, "mk")
+        .groupBy("k1").agg(count(lit(1)).as("n"), sum("v").as("sv"),
+          avg("v").as("av"))
+      val directSub = {
+        MvRewrite.clear(spark)
+        val r = sub().orderBy("k1").collect().toSeq
+        MvRewrite.register(spark, log, Seq(d)); r
+      }
+      assert(scannedTables(sub()) === Seq("mk_mv"))
+      assert(sub().orderBy("k1").collect().toSeq === directSub)
+      // ... and the GLOBAL (no GROUP BY) aggregate rolls up too
+      def glob() = LakeTable.readIndexed(spark, log, "mk")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      val directGlob = {
+        MvRewrite.clear(spark)
+        val r = glob().collect().toSeq
+        MvRewrite.register(spark, log, Seq(d)); r
+      }
+      assert(scannedTables(glob()) === Seq("mk_mv"))
+      assert(glob().collect().toSeq === directGlob)
+      // a key-only filter composes with the rollup (filter on k2, a key
+      // NOT in the grouped subset — still whole-MV-row semantics)
+      def fsub() = LakeTable.readIndexed(spark, log, "mk")
+        .filter(col("k2") === 2).groupBy("k1").agg(sum("v").as("sv"))
+      val directF = {
+        MvRewrite.clear(spark)
+        val r = fsub().orderBy("k1").collect().toSeq
+        MvRewrite.register(spark, log, Seq(d)); r
+      }
+      assert(scannedTables(fsub()) === Seq("mk_mv"))
+      assert(fsub().orderBy("k1").collect().toSeq === directF)
+      // grouping by a NON-key column still refuses
+      val nk = LakeTable.readIndexed(spark, log, "mk")
+        .groupBy("v").agg(count(lit(1)).as("n"))
+      assert(scannedTables(nk) === Seq("mk"))
     } finally MvRewrite.clear(spark)
   }
 
