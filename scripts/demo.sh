@@ -272,6 +272,16 @@ LIN=$(post /lineage '{"table": "'$TABLE'", "role": "analyst"}')
 HITS=$(echo "$LIN" | jq '[.lineage[] | select(.out_col == "product" and .src_col == "product" and .src_table == "'$TABLE'")] | length')
 [ "$HITS" = 1 ] || { echo "ERROR: masked product lineage lost its raw source:"; echo "$LIN" | jq .; exit 1; }
 echo "lineage over the masked read: product <- $TABLE.product (raw) ✓"
+# row-level security: analysts additionally see only Electronics rows;
+# the governed read composes filter (raw membership) + mask (appearance)
+post /query '{"sql": "ALTER TABLE '$TABLE' SET ROW FILTER (category = '\''Electronics'\'') EXEMPT (admin)"}' | jq -c .
+GN=$(curl -sf "$BASE/tables/$TABLE/masked?role=analyst" | jq '.results | length')
+AN=$(curl -sf "$BASE/tables/$TABLE/masked?role=admin" | jq '.results | length')
+RF=$(curl -sf "$BASE/tables/$TABLE/masked?role=analyst" | jq -r '.row_filter')
+[ "$GN" -lt "$AN" ] || { echo "ERROR: row filter did not narrow analyst rows ($GN vs $AN)"; exit 1; }
+[ "$RF" = "category = 'Electronics'" ] || { echo "ERROR: row_filter field '$RF'"; exit 1; }
+echo "row filter: analyst sees $GN of $AN rows (masked), admin exempt ✓"
+post /query '{"sql": "ALTER TABLE '$TABLE' DROP ROW FILTER"}' | jq -c .
 post /query '{"sql": "ALTER TABLE '$TABLE' DROP MASK product"}' | jq -c .
 
 echo
