@@ -3649,6 +3649,39 @@ object SparkEntry {
         .orderBy("role", "c_custkey")
     }),
 
+    // Full conditional MERGE, first-clause-wins: matched orders with a
+    // high source price DELETE, the rest UPDATE to the source row, and
+    // unmatched source rows INSERT only above a floor — the Delta-style
+    // ordered-WHEN DML over the lake's CoW machinery (stats-pruned
+    // touched files, survivors as layout rewrites, one atomic commit).
+    // The oracle replays the whole decision table over the base rows.
+    "q_lake_merge" -> ((s, d) => {
+      import graft.lake.{LakeLog, LakeTable}
+      val log = new LakeLog(
+        java.nio.file.Files.createTempDirectory("graftmrg"))
+      val ord = t(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      LakeTable.createTable(log, "ord", ord.schema)
+      LakeTable.insert(s, log, "ord", ord, numFiles = 4)
+      val src = ord.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), lit("M").as("o_orderstatus"),
+          (col("o_totalprice") + 1000).as("o_totalprice"))
+        .unionAll(ord.filter(col("o_orderkey") % 5 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), col("o_totalprice")))
+      val r = LakeTable.merge(s, log, "ord", src, "o_orderkey",
+        matched = Seq(
+          LakeTable.MergeClause("delete", Some("src_o_totalprice > 150000")),
+          LakeTable.MergeClause("update")),
+        insertWhen = Some(Some("o_totalprice > 50000")))
+      require(r.updated > 0 && r.deleted > 0 && r.inserted > 0,
+        s"merge exercised a degenerate path: $r")
+      LakeTable.read(s, log, "ord")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     // Row-level security + the combined governed read: the analyst sees
     // only non-negative balances (row filter, judged on RAW values) with
     // the segment masked (column policy); the auditor is row-filter
@@ -8099,6 +8132,34 @@ object SparkEntry {
         FROM customer)
       SELECT * FROM (SELECT * FROM masked UNION ALL SELECT * FROM raw)
       ORDER BY role, c_custkey""",
+
+    // q_lake_merge: the full decision table — matched+high-price rows
+    // vanish, matched rows take the source values, unmatched source
+    // rows insert above the floor, everything else survives untouched.
+    "q_lake_merge" -> """
+      WITH src AS (
+        SELECT o_orderkey, 'M' AS o_orderstatus,
+               o_totalprice + 1000 AS o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey + 100000000 AS o_orderkey,
+               'N' AS o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 5 = 0),
+      final_t AS (
+        SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice
+        FROM orders t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+        WHERE s.o_orderkey IS NULL
+        UNION ALL
+        SELECT t.o_orderkey, s.o_orderstatus, s.o_totalprice
+        FROM orders t JOIN src s ON t.o_orderkey = s.o_orderkey
+        WHERE NOT (s.o_totalprice > 150000)
+        UNION ALL
+        SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice
+        FROM src s LEFT JOIN orders t ON t.o_orderkey = s.o_orderkey
+        WHERE t.o_orderkey IS NULL AND s.o_totalprice > 50000)
+      SELECT o_orderkey, o_orderstatus,
+             round(o_totalprice, 2) AS o_totalprice
+      FROM final_t ORDER BY o_orderkey""",
 
     // q_lake_rowfilter: analyst = row filter + mask; auditor =
     // filter-exempt but masked; admin = raw. The oracle replays all

@@ -125,6 +125,17 @@ object LakeSql {
     """(?is)\s*MERGE\s+INTO\s+(\w+)\s+USING\s+\((.+)\)\s+ON\s+(\w+)\s*;?\s*""".r
   private val InsertInto =
     """(?is)\s*INSERT\s+INTO\s+(\w+)\s+(SELECT\s.+)""".r
+  // full conditional MERGE (ordered WHEN clauses) — must be tried BEFORE
+  // the plain MergeInto upsert form, whose regex requires the statement
+  // to END at the key and so cannot swallow a WHEN tail
+  private val MergeFull =
+    ("""(?is)\s*MERGE\s+INTO\s+(\w+)\s+USING\s+\((.+)\)\s+ON\s+(\w+)""" +
+      """\s+(WHEN\s+.+?)\s*;?\s*""").r
+  private val WhenMatched =
+    ("""(?is)\s*MATCHED(?:\s+AND\s*\((.+)\))?\s+THEN\s+""" +
+      """(DELETE|UPDATE\s+SET\s+\*)\s*""").r
+  private val WhenNotMatched =
+    """(?is)\s*NOT\s+MATCHED(?:\s+AND\s*\((.+)\))?\s+THEN\s+INSERT\s+\*\s*""".r
   // Incremental materialized views by name: the definition persists as
   // `_mvdef.json` beside the MV's backing table, so REFRESH needs only
   // the name. Aggregate vocabulary mirrors MvDef: count(*) is implicit,
@@ -324,6 +335,31 @@ object LakeSql {
         val r = graft.lake.MaterializedView.refresh(spark, log, d)
         status(spark, "mv" -> name, "mode" -> r.mode,
           "from_version" -> r.fromVersion, "to_version" -> r.toVersion)
+      case MergeFull(table, select, key, whenTail) =>
+        val rows = SqlApi.queryLake(spark, log, select)
+        // split the tail on WHEN boundaries and parse each clause in the
+        // written order (first-clause-wins semantics downstream)
+        val parts = whenTail.split("(?is)\\bWHEN\\b").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+        var matchedClauses = Seq.empty[LakeTable.MergeClause]
+        var insertWhen: Option[Option[String]] = None
+        parts.foreach {
+          case WhenNotMatched(cond) =>
+            insertWhen = Some(Option(cond).map(_.trim))
+          case WhenMatched(cond, act) =>
+            val kind =
+              if (act.trim.toUpperCase.startsWith("DELETE")) "delete"
+              else "update"
+            matchedClauses = matchedClauses :+
+              LakeTable.MergeClause(kind, Option(cond).map(_.trim))
+          case other => throw new graft.lake.LakeValidationException(
+            s"cannot parse MERGE clause: WHEN $other")
+        }
+        val r = LakeTable.merge(spark, log, table, rows, key,
+          matchedClauses, insertWhen)
+        status(spark, "table" -> table, "key" -> key,
+          "version" -> r.version, "updated" -> r.updated,
+          "deleted" -> r.deleted, "inserted" -> r.inserted)
       case MergeInto(table, select, key) =>
         val rows = SqlApi.queryLake(spark, log, select)
         val r = LakeTable.upsert(spark, log, table, rows, key)

@@ -1512,6 +1512,190 @@ object LakeTable {
     } finally shaped.unpersist()
   }
 
+  /** One ordered `WHEN` clause of a [[merge]]: `kind` is `"update"` or
+    * `"delete"` (matched clauses) — inserts are the separate
+    * `insertWhen` argument. `cond` is a SQL predicate over the MATCHED
+    * pair: target columns by name, source columns as `src_<col>`. */
+  final case class MergeClause(kind: String, cond: Option[String] = None)
+
+  final case class MergeResult(version: Long, updated: Long, deleted: Long,
+                               inserted: Long, kept: Long,
+                               duplicate: Boolean = false)
+
+  /** Full conditional MERGE — the lakehouse DML face (Delta/Iceberg
+    * `MERGE INTO` with ordered clauses), generalizing [[upsert]]'s
+    * whole-row replace:
+    *
+    *   MERGE INTO t USING src ON key
+    *     WHEN MATCHED [AND cond] THEN DELETE
+    *     WHEN MATCHED [AND cond] THEN UPDATE SET *
+    *     WHEN NOT MATCHED [AND cond] THEN INSERT *
+    *
+    * For each matched (target, source) pair the FIRST matched-clause
+    * whose condition holds applies (standard Delta ordering semantics);
+    * no clause holding keeps the target row unchanged. Conditions see
+    * the pair as target columns by name plus source columns prefixed
+    * `src_`. Source keys must be unique (two source rows matching one
+    * target row is ambiguous — an error, not a silent pick) and
+    * NULL-keyed source rows never match (SQL equality), flowing to the
+    * NOT MATCHED clause like Delta.
+    *
+    * Scale/commit shape is [[upsert]]'s: touched files = stats-pruned
+    * candidates for the source key range; survivors rewrite as layout
+    * (`rewrite = true`, invisible to CDC), updated+inserted rows stage
+    * as logical adds; one atomic OCC commit with the same concurrent-DV
+    * conflict check; idempotent under txn-id replay.
+    */
+  def merge(spark: SparkSession, log: LakeLog, table: String,
+            source: DataFrame, keyCol: String,
+            matched: Seq[MergeClause],
+            insertWhen: Option[Option[String]] = Some(None),
+            txnId: String = UUID.randomUUID().toString): MergeResult = {
+    log.committedVersion(table, txnId).foreach(v =>
+      return MergeResult(v, 0, 0, 0, 0, duplicate = true))
+    require(matched.forall(c => c.kind == "update" || c.kind == "delete"),
+      s"matched clause kinds must be update/delete: $matched")
+    val snap = log.snapshot(table)
+    val sch = snap.schema.get
+    val st = toStructType(sch)
+    val partCols = sch.partCols
+    if (st.fieldNames.exists(_.startsWith("src_")))
+      throw new LakeValidationException(
+        s"merge into $table: target columns may not start with 'src_' " +
+          "(reserved for the source side in clause conditions)")
+    val shaped0 = applyGenerated(table, sch, source).select(st.fields
+      .toSeq.map(f => col(f.name).cast(f.dataType)): _*)
+    val shaped = shaped0.persist()
+    try {
+    // ambiguous-match guard: one target row must match at most one
+    // source row
+    val dup = shaped.filter(col(keyCol).isNotNull)
+      .groupBy(keyCol).count().filter(col("count") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new LakeValidationException(
+        s"merge into $table: source has ${dup.head.get(0)} more than " +
+          s"once in $keyCol — multiple matches per target row are " +
+          "ambiguous")
+    val keys = shaped.select(keyCol).filter(col(keyCol).isNotNull)
+    val staged = log.tmpDir(table, txnId)
+    // same stats-pruned candidate selection (and the same prune-safety
+    // rules) as upsert — a file that could hold a matched key is in range
+    val Seq(loK, hiK) = keys.agg(min(keyCol).cast("string"),
+      max(keyCol).cast("string")).collect().head.toSeq.map(String.valueOf)
+    val keyIsFloat = st(keyCol).dataType match {
+      case FloatType | DoubleType => true
+      case _ => false
+    }
+    val rangeSafe = !keyIsFloat && Seq(loK, hiK).forall(s =>
+      s != "null" && s.nonEmpty &&
+        !s.exists(c => c.isWhitespace || c == '\'' || c == '"'))
+    val candidates =
+      if (!rangeSafe) snap.files
+      else FilePruning.prune(
+        FilePruning.prune(snap.files,
+          s"${sch.physFor(keyCol)} >= $loK", physStruct(st, sch)),
+        s"${sch.physFor(keyCol)} <= $hiK", physStruct(st, sch))
+
+    // the matched-pair frame: candidate target rows left-joined with the
+    // source under src_ prefixes; clause conditions evaluate over it
+    val srcPrefixed = shaped.select(
+      st.fieldNames.toSeq.map(n => col(n).as(s"src_$n")): _*)
+    val matchedFlag = col(s"src_$keyCol").isNotNull
+    // first-clause-wins action: fold the ordered clauses into one CASE
+    // (a NULL condition skips the clause, like SQL WHERE)
+    val action = matched.foldRight(lit("k")) { (c, els) =>
+      val hit = c.cond.map(x => expr(x)).getOrElse(lit(true))
+      when(matchedFlag && coalesce(hit, lit(false)),
+        lit(if (c.kind == "update") "u" else "d")).otherwise(els)
+    }
+    val paired =
+      if (candidates.isEmpty) null
+      else readWithPartitions(spark, sch, st, candidates)
+        .join(srcPrefixed, col(keyCol) === col(s"src_$keyCol"), "left_outer")
+        .withColumn("__action", action)
+        .persist()
+    try {
+    val updates =
+      if (paired == null) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      else paired.filter(col("__action") === "u")
+        .select(st.fieldNames.toSeq.map(n => col(s"src_$n").as(n)): _*)
+    val inserts = insertWhen match {
+      case None => updates.limit(0)
+      case Some(cond) =>
+        // source rows matching no target row (NULL-keyed rows included:
+        // anti-join equality never matches NULL). Every target row that
+        // could match is in `paired` — the candidate set admits the full
+        // source key range by construction.
+        val targetKeys =
+          if (paired == null) updates.limit(0).select(keyCol)
+          else paired.select(keyCol)
+        val unmatched = shaped.join(targetKeys, Seq(keyCol), "left_anti")
+        // an insert condition may name source columns plainly or with
+        // the src_ prefix (symmetry with the matched clauses)
+        cond.map { c =>
+          unmatched.select(st.fieldNames.toSeq.map(col) ++
+              st.fieldNames.toSeq.map(n => col(n).as(s"src_$n")): _*)
+            .filter(expr(c))
+            .select(st.fieldNames.toSeq.map(col): _*)
+        }.getOrElse(unmatched)
+    }
+    val newRows = updates.unionByName(inserts).persist()
+    try {
+    enforceChecks(table, sch, newRows)
+    val nUpdated = updates.count()
+    val nInserted = newRows.count() - nUpdated
+    val nDeleted =
+      if (paired == null) 0L
+      else paired.filter(col("__action") === "d").count()
+    val keptRows =
+      if (paired == null) null
+      else paired.filter(col("__action") === "k")
+        .select(st.fieldNames.toSeq.map(col): _*)
+    withStatFriendlyWrites(spark) {
+      if (paired != null)
+        toPhys(keptRows.coalesce(math.max(1, candidates.size)), sch)
+          .write.mode("overwrite").option("compression", "snappy")
+          .partitionBy(partCols: _*)
+          .parquet(staged.resolve("rw").toString)
+      toPhys(newRows.coalesce(1), sch)
+        .write.mode("overwrite").option("compression", "snappy")
+        .partitionBy(partCols: _*)
+        .parquet(staged.resolve("new").toString)
+    }
+    try {
+      val rwAdds =
+        if (paired == null) Nil
+        else statAndPromote(spark, log, table, staged.resolve("rw"), sch, st,
+          rewrite = true, partCols = partCols, bloomCols = sch.bloomCols)
+      val adds = (rwAdds ++
+        statAndPromote(spark, log, table, staged.resolve("new"), sch, st,
+          partCols = partCols, bloomCols = sch.bloomCols))
+        .filter(_.rows > 0)
+      val inputPaths = candidates.map(_.path)
+      val expectDv = candidates.map(f => f.path -> f.dv).toMap
+      val resultOpt =
+        try log.commitWithRetry(table, txnId) { fresh =>
+          val live = fresh.files.map(f => f.path -> f.dv).toMap
+          if (expectDv.forall { case (p, d) => live.get(p).contains(d) })
+            Some((adds, inputPaths))
+          else None
+        } catch { case e: Throwable => discardAdds(adds); throw e }
+      val result = resultOpt.getOrElse {
+        discardAdds(adds)
+        throw new CommitConflictException(
+          "merge lost its input files to a concurrent commit")
+      }
+      if (result.duplicate) discardAdds(adds)
+      MergeResult(result.version, nUpdated, nDeleted, nInserted,
+        kept = if (keptRows == null) 0L else keptRows.count(),
+        duplicate = result.duplicate)
+    } finally deleteRecursively(staged)
+    } finally newRows.unpersist()
+    } finally if (paired != null) paired.unpersist()
+    } finally shaped.unpersist()
+  }
+
   /** Incremental change feed: all rows LOGICALLY added in versions
     * `(fromVersion, toVersion]` (CDC-style consumption — the batch analog
     * of a streaming source over the table; 0/negative `toVersion` = latest).
