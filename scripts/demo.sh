@@ -284,6 +284,33 @@ echo "row filter: analyst sees $GN of $AN rows (masked), admin exempt ✓"
 post /query '{"sql": "ALTER TABLE '$TABLE' DROP ROW FILTER"}' | jq -c .
 post /query '{"sql": "ALTER TABLE '$TABLE' DROP MASK product"}' | jq -c .
 
+step "Step 15: logical views + SQL transaction blocks"
+# a persisted view; the cached SELECT over it must recompute after a
+# commitless CREATE OR REPLACE (the result-cache fingerprint folds the
+# view-catalog version — same staleness class as branch moves)
+post /query '{"sql": "CREATE VIEW pricey AS SELECT product, amount FROM '$TABLE' WHERE amount > 500"}' | jq -c .
+VN1=$(post /query '{"sql": "SELECT count(*) AS n FROM pricey"}' | jq '.results[0].n')
+post /query '{"sql": "CREATE OR REPLACE VIEW pricey AS SELECT product, amount FROM '$TABLE' WHERE amount > 100"}' | jq -c .
+VN2=$(post /query '{"sql": "SELECT count(*) AS n FROM pricey"}' | jq '.results[0].n')
+[ "$VN2" -gt "$VN1" ] || { echo "ERROR: replaced view served stale rows ($VN1 -> $VN2)"; exit 1; }
+echo "view replace widened pricey: $VN1 -> $VN2 rows, cache invalidated ✓"
+post /query '{"sql": "DESCRIBE VIEWS"}' | jq -c .results
+# BEGIN/COMMIT: a per-category summary and its source snapshot count
+# land in TWO tables atomically through the 2PC; the replayed block is
+# a no-op returning the recorded versions
+post /query '{"sql": "CREATE TABLE sales_summary (category string, n int64)"}' | jq -c .results
+post /query '{"sql": "CREATE TABLE sales_total (n int64)"}' | jq -c .results
+TXSQL='BEGIN TRANSACTION '\''demo-tx'\''; INSERT INTO sales_summary SELECT category, count(*) AS n FROM '$TABLE' GROUP BY category; INSERT INTO sales_total SELECT count(*) AS n FROM '$TABLE'; COMMIT'
+TX1=$(post /query "{\"sql\": \"$TXSQL\"}" | jq -r '.results[0].tables')
+[ "$TX1" = "sales_summary@1,sales_total@1" ] || { echo "ERROR: txn published $TX1"; exit 1; }
+TX2=$(post /query "{\"sql\": \"$TXSQL\"}" | jq -r '.results[0].tables')
+[ "$TX2" = "$TX1" ] || { echo "ERROR: replayed txn re-published ($TX2)"; exit 1; }
+TOT=$(post /query '{"sql": "SELECT n FROM sales_total"}' | jq '.results[0].n')
+SUM=$(post /query '{"sql": "SELECT sum(n) AS s FROM sales_summary"}' | jq '.results[0].s')
+[ "$TOT" = "$SUM" ] || { echo "ERROR: cross-table snapshot torn ($TOT vs $SUM)"; exit 1; }
+echo "2PC block committed atomically ($TX1), replay no-op, summary($SUM)=total($TOT) ✓"
+post /query '{"sql": "DROP VIEW pricey"}' | jq -c .
+
 echo
 echo "=== demo completed successfully ==="
 echo "metrics: curl $BASE/metrics | grep lakehouse_"

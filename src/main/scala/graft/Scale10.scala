@@ -361,6 +361,21 @@ object Scale10 {
           col("doc_id").as("t_us"), col("n_chars").as("v"))
         graft.operators.Trend.mannKendall(series, "series", "t_us", "v")
           .count()
+      },
+      timed("qdigest") {
+        // per-partition digests (the only per-row work) + a grouped
+        // face: exchanges carry ≤3k-node sketches / (key, sketch)
+        // partials, never rows — sketch size and wire cost are
+        // N-invariant by construction; funnel gate polices the key
+        // exchange
+        val vals = docs.select(col("source"),
+          (col("n_chars") % (1L << 20)).as("v"))
+        val sk = graft.operators.QDigest.sketch(
+          vals.select("v"), "v", depth = 20, k = 2000L)
+        require(sk.n >= nDocs, s"qdigest lost rows: ${sk.n} < $nDocs")
+        graft.operators.QDigest.quantilesByKey(vals, "source", "v",
+          depth = 20, k = 2000L,
+          qsPpm = Seq(500000L, 990000L)).count()
       })
 
     val rt = Runtime.getRuntime

@@ -3655,6 +3655,89 @@ object SparkEntry {
     // ordered-WHEN DML over the lake's CoW machinery (stats-pruned
     // touched files, survivors as layout rewrites, one atomic commit).
     // The oracle replays the whole decision table over the base rows.
+    // Logical views (graft.lake.Views): persisted SELECT macros in the
+    // `_views/` OCC catalog mini-log, expanded at plan time — the third
+    // leg beside the MV and the transparent rewrite. Stacked views
+    // (cust_spend over big_orders), CREATE OR REPLACE re-pointing the
+    // whole stack (macro semantics: the dependent reads the REPLACED
+    // definition), and the final read through the SQL face. The oracle
+    // replays the post-replace stack inline from raw orders.
+    "q_lake_view" -> ((s, d) => {
+      import graft.api.LakeSql
+      import graft.lake.{LakeLog, LakeTable, Views}
+      val log = new LakeLog(
+        java.nio.file.Files.createTempDirectory("graftview"))
+      val ord = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      LakeTable.createTable(log, "ord", ord.schema)
+      LakeTable.insert(s, log, "ord", ord, numFiles = 2)
+      def sql(q: String) = LakeSql.execute(s, log, q)
+      sql("CREATE VIEW big_orders AS SELECT o_custkey, o_totalprice " +
+        "FROM ord WHERE o_totalprice > 150000")
+      sql("CREATE VIEW cust_spend AS SELECT o_custkey, " +
+        "count(*) AS n_big, round(sum(o_totalprice), 2) AS spend " +
+        "FROM big_orders GROUP BY o_custkey")
+      // re-point the base view: the dependent must read the NEW macro
+      sql("CREATE OR REPLACE VIEW big_orders AS SELECT o_custkey, " +
+        "o_totalprice FROM ord WHERE o_totalprice > 100000")
+      require(Views.catalogVersion(log) == 3L,
+        "expected 3 view-catalog versions (create, create, replace)")
+      sql("SELECT o_custkey, n_big, spend FROM cust_spend " +
+        "WHERE n_big >= 2 ORDER BY o_custkey")
+    }),
+    // BEGIN TRANSACTION 'id'; INSERT...; INSERT...; COMMIT — the SQL
+    // face over the presumed-abort 2PC (graft.lake.MultiTxn): a fact
+    // slice and its aggregate land in DIFFERENT tables atomically; a
+    // replayed block is a no-op returning the recorded versions; a
+    // ROLLBACK block leaves no trace. The emitted aggregate is
+    // recomputed by DuckDB from raw lineitem.
+    "q_lake_sql_txn" -> ((s, d) => {
+      import graft.api.LakeSql
+      import graft.lake.{LakeLog, LakeTable}
+      val log = new LakeLog(
+        java.nio.file.Files.createTempDirectory("grafttxn"))
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+      LakeTable.createTable(log, "src", li.schema)
+      LakeTable.insert(s, log, "src", li, numFiles = 2)
+      def sql(q: String) = LakeSql.execute(s, log, q)
+      sql("CREATE TABLE facts (l_orderkey int64, l_returnflag string, " +
+        "l_quantity float64)")
+      sql("CREATE TABLE agg (l_returnflag string, n_rows int64, " +
+        "sum_qty float64)")
+      val block = """BEGIN TRANSACTION 'load1';
+        INSERT INTO facts SELECT l_orderkey, l_returnflag, l_quantity
+          FROM src WHERE l_orderkey % 2 = 0;
+        INSERT INTO agg SELECT l_returnflag, count(*) AS n_rows,
+          sum(l_quantity) AS sum_qty FROM src WHERE l_orderkey % 2 = 0
+          GROUP BY l_returnflag;
+        COMMIT"""
+      val st = sql(block).head()
+      require(st.getAs[Boolean]("committed") &&
+        st.getAs[String]("tables") == "agg@1,facts@1",
+        s"unexpected txn result: $st")
+      // replay is idempotent: recorded versions, no double insert
+      val replay = sql(block).head()
+      require(replay.getAs[String]("tables") == "agg@1,facts@1" &&
+        log.latestVersion("facts") == 1L,
+        "replayed COMMIT block must be a no-op")
+      // a rolled-back txn leaves no trace on either table
+      sql("""BEGIN TRANSACTION 'load2';
+        INSERT INTO facts SELECT l_orderkey, l_returnflag, l_quantity
+          FROM src WHERE l_orderkey % 2 = 1;
+        ROLLBACK""")
+      require(log.latestVersion("facts") == 1L &&
+        log.latestVersion("agg") == 1L,
+        "ROLLBACK must not publish")
+      // the published aggregate must agree with a recount of the
+      // co-committed fact slice — the cross-table consistency the 2PC
+      // exists to give
+      sql("SELECT a.l_returnflag, a.n_rows, round(a.sum_qty, 2) " +
+        "AS sum_qty, f.n_check FROM agg a JOIN (SELECT l_returnflag, " +
+        "count(*) AS n_check FROM facts GROUP BY l_returnflag) f " +
+        "ON a.l_returnflag = f.l_returnflag ORDER BY a.l_returnflag")
+    }),
+
     "q_lake_merge" -> ((s, d) => {
       import graft.lake.{LakeLog, LakeTable}
       val log = new LakeLog(
@@ -4390,6 +4473,82 @@ object SparkEntry {
         .select(col("lang"), col("exact_distinct"), col("s_scaled"),
           col("zero_regs"), col("est_milli"))
         .orderBy("lang")
+    }),
+
+    // Q-digest mergeable quantile sketch — the sketch-family percentile
+    // face (CMS=frequency, MG=top-k, HLL=distinct, q-digest=quantiles):
+    // per-partition digests of ≤3k trie nodes are the ONLY thing that
+    // moves (vs q_percentile's full sort), deterministic by construction
+    // (canonical compress, order-insensitive merges — no KLL coin
+    // flips), rank error ≤ depth/k. Gate in the recall-gate mold: exact
+    // rank intervals of every estimate computed in ONE extra scan,
+    // `require`d inside the ε budget (a regression crashes the query),
+    // and the emitted (q_ppm, n, eps_ppm, within) row is exactly
+    // oracle-expressible.
+    "q_quantile_sketch" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.QDigest
+      val depth = 25 // extendedprice cents < 2^25
+      val k = 5000L  // eps = depth/k = 0.5%
+      val cents = t(s, d, "lineitem")
+        .select(round(col("l_extendedprice") * 100).cast("long").as("v"))
+      // build parallel (narrow 1-col repartition; single-row-group
+      // source), but rank-scan the bare projection — partial aggs
+      // collapse in the scan partition, no exchange
+      val sk = QDigest.sketch(cents.repartition(16), "v", depth, k)
+      val qsP = Seq(10000L, 250000L, 500000L, 750000L, 900000L, 990000L)
+      val ests = qsP.map(q => q -> QDigest.quantile(sk, q))
+      val rankAggs = ests.flatMap { case (q, e) =>
+        Seq(sum(when(col("v") <= e, 1L).otherwise(0L)).as(s"le_$q"),
+          sum(when(col("v") < e, 1L).otherwise(0L)).as(s"lt_$q"))
+      }
+      val row = cents.agg(count(lit(1)).as("n"), rankAggs: _*).head()
+      val n = row.getAs[Long]("n")
+      require(n == sk.n, s"q-digest lost rows: sketch n=${sk.n} scan n=$n")
+      val bound = QDigest.rankErrorBound(sk)
+      ests.map { case (q, e) =>
+        val target = math.max(1L, (q * n + 999999L) / 1000000L)
+        val hi = row.getAs[Long](s"le_$q")
+        val lo = row.getAs[Long](s"lt_$q")
+        require(hi >= target - bound && lo <= target + bound,
+          s"q-digest rank error blown at q=$q ppm: est=$e " +
+            s"rank=[$lo,$hi] target=$target bound=$bound")
+        (q, n, 1000000L * depth / k, 1L)
+      }.toDF("q_ppm", "n", "eps_ppm", "within").orderBy("q_ppm")
+    }),
+    // The grouped face: per-(key, partition) partial digests, one
+    // (key, sketch) exchange, order-insensitive merge per key — the
+    // "running p50/p90 latency per service" shape. Same gate: exact
+    // per-group rank intervals via one broadcast join + aggregate.
+    "q_quantile_sketch_group" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.QDigest
+      val depth = 25
+      val k = 2000L
+      val li = t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("v"))
+      val ests = QDigest.quantilesByKey(li.repartition(16),
+        "l_returnflag", "v", depth, k, Seq(500000L, 900000L))
+      val checked = li.join(broadcast(ests), "l_returnflag")
+        .groupBy("l_returnflag", "q_ppm", "qd_est", "qd_n")
+        .agg(sum(when(col("v") <= col("qd_est"), 1L).otherwise(0L))
+            .as("r_le"),
+          sum(when(col("v") < col("qd_est"), 1L).otherwise(0L))
+            .as("r_lt"))
+        .collect()
+      checked.map { r =>
+        val (flag, q) = (r.getAs[String]("l_returnflag"),
+          r.getAs[Long]("q_ppm"))
+        val n = r.getAs[Long]("qd_n")
+        val target = math.max(1L, (q * n + 999999L) / 1000000L)
+        val bound = depth.toLong * n / k
+        require(r.getAs[Long]("r_le") >= target - bound &&
+            r.getAs[Long]("r_lt") <= target + bound,
+          s"grouped q-digest rank error blown at ($flag, $q ppm)")
+        (flag, q, n, 1L)
+      }.toSeq.toDF("l_returnflag", "q_ppm", "n", "within")
+        .orderBy("l_returnflag", "q_ppm")
     }),
 
     // Corpus-overlap estimation: pairwise Jaccard between SOURCES from
@@ -8133,6 +8292,23 @@ object SparkEntry {
       SELECT * FROM (SELECT * FROM masked UNION ALL SELECT * FROM raw)
       ORDER BY role, c_custkey""",
 
+    // q_lake_view: replay the POST-REPLACE view stack inline — the
+    // dependent view must read the replaced base macro (> 100000).
+    "q_lake_view" -> """
+      SELECT o_custkey, count(*) AS n_big,
+             round(sum(o_totalprice), 2) AS spend
+      FROM orders WHERE o_totalprice > 100000
+      GROUP BY o_custkey HAVING count(*) >= 2
+      ORDER BY o_custkey""",
+    // q_lake_sql_txn: the committed even-orderkey slice's aggregate,
+    // with the co-committed fact recount riding beside it.
+    "q_lake_sql_txn" -> """
+      SELECT l_returnflag, count(*) AS n_rows,
+             round(sum(l_quantity), 2) AS sum_qty,
+             count(*) AS n_check
+      FROM lineitem WHERE l_orderkey % 2 = 0
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     // q_lake_merge: the full decision table — matched+high-price rows
     // vanish, matched rows take the source values, unmatched source
     // rows insert above the floor, everything else survives untouched.
@@ -9739,6 +9915,23 @@ object SparkEntry {
       FROM lex l FULL OUTER JOIN sem s ON s.qid = l.qid AND s.id = l.id
       ORDER BY query_id, rrf DESC, id""",
 
+    // q_quantile_sketch / _group: the estimates themselves are
+    // sketch-internal (partition-dependent), so — recall-gate mold — the
+    // oracle pins the exact row counts per probed quantile plus the
+    // in-query-`require`d within flags and the ε budget.
+    "q_quantile_sketch" -> """
+      SELECT q_ppm, count(*) AS n, CAST(5000 AS BIGINT) AS eps_ppm,
+             CAST(1 AS BIGINT) AS within
+      FROM lineitem CROSS JOIN (VALUES (CAST(10000 AS BIGINT)),
+        (CAST(250000 AS BIGINT)), (CAST(500000 AS BIGINT)),
+        (CAST(750000 AS BIGINT)), (CAST(900000 AS BIGINT)),
+        (CAST(990000 AS BIGINT))) AS qv(q_ppm)
+      GROUP BY q_ppm ORDER BY q_ppm""",
+    "q_quantile_sketch_group" -> """
+      SELECT l_returnflag, q_ppm, count(*) AS n, CAST(1 AS BIGINT) AS within
+      FROM lineitem CROSS JOIN (VALUES (CAST(500000 AS BIGINT)),
+        (CAST(900000 AS BIGINT))) AS qv(q_ppm)
+      GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_cms" -> """
       WITH toks AS (
         SELECT unnest(list_filter(string_split_regex(

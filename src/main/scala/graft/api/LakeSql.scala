@@ -91,6 +91,24 @@ import graft.lake.{Field, LakeLog, LakeTable, TableSchema}
   *   SELECT ... FROM t VERSION AS OF 'name'  (time travel by REF — the
   *                                            quoted name resolves to
   *                                            its pinned version)
+  *   CREATE [OR REPLACE] VIEW v AS SELECT ...
+  *                                           (logical view — persisted
+  *                                            SELECT macro in the
+  *                                            `_views/` catalog
+  *                                            mini-log, expanded at
+  *                                            plan time; graft.lake
+  *                                            .Views)
+  *   DROP VIEW v / DESCRIBE VIEWS
+  *   BEGIN TRANSACTION 'id'; INSERT INTO t1 SELECT ...;
+  *     INSERT INTO t2 SELECT ...; COMMIT|ROLLBACK
+  *                                           (cross-table atomic txn:
+  *                                            every INSERT stages via
+  *                                            WAP, COMMIT decides +
+  *                                            rolls forward through
+  *                                            the presumed-abort 2PC —
+  *                                            graft.lake.MultiTxn; all
+  *                                            participants appear
+  *                                            atomically or never)
   *   anything else → [[SqlApi.queryLake]] (SELECT etc.)
   *
   * The type names in DDL are the lake's declared types (int32, int64,
@@ -164,6 +182,19 @@ object LakeSql {
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+ROW\s+FILTER\s*\((.+)\)\s*;?\s*""".r
   private val DropRowFilter =
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+ROW\s+FILTER\s*;?\s*""".r
+  // logical views: persisted SELECT macros in the `_views/` catalog
+  // mini-log (graft.lake.Views) — expanded at plan time, zero storage
+  private val CreateView =
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.+?)\s*;?\s*""".r
+  private val DropView = """(?is)\s*DROP\s+VIEW\s+(\w+)\s*;?\s*""".r
+  private val DescViews = """(?is)\s*DESCRIBE\s+VIEWS\s*;?\s*""".r
+  // multi-statement cross-table transaction: INSERT INTO statements
+  // staged through the WAP path, decided + rolled forward by the
+  // presumed-abort 2PC (graft.lake.MultiTxn) — all participants become
+  // visible atomically at COMMIT, or never (ROLLBACK / crash pre-decide)
+  private val TxnBlock =
+    ("""(?is)\s*BEGIN\s+TRANSACTION\s+'([^'\s]+)'\s*;(.+;)\s*""" +
+      """(COMMIT|ROLLBACK)\s*;?\s*""").r
   // SELECT-side time travel: `FROM t VERSION AS OF v` (any table
   // reference position). The clause is stripped and the version is
   // routed to [[SqlApi.queryLake]]'s per-table version map; one version
@@ -497,6 +528,61 @@ object LakeSql {
         spark.createDataFrame(
           java.util.List.of[Row](refs.map(r =>
             Row(r.name, r.kind, r.version)): _*), st)
+      case CreateView(orRepl, name, select) =>
+        graft.lake.Views.create(spark, log, name, select.trim,
+          orReplace = orRepl != null)
+        status(spark, "view" -> name, "created" -> true,
+          "catalog_version" -> graft.lake.Views.catalogVersion(log))
+      case DropView(name) =>
+        graft.lake.Views.drop(spark, log, name)
+        status(spark, "view" -> name, "dropped" -> true,
+          "catalog_version" -> graft.lake.Views.catalogVersion(log))
+      case DescViews() =>
+        val vs = graft.lake.Views.catalog(log).views
+        val st = StructType(Seq(StructField("name", StringType),
+          StructField("sql", StringType)))
+        spark.createDataFrame(
+          java.util.List.of[Row](vs.map(v => Row(v.name, v.sql)): _*), st)
+      case TxnBlock(id, body, endVerb) =>
+        import graft.lake.MultiTxn
+        // replayed block (crash after decide, retried script): the txn
+        // is already decided — return the recorded snapshot instead of
+        // re-staging (stage() would rightly refuse)
+        MultiTxn.done(log, id) match {
+          case Some(rec) if endVerb.equalsIgnoreCase("COMMIT") =>
+            return status(spark, "txn" -> id, "committed" -> true,
+              "tables" -> rec.versionMap.toSeq.sorted
+                .map { case (t, v) => s"$t@$v" }.mkString(","))
+          case _ => ()
+        }
+        // stage every INSERT (the only stageable verb — WAP has no
+        // pre-image machinery for deletes/updates); any staging failure
+        // aborts the whole transaction before a decision can exist
+        val stmts = body.split(";").map(_.trim).filter(_.nonEmpty)
+        val tables = scala.collection.mutable.ArrayBuffer.empty[String]
+        try stmts.foreach {
+          case InsertInto(table, select) =>
+            MultiTxn.stage(spark, log, id, table,
+              SqlApi.queryLake(spark, log, select))
+            tables += table
+          case bad => throw new graft.lake.LakeValidationException(
+            s"only INSERT INTO ... SELECT is allowed inside BEGIN " +
+              s"TRANSACTION (got: ${bad.take(60)})")
+        } catch {
+          case e: Throwable =>
+            if (tables.nonEmpty) MultiTxn.abort(log, id, tables.toSeq)
+            throw e
+        }
+        if (endVerb.equalsIgnoreCase("ROLLBACK")) {
+          MultiTxn.abort(log, id, tables.toSeq)
+          status(spark, "txn" -> id, "committed" -> false,
+            "tables" -> tables.mkString(","))
+        } else {
+          val versions = MultiTxn.commit(spark, log, id, tables.toSeq)
+          status(spark, "txn" -> id, "committed" -> true,
+            "tables" -> versions.toSeq.sorted
+              .map { case (t, v) => s"$t@$v" }.mkString(","))
+        }
       case other =>
         // TIMESTAMP AS OF resolves to a concrete version first (failing
         // loudly on non-tables / pre-history timestamps), then shares

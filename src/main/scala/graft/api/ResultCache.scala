@@ -14,7 +14,9 @@ import graft.lake.{LakeLog, Refs}
   * NEVER be stale: any commit to any table changes the version part,
   * and any ref mutation (MOVE BRANCH, CREATE/DROP TAG — which change
   * what `VERSION AS OF '<name>'` and `DESCRIBE REFS` answer WITHOUT a
-  * commit) changes the refs part. That is deliberately over-
+  * commit) changes the refs part, and any view DDL (CREATE [OR
+  * REPLACE] / DROP VIEW — which changes what a SELECT over the view
+  * returns, also commitless) bumps the view-catalog version. That is deliberately over-
   * invalidating (a commit to an unrelated table also misses); exact
   * per-statement table-reference tracking would narrow it, but
   * staleness is a correctness bug while over-invalidation is only a
@@ -53,13 +55,18 @@ final class ResultCache[V](maxEntries: Int = 256) {
     * are fingerprinted by (name, version, kind, created_ms): created_ms
     * makes even drop-and-recreate-at-the-same-version distinguishable,
     * so a cached DESCRIBE REFS can never serve a predecessor's row. */
-  def fingerprint(log: LakeLog): String =
-    log.listTables().sorted.map { t =>
+  def fingerprint(log: LakeLog): String = {
+    val tables = log.listTables().sorted.map { t =>
       val refs = Refs.list(log, t)
         .map(r => s"${r.name}@${r.version}:${r.kind}:${r.created_ms}")
         .mkString("[", ";", "]")
       s"$t=${log.latestVersion(t)}$refs"
     }.mkString(",")
+    // view DDL mutates what a SELECT means without any table commit —
+    // the same commitless-staleness class as branch moves; the catalog
+    // mini-log version folds it into the key
+    s"$tables|views=${graft.lake.Views.catalogVersion(log)}"
+  }
 
   /** Returns (value, hit). `compute` runs at most once per (sql,
     * fingerprint) — concurrent callers of the SAME key wait for the one

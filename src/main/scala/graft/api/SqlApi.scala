@@ -31,10 +31,10 @@ object SqlApi {
     * log's min/max stats before any I/O. */
   def queryLake(spark: SparkSession, log: graft.lake.LakeLog, sql: String,
                 versions: Map[String, Long] = Map.empty): DataFrame = {
-    log.listTables().foreach { t =>
-      graft.lake.LakeTable.readIndexed(spark, log, t, versions.getOrElse(t, 0L))
-        .createOrReplaceTempView(t)
-    }
+    // tables (at the pinned versions) THEN logical views in creation
+    // order — view SQL referencing earlier views/tables resolves, and a
+    // view read composes with time travel on its base tables
+    graft.lake.Views.registerAll(spark, log, versions)
     spark.sql(sql)
   }
 }
