@@ -3541,6 +3541,57 @@ object SparkEntry {
     // delta-merge arithmetic (sum-of-sums / count merge), not just a
     // recompute. Oracle = the same aggregate over the surviving logical
     // rows: slices 0,1 minus the deleted quantities, plus all of slice 2.
+    // JOIN (star-schema) materialized view: revenue per dim attribute
+    // without re-joining per query. Fact appends fold INCREMENTALLY
+    // through the join while the dim is unchanged (delta ⋈ dim →
+    // upsert); a dim commit — even one adding no matching rows — forces
+    // the full-recompute path (a dim change can rewrite history for
+    // folded fact rows), and both mode transitions are `require`d
+    // in-query. The oracle replays the whole join-aggregate from raw
+    // lineitem ⋈ orders.
+    "q_lake_mv_join" -> ((s, d) => {
+      import graft.api.LakeSql
+      import graft.lake.{LakeLog, LakeTable, MaterializedView}
+      val log = new LakeLog(
+        java.nio.file.Files.createTempDirectory("graftmvj"))
+      val fact = t(s, d, "lineitem").select(
+        col("l_orderkey").as("orderkey"),
+        col("l_quantity").as("qty"),
+        col("l_extendedprice").as("price"))
+      val dim = t(s, d, "orders").select(
+        col("o_orderkey").as("orderkey"),
+        col("o_orderpriority").as("priority"))
+      LakeTable.createTable(log, "fact", fact.schema)
+      LakeTable.createTable(log, "dim", dim.schema)
+      LakeTable.insert(s, log, "dim", dim, txnId = "dim-load")
+      LakeSql.execute(s, log, "CREATE MATERIALIZED VIEW rev_by_prio ON " +
+        "fact JOIN dim ON orderkey KEY priority SUM (qty, price)")
+      val mv = MaterializedView.loadDef(log, "rev_by_prio").get
+      LakeTable.insert(s, log, "fact",
+        fact.filter(col("orderkey") % 3 =!= 0), txnId = "facts-1")
+      val r1 = MaterializedView.refresh(s, log, mv)
+      require(r1.mode == "incremental",
+        s"first fact window should fold incrementally, got ${r1.mode}")
+      LakeTable.insert(s, log, "fact",
+        fact.filter(col("orderkey") % 3 === 0), txnId = "facts-2")
+      val r2 = MaterializedView.refresh(s, log, mv)
+      require(r2.mode == "incremental",
+        s"append window should fold incrementally, got ${r2.mode}")
+      // dim-only commit (no matching orderkey): fact is current but the
+      // MV is stale vs the dim — must NOT noop, must take the full path
+      import s.implicits._
+      LakeTable.insert(s, log, "dim",
+        Seq((-1L, "0-DUMMY")).toDF("orderkey", "priority"),
+        txnId = "dim-late")
+      val r3 = MaterializedView.refresh(s, log, mv)
+      require(r3.mode == "full",
+        s"dim commit must force full recompute, got ${r3.mode}")
+      LakeTable.read(s, log, "rev_by_prio")
+        .select(col("priority"), col("n_rows"),
+          round(col("sum_qty"), 2).as("sum_qty"),
+          round(col("sum_price"), 2).as("sum_price"))
+        .orderBy("priority")
+    }),
     "q_lake_mv" -> ((s, d) => {
       import graft.lake.{LakeLog, LakeTable, MaterializedView}
       val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftmv"))
@@ -8418,6 +8469,14 @@ object SparkEntry {
       FROM lineitem WHERE l_returnflag <> 'N'
       GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    // q_lake_mv_join: the star-join aggregate recomputed from raw
+    // tables — the dummy dim row matches no facts and must not appear.
+    "q_lake_mv_join" -> """
+      SELECT o_orderpriority AS priority, count(*) AS n_rows,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY 1""",
     "q_lake_mv" -> """
       SELECT l_returnflag, count(*) AS n_rows,
              round(sum(l_quantity), 2) AS sum_qty,

@@ -72,12 +72,20 @@ import graft.lake.{Field, LakeLog, LakeTable, TableSchema}
   *                                            versions, never raw head)
   *   ALTER TABLE t DROP TAG|BRANCH name
   *   DESCRIBE REFS t                         ((name, kind, version))
-  *   CREATE MATERIALIZED VIEW m ON t KEY k [SUM (a,..)] [MIN (b,..)]
-  *     [MAX (c,..)]                          (incremental MV: count(*)
+  *   CREATE MATERIALIZED VIEW m ON t [JOIN dim ON c] KEY k
+  *     [SUM (a,..)] [MIN (b,..)] [MAX (c,..)]
+  *                                           (incremental MV: count(*)
   *                                            implicit; definition
   *                                            persists beside the MV
   *                                            table — graft.lake
-  *                                            .MaterializedView)
+  *                                            .MaterializedView. The
+  *                                            JOIN form aggregates the
+  *                                            star join fact ⋈ dim:
+  *                                            fact appends fold
+  *                                            incrementally while the
+  *                                            dim is unchanged; a dim
+  *                                            commit forces a full
+  *                                            recompute)
   *   REFRESH MATERIALIZED VIEW m             (incremental where the log
   *                                            allows, full otherwise;
   *                                            returns the mode + the
@@ -159,7 +167,8 @@ object LakeSql {
   // the name. Aggregate vocabulary mirrors MvDef: count(*) is implicit,
   // SUM/MIN/MAX clauses list covered columns.
   private val CreateMv =
-    ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+ON\s+(\w+)\s+""" +
+    ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+ON\s+(\w+)""" +
+      """(?:\s+JOIN\s+(\w+)\s+ON\s+(\w+))?\s+""" +
       """KEY\s+([\w,\s]+?)(?:\s+SUM\s*\(([^)]*)\))?(?:\s+MIN\s*\(([^)]*)\))?""" +
       """(?:\s+MAX\s*\(([^)]*)\))?\s*;?\s*""").r
   private val RefreshMv =
@@ -345,7 +354,7 @@ object LakeSql {
       case DropRowFilter(table) =>
         graft.lake.RowFilter.dropFilter(log, table)
         status(spark, "table" -> table, "row_filter" -> "")
-      case CreateMv(name, base, key, sums, mins, maxs) =>
+      case CreateMv(name, base, dim, joinOn, key, sums, mins, maxs) =>
         def cols(s: String) = Option(s).toSeq.flatMap(_.split(","))
           .map(_.trim).filter(_.nonEmpty)
         // KEY accepts a comma list: first column is the upsert anchor,
@@ -353,11 +362,13 @@ object LakeSql {
         val keys = key.split(",").map(_.trim).filter(_.nonEmpty)
         val d = graft.lake.MaterializedView.MvDef(name, base, keys.head,
           cols(sums), cols(mins), cols(maxs),
-          extraKeyCols = keys.tail.toSeq)
+          extraKeyCols = keys.tail.toSeq,
+          joinTable = Option(dim), joinOn = Option(joinOn))
         graft.lake.MaterializedView.create(log, d)
         graft.lake.MaterializedView.saveDef(log, d)
-        status(spark, "mv" -> name, "base" -> base, "key" -> key,
-          "created" -> true)
+        status(spark, "mv" -> name,
+          "base" -> (base + Option(dim).fold("")(j => s" JOIN $j")),
+          "key" -> key, "created" -> true)
       case RefreshMv(name) =>
         val d = graft.lake.MaterializedView.loadDef(log, name).getOrElse(
           throw new graft.lake.LakeValidationException(

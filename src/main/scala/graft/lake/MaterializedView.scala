@@ -45,6 +45,20 @@ import org.apache.spark.sql.types._
   * That makes refresh crash-safe and exactly-once — a retried refresh
   * re-derives `last` by parsing the MV log and its upsert lands in the
   * idempotency map as a duplicate — with no sidecar state file to drift.
+  *
+  * JOIN MVs (`joinTable`/`joinOn`): the aggregate runs over the star
+  * join fact ⋈ dim (inner, USING joinOn) — "revenue per dim attribute"
+  * without re-joining per query. Fact-append windows fold incrementally
+  * exactly as above (each delta row enriches through the CURRENT dim
+  * before aggregating — valid because any dim commit since the last
+  * refresh disqualifies the incremental path: a dim change can rewrite
+  * history for already-folded fact rows, so it forces the full
+  * recompute, the same honesty rule production IVM systems apply to
+  * dimension updates). The folded dim version rides in the refresh txn
+  * id (`mv-<name>-dim-<dimV>-to-<factV>`), so staleness-vs-dim is
+  * detected from the logs alone and a dim-only change un-noops a
+  * fact-current MV. Join MVs are excluded from the transparent rewrite
+  * rule (it proves single-scan shapes only) — they are read by name.
   */
 object MaterializedView {
 
@@ -63,7 +77,9 @@ object MaterializedView {
   final case class MvDef(name: String, base: String, keyCol: String,
                          sumCols: Seq[String], minCols: Seq[String] = Nil,
                          maxCols: Seq[String] = Nil,
-                         extraKeyCols: Seq[String] = Nil) {
+                         extraKeyCols: Seq[String] = Nil,
+                         joinTable: Option[String] = None,
+                         joinOn: Option[String] = None) {
     def keyCols: Seq[String] = keyCol +: extraKeyCols
     /** The physical upsert key: the key column itself, or the surrogate
       * for composite keys. */
@@ -81,18 +97,50 @@ object MaterializedView {
   final case class RefreshResult(mode: String, fromVersion: Long,
                                  toVersion: Long)
 
-  private def txnFor(d: MvDef, to: Long) = s"mv-${d.name}-to-$to"
+  /** Refresh txn id. For JOIN MVs the folded dimension version rides in
+    * the id too (`mv-<name>-dim-<dimV>-to-<factV>`) — still matched by
+    * [[TxnPattern]]'s greedy prefix, so the fact high-water parse is
+    * shared; [[lastDimVersion]] reads the dim token back. One id string
+    * is the single durable record of BOTH versions a refresh folded —
+    * no sidecar file to drift from the commit. */
+  private def txnFor(d: MvDef, to: Long, dimV: Long = -1L) =
+    if (d.joinTable.isEmpty) s"mv-${d.name}-to-$to"
+    else s"mv-${d.name}-dim-$dimV-to-$to"
   private val TxnPattern = """mv-.*-to-(\d+)""".r
+  private val DimPattern = """mv-.*-dim-(\d+)-to-\d+""".r
 
-  /** Create the MV's backing lake table (empty; call [[refresh]] to fill). */
+  /** Create the MV's backing lake table (empty; call [[refresh]] to
+    * fill). For a JOIN MV the key/agg columns resolve over the JOINED
+    * row (fact ⋈ dim USING joinOn) — the two sides must share ONLY the
+    * join column, so every resolved name is unambiguous. */
   def create(log: LakeLog, d: MvDef): Unit = {
-    val baseSt = LakeTable.toStructType(log.snapshot(d.base).schema.get)
+    val factSt = LakeTable.toStructType(log.snapshot(d.base).schema.get)
+    val baseSt = d.joinTable match {
+      case None => factSt
+      case Some(dim) =>
+        val on = d.joinOn.getOrElse(throw new IllegalArgumentException(
+          s"join MV ${d.name} needs joinOn"))
+        val dimSt = LakeTable.toStructType(log.snapshot(dim).schema.get)
+        require(factSt.fieldNames.contains(on) &&
+          dimSt.fieldNames.contains(on),
+          s"join column $on must exist in both ${d.base} and $dim")
+        require(factSt.fields.find(_.name == on).get.dataType ==
+          dimSt.fields.find(_.name == on).get.dataType,
+          s"join column $on types differ between ${d.base} and $dim")
+        val overlap = (factSt.fieldNames.toSet &
+          dimSt.fieldNames.toSet) - on
+        require(overlap.isEmpty,
+          s"${d.base} and $dim share non-join columns $overlap — a " +
+            "joined MV needs unambiguous names")
+        StructType(factSt.fields ++ dimSt.fields.filter(_.name != on))
+    }
     val keyFields = d.keyCols.map(k =>
       baseSt.fields.find(_.name == k).getOrElse(
         throw new IllegalArgumentException(
-          s"key column $k not in ${d.base}")))
+          s"key column $k not in the ${d.name} row shape")))
     (d.sumCols ++ d.minCols ++ d.maxCols).foreach { c =>
-      require(baseSt.fieldNames.contains(c), s"agg column $c not in ${d.base}")
+      require(baseSt.fieldNames.contains(c),
+        s"agg column $c not in the ${d.name} row shape")
     }
     def baseType(c: String) = baseSt.fields.find(_.name == c).get.dataType
     val surrogateField =
@@ -140,6 +188,24 @@ object MaterializedView {
       .map(v => log.readEntry(d.name, v).txn_id)
       .collect { case TxnPattern(v) => v.toLong }
       .foldLeft(0L)(math.max)
+
+  /** The dimension version the NEWEST refresh folded (join MVs; -1 =
+    * never refreshed). The incremental gate compares it to the dim's
+    * latest: any dim commit can rewrite history for already-folded fact
+    * rows, so a moved dim forces the full-recompute path. */
+  def lastDimVersion(log: LakeLog, d: MvDef): Long = {
+    // the NEWEST refresh commit (MV versions are monotone, and a
+    // dim-only full refresh re-lands the SAME fact high-water with a
+    // newer dim token — a max-by-fact-version pick would tie onto the
+    // stale one and loop "full" forever)
+    val ids = log.versions(d.name).sorted
+      .map(v => log.readEntry(d.name, v).txn_id)
+      .collect { case id @ TxnPattern(_) => id }
+    ids.lastOption match {
+      case Some(DimPattern(dv)) => dv.toLong
+      case _ => -1L
+    }
+  }
 
   /** The MV-log version whose refresh commit folded EXACTLY base version
     * `baseVersion` — the snapshot a freshness-pinned reader (the rewrite
@@ -207,7 +273,22 @@ object MaterializedView {
       .synchronized {
     val cur = log.latestVersion(d.base)
     val last = lastRefreshed(log, d)
-    if (cur <= last) return RefreshResult("noop", last, cur)
+    // join MVs: every delta row (and full recompute) enriches through
+    // the dimension BEFORE aggregating; a dim commit since the last
+    // refresh can rewrite history for already-folded fact rows, so it
+    // disqualifies the incremental path (dimOk) and un-noops a
+    // fact-current MV
+    val dimCur = d.joinTable.map(log.latestVersion).getOrElse(-1L)
+    val enrich: DataFrame => DataFrame = d.joinTable match {
+      case Some(dim) => df => df.join(
+        LakeTable.read(spark, log, dim), Seq(d.joinOn.get), "inner")
+      case None => df => df
+    }
+    val dimOk = d.joinTable.isEmpty || last == 0L ||
+      lastDimVersion(log, d) == dimCur
+    if (cur <= last && dimOk) return RefreshResult("noop", last, cur)
+    if (!dimOk)
+      return fullRefresh(spark, log, d, last, cur, dimCur, enrich)
 
     val entries = ((last + 1) to cur).map(log.readEntry(d.base, _))
     val incrementalOk =
@@ -224,10 +305,10 @@ object MaterializedView {
 
     if (incrementalOk || dvOk) {
       val inserts = aggOf(
-        LakeTable.changesSince(spark, log, d.base, last, cur), d)
+        enrich(LakeTable.changesSince(spark, log, d.base, last, cur)), d)
       val delta = (if (dvEntries.isEmpty) inserts else {
         val deleted = aggOf(
-          LakeTable.dvDeletedRows(spark, log, d.base, last, cur), d)
+          enrich(LakeTable.dvDeletedRows(spark, log, d.base, last, cur)), d)
         val negated = deleted.withColumn("n_rows", -col("n_rows"))
         inserts.unionByName(d.sumCols.foldLeft(negated)((df, c) =>
           df.withColumn(s"sum_$c", -col(s"sum_$c"))))
@@ -239,7 +320,8 @@ object MaterializedView {
           // advance the high-water mark with a metadata-only commit —
           // routing this through upsert would rewrite the ENTIRE MV (an
           // empty update set defeats its key-range pruning)
-          log.commitWithRetry(d.name, txnFor(d, cur))(_ => Some((Nil, Nil)))
+          log.commitWithRetry(d.name, txnFor(d, cur, dimCur))(
+            _ => Some((Nil, Nil)))
           RefreshResult(mode, last, cur)
         } else if (delta.filter(col(d.upsertKey).isNull).isEmpty) {
           // merged totals for touched keys only: current MV rows for those
@@ -255,10 +337,10 @@ object MaterializedView {
             // row. Rare (a whole group deleted); recompute restores truth.
             if (dvEntries.nonEmpty &&
                 !merged.filter(col("n_rows") === 0).isEmpty)
-              fullRefresh(spark, log, d, last, cur)
+              fullRefresh(spark, log, d, last, cur, dimCur, enrich)
             else {
               LakeTable.upsert(spark, log, d.name, merged, d.upsertKey,
-                txnId = txnFor(d, cur))
+                txnId = txnFor(d, cur, dimCur))
               RefreshResult(mode, last, cur)
             }
           } finally merged.unpersist()
@@ -266,16 +348,18 @@ object MaterializedView {
           // a NULL group key cannot ride the upsert merge: the upsert's
           // anti-join never matches NULL = NULL, so the old NULL-group row
           // would survive NEXT TO the merged one. Full path instead.
-          fullRefresh(spark, log, d, last, cur)
+          fullRefresh(spark, log, d, last, cur, dimCur, enrich)
         }
       } finally delta.unpersist()
-    } else fullRefresh(spark, log, d, last, cur)
+    } else fullRefresh(spark, log, d, last, cur, dimCur, enrich)
   }
 
   private def fullRefresh(spark: SparkSession, log: LakeLog, d: MvDef,
-                          last: Long, cur: Long): RefreshResult = {
-    val full = aggOf(LakeTable.read(spark, log, d.base), d)
-    LakeTable.overwrite(spark, log, d.name, full, txnId = txnFor(d, cur))
+                          last: Long, cur: Long, dimCur: Long,
+                          enrich: DataFrame => DataFrame): RefreshResult = {
+    val full = aggOf(enrich(LakeTable.read(spark, log, d.base)), d)
+    LakeTable.overwrite(spark, log, d.name, full,
+      txnId = txnFor(d, cur, dimCur))
     RefreshResult("full", last, cur)
   }
 

@@ -150,6 +150,10 @@ final case class MvRewriteRule(spark: SparkSession)
   private def tryRewrite(agg: Aggregate, log: LakeLog,
                          d: MaterializedView.MvDef): Option[LogicalPlan] =
     for {
+      // join MVs answer a JOIN aggregate, not a single-table one — the
+      // single-scan freshness/shape proof below doesn't transfer; they
+      // stay readable by name only
+      _ <- if (d.joinTable.isEmpty) Some(()) else None
       (table, version, attrPhys, filters) <- scanInfo(agg.child)
       if table == d.base
       // freshness: the query scans the base's LATEST version and the
