@@ -3171,6 +3171,33 @@ object SparkEntry {
     // the append feed, deletes enumerated EXACTLY from deletion-vector
     // growth — both metadata-priced (only files whose DV grew are read,
     // position-joined). DuckDB recomputes both halves from the raw source.
+    // The CDC reader as a SQL table-valued function — Delta's
+    // `table_changes` UX: TABLE_CHANGES('w', 1) substitutes the (1,
+    // latest] change feed (inserts + DV-delete pre-images tagged
+    // _change_type) anywhere a table can appear, so the caller
+    // aggregates/joins it in plain SQL. Oracle replays both feed arms
+    // from raw lineitem.
+    "q_lake_table_changes" -> ((s, d) => {
+      import graft.api.LakeSql
+      import graft.lake.{LakeLog, LakeTable}
+      val log = new LakeLog(
+        java.nio.file.Files.createTempDirectory("grafttc"))
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+      LakeTable.createTable(log, "w", li.schema)
+      LakeTable.insert(s, log, "w",
+        li.filter(col("l_orderkey") % 2 === 0), txnId = "b1")
+      LakeTable.insert(s, log, "w",
+        li.filter(col("l_orderkey") % 2 === 1), txnId = "b2")
+      LakeTable.deleteWhereMor(s, log, "w", "l_quantity > 45",
+        txnId = "del1")
+      LakeSql.execute(s, log,
+        "SELECT _change_type, l_returnflag, count(*) AS n, " +
+          "round(sum(l_quantity), 2) AS sum_qty " +
+          "FROM TABLE_CHANGES('w', 1) " +
+          "GROUP BY _change_type, l_returnflag " +
+          "ORDER BY _change_type, l_returnflag")
+    }),
     "q_lake_cdf" -> ((s, d) => {
       import graft.lake.{LakeLog, LakeTable}
       val log = new LakeLog(java.nio.file.Files.createTempDirectory("graftcdf"))
@@ -8503,6 +8530,18 @@ object SparkEntry {
              round(sum(l_extendedprice), 2) AS sum_price
       FROM lineitem WHERE l_quantity <= 40
       GROUP BY bucket ORDER BY bucket""",
+    // q_lake_table_changes: the (v1, latest] feed = batch-2 inserts
+    // plus DV-delete pre-images over the whole table.
+    "q_lake_table_changes" -> """
+      WITH feed AS (
+        SELECT 'insert' AS _change_type, l_returnflag, l_quantity
+        FROM lineitem WHERE l_orderkey % 2 = 1
+        UNION ALL
+        SELECT 'delete' AS _change_type, l_returnflag, l_quantity
+        FROM lineitem WHERE l_quantity > 45)
+      SELECT _change_type, l_returnflag, count(*) AS n,
+             round(sum(l_quantity), 2) AS sum_qty
+      FROM feed GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_lake_cdf" -> """
       SELECT ct AS _change_type, count(*) AS n_rows,
              round(sum(l_quantity), 2) AS sum_qty,

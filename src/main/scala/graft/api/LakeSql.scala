@@ -107,6 +107,22 @@ import graft.lake.{Field, LakeLog, LakeTable, TableSchema}
   *                                            plan time; graft.lake
   *                                            .Views)
   *   DROP VIEW v / DESCRIBE VIEWS
+  *   SELECT ... FROM TABLE_CHANGES('t', from[, to]) ...
+  *                                           (Delta-style CDC reader:
+  *                                            the (from, to] change
+  *                                            feed — inserts + DV
+  *                                            deletes tagged
+  *                                            _change_type — usable
+  *                                            anywhere a table can
+  *                                            appear in the SELECT;
+  *                                            non-expressible CoW
+  *                                            windows refuse loudly)
+  *   SELECT ... FROM TABLE_DIFF('t', from, to, 'key[,key2]') ...
+  *                                           (keyed row-level diff:
+  *                                            insert/delete/update
+  *                                            classification, valid on
+  *                                            ANY window incl. CoW
+  *                                            rewrites)
   *   BEGIN TRANSACTION 'id'; INSERT INTO t1 SELECT ...;
   *     INSERT INTO t2 SELECT ...; COMMIT|ROLLBACK
   *                                           (cross-table atomic txn:
@@ -197,6 +213,16 @@ object LakeSql {
     """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.+?)\s*;?\s*""".r
   private val DropView = """(?is)\s*DROP\s+VIEW\s+(\w+)\s*;?\s*""".r
   private val DescViews = """(?is)\s*DESCRIBE\s+VIEWS\s*;?\s*""".r
+  // CDC table-valued function inside any SELECT: TABLE_CHANGES('t', from
+  // [, to]) — substituted with a registered change-feed temp view
+  private val TableChangesRef =
+    """(?i)TABLE_CHANGES\s*\(\s*'(\w+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""".r
+  // keyed row-level diff between two versions (insert/delete/update
+  // classification) — works on ANY window, including the CoW rewrites
+  // TABLE_CHANGES must refuse: TABLE_DIFF('t', from, to, 'key[,key2]')
+  private val TableDiffRef =
+    ("""(?i)TABLE_DIFF\s*\(\s*'(\w+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*,""" +
+      """\s*'([\w,\s]+)'\s*\)""").r
   // multi-statement cross-table transaction: INSERT INTO statements
   // staged through the WAP path, decided + rolled forward by the
   // presumed-abort 2PC (graft.lake.MultiTxn) — all participants become
@@ -594,7 +620,53 @@ object LakeSql {
             "tables" -> versions.toSeq.sorted
               .map { case (t, v) => s"$t@$v" }.mkString(","))
         }
-      case other =>
+      case rawOther =>
+        // TABLE_CHANGES('t', from[, to]) — Delta's CDC table-valued
+        // function: each occurrence registers the change feed for
+        // (from, to] (to omitted = latest) as a temp view and the call
+        // text is substituted, so the surrounding SELECT stays full
+        // Catalyst SQL (joins, aggregates, filters over _change_type).
+        // Non-expressible windows (CoW rewrites without pre-images)
+        // refuse loudly inside changeFeed — never a silent partial feed.
+        val tcRefs = TableChangesRef.findAllMatchIn(rawOther).map(m =>
+          (m.group(1), m.group(2).toLong,
+            Option(m.group(3)).map(_.toLong).getOrElse(0L)))
+          .toList.distinct
+        tcRefs.foreach { case (t, from, to) =>
+          if (!log.tableExists(t))
+            throw new graft.lake.LakeValidationException(
+              s"TABLE_CHANGES: '$t' is not a lake table")
+          LakeTable.changeFeed(spark, log, t, from, to)
+            .createOrReplaceTempView(s"__changes_${t}_${from}_$to")
+        }
+        val withTc =
+          if (tcRefs.isEmpty) rawOther
+          else TableChangesRef.replaceAllIn(rawOther, m =>
+            s"__changes_${m.group(1)}_${m.group(2)}_${
+              Option(m.group(3)).getOrElse("0")}")
+        // TABLE_DIFF('t', from, to, 'key[,key2]') — the keyed
+        // insert/delete/update classifier ([[LakeTable.diff]]): valid on
+        // ANY window including CoW rewrites, priced O(changed files)
+        // by the version-set file pruning inside diff
+        val tdRefs = TableDiffRef.findAllMatchIn(withTc).map(m =>
+          (m.group(1), m.group(2).toLong, m.group(3).toLong,
+            m.group(4).split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+          .toList.distinct
+        tdRefs.zipWithIndex.foreach { case ((t, from, to, keys), i) =>
+          if (!log.tableExists(t))
+            throw new graft.lake.LakeValidationException(
+              s"TABLE_DIFF: '$t' is not a lake table")
+          LakeTable.diff(spark, log, t, from, to, keys)
+            .createOrReplaceTempView(s"__diff_${t}_${from}_${to}_$i")
+        }
+        val other =
+          if (tdRefs.isEmpty) withTc
+          else TableDiffRef.replaceAllIn(withTc, m => {
+            val key = (m.group(1), m.group(2).toLong, m.group(3).toLong,
+              m.group(4).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            s"__diff_${m.group(1)}_${m.group(2)}_${m.group(3)}_${
+              tdRefs.indexOf(key)}"
+          })
         // TIMESTAMP AS OF resolves to a concrete version first (failing
         // loudly on non-tables / pre-history timestamps), then shares
         // VERSION AS OF's validation and routing

@@ -233,4 +233,61 @@ class LakeSqlSpec extends SparkSpec {
     assert(names.contains("b") && !names.contains("a"),
       s"rename cycle swallowed by txn replay: $names")
   }
+
+  test("TABLE_CHANGES('t', from[, to]) reads the CDC feed in plain SQL") {
+    import graft.lake.{LakeLog, LakeTable, LakeValidationException}
+    val log = new LakeLog(tmpDir("tblchg"))
+    def sql(s: String) = LakeSql.execute(spark, log, s)
+    val rows1 = (1L to 10L).map(i => (i, i * 2)).toDF("id", "v")
+    val rows2 = (11L to 20L).map(i => (i, i * 2)).toDF("id", "v")
+    LakeTable.createTable(log, "t", rows1.schema)
+    LakeTable.insert(spark, log, "t", rows1, txnId = "b1") // v1
+    LakeTable.insert(spark, log, "t", rows2, txnId = "b2") // v2
+    LakeTable.deleteWhereMor(spark, log, "t", "id <= 3")   // v3 (DV)
+    // full window since v1: 10 inserts + 3 delete pre-images
+    val full = sql("SELECT _change_type, count(*) AS n FROM " +
+        "TABLE_CHANGES('t', 1) GROUP BY 1 ORDER BY 1")
+      .as[(String, Long)].collect().toSeq
+    assert(full === Seq(("delete", 3L), ("insert", 10L)))
+    // bounded window (1, 2]: inserts only, and the feed composes with
+    // plain SQL (filter + aggregate over the function's columns)
+    assert(sql("SELECT sum(v) AS s FROM TABLE_CHANGES('t', 1, 2) " +
+      "WHERE _change_type = 'insert'").as[Long].head() ===
+      (11L to 20L).map(_ * 2).sum)
+    // joins against regular tables work — the function is just a view
+    assert(sql("SELECT count(*) AS n FROM TABLE_CHANGES('t', 1, 2) c " +
+      "JOIN t ON c.id = t.id").as[Long].head() === 10L)
+    // a CoW window has no pre-images: refuse loudly, never partial
+    sql("DELETE /*+ COW */ FROM t WHERE id = 20")
+    intercept[LakeValidationException](
+      sql("SELECT * FROM TABLE_CHANGES('t', 1)"))
+    // bounded windows BEFORE the CoW entry still read fine
+    assert(sql("SELECT count(*) AS n FROM TABLE_CHANGES('t', 1, 3)")
+      .as[Long].head() === 13L)
+    // unknown table refuses
+    intercept[LakeValidationException](
+      sql("SELECT * FROM TABLE_CHANGES('nope', 0)"))
+  }
+
+  test("TABLE_DIFF('t', from, to, 'key') classifies rows in plain SQL") {
+    import graft.lake.{LakeLog, LakeTable}
+    val log = new LakeLog(tmpDir("tbldiff"))
+    def sql(s: String) = LakeSql.execute(spark, log, s)
+    val rows1 = (1L to 10L).map(i => (i, i * 2)).toDF("id", "v")
+    LakeTable.createTable(log, "t", rows1.schema)
+    LakeTable.insert(spark, log, "t", rows1)            // v1
+    sql("DELETE /*+ COW */ FROM t WHERE id <= 2")        // v2 (CoW!)
+    LakeTable.insert(spark, log, "t",
+      Seq((11L, 22L), (12L, 24L)).toDF("id", "v"))       // v3
+    sql("UPDATE t SET v = v + 1 WHERE id = 10")          // v4 (CoW)
+    // the keyed diff works across the CoW window TABLE_CHANGES refuses
+    val d = sql("SELECT change_type, count(*) AS n FROM " +
+        "TABLE_DIFF('t', 1, 4, 'id') GROUP BY 1 ORDER BY 1")
+      .as[(String, Long)].collect().toSeq
+    assert(d === Seq(("delete", 2L), ("insert", 2L), ("update", 1L)))
+    // old/new value columns ride along for the updated key
+    assert(sql("SELECT old_v, new_v FROM TABLE_DIFF('t', 1, 4, 'id') " +
+      "WHERE change_type = 'update'").as[(Long, Long)].head() ===
+      ((20L, 21L)))
+  }
 }

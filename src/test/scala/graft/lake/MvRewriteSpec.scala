@@ -261,4 +261,36 @@ class MvRewriteSpec extends SparkSpec {
       assert(scannedTables(c) === Seq("tl_mv"))
     } finally MvRewrite.clear(spark)
   }
+
+  test("the rewrite fires THROUGH a logical view (views inline first)") {
+    val (log, d) = setup()
+    // a logical view is a plan-time macro: by the time the optimizer
+    // runs, `SELECT ... FROM raw_base` has inlined to alias-only
+    // projections over the base scan — exactly the shape the rule
+    // proves. The composition costs nothing and needs no view-specific
+    // rule code; this pins that it actually happens.
+    Views.create(spark, log, "raw_base", "SELECT k, q, p FROM base")
+    MvRewrite.register(spark, log, Seq(d))
+    try {
+      val q = graft.api.SqlApi.queryLake(spark, log,
+        "SELECT k, count(*) AS n, sum(q) AS sq FROM raw_base GROUP BY k")
+      assert(scannedTables(q) === Seq("base_mv"),
+        s"expected the MV scan through the view, got ${scannedTables(q)}")
+      val direct = agg(log).select("k", "n", "sq").orderBy("k")
+        .collect().toSeq
+      assert(q.orderBy("k").collect().toSeq === direct)
+    } finally MvRewrite.clear(spark)
+  }
+
+  test("a join MV never rewrites (outside the provable envelope)") {
+    val (log, d) = setup()
+    val jd = d.copy(name = "base_mv", joinTable = Some("dim"),
+      joinOn = Some("k"))
+    MvRewrite.register(spark, log, Seq(jd))
+    try {
+      val q = agg(log)
+      assert(scannedTables(q) === Seq("base"),
+        "a join MV must not answer a single-table aggregate")
+    } finally MvRewrite.clear(spark)
+  }
 }
