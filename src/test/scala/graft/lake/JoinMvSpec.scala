@@ -127,6 +127,25 @@ class JoinMvSpec extends SparkSpec {
       MvDef("m3", "f", "seg", Seq("v"), joinTable = Some("d2"))))
   }
 
+  test("GDPR forget on the fact composes: MOR erasure folds as a " +
+      "negative delta and the MV stops reflecting the subject") {
+    val (log, d) = setup()
+    LakeTable.insert(spark, log, "fact", facts(1 to 40))
+    assert(MaterializedView.refresh(spark, log, d).mode == "incremental")
+    // erase one customer's orders from the fact (merge-on-read — the
+    // forget path's per-table mechanism). Cust 1 shares the basic
+    // segment with cust 0, so no group empties and the DV window folds
+    // as a negative delta without the emptied-group full fallback.
+    Forget.forgetKey(spark, log, Seq("fact"), "cust_id", "1", "req-1")
+    val r = MaterializedView.refresh(spark, log, d)
+    assert(r.mode == "incremental_dv", s"got ${r.mode}")
+    assert(actual(log, d) == expected(log))
+    val basic = LakeTable.read(spark, log, d.name)
+      .filter(col("segment") === "basic").select("n_rows")
+      .as[Long].head()
+    assert(basic == 10L, s"basic segment kept $basic rows, expected 10")
+  }
+
   test("SQL face: CREATE ... JOIN ... ON + REFRESH by name") {
     val (log, _) = setup()
     import graft.api.LakeSql

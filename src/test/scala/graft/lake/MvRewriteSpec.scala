@@ -282,6 +282,37 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.clear(spark)
   }
 
+  test("governed reads never wrongly rewrite: a row filter on a " +
+      "non-key column disqualifies, a key-only filter still answers") {
+    val (log, d) = setup()
+    MvRewrite.register(spark, log, Seq(d))
+    try {
+      // row-level security filter on q (NOT a group key): the governed
+      // aggregate sees a subset of rows the MV never stored — the rule
+      // must leave it on the base scan, or analysts would read
+      // ungoverned totals
+      RowFilter.setFilter(spark, log, "base", "q < 4.0")
+      val governed = RowFilter.readGoverned(spark, log, "base", "analyst")
+        .groupBy("k").agg(count(lit(1)).as("n"), sum("q").as("sq"))
+      assert(scannedTables(governed) === Seq("base"),
+        "a non-key row filter must disqualify the MV rewrite")
+      assert(governed.orderBy("k").as[(String, Long, Double)]
+        .collect().toSeq === Seq(("a", 2L, 3.0), ("b", 1L, 3.0)))
+      // a key-only filter (k partitions whole groups) still rewrites —
+      // governance and the rewrite compose when provable
+      RowFilter.setFilter(spark, log, "base", "k <> 'c'")
+      val keyGoverned = RowFilter.readGoverned(spark, log, "base", "x")
+        .groupBy("k").agg(count(lit(1)).as("n"), sum("q").as("sq"))
+      assert(scannedTables(keyGoverned) === Seq("base_mv"),
+        "a key-only row filter should re-anchor onto the MV scan")
+      assert(keyGoverned.orderBy("k").as[(String, Long, Double)]
+        .collect().toSeq === Seq(("a", 2L, 3.0), ("b", 2L, 7.0)))
+    } finally {
+      MvRewrite.clear(spark)
+      RowFilter.dropFilter(log, "base")
+    }
+  }
+
   test("a join MV never rewrites (outside the provable envelope)") {
     val (log, d) = setup()
     val jd = d.copy(name = "base_mv", joinTable = Some("dim"),
