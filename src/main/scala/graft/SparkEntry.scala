@@ -4629,6 +4629,57 @@ object SparkEntry {
         .orderBy("l_returnflag", "q_ppm")
     }),
 
+    // The mergeable sketch STORE: each "day's" batch collapses to one
+    // KB-sized digest row per key, APPENDED to a lake table (raw values
+    // never retained), and the serving read merges a key's rows —
+    // order-insensitively, so batches may land or replay in any order —
+    // to answer quantiles across all days. This is the running-p99-per-
+    // service shape the sketch family exists for: state and wire cost
+    // are (keys × batches × 3k nodes) regardless of corpus size. Gate:
+    // exact rank intervals over ALL raw rows, `require`d inside ε.
+    "q_quantile_store" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.QDigest
+      import graft.lake.{LakeLog, LakeTable}
+      val depth = 20
+      val k = 1000L
+      val log = new LakeLog(
+        java.nio.file.Files.createTempDirectory("graftqs"))
+      val docs = t(s, d, "documents").select(col("source"),
+        col("doc_id"), col("n_chars").cast("long").as("v"))
+      var created = false
+      (0 to 2).foreach { b =>
+        val rows = QDigest.sketchRowsByKey(
+          docs.filter(col("doc_id") % 3 === b), "source", "v", depth, k)
+        if (!created) {
+          LakeTable.createTable(log, "sk", rows.schema)
+          created = true
+        }
+        LakeTable.insert(s, log, "sk", rows, txnId = s"day-$b")
+      }
+      val ests = QDigest.quantilesOfSketchRows(
+        LakeTable.read(s, log, "sk"), "source", Seq(500000L, 990000L))
+      val checked = docs.join(broadcast(ests), "source")
+        .groupBy("source", "q_ppm", "qd_est", "qd_n")
+        .agg(sum(when(col("v") <= col("qd_est"), 1L).otherwise(0L))
+            .as("r_le"),
+          sum(when(col("v") < col("qd_est"), 1L).otherwise(0L))
+            .as("r_lt"))
+        .collect()
+      checked.map { r =>
+        val n = r.getAs[Long]("qd_n")
+        val q = r.getAs[Long]("q_ppm")
+        val target = math.max(1L, (q * n + 999999L) / 1000000L)
+        val bound = depth.toLong * n / k
+        require(r.getAs[Long]("r_le") >= target - bound &&
+            r.getAs[Long]("r_lt") <= target + bound,
+          s"sketch-store rank error blown at " +
+            s"(${r.getAs[String]("source")}, $q ppm)")
+        (r.getAs[String]("source"), q, n, 1L)
+      }.toSeq.toDF("source", "q_ppm", "n", "within")
+        .orderBy("source", "q_ppm")
+    }),
+
     // Corpus-overlap estimation: pairwise Jaccard between SOURCES from
     // per-source minhash signatures — corpora are never joined, text
     // never moves, the exchange is ≤ sources×k rows (map-side min), and
@@ -10029,6 +10080,11 @@ object SparkEntry {
       SELECT l_returnflag, q_ppm, count(*) AS n, CAST(1 AS BIGINT) AS within
       FROM lineitem CROSS JOIN (VALUES (CAST(500000 AS BIGINT)),
         (CAST(900000 AS BIGINT))) AS qv(q_ppm)
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_quantile_store" -> """
+      SELECT source, q_ppm, count(*) AS n, CAST(1 AS BIGINT) AS within
+      FROM documents CROSS JOIN (VALUES (CAST(500000 AS BIGINT)),
+        (CAST(990000 AS BIGINT))) AS qv(q_ppm)
       GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_cms" -> """
       WITH toks AS (

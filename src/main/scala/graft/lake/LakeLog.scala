@@ -223,7 +223,7 @@ final class LakeLog(val root: Path, val checkpointInterval: Int = 10) {
     * ride through writes, reads and the CDC feed untouched. */
   val AllowedTypes: Set[String] = Set("int32", "int64", "float32", "float64",
     "string", "boolean", "date", "timestamp",
-    "float32_array", "float64_array")
+    "float32_array", "float64_array", "int64_array")
 
   /** Types a partition column may have: directory-encodable values with an
     * unambiguous string round-trip (floats excluded — their rendering is

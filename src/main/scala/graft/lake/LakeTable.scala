@@ -29,6 +29,7 @@ object LakeTable {
     case "timestamp" => TimestampType
     case "float32_array" => ArrayType(FloatType)
     case "float64_array" => ArrayType(DoubleType)
+    case "int64_array" => ArrayType(LongType)
     case other => throw new LakeValidationException(s"unsupported type $other")
   }
 
@@ -43,6 +44,7 @@ object LakeTable {
     case TimestampType => "timestamp"
     case ArrayType(FloatType, _) => "float32_array"
     case ArrayType(DoubleType, _) => "float64_array"
+    case ArrayType(LongType, _) => "int64_array"
     case other => throw new LakeValidationException(
       s"no declared type for Spark type $other")
   }

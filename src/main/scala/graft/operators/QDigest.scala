@@ -243,6 +243,59 @@ object QDigest {
     if (parts.isEmpty) empty(depth, k) else mergeAll(parts.toSeq)
   }
 
+  /** One FULLY-MERGED sketch row per key: (key, qd_depth, qd_k, qd_n,
+    * qd_nodes). The batch face of the mergeable sketch STORE: append
+    * each day's/batch's rows to a lake table and
+    * [[quantilesOfSketchRows]] answers "p99 this week per service"
+    * from KB-sized rows — the raw values were never retained. Merges
+    * are order-insensitive, so batches may land (and replay) in any
+    * order without changing the answer. */
+  def sketchRowsByKey(df: DataFrame, keyCol: String, valueCol: String,
+                      depth: Int, k: Long): DataFrame = {
+    checkParams(depth, k)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(keyCol).cast("string").as("k"),
+        col(valueCol).cast("long").as("v"))
+      .filter(col("k").isNotNull && col("v").isNotNull)
+      .as[(String, Long)]
+    rows.mapPartitions { it =>
+        val bs = new mutable.HashMap[String, Builder]
+        it.foreach { case (key, v) =>
+          bs.getOrElseUpdate(key, new Builder(depth, k)).add(v)
+        }
+        bs.iterator.map { case (key, b) => (key, b.result()) }
+      }
+      .groupByKey(_._1)
+      .mapGroups { (key, it) =>
+        val sk = mergeAll(it.map(_._2).toSeq)
+        (key, sk.depth, sk.k, sk.n, sk.nodes)
+      }
+      .toDF(keyCol, "qd_depth", "qd_k", "qd_n", "qd_nodes")
+  }
+
+  /** Quantiles over a sketch-ROW table (any number of batches per key,
+    * e.g. a lake table appended to per day): per-key union of node
+    * counts + one canonical compress — the same order-insensitive merge
+    * as everywhere else — then the requested quantiles. Output matches
+    * [[quantilesByKey]]: (key, q_ppm, qd_est, qd_n). */
+  def quantilesOfSketchRows(df: DataFrame, keyCol: String,
+                            qsPpm: Seq[Long]): DataFrame = {
+    require(qsPpm.nonEmpty, "quantilesOfSketchRows with no quantiles")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qs = qsPpm.toArray
+    df.select(col(keyCol).cast("string"), col("qd_depth"), col("qd_k"),
+        col("qd_n"), col("qd_nodes"))
+      .as[(String, Int, Long, Long, Array[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val sk = mergeAll(it.map(r => QSketch(r._2, r._3, r._4, r._5)).toSeq)
+        qs.iterator.map(q => (key, q, quantile(sk, q), sk.n))
+      }
+      .toDF(keyCol, "q_ppm", "qd_est", "qd_n")
+  }
+
   /** Grouped quantiles: per-partition per-key builders → one exchange of
     * (key, sketch) partials → order-insensitive mergeAll per key → the
     * requested quantiles. Output: (key, q_ppm, qd_est, qd_n) — one row

@@ -654,9 +654,17 @@ class LakeTableSpec extends SparkSpec {
       StructField("e", StringType), StructField("f", BooleanType),
       StructField("g", DateType), StructField("h", TimestampType)))
     assert(LakeTable.toStructType(LakeTable.fromStructType(st)) == st)
+    // array types round-trip too (float arrays for embeddings,
+    // int64_array for sketch-node rows)
+    val arrays = StructType(Seq(
+      StructField("x", ArrayType(FloatType)),
+      StructField("y", ArrayType(DoubleType)),
+      StructField("z", ArrayType(LongType))))
+    assert(LakeTable.toStructType(LakeTable.fromStructType(arrays))
+      == arrays)
     assertThrows[LakeValidationException](
       LakeTable.fromStructType(StructType(Seq(
-        StructField("x", ArrayType(LongType))))))
+        StructField("bad", ArrayType(StringType))))))
   }
 
   test("vector columns: write/read round-trip, stats skipped, not partitionable") {

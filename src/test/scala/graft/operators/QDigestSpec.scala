@@ -133,6 +133,38 @@ class QDigestSpec extends SparkSpec {
     assert(QDigest.sketch(withNulls, "v", 22, 80L).n === 5000L)
   }
 
+  test("sketch-row store: batches merge to the bound, order irrelevant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 6000).map(i =>
+      (s"s${i % 2}", rnd.nextLong(1L << 20), i % 3))
+    val df = rows.toDF("k", "v", "day")
+    val batches = (0 to 2).map(b =>
+      QDigest.sketchRowsByKey(df.filter(col("day") === b), "k", "v",
+        depth = 20, k = 80L))
+    // the store = the union of per-batch rows, in ANY order
+    val store = batches(0).union(batches(1)).union(batches(2))
+    val storeRev = batches(2).union(batches(0)).union(batches(1))
+    def ests(s: org.apache.spark.sql.DataFrame) =
+      QDigest.quantilesOfSketchRows(s, "k", Seq(250000L, 500000L, 900000L))
+        .collect().map(r => ((r.getString(0), r.getLong(1)),
+          (r.getLong(2), r.getLong(3)))).toMap
+    val a = ests(store)
+    assert(a === ests(storeRev), "batch order changed the answers")
+    Seq("s0", "s1").foreach { key =>
+      val vs = rows.filter(_._1 == key).map(_._2)
+      Seq(250000L, 500000L, 900000L).foreach { q =>
+        val (est, n) = a((key, q))
+        assert(n === vs.size.toLong)
+        val target = math.max(1L, (q * n + 999999L) / 1000000L)
+        val (lo, hi) = ranks(vs, est)
+        val bound = 20L * n / 80L
+        assert(hi >= target - bound && lo <= target + bound,
+          s"$key q=$q est=$est rank=[$lo,$hi] target=$target")
+      }
+    }
+  }
+
   test("quantilesByKey matches per-key local digests") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
