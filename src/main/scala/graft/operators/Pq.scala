@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TopKAggregate, VectorExpressions}
+import graft.functions.{PqExpressions, TopKAggregate, VectorExpressions}
 import graft.functions.VectorFunctions.normalize
 
 /** Product quantization (Jégou, Douze, Schmid — "Product Quantization for
@@ -66,6 +66,7 @@ object Pq {
       : Array[Array[Array[Double]]] = {
     val spark = corpus.sparkSession
     VectorExpressions.register(spark)
+    PqExpressions.register(spark)
     import spark.implicits._
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
@@ -120,49 +121,29 @@ object Pq {
     * subspace, the code whose codebook vector has the lowest L2 distance
     * to the subvector — equivalently the highest `dot − ‖cb‖²/2`, which is
     * the form both this expression and the SQL oracle compute (ties →
-    * higher code id; `array_max` over (score, code) structs and the SQL
-    * row_number mirror agree on that order).
-    */
+    * higher code id). Emitted as the native [[PqExpressions.encodeCodes]]
+    * kernel: the old Column form unrolled m × nCodes struct comparisons
+    * into one projection and blew janino's 64 KB method limit at the
+    * learned-codebook operating point (silent interpreted fallback);
+    * the kernel is loop-shaped, bit-identical, and pinned compiled by
+    * PqSpec. */
   private def codesCol(cv: Column, cb: Array[Array[Array[Double]]])
-      : Column = {
-    val m = cb.length
-    val nCodes = cb(0).length
-    val sub = cb(0)(0).length
-    array((0 until m).map { s =>
-      val subVec = slice(cv, s * sub + 1, sub)
-      val scored = array((0 until nCodes).map { c =>
-        // dot − ‖cb‖²/2: argmax over codes == argmin L2 (‖x‖² is common),
-        // and the correction is an exact driver constant
-        val halfNormSq = cb(s)(c).map(x => x * x).sum / 2.0
-        struct(
-          (VectorExpressions.dotNative(subVec, typedLit(cb(s)(c).toSeq)) -
-            lit(halfNormSq)).as("d"),
-          lit(c).as("c"))
-      }: _*)
-      array_max(scored).getField("c")
-    }: _*)
-  }
+      : Column = PqExpressions.encodeCodes(cv, cb)
 
   /** Flattened per-query lookup table (m × nCodes subspace dots, index
-    * `s·nCodes + c`) over a normalized query-vector column. */
-  private def lutCol(qv: Column, cb: Array[Array[Array[Double]]]): Column = {
-    val sub = cb(0)(0).length
-    array(cb.zipWithIndex.flatMap { case (space, s) =>
-      space.map { code =>
-        VectorExpressions.dotNative(
-          slice(qv, s * sub + 1, sub), typedLit(code.toSeq))
-      }
-    }.toSeq: _*)
-  }
+    * `s·nCodes + c`) over a normalized query-vector column — native
+    * kernel, same rationale as [[codesCol]]. */
+  private def lutCol(qv: Column, cb: Array[Array[Array[Double]]]): Column =
+    PqExpressions.lutOf(qv, cb)
 
   /** ADC score expression: `Σ_s lut[s·nCodes + codes[s]]` in fixed s order
     * (the DuckDB oracle sums a list built in the same order —
-    * float-order identical). Expects `lut` and `codes` columns. */
+    * float-order identical). Expects `lut` and `codes` columns. The old
+    * higher-order `aggregate(sequence(...))` form was CodegenFallback —
+    * interpreted per CANDIDATE row on the probe hot path; the native
+    * kernel keeps the scoring stage inside whole-stage codegen. */
   private def adcCol(m: Int, nCodes: Int): Column =
-    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d),
-      (acc, s) => acc +
-        element_at(col("lut"), (s * nCodes + element_at(col("codes"), s + 1))
-          .cast("int") + 1))
+    PqExpressions.adcOf(col("codes"), col("lut"), nCodes)
 
   /** Normalize and compress `vecCol` to `m` code ids ([[codesCol]] rule).
     * Appends `codes` = array<int> of length m. `cb0` defaults to the
@@ -172,6 +153,7 @@ object Pq {
              idCol: String = "vec_id", vecCol: String = "embedding",
              cb0: Array[Array[Array[Double]]] = null): DataFrame = {
     VectorExpressions.register(corpus.sparkSession)
+    PqExpressions.register(corpus.sparkSession)
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     val cb = if (cb0 != null) cb0 else codebook(dim, m, nCodes)
     corpus
@@ -195,6 +177,7 @@ object Pq {
               cb0: Array[Array[Array[Double]]] = null)
       : DataFrame = {
     VectorExpressions.register(corpus.sparkSession)
+    PqExpressions.register(corpus.sparkSession)
     TopKAggregate.register(corpus.sparkSession)
     val dim = corpus.select(size(col(corpusVec))).first().getInt(0)
     val cb = if (cb0 != null) cb0 else codebook(dim, m, nCodes)
@@ -248,6 +231,7 @@ object Pq {
                       vecCol: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
     VectorExpressions.register(spark)
+    PqExpressions.register(spark)
     import spark.implicits._
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     val cb = if (cb0 != null) cb0 else codebook(dim, m, nCodes)
@@ -284,6 +268,7 @@ object Pq {
                 queryId: String = "query_id", queryVec: String = "qvec")
       : DataFrame = {
     VectorExpressions.register(spark)
+    PqExpressions.register(spark)
     TopKAggregate.register(spark)
     val cents = spark.read.parquet(s"$path/centroids")
     val cbRows = spark.read.parquet(s"$path/codebook").collect()
@@ -327,6 +312,7 @@ object Pq {
                          idCol: String = "vec_id",
                          vecCol: String = "embedding"): Unit = {
     VectorExpressions.register(spark)
+    PqExpressions.register(spark)
     val cents = spark.read.parquet(s"$path/centroids")
     val cbRows = spark.read.parquet(s"$path/codebook").collect()
     val m = cbRows.map(_.getInt(0)).max + 1

@@ -137,6 +137,28 @@ class PqSpec extends SparkSpec {
     assert(probe(dirInc) == probe(dirFull))
   }
 
+  test("codegen compiles at the learned operating point: no silent " +
+      "interpreted fallback") {
+    // the retired Column forms unrolled m × nCodes terms into one
+    // projection and blew janino's 64 KB method limit at (m=16,
+    // nCodes=64) — Spark then SILENTLY ran the stage interpreted. With
+    // fallback disabled a codegen bug throws instead of degrading; this
+    // drives encode (PqEncodeCodes), the LUT (PqLut) and ADC scoring
+    // (PqAdc) through the exact shape that used to fail.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val cb = Pq.codebook(64, 16, 64) // 1024 codebook entries
+      val enc = Pq.encode(embs.filter(col("vec_id") < 50),
+        m = 16, nCodes = 64, cb0 = cb)
+      assert(enc.select("vec_id", "codes").collect().length == 50)
+      val q = embs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val tk = Pq.adcTopK(embs.filter(col("vec_id") < 200), q, k = 3,
+        m = 16, nCodes = 64, cb0 = cb)
+      assert(tk.collect().length == 15)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("compression shape: m small codes per vector, codebook is a literal") {
     val enc = Pq.encode(embs)
     assert(enc.schema("codes").dataType.simpleString == "array<int>")
