@@ -268,6 +268,86 @@ object LakeSql {
     parts.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
+  /** Positions inside single-quoted string literals ('' escapes honored)
+    * or `--` line comments. The TVF substitutions and the txn-block
+    * splitter consult this so SQL text inside a literal is never
+    * rewritten or treated as a statement boundary — a raw regex over the
+    * whole statement would rewrite `'...TABLE_CHANGES(...)...'` (silently
+    * altering the literal's value) and a bare `split(";")` would
+    * fragment an INSERT whose SELECT carries a semicolon in a string. */
+  private def literalSpans(s: String): Array[Boolean] = {
+    val in = new Array[Boolean](s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') {
+        in(i) = true
+        var k = i + 1
+        var open = true
+        while (open && k < s.length) {
+          in(k) = true
+          if (s.charAt(k) == '\'') {
+            if (k + 1 < s.length && s.charAt(k + 1) == '\'') {
+              in(k + 1) = true; k += 2 // '' escape stays inside
+            } else open = false
+          } else k += 1
+        }
+        i = k + 1
+      } else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        while (i < s.length && s.charAt(i) != '\n') { in(i) = true; i += 1 }
+      } else i += 1
+    }
+    in
+  }
+
+  /** All `re` matches whose START is outside string literals/comments.
+    * (A match may itself CONTAIN a quoted argument — TABLE_CHANGES('t',…)
+    * does — so the filter keys on the start position only.) */
+  private def matchesOutsideLiterals(s: String, re: scala.util.matching.Regex)
+      : List[scala.util.matching.Regex.Match] = {
+    val in = literalSpans(s)
+    re.findAllMatchIn(s).filter(m => !in(m.start)).toList
+  }
+
+  /** Replace exactly the matches [[matchesOutsideLiterals]] accepts. */
+  private def replaceOutsideLiterals(s: String,
+      re: scala.util.matching.Regex)(
+      rep: scala.util.matching.Regex.Match => String): String = {
+    val ms = matchesOutsideLiterals(s, re)
+    if (ms.isEmpty) s
+    else {
+      val sb = new StringBuilder
+      var pos = 0
+      ms.foreach { m =>
+        sb.append(s.substring(pos, m.start)).append(rep(m)); pos = m.end
+      }
+      sb.append(s.substring(pos))
+      sb.result()
+    }
+  }
+
+  /** Split on TOP-LEVEL semicolons only (string literals respected) —
+    * the txn-block statement splitter. */
+  private[graft] def splitTopSemis(s: String): Seq[String] = {
+    val in = literalSpans(s)
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ';' && !in(i)) { parts += cur.result(); cur.clear() }
+      else cur += c
+      i += 1
+    }
+    parts += cur.result()
+    parts.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
   /** Split `a = f(x, y), b = g(z)` on TOP-LEVEL commas only. */
   private[graft] def splitAssignments(s: String): Seq[(String, String)] =
     splitTopCommas(s).map { a =>
@@ -582,11 +662,24 @@ object LakeSql {
           java.util.List.of[Row](vs.map(v => Row(v.name, v.sql)): _*), st)
       case TxnBlock(id, body, endVerb) =>
         import graft.lake.MultiTxn
+        // top-level split only: a semicolon inside a string literal of an
+        // INSERT ... SELECT is part of the statement, not a boundary
+        val stmts = splitTopSemis(body)
+        // fingerprint of the statement list: rides in the decision/done
+        // record so a REUSED txn id with a DIFFERENT body is refused
+        // instead of silently no-opping onto the old versions
+        val bodyHash = sha256Hex(stmts.mkString("\n"))
         // replayed block (crash after decide, retried script): the txn
         // is already decided — return the recorded snapshot instead of
-        // re-staging (stage() would rightly refuse)
+        // re-staging (stage() would rightly refuse). Only an IDENTICAL
+        // body replays; a different one under the same id is a caller
+        // bug the short-circuit must not paper over.
         MultiTxn.done(log, id) match {
           case Some(rec) if endVerb.equalsIgnoreCase("COMMIT") =>
+            if (rec.body_hash.exists(_ != bodyHash))
+              throw new graft.lake.LakeValidationException(
+                s"txn '$id' already committed with a DIFFERENT statement " +
+                  "body — refusing the no-op replay (reused txn id?)")
             return status(spark, "txn" -> id, "committed" -> true,
               "tables" -> rec.versionMap.toSeq.sorted
                 .map { case (t, v) => s"$t@$v" }.mkString(","))
@@ -595,7 +688,6 @@ object LakeSql {
         // stage every INSERT (the only stageable verb — WAP has no
         // pre-image machinery for deletes/updates); any staging failure
         // aborts the whole transaction before a decision can exist
-        val stmts = body.split(";").map(_.trim).filter(_.nonEmpty)
         val tables = scala.collection.mutable.ArrayBuffer.empty[String]
         try stmts.foreach {
           case InsertInto(table, select) =>
@@ -615,7 +707,8 @@ object LakeSql {
           status(spark, "txn" -> id, "committed" -> false,
             "tables" -> tables.mkString(","))
         } else {
-          val versions = MultiTxn.commit(spark, log, id, tables.toSeq)
+          val versions = MultiTxn.commit(spark, log, id, tables.toSeq,
+            bodyHash = Some(bodyHash))
           status(spark, "txn" -> id, "committed" -> true,
             "tables" -> versions.toSeq.sorted
               .map { case (t, v) => s"$t@$v" }.mkString(","))
@@ -628,10 +721,10 @@ object LakeSql {
         // Catalyst SQL (joins, aggregates, filters over _change_type).
         // Non-expressible windows (CoW rewrites without pre-images)
         // refuse loudly inside changeFeed — never a silent partial feed.
-        val tcRefs = TableChangesRef.findAllMatchIn(rawOther).map(m =>
+        val tcRefs = matchesOutsideLiterals(rawOther, TableChangesRef).map(m =>
           (m.group(1), m.group(2).toLong,
             Option(m.group(3)).map(_.toLong).getOrElse(0L)))
-          .toList.distinct
+          .distinct
         tcRefs.foreach { case (t, from, to) =>
           if (!log.tableExists(t))
             throw new graft.lake.LakeValidationException(
@@ -641,17 +734,17 @@ object LakeSql {
         }
         val withTc =
           if (tcRefs.isEmpty) rawOther
-          else TableChangesRef.replaceAllIn(rawOther, m =>
+          else replaceOutsideLiterals(rawOther, TableChangesRef)(m =>
             s"__changes_${m.group(1)}_${m.group(2)}_${
               Option(m.group(3)).getOrElse("0")}")
         // TABLE_DIFF('t', from, to, 'key[,key2]') — the keyed
         // insert/delete/update classifier ([[LakeTable.diff]]): valid on
         // ANY window including CoW rewrites, priced O(changed files)
         // by the version-set file pruning inside diff
-        val tdRefs = TableDiffRef.findAllMatchIn(withTc).map(m =>
+        val tdRefs = matchesOutsideLiterals(withTc, TableDiffRef).map(m =>
           (m.group(1), m.group(2).toLong, m.group(3).toLong,
             m.group(4).split(",").map(_.trim).filter(_.nonEmpty).toSeq))
-          .toList.distinct
+          .distinct
         tdRefs.zipWithIndex.foreach { case ((t, from, to, keys), i) =>
           if (!log.tableExists(t))
             throw new graft.lake.LakeValidationException(
@@ -661,7 +754,7 @@ object LakeSql {
         }
         val other =
           if (tdRefs.isEmpty) withTc
-          else TableDiffRef.replaceAllIn(withTc, m => {
+          else replaceOutsideLiterals(withTc, TableDiffRef)(m => {
             val key = (m.group(1), m.group(2).toLong, m.group(3).toLong,
               m.group(4).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
             s"__diff_${m.group(1)}_${m.group(2)}_${m.group(3)}_${

@@ -308,6 +308,13 @@ final class LakeLog(val root: Path, val checkpointInterval: Int = 10) {
     if (!NameRe.pattern.matcher(table).matches())
       throw new LakeValidationException(s"invalid table name: $table")
     validateSchema(schema)
+    // mirror of Views.create's shadow guard: views register AFTER tables
+    // in Views.registerAll, so a table created under an existing view's
+    // name would be silently shadowed — SELECTs serve the view macro
+    // while inserts land in the invisible table
+    if (Views.catalog(this).views.exists(_.name == table))
+      throw new LakeValidationException(
+        s"cannot CREATE TABLE $table: a view with that name exists")
     lockFor(table).synchronized {
       if (tableExists(table))
         throw new LakeValidationException(s"table $table already exists")

@@ -49,9 +49,16 @@ object MultiTxn {
     * Jackson round-trips the Long without boxing it back as Integer. */
   final case class TableVersion(table: String, version: Long)
 
+  /** `body_hash`: optional caller-supplied fingerprint of the statement
+    * list that decided this txn (the SQL txn-block face records one) —
+    * lets an idempotent replay distinguish "same script retried" from
+    * "txn id reused with different statements", which must refuse
+    * instead of silently no-opping onto the old versions. Absent for
+    * programmatic callers; old records deserialize to None. */
   final case class TxnRecord(txn_id: String, tables: Seq[String],
                              created_ms: Long,
-                             versions: Option[Seq[TableVersion]] = None) {
+                             versions: Option[Seq[TableVersion]] = None,
+                             body_hash: Option[String] = None) {
     def versionMap: Map[String, Long] =
       versions.getOrElse(Nil).map(tv => tv.table -> tv.version).toMap
   }
@@ -84,7 +91,8 @@ object MultiTxn {
     * Returns the published (table → version) map. Idempotent — a replay
     * (or a crash-recovery re-drive) returns the recorded versions. */
   def commit(spark: SparkSession, log: LakeLog, txnId: String,
-             tables: Seq[String]): Map[String, Long] = {
+             tables: Seq[String], bodyHash: Option[String] = None)
+      : Map[String, Long] = {
     require(tables.nonEmpty, "a transaction needs at least one table")
     if (!done(log, txnId).isDefined && !Files.exists(intentPath(log, txnId))) {
       // validate EVERY participant is staged before deciding — a decision
@@ -107,7 +115,8 @@ object MultiTxn {
           s"txn '$txnId' has staged batches on tables missing from the " +
             s"commit list: ${omitted.mkString(", ")} — include them or " +
             "abort the txn")
-      val rec = TxnRecord(txnId, tables.sorted, System.currentTimeMillis())
+      val rec = TxnRecord(txnId, tables.sorted, System.currentTimeMillis(),
+        body_hash = bodyHash)
       writeCreateIfAbsent(intentPath(log, txnId), rec) match {
         case Some(existing) =>
           // lost the decision race: the winner's participant list rules
@@ -115,6 +124,11 @@ object MultiTxn {
             throw new LakeValidationException(
               s"txn '$txnId' was decided concurrently over different " +
                 s"tables (${existing.tables.mkString(", ")})")
+          if (existing.body_hash.isDefined && bodyHash.isDefined &&
+              existing.body_hash != bodyHash)
+            throw new LakeValidationException(
+              s"txn '$txnId' was decided concurrently with a different " +
+                "statement body (reused txn id?)")
         case None => ()
       }
     }

@@ -290,4 +290,24 @@ class LakeSqlSpec extends SparkSpec {
       "WHERE change_type = 'update'").as[(Long, Long)].head() ===
       ((20L, 21L)))
   }
+
+  test("TVF text inside string literals / comments is never substituted") {
+    import graft.lake.{LakeLog, LakeTable}
+    val log = new LakeLog(tmpDir("tvflit"))
+    def sql(q: String) = LakeSql.execute(spark, log, q)
+    val rows = (1L to 5L).map(i => (i, i * 2)).toDF("id", "v")
+    LakeTable.createTable(log, "t", rows.schema)
+    LakeTable.insert(spark, log, "t", rows)                        // v1
+    LakeTable.insert(spark, log, "t", Seq((9L, 18L)).toDF("id", "v")) // v2
+    // the literal keeps its exact text while the REAL call substitutes
+    val out = sql("SELECT 'see TABLE_CHANGES(''t'', 1) for docs' AS note, " +
+        "count(*) AS n FROM TABLE_CHANGES('t', 1)")
+      .as[(String, Long)].head()
+    assert(out._1 == "see TABLE_CHANGES('t', 1) for docs")
+    assert(out._2 == 1L)
+    // a -- comment mentioning a TVF registers nothing and stays verbatim
+    assert(sql("SELECT count(*) AS n FROM TABLE_CHANGES('t', 1, 2)" +
+      " -- TABLE_DIFF('t', 0, 1, 'id') would be wrong here\n")
+      .as[Long].head() == 1L)
+  }
 }

@@ -84,4 +84,38 @@ class SqlTxnSpec extends SparkSpec {
     assert(LakeSql.execute(spark, log, "SELECT count(*) AS n FROM a")
       .as[Long].head() == 3L)
   }
+
+  test("semicolons inside string literals don't fragment the block") {
+    val log = seeded()
+    log.createTable("c", TableSchema(Seq(
+      Field("id", "int64"), Field("tag", "string"))))
+    val st = LakeSql.execute(spark, log,
+      """BEGIN TRANSACTION 'txsemi';
+         INSERT INTO c SELECT id, 'a;b' AS tag FROM src WHERE id <= 4;
+         COMMIT""").head()
+    assert(st.getAs[Boolean]("committed"))
+    val tags = LakeTable.read(spark, log, "c").select("tag")
+      .distinct().as[String].collect().toSeq
+    assert(tags == Seq("a;b"))
+  }
+
+  test("replaying a committed txn id with a DIFFERENT body refuses") {
+    val log = seeded()
+    val block =
+      """BEGIN TRANSACTION 'txr';
+         INSERT INTO a SELECT id, v FROM src WHERE id <= 5;
+         COMMIT"""
+    LakeSql.execute(spark, log, block)
+    // identical body replays idempotently...
+    assert(LakeSql.execute(spark, log, block).head()
+      .getAs[Boolean]("committed"))
+    // ...but the same id carrying different statements must fail loudly
+    // instead of silently no-opping onto the old versions
+    val e = intercept[LakeValidationException](LakeSql.execute(spark, log,
+      """BEGIN TRANSACTION 'txr';
+         INSERT INTO a SELECT id, v FROM src WHERE id <= 10;
+         COMMIT"""))
+    assert(e.getMessage.contains("DIFFERENT statement body"))
+    assert(LakeTable.read(spark, log, "a").count() == 5L)
+  }
 }

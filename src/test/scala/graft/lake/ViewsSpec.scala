@@ -130,4 +130,20 @@ class ViewsSpec extends SparkSpec {
     val e = intercept[LakeValidationException](Views.catalog(log))
     assert(e.getMessage.contains("fail-closed"))
   }
+
+  test("CREATE TABLE under an existing view name is refused") {
+    val log = seeded()
+    LakeSql.execute(spark, log, "CREATE VIEW v AS SELECT id FROM s")
+    // the reverse of the view-side shadow guard: registerAll registers
+    // views AFTER tables, so this table would be invisible to SELECTs
+    val e = intercept[LakeValidationException](
+      log.createTable("v", TableSchema(Seq(Field("id", "int64")))))
+    assert(e.getMessage.contains("view with that name exists"))
+    intercept[LakeValidationException](
+      LakeSql.execute(spark, log, "CREATE TABLE v (id int64)"))
+    // dropping the view frees the name
+    LakeSql.execute(spark, log, "DROP VIEW v")
+    log.createTable("v", TableSchema(Seq(Field("id", "int64"))))
+    assert(log.listTables().contains("v"))
+  }
 }
