@@ -4675,6 +4675,67 @@ object SparkEntry {
         .orderBy("source", "q_ppm")
     }),
 
+    // Sketch-store compaction: the OPTIMIZE verb merges each key's
+    // per-batch digest rows into ONE row per key in a single atomic
+    // overwrite commit. Q-digest merges are order-insensitive, so the
+    // compacted store PROVABLY answers every quantile query identically
+    // — the in-query require pins exact pre/post answer equality plus
+    // one-commit atomicity, and the emitted per-source row counts
+    // (batches carrying the source before, exactly 1 after) are
+    // hash-checked by the oracle.
+    "q_quantile_store_compact" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.QDigest
+      import graft.lake.{LakeLog, LakeTable}
+      val depth = 20
+      val k = 1000L
+      val log = new LakeLog(
+        java.nio.file.Files.createTempDirectory("graftqsc"))
+      val docs = t(s, d, "documents").select(col("source"),
+        col("doc_id"), col("n_chars").cast("long").as("v"))
+      var created = false
+      (0 to 2).foreach { b =>
+        val rows = QDigest.sketchRowsByKey(
+          docs.filter(col("doc_id") % 3 === b), "source", "v", depth, k)
+        if (!created) {
+          LakeTable.createTable(log, "sk", rows.schema)
+          created = true
+        }
+        LakeTable.insert(s, log, "sk", rows, txnId = s"day-$b")
+      }
+      def ests() = QDigest.quantilesOfSketchRows(
+          LakeTable.read(s, log, "sk"), "source", Seq(500000L, 990000L))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+        .sortBy(x => (x._1, x._2)).toSeq
+      val preRows = LakeTable.read(s, log, "sk").groupBy("source")
+        .agg(count(lit(1)).as("nb")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      val pre = ests()
+      val vPre = log.latestVersion("sk")
+      val (nBefore, nAfter) =
+        QDigest.compactSketchStore(s, log, "sk", "source",
+          txnId = "sk-compact-1")
+      require(nAfter < nBefore,
+        s"compaction did not reduce rows: $nBefore -> $nAfter")
+      require(log.latestVersion("sk") == vPre + 1,
+        "compaction must land as exactly one commit")
+      require(pre == ests(), "compaction changed quantile answers")
+      // idempotent replay: same txn id is a duplicate, not a rewrite
+      QDigest.compactSketchStore(s, log, "sk", "source",
+        txnId = "sk-compact-1")
+      require(log.latestVersion("sk") == vPre + 1,
+        "replayed compaction must not commit again")
+      val postRows = LakeTable.read(s, log, "sk").groupBy("source")
+        .agg(count(lit(1)).as("na")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      preRows.map { case (src, nb) => (src, nb, postRows(src), 1L) }
+        .toSeq.toDF("source", "rows_before", "rows_after",
+          "quantiles_equal")
+        .orderBy("source")
+    }),
+
     // Corpus-overlap estimation: pairwise Jaccard between SOURCES from
     // per-source minhash signatures — corpora are never joined, text
     // never moves, the exchange is ≤ sources×k rows (map-side min), and
@@ -10102,6 +10163,14 @@ object SparkEntry {
       FROM documents CROSS JOIN (VALUES (CAST(500000 AS BIGINT)),
         (CAST(990000 AS BIGINT))) AS qv(q_ppm)
       GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q_quantile_store_compact: rows_before = batches (doc_id % 3
+    // slices) carrying the source, rows_after = exactly one merged row
+    // per key; the answer-identity proof is the in-query require
+    "q_quantile_store_compact" -> """
+      SELECT source, count(DISTINCT doc_id % 3) AS rows_before,
+        CAST(1 AS BIGINT) AS rows_after,
+        CAST(1 AS BIGINT) AS quantiles_equal
+      FROM documents GROUP BY 1 ORDER BY 1""",
     "q_cms" -> """
       WITH toks AS (
         SELECT unnest(list_filter(string_split_regex(

@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Q-digest mergeable quantile sketch — the fourth leg of the sketch
@@ -166,6 +166,16 @@ object QDigest {
     * error accumulation across merges (Agarwal et al. 2012). */
   def mergeAll(sks: Seq[QSketch]): QSketch = {
     require(sks.nonEmpty, "mergeAll of no sketches")
+    // singleton merge is the IDENTITY: the input is already canonical,
+    // and the bottom-up compress — a pure function of the union, which
+    // is what makes k≥2 merges order-insensitive — is NOT a fixpoint
+    // (merges at coarser levels relocate parent mass upward, enabling
+    // finer-level merges only a second pass would see). Re-compressing
+    // a lone sketch would therefore CHANGE its answers (within ε, but
+    // changed) — and the identity law is exactly what makes sketch-store
+    // compaction provably answer-preserving: reading the one compacted
+    // row returns the same digest the pre-compaction read merged to.
+    if (sks.size == 1) return sks.head
     val depth = sks.head.depth
     val k = sks.head.k
     require(sks.forall(s => s.depth == depth && s.k == k),
@@ -294,6 +304,38 @@ object QDigest {
         qs.iterator.map(q => (key, q, quantile(sk, q), sk.n))
       }
       .toDF(keyCol, "q_ppm", "qd_est", "qd_n")
+  }
+
+  /** OPTIMIZE verb for a sketch-store lake table ([[sketchRowsByKey]]
+    * rows appended per batch): merge each key's digest rows into exactly
+    * ONE row and land adds+removes as one atomic OCC overwrite commit —
+    * the read-side merge is order-insensitive, so the compacted table
+    * provably answers every [[quantilesOfSketchRows]] query identically
+    * (pinned by q_quantile_store_compact's pre/post hash equality). This
+    * is the maintenance path an append-forever store needs: without it a
+    * daily-batch store reads O(days × keys) rows per query; after it,
+    * O(keys) — and the commit is idempotent under `txnId` replay like
+    * every other lake write. Returns (rows before, rows after). */
+  def compactSketchStore(spark: SparkSession, log: graft.lake.LakeLog,
+                         table: String, keyCol: String,
+                         txnId: String = null): (Long, Long) = {
+    import spark.implicits._
+    import graft.lake.LakeTable
+    val cur = LakeTable.read(spark, log, table)
+    val before = cur.count()
+    val merged = cur.select(col(keyCol).cast("string"), col("qd_depth"),
+        col("qd_k"), col("qd_n"), col("qd_nodes"))
+      .as[(String, Int, Long, Long, Array[Long])]
+      .groupByKey(_._1)
+      .mapGroups { (key, it) =>
+        val sk = mergeAll(it.map(r => QSketch(r._2, r._3, r._4, r._5)).toSeq)
+        (key, sk.depth, sk.k, sk.n, sk.nodes)
+      }
+      .toDF(keyCol, "qd_depth", "qd_k", "qd_n", "qd_nodes")
+    val id = if (txnId != null) txnId
+      else s"qdigest-compact-${java.util.UUID.randomUUID()}"
+    LakeTable.overwrite(spark, log, table, merged, txnId = id)
+    (before, LakeTable.read(spark, log, table).count())
   }
 
   /** Grouped quantiles: per-partition per-key builders → one exchange of

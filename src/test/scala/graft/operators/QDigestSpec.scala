@@ -199,4 +199,39 @@ class QDigestSpec extends SparkSpec {
     assert(out(("g1", 500000L))._1 >= 1000000L)
     assert(out(("g0", 500000L))._1 < 2000L)
   }
+
+  test("compactSketchStore: 1 row per key, identical answers, idempotent") {
+    import spark.implicits._
+    import graft.lake.{LakeLog, LakeTable}
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 3000).map(i =>
+      (s"s${i % 3}", rnd.nextLong(1L << 20), i % 4))
+    val df = rows.toDF("k", "v", "day")
+    val log = new LakeLog(tmpDir("qsc"))
+    (0 to 3).foreach { b =>
+      val batch = QDigest.sketchRowsByKey(df.filter(col("day") === b),
+        "k", "v", depth = 20, k = 80L)
+      if (b == 0) LakeTable.createTable(log, "sk", batch.schema)
+      LakeTable.insert(spark, log, "sk", batch, txnId = s"b$b")
+    }
+    def ests() = QDigest.quantilesOfSketchRows(
+        LakeTable.read(spark, log, "sk"), "k",
+        Seq(250000L, 500000L, 900000L))
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    val pre = ests()
+    val vPre = log.latestVersion("sk")
+    val (before, after) =
+      QDigest.compactSketchStore(spark, log, "sk", "k", txnId = "opt1")
+    assert(before == 12L && after == 3L) // 3 keys x 4 batches -> 1 each
+    assert(log.latestVersion("sk") == vPre + 1, "one atomic commit")
+    assert(ests() === pre, "compaction changed quantile answers")
+    // replay under the same txn id: duplicate, no new version
+    QDigest.compactSketchStore(spark, log, "sk", "k", txnId = "opt1")
+    assert(log.latestVersion("sk") == vPre + 1)
+    // a fresh compaction of an already-compact store is a no-op rewrite
+    // with the same answers (still one row per key)
+    val (b2, a2) = QDigest.compactSketchStore(spark, log, "sk", "k")
+    assert(b2 == 3L && a2 == 3L && ests() === pre)
+  }
 }
