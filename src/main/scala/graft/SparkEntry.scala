@@ -4084,6 +4084,60 @@ object SparkEntry {
       } finally MvRewrite.clear(s)
     }),
 
+    // MV rewrite, extended provable envelope #4: the JOIN shape. The
+    // naive star aggregate (fact ⋈ dim grouped by the dim attribute) is
+    // answered from the join MV when the MV is fresh on BOTH tables —
+    // fact high-water AND folded dim version equal the scanned latest
+    // versions, the join is exactly the MV's inner equi-join on joinOn,
+    // and the MV read pins to the refresh commit that folded that
+    // (factV, dimV) pair. The in-query require pins the optimized plan
+    // to the MV table alone (neither fact nor dim is scanned); the
+    // oracle replays join + group over the raw rows. At 100 TB this is
+    // the difference between a fact-corpus shuffle-join per dashboard
+    // query and an O(groups) MV scan.
+    "q_lake_mv_rewrite_join" -> ((s, d) => {
+      import graft.api.LakeSql
+      import graft.lake.{LakeLog, LakeTable, MaterializedView, MvRewrite}
+      val log = new LakeLog(
+        java.nio.file.Files.createTempDirectory("graftmvrj"))
+      val fact = t(s, d, "lineitem").select(
+        col("l_orderkey").as("orderkey"),
+        col("l_quantity").as("qty"),
+        col("l_extendedprice").as("price"))
+      val dim = t(s, d, "orders").select(
+        col("o_orderkey").as("orderkey"),
+        col("o_orderpriority").as("priority"))
+      LakeTable.createTable(log, "fact", fact.schema)
+      LakeTable.createTable(log, "dim", dim.schema)
+      LakeTable.insert(s, log, "dim", dim, txnId = "dim-load")
+      LakeTable.insert(s, log, "fact", fact, txnId = "fact-load",
+        numFiles = 4)
+      LakeSql.execute(s, log, "CREATE MATERIALIZED VIEW rev_mv ON " +
+        "fact JOIN dim ON orderkey KEY priority SUM (qty, price)")
+      val mv = MaterializedView.loadDef(log, "rev_mv").get
+      MaterializedView.refresh(s, log, mv)
+      MvRewrite.register(s, log, Seq(mv))
+      try {
+        val q = LakeTable.readIndexed(s, log, "fact")
+          .join(LakeTable.readIndexed(s, log, "dim"),
+            Seq("orderkey"), "inner")
+          .groupBy("priority")
+          .agg(count(lit(1)).as("n_rows"),
+            sum("qty").as("sum_qty0"),
+            sum("price").as("sum_price0"))
+        val scanned = lakeScans(q)
+        require(scanned == Seq("rev_mv"),
+          s"join MV rewrite did not fire (scanned: ${scanned.mkString(",")})")
+        // hash-stable faces: integer-valued qty sums are exact; money
+        // sums are safe at 2 decimals (the q_lake_mv_join discipline)
+        q.select(col("priority"), col("n_rows"),
+            round(col("sum_qty0"), 2).as("sum_qty"),
+            round(col("sum_price0"), 2).as("sum_price"))
+          .orderBy("priority")
+          .localCheckpoint()
+      } finally MvRewrite.clear(s)
+    }),
+
     "q_lake_zorder" -> ((s, d) => {
       // z-order-clustered insert: multi-dimensional clustering gives BOTH
       // curve columns tight per-file ranges, so this two-column range
@@ -8627,6 +8681,15 @@ object SparkEntry {
     // q_lake_mv_join: the star-join aggregate recomputed from raw
     // tables — the dummy dim row matches no facts and must not appear.
     "q_lake_mv_join" -> """
+      SELECT o_orderpriority AS priority, count(*) AS n_rows,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY 1""",
+    // q_lake_mv_rewrite_join: the naive star aggregate the rewrite rule
+    // must answer from the join MV alone (the in-query require pins the
+    // plan); DuckDB replays join + group over the raw rows
+    "q_lake_mv_rewrite_join" -> """
       SELECT o_orderpriority AS priority, count(*) AS n_rows,
              round(sum(l_quantity), 2) AS sum_qty,
              round(sum(l_extendedprice), 2) AS sum_price

@@ -57,8 +57,11 @@ import org.apache.spark.sql.types._
   * dimension updates). The folded dim version rides in the refresh txn
   * id (`mv-<name>-dim-<dimV>-to-<factV>`), so staleness-vs-dim is
   * detected from the logs alone and a dim-only change un-noops a
-  * fact-current MV. Join MVs are excluded from the transparent rewrite
-  * rule (it proves single-scan shapes only) — they are read by name.
+  * fact-current MV. The transparent rewrite rule answers the provable
+  * join shape too — a GROUP BY over MV keys on exactly fact ⋈ dim when
+  * the MV is fresh on BOTH tables ([[MvRewrite]] `tryRewriteJoin`);
+  * anything beyond that shape keeps the conservative refusal and the
+  * MV stays readable by name.
   */
 object MaterializedView {
 
@@ -213,10 +216,10 @@ object MaterializedView {
     * base commit plus refresh lands between the freshness check and the
     * read, silently answering from a NEWER base version than the plan
     * scanned. */
-  def refreshVersionAt(log: LakeLog, d: MvDef,
-                       baseVersion: Long): Option[Long] =
+  def refreshVersionAt(log: LakeLog, d: MvDef, baseVersion: Long,
+                       dimVersion: Long = -1L): Option[Long] =
     log.versions(d.name).find(v =>
-      log.readEntry(d.name, v).txn_id == txnFor(d, baseVersion))
+      log.readEntry(d.name, v).txn_id == txnFor(d, baseVersion, dimVersion))
 
   /** Aggregate a slice of the base into MV shape. */
   private def aggOf(df: DataFrame, d: MvDef): DataFrame = {

@@ -149,11 +149,13 @@ final case class MvRewriteRule(spark: SparkSession)
 
   private def tryRewrite(agg: Aggregate, log: LakeLog,
                          d: MaterializedView.MvDef): Option[LogicalPlan] =
+    if (d.joinTable.isEmpty) tryRewriteSingle(agg, log, d)
+    else tryRewriteJoin(agg, log, d)
+
+  private def tryRewriteSingle(agg: Aggregate, log: LakeLog,
+                               d: MaterializedView.MvDef)
+      : Option[LogicalPlan] =
     for {
-      // join MVs answer a JOIN aggregate, not a single-table one — the
-      // single-scan freshness/shape proof below doesn't transfer; they
-      // stay readable by name only
-      _ <- if (d.joinTable.isEmpty) Some(()) else None
       (table, version, attrPhys, filters) <- scanInfo(agg.child)
       if table == d.base
       // freshness: the query scans the base's LATEST version and the
@@ -167,6 +169,122 @@ final case class MvRewriteRule(spark: SparkSession)
       physToLogical = sch.fields.map(f => sch.physFor(f.name) -> f.name).toMap
       colOf = (a: Attribute) =>
         attrPhys.get(a.exprId).flatMap(physToLogical.get)
+      plan <- buildRewrite(agg, log, d, colOf, filters, mvVersion)
+    } yield plan
+
+  /** Join-MV rewrite, for the PROVABLE case only: a GROUP BY over the
+    * MV's key columns (exact set or a rollup subset) on exactly
+    * `fact ⋈_joinOn dim` (inner equi-join, both sides bare lake scans),
+    * when the MV is fresh on BOTH tables — the fact high-water mark AND
+    * the folded dim version both equal the scanned latest versions, and
+    * the MV is read at the refresh commit that folded exactly that
+    * (factV, dimV) pair. The MV stores the joined-row aggregate, so the
+    * same O(|MV|)-never-O(corpus) substitution argument transfers
+    * verbatim; anything beyond this shape (outer joins, extra
+    * operators, a second join, non-key filters) keeps the conservative
+    * refusal and the MV stays readable by name. `isnotnull(joinOn)`
+    * filters the optimizer infers from the inner equi-join are implied
+    * no-ops over the join result and are accepted-and-dropped (the join
+    * key need not be an MV column). */
+  private def tryRewriteJoin(agg: Aggregate, log: LakeLog,
+                             d: MaterializedView.MvDef)
+      : Option[LogicalPlan] = {
+    val dimT = d.joinTable.get
+    val on = d.joinOn.getOrElse(return None)
+    for {
+      (lt, lv, rt, rv, sides, jk, filters) <- joinScan(agg.child)
+      // accept either join order; resolve which side is the fact
+      factIsLeft <- if (lt == d.base && rt == dimT) Some(true)
+        else if (lt == dimT && rt == d.base) Some(false) else None
+      factV = if (factIsLeft) lv else rv
+      dimV = if (factIsLeft) rv else lv
+      // freshness on BOTH tables: scanned latest == folded versions
+      if factV == log.latestVersion(d.base)
+      if dimV == log.latestVersion(dimT)
+      if MaterializedView.lastRefreshed(log, d) == factV
+      if MaterializedView.lastDimVersion(log, d) == dimV
+      mvVersion <- MaterializedView.refreshVersionAt(log, d, factV, dimV)
+      factSch <- log.snapshot(d.base).schema
+      dimSch <- log.snapshot(dimT).schema
+      factP2L = factSch.fields
+        .map(f => factSch.physFor(f.name) -> f.name).toMap
+      dimP2L = dimSch.fields
+        .map(f => dimSch.physFor(f.name) -> f.name).toMap
+      colOf = (a: Attribute) => sides.get(a.exprId).flatMap {
+        case (isLeft, phys) =>
+          if (isLeft == factIsLeft) factP2L.get(phys) else dimP2L.get(phys)
+      }
+      // the join condition must be exactly fact.joinOn = dim.joinOn
+      sideOf = (id: ExprId) => sides.get(id).map(_._1)
+      nameOf = (id: ExprId) => sides.get(id).flatMap {
+        case (isLeft, phys) =>
+          if (isLeft == factIsLeft) factP2L.get(phys) else dimP2L.get(phys)
+      }
+      if nameOf(jk._1).contains(on) && nameOf(jk._2).contains(on)
+      if sideOf(jk._1) != sideOf(jk._2)
+      // isnotnull(joinOn) pushdowns are implied by the inner equi-join —
+      // drop them; everything else must pass the key-only filter proof
+      realFilters = filters.filterNot {
+        case IsNotNull(a: Attribute) => nameOf(a.exprId).contains(on)
+        case _ => false
+      }
+      plan <- buildRewrite(agg, log, d, colOf, realFilters, mvVersion)
+    } yield plan
+  }
+
+  /** Walk alias-only Projects / deterministic Filters / SubqueryAliases
+    * down to ONE inner equi-join of two lake scans. Returns (left table,
+    * left version, right table, right version, exprId → (isLeft,
+    * physical column) union map, the equality's two attr ids, filters
+    * from every level including each side below the join). */
+  private def joinScan(p: LogicalPlan)
+      : Option[(String, Long, String, Long,
+                Map[ExprId, (Boolean, String)], (ExprId, ExprId),
+                Seq[Expression])] = p match {
+    case SubqueryAlias(_, c) => joinScan(c)
+    case Filter(cond, c) if cond.deterministic =>
+      joinScan(c).map { case (lt, lv, rt, rv, m, jk, fs) =>
+        (lt, lv, rt, rv, m, jk, fs :+ cond)
+      }
+    case Project(list, c) =>
+      joinScan(c).flatMap { case (lt, lv, rt, rv, m, jk, fs) =>
+        val mapped = list.map {
+          case a: AttributeReference =>
+            m.get(a.exprId).map(v => a.exprId -> v)
+          case al @ Alias(ar: AttributeReference, _) =>
+            m.get(ar.exprId).map(v => al.exprId -> v)
+          case _ => None
+        }
+        if (mapped.contains(None)) None
+        else Some((lt, lv, rt, rv, m ++ mapped.flatten.toMap, jk, fs))
+      }
+    case Join(l, r, org.apache.spark.sql.catalyst.plans.Inner,
+              Some(EqualTo(a: AttributeReference, b: AttributeReference)),
+              _) =>
+      for {
+        (lt, lv, lm, lfs) <- scanInfo(l)
+        (rt, rv, rm, rfs) <- scanInfo(r)
+      } yield {
+        val m = lm.map { case (id, n) => id -> (true, n) } ++
+          rm.map { case (id, n) => id -> (false, n) }
+        (lt, lv, rt, rv, m, (a.exprId, b.exprId), lfs ++ rfs)
+      }
+    case _ => None
+  }
+
+  /** The shared substitution proof over a resolved attribute→MV-column
+    * mapping: grouping must cover the MV key set exactly (direct scan)
+    * or a strict subset (rollup re-aggregation), every filter must be
+    * key-only, every output a covered key/count/sum/min/max/avg with
+    * exact result type — identical for single-table and join MVs once
+    * `colOf` resolves attrs to the (joined-)row's logical names. */
+  private def buildRewrite(agg: Aggregate, log: LakeLog,
+                           d: MaterializedView.MvDef,
+                           colOf: Attribute => Option[String],
+                           filters: Seq[Expression],
+                           mvVersion: Long): Option[LogicalPlan] =
+    for {
+      _ <- Some(()) // a for-comprehension must open with a generator
       // every grouping expr must be a bare attribute over a distinct MV
       // key column; the grouped SET may be all keys (direct scan) or a
       // strict subset incl. none (rollup re-aggregation below)

@@ -313,7 +313,7 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
-  test("a join MV never rewrites (outside the provable envelope)") {
+  test("a join MV never rewrites a single-table aggregate") {
     val (log, d) = setup()
     val jd = d.copy(name = "base_mv", joinTable = Some("dim"),
       joinOn = Some("k"))
@@ -322,6 +322,99 @@ class MvRewriteSpec extends SparkSpec {
       val q = agg(log)
       assert(scannedTables(q) === Seq("base"),
         "a join MV must not answer a single-table aggregate")
+    } finally MvRewrite.clear(spark)
+  }
+
+  private def joinSetup(): (LakeLog, MaterializedView.MvDef) = {
+    val log = new LakeLog(tmpDir("mvjrw"))
+    val fact = Seq((1L, 2.0), (1L, 3.0), (2L, 5.0), (3L, 7.0), (2L, 1.0))
+      .toDF("fk", "q")
+    val dim = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("fk", "cat")
+    LakeTable.createTable(log, "fct", fact.schema)
+    LakeTable.createTable(log, "dm", dim.schema)
+    LakeTable.insert(spark, log, "fct", fact)
+    LakeTable.insert(spark, log, "dm", dim)
+    val d = MaterializedView.MvDef("j_mv", "fct", "cat",
+      sumCols = Seq("q"), joinTable = Some("dm"), joinOn = Some("fk"))
+    MaterializedView.create(log, d)
+    MaterializedView.refresh(spark, log, d)
+    (log, d)
+  }
+
+  private def joinAgg(log: LakeLog): DataFrame =
+    LakeTable.readIndexed(spark, log, "fct")
+      .join(LakeTable.readIndexed(spark, log, "dm"), Seq("fk"), "inner")
+      .groupBy("cat")
+      .agg(count(lit(1)).as("n"), sum("q").as("sq"))
+
+  test("join MV answers the star aggregate when fresh on BOTH tables") {
+    val (log, d) = joinSetup()
+    val direct = joinAgg(log).orderBy("cat").collect().toSeq
+    MvRewrite.register(spark, log, Seq(d))
+    try {
+      val q = joinAgg(log)
+      assert(scannedTables(q) === Seq("j_mv"),
+        s"join rewrite did not fire: ${scannedTables(q)}")
+      assert(q.orderBy("cat").collect().toSeq === direct)
+      // inner joins commute: the reversed order rewrites too
+      val qr = LakeTable.readIndexed(spark, log, "dm")
+        .join(LakeTable.readIndexed(spark, log, "fct"), Seq("fk"), "inner")
+        .groupBy("cat").agg(count(lit(1)).as("n"), sum("q").as("sq"))
+      assert(scannedTables(qr) === Seq("j_mv"))
+      assert(qr.orderBy("cat").collect().toSeq === direct)
+      // rollup over the join: the GLOBAL aggregate re-aggregates the MV
+      val g = LakeTable.readIndexed(spark, log, "fct")
+        .join(LakeTable.readIndexed(spark, log, "dm"), Seq("fk"), "inner")
+        .agg(count(lit(1)).as("n"), sum("q").as("sq"))
+      assert(scannedTables(g) === Seq("j_mv"))
+      assert(g.head() === org.apache.spark.sql.Row(5L, 18.0))
+    } finally MvRewrite.clear(spark)
+  }
+
+  test("join MV refuses when dim or fact moved past the folded versions") {
+    val (log, d) = joinSetup()
+    MvRewrite.register(spark, log, Seq(d))
+    try {
+      // dim-only commit: fact is current but the folded dim is stale
+      LakeTable.insert(spark, log, "dm", Seq((9L, "z")).toDF("fk", "cat"))
+      assert(scannedTables(joinAgg(log)).sorted === Seq("dm", "fct"))
+      MaterializedView.refresh(spark, log, d)
+      assert(scannedTables(joinAgg(log)) === Seq("j_mv"))
+      // fact commit: high-water mark behind the scanned version
+      LakeTable.insert(spark, log, "fct", Seq((9L, 1.0)).toDF("fk", "q"))
+      assert(scannedTables(joinAgg(log)).sorted === Seq("dm", "fct"))
+    } finally MvRewrite.clear(spark)
+  }
+
+  test("join shape guards: outer join / non-key filter / non-key group " +
+      "refuse; key filter rewrites filtered") {
+    val (log, d) = joinSetup()
+    MvRewrite.register(spark, log, Seq(d))
+    try {
+      val outer = LakeTable.readIndexed(spark, log, "fct")
+        .join(LakeTable.readIndexed(spark, log, "dm"), Seq("fk"), "left")
+        .groupBy("cat").agg(count(lit(1)).as("n"))
+      assert(scannedTables(outer).sorted === Seq("dm", "fct"),
+        "an outer join is outside the provable envelope")
+      val nonKey = LakeTable.readIndexed(spark, log, "fct")
+        .join(LakeTable.readIndexed(spark, log, "dm"), Seq("fk"), "inner")
+        .filter(col("q") > 2.0)
+        .groupBy("cat").agg(sum("q").as("sq"))
+      assert(scannedTables(nonKey).sorted === Seq("dm", "fct"),
+        "a non-key filter must disqualify")
+      val byJoinKey = LakeTable.readIndexed(spark, log, "fct")
+        .join(LakeTable.readIndexed(spark, log, "dm"), Seq("fk"), "inner")
+        .groupBy("fk").agg(sum("q").as("sq"))
+      assert(scannedTables(byJoinKey).sorted === Seq("dm", "fct"),
+        "grouping on a non-MV-key column must disqualify")
+      // a key-only filter commutes: filtered MV scan, same values
+      val keyFilter = LakeTable.readIndexed(spark, log, "fct")
+        .join(LakeTable.readIndexed(spark, log, "dm"), Seq("fk"), "inner")
+        .filter(col("cat") === "a")
+        .groupBy("cat").agg(sum("q").as("sq"))
+      assert(scannedTables(keyFilter) === Seq("j_mv"))
+      assert(keyFilter.collect().map(r =>
+        (r.getString(0), r.getDouble(1))).toSeq === Seq(("a", 12.0)))
     } finally MvRewrite.clear(spark)
   }
 }
