@@ -119,6 +119,36 @@ private[lake] object PolicyLog {
     val v = currentVersion(dir)
     if (v == 0L) None else Some(entryPath(dir, v))
   }
+
+  /** Retention sweep — the mini-log's checkpoint discipline: every
+    * entry is the FULL catalog, so versions older than the newest
+    * `keep` are pure history and deleting them never moves the commit
+    * point (currentVersion is the max; the next OCC commit still lands
+    * at max+1, keeping the version line gapless going forward). The
+    * newest entry always survives (`keep ≥ 1` enforced), so fail-closed
+    * reads are untouched; `keep` defaults high enough that a reader
+    * racing a mutation+vacuum across processes never has its resolved
+    * version deleted underneath it in practice. Invisible `.staged`
+    * temps from crashed mutators are NOT swept (an in-flight commit's
+    * temp must never vanish between write and link — a crashed temp is
+    * bytes, not correctness). Returns the number of entries deleted. */
+  def vacuum(dir: Path, keep: Int = 8): Int = {
+    require(keep >= 1, s"vacuum must keep at least the newest entry")
+    if (!Files.isDirectory(dir)) return 0
+    val cutoff = currentVersion(dir) - keep
+    if (cutoff <= 0) return 0
+    var n = 0
+    val s = Files.list(dir)
+    try s.iterator().forEachRemaining { p =>
+      val name = p.getFileName.toString
+      if (name.endsWith(".json") && !name.startsWith(".")) {
+        val v = try name.stripSuffix(".json").toLong
+          catch { case _: NumberFormatException => Long.MaxValue }
+        if (v <= cutoff && Files.deleteIfExists(p)) n += 1
+      }
+    } finally s.close()
+    n
+  }
 }
 
 object Masking {
@@ -217,6 +247,12 @@ object Masking {
     else df.select(df.columns.map(c =>
       active.get(c).map(e => expr(e).as(c)).getOrElse(col(c))).toSeq: _*)
   }
+
+  /** Retention sweep over the `_masks/` mini-log ([[PolicyLog.vacuum]]):
+    * entries older than the newest `keep` go; the governing policy, the
+    * commit point and fail-closed reads are untouched. */
+  def vacuumPolicyLog(log: LakeLog, table: String, keep: Int = 8): Int =
+    PolicyLog.vacuum(masksDir(log, table), keep)
 
   /** The role-gated read: every mask whose exempt list does not carry
     * `role` rewrites its column; exempt roles read raw. Projection only —

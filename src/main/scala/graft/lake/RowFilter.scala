@@ -59,6 +59,13 @@ object RowFilter {
             "operator repairs or re-sets the policy (fail-closed)")
     }
 
+  /** Retention sweep over the `_rowfilters/` mini-log
+    * ([[PolicyLog.vacuum]]): entries older than the newest `keep` go;
+    * the governing filter, the commit point and fail-closed reads are
+    * untouched. */
+  def vacuumPolicyLog(log: LakeLog, table: String, keep: Int = 8): Int =
+    PolicyLog.vacuum(dir(log, table), keep)
+
   /** Install or replace the table's row filter. Validates the predicate
     * analyzes against the schema and is BooleanType. */
   def setFilter(spark: SparkSession, log: LakeLog, table: String,

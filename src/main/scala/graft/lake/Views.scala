@@ -51,6 +51,14 @@ object Views {
   def catalogVersion(log: LakeLog): Long =
     PolicyLog.currentVersion(viewsDir(log))
 
+  /** Retention sweep over the `_views/` mini-log ([[PolicyLog.vacuum]]):
+    * entries older than the newest `keep` go; the governing catalog,
+    * the commit point, the result-cache fingerprint (catalogVersion is
+    * the max, unchanged by deleting history) and fail-closed reads are
+    * untouched. */
+  def vacuumCatalog(log: LakeLog, keep: Int = 8): Int =
+    PolicyLog.vacuum(viewsDir(log), keep)
+
   /** The governing catalog: newest mini-log entry, fail-closed parse. */
   def catalog(log: LakeLog): Catalog =
     PolicyLog.readNewest(viewsDir(log)) match {

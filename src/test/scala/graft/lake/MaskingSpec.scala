@@ -159,4 +159,58 @@ class MaskingSpec extends SparkSpec {
     graft.api.LakeSql.execute(spark, log, "ALTER TABLE t DROP MASK seg")
     assert(Masking.policy(log, "t").masks.isEmpty)
   }
+
+  test("vacuum keeps the newest N entries; policy, commit line and " +
+      "fail-closed reads unaffected") {
+    val log = setup()
+    // 12 mutations -> 12 full-catalog entries
+    (1 to 6).foreach { i =>
+      Masking.setMask(spark, log, "t", "seg", s"'m$i'")
+      Masking.setMask(spark, log, "t", "bal", s"CAST($i.0 AS DOUBLE)")
+    }
+    val dir = log.tableDir("t").resolve("_masks")
+    def entries() = java.nio.file.Files.list(dir).toArray.map(_.toString)
+      .filter(n => n.endsWith(".json") &&
+        !java.nio.file.Paths.get(n).getFileName.toString.startsWith("."))
+      .sorted.toSeq
+    assert(entries().size == 12)
+    val before = Masking.policy(log, "t")
+    assert(Masking.vacuumPolicyLog(log, "t", keep = 3) == 9)
+    assert(entries().size == 3)
+    assert(Masking.policy(log, "t") == before, "vacuum changed the policy")
+    // idempotent; keep >= current is a no-op
+    assert(Masking.vacuumPolicyLog(log, "t", keep = 3) == 0)
+    // the next mutation still lands as version 13 (max + 1, gapless
+    // going forward) and the read-modify-write sees the survivors
+    Masking.setMask(spark, log, "t", "seg", "'final'")
+    assert(entries().last.endsWith(f"${13L}%020d.json"))
+    assert(Masking.policy(log, "t").masks
+      .find(_.column == "seg").get.expr == "'final'")
+    // a torn NEWEST entry after vacuum still fails closed
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(entries().last), "{\"masks\": [ TORN")
+    val e = intercept[LakeValidationException] {
+      Masking.readMasked(spark, log, "t", "analyst").count()
+    }
+    assert(e.getMessage.contains("fail-closed"))
+  }
+
+  test("row-filter and view mini-logs vacuum the same way") {
+    val log = setup()
+    (1 to 5).foreach(i =>
+      RowFilter.setFilter(spark, log, "t", s"bal > $i.0"))
+    assert(RowFilter.vacuumPolicyLog(log, "t", keep = 2) == 3)
+    // the governing filter is the newest (bal > 5.0): only row 1 passes
+    assert(RowFilter.readFiltered(spark, log, "t", "analyst").count() == 1L)
+    (1 to 5).foreach(i => graft.lake.Views.create(spark, log, s"v$i",
+      s"SELECT id FROM t WHERE id >= $i", orReplace = true))
+    val vBefore = Views.catalogVersion(log)
+    assert(Views.vacuumCatalog(log, keep = 1) == 4)
+    assert(Views.catalogVersion(log) == vBefore,
+      "vacuum must not move the catalog version (cache fingerprint)")
+    assert(Views.catalog(log).views.map(_.name) ==
+      Seq("v1", "v2", "v3", "v4", "v5"))
+    Views.drop(spark, log, "v5")
+    assert(Views.catalogVersion(log) == vBefore + 1)
+  }
 }
