@@ -362,6 +362,93 @@ object Scale10 {
         graft.operators.Trend.mannKendall(series, "series", "t_us", "v")
           .count()
       },
+      timed("mv_join_refresh") {
+        // join-MV maintenance at N×: two fact-append windows fold
+        // incrementally (delta ⋈ dim enrich + O(touched) upsert merge),
+        // then a dim commit forces the ONE corpus-shaped path — the
+        // full fact ⋈ dim recompute — which is exactly what this row
+        // prices; the funnel gate polices the join/groupBy exchanges
+        import graft.lake.{LakeLog, LakeTable, MaterializedView}
+        val log = new LakeLog(
+          java.nio.file.Files.createTempDirectory("s10mvj"))
+        // star shape: N×-sized fact keyed back onto a 1×-sized dim
+        val fact = docs.select(
+          pmod(col("doc_id"), lit(10000000L)).as("fk"),
+          col("n_chars").cast("double").as("v"))
+        val dim = docs.filter(col("doc_id") < 10000000L)
+          .select(col("doc_id").as("fk"), col("source").as("grp"))
+        LakeTable.createTable(log, "f", fact.schema)
+        LakeTable.createTable(log, "dm", dim.schema)
+        LakeTable.insert(spark, log, "dm", dim, numFiles = 4,
+          txnId = "dim0")
+        val d = MaterializedView.MvDef("mvj", "f", "grp",
+          sumCols = Seq("v"), joinTable = Some("dm"), joinOn = Some("fk"))
+        MaterializedView.create(log, d)
+        LakeTable.insert(spark, log, "f",
+          fact.filter(pmod(col("fk"), lit(2)) === 0), numFiles = 8,
+          txnId = "w1")
+        require(MaterializedView.refresh(spark, log, d).mode ==
+          "incremental", "first fact window should fold incrementally")
+        LakeTable.insert(spark, log, "f",
+          fact.filter(pmod(col("fk"), lit(2)) =!= 0), numFiles = 8,
+          txnId = "w2")
+        require(MaterializedView.refresh(spark, log, d).mode ==
+          "incremental", "append window should fold incrementally")
+        LakeTable.insert(spark, log, "dm",
+          spark.range(1).select(lit(-1L).as("fk"), lit("zz").as("grp")),
+          txnId = "dim-late")
+        require(MaterializedView.refresh(spark, log, d).mode == "full",
+          "dim commit must force the full recompute")
+        LakeTable.read(spark, log, "mvj").count()
+      },
+      timed("merge_into") {
+        // full conditional MERGE at N×: the source's key range
+        // stats-prunes candidate files (target id-clustered via
+        // zOrderBy), matched rows CASE-fold in one pass, one OCC
+        // commit; funnel polices the source⋈candidate key join
+        import graft.lake.{LakeLog, LakeTable}
+        val log = new LakeLog(
+          java.nio.file.Files.createTempDirectory("s10mrg"))
+        val tgt = docs.select(col("doc_id").as("id"),
+          col("source").as("seg"), col("n_chars").cast("double").as("v"))
+        LakeTable.createTable(log, "t", tgt.schema)
+        LakeTable.insert(spark, log, "t", tgt, numFiles = 16,
+          zOrderBy = Seq("id"))
+        // pruned key range: updates hit only the ORIGINAL replica's id
+        // span (1/times of the clustered id domain) + disjoint inserts
+        val src = tgt.filter(col("id") < 10000000L)
+          .select(col("id"), col("seg"), (col("v") + 1.0).as("v"))
+          .unionByName(tgt.filter(col("id") < 1000L).select(
+            (col("id") + 900000000L).as("id"), col("seg"), col("v")))
+        val r = LakeTable.merge(spark, log, "t", src, "id",
+          matched = Seq(
+            LakeTable.MergeClause("delete", Some("src_v < 0")),
+            LakeTable.MergeClause("update")),
+          insertWhen = Some(None))
+        require(r.updated > 0 && r.inserted > 0, s"merge did nothing: $r")
+        LakeTable.read(spark, log, "t").count()
+      },
+      timed("table_changes") {
+        // CDC read at N×: the feed enumerates the requested window's
+        // adds plus DV pre-images — O(changed files), never a
+        // full-history scan; the aggregate over the feed is the
+        // funnel-policed exchange
+        import graft.lake.{LakeLog, LakeTable}
+        val log = new LakeLog(
+          java.nio.file.Files.createTempDirectory("s10cdc"))
+        val rows = docs.select(col("doc_id").as("id"), col("source"),
+          col("n_chars").cast("long").as("v"))
+        LakeTable.createTable(log, "t", rows.schema)
+        LakeTable.insert(spark, log, "t",
+          rows.filter(col("id") % 2 === 0), numFiles = 8, txnId = "b1")
+        LakeTable.insert(spark, log, "t",
+          rows.filter(col("id") % 2 =!= 0), numFiles = 8, txnId = "b2")
+        LakeTable.deleteWhereMor(spark, log, "t", "v % 97 = 0")
+        LakeTable.changeFeed(spark, log, "t", 1, 3)
+          .groupBy("_change_type", "source")
+          .agg(count(lit(1)).as("n"), sum("v").as("sv")).count() +
+          LakeTable.changeFeed(spark, log, "t", 1, 3).count()
+      },
       timed("qdigest") {
         // per-partition digests (the only per-row work) + a grouped
         // face: exchanges carry ≤3k-node sketches / (key, sketch)
