@@ -150,6 +150,15 @@ object LakeSql {
     """(?is)\s*OPTIMIZE\s+(\w+)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?(?:\s+CURVE\s+(\w+))?\s*;?\s*""".r
   private val Vacuum =
     """(?is)\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+  // maintenance verbs for the sketch store and the governance mini-logs
+  private val OptimizeSketch =
+    """(?is)\s*OPTIMIZE\s+SKETCH\s+STORE\s+(\w+)\s+KEY\s+(\w+)\s*;?\s*""".r
+  private val VacuumPolicies =
+    ("""(?is)\s*VACUUM\s+POLICIES\s+ON\s+(\w+)""" +
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""").r
+  private val VacuumViews =
+    ("""(?is)\s*VACUUM\s+VIEW\s+CATALOG""" +
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""").r
   private val Restore =
     """(?is)\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val RestoreTs =
@@ -598,6 +607,38 @@ object LakeSql {
           "files_removed" -> r.filesRemoved.toLong,
           "files_added" -> r.filesAdded.toLong,
           "version" -> r.finalVersion)
+      case OptimizeSketch(table, key) =>
+        // no-op when the NEWEST commit is already this table's
+        // compaction (nothing appended since): a replayed OPTIMIZE must
+        // not rewrite the store again. A compaction after new appends
+        // sees a non-compact newest entry and commits under an id keyed
+        // to the pre-compaction version — never a duplicate.
+        val v0 = log.latestVersion(table)
+        val alreadyCompact = v0 > 0 && log.readEntry(table, v0).txn_id
+          .startsWith(s"sketch-compact-$table-")
+        if (alreadyCompact) {
+          val n = LakeTable.read(spark, log, table).count()
+          status(spark, "table" -> table, "rows_before" -> n,
+            "rows_after" -> n, "version" -> v0)
+        } else {
+          val (before, after) =
+            graft.operators.QDigest.compactSketchStore(
+              spark, log, table, key,
+              txnId = s"sketch-compact-$table-$v0")
+          status(spark, "table" -> table, "rows_before" -> before,
+            "rows_after" -> after, "version" -> log.latestVersion(table))
+        }
+      case VacuumPolicies(table, retain) =>
+        val keep = Option(retain).map(_.toInt).getOrElse(8)
+        val masks = graft.lake.Masking.vacuumPolicyLog(log, table, keep)
+        val filters = graft.lake.RowFilter.vacuumPolicyLog(log, table, keep)
+        status(spark, "table" -> table, "masks_deleted" -> masks.toLong,
+          "rowfilters_deleted" -> filters.toLong)
+      case VacuumViews(retain) =>
+        val n = graft.lake.Views.vacuumCatalog(log,
+          Option(retain).map(_.toInt).getOrElse(8))
+        status(spark, "deleted" -> n.toLong,
+          "catalog_version" -> graft.lake.Views.catalogVersion(log))
       case Vacuum(table, retain) =>
         val r = LakeTable.vacuum(log, table,
           retainVersions = Option(retain).map(_.toInt).getOrElse(1),

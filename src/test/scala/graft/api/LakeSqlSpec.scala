@@ -310,4 +310,54 @@ class LakeSqlSpec extends SparkSpec {
       " -- TABLE_DIFF('t', 0, 1, 'id') would be wrong here\n")
       .as[Long].head() == 1L)
   }
+
+  test("maintenance verbs: OPTIMIZE SKETCH STORE, VACUUM POLICIES, " +
+      "VACUUM VIEW CATALOG") {
+    import graft.lake.{LakeLog, LakeTable, Masking, RowFilter, Views}
+    import graft.operators.QDigest
+    val log = new LakeLog(tmpDir("maint"))
+    def sql(q: String) = LakeSql.execute(spark, log, q)
+    // sketch store: 3 batches of 2 keys -> 6 rows -> compact to 2
+    val vals = (0 until 600).map(i => (s"k${i % 2}", (i * 37L) % 1024, i % 3))
+      .toDF("k", "v", "day")
+    (0 to 2).foreach { b =>
+      val batch = QDigest.sketchRowsByKey(vals.filter(col("day") === b),
+        "k", "v", depth = 12, k = 60L)
+      if (b == 0) LakeTable.createTable(log, "sk", batch.schema)
+      LakeTable.insert(spark, log, "sk", batch, txnId = s"d$b")
+    }
+    val pre = QDigest.quantilesOfSketchRows(
+        LakeTable.read(spark, log, "sk"), "k", Seq(500000L))
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    val st = sql("OPTIMIZE SKETCH STORE sk KEY k").head()
+    assert(st.getAs[Long]("rows_before") == 6L &&
+      st.getAs[Long]("rows_after") == 2L)
+    assert(QDigest.quantilesOfSketchRows(
+        LakeTable.read(spark, log, "sk"), "k", Seq(500000L))
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet == pre)
+    // replaying the same statement at the same store state is a no-op
+    val v = log.latestVersion("sk")
+    sql("OPTIMIZE SKETCH STORE sk KEY k")
+    assert(log.latestVersion("sk") == v, "replay must not commit again")
+
+    // governance mini-log retention through SQL
+    val rows = (1L to 9L).map(i => (i, i * 2)).toDF("id", "v")
+    LakeTable.createTable(log, "t", rows.schema)
+    LakeTable.insert(spark, log, "t", rows)
+    (1 to 4).foreach(i => Masking.setMask(spark, log, "t", "v", s"v * $i"))
+    (1 to 3).foreach(i => RowFilter.setFilter(spark, log, "t", s"id > $i"))
+    val vp = sql("VACUUM POLICIES ON t RETAIN 1 VERSIONS").head()
+    assert(vp.getAs[Long]("masks_deleted") == 3L &&
+      vp.getAs[Long]("rowfilters_deleted") == 2L)
+    // governing policy unchanged: newest mask (v*4) + filter (id>3)
+    assert(RowFilter.readGoverned(spark, log, "t", "analyst")
+      .agg(org.apache.spark.sql.functions.sum("v")).as[Long].head() ==
+      (4L to 9L).map(_ * 2 * 4).sum)
+
+    (1 to 3).foreach(i =>
+      Views.create(spark, log, s"w$i", s"SELECT id FROM t WHERE id >= $i"))
+    val vv = sql("VACUUM VIEW CATALOG RETAIN 1 VERSIONS").head()
+    assert(vv.getAs[Long]("deleted") == 2L)
+    assert(Views.catalog(log).views.map(_.name) == Seq("w1", "w2", "w3"))
+  }
 }
