@@ -417,4 +417,38 @@ class MvRewriteSpec extends SparkSpec {
         (r.getString(0), r.getDouble(1))).toSeq === Seq(("a", 12.0)))
     } finally MvRewrite.clear(spark)
   }
+
+  test("governed fact reads never wrongly rewrite through the JOIN MV; " +
+      "a key-only dim filter still answers") {
+    val (log, d) = joinSetup()
+    MvRewrite.register(spark, log, Seq(d))
+    try {
+      // row filter on the FACT's measure column: the governed join
+      // aggregate sees a row subset the MV never stored — must stay on
+      // the base scans
+      RowFilter.setFilter(spark, log, "fct", "q < 5.0")
+      val governed = RowFilter.readGoverned(spark, log, "fct", "analyst")
+        .join(LakeTable.readIndexed(spark, log, "dm"), Seq("fk"), "inner")
+        .groupBy("cat").agg(count(lit(1)).as("n"), sum("q").as("sq"))
+      assert(scannedTables(governed).sorted === Seq("dm", "fct"),
+        "a non-key fact row filter must disqualify the join rewrite")
+      assert(governed.orderBy("cat").as[(String, Long, Double)]
+        .collect().toSeq === Seq(("a", 2L, 5.0), ("b", 1L, 1.0)))
+      RowFilter.dropFilter(log, "fct")
+      // a row filter over the MV KEY column on the dim side partitions
+      // whole groups — governance and the join rewrite compose
+      RowFilter.setFilter(spark, log, "dm", "cat <> 'b'")
+      val keyGoverned = LakeTable.readIndexed(spark, log, "fct")
+        .join(RowFilter.readGoverned(spark, log, "dm", "analyst"),
+          Seq("fk"), "inner")
+        .groupBy("cat").agg(count(lit(1)).as("n"), sum("q").as("sq"))
+      assert(scannedTables(keyGoverned) === Seq("j_mv"),
+        "a key-only dim row filter should re-anchor onto the MV scan")
+      assert(keyGoverned.orderBy("cat").as[(String, Long, Double)]
+        .collect().toSeq === Seq(("a", 3L, 12.0)))
+    } finally {
+      MvRewrite.clear(spark)
+      RowFilter.dropFilter(log, "dm")
+    }
+  }
 }
