@@ -311,6 +311,34 @@ SUM=$(post /query '{"sql": "SELECT sum(n) AS s FROM sales_summary"}' | jq '.resu
 echo "2PC block committed atomically ($TX1), replay no-op, summary($SUM)=total($TOT) ✓"
 post /query '{"sql": "DROP VIEW pricey"}' | jq -c .
 
+step "Step 16: txn body-hash guard + governance-log retention"
+# the committed 'demo-tx' id reused with a DIFFERENT statement body must
+# refuse loudly — a silent no-op would report success while never
+# executing the new statements
+BADTX='BEGIN TRANSACTION '\''demo-tx'\''; INSERT INTO sales_total SELECT count(*) + 1 AS n FROM '$TABLE'; COMMIT'
+CODE=$(curl -s -o "$LAKE_DIR/badtx.txt" -w '%{http_code}' -X POST "$BASE/query" \
+  -H 'Content-Type: application/json' -d "{\"sql\": \"$BADTX\"}")
+[ "$CODE" -ge 400 ] || { echo "ERROR: reused txn id with different body accepted (HTTP $CODE)"; exit 1; }
+grep -qi "DIFFERENT statement body" "$LAKE_DIR/badtx.txt" || { echo "ERROR: wrong refusal:"; cat "$LAKE_DIR/badtx.txt"; exit 1; }
+echo "reused txn id with a different body refused (HTTP $CODE) ✓"
+# governance mini-logs append one full-catalog entry per mutation;
+# VACUUM POLICIES sweeps history while the governing policy stays
+post /query '{"sql": "ALTER TABLE '$TABLE' SET MASK product AS (concat(substring(product, 1, 1), '\''****'\''))"}' >/dev/null
+post /query '{"sql": "ALTER TABLE '$TABLE' SET MASK product AS (concat(substring(product, 1, 2), '\''***'\'')) EXEMPT (admin)"}' >/dev/null
+VP=$(post /query '{"sql": "VACUUM POLICIES ON '$TABLE' RETAIN 1 VERSIONS"}')
+MD=$(echo "$VP" | jq '.results[0].masks_deleted')
+[ "$MD" -ge 1 ] || { echo "ERROR: VACUUM POLICIES deleted nothing:"; echo "$VP" | jq .; exit 1; }
+MROW2=$(curl -sf "$BASE/tables/$TABLE/masked?role=analyst" | jq -r '.results[0].product')
+case "$MROW2" in
+  ??\*\*\*) echo "post-vacuum governing mask intact ('$MROW2'), $MD history entries swept ✓" ;;
+  *) echo "ERROR: vacuum changed the governing mask (got '$MROW2')"; exit 1 ;;
+esac
+post /query '{"sql": "ALTER TABLE '$TABLE' DROP MASK product"}' >/dev/null
+VV=$(post /query '{"sql": "VACUUM VIEW CATALOG RETAIN 1 VERSIONS"}')
+VD=$(echo "$VV" | jq '.results[0].deleted')
+[ "$VD" -ge 1 ] || { echo "ERROR: VACUUM VIEW CATALOG deleted nothing:"; echo "$VV" | jq .; exit 1; }
+echo "view-catalog history swept ($VD entries), catalog version pinned ✓"
+
 echo
 echo "=== demo completed successfully ==="
 echo "metrics: curl $BASE/metrics | grep lakehouse_"
