@@ -804,8 +804,8 @@ object LakeSql {
         // TIMESTAMP AS OF resolves to a concrete version first (failing
         // loudly on non-tables / pre-history timestamps), then shares
         // VERSION AS OF's validation and routing
-        val tsRefs = TimestampRef.findAllMatchIn(other)
-          .map(m => m.group(1) -> m.group(2)).toList
+        val tsRefs = matchesOutsideLiterals(other, TimestampRef)
+          .map(m => m.group(1) -> m.group(2))
         tsRefs.foreach { case (t, _) =>
           if (!log.listTables().contains(t))
             throw new graft.lake.LakeValidationException(
@@ -817,14 +817,14 @@ object LakeSql {
         }
         val stripped0 =
           if (tsRefs.isEmpty) other
-          else TimestampRef.replaceAllIn(other,
+          else replaceOutsideLiterals(other, TimestampRef)(
             m => s"${m.group(1)} VERSION AS OF ${
               resolved.find(_._1 == m.group(1)).get._2}")
         // quoted VERSION AS OF = a tag name: resolve through the
         // table's refs (loudly — an unknown tag must never fall back to
         // a latest read), then route as the pinned numeric version
-        val tagRefs = TagRef.findAllMatchIn(stripped0)
-          .map(m => m.group(1) -> m.group(2)).toList
+        val tagRefs = matchesOutsideLiterals(stripped0, TagRef)
+          .map(m => m.group(1) -> m.group(2))
         tagRefs.foreach { case (t, _) =>
           if (!log.listTables().contains(t))
             throw new graft.lake.LakeValidationException(
@@ -833,12 +833,12 @@ object LakeSql {
         }
         val stripped =
           if (tagRefs.isEmpty) stripped0
-          else TagRef.replaceAllIn(stripped0, m =>
+          else replaceOutsideLiterals(stripped0, TagRef)(m =>
             s"${m.group(1)} VERSION AS OF ${
               graft.lake.Refs.resolveOrThrow(log, m.group(1),
                 m.group(2)).version}")
-        val refs = VersionRef.findAllMatchIn(stripped)
-          .map(m => m.group(1) -> m.group(2).toLong).toList
+        val refs = matchesOutsideLiterals(stripped, VersionRef)
+          .map(m => m.group(1) -> m.group(2).toLong)
         if (refs.isEmpty) SqlApi.queryLake(spark, log, stripped)
         else {
           // fail loudly on every silent-wrong-answer shape: the captured
@@ -864,7 +864,8 @@ object LakeSql {
                   vs.map(_._2).distinct.sorted.mkString(", "))
           }
           SqlApi.queryLake(spark, log,
-            VersionRef.replaceAllIn(stripped, m => m.group(1)), refs.toMap)
+            replaceOutsideLiterals(stripped, VersionRef)(m => m.group(1)),
+            refs.toMap)
         }
     }
 }

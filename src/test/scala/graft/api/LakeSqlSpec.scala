@@ -360,4 +360,29 @@ class LakeSqlSpec extends SparkSpec {
     assert(vv.getAs[Long]("deleted") == 2L)
     assert(Views.catalog(log).views.map(_.name) == Seq("w1", "w2", "w3"))
   }
+
+  test("time-travel clauses inside string literals are not parsed") {
+    import graft.lake.{LakeLog, LakeTable}
+    val log = new LakeLog(tmpDir("ttlit"))
+    def sql(q: String) = LakeSql.execute(spark, log, q)
+    val rows = (1L to 4L).map(i => (i, i * 2)).toDF("id", "v")
+    LakeTable.createTable(log, "t", rows.schema)
+    LakeTable.insert(spark, log, "t", rows)
+    // 't VERSION AS OF 9' inside a literal: a raw-regex parse would pin
+    // the real table t to the nonexistent version 9 and fail the read;
+    // the literal must survive verbatim and the scan read latest
+    val out = sql("SELECT 'read t VERSION AS OF 9 maybe' AS note, " +
+      "count(*) AS n FROM t").as[(String, Long)].head()
+    assert(out == (("read t VERSION AS OF 9 maybe", 4L)))
+    // TIMESTAMP and quoted-tag forms likewise ('x' is not even a table —
+    // the old path refused the whole statement)
+    assert(sql("SELECT 'x TIMESTAMP AS OF ''2020-01-01''' AS note, " +
+      "count(*) AS n FROM t").as[(String, Long)].head()._2 == 4L)
+    assert(sql("SELECT 'x VERSION AS OF ''v1''' AS note, " +
+      "count(*) AS n FROM t").as[(String, Long)].head()._2 == 4L)
+    // the REAL clause still routes: version 1 read
+    LakeTable.insert(spark, log, "t", Seq((9L, 18L)).toDF("id", "v"))
+    assert(sql("SELECT count(*) AS n FROM t VERSION AS OF 1")
+      .as[Long].head() == 4L)
+  }
 }
