@@ -153,6 +153,16 @@ object Bench {
     val buildsJson = builds.map { case (k, vs) =>
       s"\"" + k + "\":" + vs.map(num).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // tail-line render of the same rep vectors at 2 decimals: builds is
+    // a FIXED block in the summary line (the byte-budget loop can only
+    // drop kept queries), so it must stay small even when build times
+    // grow a digit — centiseconds are plenty for spike-vs-sustained
+    // attribution, and the full-precision vectors live in the full file
+    def num2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val buildsJsonTail = builds.map { case (k, vs) =>
+      s"\"" + k + "\":" + vs.map(num2).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     // full rep attribution (full file only — the tail line carries just
     // the reps_floor_hits count within its byte budget)
     val repsJson = repTimes.map { case (k, ts) =>
@@ -183,7 +193,7 @@ object Bench {
       s""""n_queries":${results.size},"median":${num(median)},"over_1s":$over1s,""" +
       s""""reps_floor_hits":$repFloorHits,""" +
       s""""queries_omitted":$omitted,"omitted_sec":${num(omittedSec)},""" +
-      s""""builds":$buildsJson,"full":"$fullOut","queries":""" +
+      s""""builds":$buildsJsonTail,"full":"$fullOut","queries":""" +
       kept.map { case (k, v) => entry(k, v) }.mkString("{", ",", "}") + "}"
     }
     var keep = bySlowest
