@@ -132,7 +132,18 @@ import graft.lake.{Field, LakeLog, LakeTable, TableSchema}
   *                                            the presumed-abort 2PC —
   *                                            graft.lake.MultiTxn; all
   *                                            participants appear
-  *                                            atomically or never)
+  *                                            atomically or never.
+  *                                            Replaying a committed id
+  *                                            requires the EXACT same
+  *                                            statement body — the
+  *                                            replay guard hashes the
+  *                                            trimmed statement text,
+  *                                            so even a whitespace or
+  *                                            case reformat of the
+  *                                            script reads as a reused
+  *                                            id and is refused;
+  *                                            re-run crashed scripts
+  *                                            byte-identical)
   *   anything else → [[SqlApi.queryLake]] (SELECT etc.)
   *
   * The type names in DDL are the lake's declared types (int32, int64,
@@ -277,33 +288,51 @@ object LakeSql {
     parts.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
-  /** Positions inside single-quoted string literals ('' escapes honored)
-    * or `--` line comments. The TVF substitutions and the txn-block
-    * splitter consult this so SQL text inside a literal is never
-    * rewritten or treated as a statement boundary — a raw regex over the
-    * whole statement would rewrite `'...TABLE_CHANGES(...)...'` (silently
-    * altering the literal's value) and a bare `split(";")` would
-    * fragment an INSERT whose SELECT carries a semicolon in a string. */
-  private def literalSpans(s: String): Array[Boolean] = {
+  /** Positions inside string literals (single- OR double-quoted, doubled-
+    * quote escapes honored), `--` line comments, or bracketed
+    * slash-star comments (nesting honored — Spark's lexer nests them;
+    * an unterminated bracket marks through to the end, failing safe).
+    * The TVF substitutions and the txn-block splitter consult this so
+    * SQL text inside a literal or comment is never rewritten or treated
+    * as a statement boundary — a raw regex over the whole statement
+    * would rewrite `'...TABLE_CHANGES(...)...'` (silently altering the
+    * literal's value) and a bare `split(";")` would fragment an INSERT
+    * whose SELECT carries a semicolon in a string. */
+  private[graft] def literalSpans(s: String): Array[Boolean] = {
     val in = new Array[Boolean](s.length)
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\'') {
+      if (c == '\'' || c == '"') {
         in(i) = true
         var k = i + 1
         var open = true
         while (open && k < s.length) {
           in(k) = true
-          if (s.charAt(k) == '\'') {
-            if (k + 1 < s.length && s.charAt(k + 1) == '\'') {
-              in(k + 1) = true; k += 2 // '' escape stays inside
+          if (s.charAt(k) == c) {
+            if (k + 1 < s.length && s.charAt(k + 1) == c) {
+              in(k + 1) = true; k += 2 // doubled-quote escape stays inside
             } else open = false
           } else k += 1
         }
         i = k + 1
       } else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
         while (i < s.length && s.charAt(i) != '\n') { in(i) = true; i += 1 }
+      } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        in(i) = true; in(i + 1) = true
+        var depth = 1
+        var k = i + 2
+        while (depth > 0 && k < s.length) {
+          in(k) = true
+          if (s.charAt(k) == '/' && k + 1 < s.length &&
+              s.charAt(k + 1) == '*') {
+            in(k + 1) = true; depth += 1; k += 2
+          } else if (s.charAt(k) == '*' && k + 1 < s.length &&
+              s.charAt(k + 1) == '/') {
+            in(k + 1) = true; depth -= 1; k += 2
+          } else k += 1
+        }
+        i = k
       } else i += 1
     }
     in
@@ -351,6 +380,19 @@ object LakeSql {
     parts += cur.result()
     parts.toSeq.map(_.trim).filter(_.nonEmpty)
   }
+
+  /** SQL-facing governance vacuums must keep ≥ 2 entries: a concurrent
+    * cross-process reader resolves the mini-log's current version and
+    * THEN opens that entry — keeping only the newest would let one
+    * in-between mutation + vacuum delete the entry it already resolved.
+    * Two survivors cover that one-commit race window; the library call
+    * (PolicyLog.vacuum, keep ≥ 1) stays available for callers who own
+    * the whole log. */
+  private def requireGovernanceKeep(keep: Int): Unit =
+    if (keep < 2)
+      throw new graft.lake.LakeValidationException(
+        s"RETAIN $keep VERSIONS would race concurrent policy readers — " +
+          "governance vacuums keep at least 2 entries")
 
   private def sha256Hex(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
@@ -630,13 +672,15 @@ object LakeSql {
         }
       case VacuumPolicies(table, retain) =>
         val keep = Option(retain).map(_.toInt).getOrElse(8)
+        requireGovernanceKeep(keep)
         val masks = graft.lake.Masking.vacuumPolicyLog(log, table, keep)
         val filters = graft.lake.RowFilter.vacuumPolicyLog(log, table, keep)
         status(spark, "table" -> table, "masks_deleted" -> masks.toLong,
           "rowfilters_deleted" -> filters.toLong)
       case VacuumViews(retain) =>
-        val n = graft.lake.Views.vacuumCatalog(log,
-          Option(retain).map(_.toInt).getOrElse(8))
+        val keep = Option(retain).map(_.toInt).getOrElse(8)
+        requireGovernanceKeep(keep)
+        val n = graft.lake.Views.vacuumCatalog(log, keep)
         status(spark, "deleted" -> n.toLong,
           "catalog_version" -> graft.lake.Views.catalogVersion(log))
       case Vacuum(table, retain) =>

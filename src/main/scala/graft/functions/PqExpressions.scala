@@ -164,6 +164,19 @@ case class PqEncodeCodes(vec: Expression, cbFlat: Array[Double],
 
   override protected def withNewChildInternal(newChild: Expression)
       : PqEncodeCodes = copy(vec = newChild)
+
+  // structural codebook equality: the case-class default compares the
+  // Array[Double] by reference, so two plans materializing the SAME
+  // codebook never canonicalize equal — breaking CSE, plan cache keys
+  // and exchange reuse for free. Content equality restores them.
+  override def equals(o: Any): Boolean = o match {
+    case p: PqEncodeCodes => p.vec == vec && p.m == m && p.nCodes == nCodes &&
+      java.util.Arrays.equals(p.cbFlat, cbFlat)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    ((java.util.Arrays.hashCode(cbFlat) * 31 + vec.hashCode()) * 31 + m) *
+      31 + nCodes
 }
 
 /** Flattened m×nCodes ADC lookup table over a normalized query vector. */
@@ -186,6 +199,16 @@ case class PqLut(vec: Expression, cbFlat: Array[Double], m: Int, nCodes: Int)
 
   override protected def withNewChildInternal(newChild: Expression): PqLut =
     copy(vec = newChild)
+
+  // structural codebook equality — same rationale as [[PqEncodeCodes]]
+  override def equals(o: Any): Boolean = o match {
+    case p: PqLut => p.vec == vec && p.m == m && p.nCodes == nCodes &&
+      java.util.Arrays.equals(p.cbFlat, cbFlat)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    ((java.util.Arrays.hashCode(cbFlat) * 31 + vec.hashCode()) * 31 + m) *
+      31 + nCodes
 }
 
 /** ADC score of one candidate: m table lookups + adds — the per-row hot

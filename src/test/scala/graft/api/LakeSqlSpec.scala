@@ -309,6 +309,16 @@ class LakeSqlSpec extends SparkSpec {
     assert(sql("SELECT count(*) AS n FROM TABLE_CHANGES('t', 1, 2)" +
       " -- TABLE_DIFF('t', 0, 1, 'id') would be wrong here\n")
       .as[Long].head() == 1L)
+    // same for a bracketed /* */ comment (nesting is covered at the
+    // scanner level by LakeSqlScannerFuzzSpec) and a DOUBLE-quoted
+    // literal — Spark's default lexer reads "…" as a string
+    assert(sql("SELECT count(*) AS n FROM TABLE_CHANGES('t', 1, 2) " +
+      "/* TABLE_DIFF('t', 0, 1, 'id') would be wrong here */")
+      .as[Long].head() == 1L)
+    val dq = sql("SELECT \"quoted TABLE_CHANGES('t', 7)\" AS note, " +
+        "count(*) AS n FROM TABLE_CHANGES('t', 1)")
+      .as[(String, Long)].head()
+    assert(dq._1 == "quoted TABLE_CHANGES('t', 7)" && dq._2 == 1L)
   }
 
   test("maintenance verbs: OPTIMIZE SKETCH STORE, VACUUM POLICIES, " +
@@ -346,9 +356,14 @@ class LakeSqlSpec extends SparkSpec {
     LakeTable.insert(spark, log, "t", rows)
     (1 to 4).foreach(i => Masking.setMask(spark, log, "t", "v", s"v * $i"))
     (1 to 3).foreach(i => RowFilter.setFilter(spark, log, "t", s"id > $i"))
-    val vp = sql("VACUUM POLICIES ON t RETAIN 1 VERSIONS").head()
-    assert(vp.getAs[Long]("masks_deleted") == 3L &&
-      vp.getAs[Long]("rowfilters_deleted") == 2L)
+    // RETAIN 1 would let a mutation+vacuum delete the entry a concurrent
+    // reader just resolved — the SQL face refuses anything below 2
+    val low = intercept[graft.lake.LakeValidationException](
+      sql("VACUUM POLICIES ON t RETAIN 1 VERSIONS"))
+    assert(low.getMessage.contains("at least 2"))
+    val vp = sql("VACUUM POLICIES ON t RETAIN 2 VERSIONS").head()
+    assert(vp.getAs[Long]("masks_deleted") == 2L &&
+      vp.getAs[Long]("rowfilters_deleted") == 1L)
     // governing policy unchanged: newest mask (v*4) + filter (id>3)
     assert(RowFilter.readGoverned(spark, log, "t", "analyst")
       .agg(org.apache.spark.sql.functions.sum("v")).as[Long].head() ==
@@ -356,8 +371,10 @@ class LakeSqlSpec extends SparkSpec {
 
     (1 to 3).foreach(i =>
       Views.create(spark, log, s"w$i", s"SELECT id FROM t WHERE id >= $i"))
-    val vv = sql("VACUUM VIEW CATALOG RETAIN 1 VERSIONS").head()
-    assert(vv.getAs[Long]("deleted") == 2L)
+    intercept[graft.lake.LakeValidationException](
+      sql("VACUUM VIEW CATALOG RETAIN 1 VERSIONS"))
+    val vv = sql("VACUUM VIEW CATALOG RETAIN 2 VERSIONS").head()
+    assert(vv.getAs[Long]("deleted") == 1L)
     assert(Views.catalog(log).views.map(_.name) == Seq("w1", "w2", "w3"))
   }
 

@@ -99,6 +99,25 @@ class SqlTxnSpec extends SparkSpec {
     assert(tags == Seq("a;b"))
   }
 
+  test("double-quoted literals and bracketed comments don't fragment " +
+      "the block") {
+    val log = seeded()
+    log.createTable("c", TableSchema(Seq(
+      Field("id", "int64"), Field("tag", "string"))))
+    // Spark's default lexer reads "x;y" as a STRING literal, and a
+    // /* ... */ span is commentary — neither semicolon is a boundary
+    val st = LakeSql.execute(spark, log,
+      """BEGIN TRANSACTION 'txdq';
+         INSERT INTO c SELECT id, "x;y" AS tag /* tail; note */
+           FROM src WHERE id <= 3;
+         COMMIT""").head()
+    assert(st.getAs[Boolean]("committed"))
+    val tags = LakeTable.read(spark, log, "c").select("tag")
+      .distinct().as[String].collect().toSeq
+    assert(tags == Seq("x;y"))
+    assert(LakeTable.read(spark, log, "c").count() == 3L)
+  }
+
   test("replaying a committed txn id with a DIFFERENT body refuses") {
     val log = seeded()
     val block =

@@ -159,6 +159,30 @@ class PqSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
+  test("re-materialized codebooks compare structurally equal — plan " +
+      "canonicalization and CSE keys survive") {
+    import graft.functions.{PqEncodeCodes, PqLut}
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // two semantically identical codebooks materialized separately: the
+    // case-class default compared the Array[Double] field by REFERENCE,
+    // so these never canonicalized equal and cache/CSE keys silently
+    // missed (round-10 ADVICE)
+    def cb() = Pq.codebook(64, 8, 16).flatten.flatten
+    val vec = BoundReference(0, ArrayType(DoubleType), nullable = true)
+    val a = PqEncodeCodes(vec, cb(), 8, 16)
+    val b = PqEncodeCodes(vec, cb(), 8, 16)
+    assert(a == b && a.hashCode == b.hashCode)
+    assert(a.semanticEquals(b))
+    assert(!(a == PqEncodeCodes(vec, cb().map(_ + 1.0), 8, 16)))
+    val la = PqLut(vec, cb(), 8, 16)
+    val lb = PqLut(vec, cb(), 8, 16)
+    assert(la == lb && la.hashCode == lb.hashCode && la.semanticEquals(lb))
+    assert(!(la == lb.copy(m = 4)))
+    // distinct expression types never cross-compare equal
+    assert(!(a == la) && !(la == a))
+  }
+
   test("compression shape: m small codes per vector, codebook is a literal") {
     val enc = Pq.encode(embs)
     assert(enc.schema("codes").dataType.simpleString == "array<int>")
