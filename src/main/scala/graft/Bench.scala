@@ -2,6 +2,33 @@ package graft
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** One run of the fixed calibration task: a deterministic CPU-bound
+    * pass (8M rows × 8 chained xxhash64 mixes) through one small 4096-
+    * group shuffle — no table reads, no codecs, nothing data-dependent.
+    * Its time is a pure function of the HOST (cores, contention, JIT
+    * state), so the graded-run tail can be normalized against a local
+    * anchor from its own bytes: if calibration inflates 1.4× and the
+    * query tail inflates 1.4×, the host moved, not the code (round 10's
+    * run-wide 1.41× graded/local gap was unprovable either way without
+    * this). Three reps at run START and three at run END bracket the
+    * timed window, so sustained contention vs a one-off spike is also
+    * distinguishable. */
+  private def calibrationOnce(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    spark.range(0, 8L * 1000 * 1000, 1, 32)
+      .select(pmod(col("id"), lit(4096)).as("k"),
+        // low 32 bits only: ANSI mode rejects a raw sum of 8M full-range
+        // longs (overflow); masked sums stay < 2^55 end to end
+        (0 until 8).foldLeft(col("id"))((c, i) => xxhash64(c, lit(i)))
+          .bitwiseAND(lit(0xffffffffL)).as("h"))
+      .groupBy("k").agg(sum("h").as("s"))
+      .agg(count(lit(1)).as("n"), sum("s").as("t"))
+      .collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -57,13 +84,19 @@ object Bench {
     // "every rep ≥ X" reads as real cost, "one rep of N" as ambient
     val repTimes = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     var repFloorHits = 0
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val split = SparkEntry.benchPhases.get(name)
-      // a failed run must publish a LOUD -1, never a plausible near-zero
-      // elapsed (a broken index build would otherwise report a ~0 s
-      // "steady-state probe" for a query that never ran); min() keeps the
-      // sentinel: any failed rep flags the query in the headline JSON
-      def runOnce(): (Double, Double) = split match {
+    // host-speed anchor, timed after the warmups and before any query;
+    // one untimed pass first so the anchor's own codegen+JIT warmup isn't
+    // read as host slowness (observed 1.28s → 0.37s on the first rep)
+    calibrationOnce(spark)
+    val calStart = (1 to 3).map(_ => calibrationOnce(spark))
+    // a failed run must publish a LOUD -1, never a plausible near-zero
+    // elapsed (a broken index build would otherwise report a ~0 s
+    // "steady-state probe" for a query that never ran); min() keeps the
+    // sentinel: any failed rep flags the query in the headline JSON
+    def timeOnce(name: String,
+                 fn: (SparkSession, String)
+                   => org.apache.spark.sql.DataFrame): (Double, Double) =
+      SparkEntry.benchPhases.get(name) match {
         case Some(mk) =>
           val (build, probe) = mk(spark, sfDir)
           val b0 = System.nanoTime()
@@ -88,6 +121,9 @@ object Bench {
           }
           (0.0, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val split = SparkEntry.benchPhases.get(name)
+      def runOnce(): (Double, Double) = timeOnce(name, fn)
       var times = (1 to math.max(1, runs)).map(_ => runOnce()).toVector
       // Adaptive rep floor, independent of SPARK_GRAFT_BENCH_RUNS: when
       // the harness is invoked single-run (a grading driver bounding its
@@ -135,6 +171,17 @@ object Bench {
     // stdout JSON line the driver parses)
     Alerts.evaluate(metrics.filter(_.durationSec >= 0)).foreach(a =>
       System.err.println(s"[bench-alert] ${a.toJson}"))
+    // end-of-run self-diagnosis: re-time the 3 slowest headline queries
+    // once each (a one-off spike in the loop above reads near-original
+    // here; sustained host pressure re-reads slow), then bracket the run
+    // with a second calibration triple — together the tail can separate
+    // "host got slow" from "code got slow" from its own bytes
+    val retimed = results.toSeq.sortBy(-_._2).take(3).map { case (n, _) =>
+      val t = timeOnce(n, SparkEntry.queries(n))._2
+      spark.catalog.clearCache()
+      n -> t
+    }
+    val calEnd = (1 to 3).map(_ => calibrationOnce(spark))
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sorted = results.values.toSeq.sorted
     val median = if (sorted.nonEmpty) sorted(sorted.size / 2) else 0.0
@@ -168,10 +215,20 @@ object Bench {
     val repsJson = repTimes.map { case (k, ts) =>
       s"\"" + k + "\":" + ts.map(num).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    def vec(vs: Seq[Double], f: Double => String): String =
+      vs.map(f).mkString("[", ",", "]")
+    val retimedJson = retimed.map { case (k, v) =>
+      s"\"" + k + "\":" + num(v)
+    }.mkString("{", ",", "}")
+    val retimedJsonTail = retimed.map { case (k, v) =>
+      s"\"" + k + "\":" + num2(v)
+    }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
       s""""n_queries":${results.size},"median":$median,"over_1s":$over1s,""" +
-      s""""reps_floor_hits":$repFloorHits,"builds":$buildsJson,""" +
+      s""""reps_floor_hits":$repFloorHits,""" +
+      s""""cal":${vec(calStart, num)},"cal_end":${vec(calEnd, num)},""" +
+      s""""retimed":$retimedJson,"builds":$buildsJson,""" +
       s""""reps":$repsJson,"queries":$fullQs}"""
     val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "target/bench_full.json")
@@ -192,6 +249,11 @@ object Bench {
       s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir",""" +
       s""""n_queries":${results.size},"median":${num(median)},"over_1s":$over1s,""" +
       s""""reps_floor_hits":$repFloorHits,""" +
+      // calibration + end-of-run re-times are FIXED blocks (~120 B): the
+      // host-speed anchor must survive the byte budget — it is the one
+      // number that makes the rest of the line interpretable
+      s""""cal":${vec(calStart, num2)},"cal_end":${vec(calEnd, num2)},""" +
+      s""""retimed":$retimedJsonTail,""" +
       s""""queries_omitted":$omitted,"omitted_sec":${num(omittedSec)},""" +
       s""""builds":$buildsJsonTail,"full":"$fullOut","queries":""" +
       kept.map { case (k, v) => entry(k, v) }.mkString("{", ",", "}") + "}"
