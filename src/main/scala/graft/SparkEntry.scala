@@ -2134,8 +2134,17 @@ object SparkEntry {
       Dedup.exactDedup(t(s, d, "documents"))
         .select("doc_id").orderBy("doc_id")),
     "q_dedup_minhash" -> ((s, d) =>
-      Dedup.minhashLshPairs(t(s, d, "documents"), threshold = 0.5)
-        .withColumn("est_jaccard", round(col("est_jaccard"), 6))
+      // the production face runs the PORTABLE hash family (one md5-derived
+      // 28-bit base hash per shingle + k universal-hash affines — the same
+      // machinery the persisted LSH index ships in production, chosen for
+      // engine-version-stable signatures) at the production operating
+      // point bands=16, r=4, k=64 — so the FULL pair set replays
+      // bit-for-bit in DuckDB and the face that was rows-only through
+      // round 10 sits under the exact oracle. est = matches/64, exact
+      // dyadic. The xxhash64 fast path stays exercised and recall-gated
+      // by q_dedup_minhash_recall.
+      Dedup.minhashLshPairsFixed(t(s, d, "documents"), threshold = 0.5,
+          bands = 16, rowsPerBand = 4)
         .orderBy("a_id", "b_id")),
     "q_dedup_minhash_fixed" -> ((s, d) =>
       // the LSH machinery's exact-oracle face: md5-derived 60-bit per-seed
@@ -2159,7 +2168,14 @@ object SparkEntry {
       build(); probe()
     }),
     "q_dedup_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 8)
+      // production face on PORTABLE (md5-derived) shingle hashes at a
+      // TIGHTER radius than the _fixed face (4 vs 8 — a distinct Manku
+      // (k, c) banding choice), so the pair set replays exactly in DuckDB
+      // (brute-force Hamming = the pigeonhole full-recall guarantee) and
+      // the face that was rows-only through round 10 sits under the
+      // exact oracle. The xxhash64 fast path stays exercised and
+      // recall-gated by q_dedup_simhash_recall.
+      Dedup.simhashPairsFixed(t(s, d, "documents"), maxHamming = 4)
         .orderBy("a_id", "b_id")),
     "q_dedup_simhash_fixed" -> ((s, d) =>
       // the Manku machinery's exact-oracle face: portable md5-derived
@@ -4364,12 +4380,17 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
     "q_dedup_semantic" -> ((s, d) =>
-      // SemDeDup: k-means cluster → within-cluster exact cosine pairs.
-      // Rows-only (k-means is not DuckDB-expressible); DedupSpec pins
-      // precision=1 (pairs ⊆ exact pairs), determinism, and recall vs the
-      // exact q_embed_neardup ground truth on this same table.
-      Dedup.semanticDupPairs(t(s, d, "embeddings"), threshold = 0.3,
-          k = 4, kmeansIters = 2, nProbe = 2)
+      // SemDeDup with the FIT ITSELF under the exact oracle: fixed-point
+      // integer Lloyd — quantized vectors, integer L2 argmin, exact
+      // floor-mean centroid updates — is deterministic across
+      // partitionings AND engines (float Lloyd is neither: a double
+      // mean's value depends on partial-merge order), so assignment,
+      // within-cluster pairing and the exact-cosine rescore all replay
+      // in DuckDB with two unrolled Lloyd rounds. Rows-only through
+      // round 10 for exactly that float-mean reason; the learned float
+      // path stays exercised + recall-gated by q_dedup_semantic_recall.
+      Dedup.semanticDupPairsFixedPoint(t(s, d, "embeddings"),
+          threshold = 0.3, k = 4, kmeansIters = 2, nProbe = 2)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("a_id", "b_id")),
     // Hard-negative mining for contrastive training: per anchor, the k
@@ -9796,6 +9817,81 @@ object SparkEntry {
         FROM sp JOIN k USING (doc_id, pos) GROUP BY sp.doc_id) s
         ON d.doc_id = s.sdoc
       ORDER BY d.doc_id""",
+    // q_dedup_minhash: the PRODUCTION face's portable banding replayed at
+    // its own operating point — k=64 affine hashes, 16 bands of 4 raw
+    // signature rows, est = matches/64 (exact dyadic, no rounding)
+    "q_dedup_minhash" -> """
+      WITH norm AS (
+        SELECT doc_id, list_filter(string_split_regex(
+                 regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+               x -> x <> '') AS t
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id,
+                 CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+                      ELSE array_to_string(t[i:i+2], ' ') END AS sh
+          FROM norm, UNNEST(CASE WHEN len(t) < 3 THEN [CAST(1 AS BIGINT)]
+                                 ELSE range(1, len(t) - 1) END) AS u(i))),
+      hb AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(sh), 1, 7)) AS BIGINT) AS h
+        FROM sh),
+      sig AS (
+        SELECT doc_id, i,
+               min((((1103515245 * (2 * i + 1)) % 2147483647) * h
+                    + ((12345 + 1013904223 * i) % 2147483647))
+                   % 2147483647) AS h
+        FROM hb, UNNEST(range(64)) AS s(i)
+        GROUP BY doc_id, i),
+      band AS (
+        SELECT doc_id, i // 4 AS band,
+               string_agg(h::VARCHAR, ',' ORDER BY i) AS key
+        FROM sig GROUP BY doc_id, i // 4),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM band a JOIN band b ON a.band = b.band AND a.key = b.key
+                                AND a.doc_id < b.doc_id)
+      SELECT c.a_id AS a_id, c.b_id AS b_id,
+             sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / 64.0
+               AS est_jaccard
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.a_id
+      JOIN sig sb ON sb.doc_id = c.b_id AND sb.i = sa.i
+      GROUP BY c.a_id, c.b_id
+      HAVING sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / 64.0 >= 0.5
+      ORDER BY a_id, b_id""",
+    // q_dedup_simhash: the production face's portable fingerprints at
+    // radius 4 — brute-force Hamming IS the full-recall guarantee the
+    // Manku banding provides, checked on real data
+    "q_dedup_simhash" -> """
+      WITH norm AS (
+        SELECT doc_id, list_filter(string_split_regex(
+                 regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+               x -> x <> '') AS t
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT) AS h
+        FROM (
+          SELECT doc_id,
+                 CASE WHEN len(t) < 2 THEN array_to_string(t, ' ')
+                      ELSE array_to_string(t[i:i+1], ' ') END AS sh
+          FROM norm, UNNEST(CASE WHEN len(t) < 2 THEN [CAST(1 AS BIGINT)]
+                                 ELSE range(1, len(t)) END) AS u(i))),
+      fp AS (
+        SELECT doc_id,
+               list_sum(list_transform(range(64), b ->
+                 CASE WHEN list_sum(list_transform(hl, h ->
+                        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS fp
+        FROM (SELECT doc_id, list(h) AS hl FROM sh GROUP BY doc_id)),
+      p AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               bit_count(xor(a.fp, b.fp)) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+      SELECT a_id, b_id, CAST(hamming AS INT) AS hamming FROM p
+      WHERE hamming <= 4 ORDER BY a_id, b_id""",
     "q_dedup_minhash_fixed" -> """
       WITH norm AS (
         SELECT doc_id, list_filter(string_split_regex(
@@ -10006,6 +10102,82 @@ object SparkEntry {
                '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
                '\s+', ' ', 'g'))) AS clean_len
       FROM documents ORDER BY doc_id""",
+    // q_dedup_semantic: the fixed-point Lloyd fit replayed end-to-end —
+    // quantize (floor(x·10⁶), bit-exact: float→double widening + one
+    // rounded multiply), seed from the 4 smallest ids, two unrolled
+    // rounds of integer-L2 argmin + exact integer floor-mean, then the
+    // nProbe=2 soft assignment, within-cluster pairing and exact-cosine
+    // rescore. Every clustering step is order-independent integer math,
+    // which is what makes a learned-kmeans face cross-engine checkable.
+    "q_dedup_semantic" -> """
+      WITH e AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                 AS qv
+        FROM embeddings),
+      c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid,
+               qv AS qc
+        FROM (SELECT id, qv FROM e ORDER BY id LIMIT 4)),
+      d1 AS (
+        SELECT e.id, c.cid,
+               list_sum(list_transform(range(64),
+                 i -> (e.qv[i+1] - c.qc[i+1]) * (e.qv[i+1] - c.qc[i+1])))
+                 AS dist
+        FROM e CROSS JOIN c0 c),
+      a1 AS (SELECT id, cid FROM (
+               SELECT id, cid, row_number() OVER (PARTITION BY id
+                 ORDER BY dist, cid) AS rk FROM d1) WHERE rk = 1),
+      u1 AS (
+        SELECT a1.cid, r.i AS pos, sum(e.qv[r.i+1]) AS s, count(*) AS n
+        FROM a1, e, UNNEST(range(64)) AS r(i)
+        WHERE e.id = a1.id
+        GROUP BY 1, 2),
+      n1 AS (
+        SELECT cid, list((s - ((s % n) + n) % n) // n ORDER BY pos) AS qc
+        FROM u1 GROUP BY cid),
+      c1 AS (
+        SELECT c0.cid, COALESCE(n1.qc, c0.qc) AS qc
+        FROM c0 LEFT JOIN n1 ON n1.cid = c0.cid),
+      d2 AS (
+        SELECT e.id, c.cid,
+               list_sum(list_transform(range(64),
+                 i -> (e.qv[i+1] - c.qc[i+1]) * (e.qv[i+1] - c.qc[i+1])))
+                 AS dist
+        FROM e CROSS JOIN c1 c),
+      a2 AS (SELECT id, cid FROM (
+               SELECT id, cid, row_number() OVER (PARTITION BY id
+                 ORDER BY dist, cid) AS rk FROM d2) WHERE rk = 1),
+      u2 AS (
+        SELECT a2.cid, r.i AS pos, sum(e.qv[r.i+1]) AS s, count(*) AS n
+        FROM a2, e, UNNEST(range(64)) AS r(i)
+        WHERE e.id = a2.id
+        GROUP BY 1, 2),
+      n2 AS (
+        SELECT cid, list((s - ((s % n) + n) % n) // n ORDER BY pos) AS qc
+        FROM u2 GROUP BY cid),
+      c2 AS (
+        SELECT c1.cid, COALESCE(n2.qc, c1.qc) AS qc
+        FROM c1 LEFT JOIN n2 ON n2.cid = c1.cid),
+      df AS (
+        SELECT e.id, c.cid,
+               list_sum(list_transform(range(64),
+                 i -> (e.qv[i+1] - c.qc[i+1]) * (e.qv[i+1] - c.qc[i+1])))
+                 AS dist
+        FROM e CROSS JOIN c2 c),
+      af AS (SELECT id, cid FROM (
+               SELECT id, cid, row_number() OVER (PARTITION BY id
+                 ORDER BY dist, cid) AS rk FROM df) WHERE rk <= 2),
+      p AS (
+        SELECT x.id AS a_id, y.id AS b_id,
+               list_cosine_similarity(ex.v, ey.v) AS cos
+        FROM af x JOIN af y ON x.cid = y.cid AND x.id < y.id
+        JOIN e ex ON ex.id = x.id
+        JOIN e ey ON ey.id = y.id
+        WHERE list_cosine_similarity(ex.v, ey.v) >= 0.3)
+      SELECT a_id, b_id, round(max(cos), 6) AS cos
+      FROM p GROUP BY a_id, b_id ORDER BY a_id, b_id""",
     "q_dedup_semantic_fixed" -> """
       WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
                  FROM embeddings WHERE vec_id < 4),

@@ -774,6 +774,83 @@ object Dedup {
       clusteredAssignments(embs, k, kmeansIters, nProbe, idCol, vecCol),
       threshold, nProbe)
 
+  /** [[semanticDupPairs]] with a DETERMINISTIC FIXED-POINT Lloyd fit:
+    * vectors are quantized to integers (`floor(x·scale)` per component —
+    * float→double widening and one rounded multiply, bit-identical in
+    * any IEEE engine), centroids are seeded from the k smallest ids and
+    * updated by exact integer floor-mean per dimension, and assignment
+    * minimizes the exact integer squared L2 (ties → lower centroid id).
+    * Every arithmetic step is order-independent integer math, so the
+    * clustering is reproducible across partitionings, engine versions
+    * AND engines — float Lloyd is none of these (a double mean's value
+    * depends on the partition-merge order), which is why the learned
+    * float path (q_dedup_semantic through round 10) could never sit
+    * under a cross-engine oracle. Candidate pairs are still rescored
+    * with the EXACT cosine over the full vectors ([[pairsOfAssignments]]
+    * — precision 1.0 by construction, clustering only bounds recall),
+    * so quantization touches only which pairs get compared.
+    *
+    * Scale shape is the frozen-codebook path's: k explicit (the pair
+    * join's parallelism), assignment an n×k broadcast-join argmin, the
+    * update one posexplode groupBy (n·dim rows, integer partials).
+    * Overflow-safe by construction: |q| ≤ scale·maxAbs ≈ 2²¹ per
+    * component, squared-distance sums ≤ dim·2⁴⁴ « 2⁶³ (ANSI-clean).
+    */
+  def semanticDupPairsFixedPoint(embs: DataFrame, threshold: Double,
+                                 k: Int, kmeansIters: Int, nProbe: Int = 1,
+                                 idCol: String = "vec_id",
+                                 vecCol: String = "embedding",
+                                 scale: Long = 1000000L): DataFrame = {
+    require(k >= 1 && kmeansIters >= 0 && nProbe >= 1)
+    VectorExpressions.register(embs.sparkSession)
+    val normed = spread(embs.select(col(idCol).as("id"), col(vecCol).as("__v")))
+      .select(col("id"), normalize(col("__v")).as("v"),
+        transform(col("__v"), x => floor(x.cast("double") * scale)).as("qv"))
+      .localCheckpoint() // read by every Lloyd round AND the pair join
+    // assignment: integer L2 argmin over the (tiny, explicit-k) centroid
+    // set; rank ≤ probe with ties broken by centroid id
+    def assign(cents: DataFrame, probe: Int): DataFrame = {
+      val scored = normed.crossJoin(broadcast(cents))
+        .select(col("id"), col("v"), col("qv"), col("cid"),
+          aggregate(zip_with(col("qv"), col("qc"),
+            (a, b) => (a - b) * (a - b)), lit(0L), _ + _).as("dist"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("dist"), col("cid"))
+      scored.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= probe)
+        .drop("__rk", "dist")
+    }
+    // init: the k smallest ids' quantized vectors, cid by id order
+    val wInit = org.apache.spark.sql.expressions.Window.orderBy("id")
+    var cents = normed.orderBy("id").limit(k)
+      .select((row_number().over(wInit) - 1).cast("int").as("cid"),
+        col("qv").as("qc"))
+      .localCheckpoint()
+    (0 until kmeansIters).foreach { _ =>
+      // exact integer floor-mean per (centroid, dim): div of the
+      // pmod-adjusted sum is floorDiv, pure integer end to end
+      val upd = assign(cents, probe = 1)
+        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(sum("x").as("s"), count(lit(1)).as("n"))
+        // `div` (integral) on the pmod-adjusted sum IS floorDiv — the
+        // adjusted sum divides exactly, so truncation never engages
+        .selectExpr("cid", "pos", "(s - pmod(s, n)) div n AS q")
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("q")))),
+          s => s.getField("q")).as("qc"))
+      // an emptied cluster keeps its previous centroid (both engines)
+      cents = cents.select(col("cid"), col("qc").as("__qc0"))
+        .join(upd, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("qc"), col("__qc0")).as("qc"))
+        .localCheckpoint()
+    }
+    val assigned = assign(cents, nProbe)
+      .select(col("cid").as("centroid_id"), col("id"), col("v"))
+      .localCheckpoint()
+    pairsOfAssignments(assigned, threshold, nProbe)
+  }
+
   /** [[semanticDupPairs]] against a FROZEN codebook instead of fitting
     * k-means: `cents` is (centroid_id, centroid[unit-norm]). The
     * operational shape for continuous ingestion — fit centroids once (or

@@ -444,6 +444,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("fixed-point Lloyd: partitioning-invariant fit, precision 1, " +
+      "quantization only gates which pairs are compared") {
+    val embs = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "embeddings")
+    // THE property that motivates integer fixed-point over float Lloyd:
+    // the fit is a pure function of the data — identical across
+    // partition layouts (a float mean's value depends on partial-merge
+    // order; an integer floor-mean's does not). repartition(1) vs (16)
+    // must give the SAME pair set, cos values included.
+    def pairsAt(n: Int) = Dedup.semanticDupPairsFixedPoint(
+        embs.repartition(n), threshold = 0.3, k = 4, kmeansIters = 2,
+        nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val p1 = pairsAt(1)
+    assert(p1.nonEmpty)
+    assert(p1 == pairsAt(16))
+    // precision 1 by construction: rescoring is the exact cosine, so
+    // every reported pair is a true near-dup pair with its exact score
+    val exact = Dedup.embeddingNearDupPairs(embs, threshold = 0.3,
+        exact = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    p1.foreach { case (a, b, cos) =>
+      assert(exact.get((a, b)).contains(cos), s"false positive ($a,$b)")
+    }
+    // the clustering bounds recall like any SemDeDup deployment — but on
+    // this corpus the 4-cluster nProbe=2 fit should still catch most
+    assert(p1.size * 1000000L / exact.size >= 850000L,
+      s"recall ${p1.size}/${exact.size} fell below the gate")
+  }
+
   test("semanticDedup far_from_centroid keeps the cluster-edge member") {
     val rnd = new scala.util.Random(29)
     // cluster A: ids 0-8 hug e1 (tiny noise); id 9 is rotated ~10 degrees —
