@@ -449,6 +449,82 @@ object Scale10 {
           .agg(count(lit(1)).as("n"), sum("v").as("sv")).count() +
           LakeTable.changeFeed(spark, log, "t", 1, 3).count()
       },
+      timed("mv_rewrite_read") {
+        // the round-19 join-MV rewrite's READ path at N×: after refresh,
+        // the naive fact ⋈ dim aggregate must be answered from the MV
+        // alone — the in-flight require pins the optimized plan to the
+        // MV scan, so the timed read is O(|MV rows|) whatever N is (the
+        // refresh itself is priced by mv_join_refresh above)
+        import graft.lake.{LakeLog, LakeTable, MaterializedView, MvRewrite}
+        val log = new LakeLog(
+          java.nio.file.Files.createTempDirectory("s10mvr"))
+        val fact = docs.select(
+          pmod(col("doc_id"), lit(10000000L)).as("fk"),
+          col("n_chars").cast("double").as("v"))
+        val dim = docs.filter(col("doc_id") < 10000000L)
+          .select(col("doc_id").as("fk"), col("source").as("grp"))
+        LakeTable.createTable(log, "f", fact.schema)
+        LakeTable.createTable(log, "dm", dim.schema)
+        LakeTable.insert(spark, log, "dm", dim, numFiles = 4, txnId = "d0")
+        LakeTable.insert(spark, log, "f", fact, numFiles = 8, txnId = "f0")
+        val d0 = MaterializedView.MvDef("mvr", "f", "grp",
+          sumCols = Seq("v"), joinTable = Some("dm"), joinOn = Some("fk"))
+        MaterializedView.create(log, d0)
+        MaterializedView.refresh(spark, log, d0)
+        MvRewrite.register(spark, log, Seq(d0))
+        try {
+          val q = LakeTable.readIndexed(spark, log, "f")
+            .join(LakeTable.readIndexed(spark, log, "dm"), Seq("fk"),
+              "inner")
+            .groupBy("grp")
+            .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+          val scanned = q.queryExecution.optimizedPlan.collectLeaves()
+            .flatMap {
+              case lr: org.apache.spark.sql.execution.datasources
+                  .LogicalRelation => lr.relation match {
+                case h: org.apache.spark.sql.execution.datasources
+                    .HadoopFsRelation => h.location match {
+                  case i: graft.lake.LakeFileIndex => Some(i.tableName)
+                  case _ => None
+                }
+                case _ => None
+              }
+              case _ => None
+            }
+          require(scanned == Seq("mvr"),
+            s"rewrite must fire at scale (scanned: ${scanned.mkString(",")})")
+          q.count()
+        } finally MvRewrite.clear(spark)
+      },
+      timed("sketch_store_compact") {
+        // round-19 sketch-store compaction at N×: B per-batch digest
+        // commits (distributed sketching is the only row-shaped work),
+        // then ONE compaction commit merging each key's digests — the
+        // compaction input is O(batches × keys) sketch rows, never
+        // values, so its cost is N-invariant by construction; the
+        // post-compaction read must answer from O(keys) rows
+        import graft.lake.{LakeLog, LakeTable}
+        import graft.operators.QDigest
+        val log = new LakeLog(
+          java.nio.file.Files.createTempDirectory("s10skc"))
+        val vals = docs.select(col("source"),
+          (col("n_chars") % (1L << 20)).as("v"),
+          pmod(col("doc_id"), lit(3)).as("day"))
+        (0L to 2L).foreach { b =>
+          val batch = QDigest.sketchRowsByKey(
+            vals.filter(col("day") === b), "source", "v",
+            depth = 20, k = 2000L)
+          if (b == 0L) LakeTable.createTable(log, "sk", batch.schema)
+          LakeTable.insert(spark, log, "sk", batch, txnId = s"d$b")
+        }
+        val (beforeRows, afterRows) =
+          QDigest.compactSketchStore(spark, log, "sk", "source")
+        require(afterRows < beforeRows,
+          s"compaction must shrink the store ($beforeRows -> $afterRows)")
+        QDigest.quantilesOfSketchRows(
+          LakeTable.read(spark, log, "sk"), "source",
+          qsPpm = Seq(500000L, 990000L)).count()
+      },
       timed("qdigest") {
         // per-partition digests (the only per-row work) + a grouped
         // face: exchanges carry ≤3k-node sketches / (key, sketch)

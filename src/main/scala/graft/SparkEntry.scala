@@ -4154,6 +4154,95 @@ object SparkEntry {
       } finally MvRewrite.clear(s)
     }),
 
+    // MV rewrite, extended provable envelope #5: the JOIN shape COMPOSED
+    // with the single-table rule's key-only-filter proof — a predicate
+    // over the join MV's key columns partitions whole joined-row groups,
+    // so it commutes with the grouping and re-anchors onto the MV's
+    // stored keys as a filtered MV scan. The filter sits naturally above
+    // the join in user code; Catalyst pushes it to the dim side and the
+    // envelope walker collects it from either position.
+    "q_lake_mv_rewrite_join_filter" -> ((s, d) => {
+      import graft.lake.{LakeLog, LakeTable, MaterializedView, MvRewrite}
+      val log = new LakeLog(
+        java.nio.file.Files.createTempDirectory("graftmvjf"))
+      val fact = t(s, d, "lineitem").select(
+        col("l_orderkey").as("orderkey"),
+        col("l_quantity").as("qty"))
+      val dim = t(s, d, "orders").select(
+        col("o_orderkey").as("orderkey"),
+        col("o_orderpriority").as("priority"))
+      LakeTable.createTable(log, "fact", fact.schema)
+      LakeTable.createTable(log, "dim", dim.schema)
+      LakeTable.insert(s, log, "dim", dim, txnId = "dim-load")
+      LakeTable.insert(s, log, "fact", fact, txnId = "fact-load",
+        numFiles = 4)
+      val mv = MaterializedView.MvDef("revf_mv", "fact", "priority",
+        sumCols = Seq("qty"), joinTable = Some("dim"),
+        joinOn = Some("orderkey"))
+      MaterializedView.create(log, mv)
+      MaterializedView.refresh(s, log, mv)
+      MvRewrite.register(s, log, Seq(mv))
+      try {
+        val q = LakeTable.readIndexed(s, log, "fact")
+          .join(LakeTable.readIndexed(s, log, "dim"),
+            Seq("orderkey"), "inner")
+          .filter(col("priority") =!= "1-URGENT")
+          .groupBy("priority")
+          .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty0"))
+        val scanned = lakeScans(q)
+        require(scanned == Seq("revf_mv"),
+          s"filtered join-MV rewrite did not fire " +
+            s"(scanned: ${scanned.mkString(",")})")
+        q.select(col("priority"), col("n_rows"),
+            round(col("sum_qty0"), 2).as("sum_qty"))
+          .orderBy("priority")
+          .localCheckpoint()
+      } finally MvRewrite.clear(s)
+    }),
+
+    // MV rewrite, extended provable envelope #6: JOIN shape × ROLLUP —
+    // GROUP BY a strict subset of a COMPOSITE join-MV key answers by
+    // re-aggregating the MV (sum of sums, sum of counts, total-sum/
+    // total-count avg), exactly the single-table rollup proof lifted
+    // onto joined rows: O(|MV rows|) instead of a fact ⋈ dim shuffle.
+    "q_lake_mv_rewrite_join_rollup" -> ((s, d) => {
+      import graft.lake.{LakeLog, LakeTable, MaterializedView, MvRewrite}
+      val log = new LakeLog(
+        java.nio.file.Files.createTempDirectory("graftmvjr"))
+      val fact = t(s, d, "lineitem").select(
+        col("l_orderkey").as("orderkey"),
+        col("l_quantity").as("qty"))
+      val dim = t(s, d, "orders").select(
+        col("o_orderkey").as("orderkey"),
+        col("o_orderpriority").as("priority"),
+        col("o_orderstatus").as("status"))
+      LakeTable.createTable(log, "fact", fact.schema)
+      LakeTable.createTable(log, "dim", dim.schema)
+      LakeTable.insert(s, log, "dim", dim, txnId = "dim-load")
+      LakeTable.insert(s, log, "fact", fact, txnId = "fact-load",
+        numFiles = 4)
+      val mv = MaterializedView.MvDef("revr_mv", "fact", "priority",
+        sumCols = Seq("qty"), extraKeyCols = Seq("status"),
+        joinTable = Some("dim"), joinOn = Some("orderkey"))
+      MaterializedView.create(log, mv)
+      MaterializedView.refresh(s, log, mv)
+      MvRewrite.register(s, log, Seq(mv))
+      try {
+        // qty is integer-valued, so sum/avg stay exact cross-engine
+        val q = LakeTable.readIndexed(s, log, "fact")
+          .join(LakeTable.readIndexed(s, log, "dim"),
+            Seq("orderkey"), "inner")
+          .groupBy("priority")
+          .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty"),
+            avg("qty").as("avg_qty"))
+        val scanned = lakeScans(q)
+        require(scanned == Seq("revr_mv"),
+          s"join-MV rollup rewrite did not fire " +
+            s"(scanned: ${scanned.mkString(",")})")
+        q.orderBy("priority").localCheckpoint()
+      } finally MvRewrite.clear(s)
+    }),
+
     "q_lake_zorder" -> ((s, d) => {
       // z-order-clustered insert: multi-dimensional clustering gives BOTH
       // curve columns tight per-file ranges, so this two-column range
@@ -8714,6 +8803,24 @@ object SparkEntry {
       SELECT o_orderpriority AS priority, count(*) AS n_rows,
              round(sum(l_quantity), 2) AS sum_qty,
              round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY 1""",
+    // q_lake_mv_rewrite_join_filter: join shape × key-only filter — the
+    // filtered rewrite must equal the naive filtered star aggregate
+    "q_lake_mv_rewrite_join_filter" -> """
+      SELECT o_orderpriority AS priority, count(*) AS n_rows,
+             round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority <> '1-URGENT'
+      GROUP BY 1 ORDER BY 1""",
+    // q_lake_mv_rewrite_join_rollup: join shape × rollup — GROUP BY a
+    // strict subset of the composite join-MV key, re-aggregated from
+    // the MV; integer-valued l_quantity keeps sum/avg exact
+    "q_lake_mv_rewrite_join_rollup" -> """
+      SELECT o_orderpriority AS priority,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             sum(l_quantity) AS sum_qty,
+             avg(l_quantity) AS avg_qty
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1 ORDER BY 1""",
     "q_lake_mv" -> """

@@ -223,8 +223,14 @@ final case class MvRewriteRule(spark: SparkSession)
       if nameOf(jk._1).contains(on) && nameOf(jk._2).contains(on)
       if sideOf(jk._1) != sideOf(jk._2)
       // isnotnull(joinOn) pushdowns are implied by the inner equi-join —
-      // drop them; everything else must pass the key-only filter proof
-      realFilters = filters.filterNot {
+      // drop them; everything else must pass the key-only filter proof.
+      // Split CONJUNCTS first: the optimizer folds a pushed key filter
+      // and its inferred isnotnulls into one AND tree (`(isnotnull(k)
+      // AND k <> 'x') AND isnotnull(joinOn)`), and the joinOn conjunct
+      // buried inside would otherwise poison the whole filter (a
+      // conjunction applies each conjunct independently, so dropping an
+      // implied one is sound — only for AND, never OR)
+      realFilters = filters.flatMap(conjuncts).filterNot {
         case IsNotNull(a: Attribute) => nameOf(a.exprId).contains(on)
         case _ => false
       }
@@ -384,6 +390,11 @@ final case class MvRewriteRule(spark: SparkSession)
         agg.groupingExpressions.map {
           case ga: Attribute => mvAttr(keyByExprId(ga.exprId))
         }, outs, scan)
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
 
   private def traverse[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] = {
     val out = xs.map(f)

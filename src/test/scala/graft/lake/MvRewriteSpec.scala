@@ -415,6 +415,18 @@ class MvRewriteSpec extends SparkSpec {
       assert(scannedTables(keyFilter) === Seq("j_mv"))
       assert(keyFilter.collect().map(r =>
         (r.getString(0), r.getDouble(1))).toSeq === Seq(("a", 12.0)))
+      // an INEQUALITY key filter pushes down as ONE compound condition —
+      // `(isnotnull(cat) AND cat <> 'b') AND isnotnull(fk)` — whose
+      // buried joinOn conjunct used to poison the key-only proof; the
+      // conjunct split accepts it (round-20 fix)
+      val keyNeq = LakeTable.readIndexed(spark, log, "fct")
+        .join(LakeTable.readIndexed(spark, log, "dm"), Seq("fk"), "inner")
+        .filter(col("cat") =!= "b")
+        .groupBy("cat").agg(sum("q").as("sq"))
+      assert(scannedTables(keyNeq) === Seq("j_mv"),
+        s"compound key filter must still rewrite: ${scannedTables(keyNeq)}")
+      assert(keyNeq.collect().map(r =>
+        (r.getString(0), r.getDouble(1))).toSeq === Seq(("a", 12.0)))
     } finally MvRewrite.clear(spark)
   }
 
