@@ -322,10 +322,17 @@ CODE=$(curl -s -o "$LAKE_DIR/badtx.txt" -w '%{http_code}' -X POST "$BASE/query" 
 grep -qi "DIFFERENT statement body" "$LAKE_DIR/badtx.txt" || { echo "ERROR: wrong refusal:"; cat "$LAKE_DIR/badtx.txt"; exit 1; }
 echo "reused txn id with a different body refused (HTTP $CODE) ✓"
 # governance mini-logs append one full-catalog entry per mutation;
-# VACUUM POLICIES sweeps history while the governing policy stays
+# VACUUM POLICIES sweeps history while the governing policy stays.
+# RETAIN 1 refuses through SQL (a lone survivor races concurrent
+# cross-process policy readers) — the sweep keeps at least 2
 post /query '{"sql": "ALTER TABLE '$TABLE' SET MASK product AS (concat(substring(product, 1, 1), '\''****'\''))"}' >/dev/null
 post /query '{"sql": "ALTER TABLE '$TABLE' SET MASK product AS (concat(substring(product, 1, 2), '\''***'\'')) EXEMPT (admin)"}' >/dev/null
-VP=$(post /query '{"sql": "VACUUM POLICIES ON '$TABLE' RETAIN 1 VERSIONS"}')
+RCODE=$(curl -s -o "$LAKE_DIR/badretain.txt" -w '%{http_code}' -X POST "$BASE/query" \
+  -H 'Content-Type: application/json' -d '{"sql": "VACUUM POLICIES ON '$TABLE' RETAIN 1 VERSIONS"}')
+[ "$RCODE" -ge 400 ] || { echo "ERROR: RETAIN 1 accepted (HTTP $RCODE)"; exit 1; }
+grep -qi "at least 2" "$LAKE_DIR/badretain.txt" || { echo "ERROR: wrong refusal:"; cat "$LAKE_DIR/badretain.txt"; exit 1; }
+echo "RETAIN 1 refused (HTTP $RCODE) — governance vacuums keep >= 2 ✓"
+VP=$(post /query '{"sql": "VACUUM POLICIES ON '$TABLE' RETAIN 2 VERSIONS"}')
 MD=$(echo "$VP" | jq '.results[0].masks_deleted')
 [ "$MD" -ge 1 ] || { echo "ERROR: VACUUM POLICIES deleted nothing:"; echo "$VP" | jq .; exit 1; }
 MROW2=$(curl -sf "$BASE/tables/$TABLE/masked?role=analyst" | jq -r '.results[0].product')
@@ -334,7 +341,7 @@ case "$MROW2" in
   *) echo "ERROR: vacuum changed the governing mask (got '$MROW2')"; exit 1 ;;
 esac
 post /query '{"sql": "ALTER TABLE '$TABLE' DROP MASK product"}' >/dev/null
-VV=$(post /query '{"sql": "VACUUM VIEW CATALOG RETAIN 1 VERSIONS"}')
+VV=$(post /query '{"sql": "VACUUM VIEW CATALOG RETAIN 2 VERSIONS"}')
 VD=$(echo "$VV" | jq '.results[0].deleted')
 [ "$VD" -ge 1 ] || { echo "ERROR: VACUUM VIEW CATALOG deleted nothing:"; echo "$VV" | jq .; exit 1; }
 echo "view-catalog history swept ($VD entries), catalog version pinned ✓"

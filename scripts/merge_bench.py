@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Min-merge two (or more) full Bench artifacts into BENCH_LOCAL.json.
+
+Per-query headline = MIN across runs (each run is already min-of-N);
+rep vectors / builds / calibration triples are CONCATENATED across runs
+so the committed anchor keeps full spike-vs-sustained attribution;
+retimed keeps the per-query min. The summary fields (value/median/
+over_1s) are recomputed from the merged per-query mins.
+
+Usage: merge_bench.py out.json run1.json run2.json [...]
+"""
+import json
+import statistics
+import sys
+
+
+def main() -> None:
+    out, *ins = sys.argv[1:]
+    runs = [json.load(open(p)) for p in ins]
+    base = runs[0]
+    queries = {}
+    for k in base["queries"]:
+        vals = [r["queries"][k] for r in runs if k in r["queries"]]
+        queries[k] = min(vals)
+    reps = {k: sum((r.get("reps", {}).get(k, []) for r in runs), [])
+            for k in base.get("reps", {})}
+    builds = {k: sum((r.get("builds", {}).get(k, []) for r in runs), [])
+              for k in base.get("builds", {})}
+    cal = sum((r.get("cal", []) for r in runs), [])
+    cal_end = sum((r.get("cal_end", []) for r in runs), [])
+    retimed = {}
+    for r in runs:
+        for k, v in r.get("retimed", {}).items():
+            retimed[k] = min(v, retimed.get(k, v))
+    vals = sorted(queries.values())
+    merged = {
+        "metric": "total",
+        "value": sum(vals),
+        "unit": "sec",
+        "sf": base["sf"],
+        "n_queries": len(queries),
+        "median": statistics.median(vals),
+        "over_1s": sum(1 for v in vals if v >= 1.0),
+        "runs_merged": len(runs),
+        "cal": cal,
+        "cal_end": cal_end,
+        "retimed": retimed,
+        "builds": builds,
+        "reps": reps,
+        "queries": queries,
+    }
+    with open(out, "w") as f:
+        json.dump(merged, f)
+        f.write("\n")
+    print(f"{out}: total {sum(vals):.1f}s over {len(queries)} queries "
+          f"(median {statistics.median(vals):.3f}, cal min "
+          f"{min(cal) if cal else -1:.3f})")
+
+
+if __name__ == "__main__":
+    main()
