@@ -194,22 +194,33 @@ object Dedup {
                            textCol: String = "text",
                            shingleSize: Int = 3): DataFrame = {
     val k = bands * rowsPerBand
-    val sigs = portableSigs(docs, k, idCol, textCol, shingleSize)
+    // persisted: the band rows AND the per-candidate scoring join both
+    // consume this — the md5+affine signature pass runs once
+    val sigs = portableSigs(docs, k, idCol, textCol, shingleSize).persist()
+    // candidates FIRST, over NARROW band rows — (id, band, bucket) only.
+    // Carrying the k-long signature on every band row (the previous
+    // shape) multiplies the candidate join's volume by bands × sig
+    // width; at k=64 that is ~16 × 0.5 KB per document of pure
+    // replication. The signature-estimated Jaccard is identical
+    // whichever band collided, so scoring joins the (distinct)
+    // candidate pairs back to ONE signature row per side instead.
     val buckets = portableBandRows(sigs, bands, rowsPerBand)
-      // persisted: both candidate-join sides consume this (see
-      // minhashLshPairs) — the md5+affine signature pass runs once
-      .persist()
-    val a = buckets.select(col("band"), col("bucket"),
-      col("id").as("a_id"), col("sig").as("a_sig"))
-    val b = buckets.select(col("band"), col("bucket"),
-      col("id").as("b_id"), col("sig").as("b_sig"))
-    a.join(b, Seq("band", "bucket"))
+      .select(col("id"), col("band"), col("bucket"))
+    val cand = buckets.select(col("band"), col("bucket"),
+        col("id").as("a_id"))
+      .join(buckets.select(col("band"), col("bucket"),
+        col("id").as("b_id")), Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")),
+        Seq("a_id"))
+      .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")),
+        Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         (size(filter(zip_with(col("a_sig"), col("b_sig"),
           (x, y) => x === y), m => m)).cast("double") / k).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .groupBy("a_id", "b_id").agg(max("est_jaccard").as("est_jaccard"))
   }
 
   /** 64-bit SimHash fingerprints as (id, fp): per bit b, sum of ±1 over the
