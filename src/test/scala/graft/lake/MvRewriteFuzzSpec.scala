@@ -92,9 +92,21 @@ class MvRewriteFuzzSpec extends SparkSpec {
         (if (rnd.nextInt(3) == 0) Seq(sum("u").as("sum_u")) // uncovered
          else Nil)
       val picked = aggs.take(1 + rnd.nextInt(aggs.size))
-      if (grouping.isEmpty) filtered.agg(picked.head, picked.tail: _*)
-      else filtered.groupBy(grouping.map(col): _*)
-        .agg(picked.head, picked.tail: _*)
+      val agged =
+        if (grouping.isEmpty) filtered.agg(picked.head, picked.tail: _*)
+        else filtered.groupBy(grouping.map(col): _*)
+          .agg(picked.head, picked.tail: _*)
+      // operators ABOVE the aggregate (HAVING, sort) resolve against the
+      // aggregate's output exprIds — the rewrite preserves them, and a
+      // slip here breaks analysis or silently reorders, both of which
+      // the diff catches
+      rnd.nextInt(3) match {
+        case 0 => agged
+        case 1 => agged.filter(col("n_rows") > 10) // HAVING (always picked)
+        case _ if picked.size >= 2 =>
+          agged.orderBy(col("sum_v").desc_nulls_last)
+        case _ => agged
+      }
     }
 
     val seeds = new scala.util.Random(23)
