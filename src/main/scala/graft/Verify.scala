@@ -67,6 +67,10 @@ object Verify {
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop this query's persisted intermediates before the next one —
+      // the same per-query bound Bench applies: 273 queries' worth of
+      // stale caches would otherwise ride executor memory all run
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
