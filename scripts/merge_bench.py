@@ -18,14 +18,18 @@ def main() -> None:
     out, *ins = sys.argv[1:]
     runs = [json.load(open(p)) for p in ins]
     base = runs[0]
+    # UNION of key sets across runs: iterating only the first run's keys
+    # silently dropped any query added between runs from the merged totals
     queries = {}
-    for k in base["queries"]:
+    for k in sorted(set().union(*(r["queries"] for r in runs))):
         vals = [r["queries"][k] for r in runs if k in r["queries"]]
         queries[k] = min(vals)
+    rep_keys = sorted(set().union(*(r.get("reps", {}) for r in runs)))
     reps = {k: sum((r.get("reps", {}).get(k, []) for r in runs), [])
-            for k in base.get("reps", {})}
+            for k in rep_keys}
+    build_keys = sorted(set().union(*(r.get("builds", {}) for r in runs)))
     builds = {k: sum((r.get("builds", {}).get(k, []) for r in runs), [])
-              for k in base.get("builds", {})}
+              for k in build_keys}
     cal = sum((r.get("cal", []) for r in runs), [])
     cal_end = sum((r.get("cal_end", []) for r in runs), [])
     retimed = {}

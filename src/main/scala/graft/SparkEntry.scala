@@ -10223,6 +10223,15 @@ object SparkEntry {
                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
                  AS qv
         FROM embeddings),
+      -- dim guard: the distance/floor-mean CTEs below hard-code range(64);
+      -- if the embeddings generator's dimension ever drifts, this errors
+      -- loudly instead of silently computing truncated distances (the
+      -- final SELECT's WHERE forces its evaluation)
+      chk AS (
+        SELECT CASE WHEN min(len(qv)) = 64 AND max(len(qv)) = 64 THEN 1
+               ELSE CAST(error('embedding dim <> 64: oracle range(64) ' ||
+                               'CTEs would truncate') AS INT) END AS ok
+        FROM e),
       c0 AS (
         SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid,
                qv AS qc
@@ -10284,7 +10293,8 @@ object SparkEntry {
         JOIN e ey ON ey.id = y.id
         WHERE list_cosine_similarity(ex.v, ey.v) >= 0.3)
       SELECT a_id, b_id, round(max(cos), 6) AS cos
-      FROM p GROUP BY a_id, b_id ORDER BY a_id, b_id""",
+      FROM p CROSS JOIN chk WHERE chk.ok = 1
+      GROUP BY a_id, b_id ORDER BY a_id, b_id""",
     "q_dedup_semantic_fixed" -> """
       WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
                  FROM embeddings WHERE vec_id < 4),

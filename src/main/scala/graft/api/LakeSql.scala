@@ -288,10 +288,13 @@ object LakeSql {
     parts.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
-  /** Positions inside string literals (single- OR double-quoted, doubled-
-    * quote escapes honored), `--` line comments, or bracketed
-    * slash-star comments (nesting honored — Spark's lexer nests them;
-    * an unterminated bracket marks through to the end, failing safe).
+  /** Positions inside string literals (single- OR double-quoted; doubled-
+    * quote AND backslash escapes honored — Spark's default lexer with
+    * `escapedStringLiterals=false` accepts both, so `'a\';b'` is ONE
+    * literal whose semicolon must not split a txn block), `--` line
+    * comments, or bracketed slash-star comments (nesting honored —
+    * Spark's lexer nests them; an unterminated bracket marks through to
+    * the end, failing safe).
     * The TVF substitutions and the txn-block splitter consult this so
     * SQL text inside a literal or comment is never rewritten or treated
     * as a statement boundary — a raw regex over the whole statement
@@ -309,7 +312,13 @@ object LakeSql {
         var open = true
         while (open && k < s.length) {
           in(k) = true
-          if (s.charAt(k) == c) {
+          if (s.charAt(k) == '\\') {
+            // backslash escape: the escaped char (delimiter included)
+            // stays inside; a trailing lone backslash leaves the literal
+            // open, marking through to the end (fail-safe)
+            if (k + 1 < s.length) in(k + 1) = true
+            k += 2
+          } else if (s.charAt(k) == c) {
             if (k + 1 < s.length && s.charAt(k + 1) == c) {
               in(k + 1) = true; k += 2 // doubled-quote escape stays inside
             } else open = false

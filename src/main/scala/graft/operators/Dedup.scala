@@ -152,10 +152,11 @@ object Dedup {
     */
   /** Portable (md5 + universal-hash affine) minhash signatures — the
     * machinery of [[minhashLshPairsFixed]], shared with the persisted
-    * LSH index ([[DedupIndex]]): `(id, sig: Array[Long])` of length `k`. */
-  private[operators] def portableSigs(docs: DataFrame, k: Int,
-                                      idCol: String, textCol: String,
-                                      shingleSize: Int): DataFrame = {
+    * LSH index ([[DedupIndex]]) and the scale smoke's candidate-stage
+    * shuffle-byte evidence: `(id, sig: Array[Long])` of length `k`. */
+  def portableSigs(docs: DataFrame, k: Int,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   shingleSize: Int = 3): DataFrame = {
     val P = 2147483647L // 2^31 - 1 (prime): (2^31)·(2^28) < 2^59 — no overflow
     val shingled =
       spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
@@ -188,6 +189,31 @@ object Dedup {
                 lit(rowsPerBand)), _.cast("string"))).as("bucket")))).as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
 
+  /** Narrow-band LSH candidate mining over precomputed portable
+    * signatures: the distinct `(a_id, b_id)` pairs colliding on ≥ 1 band.
+    * Its shuffles carry `(id, band, bucket)` rows and the deduped id
+    * pairs ONLY — never the k-long signatures (the previous wide shape
+    * replicated the signature onto every band row, multiplying the
+    * candidate join's volume by bands × sig width: ~16 × 0.5 KB per
+    * document at k=64). Exposed standalone so the scale smoke can price
+    * exactly this stage's shuffle bytes. */
+  def minhashLshCandidates(sigs: DataFrame, bands: Int,
+                           rowsPerBand: Int): DataFrame = {
+    val buckets = portableBandRows(sigs, bands, rowsPerBand)
+      .select(col("id"), col("band"), col("bucket"))
+    buckets.select(col("band"), col("bucket"), col("id").as("a_id"))
+      .join(buckets.select(col("band"), col("bucket"),
+        col("id").as("b_id")), Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** NOTE (caching contract): the signature table is persisted and stays
+    * cached after the returned DataFrame materializes — the band rows and
+    * the per-candidate scoring join both consume it, and there is no
+    * post-materialization hook to release it from here. Callers composing
+    * many invocations in one session should `spark.catalog.clearCache()`
+    * between them (Verify and Bench do, per query). */
   def minhashLshPairsFixed(docs: DataFrame, threshold: Double = 0.5,
                            bands: Int = 8, rowsPerBand: Int = 2,
                            idCol: String = "doc_id",
@@ -197,22 +223,10 @@ object Dedup {
     // persisted: the band rows AND the per-candidate scoring join both
     // consume this — the md5+affine signature pass runs once
     val sigs = portableSigs(docs, k, idCol, textCol, shingleSize).persist()
-    // candidates FIRST, over NARROW band rows — (id, band, bucket) only.
-    // Carrying the k-long signature on every band row (the previous
-    // shape) multiplies the candidate join's volume by bands × sig
-    // width; at k=64 that is ~16 × 0.5 KB per document of pure
-    // replication. The signature-estimated Jaccard is identical
-    // whichever band collided, so scoring joins the (distinct)
-    // candidate pairs back to ONE signature row per side instead.
-    val buckets = portableBandRows(sigs, bands, rowsPerBand)
-      .select(col("id"), col("band"), col("bucket"))
-    val cand = buckets.select(col("band"), col("bucket"),
-        col("id").as("a_id"))
-      .join(buckets.select(col("band"), col("bucket"),
-        col("id").as("b_id")), Seq("band", "bucket"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    cand
+    // candidates FIRST, over NARROW band rows; the signature-estimated
+    // Jaccard is identical whichever band collided, so scoring joins the
+    // (distinct) candidate pairs back to ONE signature row per side.
+    minhashLshCandidates(sigs, bands, rowsPerBand)
       .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")),
         Seq("a_id"))
       .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")),

@@ -35,15 +35,22 @@ class LakeSqlScannerFuzzSpec extends AnyFunSuite {
     Frag(s, Seq.fill(s.length)(false))
   }
 
-  /** Quoted literal (single or double) with doubled-quote escapes; body
-    * never contains the delimiter except as the explicit escape. */
+  /** Quoted literal (single or double) with doubled-quote AND backslash
+    * escapes; body never contains the delimiter or a backslash except as
+    * an explicit escape pair (a backslash always travels with its escaped
+    * char, so the constructed span truth is exact). */
   private def literalFrag(rnd: scala.util.Random): Frag = {
     val q = if (rnd.nextBoolean()) '\'' else '"'
     val body = new StringBuilder
     (0 until rnd.nextInt(4)).foreach { _ =>
-      if (rnd.nextInt(4) == 0) body.append(q).append(q) // escape
-      else body.append(run(rnd, spicyChars, 1 + rnd.nextInt(5))
-        .replace(q.toString, ""))
+      rnd.nextInt(5) match {
+        case 0 => body.append(q).append(q) // doubled-quote escape
+        case 1 => // backslash escape: \' \" \\ \; \n-the-letter …
+          body.append('\\')
+            .append("'\"\\;n staxb".charAt(rnd.nextInt(10)))
+        case _ => body.append(run(rnd, spicyChars, 1 + rnd.nextInt(5))
+          .replace(q.toString, ""))
+      }
     }
     val s = s"$q$body$q"
     Frag(s, Seq.fill(s.length)(true))
@@ -103,7 +110,10 @@ class LakeSqlScannerFuzzSpec extends AnyFunSuite {
 
   test("unterminated literal or bracket comment marks through to the " +
       "end (fail-safe: never treated as code)") {
-    Seq("SELECT 'open", "SELECT \"open", "SELECT /* open /* deep */")
+    // the last two: a backslash-escaped delimiter (and a trailing lone
+    // backslash) must keep the literal open, never close it early
+    Seq("SELECT 'open", "SELECT \"open", "SELECT /* open /* deep */",
+        "SELECT 'a\\';b", "SELECT 'a\\")
       .foreach { s =>
         val in = LakeSql.literalSpans(s)
         val start = s.indexWhere(c => c == '\'' || c == '"' || c == '/')
