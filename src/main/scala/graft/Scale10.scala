@@ -20,7 +20,19 @@ import org.apache.spark.sql.functions._
   *  - NO single-task funnel: for every stage moving real shuffle volume,
   *    the largest task's shuffle read stays a bounded share of the
   *    stage's total (a global-window funnel would put ~100% through one
-  *    task; balanced hash/range partitioning sits near 1/partitions).
+  *    task; balanced hash/range partitioning sits near 1/partitions);
+  *  - the narrow-band LSH candidate stage is SIGNATURE-FREE on the wire
+  *    (lsh_candidates runs over pre-materialized signatures and its
+  *    measured shuffle-write bytes must stay far under the
+  *    nDocs × bands × k × 8 payload the old sig-on-every-band-row
+  *    shape would have added).
+  *
+  * Every op row also carries `sec_per_mrow_out` (seconds per million
+  * OUTPUT rows): the output-bound ops (phash, semantic_dedup) grow
+  * superlinearly in wall time at 30× because replica density grows
+  * near-dup PAIRS superlinearly in this synthetic inflation — the
+  * per-output-row cost staying at-or-below-flat is the honest claim,
+  * readable without cross-field arithmetic.
   *
   * Run by hand (results committed as BENCH_SCALE10.json):
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
@@ -29,20 +41,31 @@ import org.apache.spark.sql.functions._
   */
 object Scale10 {
 
-  /** Per-(stage, attempt) (shuffle-read bytes, tasks, max single-task
-    * bytes). Keyed by attempt too: a retried stage merged into one entry
-    * would double-count total bytes and deflate the max-task share. */
+  /** Per-(stage, attempt) (shuffle-read bytes, max single-task read,
+    * tasks, shuffle-WRITE bytes). Keyed by attempt too: a retried stage
+    * merged into one entry would double-count total bytes and deflate
+    * the max-task share. Write bytes feed the byte-shape evidence
+    * (what did this op actually put on the wire). */
   private final class FunnelListener extends SparkListener {
     val stages = new java.util.concurrent.ConcurrentHashMap[
-      Long, (Long, Long, Int)]()
+      Long, (Long, Long, Int, Long)]()
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
       if (m != null) {
         val read = m.shuffleReadMetrics.totalBytesRead
+        val written = m.shuffleWriteMetrics.bytesWritten
         val key = (e.stageId.toLong << 16) | (e.stageAttemptId & 0xffffL)
-        stages.merge(key, (read, read, 1),
-          (a, b) => (a._1 + b._1, math.max(a._2, b._2), a._3 + b._3))
+        stages.merge(key, (read, read, 1, written),
+          (a, b) => (a._1 + b._1, math.max(a._2, b._2), a._3 + b._3,
+            a._4 + b._4))
       }
+    }
+    /** Total shuffle bytes WRITTEN since the last reset — the op's whole
+      * wire footprint (every exchange's map-side output, compressed). */
+    def shuffleWriteBytes: Long = {
+      var t = 0L
+      stages.forEach { (_: Long, v: (Long, Long, Int, Long)) => t += v._4 }
+      t
     }
     /** (worst max-task share, its stage id, #qualifying stages) over
       * stages with ≥ minTasks tasks and ≥ minBytes total shuffle read —
@@ -50,8 +73,8 @@ object Scale10 {
       * vs genuinely balanced). */
     def worstShare(minTasks: Int, minBytes: Long): (Double, Int, Int) = {
       var worst = 0.0; var worstStage = -1; var n = 0
-      stages.forEach { (key: Long, v: (Long, Long, Int)) =>
-        val (total, maxTask, tasks) = v
+      stages.forEach { (key: Long, v: (Long, Long, Int, Long)) =>
+        val (total, maxTask, tasks, _) = v
         if (tasks >= minTasks && total >= minBytes) {
           n += 1
           val share = maxTask.toDouble / total
@@ -68,8 +91,8 @@ object Scale10 {
     def quiesce(maxWaitMs: Long = 5000L): Unit = {
       def fp(): Long = {
         var h = 0L
-        stages.forEach { (k: Long, v: (Long, Long, Int)) =>
-          h += k * 31L + v._1 + v._2 * 7L + v._3
+        stages.forEach { (k: Long, v: (Long, Long, Int, Long)) =>
+          h += k * 31L + v._1 + v._2 * 7L + v._3 + v._4 * 3L
         }
         h
       }
@@ -539,7 +562,39 @@ object Scale10 {
         graft.operators.QDigest.quantilesByKey(vals, "source", "v",
           depth = 20, k = 2000L,
           qsPpm = Seq(500000L, 990000L)).count()
+      }, {
+        // narrow-band LSH candidate mining, byte-priced (LAST in the op
+        // list: the listener window survives the timed call, so the
+        // shuffle-write readout below sees exactly this op's stages).
+        // Signatures are computed and persisted BEFORE the measured
+        // window — the candidate job's wire footprint is then exactly
+        // the claim under test: (id, band, bucket) band rows + deduped
+        // id pairs, never the k-long signatures. The old wide shape
+        // would have added sigBytes = nDocs × bands × k × 8 of
+        // replicated signature payload to these same exchanges.
+        val bands = 16; val rowsPerBand = 4
+        val sigs = graft.operators.Dedup.portableSigs(
+          docs, bands * rowsPerBand).persist()
+        sigs.count() // materialize outside the byte-measured window
+        timed("lsh_candidates") {
+          graft.operators.Dedup.minhashLshCandidates(
+            sigs, bands, rowsPerBand).count()
+        }
       })
+    // candidate-stage byte-shape evidence (reads the LAST op's listener
+    // window — keep lsh_candidates the final entry above)
+    val lshBands = 16; val lshK = 64
+    val candBytes = listener.shuffleWriteBytes
+    val candPairs = results.last._3
+    val bandRows = nDocs * lshBands
+    // compressed wire bytes per band row vs the ≥ k×8 B/row the wide
+    // shape's replicated signature would add: "signature-free" means the
+    // measured per-row cost stays an order of magnitude under it
+    val bytesPerBandRow = candBytes.toDouble / math.max(bandRows, 1L)
+    val sigEnvelope = bandRows.toDouble * lshK * 8
+    require(candBytes < 0.5 * sigEnvelope,
+      s"lsh candidate stage moved ${candBytes}B — not signature-free " +
+        s"(wide-shape envelope ${sigEnvelope.toLong}B)")
 
     val rt = Runtime.getRuntime
     System.gc()
@@ -547,12 +602,25 @@ object Scale10 {
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val ops = results.map { case (n, sec, rows, share, nq) =>
+      // sec_per_mrow_out: output-rows-normalized cost. Output-bound ops
+      // (phash, semantic_dedup) grow superlinearly in WALL time at 30×
+      // because replica density grows near-dup PAIRS superlinearly in
+      // this synthetic inflation — per-output-row cost at-or-below-flat
+      // is the honest scale claim, readable here without cross-field
+      // arithmetic
+      val perMrow = if (rows > 0) sec * 1e6 / rows else 0.0
       s""""$n":{"sec":${num(sec)},"rows":$rows,""" +
+        s""""sec_per_mrow_out":${num(perMrow)},""" +
         s""""max_task_share":${num(share)},"gated_stages":$nq}"""
     }.mkString(",")
     println(s"""{"metric":"scale10","sf":"$sfDir","times":$times,""" +
       s""""n_docs":$nDocs,"n_embeddings":$nEmbs,"heap_mb":$heapMb,""" +
-      s""""funnel_gate":0.6,"ops":{$ops}}""")
+      s""""funnel_gate":0.6,""" +
+      s""""lsh_candidate_stage":{"bands":$lshBands,"k":$lshK,""" +
+      s""""shuffle_write_mb":${num(candBytes / 1e6)},"pairs":$candPairs,""" +
+      s""""bytes_per_band_row":${num(bytesPerBandRow)},""" +
+      s""""wide_sig_envelope_mb":${num(sigEnvelope / 1e6)}},""" +
+      s""""ops":{$ops}}""")
     spark.stop()
   }
 }
