@@ -4629,6 +4629,41 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(20)
     }),
+    // Ranking-metric evaluation (nDCG@10 / MRR / P@10, integer faces —
+    // SearchEval scaladoc) over a retrieval run: results = tf-ranking on
+    // each query's FIRST term only (deliberately weaker than the graded
+    // truth, so the metrics are non-trivial), qrels = graded 1..3 by how
+    // many of the query's terms the document contains. The discount
+    // weight table is driver-computed once and interpolated verbatim
+    // into the oracle — no engine-side logs, no float sums. The judged
+    // and ranked sets are both tiny (≤ k rows/query; judgment lists stay
+    // thousands of rows at any corpus size), broadcast onto the postings.
+    "q_search_eval" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.{InvertedIndex, SearchEval}
+      val posts = InvertedIndex.postingsWithLen(t(s, d, "documents"))
+      val q = Seq((0L, "spark", 0), (0L, "window", 1), (0L, "hash", 2),
+        (1L, "join", 0), (1L, "sort", 1), (1L, "merge", 2))
+        .toDF("query_id", "term", "pos")
+      // one corpus-tokenize pass: the broadcast term join prunes the
+      // postings map-side to ≤ |terms| × docs-containing rows, and the
+      // tiny filtered result is persisted so the ranked-run and qrels
+      // branches don't re-tokenize the corpus each (tiny cache, cleared
+      // per query by Verify/Bench)
+      val filtered = posts.join(broadcast(q), Seq("term"))
+        .select("query_id", "pos", "term", "doc_id", "tf").persist()
+      val res = filtered.filter(col("pos") === 0)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("tf").desc, col("doc_id").asc)))
+        .filter(col("rank") <= 10)
+        .select("query_id", "doc_id", "rank")
+      val qrels = filtered.groupBy("query_id", "doc_id")
+        .agg(countDistinct("term").as("rel"))
+      SearchEval.rankingMetrics(res, qrels, k = 10).orderBy("query_id")
+    }),
+
     // The PRODUCTION BM25 path under the same exact oracle: the impact
     // index and its (n_docs, avgdl) row are PERSISTED lake tables built
     // once; the query reads bloom-pruned postings + the one stats row and
@@ -10410,6 +10445,62 @@ object SparkEntry {
       SELECT doc_id, round(sum(s), 6) AS score
       FROM sc GROUP BY 1
       ORDER BY score DESC, doc_id ASC LIMIT 20""",
+    // Integer ranking metrics replayed exactly: same tokenizer CTE, the
+    // tf-ranking with (tf DESC, doc_id ASC) ties, graded qrels, and the
+    // SAME driver-computed discount weight table interpolated as VALUES —
+    // 10⁹-scaled nDCG and 10⁶-scaled MRR/P@k in pure integer division,
+    // so no float sum order or libm log can desync the engines
+    "q_search_eval" -> {
+      val wVals = graft.operators.SearchEval.discountWeightsU(10)
+        .zipWithIndex.map { case (wu, i) => s"(${i + 1}, $wu)" }
+        .mkString(", ")
+      raw"""
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+          x -> x <> '')) AS term
+        FROM documents),
+      q(query_id, term, pos) AS (VALUES
+        (0, 'spark', 0), (0, 'window', 1), (0, 'hash', 2),
+        (1, 'join', 0), (1, 'sort', 1), (1, 'merge', 2)),
+      w(r, wu) AS (VALUES $wVals),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      qrels AS (
+        SELECT q.query_id, t.doc_id,
+               CAST(count(DISTINCT q.term) AS BIGINT) AS rel
+        FROM q JOIN tf t ON t.term = q.term GROUP BY 1, 2),
+      res AS (SELECT query_id, doc_id, rank FROM (
+        SELECT q.query_id, t.doc_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY t.tf DESC, t.doc_id ASC) AS rank
+        FROM q JOIN tf t ON t.term = q.term WHERE q.pos = 0)
+        WHERE rank <= 10),
+      got AS (
+        SELECT r.query_id,
+               sum(COALESCE(qr.rel, 0) * w.wu) AS dcg_u,
+               min(CASE WHEN qr.rel > 0 THEN r.rank END) AS first_rel,
+               sum(CASE WHEN qr.rel > 0 THEN 1 ELSE 0 END) AS hits
+        FROM res r
+        JOIN w ON w.r = r.rank
+        LEFT JOIN qrels qr ON qr.query_id = r.query_id
+                          AND qr.doc_id = r.doc_id
+        GROUP BY 1),
+      ideal AS (
+        SELECT query_id, sum(rel * wu) AS idcg_u FROM (
+          SELECT query_id, rel, row_number() OVER (PARTITION BY query_id
+            ORDER BY rel DESC, doc_id ASC) AS rn
+          FROM qrels WHERE rel > 0) i
+        JOIN w ON w.r = i.rn WHERE i.rn <= 10 GROUP BY 1)
+      SELECT CAST(g.query_id AS BIGINT) AS query_id,
+             CAST(CASE WHEN COALESCE(i.idcg_u, 0) > 0
+                  THEN (1000000000 * g.dcg_u) // i.idcg_u
+                  ELSE 0 END AS BIGINT) AS ndcg_u,
+             CAST(COALESCE(1000000 // g.first_rel, 0) AS BIGINT) AS mrr_u,
+             CAST(g.hits * 1000000 // 10 AS BIGINT) AS p_at_k_u
+      FROM got g LEFT JOIN ideal i ON i.query_id = g.query_id
+      ORDER BY query_id"""
+    },
+
     // identical arithmetic: the persisted stats/postings hold the same
     // values the in-plan branch computes, so one oracle serves both faces
     "q_search_bm25_indexed" -> """
