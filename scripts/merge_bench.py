@@ -35,7 +35,10 @@ def main() -> None:
     retimed = {}
     for r in runs:
         for k, v in r.get("retimed", {}).items():
-            retimed[k] = min(v, retimed.get(k, v))
+            # round-21 runs emit {query: [graded, retimed]}; earlier
+            # artifacts a bare retime scalar — normalize to the retime
+            rv = v[1] if isinstance(v, list) else v
+            retimed[k] = min(rv, retimed.get(k, rv))
     vals = sorted(queries.values())
     merged = {
         "metric": "total",

@@ -10454,6 +10454,7 @@ object SparkEntry {
       val wVals = graft.operators.SearchEval.discountWeightsU(10)
         .zipWithIndex.map { case (wu, i) => s"(${i + 1}, $wu)" }
         .mkString(", ")
+      val L = graft.operators.SearchEval.lcmTo(10) // 2520
       raw"""
       WITH toks AS (
         SELECT doc_id, unnest(list_filter(string_split_regex(
@@ -10475,28 +10476,41 @@ object SparkEntry {
                  ORDER BY t.tf DESC, t.doc_id ASC) AS rank
         FROM q JOIN tf t ON t.term = q.term WHERE q.pos = 0)
         WHERE rank <= 10),
-      got AS (
-        SELECT r.query_id,
-               sum(COALESCE(qr.rel, 0) * w.wu) AS dcg_u,
-               min(CASE WHEN qr.rel > 0 THEN r.rank END) AS first_rel,
-               sum(CASE WHEN qr.rel > 0 THEN 1 ELSE 0 END) AS hits
+      r2 AS (
+        SELECT r.query_id, r.rank, COALESCE(qr.rel, 0) AS rel,
+               sum(CASE WHEN COALESCE(qr.rel, 0) > 0 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY r.query_id ORDER BY r.rank)
+                 AS cumhits
         FROM res r
-        JOIN w ON w.r = r.rank
         LEFT JOIN qrels qr ON qr.query_id = r.query_id
-                          AND qr.doc_id = r.doc_id
+                          AND qr.doc_id = r.doc_id),
+      got AS (
+        SELECT r2.query_id,
+               sum(r2.rel * w.wu) AS dcg_u,
+               min(CASE WHEN r2.rel > 0 THEN r2.rank END) AS first_rel,
+               sum(CASE WHEN r2.rel > 0 THEN 1 ELSE 0 END) AS hits,
+               sum(CASE WHEN r2.rel > 0
+                   THEN r2.cumhits * ($L // r2.rank) ELSE 0 END) AS ap_num
+        FROM r2 JOIN w ON w.r = r2.rank
         GROUP BY 1),
       ideal AS (
-        SELECT query_id, sum(rel * wu) AS idcg_u FROM (
-          SELECT query_id, rel, row_number() OVER (PARTITION BY query_id
-            ORDER BY rel DESC, doc_id ASC) AS rn
-          FROM qrels WHERE rel > 0) i
-        JOIN w ON w.r = i.rn WHERE i.rn <= 10 GROUP BY 1)
+        SELECT query_id,
+               sum(CASE WHEN rn <= 10 THEN rel * wu ELSE 0 END) AS idcg_u,
+               count(*) AS r_total
+        FROM (SELECT query_id, rel, row_number() OVER (
+                PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) AS rn
+              FROM qrels WHERE rel > 0) i
+        LEFT JOIN w ON w.r = i.rn
+        GROUP BY 1)
       SELECT CAST(g.query_id AS BIGINT) AS query_id,
              CAST(CASE WHEN COALESCE(i.idcg_u, 0) > 0
                   THEN (1000000000 * g.dcg_u) // i.idcg_u
                   ELSE 0 END AS BIGINT) AS ndcg_u,
              CAST(COALESCE(1000000 // g.first_rel, 0) AS BIGINT) AS mrr_u,
-             CAST(g.hits * 1000000 // 10 AS BIGINT) AS p_at_k_u
+             CAST(g.hits * 1000000 // 10 AS BIGINT) AS p_at_k_u,
+             CAST(CASE WHEN COALESCE(i.r_total, 0) > 0
+                  THEN (1000000 * g.ap_num) // ($L * LEAST(i.r_total, 10))
+                  ELSE 0 END AS BIGINT) AS ap_u
       FROM got g LEFT JOIN ideal i ON i.query_id = g.query_id
       ORDER BY query_id"""
     },

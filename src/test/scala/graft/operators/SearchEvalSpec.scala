@@ -11,6 +11,8 @@ class SearchEvalSpec extends SparkSpec {
     assert(w === w.sorted(Ordering[Long].reverse))
     assert(w(1) === 630930L) // round(1e6 / log2(3)) = round(630929.75…)
     assert(w(2) === 500000L) // 1e6 / log2(4) exactly
+    assert(SearchEval.lcmTo(10) === 2520L)
+    assert(SearchEval.lcmTo(20) === 232792560L)
   }
 
   test("perfect ranking: ndcg_u = 1e9 exactly, mrr_u = 1e6") {
@@ -22,6 +24,7 @@ class SearchEvalSpec extends SparkSpec {
     assert(m.getAs[Long]("ndcg_u") === 1000000000L)
     assert(m.getAs[Long]("mrr_u") === 1000000L)
     assert(m.getAs[Long]("p_at_k_u") === 300000L)
+    assert(m.getAs[Long]("ap_u") === 1000000L) // every precision@i = 1
   }
 
   test("hand case: misrank + junk hit + unretrieved relevant doc") {
@@ -38,6 +41,10 @@ class SearchEvalSpec extends SparkSpec {
       (BigInt(1000000000) * dcg / idcg).toLong)
     assert(m.getAs[Long]("mrr_u") === 1000000L)
     assert(m.getAs[Long]("p_at_k_u") === 200000L)
+    // AP: hits@1 = 1 (term 2520), hits@3 = 2 (term 2*840); R = 3
+    val apNum = BigInt(1) * 2520 + BigInt(2) * (2520 / 3)
+    assert(m.getAs[Long]("ap_u") ===
+      (BigInt(1000000) * apNum / (2520 * 3)).toLong) // = 555555
   }
 
   test("no relevant retrieved: a zero row, not a missing row") {
@@ -48,6 +55,7 @@ class SearchEvalSpec extends SparkSpec {
     assert(m.head.getAs[Long]("ndcg_u") === 0L)
     assert(m.head.getAs[Long]("mrr_u") === 0L)
     assert(m.head.getAs[Long]("p_at_k_u") === 0L)
+    assert(m.head.getAs[Long]("ap_u") === 0L)
   }
 
   test("rank > k rows are ignored in DCG but count toward the ideal; " +
@@ -62,6 +70,10 @@ class SearchEvalSpec extends SparkSpec {
     val one = SearchEval.rankingMetrics(res, qrels, 10).collect().head
     assert(one.getAs[Long]("ndcg_u") ===
       (BigInt(1000000000) * dcg / idcg).toLong)
+    // AP: only a was retrieved in-window (hits@1 = 1), but BOTH judged
+    // docs count toward R — the unretrieved relevant doc halves AP
+    assert(one.getAs[Long]("ap_u") ===
+      (BigInt(1000000) * 2520 / (2520 * 2)).toLong) // = 500000
     val many = SearchEval.rankingMetrics(
       res.repartition(7), qrels.repartition(5), 10).collect().head
     assert(one === many)
