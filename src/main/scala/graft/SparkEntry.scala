@@ -4664,6 +4664,25 @@ object SparkEntry {
       SearchEval.rankingMetrics(res, qrels, k = 10).orderBy("query_id")
     }),
 
+    // Inter-annotator agreement (Cohen's kappa, exact integer ppm —
+    // Agreement scaladoc): two deterministic 3-class "annotators" over
+    // the corpus (char-length terciles vs whitespace-count terciles —
+    // correlated but not identical, so kappa is non-trivially between
+    // chance and perfect), per-source. Every exchange after the first
+    // aggregate is O(sources × classes).
+    "q_annotator_kappa" -> ((s, d) => {
+      import graft.operators.Agreement
+      val lab = t(s, d, "documents").select(col("source"),
+        when(col("n_chars") < 216, 0L).when(col("n_chars") < 373, 1L)
+          .otherwise(2L).as("a"),
+        when(expr("length(text) - length(replace(text, ' ', ''))") < 38,
+          0L)
+          .when(expr("length(text) - length(replace(text, ' ', ''))")
+            < 67, 1L)
+          .otherwise(2L).as("b"))
+      Agreement.cohenKappaBy(lab, "source", "a", "b").orderBy("source")
+    }),
+
     // The PRODUCTION BM25 path under the same exact oracle: the impact
     // index and its (n_docs, avgdl) row are PERSISTED lake tables built
     // once; the query reads bloom-pruned postings + the one stats row and
@@ -10514,6 +10533,45 @@ object SparkEntry {
       FROM got g LEFT JOIN ideal i ON i.query_id = g.query_id
       ORDER BY query_id"""
     },
+
+    // Cohen's kappa replayed in the exact integer form: the same label
+    // CASEs, the marginal-product S, and the sign-safe floor idiom
+    // (num − (((num % den) + den) % den)) // den — floor under the
+    // truncating % BOTH engines share, so negative kappas can't desync
+    "q_annotator_kappa" -> """
+      WITH lab AS (
+        SELECT source,
+               CASE WHEN n_chars < 216 THEN 0
+                    WHEN n_chars < 373 THEN 1 ELSE 2 END AS a,
+               CASE WHEN length(text) - length(replace(text, ' ', ''))
+                         < 38 THEN 0
+                    WHEN length(text) - length(replace(text, ' ', ''))
+                         < 67 THEN 1
+                    ELSE 2 END AS b
+        FROM documents),
+      agg AS (SELECT source, count(*) AS n,
+                     sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree
+              FROM lab GROUP BY 1),
+      ma AS (SELECT source, a AS cls, count(*) AS na FROM lab
+             GROUP BY 1, 2),
+      mb AS (SELECT source, b AS cls, count(*) AS nb FROM lab
+             GROUP BY 1, 2),
+      s AS (SELECT ma.source, sum(ma.na * mb.nb) AS s
+            FROM ma JOIN mb ON mb.source = ma.source
+                           AND mb.cls = ma.cls
+            GROUP BY 1),
+      k AS (SELECT agg.source, agg.n, agg.agree,
+                   1000000 * (agg.n * agg.agree - COALESCE(s.s, 0))
+                     AS num,
+                   agg.n * agg.n - COALESCE(s.s, 0) AS den
+            FROM agg LEFT JOIN s ON s.source = agg.source)
+      SELECT source, CAST(n AS BIGINT) AS n,
+             CAST(agree AS BIGINT) AS agree,
+             CAST(CASE WHEN den = 0
+                  THEN CASE WHEN agree = n THEN 1000000 ELSE 0 END
+                  ELSE (num - (((num % den) + den) % den)) // den
+                  END AS BIGINT) AS kappa_ppm
+      FROM k ORDER BY source""",
 
     // identical arithmetic: the persisted stats/postings hold the same
     // values the in-plan branch computes, so one oracle serves both faces
