@@ -10,7 +10,7 @@ object Bench {
     * an end-of-run retime, and the calibration medians divide into a
     * published host factor. Absent/unreadable anchor degrades to the
     * round-11 behavior (retime the 3 slowest), never fails the run. */
-  private def loadAnchor(path: String)
+  private def loadAnchor(path: String, sfDir: String)
       : Option[(Map[String, Double], Seq[Double], Double)] =
     try {
       val p = Paths.get(path)
@@ -18,12 +18,25 @@ object Bench {
       else {
         val root = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(Files.readString(p))
-        val qs = scala.collection.mutable.LinkedHashMap[String, Double]()
-        val it = root.get("queries").fields()
-        while (it.hasNext) { val e = it.next(); qs(e.getKey) = e.getValue.asDouble() }
-        val cal = (0 until root.get("cal").size())
-          .map(root.get("cal").get(_).asDouble())
-        Some((qs.toMap, cal, root.get("value").asDouble()))
+        // the anchor only means something at ITS scale factor: a gate
+        // run at sf0.001 comparing against sf0.1 anchors would publish a
+        // cross-scale norm_total and pick retimes against 100× numbers
+        val anchorSf = Option(root.get("sf")).map(_.asText()).getOrElse("")
+        if (anchorSf != sfDir) {
+          System.err.println(
+            s"[bench] anchor $path is for sf '$anchorSf', run is " +
+              s"'$sfDir' — ignoring anchor")
+          None
+        } else {
+          val qs = scala.collection.mutable.LinkedHashMap[String, Double]()
+          val it = root.get("queries").fields()
+          while (it.hasNext) {
+            val e = it.next(); qs(e.getKey) = e.getValue.asDouble()
+          }
+          val cal = (0 until root.get("cal").size())
+            .map(root.get("cal").get(_).asDouble())
+          Some((qs.toMap, cal, root.get("value").asDouble()))
+        }
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] anchor $path unreadable: ${e.getMessage}")
@@ -209,7 +222,7 @@ object Bench {
     // slow" from "code got slow" from its own bytes, with no judge
     // plan-reading needed per outlier. No anchor → the 3 slowest.
     val anchor = loadAnchor(
-      sys.env.getOrElse("SPARK_GRAFT_ANCHOR", "BENCH_LOCAL.json"))
+      sys.env.getOrElse("SPARK_GRAFT_ANCHOR", "BENCH_LOCAL.json"), sfDir)
     val top3 = results.toSeq.sortBy(-_._2).take(3).map(_._1)
     val retimeSet: Seq[String] = anchor match {
       case Some((aq, _, _)) =>
@@ -219,10 +232,12 @@ object Bench {
           // from the capped list would defeat the attribution
           aq.get(n).filter(a => a > 0 && t >= 0.3 && t > 2.0 * a)
             .map(a => (n, t / a))
-        }.sortBy(-_._2).map(_._1).take(8)
-        // the 3 slowest ride along even under 2× (a slow-but-in-budget
-        // query's retime is the continuity evidence round 11 carried)
-        over2x ++ top3.filterNot(over2x.contains)
+        }.sortBy(-_._2).map(_._1)
+        // the 3 slowest ride along when under-2× slots remain (a
+        // slow-but-in-budget retime is the continuity evidence round 11
+        // carried) — HARD cap 8 total so the tail's fixed blocks keep
+        // headroom under the 1.5 KB line budget
+        (over2x ++ top3.filterNot(over2x.contains)).take(8)
       case None => top3
     }
     // each entry carries BOTH numbers — {query: [graded, retimed]} — so
@@ -305,28 +320,36 @@ object Bench {
     // "omitted_sec" keep the total reconcilable.
     val budget = 1500
     val bySlowest = results.toSeq.sortBy(-_._2)
-    def summaryLine(kept: Seq[(String, Double)]): String = {
+    def summaryLine(kept: Seq[(String, Double)], buildsStr: String)
+        : String = {
       val omitted = results.size - kept.size
       val omittedSec = total - kept.map(_._2).sum
       s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir",""" +
       s""""n_queries":${results.size},"median":${num(median)},"over_1s":$over1s,""" +
       s""""reps_floor_hits":$repFloorHits,""" +
       // calibration + host factor + end-of-run re-times are FIXED blocks
-      // (≤ ~450 B at the 8-entry retime cap): the host-speed anchor and
-      // the spike exonerations must survive the byte budget — they are
-      // what make the rest of the line interpretable; the loop below
-      // only ever drops kept queries
+      // (≤ ~400 B at the hard 8-entry retime cap): the host-speed anchor
+      // and the spike exonerations must survive the byte budget — they
+      // are what make the rest of the line interpretable
       s""""cal":${vec(calStart, num2)},"cal_end":${vec(calEnd, num2)},""" +
       hostFields +
       s""""retimed":$retimedJsonTail,""" +
       s""""queries_omitted":$omitted,"omitted_sec":${num(omittedSec)},""" +
-      s""""builds":$buildsJsonTail,"full":"$fullOut","queries":""" +
+      s""""builds":$buildsStr,"full":"$fullOut","queries":""" +
       kept.map { case (k, v) => entry(k, v) }.mkString("{", ",", "}") + "}"
     }
-    var keep = bySlowest
-    while (keep.nonEmpty && summaryLine(keep).length > budget)
-      keep = keep.dropRight(1)
-    println(summaryLine(keep))
+    // fit under the budget by dropping kept queries; if even an empty
+    // keep list is over (the builds block grew), drop builds from the
+    // line too — its full-precision vectors live in the full file, and
+    // an over-budget LAST line would truncate the driver's tail parse
+    def fit(buildsStr: String): Option[String] = {
+      var keep = bySlowest
+      while (keep.nonEmpty && summaryLine(keep, buildsStr).length > budget)
+        keep = keep.dropRight(1)
+      Some(summaryLine(keep, buildsStr)).filter(_.length <= budget)
+    }
+    println(fit(buildsJsonTail).orElse(fit("{}"))
+      .getOrElse(summaryLine(Nil, "{}")))
     spark.stop()
   }
 }

@@ -186,6 +186,13 @@ object Scale10 {
       (name, sec, rows, share, n)
     }
 
+    // narrow-band LSH shape under byte-pricing: ONE set of constants for
+    // the lsh_candidates op AND its envelope below — duplicated scopes
+    // let a retune silently invalidate the signature-free gate
+    val lshBands = 16
+    val lshRowsPerBand = 4
+    val lshK = lshBands * lshRowsPerBand
+
     val results = Seq(
       timed("minhash_index_probe") {
         val log = new graft.lake.LakeLog(
@@ -572,18 +579,16 @@ object Scale10 {
         // id pairs, never the k-long signatures. The old wide shape
         // would have added sigBytes = nDocs × bands × k × 8 of
         // replicated signature payload to these same exchanges.
-        val bands = 16; val rowsPerBand = 4
-        val sigs = graft.operators.Dedup.portableSigs(
-          docs, bands * rowsPerBand).persist()
+        val sigs = graft.operators.Dedup.portableSigs(docs, lshK)
+          .persist()
         sigs.count() // materialize outside the byte-measured window
         timed("lsh_candidates") {
           graft.operators.Dedup.minhashLshCandidates(
-            sigs, bands, rowsPerBand).count()
+            sigs, lshBands, lshRowsPerBand).count()
         }
       })
     // candidate-stage byte-shape evidence (reads the LAST op's listener
     // window — keep lsh_candidates the final entry above)
-    val lshBands = 16; val lshK = 64
     val candBytes = listener.shuffleWriteBytes
     val candPairs = results.last._3
     val bandRows = nDocs * lshBands

@@ -10282,7 +10282,8 @@ object SparkEntry {
       -- loudly instead of silently computing truncated distances (the
       -- final SELECT's WHERE forces its evaluation)
       chk AS (
-        SELECT CASE WHEN min(len(qv)) = 64 AND max(len(qv)) = 64 THEN 1
+        SELECT CASE WHEN count(*) = 0 OR
+                         (min(len(qv)) = 64 AND max(len(qv)) = 64) THEN 1
                ELSE CAST(error('embedding dim <> 64: oracle range(64) ' ||
                                'CTEs would truncate') AS INT) END AS ok
         FROM e),

@@ -32,17 +32,26 @@ import org.apache.spark.sql.functions._
 object Agreement {
 
   /** Per-group Cohen's kappa over two integer label columns. Returns
-    * (groupCol, n, agree, kappa_ppm). */
+    * (groupCol, n, agree, kappa_ppm).
+    *
+    * NOTE (caching contract): the (group, a, b) confusion cube — the ONE
+    * row-shaped aggregate — is persisted, because three downstream
+    * aggregates consume it and would otherwise each re-scan the input
+    * and re-run the per-row labeling; its O(groups × classes²) rows stay
+    * cached post-materialization (Verify/Bench clearCache per query). */
   def cohenKappaBy(labels: DataFrame, groupCol: String, aCol: String,
                    bCol: String): DataFrame = {
-    val base = labels.select(col(groupCol).as("__g"),
-      col(aCol).cast("long").as("__a"), col(bCol).cast("long").as("__b"))
-    val agg = base.groupBy("__g").agg(count(lit(1)).as("n"),
-      sum(when(col("__a") === col("__b"), 1L).otherwise(0L)).as("agree"))
-    val ma = base.groupBy(col("__g"), col("__a").as("cls"))
-      .agg(count(lit(1)).as("na"))
-    val mb = base.groupBy(col("__g"), col("__b").as("cls"))
-      .agg(count(lit(1)).as("nb"))
+    val cube = labels.select(col(groupCol).as("__g"),
+        col(aCol).cast("long").as("__a"), col(bCol).cast("long").as("__b"))
+      .groupBy("__g", "__a", "__b").agg(count(lit(1)).as("c"))
+      .persist()
+    val agg = cube.groupBy("__g").agg(sum("c").as("n"),
+      sum(when(col("__a") === col("__b"), col("c")).otherwise(0L))
+        .as("agree"))
+    val ma = cube.groupBy(col("__g"), col("__a").as("cls"))
+      .agg(sum("c").as("na"))
+    val mb = cube.groupBy(col("__g"), col("__b").as("cls"))
+      .agg(sum("c").as("nb"))
     // inner join on class: a class absent from either marginal
     // contributes 0 to S — and a group whose annotators use fully
     // DISJOINT classes has no surviving row at all (S = 0, p_e = 0), so

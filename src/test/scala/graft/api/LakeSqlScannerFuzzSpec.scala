@@ -46,8 +46,9 @@ class LakeSqlScannerFuzzSpec extends AnyFunSuite {
       rnd.nextInt(5) match {
         case 0 => body.append(q).append(q) // doubled-quote escape
         case 1 => // backslash escape: \' \" \\ \; \n-the-letter …
+          val escapable = "'\"\\;n staxb"
           body.append('\\')
-            .append("'\"\\;n staxb".charAt(rnd.nextInt(10)))
+            .append(escapable.charAt(rnd.nextInt(escapable.length)))
         case _ => body.append(run(rnd, spicyChars, 1 + rnd.nextInt(5))
           .replace(q.toString, ""))
       }
