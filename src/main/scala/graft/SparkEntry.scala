@@ -77,7 +77,13 @@ object SparkEntry {
     val stage = tmp.resolve("stage")
     ev.withColumn("__chunk",
         floor((unix_millis(col("ts")) - loMs) / span).cast("int"))
-      .repartition(1) // one file per chunk dir; test-scale corpus
+      // hash-repartition BY the chunk column: still exactly one file per
+      // chunk dir (a value's rows land in one partition), but the n chunk
+      // files encode in parallel instead of through one task; the sort
+      // keeps within-file row order deterministic (the old single-task
+      // write was deterministic by construction)
+      .repartition(n, col("__chunk"))
+      .sortWithinPartitions("ts", "event_id")
       .write.partitionBy("__chunk").parquet(stage.toString)
     (0 until n).foreach { i =>
       val dir = stage.resolve(s"__chunk=$i")
@@ -2085,10 +2091,18 @@ object SparkEntry {
           qualityScore(col("text")).as("q"),
           langId(col("text")).as("lang"),
           fingerprint(col("text")).as("fp"))
-        .filter(col("q") >= 0.5)
+      // The quality gate rides ABOVE the window, folded into the min (a
+      // failing doc contributes NULL, which min ignores): an early
+      // `.filter(q >= 0.5)` gets predicate-pushed below the repartition
+      // onto the single-row-group scan, re-evaluating the whole regex
+      // tree once in the Filter (single-threaded!) and again in the
+      // Project — measured 3.8 s single-task vs ~0.3 s spread. Same rows
+      // out: for a passing doc, doc_id == min(passing doc_ids of its fp
+      // group) is exactly the old filtered-window survivor rule.
       perDoc
-        .withColumn("min_id", min("doc_id").over(Window.partitionBy("fp")))
-        .filter(col("doc_id") === col("min_id"))
+        .withColumn("min_id", min(when(col("q") >= 0.5, col("doc_id")))
+          .over(Window.partitionBy("fp")))
+        .filter(col("q") >= 0.5 && col("doc_id") === col("min_id"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), round(avg("q"), 6).as("avg_quality"))
         .orderBy("lang")
@@ -2756,7 +2770,11 @@ object SparkEntry {
       java.nio.file.Files.createDirectories(srcDir)
       val stage = tmp.resolve("stage")
       li.withColumn("__chunk", (col("l_orderkey") % 4).cast("int"))
-        .repartition(1)
+        // parallel per-chunk encode, one file per chunk dir (hash by the
+        // chunk column), deterministic within-file order via the sort —
+        // same staged bytes semantics as the old single-task write
+        .repartition(4, col("__chunk"))
+        .sortWithinPartitions("l_orderkey", "l_quantity", "l_extendedprice")
         .write.partitionBy("__chunk").parquet(stage.toString)
       (0 until 4).foreach { i =>
         val dir = stage.resolve(s"__chunk=$i")
@@ -4622,7 +4640,12 @@ object SparkEntry {
     // is engine-independent.
     "q_search_bm25" -> ((s, d) => {
       import graft.operators.InvertedIndex
+      // one corpus-tokenize pass: posts feeds BOTH the stats aggregate
+      // and the scoring join — unpersisted, each reference re-runs the
+      // tokenize+explode subtree (same rationale as q_search_eval's
+      // filtered cache; cleared per query by Verify/Bench)
       val posts = InvertedIndex.postingsWithLen(t(s, d, "documents"))
+        .persist()
       val stats = InvertedIndex.bm25Stats(posts)
       InvertedIndex.bm25Search(posts, stats, Seq("spark", "window", "hash"))
         .withColumn("score", round(col("score"), 6))
@@ -4706,7 +4729,11 @@ object SparkEntry {
     // the same rankArm contract.
     "q_search_hybrid" -> ((s, d) => withShufflePartitions(s, 8) {
       import graft.operators.{HybridSearch, InvertedIndex}
+      // one corpus-tokenize pass: posts is referenced by the stats
+      // aggregate AND once per lexical query (union arm) — unpersisted
+      // that is 3 tokenize+explode passes over the corpus
       val posts = InvertedIndex.postingsWithLen(t(s, d, "documents"))
+        .persist()
       val stats = InvertedIndex.bm25Stats(posts)
       val lex = HybridSearch.lexicalArm(posts, stats,
         Seq(0 -> Seq("spark", "window", "hash"),

@@ -666,6 +666,26 @@ object LakeTable {
     }
   }
 
+  /** Run independent Spark actions on fresh threads and join — the
+    * back-fill overlap for a DML op's independent staged writes (survivor
+    * rewrite vs new-rows file): each action's driver-side planning overlaps
+    * the other's execution, and neither job's task tail leaves the cores
+    * idle. Fresh threads (not a shared pool) so Spark's inheritable
+    * thread-locals (job group/description) propagate from the caller.
+    * The first failure propagates after all tasks finish (no half-staged
+    * state is observable anyway — nothing is committed until promote). */
+  private[lake] def inParallel(tasks: Seq[() => Unit]): Unit = tasks match {
+    case Seq() => ()
+    case Seq(one) => one()
+    case many =>
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = many.map(t => new Thread(() =>
+        try t() catch { case e: Throwable => errs.add(e) }))
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      if (!errs.isEmpty) throw errs.peek()
+  }
+
   /** Delete promoted-but-never-committed data files (commit threw, aborted,
     * or lost an idempotency race): without this they are referenced by no
     * log entry, invisible to vacuum, and leak forever. */
@@ -1108,19 +1128,33 @@ object LakeTable {
       else statCols(st).map(_.name)
     cols.foreach(c => if (!st.fieldNames.contains(c))
       throw new LakeValidationException(s"table $table has no column $c"))
+    // N countDistinct aggregates in ONE agg plan through Expand: the scan's
+    // rows are replicated (N+1)× into the first shuffle — at any scale the
+    // dominant cost is pure row multiplication. Instead: one non-distinct
+    // pass for count/nulls/min/max, plus one column-pruned exact
+    // distinct-count job PER column, all overlapped (guide §2.6 back-fill) —
+    // each NDV job scans only its own column and sheds duplicates map-side.
+    // Same exact integers out; the Expand never exists.
     val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
-      countDistinct(col(c)).as(s"__ndv_$c"),
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
       min(col(c)).cast("string").as(s"__min_$c"),
       max(col(c)).cast("string").as(s"__max_$c")))
-    val row = read(spark, log, table).agg(aggs.head, aggs.tail: _*).head()
+    val base = read(spark, log, table)
+    val ndv = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    var row: Row = null
+    inParallel(
+      (() => { row = base.agg(aggs.head, aggs.tail: _*).head() }) +:
+        cols.map(c => () => { ndv.put(c,
+          // isNotNull first: countDistinct never counted the NULL group
+          base.select(c).where(col(c).isNotNull)
+            .distinct().count()); () }))
     val stats: Map[String, Map[String, String]] =
       Map("__table" -> Map(
         "row_count" -> row.getAs[Long]("__n").toString,
         "as_of_version" -> snap.version.toString)) ++
       cols.map { c =>
         c -> Map(
-          "ndv" -> row.getAs[Long](s"__ndv_$c").toString,
+          "ndv" -> ndv.get(c).toString,
           "nulls" -> String.valueOf(row.getAs[Any](s"__nulls_$c")),
           "min" -> String.valueOf(row.getAs[String](s"__min_$c")),
           "max" -> String.valueOf(row.getAs[String](s"__max_$c")))
@@ -1470,18 +1504,24 @@ object LakeTable {
     // stage survivors (layout rewrite of untouched rows) and the update set
     // (logical adds) as SEPARATE file groups, so the CDC feed can replay
     // upserted rows without replaying the rewritten survivors
+    // the two staged writes are independent (distinct dirs, disjoint row
+    // sets) — overlap them so one's planning hides the other's execution
     withStatFriendlyWrites(spark) {
-      if (candidates.nonEmpty)
-        toPhys(readWithPartitions(spark, sch, st, candidates)
-            .join(keys, Seq(keyCol), "left_anti")
-            .coalesce(candidates.size), sch)
+      val rwWrite: Option[() => Unit] =
+        if (candidates.isEmpty) None
+        else Some(() =>
+          toPhys(readWithPartitions(spark, sch, st, candidates)
+              .join(keys, Seq(keyCol), "left_anti")
+              .coalesce(candidates.size), sch)
+            .write.mode("overwrite").option("compression", "snappy")
+            .partitionBy(partCols: _*)
+            .parquet(staged.resolve("rw").toString))
+      val newWrite: () => Unit = () =>
+        toPhys(shaped.coalesce(1), sch)
           .write.mode("overwrite").option("compression", "snappy")
           .partitionBy(partCols: _*)
-          .parquet(staged.resolve("rw").toString)
-      toPhys(shaped.coalesce(1), sch)
-        .write.mode("overwrite").option("compression", "snappy")
-        .partitionBy(partCols: _*)
-        .parquet(staged.resolve("new").toString)
+          .parquet(staged.resolve("new").toString)
+      inParallel(rwWrite.toSeq :+ newWrite)
     }
     try {
       val rwAdds =
@@ -1645,25 +1685,38 @@ object LakeTable {
     val newRows = updates.unionByName(inserts).persist()
     try {
     enforceChecks(table, sch, newRows)
-    val nUpdated = updates.count()
+    // one aggregate pass over the cached pair frame for ALL action counts
+    // (was three separate filter-count jobs — each pays its own planning)
+    val (nUpdated, nDeleted, nKept) =
+      if (paired == null) (0L, 0L, 0L)
+      else {
+        val r = paired.agg(
+          sum(when(col("__action") === "u", 1L).otherwise(0L)),
+          sum(when(col("__action") === "d", 1L).otherwise(0L)),
+          sum(when(col("__action") === "k", 1L).otherwise(0L))).head()
+        def n(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+        (n(0), n(1), n(2))
+      }
     val nInserted = newRows.count() - nUpdated
-    val nDeleted =
-      if (paired == null) 0L
-      else paired.filter(col("__action") === "d").count()
     val keptRows =
       if (paired == null) null
       else paired.filter(col("__action") === "k")
         .select(st.fieldNames.toSeq.map(col): _*)
+    // independent staged writes, overlapped (same rationale as upsert)
     withStatFriendlyWrites(spark) {
-      if (paired != null)
-        toPhys(keptRows.coalesce(math.max(1, candidates.size)), sch)
+      val rwWrite: Option[() => Unit] =
+        if (paired == null) None
+        else Some(() =>
+          toPhys(keptRows.coalesce(math.max(1, candidates.size)), sch)
+            .write.mode("overwrite").option("compression", "snappy")
+            .partitionBy(partCols: _*)
+            .parquet(staged.resolve("rw").toString))
+      val newWrite: () => Unit = () =>
+        toPhys(newRows.coalesce(1), sch)
           .write.mode("overwrite").option("compression", "snappy")
           .partitionBy(partCols: _*)
-          .parquet(staged.resolve("rw").toString)
-      toPhys(newRows.coalesce(1), sch)
-        .write.mode("overwrite").option("compression", "snappy")
-        .partitionBy(partCols: _*)
-        .parquet(staged.resolve("new").toString)
+          .parquet(staged.resolve("new").toString)
+      inParallel(rwWrite.toSeq :+ newWrite)
     }
     try {
       val rwAdds =
@@ -1690,8 +1743,7 @@ object LakeTable {
       }
       if (result.duplicate) discardAdds(adds)
       MergeResult(result.version, nUpdated, nDeleted, nInserted,
-        kept = if (keptRows == null) 0L else keptRows.count(),
-        duplicate = result.duplicate)
+        kept = nKept, duplicate = result.duplicate)
     } finally deleteRecursively(staged)
     } finally newRows.unpersist()
     } finally if (paired != null) paired.unpersist()

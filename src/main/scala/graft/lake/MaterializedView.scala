@@ -318,7 +318,13 @@ object MaterializedView {
       }).persist()
       val mode = if (dvEntries.isEmpty) "incremental" else "incremental_dv"
       try {
-        if (delta.isEmpty) {
+        // one pass over the cached delta answers both routing questions
+        // (empty window? NULL group key?) — was two separate limit-1 jobs,
+        // each paying its own planning
+        val probe = delta.agg(count(lit(1)),
+          count(when(col(d.upsertKey).isNull, lit(1)))).head()
+        val (deltaRows, nullKeyRows) = (probe.getLong(0), probe.getLong(1))
+        if (deltaRows == 0L) {
           // logically-empty window (layout-only / schema-only entries):
           // advance the high-water mark with a metadata-only commit —
           // routing this through upsert would rewrite the ENTIRE MV (an
@@ -326,7 +332,7 @@ object MaterializedView {
           log.commitWithRetry(d.name, txnFor(d, cur, dimCur))(
             _ => Some((Nil, Nil)))
           RefreshResult(mode, last, cur)
-        } else if (delta.filter(col(d.upsertKey).isNull).isEmpty) {
+        } else if (nullKeyRows == 0L) {
           // merged totals for touched keys only: current MV rows for those
           // keys + the delta, re-aggregated. The MV-side read is
           // stats-pruned by upsert's own key-range pruning on write; the

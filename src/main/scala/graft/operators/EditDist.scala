@@ -55,8 +55,24 @@ object EditDist {
         posexplode(expr(s"transform(sequence(1, len - ${q - 1}), " +
           s"p -> substring(k, p, $q))")))
       .select(col("id"), col("len"), col("pos"), col("col").as("gram"))
-    val cand = grams.as("g1").join(grams.as("g2"),
+    // Position-bucketed equi-key beside the gram: |Δpos| ≤ d means the
+    // partner's bucket (width d+1) is within ±1 of ours, so one side
+    // claims its 3 adjacent buckets and the join key becomes (gram,
+    // bucket) — a hot gram's fan-out drops from (its occurrences)² to
+    // per-bucket-window pairs, while the exact |Δpos| filter below keeps
+    // the candidate set identical. Each qualifying occurrence pair still
+    // matches exactly once (the partner's own bucket appears once among
+    // the 3 claims).
+    val bw = d + 1
+    val g2 = grams.withColumn("pb", floor(col("pos") / bw))
+    val g1 = grams
+      .withColumn("pb0", floor(col("pos") / bw))
+      .withColumn("pb", explode(array(col("pb0") - 1, col("pb0"),
+        col("pb0") + 1)))
+      .drop("pb0")
+    val cand = g1.as("g1").join(g2.as("g2"),
         col("g1.gram") === col("g2.gram") &&
+          col("g1.pb") === col("g2.pb") &&
           col("g1.id") < col("g2.id") &&
           abs(col("g1.pos") - col("g2.pos")) <= d &&
           abs(col("g1.len") - col("g2.len")) <= d)
