@@ -586,9 +586,19 @@ object LakeTable {
 
     val dataDir = log.dataDir(table)
     Files.createDirectories(dataDir)
+    // footer metadata reads are independent driver-side I/O — overlap them
+    // (each is an open+seek+parse; sequential they serialize behind the
+    // write job on every DML op)
+    val footerStats = {
+      val arr = new Array[(Long, Map[String, String], Map[String, String],
+        Map[String, Long])](parts.size)
+      inParallel(parts.zipWithIndex.map { case (src, i) => () =>
+        arr(i) = FooterStats.read(hadoopConf, src, cols, tz); ()
+      })
+      arr
+    }
     parts.zipWithIndex.flatMap { case (src, i) =>
-      val (rows, minVals, maxVals, nullCounts) =
-        FooterStats.read(hadoopConf, src, cols, tz)
+      val (rows, minVals, maxVals, nullCounts) = footerStats(i)
       if (rows == 0L) None
       else {
         val partMap = partition ++ parsePartitionDirs(staged, src)
